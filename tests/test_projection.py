@@ -1,0 +1,153 @@
+"""Projection kernel conformance: frozen doctest goldens from the
+reference (pj_healpix.py / pj_rhealpix.py / projection_wrapper.py /
+utils.py) evaluated through the batched kernels, plus round-trip
+property tests."""
+
+import math
+
+import numpy as np
+import pytest
+
+from rhealpixdggs_py_ray.core import projection as prj
+from rhealpixdggs_py_ray.core import utils as ut
+from rhealpixdggs_py_ray.core.config import (
+    EngineConfig,
+    UNIT_003,
+    WGS84_003,
+)
+
+PI = math.pi
+
+
+def test_healpix_sphere_golden():
+    # pj_healpix.py:42-43
+    x, y = prj.healpix_sphere(np.array([0.0]), np.array([math.asin(2.0 / 3)]))
+    assert x[0] == 0 and y[0] == PI / 4
+    # inverse round-trip, pj_healpix.py:75
+    lam, phi, ok = prj.healpix_sphere_inverse(np.array([0.0]), np.array([PI / 4]))
+    assert ok[0] and lam[0] == 0 and phi[0] == math.asin(2.0 / 3)
+
+
+def test_healpix_ellipsoid_golden():
+    # pj_healpix.py:124-127
+    x, y = prj.healpix_ellipsoid(np.array([0.0]), np.array([PI / 7]))
+    assert round(float(y[0]), 15) == 0.511157237746422
+    x, y = prj.healpix_ellipsoid(np.array([0.0]), np.array([PI / 7]), 0.8)
+    assert round(float(y[0]), 15) == 0.268484450857837
+
+
+def test_healpix_closure_golden():
+    # pj_healpix.py:262-270 — healpix(a=2)(0, pi/3, radians=True)
+    cfg = EngineConfig(R=2.0, radians=True)
+    x, y = prj.forward(cfg, np.array([0.0]), np.array([PI / 3]), proj="healpix")
+    assert round(float(x[0]), 15) == 0.574951359778215
+    assert round(float(y[0]), 15) == 2.145747686573111
+    # degrees variant
+    cfgd = EngineConfig(R=2.0)
+    x, y = prj.forward(cfgd, np.array([0.0]), np.array([60.0]), proj="healpix")
+    assert round(float(x[0]), 15) == 0.574951359778215
+    lam, phi, ok = prj.inverse(cfgd, x, y, proj="healpix")
+    assert ok[0] and abs(phi[0] - 60) < 1e-13
+
+
+def test_combine_triangles_golden():
+    # pj_rhealpix.py:77-84
+    x, y = prj.combine_triangles(np.array([-PI / 4]), np.array([PI / 3]))
+    # Exact values from executing the reference in this environment
+    # (docstring rounds differ in the last printed digit).
+    assert float(x[0]) == -1.832595714594046
+    assert float(y[0]) == 1.5707963267948966
+    xi, yi = prj.combine_triangles(x, y, inverse=True)
+    assert float(xi[0]) == -0.7853981633974483
+    assert float(yi[0]) == 1.0471975511965976
+
+
+def test_triangle_golden():
+    # pj_rhealpix.py:159-162
+    t, r = prj.triangle(np.array([-PI / 4]), np.array([PI / 4 + 0.1]))
+    assert t[0] == 1 and r[0] == prj.REGION_NORTH
+    t, r = prj.triangle(np.array([-3 * PI / 4 + 0.1]), np.array([PI / 2]), inverse=True)
+    assert t[0] == 1 and r[0] == prj.REGION_NORTH
+
+
+def test_rhealpix_sphere_golden():
+    # pj_rhealpix.py:283-284 via unit-sphere radians config
+    cfg = EngineConfig(R=1.0, radians=True)
+    x, y = prj.forward(cfg, np.array([0.0]), np.array([PI / 4]))
+    assert round(float(x[0]), 15) == -1.619978633413937
+    assert round(float(y[0]), 15) == 2.307012183573304
+
+
+def test_rhealpix_closure_golden():
+    # pj_rhealpix.py:524-534 — rhealpix(a=2, ns=1, ss=2)(0, pi/3, radians=True)
+    cfg = EngineConfig(R=2.0, radians=True, north_square=1, south_square=2)
+    x, y = prj.forward(cfg, np.array([0.0]), np.array([PI / 3]))
+    assert round(float(x[0]), 15) == -0.574951359778215
+    assert round(float(y[0]), 15) == 2.145747686573111
+
+
+def test_projection_wrapper_golden():
+    # projection_wrapper.py:55-57 — WGS84 ellipsoid, ns=1, ss=0, (0, 30) deg
+    cfg = EngineConfig(north_square=1, south_square=0)
+    x, y = prj.forward(cfg, np.array([0.0]), np.array([30.0]))
+    assert round(float(x[0]), 15) == 0.0
+    assert round(float(y[0]), 15) == 3740232.8933662786
+
+
+def test_auth_lat_golden():
+    # utils.py:126-134
+    e = 0.08181919104281579
+    beta = ut.auth_lat(np.array([PI / 3]), e, radians=True)
+    assert round(float(beta[0]), 15) == 1.045256493205824
+    phi = ut.auth_lat(beta, e, radians=True, inverse=True)
+    assert round(float(phi[0]), 15) == 1.047197551196598
+
+
+def test_wrap_golden():
+    assert ut.wrap_longitude(np.array([3 * PI]), radians=True)[0] == -PI
+    got = ut.wrap_latitude(np.array([45.0, -45.0, 90.0, -90.0, 135.0, -135.0]))
+    assert got.tolist() == [45.0, -45.0, 90.0, -90.0, -45.0, 45.0]
+
+
+def test_in_image_boundary_points():
+    # pj_healpix.py doctest boundary corpus (eps=0)
+    hp = []
+    for s in (1, -1):
+        hp += [(-PI, s * PI / 4), (PI, s * PI / 4), (0, s * PI / 4),
+               (-PI / 2, s * PI / 4), (PI / 2, s * PI / 4),
+               (-3 * PI / 4, s * PI / 2), (-PI / 4, s * PI / 2),
+               (PI / 4, s * PI / 2), (3 * PI / 4, s * PI / 2)]
+    xs = np.array([p[0] for p in hp])
+    ys = np.array([p[1] for p in hp])
+    assert prj.in_healpix_image(xs, ys).all()
+    assert prj.in_healpix_image(np.array([0.0]), np.array([0.0]))[0]
+    assert not prj.in_healpix_image(np.array([0.0]), np.array([PI / 4 + 0.1]))[0]
+    # rHEALPix (ns=ss=0) corpus, pj_rhealpix.py:425-446
+    rhp = [(-PI, PI / 4), (-PI, 3 * PI / 4), (-PI / 2, 3 * PI / 4),
+           (-PI / 2, PI / 4), (PI, PI / 4), (PI, -PI / 4),
+           (-PI / 2, -PI / 4), (-PI / 2, -3 * PI / 4), (-PI, -3 * PI / 4),
+           (-PI, -PI / 4)]
+    xs = np.array([p[0] for p in rhp])
+    ys = np.array([p[1] for p in rhp])
+    assert prj.in_rhealpix_image(xs, ys).all()
+    assert not prj.in_rhealpix_image(np.array([0.0]), np.array([PI / 4 + 0.1]))[0]
+
+
+@pytest.mark.parametrize("cfg", [WGS84_003, UNIT_003, EngineConfig(north_square=1, south_square=2)])
+def test_forward_inverse_roundtrip(cfg):
+    rng = np.random.default_rng(42)
+    lon = rng.uniform(-180, 180, 4000)
+    lat = rng.uniform(-89.9, 89.9, 4000)
+    x, y = prj.forward(cfg, lon, lat)
+    lam, phi, ok = prj.inverse(cfg, x, y)
+    assert ok.all()
+    assert np.max(np.abs(lam - lon)) < 1e-9
+    assert np.max(np.abs(phi - lat)) < 1e-9
+
+
+def test_xyz_golden():
+    # ellipsoids.py:335-337 — unit sphere xyz(0, 45)
+    x, y, z = prj.xyz(UNIT_003, np.array([0.0]), np.array([45.0]))
+    assert abs(float(x[0]) - 0.7071067811865476) < 1e-15
+    assert y[0] == 0.0
+    assert abs(float(z[0]) - 0.7071067811865476) < 1e-15
