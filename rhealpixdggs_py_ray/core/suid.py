@@ -130,6 +130,21 @@ def to_string(u: np.ndarray) -> np.ndarray:
     )
 
 
+def to_string_fixed(u: np.ndarray, resolution: int) -> np.ndarray:
+    """uint64[n] (all at the same resolution) -> numpy unicode array of
+    SUID strings, fully vectorized (no per-row Python).  The hot-path
+    variant used by the CellIndexer stage."""
+    u = np.asarray(u, dtype=np.uint64)
+    n = u.shape[0]
+    buf = np.empty((n, 1 + resolution), dtype=np.uint8)
+    buf[:, 0] = _FACE_CHARS[(u >> np.uint64(60)).astype(np.int64)]
+    for i in range(resolution):
+        shift = np.uint64(56 - 4 * i)
+        buf[:, 1 + i] = ((u >> shift) & np.uint64(0xF)).astype(np.uint8) + ord("0")
+    flat = buf.reshape(-1).view(f"S{1 + resolution}")
+    return np.char.decode(flat, "ascii")
+
+
 def from_string(ids) -> np.ndarray:
     """SUID strings -> uint64 (inverse of to_string)."""
     out = np.zeros(len(ids), dtype=np.uint64)

@@ -1,0 +1,148 @@
+"""k-nearest-neighbor pipelines over indexed point tables.
+
+Two variants:
+
+- ``knn_brute``: exact top-k by ECEF chord distance.  Query points are
+  broadcast once; every batch computes a vectorized distance matrix and
+  keeps its per-batch top-k (argpartition), so only ~k rows per (query,
+  batch) reach the final small per-query reduction.  This is the
+  correctness baseline (SQL-verifiable against a window-function
+  oracle).
+- ``knn_rings``: the scale path — candidate pruning by iterative cell
+  ring expansion around each query's cell (cell_ring walks,
+  rhp_wrappers.py:371-468), then exact chord distance only on rows
+  whose cell falls in the candidate ring set.  At 10^12 rows this
+  touches a vanishing fraction of the data; the expansion depth bounds
+  the candidate radius, and a final brute pass over the candidates is
+  exact within that radius.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from rhealpixdggs_py_ray.core import index as idx
+from rhealpixdggs_py_ray.core import projection as prj
+from rhealpixdggs_py_ray.core import suid as su
+from rhealpixdggs_py_ray.core import topology as tp
+from rhealpixdggs_py_ray.core.config import EngineConfig, WGS84_003
+
+
+class _PartialKnn:
+    """Per-batch top-k against the broadcast query matrix."""
+
+    def __init__(self, cfg, queries_ref, k, id_col, lon_col, lat_col):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.qids = q["qid"]
+        qx, qy, qz = prj.xyz(cfg, q["lon"], q["lat"])
+        self.qxyz = np.stack([qx, qy, qz], axis=1)  # (Q, 3)
+        self.cfg = cfg
+        self.k = k
+        self.id_col = id_col
+        self.lon_col = lon_col
+        self.lat_col = lat_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch[self.lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
+        ids = batch[self.id_col]
+        x, y, z = prj.xyz(self.cfg, lon, lat)
+        pts = np.stack([x, y, z], axis=1)  # (n, 3)
+        # Chord distance^2 matrix (Q, n) via broadcasting.
+        d2 = ((self.qxyz[:, None, :] - pts[None, :, :]) ** 2).sum(axis=2)
+        k = min(self.k, pts.shape[0])
+        part = np.argpartition(d2, k - 1, axis=1)[:, :k]  # (Q, k)
+        qidx = np.repeat(np.arange(len(self.qids)), k)
+        ridx = part.ravel()
+        return pa.table(
+            {
+                "qid": pa.array(self.qids[qidx]),
+                "neighbor_id": ids.take(pa.array(ridx)),
+                "dist": pa.array(np.sqrt(d2[qidx, ridx])),
+            }
+        )
+
+
+def _final_topk(k: int):
+    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["dist", "neighbor_id"]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1)
+        return g
+
+    return reduce_group
+
+
+def knn_brute(
+    ds,
+    queries: dict,
+    k: int = 5,
+    cfg: EngineConfig = WGS84_003,
+    id_col: str = "image_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    batch_size: int = 65536,
+):
+    """Exact distributed top-k.  ``queries`` = {"qid": int64[],
+    "lon": f64[], "lat": f64[]}.  Returns Dataset(qid, neighbor_id,
+    dist, rank); ties broken by neighbor_id for determinism."""
+    qref = ray.put(queries)
+    partials = ds.map_batches(
+        _PartialKnn,
+        fn_constructor_args=(cfg, qref, k, id_col, lon_col, lat_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+    return partials.groupby("qid").map_groups(_final_topk(k), batch_format="pandas")
+
+
+def knn_rings(
+    ds,
+    queries: dict,
+    k: int = 5,
+    cfg: EngineConfig = WGS84_003,
+    resolution: int = 5,
+    expand: int = 2,
+    id_col: str = "image_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    cell_col: str = "cell_u64",
+    batch_size: int = 65536,
+):
+    """Ring-expansion kNN: prune to cells within ``expand`` rings of
+    each query's res-``resolution`` cell, then exact chord top-k on the
+    surviving rows.  Exact whenever the true k-th neighbor lies within
+    the expanded ring radius (callers choose resolution/expand from the
+    expected point density)."""
+    qcells = idx.cell_from_point(
+        cfg, resolution, np.asarray(queries["lon"]), np.asarray(queries["lat"]), plane=False
+    )
+    cand: set[int] = set()
+    for c in qcells.tolist():
+        cand.update(tp.k_ring(cfg, int(c), expand))
+    keys = np.sort(np.array(sorted(cand), dtype=np.uint64))
+    keys_ref = ray.put(keys)
+
+    class RingFilter:
+        def __init__(self):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            u = batch[cell_col].to_numpy(zero_copy_only=False)
+            anc = su.parent(u, resolution)
+            pos = np.minimum(np.searchsorted(self.keys, anc), len(self.keys) - 1)
+            return batch.filter(pa.array(self.keys[pos] == anc))
+
+    pruned = ds.map_batches(
+        RingFilter, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True, concurrency=(1, 8),
+    )
+    return knn_brute(
+        pruned, queries, k=k, cfg=cfg, id_col=id_col, lon_col=lon_col,
+        lat_col=lat_col, batch_size=batch_size,
+    )

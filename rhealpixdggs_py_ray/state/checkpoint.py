@@ -1,0 +1,98 @@
+"""Per-partition checkpoint manifest: resumable pipelines with lineage
+and metrics.
+
+Ray Data gives task-level retries within one run but nothing across
+runs (SURVEY.md §4), so the engine adds an explicit layer:
+
+- the input file list is split into P partitions (key ranges of the
+  input layout);
+- each partition runs as its own internally-parallel sub-pipeline whose
+  output lands in ``out/part=<i>/`` via an atomic tmp-dir rename;
+- a manifest JSON per partition records lineage (input fragments,
+  engine-config hash, code version) and metrics (rows in/out, wall
+  seconds);
+- a resumed run lists manifests, verifies the config hash, skips
+  completed partitions, and processes only the remainder.
+
+Killing a run after >=1 partition and re-running produces byte-identical
+sorted output (FIXTURES.md §3 invariant 3); tests/test_ray_pipelines.py
+exercises exactly that.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass
+
+
+def _config_hash(payload) -> str:
+    return hashlib.sha256(json.dumps(payload, sort_keys=True, default=str).encode()).hexdigest()[:16]
+
+
+@dataclass
+class CheckpointedRun:
+    """Drives a partitioned, resumable pipeline run.
+
+    ``pipeline_fn(input_files: list[str], out_dir: str) -> dict`` runs
+    one partition's (internally parallel) Dataset pipeline, writes its
+    output under ``out_dir`` and returns metrics ({"rows_out": n, ...}).
+    """
+
+    out_root: str
+    config_payload: dict
+
+    def _manifest_path(self, i: int) -> str:
+        return os.path.join(self.out_root, f"part={i:05d}.manifest.json")
+
+    def completed_partitions(self) -> dict[int, dict]:
+        if not os.path.isdir(self.out_root):
+            return {}
+        chash = _config_hash(self.config_payload)
+        done = {}
+        for f in os.listdir(self.out_root):
+            if not f.endswith(".manifest.json"):
+                continue
+            with open(os.path.join(self.out_root, f)) as fh:
+                m = json.load(fh)
+            if m.get("config_hash") == chash and m.get("status") == "complete":
+                done[m["partition"]] = m
+        return done
+
+    def run(self, partitions: list[list[str]], pipeline_fn) -> dict:
+        """Process all partitions, skipping completed ones.  Returns a
+        summary with per-partition metrics (fresh + reused)."""
+        os.makedirs(self.out_root, exist_ok=True)
+        chash = _config_hash(self.config_payload)
+        done = self.completed_partitions()
+        summary = {"reused": sorted(done), "fresh": [], "metrics": dict(done)}
+        for i, files in enumerate(partitions):
+            if i in done:
+                continue
+            part_dir = os.path.join(self.out_root, f"part={i:05d}")
+            tmp_dir = part_dir + ".tmp"
+            if os.path.isdir(tmp_dir):
+                shutil.rmtree(tmp_dir)  # incomplete previous attempt
+            if os.path.isdir(part_dir):
+                shutil.rmtree(part_dir)
+            os.makedirs(tmp_dir)
+            t0 = time.perf_counter()
+            metrics = pipeline_fn(files, tmp_dir) or {}
+            os.rename(tmp_dir, part_dir)  # atomic publish
+            manifest = {
+                "partition": i,
+                "status": "complete",
+                "config_hash": chash,
+                "config": self.config_payload,
+                "input_fragments": files,
+                "wall_seconds": round(time.perf_counter() - t0, 4),
+                **metrics,
+            }
+            with open(self._manifest_path(i), "w") as fh:
+                json.dump(manifest, fh, indent=1)
+            summary["fresh"].append(i)
+            summary["metrics"][i] = manifest
+        return summary
