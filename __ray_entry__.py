@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship spatial-join + tiling pipeline on
+sf0.001; ``queries()`` exposes one Ray pipeline per implemented
+operator family (SURVEY.md §2 + the training-data ops); ``oracle_sql``
+gives the DuckDB-equivalent SQL (full value-hash parity — including a
+complete SQL re-implementation of the rHEALPix forward projection and
+SUID digit chain, see rhealpixdggs_py_ray/oracle.py).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before this module is imported;
+nothing here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -20,25 +18,46 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: derive coordinates,
+    index every event to its resolution-9 rHEALPix cell (actor-pool
+    map_batches over zero-copy Arrow), assign SUID-prefix tiles, and
+    aggregate per-tile counts with the salted combiner."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    return Q.q_tile_counts("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from rhealpixdggs_py_ray.pipelines import queries as Q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cell_from_point": Q.q_cell_from_point,
+        "tile_counts": Q.q_tile_counts,
+        "spatial_join_bbox": Q.q_spatial_join_bbox,
+        "grid": Q.q_grid,
+        "knn": Q.q_knn,
+        "agg_lineitem": Q.q_agg_lineitem,
+        "join_customer_nation": Q.q_join_customer_nation,
+        "topk_orders": Q.q_topk_orders,
+        "dedup_exact": Q.q_dedup_exact,
+        "token_stats": Q.q_token_stats,
+        "sessions": Q.q_sessions,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    return {
+        "cell_from_point": Q.sql_cell_from_point(),
+        "tile_counts": Q.sql_tile_counts(),
+        "spatial_join_bbox": Q.sql_spatial_join_bbox(),
+        "grid": Q.sql_grid(),
+        "knn": Q.sql_knn(),
+        "agg_lineitem": Q.sql_agg_lineitem(),
+        "join_customer_nation": Q.sql_join_customer_nation(),
+        "topk_orders": Q.sql_topk_orders(),
+        "dedup_exact": Q.sql_dedup_exact(),
+        "token_stats": Q.sql_token_stats(),
+        "sessions": Q.sql_sessions(),
+    }

@@ -1,0 +1,476 @@
+"""Driver-facing query suite: one Ray Data pipeline per implemented
+operator family (SURVEY.md §2), each over the driver's test tables in
+``sf_dir``, plus the matching DuckDB oracle SQL.
+
+Every pair (pipeline, oracle) is value-hash comparable: float outputs
+are either produced by bit-identical arithmetic on both sides (see
+oracle.py) or quantized through ``floor(x * 10^k)`` integers so float
+summation order can never flip a bit.
+
+Coordinates for the spatial operators are derived from integer keys by
+the shared deterministic rule ``oracle.lonlat_from_id`` — the same rule
+is inlined in the SQL, so cell assignments are comparable end-to-end
+down to the SUID string (reference parity: dggs.py:737-831 via
+core/index.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from rhealpixdggs_py_ray import oracle
+from rhealpixdggs_py_ray.core import geometry as geo
+from rhealpixdggs_py_ray.core import index as idx
+from rhealpixdggs_py_ray.core import suid as su
+from rhealpixdggs_py_ray.core.config import CELLS0, WGS84_003
+from rhealpixdggs_py_ray.pipelines.knn import knn_brute
+from rhealpixdggs_py_ray.pipelines.tiles import aggregate_tiles
+from rhealpixdggs_py_ray.stages.join import CoverSemiJoin, make_cover_ref
+
+RES = 9          # headline indexing resolution (BASELINE.json metric)
+TILE_RES = 2     # SUID-prefix tile resolution for groupby demos
+CFG = WGS84_003
+
+# Spatial-join bbox (lon1, lat1, lon2, lat2), degrees.
+BBOX = (-40.0, -35.0, 95.0, 50.0)
+COVER_RES = 2
+COVER_PAD = 16.0  # degrees; cover stays a superset, refine stage is exact
+
+
+def _read(sf_dir: str, table: str, columns=None, blocks: int | None = 32):
+    kwargs = {"columns": columns}
+    if blocks is not None:
+        kwargs["override_num_blocks"] = blocks
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Point indexing (cell_from_point, the hot path)
+# ---------------------------------------------------------------------------
+
+class DeriveAndIndex:
+    """Actor-pool stage: id -> (lon, lat) -> res-RES cell.  DGGS tables
+    are materialized once per actor (the reference rebuilds its
+    projection closure per point, dggs.py:414-421)."""
+
+    def __init__(self, resolution: int = RES, id_col: str = "event_id"):
+        self.resolution = resolution
+        self.id_col = id_col
+        CFG._tables()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        lon, lat = oracle.lonlat_from_id(ids)
+        u = idx.cell_from_point(CFG, self.resolution, lon, lat, plane=False)
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "lon": pa.array(lon, type=pa.float64()),
+                "lat": pa.array(lat, type=pa.float64()),
+                "cell_u64": pa.array(u, type=pa.uint64()),
+                "cell_id": pa.array(su.to_string_fixed(u, self.resolution)),
+            }
+        )
+
+
+def indexed_events(sf_dir: str, resolution: int = RES, batch_size: int = 65536):
+    ds = _read(sf_dir, "events", columns=["event_id"])
+    return ds.map_batches(
+        DeriveAndIndex,
+        fn_constructor_kwargs={"resolution": resolution},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+
+def q_cell_from_point(sf_dir: str):
+    """events.event_id -> res-9 SUID (full projection + digit chain)."""
+    return indexed_events(sf_dir).select_columns(["event_id", "cell_id"])
+
+
+def _points_sql(table: str, id_col: str) -> str:
+    lon, lat = oracle.lonlat_from_id_sql(id_col)
+    return f"SELECT {id_col}, {lon} AS lon, {lat} AS lat FROM {table}"
+
+
+def sql_cell_from_point() -> str:
+    inner = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), RES, CFG, id_cols=("event_id",)
+    )
+    return f"SELECT event_id, cell_id FROM {inner} t"
+
+
+# ---------------------------------------------------------------------------
+# SUID-prefix tile aggregation (combiner + salted groupby)
+# ---------------------------------------------------------------------------
+
+def q_tile_counts(sf_dir: str):
+    ds = indexed_events(sf_dir)
+    return aggregate_tiles(ds, TILE_RES, salt_col=None).select_columns(["tile_id", "n"])
+
+
+def sql_tile_counts() -> str:
+    inner = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), RES, CFG, id_cols=("event_id",)
+    )
+    return (
+        f"SELECT substr(cell_id, 1, {1 + TILE_RES}) AS tile_id, COUNT(*) AS n"
+        f" FROM {inner} t GROUP BY 1"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spatial join: cover semi-join (pruning) + exact refine + per-face counts
+# ---------------------------------------------------------------------------
+
+def q_spatial_join_bbox(sf_dir: str):
+    lon1, lat1, lon2, lat2 = BBOX
+    pad = COVER_PAD
+    poly = geo.Polygon(
+        [
+            (max(lon1 - pad, -180.0), min(lat2 + pad, 89.9)),
+            (min(lon2 + pad, 179.9), min(lat2 + pad, 89.9)),
+            (min(lon2 + pad, 179.9), max(lat1 - pad, -89.9)),
+            (max(lon1 - pad, -180.0), max(lat1 - pad, -89.9)),
+        ]
+    )
+    cover_ref, _ = make_cover_ref(poly, COVER_RES, cfg=CFG, plane=False)
+    ds = indexed_events(sf_dir)
+    ds = ds.map_batches(
+        CoverSemiJoin,
+        fn_constructor_args=(cover_ref, COVER_RES),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+
+    def refine(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        keep = (lon >= lon1) & (lon <= lon2) & (lat >= lat1) & (lat <= lat2)
+        t = batch.filter(pa.array(keep))
+        face = np.array([s[0] for s in t["cell_id"].to_pylist()], dtype=object)
+        return pa.table({"face_id": pa.array(face, type=pa.string())})
+
+    ds = ds.map_batches(refine, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.groupby("face_id").aggregate(Count(alias_name="n"))
+
+
+def sql_spatial_join_bbox() -> str:
+    lon1, lat1, lon2, lat2 = BBOX
+    inner = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), RES, CFG, id_cols=("event_id",),
+        extra_cols=(),
+    )
+    lon, lat = oracle.lonlat_from_id_sql("event_id")
+    return (
+        f"SELECT substr(cell_id, 1, 1) AS face_id, COUNT(*) AS n FROM {inner} t"
+        f" WHERE {lon} >= {lon1!r} AND {lon} <= {lon2!r}"
+        f" AND {lat} >= {lat1!r} AND {lat} <= {lat2!r} GROUP BY 1"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grid enumeration (dggs.grid, embarrassingly parallel)
+# ---------------------------------------------------------------------------
+
+GRID_RES = 3
+
+
+def q_grid(sf_dir: str):
+    b = CFG.N_side**2
+    total = 6 * b**GRID_RES
+    base = 6 * (b**GRID_RES - 1) // (b - 1)  # level-order offset of res GRID_RES
+
+    def to_suid(batch: pa.Table) -> pa.Table:
+        i = batch["id"].to_numpy(zero_copy_only=False)
+        u = su.suid_from_level_order_index(i + base, CFG)
+        return pa.table({"cell_id": pa.array(su.to_string_fixed(u, GRID_RES))})
+
+    return ray.data.range(total, override_num_blocks=8).map_batches(
+        to_suid, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def sql_grid() -> str:
+    return oracle.grid_sql(GRID_RES, CFG)
+
+
+# ---------------------------------------------------------------------------
+# kNN (broadcast queries + per-batch partial top-k + per-query reduce)
+# ---------------------------------------------------------------------------
+
+KNN_Q = 8
+KNN_K = 5
+
+
+def q_knn(sf_dir: str):
+    qids = np.arange(KNN_Q, dtype=np.int64)
+    qlon, qlat = oracle.lonlat_from_id(qids + 1_000_000)
+    ds = indexed_events(sf_dir)
+    out = knn_brute(
+        ds,
+        {"qid": qids, "lon": qlon, "lat": qlat},
+        k=KNN_K,
+        cfg=CFG,
+        id_col="event_id",
+    )
+    return out.select_columns(["qid", "neighbor_id", "rank"])
+
+
+def sql_knn() -> str:
+    a = repr(CFG.a)
+    e2 = repr(CFG.e**2)
+    lon, lat = oracle.lonlat_from_id_sql("event_id")
+    qlon, qlat = oracle.lonlat_from_id_sql("qid + 1000000")
+    xyz = (
+        "SELECT {id} AS pid, "
+        f"{a}/sqrt(1 - {e2}*sin(radians(lat))*sin(radians(lat)))*cos(radians(lon))*cos(radians(lat)) AS x, "
+        f"{a}/sqrt(1 - {e2}*sin(radians(lat))*sin(radians(lat)))*sin(radians(lon))*cos(radians(lat)) AS y, "
+        f"{a}/sqrt(1 - {e2}*sin(radians(lat))*sin(radians(lat)))*(1 - {e2})*sin(radians(lat)) AS z FROM {{src}}"
+    )
+    pts = xyz.format(id="event_id", src=f"(SELECT event_id, {lon} AS lon, {lat} AS lat FROM events)")
+    qs = xyz.format(
+        id="qid",
+        src=(
+            f"(SELECT qid, {qlon} AS lon, {qlat} AS lat FROM"
+            f" (SELECT unnest(generate_series(0, {KNN_Q - 1})) AS qid))"
+        ),
+    )
+    return (
+        f"WITH p AS ({pts}), q AS ({qs}),"
+        " d AS (SELECT q.pid AS qid, p.pid AS neighbor_id,"
+        "  (q.x-p.x)*(q.x-p.x) + (q.y-p.y)*(q.y-p.y) + (q.z-p.z)*(q.z-p.z) AS d2"
+        "  FROM q CROSS JOIN p)"
+        " SELECT qid, neighbor_id,"
+        "  row_number() OVER (PARTITION BY qid ORDER BY d2, neighbor_id) AS rank"
+        f" FROM d QUALIFY rank <= {KNN_K}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational shuffle patterns over the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+class _LineitemCombiner:
+    """Per-batch partial aggregation (combiner) before the small groupby:
+    quantized to integer cents via floor so merge order can't change a
+    single bit of the result."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_pandas(),
+                "l_linestatus": batch["l_linestatus"].to_pandas(),
+                "q": np.floor(
+                    batch["l_quantity"].to_numpy(zero_copy_only=False) * 100
+                ).astype(np.int64),
+                "b": np.floor(
+                    batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+                ).astype(np.int64),
+                "d": np.floor(
+                    batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+                    * (1 - batch["l_discount"].to_numpy(zero_copy_only=False))
+                    * 100
+                ).astype(np.int64),
+            }
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty_c=("q", "sum"),
+            sum_base_c=("b", "sum"),
+            sum_disc_c=("d", "sum"),
+            n_part=("q", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def q_agg_lineitem(sf_dir: str):
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    partial = ds.map_batches(_LineitemCombiner(), batch_format="pyarrow", zero_copy_batch=True)
+    return partial.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty_c", alias_name="sum_qty_c"),
+        Sum("sum_base_c", alias_name="sum_base_c"),
+        Sum("sum_disc_c", alias_name="sum_disc_c"),
+        Sum("n_part", alias_name="n"),
+    )
+
+
+def sql_agg_lineitem() -> str:
+    return (
+        "SELECT l_returnflag, l_linestatus,"
+        " SUM(CAST(floor(l_quantity*100) AS BIGINT)) AS sum_qty_c,"
+        " SUM(CAST(floor(l_extendedprice*100) AS BIGINT)) AS sum_base_c,"
+        " SUM(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS sum_disc_c,"
+        " COUNT(*) AS n"
+        " FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    )
+
+
+class _NationLookup:
+    """Broadcast join: the small dimension tables ship to every actor
+    once (ray.put'd object), never through a shuffle."""
+
+    def __init__(self, lookup_ref):
+        self.lookup = (
+            ray.get(lookup_ref) if isinstance(lookup_ref, ray.ObjectRef) else lookup_ref
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        names = np.array([self.lookup[int(k)] for k in nk], dtype=object)
+        bal_c = np.floor(
+            batch["c_acctbal"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "n_name": pa.array(names, type=pa.string()),
+                "bal_c": pa.array(bal_c, type=pa.int64()),
+            }
+        )
+
+
+def q_join_customer_nation(sf_dir: str):
+    nation = (
+        _read(sf_dir, "nation", columns=["n_nationkey", "n_name"], blocks=1)
+        .to_pandas()
+    )
+    lookup_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+    ds = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+    joined = ds.map_batches(
+        _NationLookup,
+        fn_constructor_args=(lookup_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+    return joined.groupby("n_name").aggregate(
+        Count(alias_name="n_customers"), Sum("bal_c", alias_name="sum_bal_c")
+    )
+
+
+def sql_join_customer_nation() -> str:
+    return (
+        "SELECT n_name, COUNT(*) AS n_customers,"
+        " SUM(CAST(floor(c_acctbal*100) AS BIGINT)) AS sum_bal_c"
+        " FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+    )
+
+
+def q_topk_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def sql_topk_orders() -> str:
+    return (
+        "SELECT o_orderkey, o_totalprice FROM orders"
+        " ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash-partition + per-group min)
+# ---------------------------------------------------------------------------
+
+def _md5_col(texts) -> pa.Array:
+    return pa.array(
+        [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts], type=pa.string()
+    )
+
+
+def q_dedup_exact(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def key(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"text_md5": _md5_col(batch["text"].to_pylist()), "doc_id": batch["doc_id"]}
+        )
+
+    keyed = ds.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
+    return keyed.groupby("text_md5").aggregate(
+        Min("doc_id", alias_name="keep_id"), Count(alias_name="n_dups")
+    )
+
+
+def sql_dedup_exact() -> str:
+    return (
+        "SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups"
+        " FROM documents GROUP BY 1"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token counting / text stats
+# ---------------------------------------------------------------------------
+
+def q_token_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def tok(batch: pa.Table) -> pa.Table:
+        n = np.array([len(t.split()) for t in batch["text"].to_pylist()], dtype=np.int64)
+        return pa.table({"source": batch["source"], "n_tokens": pa.array(n)})
+
+    t = ds.map_batches(tok, batch_format="pyarrow", zero_copy_batch=True)
+    return t.groupby("source").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_tokens", alias_name="total_tokens"),
+        Max("n_tokens", alias_name="max_tokens"),
+    )
+
+
+def sql_token_stats() -> str:
+    return (
+        "SELECT source, COUNT(*) AS n_docs,"
+        " SUM(length(regexp_split_to_array(trim(text), '\\s+'))) AS total_tokens,"
+        " MAX(length(regexp_split_to_array(trim(text), '\\s+'))) AS max_tokens"
+        " FROM documents GROUP BY source"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (event-time gap > 30 min) — groupby + map_groups
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_S = 1800
+
+
+def q_sessions(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+        gaps = np.diff(ts) > SESSION_GAP_S * 1_000_000
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": [len(ts)],
+                "n_sessions": [1 + int(gaps.sum())],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+
+
+def sql_sessions() -> str:
+    return (
+        "WITH d AS (SELECT user_id, ts,"
+        "  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER"
+        f"  (PARTITION BY user_id ORDER BY ts) > {SESSION_GAP_S * 1_000_000}"
+        "  THEN 1 ELSE 0 END AS new_s"
+        " FROM events)"
+        " SELECT user_id, COUNT(*) AS n_events,"
+        " 1 + SUM(CASE WHEN new_s IS NULL THEN 0 ELSE new_s END) AS n_sessions"
+        " FROM d GROUP BY user_id"
+    )
