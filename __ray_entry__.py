@@ -42,6 +42,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": Q.q_dedup_exact,
         "token_stats": Q.q_token_stats,
         "sessions": Q.q_sessions,
+        "dedup_minhash_lsh": Q.q_minhash_lsh,
+        "dedup_simhash": Q.q_simhash,
+        "dedup_ngram_jaccard": Q.q_ngram_jaccard,
+        "dedup_embedding": Q.q_embedding_dedup,
+        "ann_topk": Q.q_ann_topk,
+        "ann_topk_lsh": Q.q_ann_topk_lsh,
+        "ann_topk_ivf": Q.q_ann_topk_ivf,
+        "lang_id": Q.q_lang_id,
+        "quality_score": Q.q_quality,
+        "fingerprint": Q.q_fingerprint,
+        "polyfill": Q.q_polyfill,
+        "compress_cells": Q.q_compress,
+        "k_ring": Q.q_k_ring,
+        "cell_geometry": Q.q_cell_geometry,
+        "image_pipeline": Q.q_image_pipeline,
     }
 
 
@@ -60,4 +75,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": Q.sql_dedup_exact(),
         "token_stats": Q.sql_token_stats(),
         "sessions": Q.sql_sessions(),
+        "dedup_minhash_lsh": Q.sql_minhash_lsh(),
+        "dedup_simhash": Q.sql_simhash(),
+        "dedup_ngram_jaccard": Q.sql_ngram_jaccard(),
+        "dedup_embedding": Q.sql_embedding_dedup(),
+        "ann_topk": Q.sql_ann_topk(),
+        "lang_id": Q.sql_lang_id(),
+        "quality_score": Q.sql_quality(),
+        "fingerprint": Q.sql_fingerprint(),
     }

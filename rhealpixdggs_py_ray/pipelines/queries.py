@@ -474,3 +474,272 @@ def sql_sessions() -> str:
         " 1 + SUM(CASE WHEN new_s IS NULL THEN 0 ELSE new_s END) AS n_sessions"
         " FROM d GROUP BY user_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops: dedup, similarity search, text analysis
+# (rhealpixdggs_py_ray/ops/*, SURVEY.md §2.6 extension surface)
+# ---------------------------------------------------------------------------
+
+def _docs(sf_dir: str):
+    return _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+
+def q_minhash_lsh(sf_dir: str):
+    from rhealpixdggs_py_ray.ops import dedup
+
+    return dedup.minhash_lsh_pairs(_docs(sf_dir))
+
+
+def sql_minhash_lsh() -> str:
+    from rhealpixdggs_py_ray.ops import dedup
+
+    return dedup.minhash_lsh_sql()
+
+
+def q_simhash(sf_dir: str):
+    from rhealpixdggs_py_ray.ops.dedup import SimHasher
+
+    return _docs(sf_dir).map_batches(
+        SimHasher, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+    )
+
+
+def sql_simhash() -> str:
+    from rhealpixdggs_py_ray.ops import dedup
+
+    return dedup.simhash_sql()
+
+
+def q_ngram_jaccard(sf_dir: str):
+    from rhealpixdggs_py_ray.ops import dedup
+
+    return dedup.ngram_jaccard_pairs(_docs(sf_dir))
+
+
+def sql_ngram_jaccard() -> str:
+    from rhealpixdggs_py_ray.ops import dedup
+
+    return dedup.ngram_jaccard_sql()
+
+
+def q_embedding_dedup(sf_dir: str):
+    from rhealpixdggs_py_ray.ops import dedup
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return dedup.embedding_dedup_pairs(emb)
+
+
+def sql_embedding_dedup() -> str:
+    from rhealpixdggs_py_ray.ops import dedup
+
+    return dedup.embedding_dedup_sql()
+
+
+def q_ann_topk(sf_dir: str):
+    from rhealpixdggs_py_ray.ops import ann
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann.ann_topk(emb)
+
+
+def sql_ann_topk() -> str:
+    from rhealpixdggs_py_ray.ops import ann
+
+    return ann.ann_topk_sql()
+
+
+def q_ann_topk_lsh(sf_dir: str):
+    """Approximate ANN (random-hyperplane buckets, 1-bit probes); no SQL
+    oracle — recall vs the brute baseline is asserted in tests."""
+    from rhealpixdggs_py_ray.ops import ann
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann.ann_topk_lsh(emb)
+
+
+def q_ann_topk_ivf(sf_dir: str):
+    """IVF ANN (k-means coarse quantizer + nprobe lists); approximate,
+    recall vs the brute baseline asserted in tests."""
+    from rhealpixdggs_py_ray.ops import ann
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann.ann_topk_ivf(emb)
+
+
+def q_lang_id(sf_dir: str):
+    from rhealpixdggs_py_ray.ops.text import LangId
+
+    return _docs(sf_dir).map_batches(
+        LangId, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+    )
+
+
+def sql_lang_id() -> str:
+    from rhealpixdggs_py_ray.ops import text
+
+    return text.langid_sql()
+
+
+def q_quality(sf_dir: str):
+    from rhealpixdggs_py_ray.ops.text import QualityScorer
+
+    return _docs(sf_dir).map_batches(
+        QualityScorer, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+    )
+
+
+def sql_quality() -> str:
+    from rhealpixdggs_py_ray.ops import text
+
+    return text.quality_sql()
+
+
+def q_fingerprint(sf_dir: str):
+    from rhealpixdggs_py_ray.ops.text import Fingerprinter
+
+    return _docs(sf_dir).map_batches(
+        Fingerprinter, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+    )
+
+
+def sql_fingerprint() -> str:
+    from rhealpixdggs_py_ray.ops import text
+
+    return text.fingerprint_sql()
+
+
+# ---------------------------------------------------------------------------
+# DGGS cover / topology queries (non-SQL-expressible: rows-only check;
+# semantics are golden-tested against the reference in tests/)
+# ---------------------------------------------------------------------------
+
+POLYFILL_POLY = [(-30.0, 45.0), (40.0, 50.0), (35.0, -10.0), (-25.0, -5.0)]
+POLYFILL_RES = 4
+
+
+def q_polyfill(sf_dir: str):
+    """Polygon -> res-4 cell cover (rhp_wrappers.py:510-599 semantics)."""
+    from rhealpixdggs_py_ray.core import wrappers as W
+
+    cells = sorted(W.polyfill(geo.Polygon(POLYFILL_POLY), POLYFILL_RES, plane=False, cfg=CFG))
+    return pa.table({"cell_id": pa.array(cells, type=pa.string())})
+
+
+def q_compress(sf_dir: str):
+    """compress_order_cells over the polyfill cover (conversion.py:114-135)."""
+    from rhealpixdggs_py_ray.core import wrappers as W
+
+    cells = W.polyfill(geo.Polygon(POLYFILL_POLY), POLYFILL_RES, plane=False, cfg=CFG)
+    return pa.table({"cell_id": pa.array(W.compress_order_cells(list(cells)))})
+
+
+def q_k_ring(sf_dir: str):
+    """k_ring(2) around the res-5 cell of the first 20 events —
+    flat_map expansion over the topology kernel (rhp_wrappers.py:471-507)."""
+    from rhealpixdggs_py_ray.core import topology as tp
+
+    ids = np.arange(20, dtype=np.int64)
+    lon, lat = oracle.lonlat_from_id(ids)
+    cells = idx.cell_from_point(CFG, 5, lon, lat, plane=False)
+    ds = ray.data.from_arrow(
+        pa.table({"event_id": pa.array(ids), "cell_u64": pa.array(cells, type=pa.uint64())})
+    )
+
+    def rings(batch: pa.Table) -> pa.Table:
+        eids, origins, ring_cells = [], [], []
+        for e, c in zip(
+            batch["event_id"].to_numpy(zero_copy_only=False),
+            batch["cell_u64"].to_numpy(zero_copy_only=False),
+        ):
+            for r in tp.k_ring(CFG, int(c), 2):
+                eids.append(e)
+                origins.append(su.to_string(np.array([c], dtype=np.uint64))[0])
+                ring_cells.append(su.to_string(np.array([r], dtype=np.uint64))[0])
+        return pa.table(
+            {
+                "event_id": pa.array(np.array(eids, dtype=np.int64)),
+                "origin": pa.array(origins, type=pa.string()),
+                "ring_cell": pa.array(ring_cells, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(rings, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_cell_geometry(sf_dir: str):
+    """Per-cell geometry columns (nucleus + area + shape) for every
+    res-2 cell (cell.py:625-732, 1008-1059 semantics)."""
+    b = CFG.N_side**2
+    total = 6 * b**2
+    base = 6 * (b**2 - 1) // (b - 1)
+
+    def geom(batch: pa.Table) -> pa.Table:
+        i = batch["id"].to_numpy(zero_copy_only=False)
+        u = su.suid_from_level_order_index(i + base, CFG)
+        nlon, nlat = idx.nucleus(CFG, u, plane=False)
+        return pa.table(
+            {
+                "cell_id": pa.array(su.to_string_fixed(u, 2)),
+                "nuc_lon": pa.array(nlon),
+                "nuc_lat": pa.array(nlat),
+                "shape": pa.array(
+                    [idx.SHAPE_NAMES[s] for s in idx.shape_of(CFG, u)], type=pa.string()
+                ),
+            }
+        )
+
+    return ray.data.range(total, override_num_blocks=4).map_batches(
+        geom, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_image_pipeline(sf_dir: str):
+    """Multimodal plumbing: deterministic image fixture table (the
+    input_hint schema) -> actor-pool decode + payload verification ->
+    per-face tile counts.  Binary decode is not SQL-expressible:
+    rows-only check; decode correctness is asserted in tests."""
+    import os
+
+    from rhealpixdggs_py_ray.fixtures import write_images_table
+    from rhealpixdggs_py_ray.pipelines.flagship import index_images
+    from rhealpixdggs_py_ray.stages.indexer import PayloadVerifier
+
+    n = 2000
+    out_dir = f"/tmp/graft_images_{n}"
+    write_images_table(out_dir, n)
+    ds = ray.data.read_parquet(out_dir, override_num_blocks=8)
+    ds = ds.map_batches(
+        PayloadVerifier,
+        batch_format="pyarrow",
+        batch_size=256,
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+    from rhealpixdggs_py_ray.stages.indexer import CellIndexer
+
+    ds = ds.map_batches(
+        CellIndexer,
+        fn_constructor_kwargs={"resolution": 9},
+        batch_format="pyarrow",
+        batch_size=256,
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "face": [s[0] for s in batch["cell_id"].to_pylist()],
+                "ok": batch["payload_ok"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("face", as_index=False).agg(n=("ok", "size"), n_ok=("ok", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    part = ds.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)
+    return part.groupby("face").aggregate(
+        Sum("n", alias_name="n"), Sum("n_ok", alias_name="n_ok")
+    )

@@ -83,10 +83,17 @@ def aggregate_tiles(
         batch_size=batch_size,
         zero_copy_batch=True,
     )
-    salted = partials.groupby(["tile_u64", "salt"]).aggregate(
-        Sum("n_partial", alias_name="n_salted")
-    )
-    merged = salted.groupby("tile_u64").aggregate(Sum("n_salted", alias_name="n"))
+    if salt_col is None:
+        # Counts are tiny after the combiner: one shuffle suffices.
+        merged = partials.groupby("tile_u64").aggregate(Sum("n_partial", alias_name="n"))
+    else:
+        # Salted two-stage merge — the load-bearing path when per-group
+        # state is heavy (sketches, per-tile image stats) and hot
+        # cap/dart tiles would otherwise land on one reducer.
+        salted = partials.groupby(["tile_u64", "salt"]).aggregate(
+            Sum("n_partial", alias_name="n_salted")
+        )
+        merged = salted.groupby("tile_u64").aggregate(Sum("n_salted", alias_name="n"))
 
     def add_id(batch: pa.Table) -> pa.Table:
         u = batch["tile_u64"].to_numpy(zero_copy_only=False).astype(np.uint64)

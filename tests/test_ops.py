@@ -1,0 +1,180 @@
+"""Tests for the training-data operators (ops/dedup, ops/text,
+ops/ann) and the driver-facing query suite wiring.
+
+Ground truths are computed directly in-process (brute force) and
+compared against the distributed pipelines; SQL-parity is covered
+separately by tools/check_queries.py against DuckDB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs_table():
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+
+def test_minhash_lsh_finds_true_near_dups(ray_session):
+    from rhealpixdggs_py_ray.ops import dedup
+
+    t = _docs_table()
+    docs = {d: x for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())}
+    # brute-force ground truth at the verification threshold
+    sh = {d: set(dedup.shingles(x)) for d, x in docs.items()}
+    ids = sorted(sh)
+    truth = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            A, B = sh[a], sh[b]
+            if not A or not B:
+                continue
+            inter = len(A & B)
+            if inter and inter / (len(A) + len(B) - inter) >= 0.5:
+                truth.add((a, b))
+
+    ds = ray.data.from_arrow(t)
+    got = {
+        (r["a"], r["b"])
+        for r in dedup.minhash_lsh_pairs(ds, jaccard_min=0.5).take_all()
+    }
+    # every reported pair is a true near-dup (verification is exact)
+    assert got <= truth
+    # LSH recall on this corpus should be high (2-row bands, jac>=0.5)
+    assert len(got) >= 0.8 * len(truth)
+    assert truth, "fixture should contain at least one true near-dup pair"
+
+
+def test_ngram_jaccard_exact(ray_session):
+    from rhealpixdggs_py_ray.ops import dedup
+
+    t = _docs_table()
+    sh = {
+        d: set(dedup.shingles(x))
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    }
+    ids = sorted(sh)
+    truth = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            A, B = sh[a], sh[b]
+            if not A or not B:
+                continue
+            inter = len(A & B)
+            if inter:
+                j = inter / (len(A) + len(B) - inter)
+                if j >= 0.2:
+                    truth[(a, b)] = int(np.floor(j * 1000000.0))
+
+    got = {
+        (r["a"], r["b"]): r["jac_micros"]
+        for r in dedup.ngram_jaccard_pairs(
+            ray.data.from_arrow(t), jaccard_min=0.2
+        ).take_all()
+    }
+    assert got == truth
+
+
+def test_simhash_deterministic_and_near_dup_consistent(ray_session):
+    from rhealpixdggs_py_ray.ops.dedup import SimHasher
+
+    t = _docs_table()
+    out1 = SimHasher()(t)
+    out2 = SimHasher()(t)
+    assert out1.equals(out2)
+    # a doc is identical to itself -> identical simhash; quick sanity on
+    # hamming distance between a near-dup pair vs a random pair
+    sig = {
+        d: (int(h) << 32) | int(l)
+        for d, h, l in zip(
+            out1["doc_id"].to_pylist(),
+            np.array(out1["sim_hi"].to_pylist(), dtype=np.uint64),
+            np.array(out1["sim_lo"].to_pylist(), dtype=np.uint64),
+        )
+    }
+    assert len(sig) == t.num_rows
+
+
+def test_embedding_dedup_matches_bruteforce(ray_session):
+    from rhealpixdggs_py_ray.ops import dedup
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.array(t["vec_id"].to_pylist())
+    M = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    acc = np.zeros(len(M))
+    for i in range(M.shape[1]):
+        acc = acc + M[:, i] * M[:, i]
+    Mn = M / np.sqrt(acc)[:, None]
+    S = np.zeros((len(M), len(M)))
+    for i in range(M.shape[1]):
+        S += Mn[:, i, None] * Mn[None, :, i]
+    iu = np.triu_indices(len(M), 1)
+    truth = {
+        (int(ids[a]), int(ids[b]))
+        for a, b in zip(*iu)
+        if S[a, b] >= 0.4
+    }
+    got = {
+        (r["a"], r["b"])
+        for r in dedup.embedding_dedup_pairs(ray.data.from_arrow(t), tau=0.4).take_all()
+    }
+    assert got == truth
+    assert truth
+
+
+def test_ann_approx_recall_vs_brute(ray_session):
+    from rhealpixdggs_py_ray.ops import ann
+
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    brute = ann.ann_topk(ds, n_queries=10, k=5).take_all()
+    b = {(r["qid"], r["vec_id"]) for r in brute}
+    assert len(b) == 50
+    # IVF with nprobe=4/16 lists: the scale path; decent recall even on
+    # weakly-clustered random embeddings.
+    ivf = {(r["qid"], r["vec_id"]) for r in ann.ann_topk_ivf(ds, 10, 5).take_all()}
+    assert len(ivf & b) / len(b) >= 0.6
+    # Random-hyperplane LSH is structurally sound but weak at cos~0.4
+    # similarities (agreement p=0.67 over 8 planes): sanity-only bound.
+    lsh = {(r["qid"], r["vec_id"]) for r in ann.ann_topk_lsh(ds, 10, 5).take_all()}
+    assert len(lsh) == 50
+
+
+def test_fingerprint_matches_scalar(ray_session):
+    from rhealpixdggs_py_ray.ops.text import FP_BASE, FP_MOD, Fingerprinter
+
+    t = _docs_table()
+    out = Fingerprinter()(t)
+    texts = t["text"].to_pylist()
+    for k in (0, 1, len(texts) - 1):
+        h = 0
+        for i, ch in enumerate(texts[k].encode("latin-1", "replace")):
+            h = ch if i == 0 else (h * FP_BASE + ch) % FP_MOD
+        assert out["fp"][k].as_py() == h
+
+
+def test_lang_id_and_quality_shapes(ray_session):
+    from rhealpixdggs_py_ray.ops.text import LangId, QualityScorer
+
+    t = _docs_table()
+    l = LangId()(t)
+    q = QualityScorer()(t)
+    assert l.num_rows == q.num_rows == t.num_rows
+    assert set(l["pred_lang"].to_pylist()) <= {"en", "de", "es", "fr", "zh", "und"}
+    assert all(0 <= x <= 1 for x in q["alpha_ratio"].to_pylist())
+
+
+def test_image_pipeline_payloads_verify(ray_session):
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    out = Q.q_image_pipeline(SF).to_pandas()
+    assert out["n"].sum() == 2000
+    assert (out["n_ok"] == out["n"]).all()  # lossless raw/png decode exact
+    assert set(out["face"]) <= set("NOPQRS")
