@@ -57,6 +57,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_ring": Q.q_k_ring,
         "cell_geometry": Q.q_cell_geometry,
         "image_pipeline": Q.q_image_pipeline,
+        "hierarchy": Q.q_hierarchy,
+        "successor": Q.q_successor,
+        "validate": Q.q_validate,
+        "minimal_cover": Q.q_minimal_cover,
+        "windowed_counts": Q.q_windowed_counts,
+        "spatial_antijoin": Q.q_spatial_antijoin,
+        "linetrace": Q.q_linetrace,
+        "cells_from_region": Q.q_cells_from_region,
+        "knn_rings": Q.q_knn_rings,
+        "resumable_tiling": Q.q_resumable_tiling,
+        "image_features": Q.q_image_features,
     }
 
 
@@ -83,4 +94,11 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": Q.sql_lang_id(),
         "quality_score": Q.sql_quality(),
         "fingerprint": Q.sql_fingerprint(),
+        "hierarchy": Q.sql_hierarchy(),
+        "successor": Q.sql_successor(),
+        "validate": Q.sql_validate(),
+        "minimal_cover": Q.sql_minimal_cover(),
+        "windowed_counts": Q.sql_windowed_counts(),
+        "spatial_antijoin": Q.sql_spatial_antijoin(),
+        "resumable_tiling": Q.sql_resumable_tiling(),
     }

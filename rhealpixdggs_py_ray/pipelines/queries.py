@@ -743,3 +743,384 @@ def q_image_pipeline(sf_dir: str):
     return part.groupby("face").aggregate(
         Sum("n", alias_name="n"), Sum("n_ok", alias_name="n_ok")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy / ordering / validation operators (SQL-oracled)
+# ---------------------------------------------------------------------------
+
+def q_hierarchy(sf_dir: str):
+    """Per res-3 grid cell: parent (res 2) and center child (res 5) —
+    rhp_to_parent / rhp_to_center_child (rhp_wrappers.py:123-215) as
+    u64 mask/append kernels."""
+    from rhealpixdggs_py_ray.core import wrappers as W
+
+    b = CFG.N_side**2
+    total = 6 * b**3
+    base = 6 * (b**3 - 1) // (b - 1)
+    center = (CFG.N_side**2 - 1) // 2  # digit 4 for N_side=3
+
+    def fn(batch: pa.Table) -> pa.Table:
+        i = batch["id"].to_numpy(zero_copy_only=False)
+        u = su.suid_from_level_order_index(i + base, CFG)
+        par = su.parent(u, 2)
+        child = u
+        for lvl in (4, 5):
+            child = su.with_digit(child, lvl, center)
+        return pa.table(
+            {
+                "cell_id": pa.array(su.to_string_fixed(u, 3)),
+                "parent_id": pa.array(su.to_string_fixed(par, 2)),
+                "center_child_id": pa.array(su.to_string_fixed(child, 5)),
+            }
+        )
+
+    return ray.data.range(total, override_num_blocks=8).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def sql_hierarchy() -> str:
+    grid = oracle.grid_sql(3, CFG)
+    center = (CFG.N_side**2 - 1) // 2
+    return (
+        f"SELECT cell_id, substr(cell_id, 1, 3) AS parent_id,"
+        f" cell_id || '{center}{center}' AS center_child_id FROM ({grid}) g"
+    )
+
+
+def q_successor(sf_dir: str):
+    """Post-order successor of every res-3 cell but the last
+    (cell.py:317-376 semantics via packed-index increment)."""
+    b = CFG.N_side**2
+    total = 6 * b**3
+    base = 6 * (b**3 - 1) // (b - 1)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        i = batch["id"].to_numpy(zero_copy_only=False)
+        keep = i < total - 1
+        i = i[keep]
+        u = su.suid_from_level_order_index(i + base, CFG)
+        nxt = su.successor(u, CFG)
+        return pa.table(
+            {
+                "cell_id": pa.array(su.to_string_fixed(u, 3)),
+                "successor_id": pa.array(su.to_string_fixed(nxt, 3)),
+            }
+        )
+
+    return ray.data.range(total, override_num_blocks=8).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def sql_successor() -> str:
+    b = CFG.N_side**2
+    total = 6 * b**3
+    digits = "".join(
+        f" || CAST(({{v}} // {b ** (3 - 1 - k)}) % {b} AS VARCHAR)" for k in range(3)
+    )
+    letter = (
+        "(CASE ({v} // " + str(b**3) + ") "
+        + " ".join(f"WHEN {f} THEN '{c}'" for f, c in enumerate(CELLS0))
+        + " END)"
+    )
+    mk = lambda v: letter.format(v=v) + digits.format(v=v)
+    return (
+        f"SELECT {mk('i')} AS cell_id, {mk('(i + 1)')} AS successor_id"
+        f" FROM (SELECT unnest(generate_series(0, {total - 2})) AS i)"
+    )
+
+
+VALIDATE_RE = r"^[NOPQRS][0-8]{0,15}$"
+
+
+def q_validate(sf_dir: str):
+    """rhp_is_valid (rhp_wrappers.py:299-332) over a deterministic mix
+    of valid SUIDs and corrupted variants derived from events."""
+    import re
+
+    pat = re.compile(VALIDATE_RE)
+    ds = indexed_events(sf_dir, resolution=5)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        cells = batch["cell_id"].to_pylist()
+        # corrupt every 3rd id: bad face; every 5th: digit '9'
+        cand = []
+        for e, c in zip(ids, cells):
+            if e % 3 == 0:
+                cand.append("X" + c[1:])
+            elif e % 5 == 0:
+                cand.append(c[:-1] + "9")
+            else:
+                cand.append(c)
+        ok = [bool(pat.match(c)) for c in cand]
+        return pa.table(
+            {
+                "event_id": pa.array(ids, type=pa.int64()),
+                "candidate": pa.array(cand, type=pa.string()),
+                "is_valid": pa.array(ok, type=pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_validate() -> str:
+    inner = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), 5, CFG, id_cols=("event_id",)
+    )
+    cand = (
+        "CASE WHEN event_id % 3 = 0 THEN 'X' || substr(cell_id, 2)"
+        " WHEN event_id % 5 = 0 THEN substr(cell_id, 1, length(cell_id) - 1) || '9'"
+        " ELSE cell_id END"
+    )
+    return (
+        f"SELECT event_id, {cand} AS candidate,"
+        f" regexp_matches({cand}, '{VALIDATE_RE}') AS is_valid"
+        f" FROM {inner} t"
+    )
+
+
+def q_minimal_cover(sf_dir: str):
+    """minimal_cover (dggs.py:1372-1410): distinct res-5 cells hit by
+    the events points — exact dedup via groupby on the packed key."""
+    ds = indexed_events(sf_dir, resolution=5)
+    out = ds.groupby("cell_id").aggregate(Count(alias_name="n_points"))
+    return out
+
+
+def sql_minimal_cover() -> str:
+    inner = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), 5, CFG, id_cols=("event_id",)
+    )
+    return f"SELECT cell_id, COUNT(*) AS n_points FROM {inner} t GROUP BY cell_id"
+
+
+def q_windowed_counts(sf_dir: str):
+    """Tumbling 1-hour event-time window per event_type (streaming-style
+    windowed aggregate over the events table)."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        hour = ts.astype(np.int64) // 3_600_000_000
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "hour": pa.array(hour),
+                "event_type": batch["event_type"],
+                "v_c": pa.array(np.floor(v * 100).astype(np.int64)),
+            }
+        )
+
+    b = ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+    return b.groupby(["hour", "event_type"]).aggregate(
+        Count(alias_name="n"), Sum("v_c", alias_name="sum_value_c")
+    )
+
+
+def sql_windowed_counts() -> str:
+    return (
+        "SELECT epoch_us(ts) // 3600000000 AS hour, event_type,"
+        " COUNT(*) AS n,"
+        " SUM(CAST(floor(value*100) AS BIGINT)) AS sum_value_c"
+        " FROM events GROUP BY 1, 2"
+    )
+
+
+def q_spatial_antijoin(sf_dir: str):
+    """Anti-join twin of q_spatial_join_bbox: points OUTSIDE the bbox
+    (cover complement prune + exact refine), per-face counts."""
+    lon1, lat1, lon2, lat2 = BBOX
+    ds = indexed_events(sf_dir)
+
+    def refine(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        keep = ~((lon >= lon1) & (lon <= lon2) & (lat >= lat1) & (lat <= lat2))
+        t = batch.filter(pa.array(keep))
+        face = np.array([s[0] for s in t["cell_id"].to_pylist()], dtype=object)
+        return pa.table({"face_id": pa.array(face, type=pa.string())})
+
+    ds = ds.map_batches(refine, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.groupby("face_id").aggregate(Count(alias_name="n"))
+
+
+def sql_spatial_antijoin() -> str:
+    lon1, lat1, lon2, lat2 = BBOX
+    inner = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), RES, CFG, id_cols=("event_id",)
+    )
+    lon, lat = oracle.lonlat_from_id_sql("event_id")
+    return (
+        f"SELECT substr(cell_id, 1, 1) AS face_id, COUNT(*) AS n FROM {inner} t"
+        f" WHERE NOT ({lon} >= {lon1!r} AND {lon} <= {lon2!r}"
+        f" AND {lat} >= {lat1!r} AND {lat} <= {lat2!r}) GROUP BY 1"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Line / region covers, ring kNN, checkpointed run (rows-only)
+# ---------------------------------------------------------------------------
+
+def q_linetrace(sf_dir: str):
+    """linetrace (rhp_wrappers.py:602-674) over a small set of
+    deterministic great-lines; one flat_map row per (line, seq, cell)."""
+    from rhealpixdggs_py_ray.core import wrappers as W
+
+    lines = [
+        geo.LineString([(-30.0, -10.0), (40.0, 25.0)]),
+        geo.LineString([(100.0, 10.0), (140.0, -35.0), (170.0, 0.0)]),
+        geo.LineString([(-120.0, 30.0), (-60.0, 48.0)]),
+    ]
+    ds = ray.data.from_items(
+        [{"line_id": i} for i in range(len(lines))], override_num_blocks=3
+    )
+
+    def trace(batch: pa.Table) -> pa.Table:
+        lid, seq, cell = [], [], []
+        for i in batch["line_id"].to_pylist():
+            for j, c in enumerate(W.linetrace(lines[i], 4, plane=False, cfg=CFG)):
+                lid.append(i)
+                seq.append(j)
+                cell.append(c)
+        return pa.table(
+            {
+                "line_id": pa.array(np.array(lid, dtype=np.int64)),
+                "seq": pa.array(np.array(seq, dtype=np.int64)),
+                "cell_id": pa.array(cell, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(trace, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_cells_from_region(sf_dir: str):
+    """cells_from_region cover rows (dggs.py:1181-1331), W->E / N->S
+    order preserved via (row, col) output columns."""
+    from rhealpixdggs_py_ray.core import cover as cov
+
+    rows = cov.cells_from_region(CFG, 4, (-20.0, 40.0), (50.0, -15.0), plane=False)
+    ri, ci, cid = [], [], []
+    for r, row in enumerate(rows):
+        for c, u in enumerate(row):
+            ri.append(r)
+            ci.append(c)
+            cid.append(su.to_string(np.array([u], dtype=np.uint64))[0])
+    return pa.table(
+        {
+            "row": pa.array(np.array(ri, dtype=np.int64)),
+            "col": pa.array(np.array(ci, dtype=np.int64)),
+            "cell_id": pa.array(cid, type=pa.string()),
+        }
+    )
+
+
+def q_knn_rings(sf_dir: str):
+    """Ring-expansion kNN (scale path): prune to k_ring(2) cells around
+    each query, exact chord top-k on survivors.  Equals brute within
+    the ring radius (tests/test_ray_pipelines.py pins equality)."""
+    from rhealpixdggs_py_ray.pipelines.knn import knn_rings
+
+    qids = np.arange(KNN_Q, dtype=np.int64)
+    qlon, qlat = oracle.lonlat_from_id(qids + 1_000_000)
+    ds = indexed_events(sf_dir, resolution=2)
+    out = knn_rings(
+        ds,
+        {"qid": qids, "lon": qlon, "lat": qlat},
+        k=KNN_K,
+        cfg=CFG,
+        resolution=2,
+        expand=1,
+        id_col="event_id",
+        cell_col="cell_u64",
+    )
+    return out.select_columns(["qid", "neighbor_id", "rank"])
+
+
+def q_resumable_tiling(sf_dir: str):
+    """Checkpointed per-partition run (state/checkpoint.py): two logical
+    partitions of the events table, manifests with lineage + metrics;
+    second invocation skips completed partitions (byte-identical output
+    pinned in tests)."""
+    import glob
+    import json as _json
+    import os
+    import shutil
+
+    from rhealpixdggs_py_ray.state.checkpoint import CheckpointedRun
+
+    out_dir = f"/tmp/graft_ckpt_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def pipeline_fn(files, part_out):
+        ds = ray.data.read_parquet(files, columns=["event_id"])
+        ds = ds.map_batches(
+            DeriveAndIndex,
+            fn_constructor_kwargs={"resolution": RES},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 4),
+        )
+        tiles = aggregate_tiles(ds, TILE_RES, salt_col=None)
+        tiles.write_parquet(part_out)
+        return {"rows_out": tiles.count()}
+
+    run = CheckpointedRun(out_root=out_dir, config_payload={"res": RES, "tile_res": TILE_RES})
+    run.run([[f"{sf_dir}/events.parquet"]], pipeline_fn)
+    # resumability: a second run must skip the completed partition
+    before = run.completed_partitions()
+    run.run([[f"{sf_dir}/events.parquet"]], pipeline_fn)
+    assert run.completed_partitions().keys() == before.keys()
+    out = ray.data.read_parquet(sorted(glob.glob(f"{out_dir}/part=*/*.parquet")))
+    return out.select_columns(["tile_id", "n"])
+
+
+def sql_resumable_tiling() -> str:
+    return sql_tile_counts()
+
+
+def q_image_features(sf_dir: str):
+    """Multimodal feature pipeline: decode -> resize(32x32) -> channel
+    stats + pixel phash (ops/multimodal.py) -> per-face aggregates."""
+    import os
+
+    from rhealpixdggs_py_ray.fixtures import write_images_table
+    from rhealpixdggs_py_ray.ops.multimodal import DecodeResizeFeatures
+    from rhealpixdggs_py_ray.stages.indexer import CellIndexer
+
+    n = 2000
+    out_dir = f"/tmp/graft_images_{n}"
+    write_images_table(out_dir, n)
+    ds = ray.data.read_parquet(out_dir, override_num_blocks=8)
+    ds = ds.map_batches(
+        DecodeResizeFeatures,
+        batch_format="pyarrow",
+        batch_size=256,
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+    ds = ds.map_batches(
+        CellIndexer,
+        fn_constructor_kwargs={"resolution": 9},
+        batch_format="pyarrow",
+        batch_size=256,
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        face = [s[0] for s in batch["cell_id"].to_pylist()]
+        fm = np.array(batch["feat_mean"].to_pylist(), dtype=np.float64)
+        df = pd.DataFrame({"face": face, "mean_r_c": np.floor(fm[:, 0] * 100).astype(np.int64)})
+        g = df.groupby("face", as_index=False).agg(
+            n=("mean_r_c", "size"), sum_mean_r_c=("mean_r_c", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    part = ds.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)
+    return part.groupby("face").aggregate(
+        Sum("n", alias_name="n"), Sum("sum_mean_r_c", alias_name="sum_mean_r_c")
+    )
