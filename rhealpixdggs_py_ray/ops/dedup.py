@@ -33,7 +33,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count, Min, Sum
 
 # MinHash parameters (shared with the SQL oracle).
 N_PERM = 8
@@ -112,13 +112,95 @@ class MinHasher:
         )
 
 
-def _pairs_from_groups(g: pd.DataFrame) -> pd.DataFrame:
-    """All candidate pairs within one LSH bucket (a < b)."""
-    ids = np.sort(g["doc_id"].to_numpy())
-    if len(ids) < 2:
-        return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
-    i, j = np.triu_indices(len(ids), 1)
-    return pd.DataFrame({"a": ids[i], "b": ids[j]})
+N_PAIR_BUCKETS = 64
+
+
+def _pairs_within_keys(g: pd.DataFrame, key_cols: list[str]) -> pd.DataFrame:
+    """Vectorized pair expansion: for every distinct key (the group-by
+    unit), emit all (a < b) doc pairs.  Called once per hash BUCKET of
+    keys (not once per key): a map_groups over one group per key costs
+    more in per-group overhead than the pair math itself at 10^5+
+    keys."""
+    empty = pd.DataFrame(
+        {
+            "a": pd.Series([], dtype=np.int64),
+            "b": pd.Series([], dtype=np.int64),
+            "ni_partial": pd.Series([], dtype=np.int64),
+        }
+    )
+    if not len(g):
+        return empty
+    codes, _ = pd.factorize(
+        g[key_cols[0]].astype(str) if len(key_cols) == 1
+        else g[key_cols].astype(str).agg("|".join, axis=1)
+    )
+    ids = g["doc_id"].to_numpy()
+    order = np.lexsort((ids, codes))
+    codes, ids = codes[order], ids[order]
+    counts = np.bincount(codes)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    out_a, out_b = [], []
+    for k in np.flatnonzero(counts >= 2):
+        grp = ids[starts[k] : starts[k] + counts[k]]
+        i, j = np.triu_indices(len(grp), 1)
+        out_a.append(grp[i])
+        out_b.append(grp[j])
+    if not out_a:
+        return empty
+    # Pre-aggregate within the bucket (combiner): multiplicity is
+    # semantic — the ngram path counts one unit per shared shingle (the
+    # intersection size), the minhash path one per matching band — but
+    # the downstream shuffle only needs the per-bucket partial sums,
+    # not tens of millions of raw pair rows.
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
+    key = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
+    uq, inv = np.unique(key, return_inverse=True)
+    cnt = np.bincount(inv)
+    return pd.DataFrame(
+        {
+            "a": (uq >> np.uint64(32)).astype(np.int64),
+            "b": (uq & np.uint64(0xFFFFFFFF)).astype(np.int64),
+            "ni_partial": cnt.astype(np.int64),
+        }
+    )
+
+
+def _sum_by_pair(pairs_ds, alias: str, n_buckets: int = 32):
+    """Exact per-(a, b) sum of ``ni_partial`` without a many-group sort
+    aggregate: hash-partition pairs into a few buckets, combine each
+    bucket vectorized.  (ray.data's sort-based Aggregate measured 18s
+    on 48k rows with ~40k groups; this path is <1s and identical.)"""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = (((a * np.uint64(2654435761)) ^ b) % np.uint64(n_buckets)).astype(
+            np.int64
+        )
+        return batch.append_column("pair_bucket", pa.array(bucket))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        a = g["a"].to_numpy().astype(np.uint64)
+        b = g["b"].to_numpy().astype(np.uint64)
+        v = g["ni_partial"].to_numpy()
+        key = (a << np.uint64(32)) | b
+        uq, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(s, inv, v)
+        return pd.DataFrame(
+            {
+                "a": (uq >> np.uint64(32)).astype(np.int64),
+                "b": (uq & np.uint64(0xFFFFFFFF)).astype(np.int64),
+                alias: s,
+            }
+        )
+
+    return (
+        pairs_ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pair_bucket")
+        .map_groups(combine, batch_format="pandas")
+    )
 
 
 def minhash_lsh_pairs(docs_ds, jaccard_min: float = 0.5):
@@ -129,11 +211,23 @@ def minhash_lsh_pairs(docs_ds, jaccard_min: float = 0.5):
     sig = docs_ds.map_batches(
         MinHasher, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
     )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k1 = batch["k1"].to_numpy(zero_copy_only=False)
+        k2 = batch["k2"].to_numpy(zero_copy_only=False)
+        b = batch["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = ((k1 ^ (k2 >> np.uint64(1)) ^ b) % np.uint64(N_PAIR_BUCKETS)).astype(np.int64)
+        return batch.append_column("bucket", pa.array(bucket))
+
     cand = (
-        sig.groupby(["band", "k1", "k2"])
-        .map_groups(_pairs_from_groups, batch_format="pandas")
+        sig.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(
+            lambda g: _pairs_within_keys(g, ["band", "k1", "k2"]),
+            batch_format="pandas",
+        )
     )
-    cand = cand.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands"))
+    cand = _sum_by_pair(cand, "n_bands")
     # Verification: exact jaccard on the pair's shingle sets.  The doc
     # texts are re-read once and broadcast (small side); at larger scale
     # this becomes a hash join of (pair, side) against the shingle table.
@@ -310,20 +404,21 @@ def ngram_jaccard_pairs(docs_ds, jaccard_min: float = 0.2):
         ShingleExploder, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
     )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
-                                 "b": pd.Series([], dtype=np.int64)})
-        i, j = np.triu_indices(len(ids), 1)
-        return pd.DataFrame({"a": ids[i], "b": ids[j]})
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        bucket = np.array(
+            [md5_u64(s) % N_PAIR_BUCKETS for s in batch["s"].to_pylist()],
+            dtype=np.int64,
+        )
+        return batch.append_column("bucket", pa.array(bucket))
 
     inter = (
-        sh.groupby("s")
-        .map_groups(pairs, batch_format="pandas")
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="ni"))
+        sh.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(
+            lambda g: _pairs_within_keys(g, ["s"]), batch_format="pandas"
+        )
     )
+    inter = _sum_by_pair(inter, "ni")
     sizes = {
         r["doc_id"]: r["n"]
         for r in sh.groupby("doc_id").aggregate(Count(alias_name="n")).take_all()
