@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_rings": Q.q_knn_rings,
         "resumable_tiling": Q.q_resumable_tiling,
         "image_features": Q.q_image_features,
+        "cell_stats": Q.q_cell_stats,
     }
 
 
@@ -101,4 +102,5 @@ def oracle_sql() -> dict[str, str]:
         "windowed_counts": Q.sql_windowed_counts(),
         "spatial_antijoin": Q.sql_spatial_antijoin(),
         "resumable_tiling": Q.sql_resumable_tiling(),
+        "cell_stats": Q.sql_cell_stats(),
     }

@@ -1,0 +1,47 @@
+"""Scale-friendly aggregation helpers.
+
+ray.data's sort-based ``groupby(...).aggregate(...)`` measured ~18 s
+for 48k rows spread over ~40k groups (the per-group overhead dominates
+long before data size matters).  For high-cardinality keys the engine
+therefore uses: per-batch vectorized combine (np.unique) -> hash-bucket
+column -> groupby over a HANDFUL of buckets -> vectorized combine per
+bucket.  Exact same results, one shuffle, no tiny groups.  The pattern
+is also the 10^12-row shape: buckets are the shuffle partitions and
+each reducer combines its bucket vectorized.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def sum_by_u64_key(ds, key_col: str, val_col: str, out_val: str,
+                   n_buckets: int = 32):
+    """Exact per-key int64 sums for a uint64 key column.  Returns a
+    Dataset with (key_col, out_val)."""
+
+    def combine_batch(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = batch[val_col].to_numpy(zero_copy_only=False)
+        uq, inv = np.unique(k, return_inverse=True)
+        s = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(s, inv, v)
+        bucket = ((uq * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(58)).astype(np.int64) % n_buckets
+        return pa.table(
+            {key_col: pa.array(uq, type=pa.uint64()),
+             out_val: pa.array(s),
+             "bucket": pa.array(bucket)}
+        )
+
+    def combine_group(g: pd.DataFrame) -> pd.DataFrame:
+        k = g[key_col].to_numpy().astype(np.uint64)
+        v = g[out_val].to_numpy()
+        uq, inv = np.unique(k, return_inverse=True)
+        s = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(s, inv, v)
+        return pd.DataFrame({key_col: uq, out_val: s})
+
+    partial = ds.map_batches(combine_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return partial.groupby("bucket").map_groups(combine_group, batch_format="pandas")

@@ -885,10 +885,32 @@ def sql_validate() -> str:
 
 def q_minimal_cover(sf_dir: str):
     """minimal_cover (dggs.py:1372-1410): distinct res-5 cells hit by
-    the events points — exact dedup via groupby on the packed key."""
+    the events points — exact dedup via per-batch combine + bucketed
+    merge on the packed key (ops/agg.py; a string-keyed sort aggregate
+    here measured ~10s for 26k groups)."""
+    from rhealpixdggs_py_ray.ops.agg import sum_by_u64_key
+
     ds = indexed_events(sf_dir, resolution=5)
-    out = ds.groupby("cell_id").aggregate(Count(alias_name="n_points"))
-    return out
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"cell_u64": batch["cell_u64"],
+             "one": pa.array(np.ones(len(batch), dtype=np.int64))}
+        )
+
+    counted = sum_by_u64_key(
+        ds.map_batches(ones, batch_format="pyarrow", zero_copy_batch=True),
+        "cell_u64", "one", "n_points",
+    )
+
+    def to_id(batch: pa.Table) -> pa.Table:
+        u = batch["cell_u64"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {"cell_id": pa.array(su.to_string_fixed(u, 5)),
+             "n_points": batch["n_points"]}
+        )
+
+    return counted.map_batches(to_id, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def sql_minimal_cover() -> str:
@@ -1123,4 +1145,39 @@ def q_image_features(sf_dir: str):
     part = ds.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)
     return part.groupby("face").aggregate(
         Sum("n", alias_name="n"), Sum("sum_mean_r_c", alias_name="sum_mean_r_c")
+    )
+
+
+def q_cell_stats(sf_dir: str):
+    """cell_width / cell_area closed forms per resolution 0..15
+    (dggs.py:671-708) — quantized to integer micrometers / m^2 so the
+    SQL power() parity cannot flip a bit."""
+    rows = np.arange(CFG.max_resolution + 1, dtype=np.int64)
+    width = np.array([CFG.cell_width(int(r)) for r in rows])
+    area_p = np.array([CFG.cell_area(int(r), plane=True) for r in rows])
+    area_e = np.array([CFG.cell_area(int(r), plane=False) for r in rows])
+    return pa.table(
+        {
+            "resolution": pa.array(rows),
+            "width_um": pa.array(np.floor(width * 1e6).astype(np.int64)),
+            "area_plane_m2": pa.array(np.floor(area_p).astype(np.int64)),
+            "area_ellipsoid_m2": pa.array(np.floor(area_e).astype(np.int64)),
+        }
+    )
+
+
+def sql_cell_stats() -> str:
+    from rhealpixdggs_py_ray.oracle import _lit
+
+    R = _lit(CFG.R_A)
+    # mirrors cfg.cell_width: R_A * (pi/2) * N ** (-res); python's
+    # int**-int and DuckDB power() both bind C pow (parity verified in
+    # tests)
+    w = f"({R} * (pi() / 2) * power({CFG.N_side}, -resolution))"
+    return (
+        "SELECT resolution,"
+        f" CAST(floor({w} * 1e6) AS BIGINT) AS width_um,"
+        f" CAST(floor({w} * {w}) AS BIGINT) AS area_plane_m2,"
+        f" CAST(floor(8 / (3 * pi()) * ({w} * {w})) AS BIGINT) AS area_ellipsoid_m2"
+        f" FROM (SELECT unnest(generate_series(0, {CFG.max_resolution})) AS resolution)"
     )
