@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resumable_tiling": Q.q_resumable_tiling,
         "image_features": Q.q_image_features,
         "cell_stats": Q.q_cell_stats,
+        "tile_counts_salted": Q.q_tile_counts_salted,
     }
 
 
@@ -103,4 +104,5 @@ def oracle_sql() -> dict[str, str]:
         "spatial_antijoin": Q.sql_spatial_antijoin(),
         "resumable_tiling": Q.sql_resumable_tiling(),
         "cell_stats": Q.sql_cell_stats(),
+        "tile_counts_salted": Q.sql_tile_counts(),
     }

@@ -173,6 +173,63 @@ def run_headline(num_cpus: int, rows: int) -> dict:
     }
 
 
+def run_payload(num_cpus: int, n_rows: int = 20_000) -> dict:
+    """Secondary metric: the wide-binary image pipeline — decode +
+    payload verification (caption equality, lossless pixel equality /
+    PSNR gate) + res-9 indexing + per-face tile counts.  Payload bytes
+    never enter a shuffle; only (cell, face) partials do."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="error")
+    import numpy as np
+    import pyarrow as pa
+
+    from rhealpixdggs_py_ray.fixtures import write_images_table
+    from rhealpixdggs_py_ray.stages.indexer import CellIndexer, PayloadVerifier
+
+    out_dir = f"/tmp/graft_bench_images_{n_rows}"
+    write_images_table(out_dir, n_rows)  # cached across runs
+
+    t0 = time.time()
+    ds = ray.data.read_parquet(out_dir, override_num_blocks=num_cpus * 2)
+    # Pool sizes must sum below num_cpus or downstream stages starve
+    # (see BASELINE.md operator-starvation note).
+    ds = ds.map_batches(
+        PayloadVerifier, batch_format="pyarrow", batch_size=256,
+        zero_copy_batch=True, concurrency=max(1, num_cpus * 2 // 3),
+    )
+    ds = ds.map_batches(
+        CellIndexer, fn_constructor_kwargs={"resolution": 9},
+        batch_format="pyarrow", batch_size=4096, zero_copy_batch=True,
+        concurrency=(1, max(1, num_cpus // 8)),
+    )
+
+    def faces(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ok = batch["payload_ok"].to_numpy(zero_copy_only=False)
+        f = [s[0] for s in batch["cell_id"].to_pylist()]
+        g = pd.DataFrame({"face": f, "ok": ok}).groupby("face", as_index=False).agg(
+            n=("ok", "size"), n_ok=("ok", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(faces, batch_format="pyarrow", zero_copy_batch=True)
+    import pandas as pd
+
+    df = pd.concat(parts.to_pandas().groupby("face", as_index=False).sum() for _ in (0,))
+    dt = time.time() - t0
+    n_ok = int(df["n_ok"].sum())
+    ray.shutdown()
+    return {
+        "sec": dt,
+        "rows": n_rows,
+        "rows_per_sec": n_rows / dt,
+        "payload_ok": n_ok,
+    }
+
+
 def run_queries(sf_dir: str) -> dict:
     import ray
 
@@ -237,6 +294,7 @@ def main():
     import ray
 
     head = run_headline(CPUS, ROWS)
+    payload = run_payload(CPUS)
 
     ray.init(address="local", num_cpus=CPUS, include_dashboard=False,
              logging_level="error")
@@ -256,6 +314,12 @@ def main():
         "headline_rows": head["rows"],
         "rows_per_sec": round(head["rows_per_sec"]),
         "joined_rows": head["joined_rows"],
+        "payload_pipeline": {
+            "rows": payload["rows"],
+            "sec": round(payload["sec"], 3),
+            "rows_per_sec": round(payload["rows_per_sec"]),
+            "payload_ok": payload["payload_ok"],
+        },
     }))
 
 

@@ -1181,3 +1181,20 @@ def sql_cell_stats() -> str:
         f" CAST(floor(8 / (3 * pi()) * ({w} * {w})) AS BIGINT) AS area_ellipsoid_m2"
         f" FROM (SELECT unnest(generate_series(0, {CFG.max_resolution})) AS resolution)"
     )
+
+
+def q_tile_counts_salted(sf_dir: str):
+    """Same result as tile_counts but through the salted two-stage merge
+    (combiner -> groupby(tile, salt) -> groupby(tile)) — the explicit
+    skew path for hot polar cap/dart tiles (BASELINE.json north rule;
+    skew test: tests/test_ops.py::test_salted_tile_agg_on_skew)."""
+    ds = indexed_events(sf_dir)
+
+    def add_salt_src(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column("phash", pa.array(ids, type=pa.int64()))
+
+    ds = ds.map_batches(add_salt_src, batch_format="pyarrow", zero_copy_batch=True)
+    return aggregate_tiles(ds, TILE_RES, salt_col="phash", salt_bits=3).select_columns(
+        ["tile_id", "n"]
+    )

@@ -178,3 +178,37 @@ def test_image_pipeline_payloads_verify(ray_session):
     assert out["n"].sum() == 2000
     assert (out["n_ok"] == out["n"]).all()  # lossless raw/png decode exact
     assert set(out["face"]) <= set("NOPQRS")
+
+
+def test_salted_tile_agg_on_skew(ray_session):
+    """The salted two-stage merge must give byte-identical counts to the
+    plain path on a pathologically skewed input (95% of rows in one
+    polar cap tile — the nucleus/dart skew class of the north rule)."""
+    from rhealpixdggs_py_ray.core import index as idx
+    from rhealpixdggs_py_ray.core.config import WGS84_003
+    from rhealpixdggs_py_ray.pipelines.tiles import aggregate_tiles
+
+    n = 50_000
+    rng = np.random.RandomState(7)
+    lon = rng.uniform(-180, 180, n)
+    lat = np.where(rng.uniform(0, 1, n) < 0.95, rng.uniform(88, 89.9, n),
+                   rng.uniform(-60, 60, n))
+    u = idx.cell_from_point(WGS84_003, 9, lon, lat, plane=False)
+    t = pa.table(
+        {
+            "cell_u64": pa.array(u, type=pa.uint64()),
+            "phash": pa.array(rng.randint(-2**62, 2**62, n), type=pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(16)
+    plain = {
+        r["tile_id"]: r["n"]
+        for r in aggregate_tiles(ds, 1, salt_col=None).take_all()
+    }
+    salted = {
+        r["tile_id"]: r["n"]
+        for r in aggregate_tiles(ds, 1, salt_col="phash", salt_bits=3).take_all()
+    }
+    assert plain == salted
+    # the skew is real: the north cap tile holds ~95% of rows
+    assert max(plain.values()) > 0.9 * n
