@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": Q.q_image_features,
         "cell_stats": Q.q_cell_stats,
         "tile_counts_salted": Q.q_tile_counts_salted,
+        "cell_from_region": Q.q_cell_from_region,
     }
 
 
@@ -105,4 +106,5 @@ def oracle_sql() -> dict[str, str]:
         "resumable_tiling": Q.sql_resumable_tiling(),
         "cell_stats": Q.sql_cell_stats(),
         "tile_counts_salted": Q.sql_tile_counts(),
+        "cell_from_region": Q.sql_cell_from_region(),
     }

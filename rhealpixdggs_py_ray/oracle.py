@@ -71,36 +71,12 @@ def _lit(x: float) -> str:
     return repr(float(x))
 
 
-def cell_from_point_sql(
-    points_sql: str,
-    resolution: int,
-    cfg: EngineConfig = WGS84_003,
-    id_cols: tuple[str, ...] = ("id",),
-    extra_cols: tuple[str, ...] = (),
-) -> str:
-    """Subquery string computing ``cell_id`` (the canonical SUID string)
-    for each row of ``points_sql`` (which must yield the ``id_cols``,
-    ``extra_cols`` and float64 ``lon``/``lat`` columns, degrees).
-
-    Mirrors core/index.py:cell_from_point + core/projection.py:forward
-    for the homogeneous case lon_0 = lat_0 = 0, radians=False,
-    N_side odd, f < 1/150 (series authalic path) — i.e. WGS84_003 and
-    the other test parameterizations.
-    """
-    if cfg.lon_0 != 0 or cfg.lat_0 != 0 or cfg.radians:
-        raise NotImplementedError("oracle SQL assumes lon_0=lat_0=0, degrees")
-    f = 1 - math.sqrt(1 - cfg.e**2)
-    if cfg.e != 0 and abs(f) > 1 / 150:
-        raise NotImplementedError("oracle SQL implements the series auth-lat path")
-
+def _proj_parts(cfg: EngineConfig):
+    """Shared SQL fragments for the forward projection chain."""
     ns = cfg.north_square % 4
     ss = cfg.south_square % 4
-    N = cfg.N_side
     R = _lit(cfg.R_A)
     pi = _lit(PI)
-    keep = ", ".join(id_cols + extra_cols)
-
-    # -- authalic latitude (utils.py auth_lat, series path) -----------------
     if cfg.e == 0:
         beta = "phi"
     else:
@@ -109,11 +85,7 @@ def cell_from_point_sql(
             f"({_lit(coeffs[k])})*sin({2 * (k + 1)}*phi)" for k in range(6)
         )
         beta = f"phi + ({terms})"
-
     phi0 = _lit(math.asin(2.0 / 3))
-
-    # -- healpix_sphere (projection.py:49-66) -------------------------------
-    # polar helpers: sigma, cap, lamc
     sigma = "sqrt(3*(1 - abs(sin(beta))))"
     cap_raw = f"floor(2*lam/{pi} + 2)"
     cap = f"(CASE WHEN {cap_raw} >= 4 THEN 3.0 ELSE {cap_raw} END)"
@@ -123,14 +95,10 @@ def cell_from_point_sql(
         f"(CASE WHEN abs(beta) <= {phi0} THEN 3*{pi}/8*sin(beta)"
         f" ELSE sign(beta)*({pi}/4)*(2 - sigma) END)"
     )
-
-    # -- combine_triangles, forward (projection.py:136-229) -----------------
     tri = (
         f"(CASE WHEN hx < -{pi}/2 THEN 0 WHEN hx < 0 THEN 1"
         f" WHEN hx < {pi}/2 THEN 2 ELSE 3 END)"
     )
-    # q = (c - ns) % 4 in the north, (-(c - ss)) % 4 in the south
-    # (python-mod semantics: always non-negative).
     qn = f"((((tri - {ns}) % 4) + 4) % 4)"
     qs = f"(((-(tri - {ss}) % 4) + 4) % 4)"
     q = f"(CASE WHEN hy > {pi}/4 THEN {qn} ELSE {qs} END)"
@@ -148,8 +116,51 @@ def cell_from_point_sql(
     polar = f"(abs(hy) > {pi}/4)"
     rx = f"({R} * (CASE WHEN {polar} THEN {xo} ELSE hx END))"
     ry = f"({R} * (CASE WHEN {polar} THEN {yo} ELSE hy END))"
+    return {
+        "beta": beta, "sigma": sigma, "cap": cap, "hx": hx, "hy": hy,
+        "tri": tri, "q": q, "rx": rx, "ry": ry, "R": R, "pi": pi,
+        "ns": ns, "ss": ss,
+    }
 
-    # -- face selection (index.py:52-75 / dggs.py:768-795) ------------------
+
+def projection_sql(
+    points_sql: str, cfg: EngineConfig = WGS84_003,
+    id_cols: tuple[str, ...] = ("id",), extra_cols: tuple[str, ...] = (),
+) -> str:
+    """Subquery: (id_cols..., extra..., lon, lat degrees) -> planar
+    (xm, ym) meters via the forward rHEALPix chain (projection.py:forward)."""
+    if cfg.lon_0 != 0 or cfg.lat_0 != 0 or cfg.radians:
+        raise NotImplementedError("oracle SQL assumes lon_0=lat_0=0, degrees")
+    f = 1 - math.sqrt(1 - cfg.e**2)
+    if cfg.e != 0 and abs(f) > 1 / 150:
+        raise NotImplementedError("oracle SQL implements the series auth-lat path")
+    p = _proj_parts(cfg)
+    keep = ", ".join(id_cols + extra_cols)
+    return (
+        f"(WITH pts AS ({points_sql}),"
+        f" rr AS MATERIALIZED (SELECT {keep}, radians(lon) AS lam, radians(lat) AS phi FROM pts),"
+        f" au AS MATERIALIZED (SELECT {keep}, lam, {p['beta']} AS beta FROM rr),"
+        f" h1 AS MATERIALIZED (SELECT {keep}, lam, beta, {p['sigma']} AS sigma FROM au),"
+        f" h2 AS MATERIALIZED (SELECT {keep}, lam, beta, sigma, {p['cap']} AS cap FROM h1),"
+        f" hp AS MATERIALIZED (SELECT {keep}, {p['hx']} AS hx, {p['hy']} AS hy FROM h2),"
+        f" tq AS MATERIALIZED (SELECT {keep}, hx, hy, {p['tri']} AS tri FROM hp),"
+        f" tq2 AS MATERIALIZED (SELECT {keep}, hx, hy, tri, {p['q']} AS q FROM tq)"
+        f" SELECT {keep}, {p['rx']} AS xm, {p['ry']} AS ym FROM tq2)"
+    )
+
+
+def planar_cell_sql(
+    planar_sql: str, resolution: int, cfg: EngineConfig = WGS84_003,
+    id_cols: tuple[str, ...] = ("id",), extra_cols: tuple[str, ...] = (),
+    keep_invalid: bool = False,
+) -> str:
+    """Subquery: (id_cols..., xm, ym planar meters) -> cell_id SUID at
+    ``resolution`` (index.py:cell_from_point, plane=True path)."""
+    p = _proj_parts(cfg)
+    ns, ss = p["ns"], p["ss"]
+    R, pi = p["R"], p["pi"]
+    N = cfg.N_side
+    keep = ", ".join(id_cols + extra_cols)
     north_face = (
         f"(ym > {R}*{pi}/4 AND ym < {R}*3*{pi}/4"
         f" AND xm > {R}*(-{pi} + {ns}*({pi}/2))"
@@ -175,28 +186,18 @@ def cell_from_point_sql(
         f"(CASE WHEN {north_face} THEN 0 WHEN {south_face} THEN 5"
         f" {eq_cases} ELSE -1 END)"
     )
-
     letter = (
         "(CASE face "
         + " ".join(f"WHEN {i} THEN '{c}'" for i, c in enumerate(CELLS0))
         + " END)"
     )
     if resolution == 0:
+        where = "" if keep_invalid else " WHERE face >= 0"
         return (
-            f"(WITH pts AS ({points_sql}),"
-            f" rr AS MATERIALIZED (SELECT {keep}, radians(lon) AS lam, radians(lat) AS phi FROM pts),"
-            f" au AS MATERIALIZED (SELECT {keep}, lam, {beta} AS beta FROM rr),"
-            f" h1 AS MATERIALIZED (SELECT {keep}, lam, beta, {sigma} AS sigma FROM au),"
-            f" h2 AS MATERIALIZED (SELECT {keep}, lam, beta, sigma, {cap} AS cap FROM h1),"
-            f" hp AS MATERIALIZED (SELECT {keep}, {hx} AS hx, {hy} AS hy FROM h2),"
-            f" tq AS MATERIALIZED (SELECT {keep}, hx, hy, {tri} AS tri FROM hp),"
-            f" tq2 AS MATERIALIZED (SELECT {keep}, hx, hy, tri, {q} AS q FROM tq),"
-            f" pl AS MATERIALIZED (SELECT {keep}, {rx} AS xm, {ry} AS ym FROM tq2),"
+            f"(WITH pl AS ({planar_sql}),"
             f" fc AS MATERIALIZED (SELECT {keep}, xm, ym, {face} AS face FROM pl)"
-            f" SELECT {keep}, {letter} AS cell_id FROM fc WHERE face >= 0)"
+            f" SELECT {keep}, {letter} AS cell_id FROM fc{where})"
         )
-
-    # -- digit extraction (index.py:82-104) ---------------------------------
     w = cfg.cell_width(0)
     smidgen = 0.5 * cfg.cell_width(cfg.max_resolution) / w
     ul = cfg.ul_vertex
@@ -216,17 +217,24 @@ def cell_from_point_sql(
         f" + ((cl // {N ** (resolution - 1 - i)}) % {N}) AS VARCHAR)"
         for i in range(resolution)
     )
-
+    if keep_invalid:
+        # invalid (off-grid) rows survive with NULL cell_id; digit
+        # arithmetic must not run on them (face -1 has no ul vertex)
+        return (
+            f"(WITH pl AS ({planar_sql}),"
+            f" fc AS MATERIALIZED (SELECT {keep}, xm, ym, {face} AS face FROM pl),"
+            f" fr AS MATERIALIZED (SELECT {keep}, xm, ym, face,"
+            f"        CASE WHEN face >= 0 THEN {dxe} ELSE 0.0 END AS dx0,"
+            f"        CASE WHEN face >= 0 THEN {dye} ELSE 0.0 END AS dy0 FROM fc),"
+            f" fr2 AS MATERIALIZED (SELECT {keep}, face, {dxs} AS dx, {dys} AS dy FROM fr),"
+            f" rc AS MATERIALIZED (SELECT {keep}, face,"
+            f"        CAST(floor(dy * {scale}) AS BIGINT) AS rw,"
+            f"        CAST(floor(dx * {scale}) AS BIGINT) AS cl FROM fr2)"
+            f" SELECT {keep}, CASE WHEN face >= 0 THEN {letter}{digits}"
+            f" ELSE NULL END AS cell_id FROM rc)"
+        )
     return (
-        f"(WITH pts AS ({points_sql}),"
-        f" rr AS MATERIALIZED (SELECT {keep}, radians(lon) AS lam, radians(lat) AS phi FROM pts),"
-        f" au AS MATERIALIZED (SELECT {keep}, lam, {beta} AS beta FROM rr),"
-        f" h1 AS MATERIALIZED (SELECT {keep}, lam, beta, {sigma} AS sigma FROM au),"
-        f" h2 AS MATERIALIZED (SELECT {keep}, lam, beta, sigma, {cap} AS cap FROM h1),"
-        f" hp AS MATERIALIZED (SELECT {keep}, {hx} AS hx, {hy} AS hy FROM h2),"
-        f" tq AS MATERIALIZED (SELECT {keep}, hx, hy, {tri} AS tri FROM hp),"
-        f" tq2 AS MATERIALIZED (SELECT {keep}, hx, hy, tri, {q} AS q FROM tq),"
-        f" pl AS MATERIALIZED (SELECT {keep}, {rx} AS xm, {ry} AS ym FROM tq2),"
+        f"(WITH pl AS ({planar_sql}),"
         f" fc AS MATERIALIZED (SELECT {keep}, xm, ym, {face} AS face FROM pl),"
         f" fr AS MATERIALIZED (SELECT {keep}, xm, ym, face, {dxe} AS dx0, {dye} AS dy0 FROM fc"
         f"        WHERE face >= 0),"
@@ -235,6 +243,68 @@ def cell_from_point_sql(
         f"        CAST(floor(dy * {scale}) AS BIGINT) AS rw,"
         f"        CAST(floor(dx * {scale}) AS BIGINT) AS cl FROM fr2)"
         f" SELECT {keep}, {letter}{digits} AS cell_id FROM rc)"
+    )
+
+
+def cell_from_point_sql(
+    points_sql: str,
+    resolution: int,
+    cfg: EngineConfig = WGS84_003,
+    id_cols: tuple[str, ...] = ("id",),
+    extra_cols: tuple[str, ...] = (),
+) -> str:
+    """Subquery computing ``cell_id`` (canonical SUID string) for each
+    row of ``points_sql`` (id cols + lon/lat degrees).  Composition of
+    projection_sql + planar_cell_sql; mirrors core/index.py:
+    cell_from_point + core/projection.py:forward exactly."""
+    proj = projection_sql(points_sql, cfg, id_cols, extra_cols)
+    inner = f"SELECT * FROM {proj} t"
+    return planar_cell_sql(inner, resolution, cfg, id_cols, extra_cols)
+
+
+def cell_from_region_sql(
+    pairs_sql: str, cfg: EngineConfig = WGS84_003
+) -> str:
+    """Smallest single cell containing each ellipsoidal quad
+    (index.py:cell_from_region / dggs.py:833-907).  ``pairs_sql`` must
+    yield (pair_id, lon1, lat1, lon2, lat2 degrees, two arbitrary
+    corner points).  NULL cell_id when the corners fall on different
+    faces."""
+    res = min(cfg.max_resolution, 14)
+    corners = (
+        f"WITH pr AS ({pairs_sql}),"
+        " ul AS (SELECT pair_id, least(lon1, lon2) AS wlon,"
+        "        greatest(lon1, lon2) AS elon, least(lat1, lat2) AS slat,"
+        "        greatest(lat1, lat2) AS nlat FROM pr),"
+        " cn AS ("
+        "  SELECT pair_id, wlon AS lon, nlat AS lat FROM ul UNION ALL"
+        "  SELECT pair_id, wlon, slat FROM ul UNION ALL"
+        "  SELECT pair_id, elon, slat FROM ul UNION ALL"
+        "  SELECT pair_id, elon, nlat FROM ul)"
+        " SELECT pair_id, lon, lat FROM cn"
+    )
+    proj = projection_sql(corners, cfg, id_cols=("pair_id",))
+    ext = (
+        f"WITH pj AS (SELECT * FROM {proj} t)"
+        " SELECT pair_id, min(xm) AS x1, max(ym) AS y1,"
+        " max(xm) AS x2, min(ym) AS y2 FROM pj GROUP BY pair_id"
+    )
+    ca = planar_cell_sql(
+        f"SELECT pair_id, x1 AS xm, y1 AS ym FROM ({ext}) e", res, cfg,
+        id_cols=("pair_id",), keep_invalid=True,
+    )
+    cb = planar_cell_sql(
+        f"SELECT pair_id, x2 AS xm, y2 AS ym FROM ({ext}) e", res, cfg,
+        id_cols=("pair_id",), keep_invalid=True,
+    )
+    prefix_cases = " ".join(
+        f"WHEN substr(a.cell_id, 1, {L}) = substr(b.cell_id, 1, {L})"
+        f" THEN substr(a.cell_id, 1, {L})"
+        for L in range(res + 1, 0, -1)
+    )
+    return (
+        f"SELECT a.pair_id, CASE {prefix_cases} ELSE NULL END AS cell_id"
+        f" FROM {ca} a JOIN {cb} b ON a.pair_id = b.pair_id"
     )
 
 

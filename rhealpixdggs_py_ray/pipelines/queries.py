@@ -1198,3 +1198,49 @@ def q_tile_counts_salted(sf_dir: str):
     return aggregate_tiles(ds, TILE_RES, salt_col="phash", salt_bits=3).select_columns(
         ["tile_id", "n"]
     )
+
+
+N_REGION_PAIRS = 200
+REGION_PAIR_OFFSET = 3000
+
+
+def q_cell_from_region(sf_dir: str):
+    """Smallest single cell containing each of 200 derived ellipsoidal
+    quads (dggs.py:833-907 semantics: project the 4 corners, index the
+    planar extremes at depth 14, take the longest common SUID prefix;
+    NULL when the corners straddle faces)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        pids = batch["pair_id"].to_numpy(zero_copy_only=False)
+        lon1, lat1 = oracle.lonlat_from_id(REGION_PAIR_OFFSET + 2 * pids)
+        lon2, lat2 = oracle.lonlat_from_id(REGION_PAIR_OFFSET + 2 * pids + 1)
+        out = []
+        for k in range(len(pids)):
+            ul = (min(lon1[k], lon2[k]), max(lat1[k], lat2[k]))
+            dr = (max(lon1[k], lon2[k]), min(lat1[k], lat2[k]))
+            c = idx.cell_from_region(CFG, ul, dr, plane=False)
+            out.append(
+                None if c is None else su.to_string(np.array([c], dtype=np.uint64))[0]
+            )
+        return pa.table(
+            {
+                "pair_id": pa.array(pids, type=pa.int64()),
+                "cell_id": pa.array(out, type=pa.string()),
+            }
+        )
+
+    ds = ray.data.from_items(
+        [{"pair_id": i} for i in range(N_REGION_PAIRS)], override_num_blocks=4
+    )
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_cell_from_region() -> str:
+    lon1, lat1 = oracle.lonlat_from_id_sql(f"{REGION_PAIR_OFFSET} + 2 * pair_id")
+    lon2, lat2 = oracle.lonlat_from_id_sql(f"{REGION_PAIR_OFFSET} + 2 * pair_id + 1")
+    pairs = (
+        f"SELECT pair_id, {lon1} AS lon1, {lat1} AS lat1,"
+        f" {lon2} AS lon2, {lat2} AS lat2"
+        f" FROM (SELECT unnest(generate_series(0, {N_REGION_PAIRS - 1})) AS pair_id)"
+    )
+    return oracle.cell_from_region_sql(pairs, CFG)
