@@ -107,11 +107,12 @@ def test_ring_membership_and_size(lon, lat, res):
     u = idx.cell_from_point(CFG, res, np.array([lon]), np.array([lat]), plane=False)
     ring = set(tp.k_ring(CFG, int(u[0]), 1))
     assert int(u[0]) in ring
-    # ellipsoidal rings relabel at cap/dart cells (rhp_wrappers.py:371-468
-    # semantics, golden-tested); planar-neighbor membership holds for
-    # quad cells away from the polar caps
-    shape = idx.shape_of(CFG, u)[0]
-    if shape == idx.SHAPE_QUAD and idx.region_of(u)[0] == 0:
-        for d in range(4):
-            assert int(tp.neighbor(CFG, u, d)[0]) in ring
+    # The ring walk follows the reference's algorithm, which is
+    # documented-incomplete across cube faces (rhp_wrappers.py:37, 799
+    # — engine matches the reference's goldens); full planar-neighbor
+    # membership is asserted only for face-interior cells.
+    nbrs = [int(tp.neighbor(CFG, u, d)[0]) for d in range(4)]
+    if all(su.face_of(np.array([n], dtype=np.uint64))[0] == su.face_of(u)[0] for n in nbrs):
+        for n in nbrs:
+            assert n in ring
     assert 1 <= len(ring) <= 9
