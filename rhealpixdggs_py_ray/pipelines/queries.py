@@ -310,9 +310,9 @@ def q_agg_lineitem(sf_dir: str):
 def sql_agg_lineitem() -> str:
     return (
         "SELECT l_returnflag, l_linestatus,"
-        " SUM(CAST(floor(l_quantity*100) AS BIGINT)) AS sum_qty_c,"
-        " SUM(CAST(floor(l_extendedprice*100) AS BIGINT)) AS sum_base_c,"
-        " SUM(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS sum_disc_c,"
+        " CAST(SUM(CAST(floor(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,"
+        " CAST(SUM(CAST(floor(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,"
+        " CAST(SUM(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_c,"
         " COUNT(*) AS n"
         " FROM lineitem GROUP BY l_returnflag, l_linestatus"
     )
@@ -363,7 +363,7 @@ def q_join_customer_nation(sf_dir: str):
 def sql_join_customer_nation() -> str:
     return (
         "SELECT n_name, COUNT(*) AS n_customers,"
-        " SUM(CAST(floor(c_acctbal*100) AS BIGINT)) AS sum_bal_c"
+        " CAST(SUM(CAST(floor(c_acctbal*100) AS BIGINT)) AS BIGINT) AS sum_bal_c"
         " FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
     )
 
@@ -471,7 +471,7 @@ def sql_sessions() -> str:
         "  THEN 1 ELSE 0 END AS new_s"
         " FROM events)"
         " SELECT user_id, COUNT(*) AS n_events,"
-        " 1 + SUM(CASE WHEN new_s IS NULL THEN 0 ELSE new_s END) AS n_sessions"
+        " CAST(1 + SUM(CASE WHEN new_s IS NULL THEN 0 ELSE new_s END) AS BIGINT) AS n_sessions"
         " FROM d GROUP BY user_id"
     )
 
@@ -947,7 +947,7 @@ def sql_windowed_counts() -> str:
     return (
         "SELECT epoch_us(ts) // 3600000000 AS hour, event_type,"
         " COUNT(*) AS n,"
-        " SUM(CAST(floor(value*100) AS BIGINT)) AS sum_value_c"
+        " CAST(SUM(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c"
         " FROM events GROUP BY 1, 2"
     )
 
