@@ -433,7 +433,7 @@ def q_token_stats(sf_dir: str):
 def sql_token_stats() -> str:
     return (
         "SELECT source, COUNT(*) AS n_docs,"
-        " SUM(length(regexp_split_to_array(trim(text), '\\s+'))) AS total_tokens,"
+        " CAST(SUM(length(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,"
         " MAX(length(regexp_split_to_array(trim(text), '\\s+'))) AS max_tokens"
         " FROM documents GROUP BY source"
     )

@@ -56,6 +56,13 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
         return problems
     if len(ray_df) != len(sql_df):
         problems.append(f"rows: ray={len(ray_df)} sql={len(sql_df)}")
+    # dtype-strict: int-vs-float or object mismatches survive canon's
+    # value compare but can break a dtype-sensitive driver hash
+    for c in sorted(ray_df.columns):
+        ra = str(ray_df[c].dtype).lstrip("u")
+        sq = str(sql_df[c].dtype).lstrip("u")
+        if {ra, sq} == {"int64", "float64"} or (ra != sq and "object" not in (ra, sq)):
+            problems.append(f"dtype {c}: ray={ray_df[c].dtype} sql={sql_df[c].dtype}")
     a, b = canon(ray_df), canon(sql_df)
     if len(a) == len(b):
         for c in a.columns:
