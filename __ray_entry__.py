@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": Q.q_simhash,
         "dedup_ngram_jaccard": Q.q_ngram_jaccard,
         "dedup_embedding": Q.q_embedding_dedup,
+        "dedup_embedding_lsh": Q.q_embedding_dedup_lsh,
         "ann_topk": Q.q_ann_topk,
         "ann_topk_lsh": Q.q_ann_topk_lsh,
         "ann_topk_ivf": Q.q_ann_topk_ivf,
@@ -93,7 +94,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": Q.sql_simhash(),
         "dedup_ngram_jaccard": Q.sql_ngram_jaccard(),
         "dedup_embedding": Q.sql_embedding_dedup(),
+        "dedup_embedding_lsh": Q.sql_embedding_dedup_lsh(),
         "ann_topk": Q.sql_ann_topk(),
+        "ann_topk_lsh": Q.sql_ann_topk_lsh(),
+        "ann_topk_ivf": Q.sql_ann_topk_ivf(),
         "lang_id": Q.sql_lang_id(),
         "quality_score": Q.sql_quality(),
         "fingerprint": Q.sql_fingerprint(),

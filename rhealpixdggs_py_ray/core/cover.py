@@ -23,7 +23,8 @@ from rhealpixdggs_py_ray.core import index as idx
 from rhealpixdggs_py_ray.core import projection as prj
 from rhealpixdggs_py_ray.core import suid as su
 from rhealpixdggs_py_ray.core import topology as tp
-from rhealpixdggs_py_ray.core.config import EngineConfig
+from rhealpixdggs_py_ray.core.config import DOWN, LEFT, RIGHT, UP, EngineConfig
+from rhealpixdggs_py_ray.core.utils import wrap_longitude
 
 
 def _shape_name(cfg, u: int) -> str:
@@ -130,6 +131,128 @@ def cells_from_parallel(
     return result
 
 
+def _east_west_vec(cfg: EngineConfig, u: np.ndarray):
+    """Vectorized ellipsoidal east/west neighbors for quad/dart/skew
+    cells (caps have no east/west; their entries are unspecified and
+    must not be used).  Exactly reproduces topology.neighbors()
+    relabeling (cell.py:1347-1446) including its first-maximal
+    tie-breaks, which the walk builders rely on for reference-order
+    parity — one vectorized call replaces a per-cell dict build."""
+    u = np.asarray(u, dtype=np.uint64)
+    pn = tp.neighbors_plane(cfg, u)  # (n, 4) in (up, right, down, left)
+    shape = idx.shape_of(cfg, u)
+    east = pn[:, RIGHT].copy()
+    west = pn[:, LEFT].copy()
+    nonquad = (shape == idx.SHAPE_DART) | (shape == idx.SHAPE_SKEW)
+    if not nonquad.any():
+        return east, west
+    uu = u[nonquad]
+    # candidates in the reference's dict-iteration order [left, right,
+    # down, up] (cell.py:1366-1368)
+    cand = np.stack(
+        [pn[nonquad, LEFT], pn[nonquad, RIGHT], pn[nonquad, DOWN], pn[nonquad, UP]],
+        axis=1,
+    )
+    m = cand.shape[0]
+    lon, lat = idx.nucleus(cfg, cand.ravel(), plane=False)
+    lon = lon.reshape(m, 4)
+    lat = lat.reshape(m, 4)
+    my_lon, _ = idx.nucleus(cfg, uu, plane=False)
+    lon_s = wrap_longitude(lon - my_lon[:, None], radians=cfg.radians)
+
+    e_nq = np.empty(m, dtype=np.uint64)
+    w_nq = np.empty(m, dtype=np.uint64)
+    sk = shape[nonquad] == idx.SHAPE_SKEW
+    if sk.any():
+        ls, la, cs = lon_s[sk], lat[sk], cand[sk]
+        r = np.arange(len(cs))
+        ni = np.argmax(la, axis=1)  # first-maximal == python max()
+        la2 = la.copy()
+        la2[r, ni] = np.inf
+        si = np.argmin(la2, axis=1)
+        lo2 = ls.copy()
+        lo2[r, ni] = -np.inf
+        lo2[r, si] = -np.inf
+        ei = np.argmax(lo2, axis=1)
+        wi = 6 - ni - si - ei
+        e_nq[sk] = cs[r, ei]
+        w_nq[sk] = cs[r, wi]
+    da = ~sk
+    if da.any():
+        ls, la, cs = lon_s[da], lat[da], cand[da]
+        # reference sorts (lon', lat, cell) tuples: full lexicographic
+        order = np.lexsort((cs, la, ls))
+        r = np.arange(len(cs))
+        w_nq[da] = cs[r, order[:, 0]]
+        e_nq[da] = cs[r, order[:, 3]]
+    east[nonquad] = e_nq
+    west[nonquad] = w_nq
+    return east, west
+
+
+def _walk_rows(cfg: EngineConfig, starts: np.ndarray, ends: np.ndarray,
+               resolution: int, step: str = "east") -> list[list[int]]:
+    """Walk every row simultaneously from its start to its end cell,
+    one vectorized neighbor step per iteration (replaces the per-cell
+    scalar walk; SURVEY §7.2(e)).  ``step`` is 'east' (ellipsoidal) or
+    'right' (planar)."""
+    n = len(starts)
+    rows: list[list[int]] = [[] for _ in range(n)]
+    current = np.asarray(starts, dtype=np.uint64).copy()
+    ends = np.asarray(ends, dtype=np.uint64)
+    active = np.arange(n)
+    limit = 4 * cfg.N_side**resolution + 2  # a full circle + slack
+    for _ in range(limit):
+        if not len(active):
+            return rows
+        cur = current[active]
+        for i, c in zip(active, cur):
+            rows[i].append(int(c))
+        going = cur != ends[active]
+        active = active[going]
+        if not len(active):
+            return rows
+        if step == "east":
+            nxt, _ = _east_west_vec(cfg, current[active])
+        else:
+            nxt = tp.neighbor(cfg, current[active], RIGHT)
+        current[active] = nxt
+    raise RuntimeError("cover walk failed to terminate (corrupt start/end?)")
+
+
+def cells_from_parallel_vec(
+    cfg: EngineConfig, resolution: int, phis, lam_min: float, lam_max: float
+) -> list[list[int]]:
+    """Vectorized cells_from_parallel over MANY parallels at once
+    (dggs.py:1060-1094 semantics per row, identical output order)."""
+    phis = np.asarray(phis, dtype=np.float64)
+    n = len(phis)
+    if not n:
+        return []
+    lam1 = np.full(n, lam_min)
+    lam2 = np.full(n, lam_max)
+    starts = idx.cell_from_point(cfg, resolution, lam1, phis, plane=False)
+    ends = idx.cell_from_point(cfg, resolution, lam2, phis, plane=False)
+    PI = cfg.pi()
+    same = starts == ends
+    shape = idx.shape_of(cfg, starts)
+    single = same & ((shape == idx.SHAPE_CAP) | (lam_max - lam_min < PI / 2))
+    wrap = same & ~single
+    if wrap.any():
+        _, wests = _east_west_vec(cfg, starts[wrap])
+        ends = ends.copy()
+        ends[wrap] = wests
+    rows: list[list[int]] = [[] for _ in range(n)]
+    for i in np.flatnonzero(single):
+        rows[i] = [int(starts[i])]
+    walk = np.flatnonzero(~single)
+    if len(walk):
+        walked = _walk_rows(cfg, starts[walk], ends[walk], resolution, step="east")
+        for i, row in zip(walk, walked):
+            rows[i] = row
+    return rows
+
+
 def cells_from_meridian(
     cfg: EngineConfig, resolution: int, lam: float, phi_min: float, phi_max: float
 ) -> list[int]:
@@ -172,7 +295,9 @@ def cells_from_region(
 ) -> list[list[int]]:
     """Region -> cover rows (dggs.py:1181-1331).  Planar rectangle via
     right/down neighbor walks; ellipsoidal quad/cap via rows of
-    cells_from_parallel.  Output ordering identical to the reference."""
+    parallels.  Output ordering identical to the reference, but every
+    row advances in lockstep through ONE vectorized neighbor call per
+    column step (_walk_rows) instead of a per-cell scalar walk."""
     if ul[0] > dr[0] or ul[1] < dr[1]:
         return []
     if plane:
@@ -184,21 +309,19 @@ def cells_from_region(
             return []
         if ulc == drc:
             return [[ulc]]
-        result = []
-        row_start, row_end = ulc, ur
-        while True:
-            row = []
-            current = row_start
-            while current != row_end:
-                row.append(current)
-                current = int(tp.neighbor(cfg, np.asarray([current], dtype=np.uint64), 1)[0])  # right
-            row.append(current)
-            result.append(row)
-            if current == drc:
-                break
-            row_start = int(tp.neighbor(cfg, np.asarray([row_start], dtype=np.uint64), 2)[0])  # down
-            row_end = int(tp.neighbor(cfg, np.asarray([row_end], dtype=np.uint64), 2)[0])
-        return result
+        starts, ends = [ulc], [ur]
+        limit = 4 * cfg.N_side**resolution + 2
+        while ends[-1] != drc:
+            if len(ends) > limit:
+                raise RuntimeError("planar cover rows failed to reach drc")
+            edge = np.asarray([starts[-1], ends[-1]], dtype=np.uint64)
+            down = tp.neighbor(cfg, edge, DOWN)
+            starts.append(int(down[0]))
+            ends.append(int(down[1]))
+        return _walk_rows(
+            cfg, np.asarray(starts, dtype=np.uint64),
+            np.asarray(ends, dtype=np.uint64), resolution, step="right",
+        )
 
     # Ellipsoidal quad or cap region.
     phi_min, phi_max = dr[1], ul[1]
@@ -210,15 +333,18 @@ def cells_from_region(
         lam_min, lam_max = -PI, PI
     else:
         lam_min, lam_max = ul[0], dr[0]
-    result = []
-    for phi in reversed(phis):
-        result.append(cells_from_parallel(cfg, resolution, phi, lam_min, lam_max))
+    # One vectorized multi-row walk covers the nucleus parallels plus
+    # the (possibly redundant) phi_max / phi_min boundary rows.
+    all_phis = [phi_max] + list(reversed(phis)) + [phi_min]
+    rows_all = cells_from_parallel_vec(cfg, resolution, all_phis, lam_min, lam_max)
+    top, bot = rows_all[0], rows_all[-1]
+    result = rows_all[1:-1]
     ul_cell = _cell_from_point_scalar(cfg, resolution, ul, plane)
     if not result or result[0][0] != ul_cell:
-        result.insert(0, cells_from_parallel(cfg, resolution, phi_max, lam_min, lam_max))
+        result.insert(0, top)
     dl_cell = _cell_from_point_scalar(cfg, resolution, (ul[0], dr[1]), plane)
     if not result or result[-1][0] != dl_cell:
-        result.append(cells_from_parallel(cfg, resolution, phi_min, lam_min, lam_max))
+        result.append(bot)
     return result
 
 

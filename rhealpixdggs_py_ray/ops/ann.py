@@ -4,16 +4,26 @@
   baseline.  Query matrix broadcast once (ray.put); each batch does a
   vectorized similarity block and keeps its per-batch top-k, so only
   ~k rows per (query, batch) reach the final per-query reduction.
-- ``ann_topk_lsh``: the scale path — random-hyperplane (SimHash-style)
-  bucketing; only rows whose bucket is within ``probes`` Hamming-ball
-  distance of the query's bucket are scored.  At 10^12 rows the bucket
-  column is precomputed and hash-partitioned so a query touches a
-  vanishing fraction of blocks.
+- ``ann_topk_lsh``: random-hyperplane (SimHash-style) bucketing; only
+  rows whose bucket is within 1 bit of the query's bucket are scored.
+  At 10^12 rows the bucket column is precomputed and hash-partitioned
+  so a query touches a vanishing fraction of blocks.  The SQL oracle
+  reproduces the identical pruning (plane literals + bit_count(xor)).
+- ``ann_topk_ivf``: inverted-file ANN with a deterministic hash-seeded
+  coarse quantizer (the ``n_lists`` vectors with smallest
+  splitmix64(vec_id) are the centroids — a one-pass IVF).  Seed
+  selection is a bounded distributed partial-top-k (never a corpus
+  ``take_all``), assignment is distributed, and the whole pruning chain
+  is mirrored bit-exactly in SQL.
 
-Float parity with the DuckDB oracle: dot products and norms are
-accumulated dimension-by-dimension in the same left-to-right order as
-``list_sum(list_transform(...))`` folds, so similarities are
-bit-identical; outputs quantize to ``cos_micros = floor(cos * 1e6)``.
+Float parity with the DuckDB oracles: dot products, norms and squared
+distances are accumulated dimension-by-dimension in the same
+left-to-right order as ``list_sum(list_transform(...))`` folds, so
+similarities are bit-identical; outputs quantize to ``cos_micros =
+floor(cos * 1e6)``.  Per-batch top-k selection breaks ties by
+(cos DESC, vec_id ASC) — the same total order as the SQL
+``row_number()`` — so boundary ties can never drop the globally-ranked
+row (round-1 ADVICE).
 """
 
 from __future__ import annotations
@@ -22,6 +32,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
+
+from rhealpixdggs_py_ray.fixtures import splitmix64
 
 
 def _seq_norm(M: np.ndarray) -> np.ndarray:
@@ -41,15 +53,83 @@ def _seq_dots(B: np.ndarray, Q: np.ndarray) -> np.ndarray:
     return acc
 
 
+def _seq_d2(B: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(n, d) x (m, d) -> (n, m) squared euclidean distances, summed
+    left-to-right per dimension (SQL fold parity)."""
+    acc = np.zeros((B.shape[0], C.shape[0]), dtype=np.float64)
+    for i in range(B.shape[1]):
+        d = B[:, i, None] - C[None, :, i]
+        acc = acc + d * d
+    return acc
+
+
+def _gather_queries(emb_ds, n_queries: int):
+    """Query vectors via a dataset filter (bounded result — the round-1
+    ``take(10_000)`` silently dropped qids beyond the first blocks)."""
+
+    def mask(batch: pa.Table) -> pa.Table:
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(vid < n_queries))
+
+    rows = (
+        emb_ds.select_columns(["vec_id", "embedding"])
+        .map_batches(mask, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    if len(rows) != n_queries:
+        raise ValueError(f"expected {n_queries} query rows, found {len(rows)}")
+    Q = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    qids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    return qids, Q
+
+
+def _partial_topk_table(qids: np.ndarray, vid: np.ndarray, S: np.ndarray, k: int):
+    """Per-query top-k over a (n, q) similarity block with
+    (cos DESC, vec_id ASC) tie-break; returns (qid, vec_id, cos)."""
+    kk = min(k, S.shape[0])
+    if kk == 0 or S.shape[1] == 0:
+        return pa.table(
+            {
+                "qid": pa.array([], type=pa.int64()),
+                "vec_id": pa.array([], type=pa.int64()),
+                "cos": pa.array([], type=pa.float64()),
+            }
+        )
+    sel = np.empty((S.shape[1], kk), dtype=np.int64)
+    for j in range(S.shape[1]):
+        sel[j] = np.lexsort((vid, -S[:, j]))[:kk]
+    rows = sel.ravel()
+    cols = np.repeat(np.arange(S.shape[1]), kk)
+    return pa.table(
+        {
+            "qid": pa.array(np.repeat(qids, kk)),
+            "vec_id": pa.array(vid[rows]),
+            "cos": pa.array(S[rows, cols]),
+        }
+    )
+
+
+def _final_topk(k: int):
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "qid": g["qid"],
+                "vec_id": g["vec_id"],
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                "cos_micros": np.floor(g["cos"].to_numpy() * 1000000.0).astype(np.int64),
+            }
+        )
+
+    return final
+
+
 def ann_topk(emb_ds, n_queries: int = 10, k: int = 5):
     """(qid, vec_id, rank, cos_micros) for the first ``n_queries``
     vec_ids as queries, self-matches excluded."""
-    qrows = sorted(
-        (r for r in emb_ds.take(limit=10_000) if r["vec_id"] < n_queries),
-        key=lambda r: r["vec_id"],
-    )
-    Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
-    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qids, Q = _gather_queries(emb_ds, n_queries)
     qn = _seq_norm(Q)
     ref = ray.put((qids, Q, qn))
 
@@ -64,39 +144,12 @@ def ann_topk(emb_ds, n_queries: int = 10, k: int = 5):
             bn = _seq_norm(B)
             S = _seq_dots(B, self.Q) / (bn[:, None] * self.qn[None, :])
             S[vid[:, None] == self.qids[None, :]] = -np.inf  # self-match
-            kk = min(self.k, S.shape[0])
-            part = np.argpartition(-S, kk - 1, axis=0)[:kk]  # (kk, q): row idx per query
-            qi, vi, cv = [], [], []
-            for j in range(S.shape[1]):
-                for i in range(kk):
-                    r = part[i, j]
-                    qi.append(self.qids[j])
-                    vi.append(vid[r])
-                    cv.append(S[r, j])
-            return pa.table(
-                {
-                    "qid": pa.array(np.array(qi, dtype=np.int64)),
-                    "vec_id": pa.array(np.array(vi, dtype=np.int64)),
-                    "cos": pa.array(np.array(cv, dtype=np.float64)),
-                }
-            )
-
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        return pd.DataFrame(
-            {
-                "qid": g["qid"],
-                "vec_id": g["vec_id"],
-                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
-                "cos_micros": np.floor(g["cos"].to_numpy() * 1000000.0).astype(np.int64),
-            }
-        )
+            return _partial_topk_table(self.qids, vid, S, self.k)
 
     partials = emb_ds.map_batches(
         PartialTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
     )
-    return partials.groupby("qid").map_groups(final, batch_format="pandas")
+    return partials.groupby("qid").map_groups(_final_topk(k), batch_format="pandas")
 
 
 def ann_topk_sql(n_queries: int = 10, k: int = 5) -> str:
@@ -120,28 +173,41 @@ FROM d QUALIFY rank <= {k}
 """
 
 
+# ---------------------------------------------------------------------------
+# LSH (random hyperplanes, 1-bit probes)
+# ---------------------------------------------------------------------------
+
+LSH_SEED = 1234
+
+
+def _lsh_planes(dim: int, n_planes: int) -> np.ndarray:
+    rng = np.random.RandomState(LSH_SEED)
+    return rng.standard_normal((n_planes, dim))
+
+
+def _lsh_buckets(M: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Bucket id = sum of sign bits (bit p = plane p, LSB first); dots
+    use the sequential fold so signs match the SQL oracle exactly."""
+    sig = (_seq_dots(M, planes) > 0).astype(np.uint32)
+    return (sig << np.arange(planes.shape[0], dtype=np.uint32)).sum(axis=1)
+
+
 def ann_topk_lsh(emb_ds, n_queries: int = 10, k: int = 5, n_planes: int = 8):
     """LSH-bucketed ANN: random-hyperplane signs -> bucket id; score
     only rows in the query's bucket or adjacent (1-bit flip) buckets.
-    Approximate by design; returns the same schema as ann_topk plus
-    recall is validated in tests against the brute baseline."""
-    rows = sorted(
-        (r for r in emb_ds.take(limit=10_000) if r["vec_id"] < n_queries),
-        key=lambda r: r["vec_id"],
-    )
-    Q = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    qids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    Approximate by design, but fully hash-verified: the SQL oracle
+    reproduces the identical pruning via plane literals +
+    bit_count(xor(bucket, qbucket)) <= 1."""
+    qids, Q = _gather_queries(emb_ds, n_queries)
     dim = Q.shape[1]
-    rng = np.random.RandomState(1234)
-    planes = rng.standard_normal((n_planes, dim))
-    qsig = (Q @ planes.T > 0).astype(np.uint32)
-    qbuck = (qsig << np.arange(n_planes, dtype=np.uint32)).sum(axis=1)
-    # query bucket + all 1-bit-flip probes
-    probe_sets = []
-    for qb in qbuck:
-        probes = {int(qb)} | {int(qb) ^ (1 << p) for p in range(n_planes)}
-        probe_sets.append(probes)
-    allowed = set().union(*probe_sets)
+    planes = _lsh_planes(dim, n_planes)
+    qbuck = _lsh_buckets(Q, planes)
+    probe_sets = [
+        np.array(sorted({int(qb)} | {int(qb) ^ (1 << p) for p in range(n_planes)}),
+                 dtype=np.uint32)
+        for qb in qbuck
+    ]
+    allowed = np.array(sorted(set(np.concatenate(probe_sets).tolist())), dtype=np.uint32)
     qn = _seq_norm(Q)
     ref = ray.put((qids, Q, qn, planes, probe_sets, allowed))
 
@@ -154,147 +220,216 @@ def ann_topk_lsh(emb_ds, n_queries: int = 10, k: int = 5, n_planes: int = 8):
         def __call__(self, batch: pa.Table) -> pa.Table:
             vid = batch["vec_id"].to_numpy(zero_copy_only=False)
             B = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
-            sig = (B @ self.planes.T > 0).astype(np.uint32)
-            buck = (sig << np.arange(self.planes.shape[0], dtype=np.uint32)).sum(axis=1)
-            keep = np.array([int(x) in self.allowed for x in buck])
+            buck = _lsh_buckets(B, self.planes)
+            keep = np.isin(buck, self.allowed)
             if not keep.any():
-                return pa.table(
-                    {"qid": pa.array([], type=pa.int64()),
-                     "vec_id": pa.array([], type=pa.int64()),
-                     "cos": pa.array([], type=pa.float64())}
-                )
+                return _partial_topk_table(self.qids, vid, np.zeros((0, 0)), 0)
             B, vid, buck = B[keep], vid[keep], buck[keep]
             bn = _seq_norm(B)
             S = _seq_dots(B, self.Q) / (bn[:, None] * self.qn[None, :])
             S[vid[:, None] == self.qids[None, :]] = -np.inf
-            qi, vi, cv = [], [], []
+            # outside each query's probe set -> -inf (dropped by rank)
             for j in range(S.shape[1]):
-                mask = np.array([int(x) in self.probe_sets[j] for x in buck])
-                if not mask.any():
-                    continue
-                rows_j = np.flatnonzero(mask)
-                kk = min(self.k, len(rows_j))
-                top = rows_j[np.argpartition(-S[rows_j, j], kk - 1)[:kk]]
-                for r in top:
-                    qi.append(self.qids[j])
-                    vi.append(vid[r])
-                    cv.append(S[r, j])
-            return pa.table(
-                {
-                    "qid": pa.array(np.array(qi, dtype=np.int64)),
-                    "vec_id": pa.array(np.array(vi, dtype=np.int64)),
-                    "cos": pa.array(np.array(cv, dtype=np.float64)),
-                }
-            )
-
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        return pd.DataFrame(
-            {
-                "qid": g["qid"],
-                "vec_id": g["vec_id"],
-                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
-                "cos_micros": np.floor(g["cos"].to_numpy() * 1000000.0).astype(np.int64),
-            }
-        )
+                S[~np.isin(buck, self.probe_sets[j]), j] = -np.inf
+            t = _partial_topk_table(self.qids, vid, S, self.k)
+            return t.filter(pa.array(np.isfinite(t["cos"].to_numpy(zero_copy_only=False))))
 
     partials = emb_ds.map_batches(
         BucketTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
     )
-    return partials.groupby("qid").map_groups(final, batch_format="pandas")
+    return partials.groupby("qid").map_groups(_final_topk(k), batch_format="pandas")
 
 
-def _kmeans_centroids(M: np.ndarray, k: int = 16, iters: int = 10, seed: int = 7):
-    """Deterministic mini k-means on (a sample of) the corpus — the IVF
-    coarse quantizer.  At 10^12 rows this runs on a driver-side sample;
-    assignment happens distributed."""
-    rng = np.random.RandomState(seed)
-    C = M[rng.choice(len(M), size=min(k, len(M)), replace=False)].copy()
-    for _ in range(iters):
-        d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for j in range(len(C)):
-            sel = assign == j
-            if sel.any():
-                C[j] = M[sel].mean(axis=0)
-    return C
+def ann_topk_lsh_sql(n_queries: int = 10, k: int = 5, n_planes: int = 8,
+                     dim: int = 64) -> str:
+    """Oracle reproducing the LSH pruning bit-exactly."""
+    planes = _lsh_planes(dim, n_planes)
+    terms = []
+    for p in range(n_planes):
+        dot = " + ".join(
+            f"({planes[p, i]!r})*CAST(embedding[{i + 1}] AS DOUBLE)" for i in range(dim)
+        )
+        terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END)")
+    bucket = " + ".join(terms)
+    dotab = (
+        "list_sum(list_transform(generate_series(1, len(a.embedding)),"
+        " i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))"
+    )
+    nrm = "sqrt(list_sum(list_transform({t}.embedding, x -> CAST(x AS DOUBLE) * x)))"
+    return f"""
+WITH bk AS MATERIALIZED (
+  SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket FROM embeddings
+),
+a AS MATERIALIZED (SELECT * FROM bk WHERE vec_id < {n_queries}),
+d AS MATERIALIZED (
+  SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+    {dotab} / ({nrm.format(t='a')} * {nrm.format(t='b')}) AS cos
+  FROM a JOIN bk b
+    ON a.vec_id <> b.vec_id AND bit_count(xor(a.bucket, b.bucket)) <= 1
+)
+SELECT qid, vec_id,
+  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank,
+  CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_micros
+FROM d QUALIFY rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF (hash-seeded coarse quantizer, nprobe inverted lists)
+# ---------------------------------------------------------------------------
+
+def _ivf_seed_centroids(emb_ds, n_lists: int):
+    """The ``n_lists`` vectors with smallest (splitmix64(vec_id),
+    vec_id) are the IVF centroids — a deterministic one-pass quantizer
+    that both sides can enumerate.  Selection is a distributed partial
+    top-k per batch + a bounded (num_batches * n_lists rows) driver
+    merge; nothing materializes the corpus."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(vid.astype(np.uint64))
+        sel = np.lexsort((vid, h))[:n_lists]
+        return pa.table(
+            {
+                "vec_id": pa.array(vid[sel]),
+                "h": pa.array(h[sel]),
+                "embedding": batch["embedding"].take(pa.array(sel)),
+            }
+        )
+
+    rows = (
+        emb_ds.select_columns(["vec_id", "embedding"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    rows.sort(key=lambda r: (r["h"], r["vec_id"]))
+    rows = rows[:n_lists]
+    C = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    seed_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    return seed_ids, C
 
 
 def ann_topk_ivf(emb_ds, n_queries: int = 10, k: int = 5, n_lists: int = 16,
-                 nprobe: int = 4):
-    """IVF ANN: k-means coarse quantizer (driver-side sample), then each
-    batch scores only vectors whose inverted list is among the query's
-    ``nprobe`` closest lists.  Same output schema as ann_topk."""
-    rows = emb_ds.take_all()
-    ids_all = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    M_all = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    C = _kmeans_centroids(M_all, k=n_lists)
-
-    qsel = ids_all < n_queries
-    order = np.argsort(ids_all[qsel])
-    Q = M_all[qsel][order]
-    qids = ids_all[qsel][order]
+                 nprobe: int = 6):
+    """IVF ANN: hash-seeded coarse quantizer (see _ivf_seed_centroids),
+    distributed assignment; each batch scores only vectors whose
+    inverted list is among the query's ``nprobe`` closest lists.  Same
+    output schema as ann_topk; the SQL oracle reproduces the identical
+    centroid selection, assignment and probing."""
+    _, C = _ivf_seed_centroids(emb_ds, n_lists)
+    qids, Q = _gather_queries(emb_ds, n_queries)
     qn = _seq_norm(Q)
-    qd2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-    probe_lists = np.argsort(qd2, axis=1)[:, :nprobe]  # (q, nprobe)
+    qd2 = _seq_d2(Q, C)
+    # nprobe closest lists per query, ties -> smaller cid (lexsort)
+    probe_lists = np.empty((len(qids), nprobe), dtype=np.int64)
+    for j in range(len(qids)):
+        probe_lists[j] = np.lexsort((np.arange(C.shape[0]), qd2[j]))[:nprobe]
     ref = ray.put((qids, Q, qn, C, probe_lists))
 
     class IvfTopK:
         def __init__(self):
             self.qids, self.Q, self.qn, self.C, self.probes = ray.get(ref)
             self.k = k
-            self.allowed = set(self.probes.ravel().tolist())
+            self.allowed = np.unique(self.probes.ravel())
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             vid = batch["vec_id"].to_numpy(zero_copy_only=False)
             B = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
-            d2 = ((B[:, None, :] - self.C[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            keep = np.isin(assign, list(self.allowed))
+            d2 = _seq_d2(B, self.C)
+            assign = d2.argmin(axis=1)  # first min == smallest cid tie-break
+            keep = np.isin(assign, self.allowed)
             if not keep.any():
-                return pa.table(
-                    {"qid": pa.array([], type=pa.int64()),
-                     "vec_id": pa.array([], type=pa.int64()),
-                     "cos": pa.array([], type=pa.float64())}
-                )
+                return _partial_topk_table(self.qids, vid, np.zeros((0, 0)), 0)
             B, vid, assign = B[keep], vid[keep], assign[keep]
             bn = _seq_norm(B)
             S = _seq_dots(B, self.Q) / (bn[:, None] * self.qn[None, :])
             S[vid[:, None] == self.qids[None, :]] = -np.inf
-            qi, vi, cv = [], [], []
             for j in range(S.shape[1]):
-                mask = np.isin(assign, self.probes[j])
-                rows_j = np.flatnonzero(mask)
-                if not len(rows_j):
-                    continue
-                kk = min(self.k, len(rows_j))
-                top = rows_j[np.argpartition(-S[rows_j, j], kk - 1)[:kk]]
-                for r in top:
-                    qi.append(self.qids[j])
-                    vi.append(vid[r])
-                    cv.append(S[r, j])
-            return pa.table(
-                {
-                    "qid": pa.array(np.array(qi, dtype=np.int64)),
-                    "vec_id": pa.array(np.array(vi, dtype=np.int64)),
-                    "cos": pa.array(np.array(cv, dtype=np.float64)),
-                }
-            )
-
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        return pd.DataFrame(
-            {
-                "qid": g["qid"],
-                "vec_id": g["vec_id"],
-                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
-                "cos_micros": np.floor(g["cos"].to_numpy() * 1000000.0).astype(np.int64),
-            }
-        )
+                S[~np.isin(assign, self.probes[j]), j] = -np.inf
+            t = _partial_topk_table(self.qids, vid, S, self.k)
+            return t.filter(pa.array(np.isfinite(t["cos"].to_numpy(zero_copy_only=False))))
 
     partials = emb_ds.map_batches(
         IvfTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
     )
-    return partials.groupby("qid").map_groups(final, batch_format="pandas")
+    return partials.groupby("qid").map_groups(_final_topk(k), batch_format="pandas")
+
+
+def ann_topk_ivf_sql(n_queries: int = 10, k: int = 5, n_lists: int = 16,
+                     nprobe: int = 6) -> str:
+    """Oracle mirroring ann_topk_ivf: splitmix64 seed selection (HUGEINT
+    modular arithmetic), fold-ordered squared distances, nearest-list
+    assignment with (d2, cid) tie-break, nprobe probing, cosine rank."""
+    M = "18446744073709551616"
+
+    def modmul(a: str, const: int) -> str:
+        # (a * const) mod 2^64 without overflowing INT128: split const
+        # into 32-bit halves; a*lo <= 2^96 and the hi half reduces mod
+        # 2^32 before the shift.
+        hi, lo = const >> 32, const & 0xFFFFFFFF
+        return (
+            f"CAST((CAST({a} AS HUGEINT) * {lo}"
+            f" + ((CAST(({a}) % 4294967296 AS HUGEINT) * {hi}) % 4294967296)"
+            f" * 4294967296) % {M} AS UBIGINT)"
+        )
+
+    d2 = (
+        "list_sum(list_transform(generate_series(1, len({x}.embedding)),"
+        " i -> (CAST({x}.embedding[i] AS DOUBLE) - CAST({c}.embedding[i] AS DOUBLE))"
+        " * (CAST({x}.embedding[i] AS DOUBLE) - CAST({c}.embedding[i] AS DOUBLE))))"
+    )
+    dotab = (
+        "list_sum(list_transform(generate_series(1, len(a.embedding)),"
+        " i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))"
+    )
+    nrm = "sqrt(list_sum(list_transform({t}.embedding, x -> CAST(x AS DOUBLE) * x)))"
+    return f"""
+WITH h0 AS MATERIALIZED (
+  SELECT vec_id,
+    CAST((CAST(CAST(vec_id AS UBIGINT) AS HUGEINT) + 11400714819323198485) % {M} AS UBIGINT) AS z1
+  FROM embeddings
+),
+h1 AS MATERIALIZED (
+  SELECT vec_id, {modmul("xor(z1, z1 >> 30)", 0xBF58476D1CE4E5B9)} AS z2 FROM h0
+),
+h2 AS MATERIALIZED (
+  SELECT vec_id, {modmul("xor(z2, z2 >> 27)", 0x94D049BB133111EB)} AS z3 FROM h1
+),
+hh AS MATERIALIZED (SELECT vec_id, xor(z3, z3 >> 31) AS h FROM h2),
+seeds AS MATERIALIZED (
+  SELECT vec_id AS seed_vec, row_number() OVER (ORDER BY h, vec_id) - 1 AS cid
+  FROM hh QUALIFY row_number() OVER (ORDER BY h, vec_id) <= {n_lists}
+),
+cents AS MATERIALIZED (
+  SELECT s.cid, e.embedding FROM seeds s JOIN embeddings e ON e.vec_id = s.seed_vec
+),
+assign AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT x.vec_id, c.cid,
+      row_number() OVER (PARTITION BY x.vec_id
+                         ORDER BY {d2.format(x='x', c='c')}, c.cid) AS rn
+    FROM embeddings x CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+qprobe AS MATERIALIZED (
+  SELECT vec_id AS qid, cid FROM (
+    SELECT x.vec_id, c.cid,
+      row_number() OVER (PARTITION BY x.vec_id
+                         ORDER BY {d2.format(x='x', c='c')}, c.cid) AS rn
+    FROM embeddings x CROSS JOIN cents c WHERE x.vec_id < {n_queries}
+  ) WHERE rn <= {nprobe}
+),
+d AS MATERIALIZED (
+  SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+    {dotab} / ({nrm.format(t='a')} * {nrm.format(t='b')}) AS cos
+  FROM embeddings a
+  JOIN qprobe p ON p.qid = a.vec_id
+  JOIN assign v ON v.cid = p.cid
+  JOIN embeddings b ON b.vec_id = v.vec_id AND b.vec_id <> a.vec_id
+  WHERE a.vec_id < {n_queries}
+)
+SELECT qid, vec_id,
+  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank,
+  CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_micros
+FROM d QUALIFY rank <= {k}
+"""

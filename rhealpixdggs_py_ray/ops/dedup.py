@@ -18,10 +18,11 @@ uint64 of digest bytes [8:16]), and the minhash permutation family is
 wraparound on one side, HUGEINT modular arithmetic on the other, both
 exact.
 
-At 10^12-row scale the pair-verification size join becomes a hash
-join on doc_id instead of the broadcast used here; the shingle
-explode -> band groupby shuffle structure is unchanged (band keys are
-uniform by construction, no salting needed).
+All verification stages are distributed hash joins against the
+shingle / embedding tables (Dataset.join on doc_id) — nothing here
+materializes an O(corpus) structure on the driver.  The shingle
+explode -> band groupby shuffle structure keys are uniform by
+construction (no salting needed).
 """
 
 from __future__ import annotations
@@ -130,10 +131,20 @@ def _pairs_within_keys(g: pd.DataFrame, key_cols: list[str]) -> pd.DataFrame:
     )
     if not len(g):
         return empty
-    codes, _ = pd.factorize(
-        g[key_cols[0]].astype(str) if len(key_cols) == 1
-        else g[key_cols].astype(str).agg("|".join, axis=1)
-    )
+    if len(key_cols) == 1:
+        codes, _ = pd.factorize(g[key_cols[0]])
+    else:
+        # Exact multi-column group codes via lexsort + change flags (no
+        # string concatenation, no hash collisions).
+        cols = [g[c].to_numpy() for c in key_cols]
+        order = np.lexsort(tuple(reversed(cols)))
+        chg = np.zeros(len(g), dtype=bool)
+        for c in cols:
+            cs = c[order]
+            chg[1:] |= cs[1:] != cs[:-1]
+        grp_sorted = np.cumsum(chg)
+        codes = np.empty(len(g), dtype=np.int64)
+        codes[order] = grp_sorted
     ids = g["doc_id"].to_numpy()
     order = np.lexsort((ids, codes))
     codes, ids = codes[order], ids[order]
@@ -203,6 +214,85 @@ def _sum_by_pair(pairs_ds, alias: str, n_buckets: int = 32):
     )
 
 
+def _count_by_key(ds, key_col: str, out_val: str, n_buckets: int = 32):
+    """Exact per-key row counts for an int64 key column via per-batch
+    np.unique combine + hash-bucket merge (ops/agg.py rationale: ray's
+    sort aggregate costs ~18s at 40k groups; this is one small
+    shuffle)."""
+
+    def combine_batch(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        uq, cnt = np.unique(k, return_counts=True)
+        bucket = (
+            (uq.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(58)
+        ).astype(np.int64) % n_buckets
+        return pa.table(
+            {
+                key_col: pa.array(uq),
+                out_val: pa.array(cnt.astype(np.int64)),
+                "skbucket": pa.array(bucket),
+            }
+        )
+
+    def combine_group(g: pd.DataFrame) -> pd.DataFrame:
+        k = g[key_col].to_numpy()
+        v = g[out_val].to_numpy()
+        uq, inv = np.unique(k, return_inverse=True)
+        s = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(s, inv, v)
+        return pd.DataFrame({key_col: uq, out_val: s})
+
+    partial = ds.map_batches(combine_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return partial.groupby("skbucket").map_groups(combine_group, batch_format="pandas")
+
+
+def _join_pair_sizes(pairs_ds, sizes_ds, n_partitions: int = 2):
+    """Attach per-doc sizes to both sides of a pair table via two
+    distributed hash joins (columns za, zb added)."""
+
+    def rename_za(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("n")
+        return batch.set_column(i, "za", batch.column(i))
+
+    j = pairs_ds.join(
+        sizes_ds, "inner", num_partitions=n_partitions, on=("a",), right_on=("doc_id",)
+    ).map_batches(rename_za, batch_format="pyarrow", zero_copy_batch=True)
+    j = j.join(
+        sizes_ds, "inner", num_partitions=n_partitions, on=("b",), right_on=("doc_id",)
+    )
+
+    def rename_zb(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("n")
+        return batch.set_column(i, "zb", batch.column(i))
+
+    return j.map_batches(rename_zb, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _jaccard_filter(paired_ds, ni_col: str, jaccard_min: float):
+    """(a, b, ni, za, zb) -> (a, b, jac_micros) with jac >= threshold;
+    float ops mirror the SQL oracle exactly (int->double division)."""
+
+    def jac(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        ni = batch[ni_col].to_numpy(zero_copy_only=False)
+        za = batch["za"].to_numpy(zero_copy_only=False)
+        zb = batch["zb"].to_numpy(zero_copy_only=False)
+        j = ni.astype(np.float64) / (za + zb - ni).astype(np.float64)
+        keep = j >= jaccard_min
+        return pa.table(
+            {
+                "a": pa.array(a[keep], type=pa.int64()),
+                "b": pa.array(b[keep], type=pa.int64()),
+                "jac_micros": pa.array(
+                    np.floor(j[keep] * 1000000.0).astype(np.int64)
+                ),
+            }
+        )
+
+    return paired_ds.map_batches(jac, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def minhash_lsh_pairs(docs_ds, jaccard_min: float = 0.5):
     """documents Dataset -> verified near-dup pairs
     (a, b, jac_micros int64).  Structure: minhash map -> band-bucket
@@ -227,43 +317,37 @@ def minhash_lsh_pairs(docs_ds, jaccard_min: float = 0.5):
             batch_format="pandas",
         )
     )
-    cand = _sum_by_pair(cand, "n_bands")
-    # Verification: exact jaccard on the pair's shingle sets.  The doc
-    # texts are re-read once and broadcast (small side); at larger scale
-    # this becomes a hash join of (pair, side) against the shingle table.
-    texts = {
-        r["doc_id"]: r["text"] for r in docs_ds.select_columns(["doc_id", "text"]).take_all()
-    }
-    texts_ref = ray.put(texts)
+    cand = _sum_by_pair(cand, "n_bands").select_columns(["a", "b"])
+    # Verification: exact jaccard via distributed hash joins of the
+    # candidate pairs against the shingle table on doc_id (no driver
+    # materialization, no O(corpus) broadcast).  Intersection size =
+    # count of rows where a's shingle matches b's shingle.
+    # The shingle table feeds three consumers (two joins + sizes);
+    # materialize once so the explode doesn't re-execute per consumer
+    # (blocks live in the object store and spill under pressure).
+    sh = docs_ds.map_batches(
+        ShingleExploder, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+    ).materialize()
+    ja = cand.join(sh, "inner", num_partitions=2, on=("a",), right_on=("doc_id",))
+    shared = ja.join(
+        sh, "inner", num_partitions=2, on=("b", "s"), right_on=("doc_id", "s")
+    )
 
-    class Verify:
-        def __init__(self):
-            self.texts = ray.get(texts_ref)
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": batch["a"],
+                "b": batch["b"],
+                "ni_partial": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a = batch["a"].to_numpy(zero_copy_only=False)
-            b = batch["b"].to_numpy(zero_copy_only=False)
-            jac = np.empty(len(a), dtype=np.float64)
-            for i in range(len(a)):
-                A = set(shingles(self.texts[int(a[i])]))
-                B = set(shingles(self.texts[int(b[i])]))
-                inter = len(A & B)
-                jac[i] = inter / (len(A) + len(B) - inter)
-            keep = jac >= jaccard_min
-            t = pa.table(
-                {
-                    "a": pa.array(a, type=pa.int64()),
-                    "b": pa.array(b, type=pa.int64()),
-                    "jac_micros": pa.array(
-                        np.floor(jac * 1000000.0).astype(np.int64)
-                    ),
-                }
-            )
-            return t.filter(pa.array(keep))
-
-    return cand.map_batches(
-        Verify, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
-    ).select_columns(["a", "b", "jac_micros"])
+    inter = _sum_by_pair(
+        shared.map_batches(ones, batch_format="pyarrow", zero_copy_batch=True), "ni"
+    )
+    sizes = _count_by_key(sh, "doc_id", "n")
+    paired = _join_pair_sizes(inter, sizes)
+    return _jaccard_filter(paired, "ni", jaccard_min)
 
 
 def minhash_lsh_sql(jaccard_min: float = 0.5) -> str:
@@ -355,11 +439,14 @@ class SimHasher:
 
 
 def simhash_sql() -> str:
+    # Empty / whitespace-only docs are excluded from the token CTE (the
+    # Python side tokenizes them to zero tokens -> sig 0) and restored
+    # via LEFT JOIN with sig 0.
     return """
 WITH tok AS MATERIALIZED (
   SELECT doc_id, t AS token, COUNT(*) AS c
   FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
-        FROM documents)
+        FROM documents WHERE trim(text) <> '')
   GROUP BY doc_id, t
 ),
 th AS MATERIALIZED (
@@ -370,11 +457,15 @@ votes AS MATERIALIZED (
     SUM(c * (2 * CAST((h >> j) & 1 AS BIGINT) - 1)) AS v
   FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)
   GROUP BY doc_id, j
+),
+sig AS MATERIALIZED (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN v > 0 AND j >= 32 THEN (CAST(1 AS UBIGINT) << (j - 32)) ELSE 0 END) AS BIGINT) AS sim_hi,
+    CAST(SUM(CASE WHEN v > 0 AND j < 32 THEN (CAST(1 AS UBIGINT) << j) ELSE 0 END) AS BIGINT) AS sim_lo
+  FROM votes GROUP BY doc_id
 )
-SELECT doc_id,
-  CAST(SUM(CASE WHEN v > 0 AND j >= 32 THEN (CAST(1 AS UBIGINT) << (j - 32)) ELSE 0 END) AS BIGINT) AS sim_hi,
-  CAST(SUM(CASE WHEN v > 0 AND j < 32 THEN (CAST(1 AS UBIGINT) << j) ELSE 0 END) AS BIGINT) AS sim_lo
-FROM votes GROUP BY doc_id
+SELECT d.doc_id, coalesce(s.sim_hi, 0) AS sim_hi, coalesce(s.sim_lo, 0) AS sim_lo
+FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id
 """
 
 
@@ -400,15 +491,17 @@ def ngram_jaccard_pairs(docs_ds, jaccard_min: float = 0.2):
     """Exact jaccard near-dup pairs via shingle inverted index:
     explode -> groupby(shingle) pair expansion -> per-pair shared-count
     -> size join -> threshold.  (a, b, jac_micros)."""
+    # two consumers (inter + sizes): materialize the explode once
     sh = docs_ds.map_batches(
         ShingleExploder, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
-    )
+    ).materialize()
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        bucket = np.array(
-            [md5_u64(s) % N_PAIR_BUCKETS for s in batch["s"].to_pylist()],
-            dtype=np.int64,
-        )
+        # Bucket id is internal (any deterministic hash works); pandas'
+        # siphash is vectorized and stable across worker processes,
+        # unlike per-row hashlib.md5 on the exploded shingle table.
+        s = batch["s"].to_numpy(zero_copy_only=False)
+        bucket = (pd.util.hash_array(s) % np.uint64(N_PAIR_BUCKETS)).astype(np.int64)
         return batch.append_column("bucket", pa.array(bucket))
 
     inter = (
@@ -419,36 +512,11 @@ def ngram_jaccard_pairs(docs_ds, jaccard_min: float = 0.2):
         )
     )
     inter = _sum_by_pair(inter, "ni")
-    sizes = {
-        r["doc_id"]: r["n"]
-        for r in sh.groupby("doc_id").aggregate(Count(alias_name="n")).take_all()
-    }
-    sizes_ref = ray.put(sizes)
-
-    class Jac:
-        def __init__(self):
-            self.sizes = ray.get(sizes_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a = batch["a"].to_numpy(zero_copy_only=False)
-            b = batch["b"].to_numpy(zero_copy_only=False)
-            ni = batch["ni"].to_numpy(zero_copy_only=False).astype(np.float64)
-            za = np.array([self.sizes[int(x)] for x in a], dtype=np.int64)
-            zb = np.array([self.sizes[int(x)] for x in b], dtype=np.int64)
-            jac = ni / (za + zb - ni.astype(np.int64)).astype(np.float64)
-            keep = jac >= jaccard_min
-            t = pa.table(
-                {
-                    "a": pa.array(a, type=pa.int64()),
-                    "b": pa.array(b, type=pa.int64()),
-                    "jac_micros": pa.array(np.floor(jac * 1000000.0).astype(np.int64)),
-                }
-            )
-            return t.filter(pa.array(keep))
-
-    return inter.map_batches(
-        Jac, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
-    ).select_columns(["a", "b", "jac_micros"])
+    # Per-doc shingle-set sizes joined onto the pair rows (distributed
+    # hash join; the round-1 broadcast dict was O(corpus) driver memory).
+    sizes = _count_by_key(sh, "doc_id", "n")
+    paired = _join_pair_sizes(inter, sizes)
+    return _jaccard_filter(paired, "ni", jaccard_min)
 
 
 def ngram_jaccard_sql(jaccard_min: float = 0.2) -> str:
@@ -478,42 +546,303 @@ WHERE CAST(ni AS DOUBLE) / (za.n + zb.n - ni) >= {jaccard_min!r}
 # Embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
-def embedding_dedup_pairs(emb_ds, tau: float = 0.4):
-    """Cosine near-dup pairs (a < b, cos >= tau) via blocked matmul:
-    the full normalized matrix is broadcast once (ray.put) and every
-    batch computes its slice of the similarity matrix.  At 10^12 scale
-    the broadcast side becomes an IVF/LSH bucket table; the per-batch
-    matmul structure is unchanged.  Output (a, b, cos_micros)."""
-    rows = emb_ds.select_columns(["vec_id", "embedding"]).take_all()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    order = np.argsort(ids)
-    ids, M = ids[order], M[order]
-    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-    ref = ray.put((ids, Mn))
+def _emb_matrix(tbl: pa.Table, col: str = "embedding") -> np.ndarray:
+    """list<float> column -> (n, dim) float64, via the flat child buffer
+    (no per-row python)."""
+    la = tbl[col].combine_chunks()
+    if len(la) == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    flat = la.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(la), -1)
 
-    class Block:
+
+def embedding_dedup_pairs(emb_ds, tau: float = 0.4, chunk_rows: int = 8192,
+                          scratch_dir: str | None = None):
+    """EXACT cosine near-dup pairs (a < b, cos >= tau), distributed.
+
+    All-pairs semantics (the SQL oracle enumerates every pair) executed
+    as a chunked block cross-product: embeddings spill once to
+    hash-chunked parquet, then one task per chunk pair (i <= j) re-reads
+    its two chunks from storage and emits its exact matches.  Driver
+    memory is O(1); worker memory is O(chunk_rows * dim) — the 100 TB
+    shape for an inherently quadratic exact self-join (each shard pair
+    streams from storage; nothing rides the driver).  For sub-quadratic
+    near-dup at scale use ``embedding_dedup_lsh_pairs``.
+
+    Float parity with ``embedding_dedup_sql``: dots and norms accumulate
+    dimension-by-dimension left-to-right (ops/ann._seq_*), mirroring the
+    SQL list_sum fold.  Output (a, b, cos_micros)."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from rhealpixdggs_py_ray.ops.ann import _seq_dots, _seq_norm
+
+    n = emb_ds.count()
+    K = max(1, -(-n // chunk_rows))
+    scratch = scratch_dir or tempfile.mkdtemp(prefix="emb_dedup_", dir="/tmp")
+
+    def add_chunk(batch: pa.Table) -> pa.Table:
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column("chunk", pa.array((vid % K).astype(np.int64)))
+
+    emb_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        add_chunk, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(scratch, partition_cols=["chunk"])
+
+    pair_items = [{"ci": i, "cj": j} for i in range(K) for j in range(i, K)]
+    pairs_ds = ray.data.from_items(
+        pair_items, override_num_blocks=min(len(pair_items), 64)
+    )
+
+    class ChunkPair:
         def __init__(self):
-            self.ids, self.Mn = ray.get(ref)
+            self.cache: dict = {}
+
+        def _load(self, c: int):
+            hit = self.cache.get(c)
+            if hit is None:
+                t = pq.read_table(os.path.join(scratch, f"chunk={c}"))
+                ids = t["vec_id"].to_numpy().astype(np.int64)
+                M = _emb_matrix(t)
+                hit = (ids, M, _seq_norm(M))
+                if len(self.cache) >= 8:
+                    self.cache.clear()
+                self.cache[c] = hit
+            return hit
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            bid = batch["vec_id"].to_numpy(zero_copy_only=False)
-            B = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
-            Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
-            S = Bn @ self.Mn.T
-            ai, bj = np.nonzero((S >= tau) & (bid[:, None] < self.ids[None, :]))
-            cos = S[ai, bj]
+            out_a, out_b, out_c = [], [], []
+            for ci, cj in zip(batch["ci"].to_pylist(), batch["cj"].to_pylist()):
+                ia, Ma, na = self._load(int(ci))
+                ib, Mb, nb = self._load(int(cj))
+                S = _seq_dots(Ma, Mb) / (na[:, None] * nb[None, :])
+                hot = S >= tau
+                r, c = np.nonzero(hot & (ia[:, None] < ib[None, :]))
+                out_a.append(ia[r])
+                out_b.append(ib[c])
+                out_c.append(S[r, c])
+                if ci != cj:
+                    # cross-chunk pairs whose smaller id sits in chunk j
+                    r2, c2 = np.nonzero(hot & (ib[None, :] < ia[:, None]))
+                    out_a.append(ib[c2])
+                    out_b.append(ia[r2])
+                    out_c.append(S[r2, c2])
+            a = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
+            b = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
+            cos = np.concatenate(out_c) if out_c else np.array([], dtype=np.float64)
             return pa.table(
                 {
-                    "a": pa.array(bid[ai], type=pa.int64()),
-                    "b": pa.array(self.ids[bj], type=pa.int64()),
+                    "a": pa.array(a.astype(np.int64)),
+                    "b": pa.array(b.astype(np.int64)),
                     "cos_micros": pa.array(np.floor(cos * 1000000.0).astype(np.int64)),
                 }
             )
 
-    return emb_ds.map_batches(
-        Block, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+    return pairs_ds.map_batches(
+        ChunkPair, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
     )
+
+
+# --- sub-quadratic scale path: random-hyperplane LSH bucketing -------------
+
+N_EMB_PLANES = 16
+N_EMB_BANDS = 4  # 4 planes (bits) per band
+
+
+def emb_plane_matrix(dim: int, n_planes: int = N_EMB_PLANES) -> np.ndarray:
+    """Deterministic hyperplanes with entries in (-1, 1): splitmix64 of
+    the flat index -> top-53-bit float in [0, 1) -> affine map.  Every
+    value round-trips exactly through repr, so the SQL oracle embeds the
+    identical literals."""
+    from rhealpixdggs_py_ray.fixtures import splitmix64
+
+    i = np.arange(n_planes * dim, dtype=np.uint64)
+    h = splitmix64(i + np.uint64(777000))
+    f = (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    return (2.0 * f - 1.0).reshape(n_planes, dim)
+
+
+def embedding_dedup_lsh_pairs(emb_ds, tau: float = 0.4, dim: int = 64):
+    """APPROXIMATE cosine near-dup pairs via random-hyperplane LSH:
+    16 sign bits -> 4 bands of 4 bits; vectors sharing any band bucket
+    become candidates and get an exact cosine check inside the bucket
+    group.  Sub-quadratic: only same-bucket pairs are scored, and each
+    vector ships through the shuffle N_EMB_BANDS times (the classic LSH
+    data-amplification trade).  Arrow hash joins reject list<float>
+    payloads, so the embedding rides the band rows rather than a join.
+    The SQL oracle reproduces the identical pruning (plane literals +
+    band keys), so this op is fully hash-verified despite being
+    approximate by design.
+
+    Output (a, b, cos_micros): the subset of embedding_dedup_pairs
+    whose pair collided in >= 1 band."""
+    from rhealpixdggs_py_ray.ops.ann import _seq_dots, _seq_norm
+
+    planes = emb_plane_matrix(dim)
+    ref = ray.put(planes)
+
+    class BandRows:
+        """One output row per (vector, band): bucket id + the embedding."""
+
+        def __init__(self):
+            self.planes = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            M = _emb_matrix(batch)
+            D = _seq_dots(M, self.planes)  # (n, n_planes), SQL fold order
+            bits = (D > 0).astype(np.int64)
+            n = len(vid)
+            keys = np.zeros((n, N_EMB_BANDS), dtype=np.int64)
+            for t in range(N_EMB_BANDS):
+                for r in range(4):
+                    keys[:, t] = keys[:, t] * 2 + bits[:, 4 * t + r]
+            band = np.tile(np.arange(N_EMB_BANDS, dtype=np.int64), n)
+            bucket = band * 16 + keys.ravel()
+            idx = pa.array(np.repeat(np.arange(n), N_EMB_BANDS))
+            return pa.table(
+                {
+                    "vec_id": pa.array(np.repeat(vid, N_EMB_BANDS)),
+                    "bucket": pa.array(bucket),
+                    "embedding": batch["embedding"].take(idx),
+                }
+            )
+
+    sig = emb_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        BandRows, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series([], dtype=np.int64),
+                "b": pd.Series([], dtype=np.int64),
+                "ni_partial": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(g) < 2:
+            return empty
+        ids = g["vec_id"].to_numpy()
+        M = np.array([np.asarray(e, dtype=np.float64) for e in g["embedding"]])
+        order = np.argsort(ids)
+        ids, M = ids[order], M[order]
+        nrm = _seq_norm(M)
+        S = _seq_dots(M, M) / (nrm[:, None] * nrm[None, :])
+        r, c = np.nonzero((S >= tau) & (ids[:, None] < ids[None, :]))
+        if not len(r):
+            return empty
+        return pd.DataFrame(
+            {
+                "a": ids[r].astype(np.int64),
+                "b": ids[c].astype(np.int64),
+                "ni_partial": np.floor(S[r, c] * 1000000.0).astype(np.int64),
+            }
+        )
+
+    pairs = sig.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+
+    # distinct across bands: same pair from two buckets carries an
+    # identical cos (same fold) — Min == the value
+    def finish(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("cm")
+        return batch.set_column(i, "cos_micros", batch.column(i))
+
+    return (
+        _min_by_pair(pairs, "cm")
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def _min_by_pair(pairs_ds, alias: str, n_buckets: int = 32):
+    """Per-(a, b) min of ``ni_partial`` (pair dedupe when the value is
+    identical across duplicates), same shape as _sum_by_pair."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = (((a * np.uint64(2654435761)) ^ b) % np.uint64(n_buckets)).astype(
+            np.int64
+        )
+        return batch.append_column("pair_bucket", pa.array(bucket))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        a = g["a"].to_numpy().astype(np.uint64)
+        b = g["b"].to_numpy().astype(np.uint64)
+        v = g["ni_partial"].to_numpy()
+        key = (a << np.uint64(32)) | b
+        order = np.lexsort((v, key))
+        key, v = key[order], v[order]
+        first = np.empty(len(key), dtype=bool)
+        if len(key):
+            first[0] = True
+            first[1:] = key[1:] != key[:-1]
+        uq, mv = key[first], v[first]
+        return pd.DataFrame(
+            {
+                "a": (uq >> np.uint64(32)).astype(np.int64),
+                "b": (uq & np.uint64(0xFFFFFFFF)).astype(np.int64),
+                alias: mv.astype(np.int64),
+            }
+        )
+
+    return (
+        pairs_ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pair_bucket")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
+def embedding_dedup_lsh_sql(tau: float = 0.4, dim: int = 64) -> str:
+    """Oracle reproducing the LSH pruning bit-exactly: plane literals,
+    left-to-right dot folds, 4-bit band keys, bucket self-join, exact
+    cosine check."""
+    planes = emb_plane_matrix(dim)
+    bit_exprs = []
+    for p in range(N_EMB_PLANES):
+        terms = " + ".join(
+            f"({planes[p, i]!r})*CAST(embedding[{i + 1}] AS DOUBLE)"
+            for i in range(dim)
+        )
+        bit_exprs.append(f"CASE WHEN ({terms}) > 0 THEN 1 ELSE 0 END AS bit{p}")
+    bits_sel = ", ".join(bit_exprs)
+    key_exprs = ", ".join(
+        f"((bit{4 * t} * 2 + bit{4 * t + 1}) * 2 + bit{4 * t + 2}) * 2 + bit{4 * t + 3}"
+        f" AS k{t}"
+        for t in range(N_EMB_BANDS)
+    )
+    key_case = " ".join(f"WHEN {t} THEN k{t}" for t in range(N_EMB_BANDS))
+    dot = (
+        "list_sum(list_transform(generate_series(1, len(x.embedding)),"
+        " i -> CAST(x.embedding[i] AS DOUBLE) * y.embedding[i]))"
+    )
+    return f"""
+WITH bits AS MATERIALIZED (
+  SELECT vec_id, {bits_sel} FROM embeddings
+),
+keys AS MATERIALIZED (
+  SELECT vec_id, {key_exprs} FROM bits
+),
+sigb AS MATERIALIZED (
+  SELECT vec_id, t.band, CASE t.band {key_case} END AS bkey
+  FROM keys CROSS JOIN (SELECT unnest(generate_series(0, {N_EMB_BANDS - 1})) AS band) t
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT p.vec_id AS a, q.vec_id AS b
+  FROM sigb p JOIN sigb q
+    ON p.band = q.band AND p.bkey = q.bkey AND p.vec_id < q.vec_id
+),
+n AS MATERIALIZED (
+  SELECT vec_id, embedding,
+    sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * v))) AS nrm
+  FROM embeddings
+)
+SELECT c.a, c.b,
+  CAST(floor({dot} / (x.nrm * y.nrm) * 1000000.0) AS BIGINT) AS cos_micros
+FROM cand c JOIN n x ON x.vec_id = c.a JOIN n y ON y.vec_id = c.b
+WHERE {dot} / (x.nrm * y.nrm) >= {tau!r}
+"""
 
 
 def embedding_dedup_sql(tau: float = 0.4) -> str:

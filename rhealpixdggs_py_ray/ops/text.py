@@ -103,12 +103,20 @@ class QualityScorer:
             n_alpha[i] = sum(1 for c in t if ("a" <= c <= "z") or ("A" <= c <= "Z"))
             padded = " " + t + " "
             n_stop[i] = sum(padded.count(f" {w} ") for w in self.STOPWORDS)
+        # Empty / whitespace-only docs: define both ratios as 0.0 (the
+        # SQL oracle mirrors this with CASE guards) instead of 0/0.
+        alpha = np.where(
+            n_chars > 0, n_alpha / np.maximum(n_chars, 1).astype(np.float64), 0.0
+        )
+        stop = np.where(
+            n_tok > 0, n_stop / np.maximum(n_tok, 1).astype(np.float64), 0.0
+        )
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
                 "n_tokens": pa.array(n_tok),
-                "alpha_ratio": pa.array(n_alpha.astype(np.float64) / n_chars),
-                "stop_ratio": pa.array(n_stop.astype(np.float64) / n_tok),
+                "alpha_ratio": pa.array(alpha),
+                "stop_ratio": pa.array(stop),
             }
         )
 
@@ -118,16 +126,23 @@ def quality_sql() -> str:
         f"CAST((length(p) - length(replace(p, ' {w} ', ''))) // {len(w) + 2} AS BIGINT)"
         for w in QualityScorer.STOPWORDS
     )
+    # Whitespace-only text: Python str.split() yields 0 tokens while
+    # regexp_split_to_array yields [''] (1) — guard with CASE so both
+    # sides agree (n_tokens 0, ratios 0.0).
+    ntok = (
+        "CASE WHEN trim(text) = '' THEN 0"
+        " ELSE CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) END"
+    )
     return (
-        "WITH p AS MATERIALIZED (SELECT doc_id, text, ' ' || text || ' ' AS p FROM documents)"
-        " SELECT doc_id,"
-        " CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,"
-        " CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)"
-        "   / CAST(length(text) AS BIGINT) AS alpha_ratio,"
-        f" CAST(({stop}) AS BIGINT)"
-        "   / CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)"
-        "   AS stop_ratio"
-        " FROM p"
+        "WITH p AS MATERIALIZED (SELECT doc_id, text, ' ' || text || ' ' AS p FROM documents),"
+        f" q AS MATERIALIZED (SELECT doc_id, text, p, {ntok} AS n_tokens FROM p)"
+        " SELECT doc_id, n_tokens,"
+        " CASE WHEN length(text) = 0 THEN 0.0"
+        "   ELSE CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)"
+        "   / CAST(length(text) AS BIGINT) END AS alpha_ratio,"
+        " CASE WHEN n_tokens = 0 THEN 0.0"
+        f"   ELSE CAST(({stop}) AS BIGINT) / n_tokens END AS stop_ratio"
+        " FROM q"
     )
 
 
@@ -135,7 +150,9 @@ class Fingerprinter:
     """Rolling polynomial hash of the raw text, h = fold(h*31 + code)
     mod (2^31 - 1), seeded with the first char code (matches DuckDB
     list_reduce).  Vectorized across the batch by iterating char
-    positions (max_len passes over an int32 matrix)."""
+    positions (max_len passes over an int64 matrix).  Codes are full
+    Unicode code points (utf-32 decode, == DuckDB ascii(substr(...)))
+    so non-Latin-1 text fingerprints identically on both sides."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
@@ -143,11 +160,11 @@ class Fingerprinter:
         out = np.zeros(n, dtype=np.int64)
         if n:
             lens = np.array([len(t) for t in texts], dtype=np.int64)
-            mx = int(lens.max())
+            mx = max(int(lens.max()), 1)  # empty docs fingerprint to 0
             codes = np.zeros((n, mx), dtype=np.int64)
             for i, t in enumerate(texts):
                 codes[i, : len(t)] = np.frombuffer(
-                    t.encode("latin-1", "replace"), dtype=np.uint8
+                    t.encode("utf-32-le"), dtype=np.uint32
                 )
             h = codes[:, 0].copy()
             for j in range(1, mx):
@@ -160,8 +177,9 @@ class Fingerprinter:
 def fingerprint_sql() -> str:
     return (
         "SELECT doc_id,"
+        " CASE WHEN length(text) = 0 THEN 0 ELSE"
         " list_reduce([CAST(ascii(substr(text, i, 1)) AS BIGINT)"
         "   for i in generate_series(1, length(text))],"
-        f"  (h, c) -> (h * {FP_BASE} + c) % {FP_MOD}) AS fp"
+        f"  (h, c) -> (h * {FP_BASE} + c) % {FP_MOD}) END AS fp"
         " FROM documents"
     )

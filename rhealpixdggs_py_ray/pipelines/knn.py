@@ -54,9 +54,14 @@ class _PartialKnn:
         # Chord distance^2 matrix (Q, n) via broadcasting.
         d2 = ((self.qxyz[:, None, :] - pts[None, :, :]) ** 2).sum(axis=2)
         k = min(self.k, pts.shape[0])
-        part = np.argpartition(d2, k - 1, axis=1)[:, :k]  # (Q, k)
+        # per-query top-k with (dist ASC, id ASC) tie-break — boundary
+        # ties must keep the globally-ranked min-id row (round-1 ADVICE)
+        ids_np = ids.to_numpy(zero_copy_only=False)
+        sel = np.empty((len(self.qids), k), dtype=np.int64)
+        for j in range(len(self.qids)):
+            sel[j] = np.lexsort((ids_np, d2[j]))[:k]
         qidx = np.repeat(np.arange(len(self.qids)), k)
-        ridx = part.ravel()
+        ridx = sel.ravel()
         return pa.table(
             {
                 "qid": pa.array(self.qids[qidx]),

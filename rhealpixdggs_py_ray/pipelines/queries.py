@@ -156,12 +156,16 @@ def q_spatial_join_bbox(sf_dir: str):
         lon = batch["lon"].to_numpy(zero_copy_only=False)
         lat = batch["lat"].to_numpy(zero_copy_only=False)
         keep = (lon >= lon1) & (lon <= lon2) & (lat >= lat1) & (lat <= lat2)
-        t = batch.filter(pa.array(keep))
-        face = np.array([s[0] for s in t["cell_id"].to_pylist()], dtype=object)
+        u = batch["cell_u64"].to_numpy(zero_copy_only=False)[keep]
+        # face letter straight from the packed id (no per-row string slice)
+        face = _FACE_LETTERS[su.face_of(u)]
         return pa.table({"face_id": pa.array(face, type=pa.string())})
 
     ds = ds.map_batches(refine, batch_format="pyarrow", zero_copy_batch=True)
     return ds.groupby("face_id").aggregate(Count(alias_name="n"))
+
+
+_FACE_LETTERS = np.array(list(CELLS0))
 
 
 def sql_spatial_join_bbox() -> str:
@@ -431,10 +435,16 @@ def q_token_stats(sf_dir: str):
 
 
 def sql_token_stats() -> str:
+    # CASE guard: whitespace-only text must count 0 tokens (Python
+    # str.split() semantics), not regexp_split_to_array's [''] == 1.
+    ntok = (
+        "CASE WHEN trim(text) = '' THEN 0"
+        " ELSE length(regexp_split_to_array(trim(text), '\\s+')) END"
+    )
     return (
         "SELECT source, COUNT(*) AS n_docs,"
-        " CAST(SUM(length(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,"
-        " MAX(length(regexp_split_to_array(trim(text), '\\s+'))) AS max_tokens"
+        f" CAST(SUM({ntok}) AS BIGINT) AS total_tokens,"
+        f" MAX({ntok}) AS max_tokens"
         " FROM documents GROUP BY source"
     )
 
@@ -447,20 +457,49 @@ SESSION_GAP_S = 1800
 
 
 def q_sessions(sf_dir: str):
+    """Sessionization without one-pandas-frame-per-user overhead: users
+    are hash-bucketed (64 buckets), each bucket's groups are counted in
+    one vectorized lexsort + segment-reduce pass."""
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
 
-    def sess(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
-        gaps = np.diff(ts) > SESSION_GAP_S * 1_000_000
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = ((uid * np.uint64(2654435761)) % np.uint64(64)).astype(np.int64)
+        return batch.append_column("bucket", pa.array(bucket))
+
+    def sess_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "n_events": pd.Series([], dtype=np.int64),
+                    "n_sessions": pd.Series([], dtype=np.int64),
+                }
+            )
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        new_user = np.empty(len(uid), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap = np.empty(len(uid), dtype=bool)
+        gap[0] = False
+        gap[1:] = (ts[1:] - ts[:-1]) > SESSION_GAP_S * 1_000_000
+        inc = (new_user | gap).astype(np.int64)
+        starts = np.flatnonzero(new_user)
+        n_sessions = np.add.reduceat(inc, starts)
+        counts = np.diff(np.append(starts, len(uid)))
         return pd.DataFrame(
             {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_events": [len(ts)],
-                "n_sessions": [1 + int(gaps.sum())],
+                "user_id": uid[starts],
+                "n_events": counts.astype(np.int64),
+                "n_sessions": n_sessions,
             }
         )
 
-    return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+    b = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    return b.groupby("bucket").map_groups(sess_bucket, batch_format="pandas")
 
 
 def sql_sessions() -> str:
@@ -550,21 +589,48 @@ def sql_ann_topk() -> str:
 
 
 def q_ann_topk_lsh(sf_dir: str):
-    """Approximate ANN (random-hyperplane buckets, 1-bit probes); no SQL
-    oracle — recall vs the brute baseline is asserted in tests."""
+    """Approximate ANN (random-hyperplane buckets, 1-bit probes);
+    hash-verified — the SQL oracle reproduces the identical pruning."""
     from rhealpixdggs_py_ray.ops import ann
 
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return ann.ann_topk_lsh(emb)
 
 
+def sql_ann_topk_lsh() -> str:
+    from rhealpixdggs_py_ray.ops import ann
+
+    return ann.ann_topk_lsh_sql()
+
+
 def q_ann_topk_ivf(sf_dir: str):
-    """IVF ANN (k-means coarse quantizer + nprobe lists); approximate,
-    recall vs the brute baseline asserted in tests."""
+    """IVF ANN (hash-seeded coarse quantizer + nprobe lists);
+    hash-verified — the SQL oracle mirrors seeds/assignment/probing."""
     from rhealpixdggs_py_ray.ops import ann
 
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return ann.ann_topk_ivf(emb)
+
+
+def sql_ann_topk_ivf() -> str:
+    from rhealpixdggs_py_ray.ops import ann
+
+    return ann.ann_topk_ivf_sql()
+
+
+def q_embedding_dedup_lsh(sf_dir: str):
+    """Sub-quadratic embedding near-dup: LSH band buckets -> candidate
+    pairs -> exact cosine via distributed joins (ops/dedup.py)."""
+    from rhealpixdggs_py_ray.ops import dedup
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return dedup.embedding_dedup_lsh_pairs(emb)
+
+
+def sql_embedding_dedup_lsh() -> str:
+    from rhealpixdggs_py_ray.ops import dedup
+
+    return dedup.embedding_dedup_lsh_sql()
 
 
 def q_lang_id(sf_dir: str):
@@ -728,16 +794,20 @@ def q_image_pipeline(sf_dir: str):
     )
 
     def summarize(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = pd.DataFrame(
+        # per-batch combine on the int8 face column (CellIndexer emits it)
+        fi = batch["face"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = batch["payload_ok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uq, inv = np.unique(fi, return_inverse=True)
+        n = np.bincount(inv)
+        n_ok = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(n_ok, inv, ok)
+        return pa.table(
             {
-                "face": [s[0] for s in batch["cell_id"].to_pylist()],
-                "ok": batch["payload_ok"].to_numpy(zero_copy_only=False),
+                "face": pa.array(_FACE_LETTERS[uq], type=pa.string()),
+                "n": pa.array(n.astype(np.int64)),
+                "n_ok": pa.array(n_ok),
             }
         )
-        g = df.groupby("face", as_index=False).agg(n=("ok", "size"), n_ok=("ok", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
 
     part = ds.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)
     return part.groupby("face").aggregate(
@@ -837,30 +907,29 @@ VALIDATE_RE = r"^[NOPQRS][0-8]{0,15}$"
 
 def q_validate(sf_dir: str):
     """rhp_is_valid (rhp_wrappers.py:299-332) over a deterministic mix
-    of valid SUIDs and corrupted variants derived from events."""
-    import re
+    of valid SUIDs and corrupted variants derived from events.  Fully
+    Arrow-vectorized: corruption via utf8 slice/concat kernels,
+    validation via match_substring_regex."""
+    import pyarrow.compute as pc
 
-    pat = re.compile(VALIDATE_RE)
     ds = indexed_events(sf_dir, resolution=5)
 
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch["event_id"].to_numpy(zero_copy_only=False)
-        cells = batch["cell_id"].to_pylist()
+        cells = batch["cell_id"]
+        m3 = pa.array(ids % 3 == 0)
+        m5 = pa.array((ids % 5 == 0) & (ids % 3 != 0))
         # corrupt every 3rd id: bad face; every 5th: digit '9'
-        cand = []
-        for e, c in zip(ids, cells):
-            if e % 3 == 0:
-                cand.append("X" + c[1:])
-            elif e % 5 == 0:
-                cand.append(c[:-1] + "9")
-            else:
-                cand.append(c)
-        ok = [bool(pat.match(c)) for c in cand]
+        bad_face = pc.binary_join_element_wise("X", pc.utf8_slice_codeunits(cells, 1, 6), "")
+        bad_digit = pc.binary_join_element_wise(pc.utf8_slice_codeunits(cells, 0, 5), "9", "")
+        cand = pc.if_else(m3, bad_face, pc.if_else(m5, bad_digit, cells))
+        # anchored full-match == Python re.match on the ^...$ pattern
+        ok = pc.match_substring_regex(cand, VALIDATE_RE)
         return pa.table(
             {
                 "event_id": pa.array(ids, type=pa.int64()),
-                "candidate": pa.array(cand, type=pa.string()),
-                "is_valid": pa.array(ok, type=pa.bool_()),
+                "candidate": cand,
+                "is_valid": ok,
             }
         )
 
@@ -962,8 +1031,8 @@ def q_spatial_antijoin(sf_dir: str):
         lon = batch["lon"].to_numpy(zero_copy_only=False)
         lat = batch["lat"].to_numpy(zero_copy_only=False)
         keep = ~((lon >= lon1) & (lon <= lon2) & (lat >= lat1) & (lat <= lat2))
-        t = batch.filter(pa.array(keep))
-        face = np.array([s[0] for s in t["cell_id"].to_pylist()], dtype=object)
+        u = batch["cell_u64"].to_numpy(zero_copy_only=False)[keep]
+        face = _FACE_LETTERS[su.face_of(u)]
         return pa.table({"face_id": pa.array(face, type=pa.string())})
 
     ds = ds.map_batches(refine, batch_format="pyarrow", zero_copy_batch=True)
@@ -1088,7 +1157,11 @@ def q_resumable_tiling(sf_dir: str):
         )
         tiles = aggregate_tiles(ds, TILE_RES, salt_col=None)
         tiles.write_parquet(part_out)
-        return {"rows_out": tiles.count()}
+        # Row count from the written files' parquet metadata — re-running
+        # tiles.count() would execute the whole lineage a second time.
+        import pyarrow.dataset as pads
+
+        return {"rows_out": pads.dataset(part_out, format="parquet").count_rows()}
 
     run = CheckpointedRun(out_root=out_dir, config_payload={"res": RES, "tile_res": TILE_RES})
     run.run([[f"{sf_dir}/events.parquet"]], pipeline_fn)
@@ -1134,13 +1207,20 @@ def q_image_features(sf_dir: str):
     )
 
     def summarize(batch: pa.Table) -> pa.Table:
-        face = [s[0] for s in batch["cell_id"].to_pylist()]
+        fi = batch["face"].to_numpy(zero_copy_only=False).astype(np.int64)
         fm = np.array(batch["feat_mean"].to_pylist(), dtype=np.float64)
-        df = pd.DataFrame({"face": face, "mean_r_c": np.floor(fm[:, 0] * 100).astype(np.int64)})
-        g = df.groupby("face", as_index=False).agg(
-            n=("mean_r_c", "size"), sum_mean_r_c=("mean_r_c", "sum")
+        mean_r_c = np.floor(fm[:, 0] * 100).astype(np.int64)
+        uq, inv = np.unique(fi, return_inverse=True)
+        n = np.bincount(inv)
+        s = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(s, inv, mean_r_c)
+        return pa.table(
+            {
+                "face": pa.array(_FACE_LETTERS[uq], type=pa.string()),
+                "n": pa.array(n.astype(np.int64)),
+                "sum_mean_r_c": pa.array(s),
+            }
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
 
     part = ds.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)
     return part.groupby("face").aggregate(
