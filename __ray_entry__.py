@@ -101,6 +101,12 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": Q.sql_lang_id(),
         "quality_score": Q.sql_quality(),
         "fingerprint": Q.sql_fingerprint(),
+        "polyfill": Q.sql_polyfill(),
+        "k_ring": Q.sql_k_ring(),
+        "knn_rings": Q.sql_knn(),
+        "compress_cells": Q.sql_compress(),
+        "cells_from_region": Q.sql_cells_from_region(),
+        "cell_geometry": Q.sql_cell_geometry(),
         "hierarchy": Q.sql_hierarchy(),
         "successor": Q.sql_successor(),
         "validate": Q.sql_validate(),

@@ -317,20 +317,36 @@ def minhash_lsh_pairs(docs_ds, jaccard_min: float = 0.5):
             batch_format="pandas",
         )
     )
-    cand = _sum_by_pair(cand, "n_bands").select_columns(["a", "b"])
-    # Verification: exact jaccard via distributed hash joins of the
-    # candidate pairs against the shingle table on doc_id (no driver
-    # materialization, no O(corpus) broadcast).  Intersection size =
-    # count of rows where a's shingle matches b's shingle.
-    # The shingle table feeds three consumers (two joins + sizes);
-    # materialize once so the explode doesn't re-execute per consumer
-    # (blocks live in the object store and spill under pressure).
+    cand = _sum_by_pair(cand, "n_bands").select_columns(["a", "b"]).materialize()
+    # Verification: exact jaccard via distributed hash joins — never an
+    # O(corpus) driver materialization.  Cost shape: the candidate set
+    # is small by LSH construction, so first SEMI-join the big exploded
+    # shingle table down to candidate docs (ONE pass over the corpus),
+    # then run the pair joins and the size aggregate on the small
+    # filtered table only.
+    def split_docs(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"doc_id": pa.array(np.unique(np.concatenate([a, b])), type=pa.int64())}
+        )
+
+    cand_docs = _count_by_key(
+        cand.map_batches(split_docs, batch_format="pyarrow", zero_copy_batch=True),
+        "doc_id", "nref",
+    ).select_columns(["doc_id"])
+
     sh = docs_ds.map_batches(
         ShingleExploder, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+    )
+    # semi-join: shingles of candidate docs only (feeds three consumers
+    # below; materialize the SMALL filtered table, not the corpus)
+    sh_f = sh.join(
+        cand_docs, "inner", num_partitions=2, on=("doc_id",)
     ).materialize()
-    ja = cand.join(sh, "inner", num_partitions=2, on=("a",), right_on=("doc_id",))
+    ja = cand.join(sh_f, "inner", num_partitions=2, on=("a",), right_on=("doc_id",))
     shared = ja.join(
-        sh, "inner", num_partitions=2, on=("b", "s"), right_on=("doc_id", "s")
+        sh_f, "inner", num_partitions=2, on=("b", "s"), right_on=("doc_id", "s")
     )
 
     def ones(batch: pa.Table) -> pa.Table:
@@ -345,7 +361,7 @@ def minhash_lsh_pairs(docs_ds, jaccard_min: float = 0.5):
     inter = _sum_by_pair(
         shared.map_batches(ones, batch_format="pyarrow", zero_copy_batch=True), "ni"
     )
-    sizes = _count_by_key(sh, "doc_id", "n")
+    sizes = _count_by_key(sh_f, "doc_id", "n")
     paired = _join_pair_sizes(inter, sizes)
     return _jaccard_filter(paired, "ni", jaccard_min)
 
@@ -556,7 +572,7 @@ def _emb_matrix(tbl: pa.Table, col: str = "embedding") -> np.ndarray:
     return flat.reshape(len(la), -1)
 
 
-def embedding_dedup_pairs(emb_ds, tau: float = 0.4, chunk_rows: int = 8192,
+def embedding_dedup_pairs(emb_ds, tau: float = 0.4, chunk_rows: int | None = None,
                           scratch_dir: str | None = None):
     """EXACT cosine near-dup pairs (a < b, cos >= tau), distributed.
 
@@ -580,6 +596,10 @@ def embedding_dedup_pairs(emb_ds, tau: float = 0.4, chunk_rows: int = 8192,
     from rhealpixdggs_py_ray.ops.ann import _seq_dots, _seq_norm
 
     n = emb_ds.count()
+    if chunk_rows is None:
+        # ~K=64 chunks => ~2k chunk-pair tasks at any corpus size, with
+        # a floor so tiny corpora still fan out
+        chunk_rows = max(512, -(-n // 64))
     K = max(1, -(-n // chunk_rows))
     scratch = scratch_dir or tempfile.mkdtemp(prefix="emb_dedup_", dir="/tmp")
 

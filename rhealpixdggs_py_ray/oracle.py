@@ -67,8 +67,12 @@ def lonlat_from_id_sql(id_expr: str) -> tuple[str, str]:
 # ---------------------------------------------------------------------------
 
 def _lit(x: float) -> str:
-    """Exact float64 literal (repr round-trips)."""
-    return repr(float(x))
+    """Exact float64 literal.  The CAST is load-bearing: DuckDB parses
+    bare decimal literals as DECIMAL, and DECIMAL arithmetic with an
+    integer column (e.g. ``dxi * 0.111...``) rounds differently from
+    double arithmetic by 1 ulp.  A string-parse cast is the correctly
+    rounded double for repr's shortest round-trip digits."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
 
 
 def _proj_parts(cfg: EngineConfig):
@@ -331,4 +335,384 @@ def grid_sql(resolution: int, cfg: EngineConfig = WGS84_003) -> str:
         f"SELECT {letter}{digits} AS cell_id"
         f" FROM (SELECT unnest(generate_series(0, {total - 1})) AS i)"
         f" ORDER BY i"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverse projection as SQL (projection.py:inverse — planar meters ->
+# lon/lat degrees).  Mirrors combine_triangles(inverse=True) +
+# healpix_sphere_inverse + the inverse authalic series operation-for-
+# operation.  NOTE: this chain contains asin(), whose last-ULP rounding
+# can differ between DuckDB and numpy (measured <= 2 ulp in this
+# environment); downstream oracles therefore only use the result
+# through coarse quantization (floor(x * 1e6)) or through inside/
+# outside decisions with >> 1e-9 margins, both verified in tests.
+# ---------------------------------------------------------------------------
+
+def inverse_sql(
+    planar_sql: str,
+    cfg: EngineConfig = WGS84_003,
+    id_cols: tuple[str, ...] = ("id",),
+    extra_cols: tuple[str, ...] = (),
+) -> str:
+    """Subquery: (id_cols..., extra..., xm, ym planar meters) ->
+    (id_cols..., extra..., lon, lat degrees)."""
+    if cfg.lon_0 != 0 or cfg.lat_0 != 0 or cfg.radians:
+        raise NotImplementedError("oracle SQL assumes lon_0=lat_0=0, degrees")
+    ns = cfg.north_square % 4
+    ss = cfg.south_square % 4
+    R = _lit(cfg.R_A)
+    pi = _lit(PI)
+    eps = "1e-15"
+    keep = ", ".join(id_cols + extra_cols)
+
+    # region from the original (pre-rearrangement) y
+    north = f"(y > {pi}/4)"
+    south = f"(y < -{pi}/4)"
+    # triangle(inverse=True): successive np.where writes; conditions are
+    # mutually disjoint so CASE order is free (projection.py:166-183)
+    l1n = f"(x - (-3*{pi}/4 + ({ns} - 1)*{pi}/2))"
+    l2n = f"(-x + (-3*{pi}/4 + ({ns} + 1)*{pi}/2))"
+    tn = (
+        f"(CASE WHEN y > {l1n} + {eps} AND y <= {l2n} + {eps} THEN {(ns + 3) % 4}"
+        f" WHEN y >= {l1n} - {eps} AND y > {l2n} + {eps} THEN {(ns + 2) % 4}"
+        f" WHEN y < {l1n} - {eps} AND y >= {l2n} - {eps} THEN {(ns + 1) % 4}"
+        f" ELSE {ns} END)"
+    )
+    l1s = f"(x - (-3*{pi}/4 + ({ss} + 1)*{pi}/2))"
+    l2s = f"(-x + (-3*{pi}/4 + ({ss} - 1)*{pi}/2))"
+    ts = (
+        f"(CASE WHEN y >= {l1s} - {eps} AND y < {l2s} - {eps} THEN {(ss + 3) % 4}"
+        f" WHEN y < {l1s} - {eps} AND y <= {l2s} + {eps} THEN {(ss + 2) % 4}"
+        f" WHEN y <= {l1s} + {eps} AND y > {l2s} + {eps} THEN {(ss + 1) % 4}"
+        f" ELSE {ss} END)"
+    )
+    c = f"(CASE WHEN {north} THEN {tn} WHEN {south} THEN {ts} ELSE -1 END)"
+    # combine_triangles(inverse): rotate about u, translate to tc
+    qn = f"((-(c - {ns}) % 4) + 4) % 4"
+    qs = f"(((c - {ss}) % 4) + 4) % 4"
+    q = f"(CASE WHEN {north} THEN {qn} ELSE {qs} END)"
+    cq = "(CASE q WHEN 0 THEN 1.0 WHEN 1 THEN 0.0 WHEN 2 THEN -1.0 ELSE 0.0 END)"
+    sq = "(CASE q WHEN 0 THEN 0.0 WHEN 1 THEN 1.0 WHEN 2 THEN 0.0 ELSE -1.0 END)"
+    tcx = f"(-3*{pi}/4 + c*({pi}/2))"
+    tcy = f"(sign(y)*({pi}/2))"
+    ux = (
+        f"(CASE WHEN {north} THEN -3*{pi}/4 + {ns}*({pi}/2)"
+        f" ELSE -3*{pi}/4 + {ss}*({pi}/2) END)"
+    )
+    uy = f"(CASE WHEN {north} THEN {pi}/2 ELSE -({pi}/2) END)"
+    xo = f"({cq}*(x - {ux}) + (-{sq})*(y - {uy}) + {tcx})"
+    yo = f"({sq}*(x - {ux}) + {cq}*(y - {uy}) + {tcy})"
+    polar = f"({north} OR {south})"
+    hx = f"(CASE WHEN {polar} THEN {xo} ELSE x END)"
+    hy = f"(CASE WHEN {polar} THEN {yo} ELSE y END)"
+
+    # healpix_sphere_inverse on (hx, hy) (projection.py:84-116)
+    clip1 = "greatest(-1.0, least(1.0, {v}))"
+    phi_eq = f"asin({clip1.format(v=f'8*hy/(3*{pi})')})"
+    cap_raw = f"floor(2*hx/{pi} + 2)"
+    cap = f"(CASE WHEN {cap_raw} >= 4 THEN 3.0 ELSE {cap_raw} END)"
+    xc = f"(-3*{pi}/4 + ({pi}/2)*{cap})"
+    tau = f"(2 - 4*abs(hy)/{pi})"
+    lam_pol = f"greatest(-{pi}, least({pi}, {xc} + (hx - {xc})/{tau}))"
+    phi_pol = f"sign(hy)*asin({clip1.format(v=f'1 - ({tau}*{tau})/3')})"
+    equat = f"(abs(hy) <= {pi}/4)"
+    poles = f"(abs(hy) >= {pi}/2)"
+    lam_r = (
+        f"(CASE WHEN {poles} THEN -{pi}"
+        f" WHEN {equat} THEN hx ELSE {lam_pol} END)"
+    )
+    beta = (
+        f"(CASE WHEN {poles} THEN sign(hy)*{pi}/2"
+        f" WHEN {equat} THEN {phi_eq} ELSE {phi_pol} END)"
+    )
+
+    # inverse authalic series (utils.py:auth_lat inverse; left-to-right)
+    if cfg.e == 0:
+        phi_r = "beta"
+    else:
+        coeffs = cfg.auth_coeffs_inv
+        series = " + ".join(
+            f"({_lit(coeffs[k])})*sin({2 * (k + 1)}*beta)" for k in range(6)
+        )
+        phi_r = f"(beta + ({series}))"
+
+    r2d = _lit(180.0 / PI)
+    wrap = (
+        "(CASE WHEN {v} >= 180 THEN {v} - 360"
+        " WHEN {v} < -180 THEN {v} + 360 ELSE {v} END)"
+    )
+    lon = wrap.format(v=f"(lam_r * {r2d})")
+    lat = f"(phi_r * {r2d})"
+
+    return (
+        f"(WITH pl AS ({planar_sql}),"
+        f" s0 AS MATERIALIZED (SELECT {keep}, xm / {R} AS x, ym / {R} AS y FROM pl),"
+        f" s1 AS MATERIALIZED (SELECT {keep}, x, y, {c} AS c FROM s0),"
+        f" s2 AS MATERIALIZED (SELECT {keep}, x, y, c, {q} AS q FROM s1),"
+        f" s3 AS MATERIALIZED (SELECT {keep}, {hx} AS hx, {hy} AS hy FROM s2),"
+        f" s4 AS MATERIALIZED (SELECT {keep}, {lam_r} AS lam_r, {beta} AS beta FROM s3),"
+        f" s5 AS MATERIALIZED (SELECT {keep}, lam_r, {phi_r} AS phi_r FROM s4)"
+        f" SELECT {keep}, {lon} AS lon, {lat} AS lat FROM s5)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Closed-form cover enumeration as SQL (equatorial band).
+#
+# Inside the equatorial band the reference's east-neighbor walk
+# (dggs.py:1181-1331) enumerates exactly the grid rectangle
+# [row(y_max)..row(y_min)] x [col(x_min)..col(x_max)]: equatorial faces
+# tile the plane contiguously, every row cell is a quad, and the
+# boundary-row insertion rules collapse to "each covered cell-row once"
+# (SURVEY §3.2).  The SQL derives the row/col ranges from its own
+# forward-projection chain, enumerates nuclei, and maps them through
+# the verified cell_from_point SQL — fully independent of the engine's
+# walk code.
+# ---------------------------------------------------------------------------
+
+def _check_equatorial(cfg: EngineConfig, lats) -> None:
+    phi0 = math.degrees(math.asin(2.0 / 3))
+    for lat in lats:
+        import numpy as _np
+
+        from rhealpixdggs_py_ray.core.utils import auth_lat
+
+        beta = float(auth_lat(_np.asarray([lat], dtype=float), cfg)[0])
+        if abs(beta) >= phi0 - 1e-9:
+            raise NotImplementedError(
+                f"closed-form cover SQL requires an equatorial-band region;"
+                f" lat={lat} has authalic latitude outside +-{phi0:.4f}"
+            )
+
+
+def _cover_cells_sql(
+    lon_min: float, lat_max: float, lon_max: float, lat_min: float,
+    resolution: int, cfg: EngineConfig = WGS84_003,
+) -> str:
+    """Subquery enumerating the equatorial-band cover:
+    (row, col, xm, ym) with (xm, ym) the cell NUCLEUS computed exactly
+    as core/index.py ul_vertex + w/2 does (same float ops)."""
+    _check_equatorial(cfg, (lat_min, lat_max))
+    if not (-180.0 <= lon_min < lon_max < 180.0) or lon_max - lon_min >= 90.0:
+        raise NotImplementedError("cover SQL: need -180 <= lon_min < lon_max, span < 90")
+    R = cfg.R_A
+    pi = _lit(PI)
+    w = _lit(cfg.cell_width(resolution))
+    Rpi4 = _lit(R * PI / 4)
+    Rpi = _lit(R * PI)
+    n3r = cfg.N_side**resolution
+    w0 = _lit(cfg.cell_width(0))
+    inv = _lit(float(cfg.N_side ** (-resolution)))  # python int**-int rounding
+    bpts = (
+        "SELECT * FROM (VALUES"
+        f" (0, {lon_min!r}, {lat_max!r}), (1, {lon_max!r}, {lat_min!r})"
+        ") AS t(id, lon, lat)"
+    )
+    proj = projection_sql(bpts, cfg, id_cols=("id",))
+    # row/col of the two bound points via the engine's own face + dx
+    # truncation semantics (dggs.py:803-823) — a bound landing exactly
+    # on a cell boundary must pick the same side as cell_from_point
+    pi_b = PI
+    bins = [(-pi_b, -pi_b / 2), (-pi_b / 2, 0.0), (0.0, pi_b / 2), (pi_b / 2, pi_b)]
+    face_eq = "(CASE " + " ".join(
+        f"WHEN xm >= {_lit(cfg.R_A * lo)} AND xm < {_lit(cfg.R_A * hi)} THEN {i + 1}"
+        for i, (lo, hi) in enumerate(bins)
+    ) + " END)"
+    ulxc = "(CASE face " + " ".join(
+        f"WHEN {i} THEN {_lit(cfg.ul_vertex[i, 0])}" for i in range(1, 5)
+    ) + " END)"
+    uly = _lit(cfg.ul_vertex[1, 1])
+    w0b = _lit(cfg.cell_width(0))
+    scale = _lit(float(cfg.N_side**resolution))
+    smidgen = _lit(0.5 * cfg.cell_width(cfg.max_resolution) / cfg.cell_width(0))
+    dxs = f"(CASE WHEN dx0 = 1 THEN dx0 - {smidgen} ELSE dx0 END)"
+    dys = f"(CASE WHEN dy0 = 1 THEN dy0 - {smidgen} ELSE dy0 END)"
+    x0case = "(CASE (1 + c // {n}) ".format(n=n3r) + " ".join(
+        f"WHEN {i} THEN {_lit(cfg.ul_vertex[i, 0])}" for i in range(1, 5)
+    ) + " END)"
+    y0 = _lit(cfg.ul_vertex[1, 1])  # R*pi/4 for every equatorial face
+    return (
+        f"(WITH bb0 AS (SELECT id, xm, ym, {face_eq} AS face FROM {proj} t),"
+        f" bb1 AS (SELECT id, face, abs(xm - {ulxc})/{w0b} AS dx0,"
+        f"   abs(ym - {uly})/{w0b} AS dy0 FROM bb0),"
+        f" bb AS (SELECT id,"
+        f"   (face - 1) * {n3r} + CAST(floor({dxs} * {scale}) AS BIGINT) AS gc,"
+        f"   CAST(floor({dys} * {scale}) AS BIGINT) AS gk FROM bb1),"
+        f" rng AS (SELECT"
+        f"  (SELECT gk FROM bb WHERE id=0) AS k_min,"
+        f"  (SELECT gk FROM bb WHERE id=1) AS k_max,"
+        f"  (SELECT gc FROM bb WHERE id=0) AS c_min,"
+        f"  (SELECT gc FROM bb WHERE id=1) AS c_max),"
+        # static series + filter: this DuckDB build rejects lateral
+        # column parameters to generate_series
+        f" kk AS (SELECT unnest(generate_series(0, {n3r})) AS dk),"
+        f" cc AS (SELECT unnest(generate_series(0, {4 * n3r})) AS dc),"
+        f" kc AS (SELECT k_min + dk AS k, c_min + dc AS c, dk AS row, dc AS col"
+        f"   FROM rng, kk, cc WHERE dk <= k_max - k_min AND dc <= c_max - c_min)"
+        f" SELECT row, col,"
+        f"  ({x0case} + {w0}*((c % {n3r}) * {inv})) + {w}/2 AS xm,"
+        f"  ({y0} - {w0}*(k * {inv})) - {w}/2 AS ym"
+        f" FROM kc)"
+    )
+
+
+def cells_from_region_sql(
+    ul: tuple, dr: tuple, resolution: int, cfg: EngineConfig = WGS84_003
+) -> str:
+    """(row, col, cell_id) oracle for cells_from_region over an
+    equatorial-band ellipsoidal region (degrees)."""
+    cover = _cover_cells_sql(ul[0], ul[1], dr[0], dr[1], resolution, cfg)
+    inner = f"SELECT row, col, xm, ym FROM {cover} t"
+    return (
+        "SELECT row, col, cell_id FROM "
+        + planar_cell_sql(inner, resolution, cfg, id_cols=("row", "col"))
+        + " z"
+    )
+
+
+def _pip_sql(ring, px: str, py: str) -> str:
+    """Ray-casting parity test mirroring geometry.points_in_ring
+    (same xint arithmetic); ``ring`` is a list of (x, y) vertices."""
+    terms = []
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        if y2 == y1:
+            continue
+        xint = (
+            f"({x1!r} + ({py} - {y1!r}) * ({x2!r} - {x1!r}) / ({y2!r} - {y1!r}))"
+        )
+        cond = f"(({y1!r} > {py}) <> ({y2!r} > {py}))"
+        terms.append(f"(CASE WHEN {cond} AND {px} < {xint} THEN 1 ELSE 0 END)")
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+def polyfill_sql(
+    poly, resolution: int, cfg: EngineConfig = WGS84_003
+) -> str:
+    """cell_id oracle for polyfill over an equatorial-band polygon:
+    bbox cover -> quad-cell centroid (nucleus lon, mean of the four
+    ellipsoidal vertex latitudes — cell.py:1061-1147 quad branch) ->
+    ray-casting point-in-polygon."""
+    xs = [p[0] for p in poly]
+    ys = [p[1] for p in poly]
+    cover = _cover_cells_sql(min(xs), max(ys), max(xs), min(ys), resolution, cfg)
+    R = _lit(cfg.R_A)
+    pi = _lit(PI)
+    r2d = _lit(180.0 / PI)
+    w = _lit(cfg.cell_width(resolution))
+    coeffs = cfg.auth_coeffs_inv
+
+    # corner latitudes: ul==ur (y + w/2) and dr==dl (y - w/2) share a
+    # row, so only two betas are needed; xm/ym is the nucleus
+    half = f"{w}/2"
+    b_ul = f"asin(greatest(-1.0, least(1.0, 8*(((ym + {half}))/{R})/(3*{pi}))))"
+    b_dl = f"asin(greatest(-1.0, least(1.0, 8*(((ym - {half}))/{R})/(3*{pi}))))"
+    series_t = " + ".join(
+        f"({_lit(coeffs[k])})*sin({2 * (k + 1)}*{{b}})" for k in range(6)
+    )
+    lat_t = f"(({{b}} + ({series_t})) * {r2d})"
+    lat_ul = lat_t.format(b="bu")
+    lat_dl = lat_t.format(b="bd")
+    # ul==ur and dr==dl latitudes (same y), so mean = (((ul+ur)+dr)+dl)/4
+    lat_mean = f"((({lat_ul} + {lat_ul}) + {lat_dl}) + {lat_dl}) / 4"
+    wrap = (
+        "(CASE WHEN {v} >= 180 THEN {v} - 360"
+        " WHEN {v} < -180 THEN {v} + 360 ELSE {v} END)"
+    )
+    lon = wrap.format(v=f"((xm / {R}) * {r2d})")
+    pip = _pip_sql(list(poly), "clon", "clat")
+    inner = (
+        f"(WITH cov AS (SELECT row, col, xm, ym FROM {_sq(cover)} t),"
+        f" bb AS (SELECT row, col, xm, ym, {b_ul} AS bu, {b_dl} AS bd FROM cov),"
+        f" cc AS (SELECT row, col, xm, ym, {lon} AS clon, {lat_mean} AS clat FROM bb)"
+        f" SELECT row, col, xm, ym FROM cc WHERE {pip})"
+    )
+    cells = planar_cell_sql(
+        f"SELECT row, col, xm, ym FROM {inner} t", resolution, cfg,
+        id_cols=("row", "col"),
+    )
+    return f"SELECT cell_id FROM {cells} z"
+
+
+def _sq(s: str) -> str:
+    return s
+
+
+def compress_cells_sql(poly, resolution: int, cfg: EngineConfig = WGS84_003) -> str:
+    """compress_order_cells oracle over the polyfill cover
+    (conversion.py:114-135): merge complete sibling groups, emit
+    parents."""
+    pf = polyfill_sql(poly, resolution, cfg)
+    n2 = cfg.N_side**2
+    return (
+        f"WITH pf AS ({pf}),"
+        " up AS (SELECT substr(cell_id, 1, length(cell_id) - 1) AS p, cell_id FROM pf),"
+        " cnt AS (SELECT p, COUNT(*) AS n FROM up GROUP BY p)"
+        f" SELECT DISTINCT CASE WHEN cnt.n = {n2} THEN u.p ELSE u.cell_id END AS cell_id"
+        " FROM up u JOIN cnt ON u.p = cnt.p"
+    )
+
+
+def cell_geometry_sql(resolution: int = 2, cfg: EngineConfig = WGS84_003) -> str:
+    """(cell_id, nuc_lon_micros, nuc_lat_micros, shape) for every cell
+    at ``resolution`` — nucleus via ul_vertex digit arithmetic
+    (cell.py:483-531, 625-653) + the full inverse projection; shape via
+    the SUID digit patterns (cell.py:1008-1059)."""
+    if resolution != 2:
+        raise NotImplementedError("cell_geometry oracle is generated for res 2")
+    N = cfg.N_side
+    b = N * N
+    total = 6 * b**2
+    w0 = _lit(cfg.cell_width(0))
+    w = _lit(cfg.cell_width(2))
+    inv = _lit(float(N ** (-2)))
+    x0case = "(CASE face " + " ".join(
+        f"WHEN {i} THEN {_lit(cfg.ul_vertex[i, 0])}" for i in range(6)
+    ) + " END)"
+    y0case = "(CASE face " + " ".join(
+        f"WHEN {i} THEN {_lit(cfg.ul_vertex[i, 1])}" for i in range(6)
+    ) + " END)"
+    letter = (
+        "(CASE face "
+        + " ".join(f"WHEN {i} THEN '{c}'" for i, c in enumerate(CELLS0))
+        + " END)"
+    )
+    center = (b - 1) // 2
+    diag1 = sorted({i * (N + 1) for i in range(N)})
+    diag2 = sorted({(i + 1) * (N - 1) for i in range(N)})
+    in1 = "({d} IN (" + ", ".join(str(v) for v in diag1) + "))"
+    in2 = "({d} IN (" + ", ".join(str(v) for v in diag2) + "))"
+    shape = (
+        f"(CASE WHEN face IN (0, 5) THEN"
+        f" (CASE WHEN d1 = {center} AND d2 = {center} THEN 'cap'"
+        f" WHEN ({in1.format(d='d1')} AND {in1.format(d='d2')})"
+        f" OR ({in2.format(d='d1')} AND {in2.format(d='d2')}) THEN 'dart'"
+        f" ELSE 'skew_quad' END)"
+        f" ELSE 'quad' END)"
+    )
+    base = (
+        f"(WITH i0 AS (SELECT unnest(generate_series(0, {total - 1})) AS i),"
+        f" dg AS (SELECT i, i // {b * b} AS face,"
+        f"   (i // {b}) % {b} AS d1, i % {b} AS d2 FROM i0),"
+        f" rc AS (SELECT i, face, d1, d2,"
+        f"   (d1 % {N}) * {N} + (d2 % {N}) AS dxi,"
+        f"   (d1 // {N}) * {N} + (d2 // {N}) AS dyi FROM dg),"
+        f" nu AS (SELECT i, face, d1, d2,"
+        f"   ({x0case} + {w0}*(dxi * {inv})) + {w}/2 AS xm,"
+        f"   ({y0case} - {w0}*(dyi * {inv})) - {w}/2 AS ym FROM rc)"
+        f" SELECT i, face, d1, d2, xm, ym FROM nu)"
+    )
+    invq = inverse_sql(
+        f"SELECT i, face, d1, d2, xm, ym FROM {base} t", cfg,
+        id_cols=("i",), extra_cols=("face", "d1", "d2"),
+    )
+    return (
+        f"SELECT {letter} || CAST(d1 AS VARCHAR) || CAST(d2 AS VARCHAR) AS cell_id,"
+        f" CAST(floor(lon * 1000000.0) AS BIGINT) AS nuc_lon_micros,"
+        f" CAST(floor(lat * 1000000.0) AS BIGINT) AS nuc_lat_micros,"
+        f" {shape} AS shape"
+        f" FROM {invq} t"
     )

@@ -680,7 +680,10 @@ def sql_fingerprint() -> str:
 # semantics are golden-tested against the reference in tests/)
 # ---------------------------------------------------------------------------
 
-POLYFILL_POLY = [(-30.0, 45.0), (40.0, 50.0), (35.0, -10.0), (-25.0, -5.0)]
+# Equatorial-band polygon so the DuckDB oracle can enumerate the cover
+# closed-form (rows x cols + centroid PIP); polar-crossing polygons are
+# golden-tested against the walk in tests/test_cover.py.
+POLYFILL_POLY = [(-30.0, 38.0), (40.0, 41.0), (35.0, -10.0), (-25.0, -5.0)]
 POLYFILL_RES = 4
 
 
@@ -692,6 +695,10 @@ def q_polyfill(sf_dir: str):
     return pa.table({"cell_id": pa.array(cells, type=pa.string())})
 
 
+def sql_polyfill() -> str:
+    return oracle.polyfill_sql(POLYFILL_POLY, POLYFILL_RES, CFG)
+
+
 def q_compress(sf_dir: str):
     """compress_order_cells over the polyfill cover (conversion.py:114-135)."""
     from rhealpixdggs_py_ray.core import wrappers as W
@@ -700,14 +707,46 @@ def q_compress(sf_dir: str):
     return pa.table({"cell_id": pa.array(W.compress_order_cells(list(cells)))})
 
 
+def sql_compress() -> str:
+    return oracle.compress_cells_sql(POLYFILL_POLY, POLYFILL_RES, CFG)
+
+
+KRING_RES = 5
+KRING_K = 2
+KRING_N_EVENTS = 200
+
+
+def _band_row_col(u: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(band row, global column) of equatorial res-KRING_RES cells from
+    the SUID digits (suid_rowcol semantics, cell.py:269-291)."""
+    _, digits, _ = su.unpack(u)
+    N = CFG.N_side
+    row = np.zeros(len(u), dtype=np.int64)
+    col = np.zeros(len(u), dtype=np.int64)
+    for i in range(KRING_RES):
+        row = row * N + digits[:, i] // N
+        col = col * N + digits[:, i] % N
+    col = (su.face_of(u) - 1) * N**KRING_RES + col
+    return row, col
+
+
 def q_k_ring(sf_dir: str):
-    """k_ring(2) around the res-5 cell of the first 20 events —
-    flat_map expansion over the topology kernel (rhp_wrappers.py:471-507)."""
+    """k_ring(2) around the res-5 cells of the first 200 events that
+    index to band-interior equatorial cells (the walk kernel,
+    rhp_wrappers.py:471-507).  The interior restriction makes the ring
+    SQL-enumerable (Chebyshev ring in band row/col space with east-west
+    face wrap), so the walk itself gets a full value-hash oracle;
+    polar/edge ring behavior is golden-tested in tests/test_topology.py."""
     from rhealpixdggs_py_ray.core import topology as tp
 
-    ids = np.arange(20, dtype=np.int64)
+    ids = np.arange(KRING_N_EVENTS, dtype=np.int64)
     lon, lat = oracle.lonlat_from_id(ids)
-    cells = idx.cell_from_point(CFG, 5, lon, lat, plane=False)
+    cells = idx.cell_from_point(CFG, KRING_RES, lon, lat, plane=False)
+    row, _ = _band_row_col(cells)
+    face = su.face_of(cells)
+    nrow = CFG.N_side**KRING_RES
+    safe = (face >= 1) & (face <= 4) & (row >= KRING_K) & (row <= nrow - 1 - KRING_K)
+    ids, cells = ids[safe], cells[safe]
     ds = ray.data.from_arrow(
         pa.table({"event_id": pa.array(ids), "cell_u64": pa.array(cells, type=pa.uint64())})
     )
@@ -718,7 +757,7 @@ def q_k_ring(sf_dir: str):
             batch["event_id"].to_numpy(zero_copy_only=False),
             batch["cell_u64"].to_numpy(zero_copy_only=False),
         ):
-            for r in tp.k_ring(CFG, int(c), 2):
+            for r in tp.k_ring(CFG, int(c), KRING_K):
                 eids.append(e)
                 origins.append(su.to_string(np.array([c], dtype=np.uint64))[0])
                 ring_cells.append(su.to_string(np.array([r], dtype=np.uint64))[0])
@@ -733,9 +772,55 @@ def q_k_ring(sf_dir: str):
     return ds.map_batches(rings, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def sql_k_ring() -> str:
+    """Independent oracle: rings of band-interior equatorial cells are
+    Chebyshev rings in (band row, global col mod 4*3^res) space."""
+    res, k, N = KRING_RES, KRING_K, CFG.N_side
+    nrow = N**res
+    ncol = 4 * nrow
+    inner = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), res, CFG, id_cols=("event_id",)
+    )
+    dig = lambda i: f"CAST(substr(cell_id, {i + 2}, 1) AS BIGINT)"
+    row = "(" + " + ".join(f"({dig(i)} // {N}) * {N ** (res - 1 - i)}" for i in range(res)) + ")"
+    colf = "(" + " + ".join(f"({dig(i)} % {N}) * {N ** (res - 1 - i)}" for i in range(res)) + ")"
+    fidx = (
+        "(CASE substr(cell_id, 1, 1) "
+        + " ".join(f"WHEN '{c}' THEN {i}" for i, c in enumerate(CELLS0))
+        + " END)"
+    )
+    gcol = f"(({fidx} - 1) * {nrow} + {colf})"
+    letter2 = (
+        "(CASE (c2 // " + str(nrow) + ") "
+        + " ".join(f"WHEN {f - 1} THEN '{c}'" for f, c in enumerate(CELLS0))
+        + " END)"
+    )
+    digits2 = "".join(
+        f" || CAST(((r2 // {N ** (res - 1 - i)}) % {N}) * {N}"
+        f" + (((c2 % {nrow}) // {N ** (res - 1 - i)}) % {N}) AS VARCHAR)"
+        for i in range(res)
+    )
+    return (
+        f"WITH pts AS MATERIALIZED ("
+        f"  SELECT event_id, cell_id, {row} AS row, {gcol} AS gcol"
+        f"  FROM {inner} t WHERE event_id < {KRING_N_EVENTS}),"
+        f" safe AS MATERIALIZED ("
+        f"  SELECT * FROM pts WHERE substr(cell_id, 1, 1) IN ('O','P','Q','R')"
+        f"   AND row BETWEEN {k} AND {nrow - 1 - k}),"
+        f" offs AS (SELECT dr, dc FROM"
+        f"   (SELECT unnest(generate_series({-k}, {k})) AS dr),"
+        f"   (SELECT unnest(generate_series({-k}, {k})) AS dc)),"
+        f" ring AS (SELECT event_id, cell_id AS origin,"
+        f"   row + dr AS r2, ((gcol + dc) % {ncol} + {ncol}) % {ncol} AS c2"
+        f"  FROM safe, offs)"
+        f" SELECT event_id, origin, {letter2}{digits2} AS ring_cell FROM ring"
+    )
+
+
 def q_cell_geometry(sf_dir: str):
-    """Per-cell geometry columns (nucleus + area + shape) for every
-    res-2 cell (cell.py:625-732, 1008-1059 semantics)."""
+    """Per-cell geometry columns (nucleus micros + shape) for every
+    res-2 cell (cell.py:625-732, 1008-1059); oracled by the full SQL
+    inverse-projection chain (oracle.cell_geometry_sql)."""
     b = CFG.N_side**2
     total = 6 * b**2
     base = 6 * (b**2 - 1) // (b - 1)
@@ -744,13 +829,15 @@ def q_cell_geometry(sf_dir: str):
         i = batch["id"].to_numpy(zero_copy_only=False)
         u = su.suid_from_level_order_index(i + base, CFG)
         nlon, nlat = idx.nucleus(CFG, u, plane=False)
+        shape_names = np.array(idx.SHAPE_NAMES)
         return pa.table(
             {
                 "cell_id": pa.array(su.to_string_fixed(u, 2)),
-                "nuc_lon": pa.array(nlon),
-                "nuc_lat": pa.array(nlat),
+                "nuc_lon_micros": pa.array(np.floor(nlon * 1e6).astype(np.int64)),
+                "nuc_lat_micros": pa.array(np.floor(nlat * 1e6).astype(np.int64)),
                 "shape": pa.array(
-                    [idx.SHAPE_NAMES[s] for s in idx.shape_of(CFG, u)], type=pa.string()
+                    shape_names[np.asarray(idx.shape_of(CFG, u), dtype=np.int64)],
+                    type=pa.string(),
                 ),
             }
         )
@@ -1088,12 +1175,16 @@ def q_linetrace(sf_dir: str):
     return ds.map_batches(trace, batch_format="pyarrow", zero_copy_batch=True)
 
 
+REGION_UL = (-20.0, 40.0)
+REGION_DR = (50.0, -15.0)
+
+
 def q_cells_from_region(sf_dir: str):
     """cells_from_region cover rows (dggs.py:1181-1331), W->E / N->S
     order preserved via (row, col) output columns."""
     from rhealpixdggs_py_ray.core import cover as cov
 
-    rows = cov.cells_from_region(CFG, 4, (-20.0, 40.0), (50.0, -15.0), plane=False)
+    rows = cov.cells_from_region(CFG, 4, REGION_UL, REGION_DR, plane=False)
     ri, ci, cid = [], [], []
     for r, row in enumerate(rows):
         for c, u in enumerate(row):
@@ -1107,6 +1198,10 @@ def q_cells_from_region(sf_dir: str):
             "cell_id": pa.array(cid, type=pa.string()),
         }
     )
+
+
+def sql_cells_from_region() -> str:
+    return oracle.cells_from_region_sql(REGION_UL, REGION_DR, 4, CFG)
 
 
 def q_knn_rings(sf_dir: str):
@@ -1124,7 +1219,7 @@ def q_knn_rings(sf_dir: str):
         k=KNN_K,
         cfg=CFG,
         resolution=2,
-        expand=1,
+        expand=2,
         id_col="event_id",
         cell_col="cell_u64",
     )
@@ -1324,3 +1419,7 @@ def sql_cell_from_region() -> str:
         f" FROM (SELECT unnest(generate_series(0, {N_REGION_PAIRS - 1})) AS pair_id)"
     )
     return oracle.cell_from_region_sql(pairs, CFG)
+
+
+def sql_cell_geometry() -> str:
+    return oracle.cell_geometry_sql(2, CFG)
