@@ -72,6 +72,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_stats": Q.q_cell_stats,
         "tile_counts_salted": Q.q_tile_counts_salted,
         "cell_from_region": Q.q_cell_from_region,
+        "predecessor": Q.q_predecessor,
+        "interval": Q.q_interval,
+        "suid_rowcol": Q.q_suid_rowcol,
+        "num_cells": Q.q_num_cells,
+        "xy_range": Q.q_xy_range,
+        "cell_boundary": Q.q_cell_boundary,
+        "cell_interior": Q.q_cell_interior,
+        "cell_contains": Q.q_cell_contains,
+        "cell_overlaps": Q.q_cell_overlaps,
+        "random_cells": Q.q_random_cells,
+        "random_points": Q.q_random_points,
+        "cell_zone": Q.q_cell_zone,
     }
 
 
@@ -117,4 +129,15 @@ def oracle_sql() -> dict[str, str]:
         "cell_stats": Q.sql_cell_stats(),
         "tile_counts_salted": Q.sql_tile_counts(),
         "cell_from_region": Q.sql_cell_from_region(),
+        "predecessor": Q.sql_predecessor(),
+        "interval": Q.sql_interval(),
+        "suid_rowcol": Q.sql_suid_rowcol(),
+        "num_cells": Q.sql_num_cells(),
+        "xy_range": Q.sql_xy_range(),
+        "cell_boundary": Q.sql_cell_boundary(),
+        "cell_interior": Q.sql_cell_interior(),
+        "cell_contains": Q.sql_cell_contains(),
+        "cell_overlaps": Q.sql_cell_overlaps(),
+        "random_cells": Q.sql_random_cells(),
+        "random_points": Q.sql_random_points(),
     }

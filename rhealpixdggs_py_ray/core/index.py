@@ -442,3 +442,154 @@ def cell_from_region(
     if least == 0:
         return None
     return su.from_suid_tuple(t1[:least])
+
+
+def xy_range(cfg: EngineConfig, u: np.ndarray):
+    """Planar extremes ((x_min, x_max), (y_min, y_max)) per cell
+    (cell.py:734-754), vectorized: returns 4 arrays."""
+    x, y = ul_vertex(cfg, u)
+    w = width_of(cfg, u)
+    return x, x + w, y - w, y
+
+
+def boundary(cfg: EngineConfig, u: np.ndarray, n: int = 2, plane: bool = True,
+             interior_nudge: bool = False) -> np.ndarray:
+    """(m, 4n-4, 2) boundary points per cell, n per edge, clockwise
+    from the planar upper-left corner (cell.py:756-831).  Ellipsoidal
+    output rotates to start at the northwest vertex then inverse-
+    projects with the cell's region, exactly like the reference."""
+    u = np.asarray(u, dtype=np.uint64)
+    m = u.shape[0]
+    if n < 2:
+        n = 2
+    x, y = ul_vertex(cfg, u)
+    w = width_of(cfg, u)
+    eps = w / 10000 if interior_nudge else np.zeros_like(w)
+    delta = (w - 2 * eps) / (n - 1)
+    npts = 4 * n - 4
+    pts = np.empty((m, npts, 2), dtype=np.float64)
+    px = x + eps
+    py = y - eps
+    k = 0
+    for direction in ((1, 0), (0, -1), (-1, 0), (0, 1)):
+        for j in range(0, n - 1):
+            if k < npts:
+                pts[:, k, 0] = px + j * delta * direction[0]
+                pts[:, k, 1] = py + j * delta * direction[1]
+            k += 1
+        px = px + (n - 1) * delta * direction[0]
+        py = py + (n - 1) * delta * direction[1]
+    if plane:
+        return pts
+    # rotate so the list starts at the NW vertex, then project
+    i = nw_vertex_index(cfg, u) * (n - 1)
+    rows = np.arange(m)[:, None]
+    order = (i[:, None] + np.arange(npts)[None, :]) % npts
+    pts = pts[rows, order]
+    reg = region_of(u)
+    out = np.empty_like(pts)
+    for code, rname in ((0, "equatorial"), (1, "north_polar"), (2, "south_polar")):
+        msk = reg == code
+        if not msk.any():
+            continue
+        lon, lat, _ = prj.inverse(
+            cfg, pts[msk, :, 0].ravel(), pts[msk, :, 1].ravel(), region=rname
+        )
+        out[msk, :, 0] = lon.reshape(-1, npts)
+        out[msk, :, 1] = lat.reshape(-1, npts)
+    return out
+
+
+def interior_grid(cfg: EngineConfig, u: np.ndarray, n: int = 2,
+                  plane: bool = True) -> np.ndarray:
+    """(m, n, n, 2) row-major interior sample grid per cell
+    (cell.py:833-883): points at ul + eps + delta*(j, -i), eps=1e-6."""
+    u = np.asarray(u, dtype=np.uint64)
+    m = u.shape[0]
+    x, y = ul_vertex(cfg, u)
+    w = width_of(cfg, u)
+    eps = 1e-6
+    delta = (w - 2 * eps) / (n - 1)
+    j = np.arange(n, dtype=np.float64)
+    px = x[:, None, None] + eps + delta[:, None, None] * j[None, None, :]
+    py = y[:, None, None] - eps - delta[:, None, None] * j[None, :, None]
+    pts = np.stack([np.broadcast_to(px, (m, n, n)),
+                    np.broadcast_to(py, (m, n, n))], axis=3)
+    if plane:
+        return pts
+    lon, lat, _ = prj.inverse(cfg, pts[..., 0].ravel(), pts[..., 1].ravel())
+    out = np.empty_like(pts)
+    out[..., 0] = lon.reshape(m, n, n)
+    out[..., 1] = lat.reshape(m, n, n)
+    return out
+
+
+def contains(cfg: EngineConfig, u: np.ndarray, x: np.ndarray, y: np.ndarray,
+             plane: bool = True) -> np.ndarray:
+    """Point-in-cell predicate (cell.py:885-907): exactly the
+    reference's definition — index the point at the cell's resolution
+    and compare (boundary semantics follow cell_from_point)."""
+    u = np.asarray(u, dtype=np.uint64)
+    res = su.resolution_of(u)
+    out = np.zeros(u.shape, dtype=bool)
+    for r in np.unique(res):
+        msk = res == r
+        c = cell_from_point(cfg, int(r), np.asarray(x)[msk], np.asarray(y)[msk],
+                            plane=plane)
+        out[msk] = c == u[msk]
+    return out
+
+
+def xyz_cube(cfg: EngineConfig, x: np.ndarray, y: np.ndarray,
+             lonlat: bool = False):
+    """Fold planar points onto the unit-width cube centered at the
+    origin (dggs.py:527-594), vectorized branch-by-branch."""
+    if lonlat:
+        x, y = prj.forward(cfg, x, y)
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    w = cfg.cell_width(0)
+    ns = cfg.north_square
+    ss = cfg.south_square
+    x = x + 2 * w
+    y = y + w / 2
+    qx = np.empty_like(x)
+    qy = np.empty_like(x)
+    qz = np.empty_like(x)
+
+    def setq(mask, vx, vy, vz):
+        qx[mask] = np.broadcast_to(vx, x.shape)[mask]
+        qy[mask] = np.broadcast_to(vy, x.shape)[mask]
+        qz[mask] = np.broadcast_to(vz, x.shape)[mask]
+
+    south = y < 0
+    xs = x - ss * w
+    if ss == 0:
+        setq(south, xs, 0.0, y)
+    elif ss == 1:
+        setq(south, y + w, 0.0, -xs)
+    elif ss == 2:
+        setq(south, w - xs, 0.0, -y - w)
+    else:
+        setq(south, -y, 0.0, xs - w)
+    north = (~south) & (y > w)
+    xn = x - ns * w
+    if ns == 0:
+        setq(north, xn, w, -y + w)
+    elif ns == 1:
+        setq(north, -y + 2 * w, w, -xn)
+    elif ns == 2:
+        setq(north, -xn + w, w, y - 2 * w)
+    else:
+        setq(north, y - w, w, xn - w)
+    band = ~south & ~north
+    mO = band & (x < w)
+    setq(mO, x, y, 0.0)
+    mP = band & (x >= w) & (x < 2 * w)
+    setq(mP, w, y, -(x - w))
+    mQ = band & (x >= 2 * w) & (x < 3 * w)
+    setq(mQ, w - (x - 2 * w), y, -w)
+    mR = band & (x >= 3 * w)
+    setq(mR, 0.0, y, (x - 3 * w) - w)
+    h = w / 2
+    return qx - h, qy - h, qz + h

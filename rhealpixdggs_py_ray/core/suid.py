@@ -258,3 +258,106 @@ def suid_from_level_order_index(index: np.ndarray, cfg: EngineConfig) -> np.ndar
         clear = L <= lvl
         out[clear] &= ~(np.uint64(0xF) << shift)
     return out
+
+
+def predecessor(u: np.ndarray, cfg: EngineConfig) -> np.ndarray:
+    """Previous cell at the same resolution in SUID order
+    (cell.py:378-435).  Returns 0 (invalid) before the first cell.
+    Vectorized base-N_side**2 decrement with borrow."""
+    u = np.asarray(u, dtype=np.uint64)
+    face, digits, res = unpack(u)
+    n = u.shape[0]
+    K = cfg.N_side**2
+    M = K - 1
+    out_face = face.astype(np.int64)
+    d = digits.astype(np.int64).copy()
+    rmax = d.shape[1]
+    borrow = np.ones(n, dtype=bool)
+    for lvl in range(rmax - 1, -1, -1):
+        active = borrow & (res > lvl)
+        d[active, lvl] -= 1
+        wrapped = active & (d[:, lvl] < 0)
+        d[wrapped, lvl] = M
+        borrow = borrow & ((res <= lvl) | wrapped)
+    out_face[borrow] -= 1
+    invalid = out_face < 0
+    packed = pack(np.clip(out_face, 0, 5), d, rmax) if rmax else (
+        np.clip(out_face, 0, 5).astype(np.uint64) << np.uint64(60)
+    )
+    packed = (np.asarray(packed, dtype=np.uint64) & ~np.uint64(0xF)) | res.astype(np.uint64)
+    for lvl in range(rmax):
+        shift = np.uint64(56 - 4 * lvl)
+        clear = res <= lvl
+        packed[clear] &= ~(np.uint64(0xF) << shift)
+    packed[invalid] = 0
+    return packed
+
+
+def overlaps(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """True when the cells' SUIDs agree on their common prefix —
+    i.e. one is an ancestor-or-equal of the other (cell.py:959-972)."""
+    return is_subcell(a, b) | is_subcell(b, a)
+
+
+def region_overlaps(a: np.ndarray, region: np.ndarray) -> np.ndarray:
+    """For each cell in ``a``: does it overlap ANY cell in ``region``
+    (cell.py:974-984)?  Vectorized as an (n, m) prefix matrix."""
+    a = np.asarray(a, dtype=np.uint64)
+    region = np.asarray(region, dtype=np.uint64)
+    out = np.zeros(a.shape, dtype=bool)
+    for r in region:
+        out |= overlaps(a, np.full(a.shape, r, dtype=np.uint64))
+    return out
+
+
+def suid_rowcol(u: np.ndarray, cfg: EngineConfig) -> tuple[np.ndarray, np.ndarray]:
+    """Row- and column-SUIDs (cell.py:269-291): each digit d splits into
+    (d // N_side, d % N_side); returns two packed uint64 arrays on the
+    same face."""
+    u = np.asarray(u, dtype=np.uint64)
+    face, digits, res = unpack(u)
+    N = cfg.N_side
+    rowd = (digits // N).astype(np.uint8)
+    cold = (digits % N).astype(np.uint8)
+    rmax = digits.shape[1]
+    ru = pack(face, rowd, rmax) if rmax else (face.astype(np.uint64) << np.uint64(60))
+    cu = pack(face, cold, rmax) if rmax else (face.astype(np.uint64) << np.uint64(60))
+    for arr in (ru, cu):
+        arr &= ~np.uint64(0xF)
+        arr |= res.astype(np.uint64)
+        for lvl in range(rmax):
+            shift = np.uint64(56 - 4 * lvl)
+            arr[res <= lvl] &= ~(np.uint64(0xF) << shift)
+    return ru, cu
+
+
+def interval_cells(a: int, b: int, cfg: EngineConfig) -> np.ndarray:
+    """All cells at resolution max(res(a), res(b)) between ``a`` and
+    ``b`` in post-order (dggs.py:710-735), as a vectorized level-order
+    index range."""
+    ua = np.asarray([a], dtype=np.uint64)
+    ub = np.asarray([b], dtype=np.uint64)
+    ra = int(resolution_of(ua)[0])
+    rb = int(resolution_of(ub)[0])
+    r = max(ra, rb)
+    K = cfg.N_side**2
+    if ra < r:
+        # reference: start = a.successor(r) = successor at res ra, padded 0s
+        nxt = successor(ua, cfg)
+        if int(nxt[0]) == 0:
+            return np.empty(0, dtype=np.uint64)
+        start_u = nxt
+        for lvl in range(ra + 1, r + 1):
+            start_u = with_digit(start_u, lvl, 0)
+        start_u = (start_u & ~np.uint64(0xF)) | np.uint64(r)
+    else:
+        start_u = (parent(ua, r) & ~np.uint64(0xF)) | np.uint64(r)
+    end_u = ub
+    for lvl in range(rb + 1, r + 1):
+        end_u = with_digit(end_u, lvl, K - 1)
+    end_u = (end_u & ~np.uint64(0xF)) | np.uint64(r)
+    i0 = int(level_order_index(start_u, cfg)[0])
+    i1 = int(level_order_index(end_u, cfg)[0])
+    if i1 < i0:
+        return np.empty(0, dtype=np.uint64)
+    return suid_from_level_order_index(np.arange(i0, i1 + 1, dtype=np.int64), cfg)

@@ -240,3 +240,159 @@ def linetrace(
                 prev = c
         cells = trimmed
     return cells
+
+
+# ---------------------------------------------------------------------------
+# Round-2 operator surface: ordering, row/col, ranges, boundaries,
+# containment, conversion, seeded sampling
+# ---------------------------------------------------------------------------
+
+def rhp_successor(rhpindex: str, cfg: EngineConfig = WGS84_003):
+    """cell.py:317-376 (same-resolution successor)."""
+    if not rhp_is_valid(rhpindex, cfg):
+        return None
+    nxt = su.successor(su.from_string([rhpindex]), cfg)[0]
+    return None if int(nxt) == 0 else _s(int(nxt))
+
+
+def rhp_predecessor(rhpindex: str, cfg: EngineConfig = WGS84_003):
+    """cell.py:378-435 (same-resolution predecessor)."""
+    if not rhp_is_valid(rhpindex, cfg):
+        return None
+    prv = su.predecessor(su.from_string([rhpindex]), cfg)[0]
+    return None if int(prv) == 0 else _s(int(prv))
+
+
+def rhp_suid_rowcol(rhpindex: str, cfg: EngineConfig = WGS84_003):
+    """cell.py:269-291: (row suid, col suid) as strings."""
+    if not rhp_is_valid(rhpindex, cfg):
+        return None
+    r, c = su.suid_rowcol(su.from_string([rhpindex]), cfg)
+    return _s(int(r[0])), _s(int(c[0]))
+
+
+def rhp_interval(a: str, b: str, cfg: EngineConfig = WGS84_003):
+    """dggs.py:710-735: post-order interval cell list."""
+    if not (rhp_is_valid(a, cfg) and rhp_is_valid(b, cfg)):
+        return None
+    ua = int(su.from_string([a])[0])
+    ub = int(su.from_string([b])[0])
+    return [_s(int(c)) for c in su.interval_cells(ua, ub, cfg)]
+
+
+def num_cells(res_1: int, res_2: int = None, subcells: bool = False,
+              cfg: EngineConfig = WGS84_003) -> int:
+    """dggs.py:633-669 closed forms."""
+    k = cfg.N_side**2
+    if subcells:
+        if res_2 is None or res_2 < res_1:
+            res_2 = cfg.max_resolution
+        return int((k ** (res_2 - res_1 + 1) - 1) / (k - 1))
+    if res_2 is None or res_2 < res_1:
+        res_2 = res_1
+    return int(6 * (k ** (res_2 + 1) - k**res_1) / (k - 1))
+
+
+def rhp_xy_range(rhpindex: str, cfg: EngineConfig = WGS84_003):
+    """cell.py:734-754: ((x_min, x_max), (y_min, y_max)) planar."""
+    if not rhp_is_valid(rhpindex, cfg):
+        return None
+    u = su.from_string([rhpindex])
+    x1, x2, y1, y2 = idx.xy_range(cfg, u)
+    return (float(x1[0]), float(x2[0])), (float(y1[0]), float(y2[0]))
+
+
+def rhp_boundary(rhpindex: str, n: int = 2, plane: bool = True,
+                 interior: bool = False, cfg: EngineConfig = WGS84_003):
+    """cell.py:756-831: 4n-4 boundary points, clockwise."""
+    if not rhp_is_valid(rhpindex, cfg):
+        return None
+    u = su.from_string([rhpindex])
+    pts = idx.boundary(cfg, u, n=n, plane=plane, interior_nudge=interior)[0]
+    return [tuple(p) for p in pts]
+
+
+def rhp_interior(rhpindex: str, n: int = 2, plane: bool = True,
+                 flatten: bool = False, cfg: EngineConfig = WGS84_003):
+    """cell.py:833-883: n x n interior sample grid (row-major)."""
+    if not rhp_is_valid(rhpindex, cfg):
+        return None
+    u = su.from_string([rhpindex])
+    g = idx.interior_grid(cfg, u, n=n, plane=plane)[0]
+    if flatten:
+        # reference flattens column-major (j outer, i inner)
+        return [tuple(g[i, j]) for j in range(n) for i in range(n)]
+    return [[tuple(g[i, j]) for j in range(n)] for i in range(n)]
+
+
+def rhp_contains(rhpindex: str, p, plane: bool = True,
+                 cfg: EngineConfig = WGS84_003):
+    """cell.py:885-907: point-in-cell via cell_from_point equality."""
+    if not rhp_is_valid(rhpindex, cfg):
+        return None
+    u = su.from_string([rhpindex])
+    return bool(
+        idx.contains(cfg, u, np.asarray([p[0]]), np.asarray([p[1]]), plane=plane)[0]
+    )
+
+
+def rhp_overlaps(a: str, b: str, cfg: EngineConfig = WGS84_003):
+    """cell.py:959-972: SUID common-prefix overlap."""
+    if not (rhp_is_valid(a, cfg) and rhp_is_valid(b, cfg)):
+        return None
+    return bool(su.overlaps(su.from_string([a]), su.from_string([b]))[0])
+
+
+def rhp_region_overlaps(a: str, region, cfg: EngineConfig = WGS84_003):
+    """cell.py:974-984."""
+    if not rhp_is_valid(a, cfg):
+        return None
+    ua = su.from_string([a])
+    ur = su.from_string(list(region))
+    return bool(su.region_overlaps(ua, ur)[0])
+
+
+def get_finest_containing_cell(poly, cfg: EngineConfig = WGS84_003):
+    """conversion.py:7-36; returns a SUID string or None."""
+    from rhealpixdggs_py_ray.core import conversion as cz
+
+    u = cz.get_finest_containing_cell(poly, cfg)
+    return None if u is None else _s(int(u))
+
+
+def cell_zone_from_poly(poly, res_limit: int, cfg: EngineConfig = WGS84_003):
+    """conversion.py:40-111; [(SUID string, kind), ...]."""
+    from rhealpixdggs_py_ray.core import conversion as cz
+
+    return [(_s(int(u)), k) for u, k in cz.cell_zone_from_poly(poly, res_limit, cfg)]
+
+
+def seeded_random_cell(i: int, max_res: int = 10, cfg: EngineConfig = WGS84_003) -> str:
+    """Deterministic stand-in for dggs.random_cell (dggs.py:1352-1370):
+    every random draw is replaced by splitmix64 bit fields of the seed
+    ``i``, so the sampler is reproducible and SQL-mirrorable."""
+    from rhealpixdggs_py_ray.fixtures import splitmix64
+
+    h = int(splitmix64(np.asarray([i], dtype=np.uint64))[0])
+    res = h % (max_res + 1)
+    face = (h >> 4) % 6
+    out = [CELLS0[face]]
+    for j in range(1, res + 1):
+        out.append(((h >> (8 + 5 * j)) & 31) % cfg.N_side**2)
+    return "".join(str(x) for x in out)
+
+
+def seeded_random_point(i: int, cfg: EngineConfig = WGS84_003):
+    """Deterministic stand-in for dggs.random_point (dggs.py:1333-1350):
+    a uniform planar point in a splitmix-chosen res-0 cell."""
+    from rhealpixdggs_py_ray.fixtures import splitmix64
+
+    h = int(splitmix64(np.asarray([i], dtype=np.uint64))[0])
+    h2 = int(splitmix64(np.asarray([i + 10_000_019], dtype=np.uint64))[0])
+    face = h % 6
+    u1 = (h >> 11) / float(1 << 53)
+    v1 = (h2 >> 11) / float(1 << 53)
+    w0 = cfg.cell_width(0)
+    x = cfg.ul_vertex[face, 0] + u1 * w0
+    y = cfg.ul_vertex[face, 1] - v1 * w0
+    return float(x), float(y)

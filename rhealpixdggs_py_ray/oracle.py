@@ -716,3 +716,64 @@ def cell_geometry_sql(resolution: int = 2, cfg: EngineConfig = WGS84_003) -> str
         f" {shape} AS shape"
         f" FROM {invq} t"
     )
+
+
+def grid_ul_sql(resolution: int, cfg: EngineConfig = WGS84_003) -> str:
+    """Subquery: every cell at ``resolution`` (1..3) with its SUID and
+    planar upper-left vertex computed by the ul_vertex digit arithmetic
+    (cell.py:483-531): (cell_id, xul, yul)."""
+    if not 1 <= resolution <= 3:
+        raise NotImplementedError("grid_ul_sql supports resolutions 1..3")
+    N = cfg.N_side
+    b = N * N
+    total = 6 * b**resolution
+    w0 = _lit(cfg.cell_width(0))
+    inv = _lit(float(N ** (-resolution)))
+    x0case = "(CASE face " + " ".join(
+        f"WHEN {i} THEN {_lit(cfg.ul_vertex[i, 0])}" for i in range(6)
+    ) + " END)"
+    y0case = "(CASE face " + " ".join(
+        f"WHEN {i} THEN {_lit(cfg.ul_vertex[i, 1])}" for i in range(6)
+    ) + " END)"
+    letter = (
+        "(CASE face "
+        + " ".join(f"WHEN {i} THEN '{c}'" for i, c in enumerate(CELLS0))
+        + " END)"
+    )
+    digs = [f"((i // {b ** (resolution - 1 - k)}) % {b})" for k in range(resolution)]
+    cell = letter + "".join(f" || CAST({d} AS VARCHAR)" for d in digs)
+    dxi = " + ".join(f"({d} % {N}) * {N ** (resolution - 1 - k)}" for k, d in enumerate(digs))
+    dyi = " + ".join(f"({d} // {N}) * {N ** (resolution - 1 - k)}" for k, d in enumerate(digs))
+    return (
+        f"(WITH i0 AS (SELECT unnest(generate_series(0, {total - 1})) AS i),"
+        f" fc AS (SELECT i, i // {b ** resolution} AS face FROM i0)"
+        f" SELECT i, face, {cell} AS cell_id,"
+        f" ({x0case} + {w0}*(({dxi}) * {inv})) AS xul,"
+        f" ({y0case} - {w0}*(({dyi}) * {inv})) AS yul"
+        f" FROM fc)"
+    )
+
+
+def splitmix64_sql_ctes(src_sql: str, id_cols: str, in_col: str,
+                        out_col: str, prefix: str = "sm") -> str:
+    """CTE chain computing splitmix64(``in_col``) (fixtures.py:38-44)
+    with HUGEINT-safe 32-bit-split modular multiplies; yields a
+    subquery (id_cols..., out_col)."""
+    M = "18446744073709551616"
+
+    def modmul(a: str, const: int) -> str:
+        hi, lo = const >> 32, const & 0xFFFFFFFF
+        return (
+            f"CAST((CAST({a} AS HUGEINT) * {lo}"
+            f" + ((CAST(({a}) % 4294967296 AS HUGEINT) * {hi}) % 4294967296)"
+            f" * 4294967296) % {M} AS UBIGINT)"
+        )
+
+    z1 = f"CAST((CAST(CAST({in_col} AS UBIGINT) AS HUGEINT) + 11400714819323198485) % {M} AS UBIGINT)"
+    return (
+        f"(WITH {prefix}0 AS ({src_sql}),"
+        f" {prefix}1 AS (SELECT {id_cols}, {z1} AS z1 FROM {prefix}0),"
+        f" {prefix}2 AS (SELECT {id_cols}, {modmul('xor(z1, z1 >> 30)', 0xBF58476D1CE4E5B9)} AS z2 FROM {prefix}1),"
+        f" {prefix}3 AS (SELECT {id_cols}, {modmul('xor(z2, z2 >> 27)', 0x94D049BB133111EB)} AS z3 FROM {prefix}2)"
+        f" SELECT {id_cols}, xor(z3, z3 >> 31) AS {out_col} FROM {prefix}3)"
+    )

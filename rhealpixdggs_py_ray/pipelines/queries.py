@@ -1423,3 +1423,591 @@ def sql_cell_from_region() -> str:
 
 def sql_cell_geometry() -> str:
     return oracle.cell_geometry_sql(2, CFG)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 operator queries: ordering, row/col decomposition, counts,
+# ranges, boundaries, interiors, containment, seeded sampling
+# ---------------------------------------------------------------------------
+
+def q_predecessor(sf_dir: str):
+    """Post-order predecessor of every res-3 cell but the first
+    (cell.py:378-435 via packed-index decrement)."""
+    b = CFG.N_side**2
+    total = 6 * b**3
+    base = 6 * (b**3 - 1) // (b - 1)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        i = batch["id"].to_numpy(zero_copy_only=False)
+        keep = i > 0
+        i = i[keep]
+        u = su.suid_from_level_order_index(i + base, CFG)
+        prv = su.predecessor(u, CFG)
+        return pa.table(
+            {
+                "cell_id": pa.array(su.to_string_fixed(u, 3)),
+                "predecessor_id": pa.array(su.to_string_fixed(prv, 3)),
+            }
+        )
+
+    return ray.data.range(total, override_num_blocks=8).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def sql_predecessor() -> str:
+    b = CFG.N_side**2
+    total = 6 * b**3
+    digits = "".join(
+        f" || CAST(({{v}} // {b ** (3 - 1 - k)}) % {b} AS VARCHAR)" for k in range(3)
+    )
+    letter = (
+        "(CASE ({v} // " + str(b**3) + ") "
+        + " ".join(f"WHEN {f} THEN '{c}'" for f, c in enumerate(CELLS0))
+        + " END)"
+    )
+    mk = lambda v: letter.format(v=v) + digits.format(v=v)
+    return (
+        f"SELECT {mk('i')} AS cell_id, {mk('(i - 1)')} AS predecessor_id"
+        f" FROM (SELECT unnest(generate_series(1, {total - 1})) AS i)"
+    )
+
+
+INTERVAL_PAIRS = [("N1", "N8"), ("O23", "O45"), ("Q888", "R011"), ("S00", "S12")]
+
+
+def q_interval(sf_dir: str):
+    """interval(a, b) post-order enumeration (dggs.py:710-735) for a
+    fixture list of SUID pairs; one row per (pair_id, seq, cell_id)."""
+    pid, seq, cid = [], [], []
+    for i, (a, b) in enumerate(INTERVAL_PAIRS):
+        ua = int(su.from_string([a])[0])
+        ub = int(su.from_string([b])[0])
+        cells = su.interval_cells(ua, ub, CFG)
+        for j, c in enumerate(cells):
+            pid.append(i)
+            seq.append(j)
+            cid.append("".join(str(x) for x in su.suid_tuple(int(c))))
+    return pa.table(
+        {
+            "pair_id": pa.array(np.array(pid, dtype=np.int64)),
+            "seq": pa.array(np.array(seq, dtype=np.int64)),
+            "cell_id": pa.array(cid, type=pa.string()),
+        }
+    )
+
+
+def sql_interval() -> str:
+    """Level-order-index arithmetic on the literal SUID strings —
+    independent of the engine's packed codec."""
+    b = CFG.N_side**2
+    parts = []
+    for i, (a, bb) in enumerate(INTERVAL_PAIRS):
+        res = len(a) - 1
+        assert len(bb) - 1 == res, "fixture pairs share a resolution"
+
+        def loi(s: str) -> str:
+            f = f"(CASE substr('{s}', 1, 1) " + " ".join(
+                f"WHEN '{c}' THEN {k}" for k, c in enumerate(CELLS0)
+            ) + " END)"
+            v = f
+            for d in range(res):
+                v = f"({v} * {b} + CAST(substr('{s}', {d + 2}, 1) AS BIGINT))"
+            return v
+
+        # enumerate seq = 0 .. (loi(b) - loi(a)); rebuild suid from value
+        val = f"({loi(a)} + seq)"
+        letter = (
+            f"(CASE ({val} // {b ** res}) "
+            + " ".join(f"WHEN {k} THEN '{c}'" for k, c in enumerate(CELLS0))
+            + " END)"
+        )
+        dstr = "".join(
+            f" || CAST(({val} // {b ** (res - 1 - k)}) % {b} AS VARCHAR)"
+            for k in range(res)
+        )
+        parts.append(
+            f"SELECT CAST({i} AS BIGINT) AS pair_id, seq, {letter}{dstr} AS cell_id FROM"
+            f" (SELECT unnest(generate_series(0, {loi(bb)} - {loi(a)})) AS seq)"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def q_suid_rowcol(sf_dir: str):
+    """Row/column SUID decomposition of every res-3 cell
+    (cell.py:269-291)."""
+    b = CFG.N_side**2
+    total = 6 * b**3
+    base = 6 * (b**3 - 1) // (b - 1)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        i = batch["id"].to_numpy(zero_copy_only=False)
+        u = su.suid_from_level_order_index(i + base, CFG)
+        r, c = su.suid_rowcol(u, CFG)
+        return pa.table(
+            {
+                "cell_id": pa.array(su.to_string_fixed(u, 3)),
+                "row_suid": pa.array(su.to_string_fixed(r, 3)),
+                "col_suid": pa.array(su.to_string_fixed(c, 3)),
+            }
+        )
+
+    return ray.data.range(total, override_num_blocks=8).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def sql_suid_rowcol() -> str:
+    b = CFG.N_side**2
+    N = CFG.N_side
+    total = 6 * b**3
+    letter = (
+        f"(CASE (i // {b ** 3}) "
+        + " ".join(f"WHEN {f} THEN '{c}'" for f, c in enumerate(CELLS0))
+        + " END)"
+    )
+    dig = lambda k: f"((i // {b ** (3 - 1 - k)}) % {b})"
+    cell = letter + "".join(f" || CAST({dig(k)} AS VARCHAR)" for k in range(3))
+    rows = letter + "".join(f" || CAST({dig(k)} // {N} AS VARCHAR)" for k in range(3))
+    cols = letter + "".join(f" || CAST({dig(k)} % {N} AS VARCHAR)" for k in range(3))
+    return (
+        f"SELECT {cell} AS cell_id, {rows} AS row_suid, {cols} AS col_suid"
+        f" FROM (SELECT unnest(generate_series(0, {total - 1})) AS i)"
+    )
+
+
+def q_num_cells(sf_dir: str):
+    """num_cells closed forms (dggs.py:633-669) over a grid of
+    (res_1, res_2, subcells) combinations."""
+    from rhealpixdggs_py_ray.core import wrappers as W
+
+    r1l, r2l, scl, nl = [], [], [], []
+    for r1 in range(0, 11):
+        for r2 in (None, r1, r1 + 1, r1 + 3):
+            for sc in (False, True):
+                r1l.append(r1)
+                r2l.append(-1 if r2 is None else r2)
+                scl.append(sc)
+                nl.append(W.num_cells(r1, r2, sc, CFG))
+    return pa.table(
+        {
+            "res_1": pa.array(np.array(r1l, dtype=np.int64)),
+            "res_2": pa.array(np.array(r2l, dtype=np.int64)),
+            "subcells": pa.array(scl, type=pa.bool_()),
+            "n_cells": pa.array(np.array(nl, dtype=np.int64)),
+        }
+    )
+
+
+def sql_num_cells() -> str:
+    k = CFG.N_side**2
+    mx = CFG.max_resolution
+    r2eff_sub = f"(CASE WHEN res_2 < res_1 THEN {mx} ELSE res_2 END)"
+    r2eff = "(CASE WHEN res_2 < res_1 THEN res_1 ELSE res_2 END)"
+    ncell = (
+        f"CASE WHEN subcells THEN"
+        f" CAST((power({k}, {r2eff_sub} - res_1 + 1) - 1) / ({k} - 1) AS BIGINT)"
+        f" ELSE CAST(6 * (power({k}, {r2eff} + 1) - power({k}, res_1)) / ({k} - 1) AS BIGINT) END"
+    )
+    return (
+        "WITH g AS (SELECT r1.res_1, r2o.res_2, sc.subcells FROM"
+        " (SELECT unnest(generate_series(0, 10)) AS res_1) r1,"
+        " LATERAL (SELECT unnest([-1, res_1, res_1 + 1, res_1 + 3]) AS res_2) r2o,"
+        " (SELECT unnest([false, true]) AS subcells) sc)"
+        f" SELECT res_1, res_2, subcells, {ncell} AS n_cells FROM g"
+    )
+
+
+def q_xy_range(sf_dir: str):
+    """Planar extent of every res-2 cell (cell.py:734-754), micros."""
+    b = CFG.N_side**2
+    total = 6 * b**2
+    base = 6 * (b**2 - 1) // (b - 1)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        i = batch["id"].to_numpy(zero_copy_only=False)
+        u = su.suid_from_level_order_index(i + base, CFG)
+        x1, x2, y1, y2 = idx.xy_range(CFG, u)
+        return pa.table(
+            {
+                "cell_id": pa.array(su.to_string_fixed(u, 2)),
+                "x_min_mm": pa.array(np.floor(x1 * 1e3).astype(np.int64)),
+                "x_max_mm": pa.array(np.floor(x2 * 1e3).astype(np.int64)),
+                "y_min_mm": pa.array(np.floor(y1 * 1e3).astype(np.int64)),
+                "y_max_mm": pa.array(np.floor(y2 * 1e3).astype(np.int64)),
+            }
+        )
+
+    return ray.data.range(total, override_num_blocks=4).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def sql_xy_range() -> str:
+    ul = oracle.grid_ul_sql(2, CFG)
+    w = oracle._lit(CFG.cell_width(2))
+    return (
+        f"SELECT cell_id,"
+        f" CAST(floor(xul * 1e3) AS BIGINT) AS x_min_mm,"
+        f" CAST(floor((xul + {w}) * 1e3) AS BIGINT) AS x_max_mm,"
+        f" CAST(floor((yul - {w}) * 1e3) AS BIGINT) AS y_min_mm,"
+        f" CAST(floor(yul * 1e3) AS BIGINT) AS y_max_mm"
+        f" FROM {ul} t"
+    )
+
+
+# boundary(n=3) corner-relative offset plan, mirroring the reference's
+# accumulated-corner arithmetic (cell.py:756-831): entries are
+# (x_expr_kind, y_expr_kind) consumed by both the numpy kernel and SQL
+BOUNDARY_N = 3
+
+
+def q_cell_boundary(sf_dir: str):
+    """Densified ellipsoidal boundary (n=3 -> 8 points) of every res-2
+    cell (cell.py:756-831).  Points are emitted WITHOUT a sequence
+    column: the reference rotates the ring to start at the northwest
+    vertex, so the point SET is rotation-invariant and order-
+    insensitively hashable; the ordered walk is pinned against the
+    reference in tests/test_index.py."""
+    b = CFG.N_side**2
+    total = 6 * b**2
+    base = 6 * (b**2 - 1) // (b - 1)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        i = batch["id"].to_numpy(zero_copy_only=False)
+        u = su.suid_from_level_order_index(i + base, CFG)
+        pts = idx.boundary(CFG, u, n=BOUNDARY_N, plane=False)
+        m, npts = pts.shape[0], pts.shape[1]
+        return pa.table(
+            {
+                "cell_id": pa.array(np.repeat(su.to_string_fixed(u, 2), npts)),
+                "pt_lon_micros": pa.array(
+                    np.floor(pts[:, :, 0].ravel() * 1e6).astype(np.int64)
+                ),
+                "pt_lat_micros": pa.array(
+                    np.floor(pts[:, :, 1].ravel() * 1e6).astype(np.int64)
+                ),
+            }
+        )
+
+    return ray.data.range(total, override_num_blocks=4).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def sql_cell_boundary() -> str:
+    ul = oracle.grid_ul_sql(2, CFG)
+    w = CFG.cell_width(2)
+    delta = oracle._lit((w - 2 * 0.0) / (BOUNDARY_N - 1))
+    # corner-relative point expressions (see q_cell_boundary docstring)
+    pts = [
+        ("xul", "yul"),
+        (f"xul + {delta}", "yul"),
+        ("cx1", "yul"),
+        (f"cx1", f"yul - {delta}"),
+        ("cx1", "cy2"),
+        (f"cx1 - {delta}", "cy2"),
+        (f"cx1 - 2*{delta}", "cy2"),
+        (f"cx1 - 2*{delta}", f"cy2 + {delta}"),
+    ]
+    sel = " UNION ALL ".join(
+        f"SELECT cell_id, {px} AS xm, {py} AS ym FROM corners" for px, py in pts
+    )
+    base = (
+        f"(WITH ulv AS (SELECT cell_id, xul, yul FROM {ul} t),"
+        f" corners AS (SELECT cell_id, xul, yul,"
+        f"   xul + 2*{delta} AS cx1, yul - 2*{delta} AS cy2 FROM ulv)"
+        f" {sel})"
+    )
+    inv = oracle.inverse_sql(
+        f"SELECT cell_id, xm, ym FROM {base} t", CFG, id_cols=("cell_id",)
+    )
+    return (
+        f"SELECT cell_id,"
+        f" CAST(floor(lon * 1e6) AS BIGINT) AS pt_lon_micros,"
+        f" CAST(floor(lat * 1e6) AS BIGINT) AS pt_lat_micros"
+        f" FROM {inv} t"
+    )
+
+
+INTERIOR_N = 3
+
+
+def q_cell_interior(sf_dir: str):
+    """n x n ellipsoidal interior sample grid of every res-1 cell
+    (cell.py:833-883), row-major indices explicit."""
+    b = CFG.N_side**2
+    total = 6 * b
+    base = 6
+
+    def fn(batch: pa.Table) -> pa.Table:
+        i = batch["id"].to_numpy(zero_copy_only=False)
+        u = su.suid_from_level_order_index(i + base, CFG)
+        g = idx.interior_grid(CFG, u, n=INTERIOR_N, plane=False)
+        m, n = g.shape[0], g.shape[1]
+        gi = np.tile(np.repeat(np.arange(n), n), m)
+        gj = np.tile(np.tile(np.arange(n), n), m)
+        return pa.table(
+            {
+                "cell_id": pa.array(np.repeat(su.to_string_fixed(u, 1), n * n)),
+                "gi": pa.array(gi.astype(np.int64)),
+                "gj": pa.array(gj.astype(np.int64)),
+                "pt_lon_micros": pa.array(
+                    np.floor(g[:, :, :, 0].reshape(m, -1).ravel() * 1e6).astype(np.int64)
+                ),
+                "pt_lat_micros": pa.array(
+                    np.floor(g[:, :, :, 1].reshape(m, -1).ravel() * 1e6).astype(np.int64)
+                ),
+            }
+        )
+
+    return ray.data.range(total, override_num_blocks=2).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def sql_cell_interior() -> str:
+    ul = oracle.grid_ul_sql(1, CFG)
+    w = CFG.cell_width(1)
+    eps = oracle._lit(1e-6)
+    delta = oracle._lit((w - 2 * 1e-6) / (INTERIOR_N - 1))
+    base = (
+        f"(WITH ulv AS (SELECT cell_id, xul, yul FROM {ul} t),"
+        f" ij AS (SELECT gi.gi, gj.gj FROM"
+        f"   (SELECT unnest(generate_series(0, {INTERIOR_N - 1})) AS gi) gi,"
+        f"   (SELECT unnest(generate_series(0, {INTERIOR_N - 1})) AS gj) gj)"
+        f" SELECT cell_id, gi, gj,"
+        f"  ((xul + {eps}) + {delta}*gj) AS xm,"
+        f"  ((yul - {eps}) - {delta}*gi) AS ym"
+        f" FROM ulv, ij)"
+    )
+    inv = oracle.inverse_sql(
+        f"SELECT cell_id, gi, gj, xm, ym FROM {base} t", CFG,
+        id_cols=("cell_id", "gi", "gj"),
+    )
+    return (
+        f"SELECT cell_id, gi, gj,"
+        f" CAST(floor(lon * 1e6) AS BIGINT) AS pt_lon_micros,"
+        f" CAST(floor(lat * 1e6) AS BIGINT) AS pt_lat_micros"
+        f" FROM {inv} t"
+    )
+
+
+CONTAINS_RES = 3
+CONTAINS_N = 2000
+
+
+def q_cell_contains(sf_dir: str):
+    """Point-in-cell predicate (cell.py:885-907): does event i's point
+    fall in event (i+1)'s res-3 cell?  Exercises idx.contains on a
+    nontrivial truth distribution (in_own is the always-true check)."""
+    ids = np.arange(CONTAINS_N, dtype=np.int64)
+    lon, lat = oracle.lonlat_from_id(ids)
+    own = idx.cell_from_point(CFG, CONTAINS_RES, lon, lat, plane=False)
+    lon2, lat2 = oracle.lonlat_from_id(ids + 1)
+    nxt = idx.cell_from_point(CFG, CONTAINS_RES, lon2, lat2, plane=False)
+    in_own = idx.contains(CFG, own, lon, lat, plane=False)
+    in_next = idx.contains(CFG, nxt, lon, lat, plane=False)
+    return pa.table(
+        {
+            "event_id": pa.array(ids),
+            "cell_id": pa.array(su.to_string_fixed(own, CONTAINS_RES)),
+            "in_own": pa.array(in_own),
+            "in_next": pa.array(in_next),
+        }
+    )
+
+
+def sql_cell_contains() -> str:
+    ids = f"(SELECT unnest(generate_series(0, {CONTAINS_N - 1})) AS event_id)"
+    own = oracle.cell_from_point_sql(
+        f"SELECT event_id, {oracle.lonlat_from_id_sql('event_id')[0]} AS lon,"
+        f" {oracle.lonlat_from_id_sql('event_id')[1]} AS lat FROM {ids}",
+        CONTAINS_RES, CFG, id_cols=("event_id",),
+    )
+    nxt = oracle.cell_from_point_sql(
+        f"SELECT event_id, {oracle.lonlat_from_id_sql('(event_id + 1)')[0]} AS lon,"
+        f" {oracle.lonlat_from_id_sql('(event_id + 1)')[1]} AS lat FROM {ids}",
+        CONTAINS_RES, CFG, id_cols=("event_id",),
+    )
+    return (
+        f"SELECT a.event_id, a.cell_id, TRUE AS in_own,"
+        f" (a.cell_id = b.cell_id) AS in_next"
+        f" FROM {own} a JOIN {nxt} b ON a.event_id = b.event_id"
+    )
+
+
+OVERLAP_REGION = ["N4", "P12", "Q", "S888"]
+
+
+def q_cell_overlaps(sf_dir: str):
+    """SUID-prefix overlap counts of every res-3 cell against a fixture
+    region list (cell.py:959-984)."""
+    b = CFG.N_side**2
+    total = 6 * b**3
+    base = 6 * (b**3 - 1) // (b - 1)
+    region = su.from_string(OVERLAP_REGION)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        i = batch["id"].to_numpy(zero_copy_only=False)
+        u = su.suid_from_level_order_index(i + base, CFG)
+        n_ov = np.zeros(len(u), dtype=np.int64)
+        for r in region:
+            n_ov += su.overlaps(u, np.full(u.shape, r, dtype=np.uint64))
+        return pa.table(
+            {
+                "cell_id": pa.array(su.to_string_fixed(u, 3)),
+                "n_overlapping": pa.array(n_ov),
+                "any_overlap": pa.array(n_ov > 0),
+            }
+        )
+
+    return ray.data.range(total, override_num_blocks=8).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def sql_cell_overlaps() -> str:
+    grid = oracle.grid_sql(3, CFG)
+    terms = []
+    for r in OVERLAP_REGION:
+        L = len(r)
+        if L <= 4:
+            terms.append(
+                f"(CASE WHEN substr(cell_id, 1, {L}) = '{r}'"
+                f" OR substr('{r}', 1, length(cell_id)) = cell_id"
+                f" THEN 1 ELSE 0 END)"
+            )
+    n_ov = "(" + " + ".join(terms) + ")"
+    return (
+        f"SELECT cell_id, CAST({n_ov} AS BIGINT) AS n_overlapping,"
+        f" {n_ov} > 0 AS any_overlap FROM ({grid}) g"
+    )
+
+
+RANDOM_N = 5000
+RANDOM_MAX_RES = 10
+
+
+def q_random_cells(sf_dir: str):
+    """Seeded random-cell sampler (deterministic stand-in for
+    dggs.random_cell, dggs.py:1352-1370): splitmix64 bit fields."""
+    from rhealpixdggs_py_ray.core import wrappers as W
+
+    def fn(batch: pa.Table) -> pa.Table:
+        i = batch["id"].to_numpy(zero_copy_only=False)
+        cells = [W.seeded_random_cell(int(x), RANDOM_MAX_RES, CFG) for x in i]
+        return pa.table(
+            {
+                "i": pa.array(i, type=pa.int64()),
+                "cell_id": pa.array(cells, type=pa.string()),
+            }
+        )
+
+    return ray.data.range(RANDOM_N, override_num_blocks=4).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def sql_random_cells() -> str:
+    b = CFG.N_side**2
+    sm = oracle.splitmix64_sql_ctes(
+        f"SELECT unnest(generate_series(0, {RANDOM_N - 1})) AS i", "i", "i", "h"
+    )
+    letter = (
+        "(CASE CAST((h >> 4) % 6 AS BIGINT) "
+        + " ".join(f"WHEN {k} THEN '{c}'" for k, c in enumerate(CELLS0))
+        + " END)"
+    )
+    digs = "".join(
+        f" || (CASE WHEN CAST(h % {RANDOM_MAX_RES + 1} AS BIGINT) >= {j}"
+        f" THEN CAST(CAST(((h >> {8 + 5 * j}) & 31) % {b} AS BIGINT) AS VARCHAR)"
+        f" ELSE '' END)"
+        for j in range(1, RANDOM_MAX_RES + 1)
+    )
+    return f"SELECT i, {letter}{digs} AS cell_id FROM {sm} t"
+
+
+def q_random_points(sf_dir: str):
+    """Seeded uniform planar points (deterministic stand-in for
+    dggs.random_point, dggs.py:1333-1350) + their res-5 planar cells."""
+    from rhealpixdggs_py_ray.core import wrappers as W
+
+    def fn(batch: pa.Table) -> pa.Table:
+        i = batch["id"].to_numpy(zero_copy_only=False)
+        xy = np.array([W.seeded_random_point(int(x), CFG) for x in i])
+        u = idx.cell_from_point(CFG, 5, xy[:, 0], xy[:, 1], plane=True)
+        return pa.table(
+            {
+                "i": pa.array(i, type=pa.int64()),
+                "x_mm": pa.array(np.floor(xy[:, 0] * 1e3).astype(np.int64)),
+                "y_mm": pa.array(np.floor(xy[:, 1] * 1e3).astype(np.int64)),
+                "cell_id": pa.array(su.to_string_fixed(u, 5)),
+            }
+        )
+
+    return ray.data.range(RANDOM_N, override_num_blocks=4).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def sql_random_points() -> str:
+    sm1 = oracle.splitmix64_sql_ctes(
+        f"SELECT unnest(generate_series(0, {RANDOM_N - 1})) AS i", "i", "i", "h",
+        prefix="sma",
+    )
+    sm2 = oracle.splitmix64_sql_ctes(
+        f"SELECT i, h, i + 10000019 AS i2 FROM {sm1} t", "i, h", "i2", "h2",
+        prefix="smb",
+    )
+    w0 = oracle._lit(CFG.cell_width(0))
+    two53 = oracle._lit(float(1 << 53))
+    ulx = "(CASE CAST(h % 6 AS BIGINT) " + " ".join(
+        f"WHEN {k} THEN {oracle._lit(CFG.ul_vertex[k, 0])}" for k in range(6)
+    ) + " END)"
+    uly = "(CASE CAST(h % 6 AS BIGINT) " + " ".join(
+        f"WHEN {k} THEN {oracle._lit(CFG.ul_vertex[k, 1])}" for k in range(6)
+    ) + " END)"
+    pts = (
+        f"(SELECT i,"
+        f" ({ulx} + (CAST(h >> 11 AS DOUBLE) / {two53}) * {w0}) AS xm,"
+        f" ({uly} - (CAST(h2 >> 11 AS DOUBLE) / {two53}) * {w0}) AS ym"
+        f" FROM {sm2} t)"
+    )
+    cells = oracle.planar_cell_sql(
+        f"SELECT i, xm, ym FROM {pts} t", 5, CFG, id_cols=("i",),
+        extra_cols=("xm", "ym"),
+    )
+    return (
+        f"SELECT i, CAST(floor(xm * 1e3) AS BIGINT) AS x_mm,"
+        f" CAST(floor(ym * 1e3) AS BIGINT) AS y_mm, cell_id"
+        f" FROM {cells} t"
+    )
+
+
+ZONE_POLY = [
+    (18.0, 14.0), (24.0, 12.0), (27.0, 6.0), (24.0, 1.0),
+    (19.0, -2.0), (14.0, 2.0), (12.0, 8.0), (14.0, 12.0),
+]
+ZONE_RES = 6
+
+
+def q_cell_zone(sf_dir: str):
+    """CellZoneFromPoly quadtree polyfill with containment kinds
+    (conversion.py:40-111) over a fixture polygon; the reference's
+    frozen catchment corpus (254 res-9 cells) is pinned in
+    tests/test_conversion.py.  Recursive geometry predicates are not
+    SQL-expressible: rows-only driver check."""
+    from rhealpixdggs_py_ray.core import conversion as cz
+
+    zone = cz.cell_zone_from_poly(geo.Polygon(ZONE_POLY), ZONE_RES, CFG)
+    return pa.table(
+        {
+            "seq": pa.array(np.arange(len(zone), dtype=np.int64)),
+            "cell_id": pa.array(
+                ["".join(str(x) for x in su.suid_tuple(int(u))) for u, _ in zone],
+                type=pa.string(),
+            ),
+            "kind": pa.array([k for _, k in zone], type=pa.string()),
+        }
+    )
