@@ -267,33 +267,41 @@ def sql_knn() -> str:
 class _LineitemCombiner:
     """Per-batch partial aggregation (combiner) before the small groupby:
     quantized to integer cents via floor so merge order can't change a
-    single bit of the result."""
+    single bit of the result.  Pure numpy segment sums — no pandas
+    round-trip in the hot path."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
+        rf = batch["l_returnflag"].to_numpy(zero_copy_only=False).astype("U1")
+        ls = batch["l_linestatus"].to_numpy(zero_copy_only=False).astype("U1")
+        q = np.floor(
+            batch["l_quantity"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        b = np.floor(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        d = np.floor(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1 - batch["l_discount"].to_numpy(zero_copy_only=False))
+            * 100
+        ).astype(np.int64)
+        key = np.char.add(rf, ls)
+        uq, inv = np.unique(key, return_inverse=True)
+        k = len(uq)
+        sums = np.zeros((3, k), dtype=np.int64)
+        np.add.at(sums[0], inv, q)
+        np.add.at(sums[1], inv, b)
+        np.add.at(sums[2], inv, d)
+        n = np.bincount(inv, minlength=k).astype(np.int64)
+        return pa.table(
             {
-                "l_returnflag": batch["l_returnflag"].to_pandas(),
-                "l_linestatus": batch["l_linestatus"].to_pandas(),
-                "q": np.floor(
-                    batch["l_quantity"].to_numpy(zero_copy_only=False) * 100
-                ).astype(np.int64),
-                "b": np.floor(
-                    batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
-                ).astype(np.int64),
-                "d": np.floor(
-                    batch["l_extendedprice"].to_numpy(zero_copy_only=False)
-                    * (1 - batch["l_discount"].to_numpy(zero_copy_only=False))
-                    * 100
-                ).astype(np.int64),
+                "l_returnflag": pa.array([s[0] for s in uq], type=pa.string()),
+                "l_linestatus": pa.array([s[1] for s in uq], type=pa.string()),
+                "sum_qty_c": pa.array(sums[0]),
+                "sum_base_c": pa.array(sums[1]),
+                "sum_disc_c": pa.array(sums[2]),
+                "n_part": pa.array(n),
             }
         )
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty_c=("q", "sum"),
-            sum_base_c=("b", "sum"),
-            sum_disc_c=("d", "sum"),
-            n_part=("q", "size"),
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
 
 
 def q_agg_lineitem(sf_dir: str):
