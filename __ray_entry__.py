@@ -129,6 +129,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_stats": Q.sql_cell_stats(),
         "tile_counts_salted": Q.sql_tile_counts(),
         "cell_from_region": Q.sql_cell_from_region(),
+        "linetrace": Q.sql_linetrace(),
         "predecessor": Q.sql_predecessor(),
         "interval": Q.sql_interval(),
         "suid_rowcol": Q.sql_suid_rowcol(),

@@ -552,7 +552,9 @@ def _cover_cells_sql(
         f"   FROM rng, kk, cc WHERE dk <= k_max - k_min AND dc <= c_max - c_min)"
         f" SELECT row, col,"
         f"  ({x0case} + {w0}*((c % {n3r}) * {inv})) + {w}/2 AS xm,"
-        f"  ({y0} - {w0}*(k * {inv})) - {w}/2 AS ym"
+        f"  ({y0} - {w0}*(k * {inv})) - {w}/2 AS ym,"
+        f"  ({x0case} + {w0}*((c % {n3r}) * {inv})) AS xul,"
+        f"  ({y0} - {w0}*(k * {inv})) AS yul"
         f" FROM kc)"
     )
 
@@ -777,3 +779,75 @@ def splitmix64_sql_ctes(src_sql: str, id_cols: str, in_col: str,
         f" {prefix}3 AS (SELECT {id_cols}, {modmul('xor(z2, z2 >> 27)', 0x94D049BB133111EB)} AS z3 FROM {prefix}2)"
         f" SELECT {id_cols}, xor(z3, z3 >> 31) AS {out_col} FROM {prefix}3)"
     )
+
+
+def linetrace_sql(lines, resolution: int, cfg: EngineConfig = WGS84_003) -> str:
+    """(line_id, seq, cell_id) oracle for linetrace over equatorial-band
+    polylines in generic position (no cell-corner hits, no antimeridian,
+    no axis-parallel segments).
+
+    Independent derivation: inside the band the reference's neighbor
+    walk (dggs.py:1096-1179) visits exactly the cells whose lon/lat
+    rectangle the segment properly crosses, in order of entry parameter
+    t — so the oracle enumerates the segment-bbox cover, Liang-Barsky
+    clips each cell rectangle against the segment, keeps cells with a
+    positive-length clip, orders by t and drops consecutive duplicates
+    at segment junctions (rhp_wrappers.py:602-674 dedup)."""
+    R = _lit(cfg.R_A)
+    r2d = _lit(180.0 / PI)
+    pi = _lit(PI)
+    w = _lit(cfg.cell_width(resolution))
+    coeffs = cfg.auth_coeffs_inv
+    series = " + ".join(
+        f"({_lit(coeffs[k])})*sin({2 * (k + 1)}*{{b}})" for k in range(6)
+    )
+    beta_t = "asin(greatest(-1.0, least(1.0, 8*(({y})/" + R + f")/(3*{pi}))))"
+    lat_t = "(({b} + (" + series + f")) * {r2d})"
+
+    line_parts = []
+    for li, coords in enumerate(lines):
+        seg_parts = []
+        for si, (p1, p2) in enumerate(zip(coords, coords[1:])):
+            (x1, y1), (x2, y2) = p1, p2
+            if x1 == x2 or y1 == y2:
+                raise NotImplementedError("linetrace oracle: generic segments only")
+            cover = _cover_cells_sql(
+                min(x1, x2), max(y1, y2), max(x1, x2), min(y1, y2),
+                resolution, cfg,
+            )
+            cells = planar_cell_sql(
+                f"SELECT row, col, xul, yul, xm, ym FROM {cover} t",
+                resolution, cfg, id_cols=("row", "col"),
+                extra_cols=("xul", "yul"),
+            )
+            lon_lo = f"((xul / {R}) * {r2d})"
+            lon_hi = f"(((xul + {w}) / {R}) * {r2d})"
+            bt = beta_t.format(y="yul")
+            bb = beta_t.format(y=f"yul - {w}")
+            lat_hi = lat_t.format(b="btop")
+            lat_lo = lat_t.format(b="bbot")
+            dx = f"({x2!r} - {x1!r})"
+            dy = f"({y2!r} - {y1!r})"
+            txa = f"((lon_lo - {x1!r}) / {dx})"
+            txb = f"((lon_hi - {x1!r}) / {dx})"
+            tya = f"((lat_lo - {y1!r}) / {dy})"
+            tyb = f"((lat_hi - {y1!r}) / {dy})"
+            tmin = f"greatest(least({txa}, {txb}), least({tya}, {tyb}), 0.0)"
+            tmax = f"least(greatest({txa}, {txb}), greatest({tya}, {tyb}), 1.0)"
+            seg_parts.append(
+                f"SELECT {si} AS sidx, cell_id, {tmin} AS t"
+                f" FROM (SELECT cell_id, {lon_lo} AS lon_lo, {lon_hi} AS lon_hi,"
+                f"   {lat_lo} AS lat_lo, {lat_hi} AS lat_hi"
+                f"  FROM (SELECT cell_id, xul, yul, {bt} AS btop, {bb} AS bbot"
+                f"        FROM {cells} z) zz) q"
+                f" WHERE {tmin} < {tmax}"
+            )
+        segs = " UNION ALL ".join(seg_parts)
+        line_parts.append(
+            f"SELECT CAST({li} AS BIGINT) AS line_id,"
+            f" row_number() OVER (ORDER BY sidx, t) - 1 AS seq, cell_id FROM ("
+            f"  SELECT sidx, t, cell_id,"
+            f"   lag(cell_id) OVER (ORDER BY sidx, t) AS prev"
+            f"  FROM ({segs}) u) v WHERE prev IS NULL OR prev <> cell_id"
+        )
+    return " UNION ALL ".join(f"({p})" for p in line_parts)

@@ -1151,16 +1151,23 @@ def sql_spatial_antijoin() -> str:
 # Line / region covers, ring kNN, checkpointed run (rows-only)
 # ---------------------------------------------------------------------------
 
+# Equatorial-band polylines in generic position so the walk is
+# oracle-checkable (closed-form Liang-Barsky cover SQL); polar
+# segments are golden-tested in tests/test_cover.py.
+LINETRACE_LINES = [
+    [(-29.63, -10.2), (40.37, 25.3)],
+    [(100.4, 10.3), (140.2, -34.7), (169.6, 0.45)],
+    [(-119.5, 30.2), (-60.3, 40.3)],
+]
+LINETRACE_RES = 4
+
+
 def q_linetrace(sf_dir: str):
     """linetrace (rhp_wrappers.py:602-674) over a small set of
     deterministic great-lines; one flat_map row per (line, seq, cell)."""
     from rhealpixdggs_py_ray.core import wrappers as W
 
-    lines = [
-        geo.LineString([(-30.0, -10.0), (40.0, 25.0)]),
-        geo.LineString([(100.0, 10.0), (140.0, -35.0), (170.0, 0.0)]),
-        geo.LineString([(-120.0, 30.0), (-60.0, 48.0)]),
-    ]
+    lines = [geo.LineString(c) for c in LINETRACE_LINES]
     ds = ray.data.from_items(
         [{"line_id": i} for i in range(len(lines))], override_num_blocks=3
     )
@@ -1168,7 +1175,9 @@ def q_linetrace(sf_dir: str):
     def trace(batch: pa.Table) -> pa.Table:
         lid, seq, cell = [], [], []
         for i in batch["line_id"].to_pylist():
-            for j, c in enumerate(W.linetrace(lines[i], 4, plane=False, cfg=CFG)):
+            for j, c in enumerate(
+                W.linetrace(lines[i], LINETRACE_RES, plane=False, cfg=CFG)
+            ):
                 lid.append(i)
                 seq.append(j)
                 cell.append(c)
@@ -1181,6 +1190,10 @@ def q_linetrace(sf_dir: str):
         )
 
     return ds.map_batches(trace, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_linetrace() -> str:
+    return oracle.linetrace_sql(LINETRACE_LINES, LINETRACE_RES, CFG)
 
 
 REGION_UL = (-20.0, 40.0)
