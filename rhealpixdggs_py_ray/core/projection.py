@@ -345,3 +345,50 @@ def xyz(cfg: EngineConfig, lam: np.ndarray, phi: np.ndarray) -> tuple[np.ndarray
         N * np.sin(lam) * np.cos(phi),
         N * (1 - e**2) * np.sin(phi),
     )
+
+
+def healpix_vertices() -> list[tuple[float, float]]:
+    """Planar vertices of the HEALPix image of the unit sphere
+    (pj_healpix.py:226-250)."""
+    return [
+        (PI, PI / 4), (3 * PI / 4, PI / 2), (PI / 2, PI / 4),
+        (PI / 4, PI / 2), (0, PI / 4), (-PI / 4, PI / 2),
+        (-PI / 2, PI / 4), (-3 * PI / 4, PI / 2), (-PI, PI / 4),
+        (-PI, -PI / 4), (-3 * PI / 4, -PI / 2), (-PI / 2, -PI / 4),
+        (-PI / 4, -PI / 2), (0, -PI / 4), (PI / 4, -PI / 2),
+        (PI / 2, -PI / 4), (3 * PI / 4, -PI / 2), (PI, -PI / 4),
+    ]
+
+
+def rhealpix_vertices(north_square: int = 0, south_square: int = 0):
+    """Planar vertices of the rHEALPix image outline
+    (pj_rhealpix.py:473-508), including the reference's removal of
+    degenerate corner points at the square seams."""
+    ns, ss = north_square, south_square
+    vertices = [
+        (PI, PI / 4),
+        (-PI + (ns + 1) * PI / 2, PI / 4),
+        (-PI + (ns + 1) * PI / 2, 3 * PI / 4),
+        (-PI + ns * PI / 2, 3 * PI / 4),
+        (-PI + ns * PI / 2, PI / 4),
+        (-PI, PI / 4),
+        (-PI, -PI / 4),
+        (-PI + ss * PI / 2, -PI / 4),
+        (-PI + ss * PI / 2, -3 * PI / 4),
+        (-PI + (ss + 1) * PI / 2, -3 * PI / 4),
+        (-PI + (ss + 1) * PI / 2, -PI / 4),
+        (PI, -PI / 4),
+    ]
+    if ns == 3:
+        vertices.remove((PI, PI / 4))
+        vertices.remove((PI, PI / 4))
+    elif ns == 0:
+        vertices.remove((-PI, PI / 4))
+        vertices.remove((-PI, PI / 4))
+    if ss == 3:
+        vertices.remove((PI, -PI / 4))
+        vertices.remove((PI, -PI / 4))
+    elif ss == 0:
+        vertices.remove((-PI, -PI / 4))
+        vertices.remove((-PI, -PI / 4))
+    return vertices

@@ -98,7 +98,12 @@ def _partial_topk_table(qids: np.ndarray, vid: np.ndarray, S: np.ndarray, k: int
         )
     sel = np.empty((S.shape[1], kk), dtype=np.int64)
     for j in range(S.shape[1]):
-        sel[j] = np.lexsort((vid, -S[:, j]))[:kk]
+        # hybrid: argpartition for the boundary value, exact
+        # (cos DESC, vec_id ASC) lexsort only over >= boundary ties
+        col = S[:, j]
+        thr = col[np.argpartition(-col, kk - 1)[:kk]].min()
+        cand = np.flatnonzero(col >= thr)
+        sel[j] = cand[np.lexsort((vid[cand], -col[cand]))[:kk]]
     rows = sel.ravel()
     cols = np.repeat(np.arange(S.shape[1]), kk)
     return pa.table(

@@ -55,11 +55,17 @@ class _PartialKnn:
         d2 = ((self.qxyz[:, None, :] - pts[None, :, :]) ** 2).sum(axis=2)
         k = min(self.k, pts.shape[0])
         # per-query top-k with (dist ASC, id ASC) tie-break — boundary
-        # ties must keep the globally-ranked min-id row (round-1 ADVICE)
+        # ties must keep the globally-ranked min-id row (round-1
+        # ADVICE).  Hybrid: O(n) argpartition for the threshold, exact
+        # lexsort only over the <= threshold candidates (a full-batch
+        # lexsort per query measured ~20% slower end-to-end).
         ids_np = ids.to_numpy(zero_copy_only=False)
         sel = np.empty((len(self.qids), k), dtype=np.int64)
         for j in range(len(self.qids)):
-            sel[j] = np.lexsort((ids_np, d2[j]))[:k]
+            row = d2[j]
+            thr = row[np.argpartition(row, k - 1)[:k]].max()
+            cand = np.flatnonzero(row <= thr)
+            sel[j] = cand[np.lexsort((ids_np[cand], row[cand]))[:k]]
         qidx = np.repeat(np.arange(len(self.qids)), k)
         ridx = sel.ravel()
         return pa.table(

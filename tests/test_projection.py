@@ -151,3 +151,23 @@ def test_xyz_golden():
     assert abs(float(x[0]) - 0.7071067811865476) < 1e-15
     assert y[0] == 0.0
     assert abs(float(z[0]) - 0.7071067811865476) < 1e-15
+
+
+def test_projection_image_outlines():
+    # pj_healpix.py:226-250 / pj_rhealpix.py:473-508
+    import math
+
+    from rhealpixdggs_py_ray.core import projection as prj
+
+    hv = prj.healpix_vertices()
+    assert len(hv) == 18
+    assert hv[0] == (math.pi, math.pi / 4)
+    rv = prj.rhealpix_vertices(0, 0)
+    # ns=0/ss=0 removes two degenerate seam points per cap: 12 - 4
+    assert len(rv) == 8
+    import numpy as np
+
+    x = np.array([p[0] for p in rv])
+    y = np.array([p[1] for p in rv])
+    assert prj.in_rhealpix_image(x, y).all()
+    assert len(prj.rhealpix_vertices(1, 2)) == 12
