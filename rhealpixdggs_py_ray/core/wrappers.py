@@ -396,3 +396,48 @@ def seeded_random_point(i: int, cfg: EngineConfig = WGS84_003):
     x = cfg.ul_vertex[face, 0] + u1 * w0
     y = cfg.ul_vertex[face, 1] - v1 * w0
     return float(x), float(y)
+
+
+def rhp_subcells(rhpindex: str, res: int = None, cfg: EngineConfig = WGS84_003):
+    """All resolution-``res`` subcells of a cell, in digit order
+    (cell.py:456-481); ``res=None`` yields the direct children."""
+    if not rhp_is_valid(rhpindex, cfg):
+        return None
+    L = len(rhpindex) - 1
+    if res is None:
+        res = L + 1
+    if res < L:
+        return []
+    if res == L:
+        return [rhpindex]
+    K = cfg.N_side**2
+    # vectorized digit enumeration: base-K counter over res-L levels
+    depth = res - L
+    i = np.arange(K**depth, dtype=np.int64)
+    out = np.full(len(i), rhpindex, dtype=object)
+    suffix = np.zeros((len(i), depth), dtype=np.int64)
+    v = i.copy()
+    for d in range(depth - 1, -1, -1):
+        suffix[:, d] = v % K
+        v //= K
+    return [
+        rhpindex + "".join(str(x) for x in row) for row in suffix
+    ]
+
+
+def seeded_random_point_in_cell(rhpindex: str, i: int,
+                                cfg: EngineConfig = WGS84_003):
+    """Deterministic stand-in for Cell.random_point (cell.py:1448-1487):
+    a splitmix64-uniform planar point inside the given cell."""
+    from rhealpixdggs_py_ray.fixtures import splitmix64
+
+    if not rhp_is_valid(rhpindex, cfg):
+        return None
+    u = su.from_string([rhpindex])
+    x, y = idx.ul_vertex(cfg, u)
+    w = float(idx.width_of(cfg, u)[0])
+    h1 = int(splitmix64(np.asarray([i], dtype=np.uint64))[0])
+    h2 = int(splitmix64(np.asarray([i + 7_777_777], dtype=np.uint64))[0])
+    u1 = (h1 >> 11) / float(1 << 53)
+    v1 = (h2 >> 11) / float(1 << 53)
+    return float(x[0] + u1 * w), float(y[0] - v1 * w)

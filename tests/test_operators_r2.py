@@ -130,3 +130,20 @@ def test_seeded_samplers_deterministic_and_valid():
         x, y = W.seeded_random_point(i)
         u = idx.cell_from_point(CFG, 0, np.array([x]), np.array([y]), plane=True)
         assert u[0] != idx.INVALID
+
+
+def test_subcells_doctest():
+    # cell.py:456-481 example
+    assert W.rhp_subcells("N") == [f"N{d}" for d in range(9)]
+    assert len(W.rhp_subcells("N", 3)) == 9**3
+    assert W.rhp_subcells("N12", 2) == ["N12"]
+    assert W.rhp_subcells("N12", 1) == []
+
+
+def test_random_point_in_cell_contained():
+    # cell.py:1448-1487 invariant: sampled point indexes back to cell
+    for cell in ("N", "Q44", "S27", "P130"):
+        for i in range(5):
+            p = W.seeded_random_point_in_cell(cell, i)
+            assert p == W.seeded_random_point_in_cell(cell, i)
+            assert W.rhp_contains(cell, p, plane=True)
