@@ -141,4 +141,5 @@ def oracle_sql() -> dict[str, str]:
         "cell_overlaps": Q.sql_cell_overlaps(),
         "random_cells": Q.sql_random_cells(),
         "random_points": Q.sql_random_points(),
+        "cell_zone": Q.sql_cell_zone(),
     }

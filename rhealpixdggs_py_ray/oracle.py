@@ -539,13 +539,15 @@ def _cover_cells_sql(
         f" bb AS (SELECT id,"
         f"   (face - 1) * {n3r} + CAST(floor({dxs} * {scale}) AS BIGINT) AS gc,"
         f"   CAST(floor({dys} * {scale}) AS BIGINT) AS gk FROM bb1),"
-        f" rng AS (SELECT"
+        f" rng AS MATERIALIZED (SELECT"
         f"  (SELECT gk FROM bb WHERE id=0) AS k_min,"
         f"  (SELECT gk FROM bb WHERE id=1) AS k_max,"
         f"  (SELECT gc FROM bb WHERE id=0) AS c_min,"
         f"  (SELECT gc FROM bb WHERE id=1) AS c_max),"
         # static series + filter: this DuckDB build rejects lateral
-        # column parameters to generate_series
+        # column parameters to generate_series (res <= 4 here, so the
+        # unfiltered cross stays small; cell_zone_sql pre-filters its
+        # own res-6 ranges)
         f" kk AS (SELECT unnest(generate_series(0, {n3r})) AS dk),"
         f" cc AS (SELECT unnest(generate_series(0, {4 * n3r})) AS dc),"
         f" kc AS (SELECT k_min + dk AS k, c_min + dc AS c, dk AS row, dc AS col"
@@ -851,3 +853,274 @@ def linetrace_sql(lines, resolution: int, cfg: EngineConfig = WGS84_003) -> str:
             f"  FROM ({segs}) u) v WHERE prev IS NULL OR prev <> cell_id"
         )
     return " UNION ALL ".join(f"({p})" for p in line_parts)
+
+
+# ---------------------------------------------------------------------------
+# CellZoneFromPoly as SQL: unrolled quadtree descent (conversion.py:40-111)
+# for an equatorial-band polygon in generic position.  Every geometry
+# predicate mirrors core/geometry.py operation-for-operation (ray-cast
+# parity PIP, ccw sign segment intersection), cell rings come from the
+# ul-vertex digit arithmetic + the equatorial inverse, and the emit
+# order is reproduced as lexicographic SUID rank (the reference's
+# depth-first digit-order emit IS lexicographic, pinned in tests).
+# ---------------------------------------------------------------------------
+
+def _sql_ccw(ax, ay, bx, by, cx, cy) -> str:
+    """geometry.py ccw(a, b, c) = (c1-a1)*(b0-a0) - (b1-a1)*(c0-a0)."""
+    return f"(({cy} - {ay})*({bx} - {ax}) - ({by} - {ay})*({cx} - {ax}))"
+
+
+def _sql_on(ax, ay, bx, by, cx, cy) -> str:
+    return (
+        f"(least({ax}, {bx}) <= {cx} AND {cx} <= greatest({ax}, {bx})"
+        f" AND least({ay}, {by}) <= {cy} AND {cy} <= greatest({ay}, {by}))"
+    )
+
+
+def _sql_seg_intersect(a, b, c, d) -> str:
+    """geometry.py segments_intersect(a, b, c, d); each arg is an
+    (x_expr, y_expr) pair."""
+    d1 = _sql_ccw(c[0], c[1], d[0], d[1], a[0], a[1])
+    d2 = _sql_ccw(c[0], c[1], d[0], d[1], b[0], b[1])
+    d3 = _sql_ccw(a[0], a[1], b[0], b[1], c[0], c[1])
+    d4 = _sql_ccw(a[0], a[1], b[0], b[1], d[0], d[1])
+    # generic-position fixture: proper crossings only (the engine's
+    # collinear-touch branches never fire; asserted by the local gate)
+    proper = (
+        f"((({d1} > 0 AND {d2} < 0) OR ({d1} < 0 AND {d2} > 0))"
+        f" AND (({d3} > 0 AND {d4} < 0) OR ({d3} < 0 AND {d4} > 0)))"
+    )
+    return proper
+
+
+
+
+def cell_zone_sql(poly, res_limit: int, cfg: EngineConfig = WGS84_003) -> str:
+    """(seq, cell_id, kind) oracle for cell_zone_from_poly over an
+    equatorial-band polygon in generic position.
+
+    Independent closed-form derivation (no frontier recursion): the
+    reference's depth-first descent emits exactly
+
+    - every cell c (res <= limit) with poly CONTAINS ring(c) whose
+      parent is NOT contained (a contained ancestor forces the child
+      contained, and the finest-containing bounding cell guarantees the
+      overlap-recursion gates hold), labelled 'fully contained' — or
+      'bounding poly' in the degenerate poly == bounding-ring case; and
+    - every res-limit cell that is not contained but whose nucleus lies
+      in the polygon ('nucleus'),
+
+    and its emit order is the lexicographic SUID order (pinned in
+    tests/test_conversion.py).  Candidate cells come from the bbox
+    cover enumeration per resolution; the ray-cast / ccw predicates
+    mirror core/geometry.py through unpivoted edge/vertex tables
+    (relational form keeps the SQL text small enough to plan)."""
+    _check_equatorial(cfg, [p[1] for p in poly])
+    R = _lit(cfg.R_A)
+    pi = _lit(PI)
+    r2d = _lit(180.0 / PI)
+    w0 = _lit(cfg.cell_width(0))
+    coeffs = cfg.auth_coeffs_inv
+    series = " + ".join(
+        f"({_lit(coeffs[k])})*sin({2 * (k + 1)}*{{b}})" for k in range(6)
+    )
+    wrap = (
+        "(CASE WHEN {v} >= 180 THEN {v} - 360"
+        " WHEN {v} < -180 THEN {v} + 360 ELSE {v} END)"
+    )
+
+    def lonw(x):
+        return wrap.format(v=f"(({x} / {R}) * {r2d})")
+
+    def lat_of(y):
+        b = f"asin(greatest(-1.0, least(1.0, 8*(({y})/{R})/(3*{pi}))))"
+        return f"(({b} + ({series.format(b=b)})) * {r2d})"
+
+    N = cfg.N_side
+    shell = list(poly)
+    m = len(shell)
+    xs = [p[0] for p in shell]
+    ys = [p[1] for p in shell]
+    bbox = (min(xs), max(ys), max(xs), min(ys))
+
+    pedges = ", ".join(
+        f"({shell[i][0]!r}, {shell[i][1]!r},"
+        f" {shell[(i + 1) % m][0]!r}, {shell[(i + 1) % m][1]!r})"
+        for i in range(m)
+    )
+    pverts = ", ".join(f"({x!r}, {y!r})" for x, y in shell)
+
+    # shared bbox-corner projection (ONE forward-projection instance;
+    # per-res ranges derive arithmetically from the shared face/dx/dy)
+    bpts = (
+        "SELECT * FROM (VALUES"
+        f" (0, {bbox[0]!r}, {bbox[1]!r}), (1, {bbox[2]!r}, {bbox[3]!r})"
+        ") AS t(id, lon, lat)"
+    )
+    proj = projection_sql(bpts, cfg, id_cols=("id",))
+    pi_b = PI
+    bins = [(-pi_b, -pi_b / 2), (-pi_b / 2, 0.0), (0.0, pi_b / 2), (pi_b / 2, pi_b)]
+    face_eq = "(CASE " + " ".join(
+        f"WHEN xm >= {_lit(cfg.R_A * lo)} AND xm < {_lit(cfg.R_A * hi)} THEN {i + 1}"
+        for i, (lo, hi) in enumerate(bins)
+    ) + " END)"
+    ulxc = "(CASE face " + " ".join(
+        f"WHEN {i} THEN {_lit(cfg.ul_vertex[i, 0])}" for i in range(1, 5)
+    ) + " END)"
+    uly_l = _lit(cfg.ul_vertex[1, 1])
+    smidgen = _lit(0.5 * cfg.cell_width(cfg.max_resolution) / cfg.cell_width(0))
+    zb_cte = (
+        f"zb AS MATERIALIZED (SELECT id, face,"
+        f" CASE WHEN dx0 = 1 THEN dx0 - {smidgen} ELSE dx0 END AS dxs,"
+        f" CASE WHEN dy0 = 1 THEN dy0 - {smidgen} ELSE dy0 END AS dys FROM"
+        f" (SELECT id, face, abs(xm - {ulxc})/{w0} AS dx0,"
+        f"   abs(ym - {uly_l})/{w0} AS dy0 FROM"
+        f"  (SELECT id, xm, ym, {face_eq} AS face FROM {proj} t) q0) q1)"
+    )
+
+    def geo_cte(r: int) -> tuple[list, str]:
+        """per-res CTE list enumerating the bbox cover at res r with
+        (k, c, cell_id, corner coords); k/c ranges from the shared zb."""
+        n3r = N**r
+        w = _lit(cfg.cell_width(r))
+        inv = _lit(float(N ** (-r)))
+        scale = _lit(float(n3r))
+        face = f"(1 + c // {n3r})"
+        x0case = f"(CASE {face} " + " ".join(
+            f"WHEN {i} THEN {_lit(cfg.ul_vertex[i, 0])}" for i in range(1, 5)
+        ) + " END)"
+        letter = f"(CASE {face} " + " ".join(
+            f"WHEN {i} THEN '{ch}'" for i, ch in enumerate(CELLS0)
+        ) + " END)"
+        digits = "".join(
+            f" || CAST(((k // {N ** (r - 1 - i)}) % {N}) * {N}"
+            f" + (((c % {n3r}) // {N ** (r - 1 - i)}) % {N}) AS VARCHAR)"
+            for i in range(r)
+        )
+        pre = []
+        if r == 0:
+            kc = "(SELECT 0 AS k, c FROM (SELECT unnest(generate_series(0, 3)) AS c))"
+        else:
+            pre.append(
+                f"rng{r} AS MATERIALIZED (SELECT"
+                f" (SELECT CAST(floor(dys * {scale}) AS BIGINT) FROM zb WHERE id=0) AS k_min,"
+                f" (SELECT CAST(floor(dys * {scale}) AS BIGINT) FROM zb WHERE id=1) AS k_max,"
+                f" (SELECT (face - 1) * {n3r} + CAST(floor(dxs * {scale}) AS BIGINT) FROM zb WHERE id=0) AS c_min,"
+                f" (SELECT (face - 1) * {n3r} + CAST(floor(dxs * {scale}) AS BIGINT) FROM zb WHERE id=1) AS c_max)"
+            )
+            kc = (
+                f"(SELECT k_min + dk AS k, c_min + dc AS c FROM rng{r},"
+                f" (SELECT dk FROM (SELECT unnest(generate_series(0, {n3r})) AS dk), rng{r}"
+                f"  WHERE dk <= k_max - k_min) a,"
+                f" (SELECT dc FROM (SELECT unnest(generate_series(0, {4 * n3r})) AS dc), rng{r}"
+                f"  WHERE dc <= c_max - c_min) b)"
+            )
+        geo = (
+            f"(SELECT k, c, cell_id,"
+            f" {lonw('xul')} AS lon_lo, {lonw(f'(xul + {w})')} AS lon_hi,"
+            f" {lat_of('yul')} AS lat_hi, {lat_of(f'(yul - {w})')} AS lat_lo,"
+            f" xul, yul FROM"
+            f" (SELECT k, c, {letter}{digits} AS cell_id,"
+            f"  ({x0case} + {w0}*((c % {n3r}) * {inv})) AS xul,"
+            f"  ({uly_l} - {w0}*(k * {inv})) AS yul FROM {kc} s) g)"
+        )
+        return pre, geo
+
+    # generic predicate fragments over unpivoted tables
+    pip_corner = (
+        "SELECT k, c, cid, SUM(CASE WHEN (ey1 > py) <> (ey2 > py)"
+        " AND px < ex1 + (py - ey1) * (ex2 - ex1) / (ey2 - ey1)"
+        " THEN 1 ELSE 0 END) % 2 = 1 AS inside"
+        " FROM {cor} x CROSS JOIN pedges WHERE ey1 <> ey2"
+        " GROUP BY k, c, cid, px, py"
+    )
+    ring_edge = (
+        "(SELECT k, c, ei,"
+        " CASE ei WHEN 0 THEN lon_lo WHEN 1 THEN lon_hi WHEN 2 THEN lon_hi ELSE lon_lo END AS rx1,"
+        " CASE ei WHEN 0 THEN lat_hi WHEN 1 THEN lat_hi WHEN 2 THEN lat_lo ELSE lat_lo END AS ry1,"
+        " CASE ei WHEN 0 THEN lon_hi WHEN 1 THEN lon_hi WHEN 2 THEN lon_lo ELSE lon_lo END AS rx2,"
+        " CASE ei WHEN 0 THEN lat_hi WHEN 1 THEN lat_lo WHEN 2 THEN lat_lo ELSE lat_hi END AS ry2"
+        " FROM {geo} g, (SELECT unnest(generate_series(0, 3)) AS ei))"
+    )
+    seg = _sql_seg_intersect(
+        ("ex1", "ey1"), ("ex2", "ey2"), ("rx1", "ry1"), ("rx2", "ry2")
+    )
+
+    parts = [f"pedges(ex1, ey1, ex2, ey2) AS (VALUES {pedges})",
+             f"pverts(vx, vy) AS (VALUES {pverts})",
+             zb_cte]
+    emits = []
+    for r in range(0, res_limit + 1):
+        pre, geo = geo_cte(r)
+        parts.extend(pre)
+        parts.append(f"geo{r} AS MATERIALIZED {geo}")
+        corners = (
+            f"(SELECT k, c, cid,"
+            f" CASE cid WHEN 0 THEN lon_lo WHEN 1 THEN lon_hi WHEN 2 THEN lon_hi ELSE lon_lo END AS px,"
+            f" CASE cid WHEN 0 THEN lat_hi WHEN 1 THEN lat_hi WHEN 2 THEN lat_lo ELSE lat_lo END AS py"
+            f" FROM geo{r} g, (SELECT unnest(generate_series(0, 3)) AS cid))"
+        )
+        parts.append(
+            f"cpip{r} AS MATERIALIZED ({pip_corner.format(cor=corners)})"
+        )
+        parts.append(
+            f"pipagg{r} AS MATERIALIZED (SELECT k, c, bool_and(inside) AS pip_all,"
+            f" bool_or(inside) AS pip_any FROM cpip{r} GROUP BY k, c)"
+        )
+        parts.append(
+            f"pvin{r} AS MATERIALIZED (SELECT k, c, vx, vy,"
+            f" ((CASE WHEN (lat_hi > vy) <> (lat_lo > vy) AND vx < lon_hi THEN 1 ELSE 0 END)"
+            f" + (CASE WHEN (lat_lo > vy) <> (lat_hi > vy) AND vx < lon_lo THEN 1 ELSE 0 END))"
+            f" % 2 = 1 AS inside FROM geo{r} g CROSS JOIN pverts)"
+        )
+        parts.append(
+            f"pvagg{r} AS MATERIALIZED (SELECT k, c, bool_and(inside) AS pv_all"
+            f" FROM pvin{r} GROUP BY k, c)"
+        )
+        parts.append(
+            f"ri{r} AS MATERIALIZED (SELECT k, c, bool_or({seg}) AS anyint"
+            f" FROM {ring_edge.format(geo=f'geo{r}')} re CROSS JOIN pedges"
+            f" GROUP BY k, c)"
+        )
+        nuc = ""
+        if r == res_limit:
+            w = _lit(cfg.cell_width(r))
+            nlon = lonw(f"(xul + {w}/2)")
+            nlat = lat_of(f"(yul - {w}/2)")
+            parts.append(
+                f"nucp{r} AS MATERIALIZED (SELECT g.k, g.c,"
+                f" SUM(CASE WHEN (ey1 > ny) <> (ey2 > ny)"
+                f" AND nx < ex1 + (ny - ey1) * (ex2 - ex1) / (ey2 - ey1)"
+                f" THEN 1 ELSE 0 END) % 2 = 1 AS nuc_in FROM"
+                f" (SELECT k, c, {nlon} AS nx, {nlat} AS ny FROM geo{r} z) g"
+                f" CROSS JOIN pedges WHERE ey1 <> ey2 GROUP BY g.k, g.c, nx, ny)"
+            )
+        parts.append(
+            f"fl{r} AS MATERIALIZED (SELECT g.k, g.c, g.cell_id,"
+            f" p.pip_all AND NOT i.anyint AS cont,"
+            f" v.pv_all AND NOT i.anyint AS holds_poly"
+            f" FROM geo{r} g JOIN pipagg{r} p ON p.k = g.k AND p.c = g.c"
+            f" JOIN pvagg{r} v ON v.k = g.k AND v.c = g.c"
+            f" JOIN ri{r} i ON i.k = g.k AND i.c = g.c)"
+        )
+        if r > 0:
+            emits.append(
+                f"SELECT a.cell_id,"
+                f" CASE WHEN a.holds_poly THEN 'bounding poly'"
+                f" ELSE 'fully contained' END AS kind"
+                f" FROM fl{r} a LEFT JOIN fl{r - 1} b"
+                f" ON b.k = a.k // {N} AND b.c = a.c // {N}"
+                f" WHERE a.cont AND NOT coalesce(b.cont, FALSE)"
+            )
+        if r == res_limit:
+            emits.append(
+                f"SELECT f.cell_id, 'nucleus' AS kind"
+                f" FROM fl{r} f JOIN nucp{r} n ON n.k = f.k AND n.c = f.c"
+                f" WHERE NOT f.cont AND n.nuc_in"
+            )
+    allemit = " UNION ALL ".join(f"({e})" for e in emits)
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT row_number() OVER (ORDER BY cell_id) - 1 AS seq,"
+        f" cell_id, kind FROM ({allemit})"
+    )

@@ -2032,3 +2032,7 @@ def q_cell_zone(sf_dir: str):
             "kind": pa.array([k for _, k in zone], type=pa.string()),
         }
     )
+
+
+def sql_cell_zone() -> str:
+    return oracle.cell_zone_sql(ZONE_POLY, ZONE_RES, CFG)
