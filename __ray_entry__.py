@@ -142,4 +142,6 @@ def oracle_sql() -> dict[str, str]:
         "random_cells": Q.sql_random_cells(),
         "random_points": Q.sql_random_points(),
         "cell_zone": Q.sql_cell_zone(),
+        "image_pipeline": Q.sql_image_pipeline(),
+        "image_features": Q.sql_image_features(),
     }

@@ -2036,3 +2036,76 @@ def q_cell_zone(sf_dir: str):
 
 def sql_cell_zone() -> str:
     return oracle.cell_zone_sql(ZONE_POLY, ZONE_RES, CFG)
+
+
+# ---------------------------------------------------------------------------
+# Image-query oracles: DuckDB reads the SAME deterministic fixture
+# parquet and recomputes faces from phash plus channel means from the
+# GENERATIVE pixel formula (fixtures.gen_pixels) — so the oracle
+# independently verifies the Ray side's decode -> resize -> feature
+# chain (any decode bug shifts the Ray means off the closed form).
+# Integer pixel sums / 2^10 divisions are order-independent floats, so
+# the comparison is bit-exact.
+# ---------------------------------------------------------------------------
+
+IMG_N = 2000
+IMG_DIR = f"/tmp/graft_images_{IMG_N}"
+
+
+def _image_src_sql() -> str:
+    from rhealpixdggs_py_ray.fixtures import write_images_table
+
+    write_images_table(IMG_DIR, IMG_N)  # idempotent; driver may run SQL first
+    M = "18446744073709551616"
+    u = f"CAST(((CAST(phash AS HUGEINT) % {M}) + {M}) % {M} AS UBIGINT)"
+    r2d = oracle._lit(180.0 / np.pi)
+    scale = oracle._lit(84.0 / 90.0)
+    lon = f"(-180.0 + 360.0 * (CAST((u >> 32) & 4294967295 AS DOUBLE) / 4294967296.0))"
+    lat = f"((asin(2.0 * (CAST(u & 4294967295 AS DOUBLE) / 4294967296.0) - 1.0) * {r2d}) * {scale})"
+    return (
+        f"(SELECT image_id, w, h, phash, u, {lon} AS lon, {lat} AS lat FROM"
+        f" (SELECT image_id, w, h, phash, {u} AS u"
+        f"  FROM read_parquet('{IMG_DIR}/*.parquet')) q)"
+    )
+
+
+def sql_image_pipeline() -> str:
+    src = _image_src_sql()
+    faced = oracle.cell_from_point_sql(
+        f"SELECT image_id, lon, lat FROM {src} t", 0, CFG, id_cols=("image_id",)
+    )
+    # n_ok == n is the constructed-fixture invariant (lossless payloads
+    # + exact captions); the Ray side PROVES it by decoding, the oracle
+    # pins the distribution
+    return (
+        f"SELECT cell_id AS face, COUNT(*) AS n, COUNT(*) AS n_ok"
+        f" FROM {faced} t GROUP BY cell_id"
+    )
+
+
+def sql_image_features() -> str:
+    src = _image_src_sql()
+    faced = oracle.cell_from_point_sql(
+        f"SELECT image_id, w, h, u, lon, lat FROM {src} t", 0, CFG,
+        id_cols=("image_id",), extra_cols=("w", "h", "u"),
+    )
+    # channel-0 mean of the 32x32 nearest-resized generative pattern:
+    # pix(y, x, 0) = (x*3 + y*5 + (phash & 255)) % 256, sampled at
+    # yi = gi*h//32, xi = gj*w//32 (ops/multimodal.resize_nearest)
+    val = (
+        "(((CAST(gj AS BIGINT) * w) // 32) * 3"
+        " + ((CAST(gi AS BIGINT) * h) // 32) * 5"
+        " + CAST(u & 255 AS BIGINT)) % 256"
+    )
+    return (
+        f"WITH f AS MATERIALIZED (SELECT image_id, w, h, u, cell_id FROM {faced} t),"
+        f" g AS (SELECT gi.gi, gj.gj FROM"
+        f"  (SELECT unnest(generate_series(0, 31)) AS gi) gi,"
+        f"  (SELECT unnest(generate_series(0, 31)) AS gj) gj),"
+        f" mm AS (SELECT image_id, cell_id,"
+        f"   CAST(floor((SUM({val}) / 1024.0) * 100) AS BIGINT) AS mean_r_c"
+        f"  FROM f, g GROUP BY image_id, cell_id)"
+        f" SELECT cell_id AS face, COUNT(*) AS n,"
+        f" CAST(SUM(mean_r_c) AS BIGINT) AS sum_mean_r_c"
+        f" FROM mm GROUP BY cell_id"
+    )
