@@ -8,8 +8,9 @@ value-hash-parity DuckDB oracle (see pipelines/queries.py wiring):
                   groupby -> candidate pairs -> exact-jaccard verify
 - simhash:        64-bit token-hash sign aggregate per doc
 - n-gram jaccard: inverted-index pair generation + exact jaccard
-- embedding:      cosine near-dup pairs via blocked matmul against a
-                  broadcast matrix
+- embedding:      EXACT cosine pairs via chunked-parquet block
+                  cross-product tasks, plus a sub-quadratic LSH-band
+                  variant whose oracle mirrors the pruning
 
 Hash parity trick: the base hash is ``md5`` (bit-identical between
 hashlib and DuckDB; DuckDB's ``md5_number_lower`` = little-endian
@@ -340,9 +341,17 @@ def minhash_lsh_pairs(docs_ds, jaccard_min: float = 0.5):
         ShingleExploder, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
     )
     # semi-join: shingles of candidate docs only (feeds three consumers
-    # below; materialize the SMALL filtered table, not the corpus)
+    # below; materialize the SMALL filtered table, not the corpus).
+    # This is the one join that shuffles the full exploded table, so its
+    # partition count scales with the session's CPUs (each partition is
+    # one aggregator actor); the later small-side joins stay at 2.
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    big_parts = max(2, min(8, cpus // 4))
     sh_f = sh.join(
-        cand_docs, "inner", num_partitions=2, on=("doc_id",)
+        cand_docs, "inner", num_partitions=big_parts, on=("doc_id",)
     ).materialize()
     ja = cand.join(sh_f, "inner", num_partitions=2, on=("a",), right_on=("doc_id",))
     shared = ja.join(

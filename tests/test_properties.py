@@ -116,3 +116,50 @@ def test_ring_membership_and_size(lon, lat, res):
         for n in nbrs:
             assert n in ring
     assert 1 <= len(ring) <= 9
+
+
+@settings(max_examples=200, deadline=None)
+@given(lon=lon_s, lat=lat_s, res=res_s)
+def test_predecessor_successor_inverse(lon, lat, res):
+    """pred(succ(c)) == c and succ(pred(c)) == c away from the ends
+    (reference randomized property, test_dggs.py:76-82)."""
+    u = idx.cell_from_point(CFG, res, np.array([lon]), np.array([lat]), plane=False)
+    nxt = su.successor(u, CFG)
+    if int(nxt[0]) != 0:
+        assert su.predecessor(nxt, CFG)[0] == u[0]
+    prv = su.predecessor(u, CFG)
+    if int(prv[0]) != 0:
+        assert su.successor(prv, CFG)[0] == u[0]
+
+
+@settings(max_examples=200, deadline=None)
+@given(lon=lon_s, lat=lat_s, res=res_s)
+def test_suid_rowcol_reconstructs(lon, lat, res):
+    """Interleaving the row/col digit streams recovers the cell
+    (cell.py:269-291: digit = row*N + col per level)."""
+    u = idx.cell_from_point(CFG, res, np.array([lon]), np.array([lat]), plane=False)
+    r, c = su.suid_rowcol(u, CFG)
+    _, rd, _ = su.unpack(r)
+    _, cd, _ = su.unpack(c)
+    _, d, _ = su.unpack(u)
+    N = CFG.N_side
+    assert np.all(rd * N + cd == d)
+    assert su.face_of(r)[0] == su.face_of(u)[0] == su.face_of(c)[0]
+
+
+@settings(max_examples=50, deadline=None)
+@given(lon=lon_s, lat=lat_s, res=st.integers(min_value=1, max_value=5),
+       span=st.integers(min_value=0, max_value=40))
+def test_interval_contiguous_and_bounded(lon, lat, res, span):
+    """interval(a, b) is the contiguous level-order index range
+    (dggs.py:710-735; reference pins index contiguity)."""
+    a = idx.cell_from_point(CFG, res, np.array([lon]), np.array([lat]), plane=False)
+    ia = int(su.level_order_index(a, CFG)[0])
+    K = CFG.N_side**2
+    base_r = 6 * (K**res - 1) // (K - 1)
+    last = base_r + 6 * K**res - 1
+    b = su.suid_from_level_order_index(np.array([min(ia + span, last)]), CFG)
+    cells = su.interval_cells(int(a[0]), int(b[0]), CFG)
+    idxs = su.level_order_index(cells, CFG)
+    assert np.all(np.diff(idxs) == 1)
+    assert idxs[0] == ia
