@@ -81,3 +81,133 @@ def test_successor_differential(ref):
             assert got == 0
         else:
             assert su.suid_tuple(int(got)) == tuple(refc.suid)
+
+
+def _rand_cells(seed, n, max_res=9):
+    random.seed(seed)
+    out = []
+    for _ in range(n):
+        res = random.randint(0, max_res)
+        out.append(tuple(["NOPQRS"[random.randint(0, 5)]]
+                         + [random.randint(0, 8) for _ in range(res)]))
+    return out
+
+
+def test_predecessor_successor_differential(ref):
+    from rhealpixdggs_py_ray.core import wrappers as W
+
+    for c in _rand_cells(21, 80):
+        s = "".join(str(x) for x in c)
+        rc = ref.cell(list(c))
+        rp = rc.predecessor()
+        assert W.rhp_predecessor(s) == (None if rp is None else str(rp))
+        rs = rc.successor()
+        assert W.rhp_successor(s) == (None if rs is None else str(rs))
+
+
+def test_suid_rowcol_differential(ref):
+    from rhealpixdggs_py_ray.core import wrappers as W
+
+    for c in _rand_cells(22, 60):
+        s = "".join(str(x) for x in c)
+        rr, rc_ = ref.cell(list(c)).suid_rowcol()
+        assert W.rhp_suid_rowcol(s) == (
+            "".join(str(x) for x in rr), "".join(str(x) for x in rc_)
+        )
+
+
+def test_xy_range_differential(ref):
+    from rhealpixdggs_py_ray.core import wrappers as W
+
+    for c in _rand_cells(23, 60):
+        s = "".join(str(x) for x in c)
+        (x1, x2), (y1, y2) = ref.cell(list(c)).xy_range()
+        (ox1, ox2), (oy1, oy2) = W.rhp_xy_range(s)
+        assert (ox1, ox2, oy1, oy2) == (x1, x2, y1, y2)
+
+
+def test_boundary_differential(ref):
+    from rhealpixdggs_py_ray.core import wrappers as W
+
+    for c in _rand_cells(24, 30, max_res=6):
+        s = "".join(str(x) for x in c)
+        for n in (2, 3, 4):
+            theirs = ref.cell(list(c)).boundary(n=n, plane=True)
+            ours = W.rhp_boundary(s, n=n, plane=True)
+            assert np.allclose(ours, theirs, rtol=0, atol=0), (c, n)
+
+
+def test_boundary_ellipsoidal_differential(ref):
+    from rhealpixdggs_py_ray.core import wrappers as W
+
+    for c in _rand_cells(25, 20, max_res=4):
+        s = "".join(str(x) for x in c)
+        theirs = ref.cell(list(c)).boundary(n=3, plane=False)
+        ours = W.rhp_boundary(s, n=3, plane=False)
+        assert np.allclose(ours, theirs, rtol=0, atol=1e-9), c
+
+
+def test_interior_differential(ref):
+    from rhealpixdggs_py_ray.core import wrappers as W
+
+    for c in _rand_cells(26, 20, max_res=5):
+        s = "".join(str(x) for x in c)
+        theirs = ref.cell(list(c)).interior(n=3, plane=True, flatten=True)
+        ours = W.rhp_interior(s, n=3, plane=True, flatten=True)
+        assert np.allclose(ours, theirs, rtol=0, atol=0), c
+
+
+def test_overlaps_differential(ref):
+    from rhealpixdggs_py_ray.core import wrappers as W
+
+    cells = _rand_cells(27, 30, max_res=4)
+    for a in cells[:10]:
+        for b in cells:
+            sa = "".join(str(x) for x in a)
+            sb = "".join(str(x) for x in b)
+            assert W.rhp_overlaps(sa, sb) == ref.cell(list(a)).overlaps(
+                ref.cell(list(b))
+            )
+
+
+def test_interval_differential(ref):
+    from rhealpixdggs_py_ray.core import wrappers as W
+
+    random.seed(28)
+    for _ in range(20):
+        res = random.randint(1, 4)
+        a = tuple(["NOPQ"[random.randint(0, 3)]]
+                  + [random.randint(0, 8) for _ in range(res)])
+        b = tuple([a[0]] + [min(8, d + random.randint(0, 2)) for d in a[1:]])
+        sa = "".join(str(x) for x in a)
+        sb = "".join(str(x) for x in b)
+        ra = ref.cell(list(a))
+        rb = ref.cell(list(b))
+        theirs = [str(x) for x in ref.interval(ra, rb)]
+        assert W.rhp_interval(sa, sb) == theirs, (a, b)
+
+
+def test_num_cells_xyz_cube_differential(ref):
+    from rhealpixdggs_py_ray.core import wrappers as W
+
+    for r1 in range(0, 8):
+        for r2 in (None, r1, r1 + 2):
+            for sc in (False, True):
+                assert W.num_cells(r1, r2, sc) == ref.num_cells(r1, r2, sc)
+    random.seed(29)
+    for _ in range(50):
+        x = random.uniform(-2e7, 2e7)
+        y = random.uniform(-7e6, 7e6)
+        theirs = ref.xyz_cube(x, y)
+        ours = idx.xyz_cube(WGS84_003, np.array([x]), np.array([y]))
+        assert np.allclose([ours[0][0], ours[1][0], ours[2][0]], theirs,
+                           rtol=0, atol=1e-9), (x, y)
+
+
+def test_subcells_differential(ref):
+    from rhealpixdggs_py_ray.core import wrappers as W
+
+    for c in _rand_cells(30, 20, max_res=3):
+        s = "".join(str(x) for x in c)
+        theirs = [str(x) for x in ref.cell(list(c)).subcells()]
+        assert W.rhp_subcells(s) == theirs
