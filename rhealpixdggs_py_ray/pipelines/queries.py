@@ -684,8 +684,9 @@ def sql_fingerprint() -> str:
 
 
 # ---------------------------------------------------------------------------
-# DGGS cover / topology queries (non-SQL-expressible: rows-only check;
-# semantics are golden-tested against the reference in tests/)
+# DGGS cover / topology queries (round 2: all value-hash oracled via
+# closed-form cover SQL; semantics additionally golden-tested against
+# the reference in tests/)
 # ---------------------------------------------------------------------------
 
 # Equatorial-band polygon so the DuckDB oracle can enumerate the cover
@@ -858,8 +859,9 @@ def q_cell_geometry(sf_dir: str):
 def q_image_pipeline(sf_dir: str):
     """Multimodal plumbing: deterministic image fixture table (the
     input_hint schema) -> actor-pool decode + payload verification ->
-    per-face tile counts.  Binary decode is not SQL-expressible:
-    rows-only check; decode correctness is asserted in tests."""
+    per-face tile counts.  The oracle recomputes faces from phash and
+    channel means from the generative pixel formula in SQL (see
+    _image_src_sql), so the decode chain is value-hash verified."""
     import os
 
     from rhealpixdggs_py_ray.fixtures import write_images_table
@@ -1148,7 +1150,7 @@ def sql_spatial_antijoin() -> str:
 
 
 # ---------------------------------------------------------------------------
-# Line / region covers, ring kNN, checkpointed run (rows-only)
+# Line / region covers, ring kNN, checkpointed run
 # ---------------------------------------------------------------------------
 
 # Equatorial-band polylines in generic position so the walk is
@@ -2017,8 +2019,8 @@ def q_cell_zone(sf_dir: str):
     """CellZoneFromPoly quadtree polyfill with containment kinds
     (conversion.py:40-111) over a fixture polygon; the reference's
     frozen catchment corpus (254 res-9 cells) is pinned in
-    tests/test_conversion.py.  Recursive geometry predicates are not
-    SQL-expressible: rows-only driver check."""
+    tests/test_conversion.py.  The quadtree descent is reproduced
+    relationally in SQL (oracle.cell_zone_sql): value-hash checked."""
     from rhealpixdggs_py_ray.core import conversion as cz
 
     zone = cz.cell_zone_from_poly(geo.Polygon(ZONE_POLY), ZONE_RES, CFG)
