@@ -91,30 +91,25 @@ class MinHasher:
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         texts = batch["text"].to_pylist()
-        # hash each DISTINCT shingle in the batch once (md5 is the cost
-        # center; shingles repeat heavily across near-duplicate docs)
-        per_doc = [shingles(t) for t in texts]
-        flat = [s for sh in per_doc for s in sh]
-        uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
-        hu = np.array([md5_u64(s) for s in uniq], dtype=np.uint64)
-        h_flat = hu[inv]
-        lens = np.array([len(sh) for sh in per_doc], dtype=np.int64)
-        keep = lens > 0
-        # per-doc minhash over the doc's slice of the flat hash array:
-        # perm_s(h) = a_s * h + b_s (mod 2^64), min per (doc, s) via
-        # np.minimum.reduceat on the permuted flat array
-        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])[keep]
-        P = (self.a[:, None] * h_flat[None, :] + self.b[:, None])  # (S, F)
-        mh = np.minimum.reduceat(P, starts, axis=1)  # (S, D_kept)
-        d_kept = doc_ids[keep]
-        nd = len(d_kept)
-        band = np.tile(np.arange(N_BANDS, dtype=np.int64), nd)
+        out_doc, out_band, out_k1, out_k2 = [], [], [], []
+        for d, t in zip(doc_ids, texts):
+            sh = shingles(t)
+            if not sh:
+                continue
+            h = np.array([md5_u64(x) for x in sh], dtype=np.uint64)
+            # perm_s(h) = a_s * h + b_s  (mod 2^64, numpy wraparound)
+            mh = (self.a[:, None] * h[None, :] + self.b[:, None]).min(axis=1)
+            for band in range(N_BANDS):
+                out_doc.append(d)
+                out_band.append(band)
+                out_k1.append(mh[2 * band])
+                out_k2.append(mh[2 * band + 1])
         return pa.table(
             {
-                "doc_id": pa.array(np.repeat(d_kept.astype(np.int64), N_BANDS)),
-                "band": pa.array(band),
-                "k1": pa.array(mh[2 * band, np.repeat(np.arange(nd), N_BANDS)]),
-                "k2": pa.array(mh[2 * band + 1, np.repeat(np.arange(nd), N_BANDS)]),
+                "doc_id": pa.array(out_doc, type=pa.int64()),
+                "band": pa.array(out_band, type=pa.int64()),
+                "k1": pa.array(np.array(out_k1, dtype=np.uint64)),
+                "k2": pa.array(np.array(out_k2, dtype=np.uint64)),
             }
         )
 
