@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_rings": Q.q_knn_rings,
         "resumable_tiling": Q.q_resumable_tiling,
         "image_features": Q.q_image_features,
+        "image_neardup": Q.q_image_neardup,
         "cell_stats": Q.q_cell_stats,
         "tile_counts_salted": Q.q_tile_counts_salted,
         "cell_from_region": Q.q_cell_from_region,
@@ -144,4 +145,5 @@ def oracle_sql() -> dict[str, str]:
         "cell_zone": Q.sql_cell_zone(),
         "image_pipeline": Q.sql_image_pipeline(),
         "image_features": Q.sql_image_features(),
+        "image_neardup": Q.sql_image_neardup(),
     }

@@ -57,9 +57,14 @@ class DecodeResizeFeatures:
             small = resize_nearest(pix, self.out_w, self.out_h).astype(np.float64)
             means[k] = small.mean(axis=(0, 1))
             stds[k] = small.std(axis=(0, 1))
-            gray = small.mean(axis=2)
-            g8 = resize_nearest(gray[:, :, None], 8, 8)[:, :, 0]
-            bits = (g8 > g8.mean()).ravel()
+            # tie-exact mean threshold: compare 64*g3 > sum(g3) on the
+            # 3-channel integer sums (exact in float64, values < 2^53)
+            # instead of g8 > g8.mean() on thirds — same predicate
+            # mathematically, but bitwise-reproducible in SQL (ADVICE
+            # parity discipline; ties resolve to 0 on both sides)
+            g3 = small.sum(axis=2)
+            g8 = resize_nearest(g3[:, :, None], 8, 8)[:, :, 0]
+            bits = (g8 * 64.0 > g8.sum()).ravel()
             ph[k] = int(
                 np.uint64(
                     sum(int(b) << i for i, b in enumerate(bits))

@@ -2111,3 +2111,73 @@ def sql_image_features() -> str:
         f" CAST(SUM(mean_r_c) AS BIGINT) AS sum_mean_r_c"
         f" FROM mm GROUP BY cell_id"
     )
+
+
+NEARDUP_MAX_HAMMING = 6
+
+
+def q_image_neardup(sf_dir: str):
+    """Image near-dup detection over the fixture images table: decode
+    -> 64-bit perceptual hash -> 4x16-bit band LSH -> candidate pairs
+    -> exact Hamming verify (ops/multimodal.image_near_dup_pairs; the
+    image axis of the graft).  Payload bytes never ride a shuffle —
+    only (id, phash64) rows do.  The oracle recomputes phash64
+    closed-form from the generative pixel formula (the same tie-exact
+    integer threshold the kernel uses) and replays the identical
+    band-LSH candidate rule in SQL, so hashes, candidate recall and
+    Hamming distances are all value-hash checked."""
+    import pyarrow.compute as pc
+
+    from rhealpixdggs_py_ray.fixtures import write_images_table
+    from rhealpixdggs_py_ray.ops.multimodal import image_near_dup_pairs
+
+    write_images_table(IMG_DIR, IMG_N)
+    ds = ray.data.read_parquet(IMG_DIR, override_num_blocks=8)
+
+    def add_idx(batch: pa.Table) -> pa.Table:
+        ii = pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 3, 15), pa.int64())
+        return batch.append_column("img_idx", ii)
+
+    ds = ds.map_batches(add_idx, batch_format="pyarrow", zero_copy_batch=True)
+    return image_near_dup_pairs(ds, max_hamming=NEARDUP_MAX_HAMMING)
+
+
+def sql_image_neardup() -> str:
+    # phash64 closed form: the 32x32 nearest-resize of the generative
+    # pattern sampled at the 8x8 grid collapses to pixel
+    # (yi, xi) = ((a*h)//8, (b*w)//8); the 3-channel integer sum s is
+    # thresholded tie-exactly as 64*s > sum(s) (exactly the kernel's
+    # g8*64.0 > g8.sum() — all quantities are integers < 2^53).
+    src = _image_src_sql()
+    val = (
+        "((((b.b * w) // 8) * 3 + ((a.a * h) // 8) * 5 + c.c * 7"
+        " + CAST((u >> CAST(8 * c.c AS UBIGINT)) & 255 AS BIGINT)) % 256)"
+    )
+    return (
+        f"WITH src AS MATERIALIZED (SELECT CAST(substr(image_id, 4) AS BIGINT)"
+        f"  AS idx, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h, u"
+        f"  FROM {src} tt),"
+        f" samp AS MATERIALIZED (SELECT idx, a.a, b.b, SUM({val}) AS s"
+        f"  FROM src,"
+        f"   (SELECT unnest(generate_series(0, 7)) AS a) a,"
+        f"   (SELECT unnest(generate_series(0, 7)) AS b) b,"
+        f"   (SELECT unnest(generate_series(0, 2)) AS c) c"
+        f"  GROUP BY idx, a.a, b.b),"
+        f" ph AS MATERIALIZED (SELECT idx,"
+        f"  CAST(SUM(CASE WHEN 64 * s > tot THEN CAST(1 AS HUGEINT)"
+        f"   << CAST(a * 8 + b AS INTEGER) ELSE CAST(0 AS HUGEINT) END)"
+        f"   AS UBIGINT) AS ph64"
+        f"  FROM (SELECT idx, a, b, s, SUM(s) OVER (PARTITION BY idx) AS tot"
+        f"        FROM samp) q GROUP BY idx),"
+        f" bands AS MATERIALIZED (SELECT idx,"
+        f"  t.t AS t, CAST((ph64 >> CAST(16 * t.t AS UBIGINT)) & 65535 AS BIGINT)"
+        f"   AS bkey"
+        f"  FROM ph, (SELECT unnest(generate_series(0, 3)) AS t) t),"
+        f" pairs AS (SELECT DISTINCT l.idx AS a, r.idx AS b"
+        f"  FROM bands l JOIN bands r"
+        f"  ON l.t = r.t AND l.bkey = r.bkey AND l.idx < r.idx)"
+        f" SELECT p.a, p.b, CAST(bit_count(xor(x.ph64, y.ph64)) AS BIGINT)"
+        f"  AS hamming"
+        f" FROM pairs p JOIN ph x ON x.idx = p.a JOIN ph y ON y.idx = p.b"
+        f" WHERE bit_count(xor(x.ph64, y.ph64)) <= {NEARDUP_MAX_HAMMING}"
+    )
