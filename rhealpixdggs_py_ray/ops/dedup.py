@@ -247,51 +247,135 @@ def _count_by_key(ds, key_col: str, out_val: str, n_buckets: int = 32):
     return partial.groupby("skbucket").map_groups(combine_group, batch_format="pandas")
 
 
-def _join_pair_sizes(pairs_ds, sizes_ds, n_partitions: int = 2):
-    """Attach per-doc sizes to both sides of a pair table via two
-    distributed hash joins (columns za, zb added)."""
+def _attach_pair_sides(pairs_ds, kv_ds, pair_extra, val_cols, n_buckets: int = 64):
+    """Attach per-doc values onto both endpoints of a pair table with
+    ONE hash-bucket shuffle instead of two Ray joins (each JoinOperator
+    costs seconds of fixed aggregator-pool setup; measured in round 2).
 
-    def rename_za(batch: pa.Table) -> pa.Table:
-        i = batch.schema.get_field_index("n")
-        return batch.set_column(i, "za", batch.column(i))
+    Every pair row (a, b, *pair_extra) explodes to two side rows
+    bucketed by the endpoint's doc hash; the (doc_id, *val_cols) table
+    is bucketed the same way; one union + groupby(bucket) resolves each
+    bucket with a vectorized index lookup.  Output rows:
+    (a, b, *pair_extra, side, *val_cols) — side 0 carries a's values,
+    side 1 carries b's; endpoints missing from ``kv_ds`` are dropped
+    (inner-join semantics).
 
-    j = pairs_ds.join(
-        sizes_ds, "inner", num_partitions=n_partitions, on=("a",), right_on=("doc_id",)
-    ).map_batches(rename_za, batch_format="pyarrow", zero_copy_batch=True)
-    j = j.join(
-        sizes_ds, "inner", num_partitions=n_partitions, on=("b",), right_on=("doc_id",)
-    )
+    Scale shape: each row crosses exactly one all-to-all exchange, and
+    a bucket group holds |kv_ds|/n_buckets doc rows plus the candidate
+    side rows that hash there — size n_buckets so a group fits a worker
+    heap (doc rows are a few dozen bytes unless val_cols carry text)."""
+    val_names = [c for c, _ in val_cols]
 
-    def rename_zb(batch: pa.Table) -> pa.Table:
-        i = batch.schema.get_field_index("n")
-        return batch.set_column(i, "zb", batch.column(i))
+    def mk_schema_cols():
+        return ["bkt", "kind", "a", "b", *pair_extra, "side", "doc_id", *val_names]
 
-    return j.map_batches(rename_zb, batch_format="pyarrow", zero_copy_batch=True)
+    def _bkt(ids: np.ndarray) -> np.ndarray:
+        return (
+            (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(58)
+        ).astype(np.int64) % n_buckets
 
-
-def _jaccard_filter(paired_ds, ni_col: str, jaccard_min: float):
-    """(a, b, ni, za, zb) -> (a, b, jac_micros) with jac >= threshold;
-    float ops mirror the SQL oracle exactly (int->double division)."""
-
-    def jac(batch: pa.Table) -> pa.Table:
-        a = batch["a"].to_numpy(zero_copy_only=False)
-        b = batch["b"].to_numpy(zero_copy_only=False)
-        ni = batch[ni_col].to_numpy(zero_copy_only=False)
-        za = batch["za"].to_numpy(zero_copy_only=False)
-        zb = batch["zb"].to_numpy(zero_copy_only=False)
-        j = ni.astype(np.float64) / (za + zb - ni).astype(np.float64)
-        keep = j >= jaccard_min
-        return pa.table(
-            {
-                "a": pa.array(a[keep], type=pa.int64()),
-                "b": pa.array(b[keep], type=pa.int64()),
-                "jac_micros": pa.array(
-                    np.floor(j[keep] * 1000000.0).astype(np.int64)
-                ),
-            }
+    def explode_pairs(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(a)
+        cols = {
+            "bkt": pa.array(np.concatenate([_bkt(a), _bkt(b)])),
+            "kind": pa.array(np.ones(2 * n, dtype=np.int64)),
+            "a": pa.array(np.concatenate([a, a])),
+            "b": pa.array(np.concatenate([b, b])),
+        }
+        for c in pair_extra:
+            v = batch[c].to_numpy(zero_copy_only=False)
+            cols[c] = pa.array(np.concatenate([v, v]))
+        cols["side"] = pa.array(
+            np.concatenate([np.zeros(n, dtype=np.int64), np.ones(n, dtype=np.int64)])
         )
+        cols["doc_id"] = pa.array(np.concatenate([a, b]))
+        # sentinel fills (not nulls): keeps pandas dtypes stable when
+        # pair and kv rows mix inside one bucket group
+        for c, typ in val_cols:
+            if pa.types.is_string(typ):
+                cols[c] = pa.array([""] * (2 * n), type=typ)
+            else:
+                cols[c] = pa.array(np.zeros(2 * n, dtype=np.int64), type=typ)
+        return pa.table(cols)
 
-    return paired_ds.map_batches(jac, batch_format="pyarrow", zero_copy_batch=True)
+    def tag_kv(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(d)
+        z = np.zeros(n, dtype=np.int64)
+        cols = {
+            "bkt": pa.array(_bkt(d)),
+            "kind": pa.array(z),
+            "a": pa.array(z),
+            "b": pa.array(z),
+        }
+        for c in pair_extra:
+            cols[c] = pa.array(z)
+        cols["side"] = pa.array(z)
+        cols["doc_id"] = pa.array(d)
+        for c, _ in val_cols:
+            cols[c] = batch[c]
+        return pa.table(cols)
+
+    u = pairs_ds.map_batches(
+        explode_pairs, batch_format="pyarrow", zero_copy_batch=True
+    ).union(kv_ds.map_batches(tag_kv, batch_format="pyarrow", zero_copy_batch=True))
+
+    out_cols = ["a", "b", *pair_extra, "side", *val_names]
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        kv = g[g["kind"] == 0]
+        pr = g[g["kind"] == 1]
+        if not len(pr) or not len(kv):
+            return pd.DataFrame(
+                {
+                    **{c: pr[c].to_numpy()[:0] for c in ("a", "b", *pair_extra, "side")},
+                    **{c: kv[c].to_numpy()[:0] for c in val_names},
+                }
+            )
+        out = {c: pr[c].to_numpy() for c in ("a", "b", *pair_extra, "side")}
+        want = pr["doc_id"].to_numpy()
+        keys = kv["doc_id"].to_numpy()
+        order = np.argsort(keys, kind="mergesort")
+        pos = np.searchsorted(keys, want, sorter=order)
+        pos = np.clip(pos, 0, len(keys) - 1)
+        hit = keys[order][pos] == want
+        for c in ("a", "b", *pair_extra, "side"):
+            out[c] = out[c][hit]
+        for c in val_names:
+            out[c] = kv[c].to_numpy()[order][pos][hit]
+        return pd.DataFrame(out)
+
+    return u.groupby("bkt").map_groups(resolve, batch_format="pandas")
+
+
+def _pair_sides_pivot(att_ds, finisher, extra_cols, n_buckets: int = 32):
+    """(a, b, side, cols...) -> one row per (a, b) with side-0 columns
+    suffixed ``_a`` and side-1 suffixed ``_b``, then ``finisher``
+    applied per hash bucket (vectorized).  Both side rows of a pair
+    land in the same bucket by construction (same (a, b) hash)."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = (((a * np.uint64(2654435761)) ^ b) % np.uint64(n_buckets)).astype(
+            np.int64
+        )
+        return batch.append_column("pair_bucket", pa.array(bucket))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ["a", "b", *extra_cols]
+        s0 = g[g["side"] == 0][cols]
+        s1 = g[g["side"] == 1][cols]
+        m = s0.merge(s1, on=["a", "b"], suffixes=("_a", "_b"))
+        return finisher(m)
+
+    return (
+        att_ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pair_bucket")
+        .map_groups(combine, batch_format="pandas")
+    )
 
 
 def minhash_lsh_pairs(docs_ds, jaccard_min: float = 0.5):
@@ -319,12 +403,14 @@ def minhash_lsh_pairs(docs_ds, jaccard_min: float = 0.5):
         )
     )
     cand = _sum_by_pair(cand, "n_bands").select_columns(["a", "b"]).materialize()
-    # Verification: exact jaccard via distributed hash joins — never an
-    # O(corpus) driver materialization.  Cost shape: the candidate set
-    # is small by LSH construction, so first SEMI-join the big exploded
-    # shingle table down to candidate docs (ONE pass over the corpus),
-    # then run the pair joins and the size aggregate on the small
-    # filtered table only.
+    # Verification: exact jaccard, distributed — never an O(corpus)
+    # driver materialization.  Cost shape: the candidate set is small
+    # by LSH construction, so (1) ONE hash join semi-filters the RAW
+    # docs table (one row per doc — never the ~20x bigger exploded
+    # shingle table) down to candidate docs, (2) each candidate doc's
+    # exact shingle SET is packed into a single row, and (3) the pair
+    # endpoints pick their sets up through one bucketed exchange
+    # (_attach_pair_sides) instead of four JoinOperators.
     def split_docs(batch: pa.Table) -> pa.Table:
         a = batch["a"].to_numpy(zero_copy_only=False)
         b = batch["b"].to_numpy(zero_copy_only=False)
@@ -337,42 +423,58 @@ def minhash_lsh_pairs(docs_ds, jaccard_min: float = 0.5):
         "doc_id", "nref",
     ).select_columns(["doc_id"])
 
-    sh = docs_ds.map_batches(
-        ShingleExploder, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
-    )
-    # semi-join: shingles of candidate docs only (feeds three consumers
-    # below; materialize the SMALL filtered table, not the corpus).
-    # This is the one join that shuffles the full exploded table, so its
-    # partition count scales with the session's CPUs (each partition is
-    # one aggregator actor); the later small-side joins stay at 2.
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
     big_parts = max(2, min(8, cpus // 4))
-    sh_f = sh.join(
-        cand_docs, "inner", num_partitions=big_parts, on=("doc_id",)
-    ).materialize()
-    ja = cand.join(sh_f, "inner", num_partitions=2, on=("a",), right_on=("doc_id",))
-    shared = ja.join(
-        sh_f, "inner", num_partitions=2, on=("b", "s"), right_on=("doc_id", "s")
-    )
+    docs_f = docs_ds.join(cand_docs, "inner", num_partitions=big_parts, on=("doc_id",))
 
-    def ones(batch: pa.Table) -> pa.Table:
+    def pack(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        sets = [shingles(t) for t in texts]
         return pa.table(
             {
-                "a": batch["a"],
-                "b": batch["b"],
-                "ni_partial": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "shset": pa.array(["\n".join(s) for s in sets], type=pa.string()),
+                "n": pa.array(np.array([len(s) for s in sets], dtype=np.int64)),
             }
         )
 
-    inter = _sum_by_pair(
-        shared.map_batches(ones, batch_format="pyarrow", zero_copy_batch=True), "ni"
+    shf = docs_f.map_batches(
+        pack, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    att = _attach_pair_sides(
+        cand, shf, pair_extra=[], val_cols=[("shset", pa.string()), ("n", pa.int64())]
     )
-    sizes = _count_by_key(sh_f, "doc_id", "n")
-    paired = _join_pair_sizes(inter, sizes)
-    return _jaccard_filter(paired, "ni", jaccard_min)
+
+    def verify(m: pd.DataFrame) -> pd.DataFrame:
+        # exact intersection of the two shingle STRING sets (not their
+        # hashes — bit-parity with the oracle's sa.s = sb.s join even
+        # under md5 collisions); shingle strings cannot contain '\n'
+        # (tokens are whitespace-split)
+        ni = np.fromiter(
+            (
+                len(set(x.split("\n")) & set(y.split("\n")))
+                for x, y in zip(m["shset_a"].tolist(), m["shset_b"].tolist())
+            ),
+            dtype=np.int64,
+            count=len(m),
+        )
+        za = m["n_a"].to_numpy().astype(np.int64)
+        zb = m["n_b"].to_numpy().astype(np.int64)
+        j = ni.astype(np.float64) / (za + zb - ni).astype(np.float64)
+        keep = j >= jaccard_min
+        return pd.DataFrame(
+            {
+                "a": m["a"].to_numpy()[keep],
+                "b": m["b"].to_numpy()[keep],
+                "jac_micros": np.floor(j[keep] * 1000000.0).astype(np.int64),
+            }
+        )
+
+    return _pair_sides_pivot(att, verify, ["shset", "n"])
 
 
 def minhash_lsh_sql(jaccard_min: float = 0.5) -> str:
@@ -537,11 +639,28 @@ def ngram_jaccard_pairs(docs_ds, jaccard_min: float = 0.2):
         )
     )
     inter = _sum_by_pair(inter, "ni")
-    # Per-doc shingle-set sizes joined onto the pair rows (distributed
-    # hash join; the round-1 broadcast dict was O(corpus) driver memory).
+    # Per-doc shingle-set sizes picked up by the pair endpoints through
+    # one bucketed exchange (round 1 broadcast an O(corpus) driver
+    # dict; the round-2 two-join version paid ~6s of JoinOperator
+    # setup for a 16-byte-per-doc lookup table).
     sizes = _count_by_key(sh, "doc_id", "n")
-    paired = _join_pair_sizes(inter, sizes)
-    return _jaccard_filter(paired, "ni", jaccard_min)
+    att = _attach_pair_sides(inter, sizes, pair_extra=["ni"], val_cols=[("n", pa.int64())])
+
+    def fin(m: pd.DataFrame) -> pd.DataFrame:
+        ni = m["ni_a"].to_numpy().astype(np.int64)
+        za = m["n_a"].to_numpy().astype(np.int64)
+        zb = m["n_b"].to_numpy().astype(np.int64)
+        j = ni.astype(np.float64) / (za + zb - ni).astype(np.float64)
+        keep = j >= jaccard_min
+        return pd.DataFrame(
+            {
+                "a": m["a"].to_numpy()[keep],
+                "b": m["b"].to_numpy()[keep],
+                "jac_micros": np.floor(j[keep] * 1000000.0).astype(np.int64),
+            }
+        )
+
+    return _pair_sides_pivot(att, fin, ["ni", "n"])
 
 
 def ngram_jaccard_sql(jaccard_min: float = 0.2) -> str:
