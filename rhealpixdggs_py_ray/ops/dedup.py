@@ -19,11 +19,14 @@ uint64 of digest bytes [8:16]), and the minhash permutation family is
 wraparound on one side, HUGEINT modular arithmetic on the other, both
 exact.
 
-All verification stages are distributed hash joins against the
-shingle / embedding tables (Dataset.join on doc_id) — nothing here
-materializes an O(corpus) structure on the driver.  The shingle
-explode -> band groupby shuffle structure keys are uniform by
-construction (no salting needed).
+All verification stages are distributed: one hash join semi-filters
+the raw docs table down to LSH candidates, and per-doc values reach
+the pair endpoints through bucketed exchanges
+(_attach_pair_sides / _pair_sides_pivot — one all-to-all each,
+measured cheaper than Ray JoinOperators at small scale and the same
+shape at 100 TB).  Nothing here materializes an O(corpus) structure
+on the driver.  The shingle explode -> band groupby shuffle structure
+keys are uniform by construction (no salting needed).
 """
 
 from __future__ import annotations

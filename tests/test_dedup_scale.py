@@ -68,3 +68,70 @@ def test_embedding_dedup_chunked_multitask(ray_session):
     }
     assert a == b
     assert a
+
+
+def test_attach_pair_sides_lookup_and_inner_semantics(ray_session):
+    """_attach_pair_sides resolves each endpoint through one bucketed
+    exchange: values land on the right side rows, endpoints missing
+    from the kv table drop the whole side row (inner semantics), and a
+    hot doc referenced by many pairs resolves in every bucket."""
+    pairs = pa.table(
+        {
+            "a": pa.array([1, 1, 1, 2, 5], type=pa.int64()),
+            "b": pa.array([2, 3, 4, 3, 6], type=pa.int64()),
+            "ni": pa.array([10, 11, 12, 13, 14], type=pa.int64()),
+        }
+    )
+    kv = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 6], type=pa.int64()),  # 5 missing
+            "n": pa.array([100, 200, 300, 400, 600], type=pa.int64()),
+        }
+    )
+    att = dedup._attach_pair_sides(
+        ray.data.from_arrow(pairs).repartition(3),
+        ray.data.from_arrow(kv).repartition(2),
+        pair_extra=["ni"],
+        val_cols=[("n", pa.int64())],
+        n_buckets=4,
+    ).take_all()
+    got = {(r["a"], r["b"], r["side"]): (r["n"], r["ni"]) for r in att}
+    # doc 5 is not in kv: pair (5, 6) keeps only its side-1 row
+    assert (5, 6, 0) not in got and got[(5, 6, 1)] == (600, 14)
+    # hot doc 1 resolves on every pair it appears in
+    assert got[(1, 2, 0)] == (100, 10)
+    assert got[(1, 3, 0)] == (100, 11)
+    assert got[(1, 4, 0)] == (100, 12)
+    assert got[(1, 2, 1)] == (200, 10)
+    assert got[(2, 3, 0)] == (200, 13)
+    assert len(att) == 9  # 5 pairs x 2 sides - 1 dropped
+
+
+def test_pair_sides_pivot_joins_both_sides(ray_session):
+    """_pair_sides_pivot lands both side rows of a pair in one bucket
+    and the finisher sees _a/_b suffixed columns."""
+    import pandas as pd
+
+    att = pa.table(
+        {
+            "a": pa.array([7, 7, 8, 8], type=pa.int64()),
+            "b": pa.array([9, 9, 11, 11], type=pa.int64()),
+            "side": pa.array([0, 1, 0, 1], type=pa.int64()),
+            "n": pa.array([70, 90, 80, 110], type=pa.int64()),
+        }
+    )
+
+    def fin(m: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "a": m["a"].to_numpy(),
+                "b": m["b"].to_numpy(),
+                "tot": (m["n_a"] + m["n_b"]).to_numpy(),
+            }
+        )
+
+    out = dedup._pair_sides_pivot(
+        ray.data.from_arrow(att).repartition(2), fin, ["n"], n_buckets=2
+    ).take_all()
+    got = {(r["a"], r["b"]): r["tot"] for r in out}
+    assert got == {(7, 9): 160, (8, 11): 190}
