@@ -216,10 +216,30 @@ KNN_Q = 8
 KNN_K = 5
 
 
+def derived_events(sf_dir: str):
+    """events.event_id -> (lon, lat) only — for consumers that never
+    touch cells (brute kNN): plain task-pool map, no actor spin-up, no
+    SUID string build."""
+    ds = _read(sf_dir, "events", columns=["event_id"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = oracle.lonlat_from_id(ids)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "lon": pa.array(lon, type=pa.float64()),
+                "lat": pa.array(lat, type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_knn(sf_dir: str):
     qids = np.arange(KNN_Q, dtype=np.int64)
     qlon, qlat = oracle.lonlat_from_id(qids + 1_000_000)
-    ds = indexed_events(sf_dir)
+    ds = derived_events(sf_dir)
     out = knn_brute(
         ds,
         {"qid": qids, "lon": qlon, "lat": qlat},
