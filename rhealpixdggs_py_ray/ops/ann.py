@@ -34,6 +34,7 @@ import pyarrow as pa
 import ray
 
 from rhealpixdggs_py_ray.fixtures import splitmix64
+from rhealpixdggs_py_ray.ops.dedup import _emb_matrix
 
 
 def _seq_norm(M: np.ndarray) -> np.ndarray:
@@ -145,7 +146,7 @@ def ann_topk(emb_ds, n_queries: int = 10, k: int = 5):
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             vid = batch["vec_id"].to_numpy(zero_copy_only=False)
-            B = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+            B = _emb_matrix(batch)
             bn = _seq_norm(B)
             S = _seq_dots(B, self.Q) / (bn[:, None] * self.qn[None, :])
             S[vid[:, None] == self.qids[None, :]] = -np.inf  # self-match
@@ -224,7 +225,7 @@ def ann_topk_lsh(emb_ds, n_queries: int = 10, k: int = 5, n_planes: int = 8):
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             vid = batch["vec_id"].to_numpy(zero_copy_only=False)
-            B = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+            B = _emb_matrix(batch)
             buck = _lsh_buckets(B, self.planes)
             keep = np.isin(buck, self.allowed)
             if not keep.any():
@@ -339,7 +340,7 @@ def ann_topk_ivf(emb_ds, n_queries: int = 10, k: int = 5, n_lists: int = 16,
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             vid = batch["vec_id"].to_numpy(zero_copy_only=False)
-            B = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+            B = _emb_matrix(batch)
             d2 = _seq_d2(B, self.C)
             assign = d2.argmin(axis=1)  # first min == smallest cid tie-break
             keep = np.isin(assign, self.allowed)
