@@ -381,6 +381,196 @@ def _pair_sides_pivot(att_ds, finisher, extra_cols, n_buckets: int = 32):
     )
 
 
+def _attach_pair_sides_fused(
+    pairs_ds,
+    kv_ds,
+    pair_sums,
+    val_cols,
+    kv_mode: str = "direct",
+    kv_pack=None,
+    kv_in_cols=None,
+    n_buckets: int = 64,
+):
+    """One-exchange generalization of ``_attach_pair_sides`` that folds
+    the upstream pair-distinct (``_sum_by_pair``) and kv-preparation
+    (``_count_by_key`` / candidate semi-join + pack) exchanges into the
+    attach exchange itself, cutting a 5-exchange dedup pipeline to 3.
+
+    The pair side may carry DUPLICATE (a, b) rows with partial-sum
+    columns: all side-0 rows of a pair hash to bucket(hash(a)) and all
+    side-1 rows to bucket(hash(b)), so summing per (a, b, side) inside
+    the resolve group yields the GLOBAL per-pair total independently on
+    each side (``pair_sums`` = [(out_name, in_name)]; [] = dedupe only).
+
+    kv_mode:
+      - "direct": kv rows are (doc_id, *val_cols) with unique doc_id.
+      - "sum":    kv rows are per-batch PARTIAL (doc_id, *val_cols)
+                  numeric rows; summed per doc_id in-resolve (replaces
+                  a _count_by_key exchange with a map-only partial).
+      - "pack":   kv rows are raw (doc_id, *kv_in_cols) rows (e.g. the
+                  full documents table); ``kv_pack(sub_frame) -> dict``
+                  builds the val columns for ONLY the docs referenced
+                  by a side row in the bucket (replaces the candidate
+                  semi-join JoinOperator + pack map stage).
+
+    Scale shape: every input row crosses exactly one all-to-all; a
+    resolve group holds |kv|/n_buckets kv rows plus the side rows that
+    hash there — raise n_buckets so a group fits a worker heap ("pack"
+    mode ships the raw doc payload through the exchange, the same
+    volume the replaced hash join shuffled)."""
+    val_names = [c for c, _ in val_cols]
+    payload_cols = list(kv_in_cols) if kv_mode == "pack" else list(val_cols)
+    payload_names = [c for c, _ in payload_cols]
+    sum_out = [o for o, _ in pair_sums]
+
+    def _bkt(ids: np.ndarray) -> np.ndarray:
+        return (
+            (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(58)
+        ).astype(np.int64) % n_buckets
+
+    def _sentinel(n: int, typ) -> pa.Array:
+        if pa.types.is_string(typ):
+            return pa.array([""] * n, type=typ)
+        return pa.array(np.zeros(n, dtype=np.int64), type=typ)
+
+    def explode_pairs(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(a)
+        cols = {
+            "bkt": pa.array(np.concatenate([_bkt(a), _bkt(b)])),
+            "kind": pa.array(np.ones(2 * n, dtype=np.int64)),
+            "a": pa.array(np.concatenate([a, a])),
+            "b": pa.array(np.concatenate([b, b])),
+        }
+        for out, inn in pair_sums:
+            v = batch[inn].to_numpy(zero_copy_only=False).astype(np.int64)
+            cols[out] = pa.array(np.concatenate([v, v]))
+        cols["side"] = pa.array(
+            np.concatenate([np.zeros(n, dtype=np.int64), np.ones(n, dtype=np.int64)])
+        )
+        cols["doc_id"] = pa.array(np.concatenate([a, b]))
+        for c, typ in payload_cols:
+            cols[c] = _sentinel(2 * n, typ)
+        return pa.table(cols)
+
+    def tag_kv(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(d)
+        z = np.zeros(n, dtype=np.int64)
+        cols = {
+            "bkt": pa.array(_bkt(d)),
+            "kind": pa.array(z),
+            "a": pa.array(z),
+            "b": pa.array(z),
+        }
+        for out in sum_out:
+            cols[out] = pa.array(z)
+        cols["side"] = pa.array(z)
+        cols["doc_id"] = pa.array(d)
+        for c, _ in payload_cols:
+            cols[c] = batch[c]
+        return pa.table(cols)
+
+    u = pairs_ds.map_batches(
+        explode_pairs, batch_format="pyarrow", zero_copy_batch=True
+    ).union(kv_ds.map_batches(tag_kv, batch_format="pyarrow", zero_copy_batch=True))
+
+    out_cols = ["a", "b", *sum_out, "side", *val_names]
+    MASK32 = np.uint64(0xFFFFFFFF)
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        kv = g[g["kind"] == 0]
+        pr = g[g["kind"] == 1]
+
+        def _empty() -> pd.DataFrame:
+            cols = {}
+            for c in ("a", "b", *sum_out, "side"):
+                cols[c] = pd.Series([], dtype=np.int64)
+            for c, typ in val_cols:
+                cols[c] = pd.Series(
+                    [], dtype=(object if pa.types.is_string(typ) else np.int64)
+                )
+            return pd.DataFrame(cols)
+
+        if not len(pr) or not len(kv):
+            return _empty()
+
+        # 1. presum / dedupe pair rows per (a, b, side); reconstruct the
+        #    endpoint doc from the packed key (side 0 -> a, side 1 -> b)
+        parts = []
+        side_arr = pr["side"].to_numpy()
+        for side in (0, 1):
+            sub = pr[side_arr == side]
+            if not len(sub):
+                continue
+            a = sub["a"].to_numpy().astype(np.uint64)
+            b = sub["b"].to_numpy().astype(np.uint64)
+            key = (a << np.uint64(32)) | b
+            uq, inv = np.unique(key, return_inverse=True)
+            part = {
+                "a": (uq >> np.uint64(32)).astype(np.int64),
+                "b": (uq & MASK32).astype(np.int64),
+                "side": np.full(len(uq), side, dtype=np.int64),
+            }
+            for out, _ in pair_sums:
+                s = np.zeros(len(uq), dtype=np.int64)
+                np.add.at(s, inv, sub[out].to_numpy().astype(np.int64))
+                part[out] = s
+            part["_doc"] = part["a"] if side == 0 else part["b"]
+            parts.append(part)
+        if not parts:
+            return _empty()
+
+        # 2. build the per-doc value table for this bucket
+        if kv_mode == "sum":
+            kd = kv["doc_id"].to_numpy().astype(np.int64)
+            keys, inv = np.unique(kd, return_inverse=True)
+            vals = {}
+            for c in val_names:
+                s = np.zeros(len(keys), dtype=np.int64)
+                np.add.at(s, inv, kv[c].to_numpy().astype(np.int64))
+                vals[c] = s
+        elif kv_mode == "pack":
+            want = np.unique(np.concatenate([p["_doc"] for p in parts]))
+            sub = kv[np.isin(kv["doc_id"].to_numpy(), want)]
+            keys = sub["doc_id"].to_numpy().astype(np.int64)
+            packed = kv_pack(sub)
+            vals = {
+                c: (
+                    np.asarray(packed[c], dtype=object)
+                    if pa.types.is_string(t)
+                    else np.asarray(packed[c], dtype=np.int64)
+                )
+                for c, t in val_cols
+            }
+        else:  # direct
+            keys = kv["doc_id"].to_numpy().astype(np.int64)
+            vals = {c: kv[c].to_numpy() for c in val_names}
+
+        # 3. sorted lookup of each side row's endpoint value
+        order = np.argsort(keys, kind="mergesort")
+        sk = keys[order]
+        out = {c: [] for c in out_cols}
+        for part in parts:
+            want = part["_doc"]
+            if not len(sk):
+                continue
+            pos = np.searchsorted(sk, want)
+            pos = np.clip(pos, 0, len(sk) - 1)
+            hit = sk[pos] == want
+            for c in ("a", "b", *sum_out, "side"):
+                out[c].append(part[c][hit])
+            gpos = order[pos][hit]
+            for c in val_names:
+                out[c].append(vals[c][gpos])
+        if not out["a"]:
+            return _empty()
+        return pd.DataFrame({c: np.concatenate(out[c]) for c in out_cols})
+
+    return u.groupby("bkt").map_groups(resolve, batch_format="pandas")
+
+
 def minhash_lsh_pairs(docs_ds, jaccard_min: float = 0.5):
     """documents Dataset -> verified near-dup pairs
     (a, b, jac_micros int64).  Structure: minhash map -> band-bucket
@@ -405,51 +595,30 @@ def minhash_lsh_pairs(docs_ds, jaccard_min: float = 0.5):
             batch_format="pandas",
         )
     )
-    cand = _sum_by_pair(cand, "n_bands").select_columns(["a", "b"]).materialize()
     # Verification: exact jaccard, distributed — never an O(corpus)
-    # driver materialization.  Cost shape: the candidate set is small
-    # by LSH construction, so (1) ONE hash join semi-filters the RAW
-    # docs table (one row per doc — never the ~20x bigger exploded
-    # shingle table) down to candidate docs, (2) each candidate doc's
-    # exact shingle SET is packed into a single row, and (3) the pair
-    # endpoints pick their sets up through one bucketed exchange
-    # (_attach_pair_sides) instead of four JoinOperators.
-    def split_docs(batch: pa.Table) -> pa.Table:
-        a = batch["a"].to_numpy(zero_copy_only=False)
-        b = batch["b"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {"doc_id": pa.array(np.unique(np.concatenate([a, b])), type=pa.int64())}
-        )
+    # driver materialization, and ONE exchange for the whole verify:
+    # candidate pair rows (still duplicated across bands) and the RAW
+    # docs table meet in the fused attach, which dedupes pairs per
+    # (a, b, side) in-resolve and shingle-packs ONLY the docs some
+    # candidate endpoint references (round 2 first shipped this as a
+    # _sum_by_pair distinct + _count_by_key + JoinOperator semi-join +
+    # pack map + _attach_pair_sides — three extra all-to-alls whose
+    # fixed cost dominated at small scale).
+    def kv_pack(sub: pd.DataFrame) -> dict:
+        sets = [shingles(t) for t in sub["text"].tolist()]
+        return {
+            "shset": ["\n".join(s) for s in sets],
+            "n": np.array([len(s) for s in sets], dtype=np.int64),
+        }
 
-    cand_docs = _count_by_key(
-        cand.map_batches(split_docs, batch_format="pyarrow", zero_copy_batch=True),
-        "doc_id", "nref",
-    ).select_columns(["doc_id"])
-
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    big_parts = max(2, min(8, cpus // 4))
-    docs_f = docs_ds.join(cand_docs, "inner", num_partitions=big_parts, on=("doc_id",))
-
-    def pack(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        texts = batch["text"].to_pylist()
-        sets = [shingles(t) for t in texts]
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, type=pa.int64()),
-                "shset": pa.array(["\n".join(s) for s in sets], type=pa.string()),
-                "n": pa.array(np.array([len(s) for s in sets], dtype=np.int64)),
-            }
-        )
-
-    shf = docs_f.map_batches(
-        pack, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
-    att = _attach_pair_sides(
-        cand, shf, pair_extra=[], val_cols=[("shset", pa.string()), ("n", pa.int64())]
+    att = _attach_pair_sides_fused(
+        cand,
+        docs_ds.select_columns(["doc_id", "text"]),
+        pair_sums=[],
+        val_cols=[("shset", pa.string()), ("n", pa.int64())],
+        kv_mode="pack",
+        kv_pack=kv_pack,
+        kv_in_cols=[("text", pa.string())],
     )
 
     def verify(m: pd.DataFrame) -> pd.DataFrame:
@@ -641,13 +810,27 @@ def ngram_jaccard_pairs(docs_ds, jaccard_min: float = 0.2):
             lambda g: _pairs_within_keys(g, ["s"]), batch_format="pandas"
         )
     )
-    inter = _sum_by_pair(inter, "ni")
     # Per-doc shingle-set sizes picked up by the pair endpoints through
-    # one bucketed exchange (round 1 broadcast an O(corpus) driver
-    # dict; the round-2 two-join version paid ~6s of JoinOperator
-    # setup for a 16-byte-per-doc lookup table).
-    sizes = _count_by_key(sh, "doc_id", "n")
-    att = _attach_pair_sides(inter, sizes, pair_extra=["ni"], val_cols=[("n", pa.int64())])
+    # the SAME fused exchange that totals the per-pair shared counts:
+    # sizes enter as map-side partial (doc_id, n) rows (np.unique per
+    # batch, no _count_by_key exchange) and the bucket-partial ni rows
+    # are summed per (a, b, side) in-resolve (no _sum_by_pair exchange)
+    # — 3 all-to-alls total where round 2 first paid 5.
+    def size_partials(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uq, cnt = np.unique(d, return_counts=True)
+        return pa.table(
+            {"doc_id": pa.array(uq), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    sizes = sh.map_batches(size_partials, batch_format="pyarrow", zero_copy_batch=True)
+    att = _attach_pair_sides_fused(
+        inter,
+        sizes,
+        pair_sums=[("ni", "ni_partial")],
+        val_cols=[("n", pa.int64())],
+        kv_mode="sum",
+    )
 
     def fin(m: pd.DataFrame) -> pd.DataFrame:
         ni = m["ni_a"].to_numpy().astype(np.int64)

@@ -122,14 +122,17 @@ def image_near_dup_pairs(ds, id_col: str = "img_idx", max_hamming: int = 6,
     reduces each row to (id, phash64), and only those 16 bytes ride the
     band groupby.  ``id_col`` must be int64.  Output
     (a, b, hamming) for pairs with hamming <= max_hamming."""
-    from rhealpixdggs_py_ray.ops.dedup import _pairs_within_keys, _sum_by_pair
+    from rhealpixdggs_py_ray.ops.dedup import (
+        _attach_pair_sides_fused,
+        _pair_sides_pivot,
+        _pairs_within_keys,
+    )
 
     import pandas as pd
 
-    # three consumers (bands + two verify joins): materialize the tiny
-    # (id, phash64) projection once so the decode actor pool doesn't
-    # re-execute inside each join subtree (and can't deadlock with the
-    # join aggregator pools on a small CPU budget)
+    # two consumers (bands + the verify attach kv side): materialize
+    # the tiny (id, phash64) projection once so the decode actor pool
+    # doesn't re-execute per consumer
     feat = ds.map_batches(
         DecodeResizeFeatures, batch_format="pyarrow", batch_size=256,
         zero_copy_batch=True, concurrency=concurrency,
@@ -160,31 +163,43 @@ def image_near_dup_pairs(ds, id_col: str = "img_idx", max_hamming: int = 6,
             lambda g: _pairs_within_keys(g, ["band", "bkey"]), batch_format="pandas"
         )
     )
-    cand = _sum_by_pair(cand, "n_bands").select_columns(["a", "b"])
-
-    # exact verify: join candidate pairs back to the (id, phash64) table
-    def rename_pa(batch: pa.Table) -> pa.Table:
-        i = batch.schema.get_field_index("phash64")
-        return batch.set_column(i, "ph_a", batch.column(i))
-
-    j = cand.join(
-        feat, "inner", num_partitions=2, on=("a",), right_on=(id_col,)
-    ).map_batches(rename_pa, batch_format="pyarrow", zero_copy_batch=True)
-    j = j.join(feat, "inner", num_partitions=2, on=("b",), right_on=(id_col,))
-
-    def verify(batch: pa.Table) -> pa.Table:
-        a = batch["a"].to_numpy(zero_copy_only=False)
-        b = batch["b"].to_numpy(zero_copy_only=False)
-        pa_ = batch["ph_a"].to_numpy(zero_copy_only=False).view(np.uint64)
-        pb_ = batch["phash64"].to_numpy(zero_copy_only=False).view(np.uint64)
-        ham = _popcount64(np.bitwise_xor(pa_, pb_)) if len(a) else np.array([], dtype=np.int64)
-        keep = ham <= max_hamming
+    # exact verify: both endpoints' phashes reach each candidate pair
+    # through ONE fused bucketed exchange (pair dedupe across bands
+    # happens in-resolve) + the pivot exchange — replaces the round-2
+    # _sum_by_pair distinct + two JoinOperators (each ~3s fixed setup
+    # locally) at identical output.
+    def as_doc_kv(batch: pa.Table) -> pa.Table:
         return pa.table(
+            {"doc_id": batch[id_col], "phash64": batch["phash64"]}
+        )
+
+    att = _attach_pair_sides_fused(
+        cand,
+        feat.map_batches(as_doc_kv, batch_format="pyarrow", zero_copy_batch=True),
+        pair_sums=[],
+        val_cols=[("phash64", pa.int64())],
+        kv_mode="direct",
+    )
+
+    def verify(m: pd.DataFrame) -> pd.DataFrame:
+        if not len(m):
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype=np.int64),
+                    "b": pd.Series([], dtype=np.int64),
+                    "hamming": pd.Series([], dtype=np.int64),
+                }
+            )
+        pa_ = np.ascontiguousarray(m["phash64_a"].to_numpy().astype(np.int64)).view(np.uint64)
+        pb_ = np.ascontiguousarray(m["phash64_b"].to_numpy().astype(np.int64)).view(np.uint64)
+        ham = _popcount64(np.bitwise_xor(pa_, pb_))
+        keep = ham <= max_hamming
+        return pd.DataFrame(
             {
-                "a": pa.array(a[keep], type=pa.int64()),
-                "b": pa.array(b[keep], type=pa.int64()),
-                "hamming": pa.array(ham[keep]),
+                "a": m["a"].to_numpy()[keep].astype(np.int64),
+                "b": m["b"].to_numpy()[keep].astype(np.int64),
+                "hamming": ham[keep],
             }
         )
 
-    return j.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+    return _pair_sides_pivot(att, verify, ["phash64"])
