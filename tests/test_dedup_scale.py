@@ -135,3 +135,82 @@ def test_pair_sides_pivot_joins_both_sides(ray_session):
     ).take_all()
     got = {(r["a"], r["b"]): r["tot"] for r in out}
     assert got == {(7, 9): 160, (8, 11): 190}
+
+
+def test_attach_pair_sides_fused_presum_and_kv_sum(ray_session):
+    """The fused attach sums duplicate pair partials per (a, b, side)
+    and partial kv rows per doc inside ONE exchange, with the same
+    inner-join drop semantics as the plain attach."""
+    pairs = pa.table(
+        {
+            "a": pa.array([1, 1, 1, 2, 5], type=pa.int64()),
+            "b": pa.array([2, 2, 3, 3, 6], type=pa.int64()),
+            "ni_partial": pa.array([10, 5, 11, 13, 14], type=pa.int64()),
+        }
+    )
+    kv = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 2, 3, 6], type=pa.int64()),  # 5 missing
+            "n": pa.array([100, 150, 50, 300, 600], type=pa.int64()),
+        }
+    )
+    att = dedup._attach_pair_sides_fused(
+        ray.data.from_arrow(pairs).repartition(3),
+        ray.data.from_arrow(kv).repartition(2),
+        pair_sums=[("ni", "ni_partial")],
+        val_cols=[("n", pa.int64())],
+        kv_mode="sum",
+        n_buckets=4,
+    ).take_all()
+    got = {(r["a"], r["b"], r["side"]): (r["n"], r["ni"]) for r in att}
+    # duplicate (1, 2) partials summed on both sides; kv partials for
+    # doc 2 summed to 200
+    assert got[(1, 2, 0)] == (100, 15)
+    assert got[(1, 2, 1)] == (200, 15)
+    assert got[(1, 3, 0)] == (100, 11)
+    assert got[(2, 3, 0)] == (200, 13)
+    # doc 5 missing from kv drops only pair (5, 6)'s side-0 row
+    assert (5, 6, 0) not in got and got[(5, 6, 1)] == (600, 14)
+    assert len(att) == 7  # 4 distinct pairs x 2 sides - 1 dropped
+
+
+def test_attach_pair_sides_fused_pack_mode(ray_session):
+    """Pack mode dedupes pairs and builds values only for docs some
+    endpoint references, from raw kv rows, inside the exchange."""
+    import pandas as pd
+
+    pairs = pa.table(
+        {
+            "a": pa.array([1, 1, 2], type=pa.int64()),
+            "b": pa.array([2, 2, 3], type=pa.int64()),
+        }
+    )
+    kv = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array(["aa bb", "cc", "dd ee ff", "unused"]),
+        }
+    )
+
+    def kv_pack(sub: pd.DataFrame) -> dict:
+        toks = [t.split() for t in sub["text"].tolist()]
+        return {
+            "packed": [" ".join(reversed(t)) for t in toks],
+            "n": np.array([len(t) for t in toks], dtype=np.int64),
+        }
+
+    att = dedup._attach_pair_sides_fused(
+        ray.data.from_arrow(pairs).repartition(2),
+        ray.data.from_arrow(kv),
+        pair_sums=[],
+        val_cols=[("packed", pa.string()), ("n", pa.int64())],
+        kv_mode="pack",
+        kv_pack=kv_pack,
+        kv_in_cols=[("text", pa.string())],
+        n_buckets=4,
+    ).take_all()
+    got = {(r["a"], r["b"], r["side"]): (r["packed"], r["n"]) for r in att}
+    assert got[(1, 2, 0)] == ("bb aa", 2)
+    assert got[(1, 2, 1)] == ("cc", 1)
+    assert got[(2, 3, 1)] == ("ff ee dd", 3)
+    assert len(att) == 4  # pairs deduped: 2 distinct pairs x 2 sides
