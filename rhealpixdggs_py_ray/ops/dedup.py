@@ -19,14 +19,17 @@ uint64 of digest bytes [8:16]), and the minhash permutation family is
 wraparound on one side, HUGEINT modular arithmetic on the other, both
 exact.
 
-All verification stages are distributed: one hash join semi-filters
-the raw docs table down to LSH candidates, and per-doc values reach
-the pair endpoints through bucketed exchanges
-(_attach_pair_sides / _pair_sides_pivot — one all-to-all each,
-measured cheaper than Ray JoinOperators at small scale and the same
-shape at 100 TB).  Nothing here materializes an O(corpus) structure
-on the driver.  The shingle explode -> band groupby shuffle structure
-keys are uniform by construction (no salting needed).
+All verification stages are distributed and run in THREE all-to-all
+exchanges total: candidate generation (band/shingle bucket groupby),
+the fused pair-side attach (_attach_pair_sides_fused — duplicate pair
+partials are summed per (a, b, side) in-resolve, per-doc values enter
+as map-side partials or raw doc rows packed in-resolve, folding the
+pair-distinct / size-count / candidate-semi-join exchanges away), and
+the side pivot (_pair_sides_pivot).  Measured cheaper than Ray
+JoinOperators at small scale and the same shape at 100 TB.  Nothing
+here materializes an O(corpus) structure on the driver.  The shingle
+explode -> band groupby shuffle structure keys are uniform by
+construction (no salting needed).
 """
 
 from __future__ import annotations
