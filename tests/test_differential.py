@@ -211,3 +211,42 @@ def test_subcells_differential(ref):
         s = "".join(str(x) for x in c)
         theirs = [str(x) for x in ref.cell(list(c)).subcells()]
         assert W.rhp_subcells(s) == theirs
+
+
+def test_nside2_grid_differential(reference):
+    """WGS84_002 (N_side=2) parameterization — the engine's tables are
+    N-parametric, not hardcoded to 9 children: point indexing, planar
+    neighbors and successor all match a reference grid built with
+    N_side=2 (dggs.py:215-222)."""
+    from rhealpixdggs_py_ray.core.config import WGS84_002
+
+    rd2 = reference.RHEALPixDGGS(
+        ellipsoid=reference.WGS84_ELLIPSOID, N_side=2, north_square=0, south_square=0
+    )
+    random.seed(77)
+    pts = [(random.uniform(-180, 180), random.uniform(-85, 85)) for _ in range(120)]
+    lon = np.array([p[0] for p in pts])
+    lat = np.array([p[1] for p in pts])
+    for res in (1, 6):
+        ours = su.to_string(idx.cell_from_point(WGS84_002, res, lon, lat, plane=False))
+        theirs = [str(rd2.cell_from_point(res, p, plane=False)) for p in pts]
+        assert ours.tolist() == theirs
+
+    cells = []
+    for _ in range(40):
+        res = random.randint(0, 6)
+        cells.append(
+            tuple(["NOPQRS"[random.randint(0, 5)]] + [random.randint(0, 3) for _ in range(res)])
+        )
+    u = np.array([su.from_suid_tuple(c) for c in cells], dtype=np.uint64)
+    nb = tp.neighbors_plane(WGS84_002, u)
+    for i, c in enumerate(cells):
+        rn = rd2.cell(list(c)).neighbors(plane=True)
+        for j, d in enumerate(["up", "right", "down", "left"]):
+            assert su.suid_tuple(int(nb[i, j])) == tuple(rn[d].suid), (c, d)
+
+    nxt = su.successor(u, WGS84_002)
+    for i, c in enumerate(cells):
+        rs = rd2.cell(list(c)).successor()
+        got = su.suid_tuple(int(nxt[i])) if int(nxt[i]) else None
+        assert got == (tuple(rs.suid) if rs is not None else None), c
