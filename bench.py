@@ -80,6 +80,13 @@ def run_headline(num_cpus: int, rows: int) -> dict:
     from rhealpixdggs_py_ray.fixtures import phash_to_lonlat, splitmix64
     from rhealpixdggs_py_ray.stages.join import make_cover_ref
 
+    # Fixed 2M span, even when that undersubscribes the pool (16 spans
+    # for 32 actors at the 32M-row bench): interleaved A/B measured
+    # 250k spans (128 tasks, all 32 actors active) at 23-31s vs 10s —
+    # this box's memory bandwidth saturates above ~16 active kernel
+    # cores, so MORE concurrent actors is net negative.  On a real
+    # multi-node cluster each node adds bandwidth and span count should
+    # scale with the pool; locally the cap is the bandwidth, not tasks.
     SPAN = 2_000_000
     CHUNK = 65536
 
