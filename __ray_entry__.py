@@ -63,6 +63,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validate": Q.q_validate,
         "minimal_cover": Q.q_minimal_cover,
         "windowed_counts": Q.q_windowed_counts,
+        "asof_join": Q.q_asof_join,
+        "range_join": Q.q_range_join,
         "spatial_antijoin": Q.q_spatial_antijoin,
         "linetrace": Q.q_linetrace,
         "cells_from_region": Q.q_cells_from_region,
@@ -125,6 +127,8 @@ def oracle_sql() -> dict[str, str]:
         "validate": Q.sql_validate(),
         "minimal_cover": Q.sql_minimal_cover(),
         "windowed_counts": Q.sql_windowed_counts(),
+        "asof_join": Q.sql_asof_join(),
+        "range_join": Q.sql_range_join(),
         "spatial_antijoin": Q.sql_spatial_antijoin(),
         "resumable_tiling": Q.sql_resumable_tiling(),
         "cell_stats": Q.sql_cell_stats(),

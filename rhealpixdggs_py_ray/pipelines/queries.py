@@ -1138,6 +1138,196 @@ def sql_windowed_counts() -> str:
     )
 
 
+N_ASOF_BUCKETS = 32
+
+
+def q_asof_join(sf_dir: str):
+    """Per-user AS-OF join: every event matches the latest order of the
+    same customer with o_orderdate <= ts (date tie -> max o_orderkey);
+    events with no prior order drop (inner as-of).  The reference has
+    no as-of operator — engine-only training-data surface.
+
+    Distributed shape: both sides hash-bucket by the join key into ONE
+    union + groupby exchange (the _attach_pair_sides pattern); inside a
+    bucket the match is a single merged np.lexsort over
+    (key, t, okey-with-event-sentinel) plus a cumulative order counter
+    — no per-key loop, no JoinOperator, no O(|events| x |orders|)
+    intermediate (the SQL oracle's join + QUALIFY builds ~10x the rows
+    this pipeline ever materializes)."""
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    od = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def _bkt(ids: np.ndarray) -> np.ndarray:
+        return (
+            (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(58)
+        ).astype(np.int64) % N_ASOF_BUCKETS
+
+    def tag_events(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        )
+        n = len(uid)
+        return pa.table(
+            {
+                "bkt": pa.array(_bkt(uid)),
+                "kind": pa.array(np.ones(n, dtype=np.int64)),
+                "key": pa.array(uid),
+                "t": pa.array(ts),
+                "okey": pa.array(np.zeros(n, dtype=np.int64)),
+                "eid": batch["event_id"],
+                "price_c": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dt = (
+            batch["o_orderdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        n = len(ck)
+        return pa.table(
+            {
+                "bkt": pa.array(_bkt(ck)),
+                "kind": pa.array(np.zeros(n, dtype=np.int64)),
+                "key": pa.array(ck),
+                "t": pa.array(dt),
+                "okey": batch["o_orderkey"],
+                "eid": pa.array(np.zeros(n, dtype=np.int64)),
+                "price_c": pa.array(np.floor(price * 100).astype(np.int64)),
+            }
+        )
+
+    u = ev.map_batches(tag_events, batch_format="pyarrow", zero_copy_batch=True).union(
+        od.map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        kind = g["kind"].to_numpy()
+        o = g[kind == 0]
+        e = g[kind == 1]
+        empty = pd.DataFrame(
+            {
+                c: pd.Series([], dtype=np.int64)
+                for c in ("event_id", "user_id", "o_orderkey", "price_c")
+            }
+        )
+        if not len(o) or not len(e):
+            return empty
+        ko = o["key"].to_numpy()
+        to = o["t"].to_numpy()
+        oo = o["okey"].to_numpy()
+        pc = o["price_c"].to_numpy()
+        ke = e["key"].to_numpy()
+        te = e["t"].to_numpy()
+        ide = e["eid"].to_numpy()
+        n_o = len(ko)
+        key = np.concatenate([ko, ke])
+        t = np.concatenate([to, te])
+        # events sort AFTER every same-(key, t) order via the okey
+        # sentinel, so "last order before me" ties to max o_orderkey
+        okey_s = np.concatenate(
+            [oo, np.full(len(ke), np.iinfo(np.int64).max, dtype=np.int64)]
+        )
+        kindc = np.concatenate(
+            [np.zeros(n_o, dtype=np.int8), np.ones(len(ke), dtype=np.int8)]
+        )
+        srt = np.lexsort((okey_s, t, key))
+        ks = kindc[srt]
+        cnt = np.cumsum(ks == 0)
+        ordpos = np.flatnonzero(ks == 0)
+        evpos = np.flatnonzero(ks == 1)
+        c = cnt[evpos]
+        has = c > 0
+        cand = srt[ordpos[c[has] - 1]]  # concat index of candidate order
+        evi = srt[evpos[has]] - n_o  # index into the event arrays
+        good = ko[cand] == ke[evi]
+        cand, evi = cand[good], evi[good]
+        return pd.DataFrame(
+            {
+                "event_id": ide[evi],
+                "user_id": ke[evi],
+                "o_orderkey": oo[cand],
+                "price_c": pc[cand],
+            }
+        )
+
+    return u.groupby("bkt").map_groups(resolve, batch_format="pandas")
+
+
+def sql_asof_join() -> str:
+    return (
+        "SELECT e.event_id, e.user_id, o.o_orderkey,"
+        " CAST(floor(o.o_totalprice*100) AS BIGINT) AS price_c"
+        " FROM events e JOIN orders o"
+        " ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts"
+        " QUALIFY row_number() OVER (PARTITION BY e.event_id"
+        " ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) = 1"
+    )
+
+
+# 24 OVERLAPPING numeric bands over events.value (each 30 wide, step
+# 20): events in an overlap region match two bands (multi-match range
+# semantics).  Constants integral -> exact float64 on both sides.
+RANGE_BANDS = [(20.0 * i, 20.0 * i + 30.0) for i in range(24)]
+
+
+def q_range_join(sf_dir: str):
+    """Numeric range (interval) join: events.value against the tiny
+    overlapping band table.  Small-side range joins never shuffle: the
+    24 intervals are a broadcast constant, each batch evaluates one
+    vector mask per band and emits per-batch (band_id, n, sum) partials
+    — the only exchange is the 24-group final aggregate."""
+    ds = _read(sf_dir, "events", columns=["value"])
+    los = np.array([b[0] for b in RANGE_BANDS])
+    his = np.array([b[1] for b in RANGE_BANDS])
+
+    def bands(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        vc = np.floor(v * 100).astype(np.int64)
+        out_b, out_n, out_s = [], [], []
+        for i in range(len(los)):
+            m = (v >= los[i]) & (v < his[i])
+            k = int(m.sum())
+            if k:
+                out_b.append(i)
+                out_n.append(k)
+                out_s.append(int(vc[m].sum()))
+        return pa.table(
+            {
+                "band_id": pa.array(np.array(out_b, dtype=np.int64)),
+                "n": pa.array(np.array(out_n, dtype=np.int64)),
+                "s": pa.array(np.array(out_s, dtype=np.int64)),
+            }
+        )
+
+    t = ds.map_batches(bands, batch_format="pyarrow", zero_copy_batch=True)
+    return t.groupby("band_id").aggregate(
+        Sum("n", alias_name="n_events"), Sum("s", alias_name="sum_value_c")
+    )
+
+
+def sql_range_join() -> str:
+    from rhealpixdggs_py_ray.oracle import _lit
+
+    rows = ", ".join(
+        f"({i}, {_lit(lo)}, {_lit(hi)})" for i, (lo, hi) in enumerate(RANGE_BANDS)
+    )
+    return (
+        f"WITH bands(band_id, lo, hi) AS (VALUES {rows})"
+        " SELECT CAST(band_id AS BIGINT) AS band_id, COUNT(*) AS n_events,"
+        " CAST(SUM(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c"
+        " FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi"
+        " GROUP BY band_id"
+    )
+
+
 def q_spatial_antijoin(sf_dir: str):
     """Anti-join twin of q_spatial_join_bbox: points OUTSIDE the bbox
     (cover complement prune + exact refine), per-face counts."""

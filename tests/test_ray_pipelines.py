@@ -176,3 +176,60 @@ def test_checkpoint_resume_byte_identical(images_dir, ray_session, tmp_path):
     # Config change invalidates checkpoints.
     run2 = CheckpointedRun(out_root=out1, config_payload={"res": 8})
     assert run2.completed_partitions() == {}
+
+
+def test_asof_join_matches_pandas(ray_session):
+    """The bucketed merged-lexsort as-of join equals a per-event pandas
+    reference (latest order with o_orderdate <= ts, ties -> max
+    o_orderkey; unmatched events drop)."""
+    from rhealpixdggs_py_ray.pipelines.queries import q_asof_join
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q_asof_join(sf).to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["event_id", "user_id", "ts"])
+    od = pd.read_parquet(
+        f"{sf}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    m = ev.merge(od, left_on="user_id", right_on="o_custkey")
+    m = m[m["o_orderdate"] <= m["ts"]]
+    m = m.sort_values(["event_id", "o_orderdate", "o_orderkey"]).groupby("event_id").tail(1)
+    want = pd.DataFrame(
+        {
+            "event_id": m["event_id"].to_numpy(),
+            "user_id": m["user_id"].to_numpy(),
+            "o_orderkey": m["o_orderkey"].to_numpy(),
+            "price_c": np.floor(m["o_totalprice"].to_numpy() * 100).astype(np.int64),
+        }
+    ).sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_range_join_overlap_multimatch(ray_session):
+    """Overlapping bands double-count events in the overlap region and
+    the per-band aggregates equal a vectorized numpy reference."""
+    from rhealpixdggs_py_ray.pipelines.queries import RANGE_BANDS, q_range_join
+
+    sf = "/root/testdata/sf0.001"
+    got = q_range_join(sf).to_pandas().set_index("band_id").sort_index()
+
+    v = pd.read_parquet(f"{sf}/events.parquet", columns=["value"])["value"].to_numpy()
+    vc = np.floor(v * 100).astype(np.int64)
+    n_match = 0
+    for i, (lo, hi) in enumerate(RANGE_BANDS):
+        m = (v >= lo) & (v < hi)
+        n_match += int(m.sum())
+        if not m.any():
+            assert i not in got.index
+            continue
+        assert got.loc[i, "n_events"] == int(m.sum())
+        assert got.loc[i, "sum_value_c"] == int(vc[m].sum())
+    # overlap regions double-count: total matches exceed matched rows
+    in_any = (v >= min(b[0] for b in RANGE_BANDS)) & (
+        v < max(b[1] for b in RANGE_BANDS)
+    )
+    assert n_match > int(in_any.sum())
+    assert int(got["n_events"].sum()) == n_match
