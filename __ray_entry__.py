@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_antijoin": Q.q_spatial_antijoin,
         "linetrace": Q.q_linetrace,
         "cells_from_region": Q.q_cells_from_region,
+        "cells_from_parallel": Q.q_cells_from_parallel,
+        "cells_from_meridian": Q.q_cells_from_meridian,
         "knn_rings": Q.q_knn_rings,
         "resumable_tiling": Q.q_resumable_tiling,
         "image_features": Q.q_image_features,
@@ -121,6 +123,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_rings": Q.sql_knn(),
         "compress_cells": Q.sql_compress(),
         "cells_from_region": Q.sql_cells_from_region(),
+        "cells_from_parallel": Q.sql_cells_from_parallel(),
+        "cells_from_meridian": Q.sql_cells_from_meridian(),
         "cell_geometry": Q.sql_cell_geometry(),
         "hierarchy": Q.sql_hierarchy(),
         "successor": Q.sql_successor(),

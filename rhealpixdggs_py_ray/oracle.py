@@ -575,6 +575,39 @@ def cells_from_region_sql(
     )
 
 
+def cells_from_meridian_sql(
+    lam: float, phi_min: float, phi_max: float, resolution: int,
+    cfg: EngineConfig = WGS84_003,
+) -> str:
+    """(row, cell_id) oracle for cells_from_meridian over an
+    equatorial-band segment.  In the band the walk equals one cover
+    column (degenerate epsilon-wide quad), PLUS the reference's
+    ``result[-1:-3]`` empty-slice quirk (dggs.py:1054-1055): ``end`` is
+    re-appended whenever the nucleus loop already emitted the last row,
+    i.e. whenever that row's nucleus latitude >= phi_min — in projected
+    space, cover ym of the max row >= the projected y of phi_min."""
+    sub = cells_from_region_sql(
+        (lam, phi_max), (lam + 1e-9, phi_min), resolution, cfg
+    )
+    cover = _cover_cells_sql(lam, phi_max, lam + 1e-9, phi_min, resolution, cfg)
+    pt = (
+        f"SELECT * FROM (VALUES (0, {lam!r}, {phi_min!r})) AS t(id, lon, lat)"
+    )
+    proj = projection_sql(pt, cfg, id_cols=("id",))
+    return (
+        f"WITH rows_ AS MATERIALIZED ({sub}),"
+        f" cov AS MATERIALIZED (SELECT row, ym FROM {cover} c),"
+        f" pm AS (SELECT ym AS ymin FROM {proj} p)"
+        " SELECT row, cell_id FROM rows_"
+        " UNION ALL"
+        " SELECT (SELECT max(row) FROM rows_) + 1 AS row, cell_id FROM rows_"
+        "  WHERE row = (SELECT max(row) FROM rows_)"
+        "   AND (SELECT count(*) FROM rows_) > 1"
+        "   AND (SELECT ym FROM cov WHERE row = (SELECT max(row) FROM cov))"
+        "       >= (SELECT ymin FROM pm)"
+    )
+
+
 def _pip_sql(ring, px: str, py: str) -> str:
     """Ray-casting parity test mirroring geometry.points_in_ring
     (same xint arithmetic); ``ring`` is a list of (x, y) vertices."""

@@ -1437,6 +1437,99 @@ def sql_cells_from_region() -> str:
     return oracle.cells_from_region_sql(REGION_UL, REGION_DR, 4, CFG)
 
 
+# Equatorial-band fixtures (|authalic lat| < asin(2/3); fractional
+# degrees keep every point off the res-3 row/column boundaries, which
+# sit at multiples of 90/27 deg in projected space).
+PARALLEL_FIXTURES = [
+    (-60.4, 25.2, 17.3),
+    (-88.7, -1.6, -29.7),
+    (3.9, 77.1, 5.1),
+    (100.3, 171.2, 33.3),
+    (-170.2, -95.8, -11.9),
+    (22.6, 101.4, 24.7),
+]
+MERIDIAN_FIXTURES = [
+    (17.3, -28.6, 31.4),
+    (-141.8, -33.2, 12.9),
+    (76.4, -5.7, 34.1),
+    (-12.1, -34.4, -3.3),
+    (155.9, 8.2, 29.8),
+]
+COVER_LINE_RES = 3
+
+
+def q_cells_from_parallel(sf_dir: str):
+    """cells_from_parallel (dggs.py:1060-1094): east-neighbor walk
+    along each fixture parallel, W->E order preserved as the col
+    column.  Inside the equatorial band the walk equals one cover row,
+    so the closed-form region-cover SQL with a degenerate quad is an
+    exact oracle."""
+    from rhealpixdggs_py_ray.core import cover as cov
+
+    pid_l, col_l, cid_l = [], [], []
+    for pid, (lam_min, lam_max, phi) in enumerate(PARALLEL_FIXTURES):
+        cells = cov.cells_from_parallel(CFG, COVER_LINE_RES, phi, lam_min, lam_max)
+        u = np.array(cells, dtype=np.uint64)
+        pid_l.append(np.full(len(u), pid, dtype=np.int64))
+        col_l.append(np.arange(len(u), dtype=np.int64))
+        cid_l.append(su.to_string(u))
+    return pa.table(
+        {
+            "pid": pa.array(np.concatenate(pid_l)),
+            "col": pa.array(np.concatenate(col_l)),
+            "cell_id": pa.array(np.concatenate(cid_l), type=pa.string()),
+        }
+    )
+
+
+def sql_cells_from_parallel() -> str:
+    parts = []
+    for pid, (lam_min, lam_max, phi) in enumerate(PARALLEL_FIXTURES):
+        sub = oracle.cells_from_region_sql(
+            (lam_min, phi), (lam_max, phi), COVER_LINE_RES, CFG
+        )
+        parts.append(
+            f"SELECT CAST({pid} AS BIGINT) AS pid, col, cell_id FROM ({sub}) q{pid}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def q_cells_from_meridian(sf_dir: str):
+    """cells_from_meridian (dggs.py:1006-1058): nucleus-latitude walk
+    down each fixture meridian segment (N->S as the row column).
+    In-band every cell is a quad, so the walk equals one cover column —
+    oracled by the degenerate-quad region SQL (the meridian as an
+    epsilon-wide lon range inside one column)."""
+    from rhealpixdggs_py_ray.core import cover as cov
+
+    mid_l, row_l, cid_l = [], [], []
+    for mid, (lam, phi_min, phi_max) in enumerate(MERIDIAN_FIXTURES):
+        cells = cov.cells_from_meridian(CFG, COVER_LINE_RES, lam, phi_min, phi_max)
+        u = np.array(cells, dtype=np.uint64)
+        mid_l.append(np.full(len(u), mid, dtype=np.int64))
+        row_l.append(np.arange(len(u), dtype=np.int64))
+        cid_l.append(su.to_string(u))
+    return pa.table(
+        {
+            "mid": pa.array(np.concatenate(mid_l)),
+            "row": pa.array(np.concatenate(row_l)),
+            "cell_id": pa.array(np.concatenate(cid_l), type=pa.string()),
+        }
+    )
+
+
+def sql_cells_from_meridian() -> str:
+    parts = []
+    for mid, (lam, phi_min, phi_max) in enumerate(MERIDIAN_FIXTURES):
+        sub = oracle.cells_from_meridian_sql(
+            lam, phi_min, phi_max, COVER_LINE_RES, CFG
+        )
+        parts.append(
+            f"SELECT CAST({mid} AS BIGINT) AS mid, row, cell_id FROM ({sub}) m{mid}"
+        )
+    return " UNION ALL ".join(parts)
+
+
 def q_knn_rings(sf_dir: str):
     """Ring-expansion kNN (scale path): prune to k_ring(2) cells around
     each query, exact chord top-k on survivors.  Equals brute within

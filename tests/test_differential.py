@@ -250,3 +250,45 @@ def test_nside2_grid_differential(reference):
         rs = rd2.cell(list(c)).successor()
         got = su.suid_tuple(int(nxt[i])) if int(nxt[i]) else None
         assert got == (tuple(rs.suid) if rs is not None else None), c
+
+
+def test_cover_line_fixtures_differential(reference):
+    """The driver-query parallel/meridian fixtures match the reference
+    walks exactly — including the reference's ``result[-1:-3]``
+    empty-slice quirk (dggs.py:1054-1055) that re-appends ``end``."""
+    from rhealpixdggs_py_ray.core import cover as cov
+    from rhealpixdggs_py_ray.core.config import WGS84_003
+    from rhealpixdggs_py_ray.pipelines.queries import (
+        COVER_LINE_RES,
+        MERIDIAN_FIXTURES,
+        PARALLEL_FIXTURES,
+    )
+
+    rd = reference.WGS84_003
+    for lam_min, lam_max, phi in PARALLEL_FIXTURES:
+        ours = su.to_string(
+            np.array(
+                cov.cells_from_parallel(WGS84_003, COVER_LINE_RES, phi, lam_min, lam_max),
+                dtype=np.uint64,
+            )
+        ).tolist()
+        theirs = [
+            str(c)
+            for c in rd.cells_from_parallel(COVER_LINE_RES, phi, lam_min, lam_max)
+        ]
+        assert ours == theirs, (phi, lam_min, lam_max)
+    saw_dup = False
+    for lam, phi_min, phi_max in MERIDIAN_FIXTURES:
+        ours = su.to_string(
+            np.array(
+                cov.cells_from_meridian(WGS84_003, COVER_LINE_RES, lam, phi_min, phi_max),
+                dtype=np.uint64,
+            )
+        ).tolist()
+        theirs = [
+            str(c)
+            for c in rd.cells_from_meridian(COVER_LINE_RES, lam, phi_min, phi_max)
+        ]
+        assert ours == theirs, (lam, phi_min, phi_max)
+        saw_dup |= len(ours) >= 2 and ours[-1] == ours[-2]
+    assert saw_dup  # the fixtures exercise the end-duplication quirk
