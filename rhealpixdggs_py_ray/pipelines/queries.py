@@ -43,7 +43,12 @@ COVER_RES = 2
 COVER_PAD = 16.0  # degrees; cover stays a superset, refine stage is exact
 
 
-def _read(sf_dir: str, table: str, columns=None, blocks: int | None = 32):
+def _read(sf_dir: str, table: str, columns=None, blocks: int | None = 16):
+    # 16 blocks, not 32: at sf-scale inputs 32 read tasks are pure
+    # overhead (A/B: a map-only docs query 0.77s @32 vs 0.38s @8
+    # blocks; a cpu-heavy per-token stage 0.86s @32 vs 0.62s @8), and
+    # the hot actor pools cap at 8 workers anyway.  At 100 TB the
+    # driver's file fragments set the block count, not this override.
     kwargs = {"columns": columns}
     if blocks is not None:
         kwargs["override_num_blocks"] = blocks
