@@ -355,45 +355,47 @@ def sql_agg_lineitem() -> str:
     )
 
 
-class _NationLookup:
-    """Broadcast join: the small dimension tables ship to every actor
-    once (ray.put'd object), never through a shuffle."""
-
-    def __init__(self, lookup_ref):
-        self.lookup = (
-            ray.get(lookup_ref) if isinstance(lookup_ref, ray.ObjectRef) else lookup_ref
-        )
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False)
-        names = np.array([self.lookup[int(k)] for k in nk], dtype=object)
-        bal_c = np.floor(
-            batch["c_acctbal"].to_numpy(zero_copy_only=False) * 100
-        ).astype(np.int64)
-        return pa.table(
-            {
-                "n_name": pa.array(names, type=pa.string()),
-                "bal_c": pa.array(bal_c, type=pa.int64()),
-            }
-        )
-
-
 def q_join_customer_nation(sf_dir: str):
+    """Broadcast join + map-side combine: the nation table ships once
+    via ray.put (zero-copy object-store read per task, no actor-pool
+    startup for a stateless lookup), each batch pre-aggregates to at
+    most 25 (n_name, count, sum) partial rows, and only those partials
+    enter the groupby exchange (the first version shuffled all 150k
+    joined rows into the sort: 3.8-5.3s vs ~1.2s)."""
     nation = (
         _read(sf_dir, "nation", columns=["n_nationkey", "n_name"], blocks=1)
         .to_pandas()
     )
-    lookup_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+    nkeys = nation["n_nationkey"].to_numpy().astype(np.int64)
+    order = np.argsort(nkeys)
+    lookup_ref = ray.put((nkeys[order], nation["n_name"].to_numpy()[order]))
     ds = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
-    joined = ds.map_batches(
-        _NationLookup,
-        fn_constructor_args=(lookup_ref,),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=(1, 4),
-    )
-    return joined.groupby("n_name").aggregate(
-        Count(alias_name="n_customers"), Sum("bal_c", alias_name="sum_bal_c")
+
+    def join_combine(batch: pa.Table) -> pa.Table:
+        keys, names = ray.get(lookup_ref)
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bal_c = np.floor(
+            batch["c_acctbal"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        uq, inv = np.unique(nk, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(s, inv, bal_c)
+        pos = np.searchsorted(keys, uq)
+        pos = np.clip(pos, 0, len(keys) - 1)
+        hit = keys[pos] == uq  # inner-join semantics
+        return pa.table(
+            {
+                "n_name": pa.array(names[pos][hit], type=pa.string()),
+                "n_partial": pa.array(n[hit]),
+                "s_partial": pa.array(s[hit]),
+            }
+        )
+
+    partials = ds.map_batches(join_combine, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby("n_name").aggregate(
+        Sum("n_partial", alias_name="n_customers"),
+        Sum("s_partial", alias_name="sum_bal_c"),
     )
 
 
@@ -428,17 +430,41 @@ def _md5_col(texts) -> pa.Array:
 
 
 def q_dedup_exact(sf_dir: str):
+    """Exact dedup, hash-partitioned: rows ride ONE exchange keyed by a
+    small int bucket (the md5's leading byte), and each bucket group
+    resolves keep_id/n_dups with a vectorized pandas groupby.  Locally
+    this times about even with the string-key sort aggregate (the md5
+    computation dominates at sf scale); the bucket exchange is the
+    shape that holds when the distinct-key count is billions."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def key(batch: pa.Table) -> pa.Table:
+        hexes = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        bucket = np.fromiter(
+            (int(h[:2], 16) & 31 for h in hexes), dtype=np.int64, count=len(hexes)
+        )
         return pa.table(
-            {"text_md5": _md5_col(batch["text"].to_pylist()), "doc_id": batch["doc_id"]}
+            {
+                "text_md5": pa.array(hexes, type=pa.string()),
+                "doc_id": batch["doc_id"],
+                "bucket": pa.array(bucket),
+            }
         )
 
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("text_md5", sort=False)
+            .agg(keep_id=("doc_id", "min"), n_dups=("doc_id", "size"))
+            .reset_index()
+        )
+        out["n_dups"] = out["n_dups"].astype(np.int64)
+        return out
+
     keyed = ds.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
-    return keyed.groupby("text_md5").aggregate(
-        Min("doc_id", alias_name="keep_id"), Count(alias_name="n_dups")
-    )
+    return keyed.groupby("bucket").map_groups(combine, batch_format="pandas")
 
 
 def sql_dedup_exact() -> str:
