@@ -423,12 +423,6 @@ def sql_topk_orders() -> str:
 # Exact dedup (hash-partition + per-group min)
 # ---------------------------------------------------------------------------
 
-def _md5_col(texts) -> pa.Array:
-    return pa.array(
-        [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts], type=pa.string()
-    )
-
-
 def q_dedup_exact(sf_dir: str):
     """Exact dedup, hash-partitioned: rows ride ONE exchange keyed by a
     small int bucket (the md5's leading byte), and each bucket group
