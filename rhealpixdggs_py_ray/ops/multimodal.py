@@ -79,29 +79,80 @@ class DecodeResizeFeatures:
 
 class FrameSampler:
     """Video frame-sampling stage (STUB: no video codec in this
-    container).  The Ray-side contract is real — input rows carry
-    (bytes, fmt='mp4', meta), output explodes to one row per sampled
-    frame — but calling it raises until a decoder exists."""
+    container).  The Ray-side plumbing is real and runs end-to-end
+    under ``fake_decode=True`` (a deterministic stand-in that slices
+    the payload instead of decoding it — tests/test_ops.py exercises
+    the actor pool, batch explode and output layout); the real decode
+    path raises until ffmpeg/PyAV exists.
 
-    def __init__(self, every_n_frames: int = 30):
+    Contract: input (id, bytes, fmt, n_frames) -> one output row per
+    sampled frame (id, frame_idx, frame_bytes)."""
+
+    FAKE_FRAME_BYTES = 64
+
+    def __init__(self, every_n_frames: int = 30, fake_decode: bool = False):
         self.every_n_frames = every_n_frames
+        self.fake_decode = fake_decode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        raise NotImplementedError(
-            "video decode needs ffmpeg/PyAV, unavailable in this "
-            "environment; schema contract: input (id, bytes, fmt, "
-            "n_frames) -> output (id, frame_idx, frame_bytes)"
+        if not self.fake_decode:
+            raise NotImplementedError(
+                "video decode needs ffmpeg/PyAV, unavailable in this "
+                "environment; schema contract: input (id, bytes, fmt, "
+                "n_frames) -> output (id, frame_idx, frame_bytes)"
+            )
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        blobs = batch["bytes"].to_pylist()
+        n_frames = batch["n_frames"].to_numpy(zero_copy_only=False)
+        out_id, out_idx, out_fb = [], [], []
+        W = self.FAKE_FRAME_BYTES
+        for i, blob in enumerate(blobs):
+            for f in range(0, int(n_frames[i]), self.every_n_frames):
+                s = (f * W) % max(1, len(blob))
+                out_id.append(int(ids[i]))
+                out_idx.append(f)
+                out_fb.append(blob[s : s + W])
+        return pa.table(
+            {
+                "id": pa.array(out_id, type=pa.int64()),
+                "frame_idx": pa.array(out_idx, type=pa.int64()),
+                "frame_bytes": pa.array(out_fb, type=pa.binary()),
+            }
         )
 
 
 class AudioFeatureStub:
     """Audio feature stage (STUB: no audio codec in this container).
-    Contract: (id, bytes, fmt, sample_rate) -> (id, list<float64>
-    mel-ish features)."""
+    As with FrameSampler, ``fake_decode=True`` runs the real Ray
+    plumbing with a deterministic splitmix64-derived feature vector in
+    place of a mel transform; the real path raises.
+
+    Contract: (id, bytes, fmt, sample_rate) -> (id, feat list<double>)."""
+
+    N_FEAT = 8
+
+    def __init__(self, fake_decode: bool = False):
+        self.fake_decode = fake_decode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        raise NotImplementedError(
-            "audio decode needs soundfile/librosa, unavailable here"
+        if not self.fake_decode:
+            raise NotImplementedError(
+                "audio decode needs soundfile/librosa, unavailable here"
+            )
+        from rhealpixdggs_py_ray.fixtures import splitmix64
+
+        ids = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        j = np.arange(self.N_FEAT, dtype=np.uint64)
+        h = splitmix64(
+            (ids.astype(np.uint64)[:, None] * np.uint64(self.N_FEAT)) + j[None, :]
+        )
+        feats = (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+        return pa.table(
+            {
+                "id": pa.array(ids),
+                "feat": pa.array(list(feats), type=pa.list_(pa.float64())),
+            }
         )
 
 

@@ -246,3 +246,66 @@ def test_image_near_dup_pipeline(ray_session):
     for (a, b), h in pairs.items():
         if (a, b) in expect:
             assert h == 0
+
+
+def test_video_audio_stub_plumbing(ray_session):
+    """The video/audio stub stages run as real actor-pool map_batches
+    stages under fake_decode (schema, explode layout, determinism),
+    and the real decode path raises NotImplementedError."""
+    import pyarrow as pa
+    import ray
+
+    from rhealpixdggs_py_ray.ops.multimodal import AudioFeatureStub, FrameSampler
+
+    rows = pa.table(
+        {
+            "id": pa.array([1, 2, 3], type=pa.int64()),
+            "bytes": pa.array([bytes(range(200)), b"\x07" * 500, b"xy" * 40], type=pa.binary()),
+            "fmt": pa.array(["mp4"] * 3),
+            "n_frames": pa.array([90, 61, 10], type=pa.int64()),
+            "sample_rate": pa.array([16000] * 3, type=pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(rows)
+
+    frames = ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"every_n_frames": 30, "fake_decode": True},
+        batch_format="pyarrow",
+        batch_size=2,
+        concurrency=2,
+    ).take_all()
+    # ceil(n_frames / 30) frames per row: 3 + 3 + 1
+    assert len(frames) == 7
+    assert {(r["id"], r["frame_idx"]) for r in frames} == {
+        (1, 0), (1, 30), (1, 60), (2, 0), (2, 30), (2, 60), (3, 0)
+    }
+    assert all(isinstance(r["frame_bytes"], bytes) and r["frame_bytes"] for r in frames)
+
+    feats = ds.map_batches(
+        AudioFeatureStub,
+        fn_constructor_kwargs={"fake_decode": True},
+        batch_format="pyarrow",
+        batch_size=2,
+        concurrency=2,
+    ).take_all()
+    assert len(feats) == 3
+    by_id = {r["id"]: list(r["feat"]) for r in feats}
+    assert all(len(v) == AudioFeatureStub.N_FEAT for v in by_id.values())
+    assert all(0.0 <= x < 1.0 for v in by_id.values() for x in v)
+    # deterministic: a second run produces identical features
+    feats2 = ds.map_batches(
+        AudioFeatureStub,
+        fn_constructor_kwargs={"fake_decode": True},
+        batch_format="pyarrow",
+        batch_size=3,
+        concurrency=1,
+    ).take_all()
+    assert {r["id"]: list(r["feat"]) for r in feats2} == by_id
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        FrameSampler()(rows)
+    with _pytest.raises(NotImplementedError):
+        AudioFeatureStub()(rows)
