@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validate": Q.q_validate,
         "minimal_cover": Q.q_minimal_cover,
         "windowed_counts": Q.q_windowed_counts,
+        "quantiles": Q.q_quantiles,
         "asof_join": Q.q_asof_join,
         "range_join": Q.q_range_join,
         "spatial_antijoin": Q.q_spatial_antijoin,
@@ -131,6 +132,7 @@ def oracle_sql() -> dict[str, str]:
         "validate": Q.sql_validate(),
         "minimal_cover": Q.sql_minimal_cover(),
         "windowed_counts": Q.sql_windowed_counts(),
+        "quantiles": Q.sql_quantiles(),
         "asof_join": Q.sql_asof_join(),
         "range_join": Q.sql_range_join(),
         "spatial_antijoin": Q.sql_spatial_antijoin(),
