@@ -39,7 +39,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_lineitem": Q.q_agg_lineitem,
         "join_customer_nation": Q.q_join_customer_nation,
         "topk_orders": Q.q_topk_orders,
+        "topk_per_group": Q.q_topk_per_group,
         "dedup_exact": Q.q_dedup_exact,
+        "curate": Q.q_curate,
         "token_stats": Q.q_token_stats,
         "sessions": Q.q_sessions,
         "dedup_minhash_lsh": Q.q_minhash_lsh,
@@ -105,7 +107,9 @@ def oracle_sql() -> dict[str, str]:
         "agg_lineitem": Q.sql_agg_lineitem(),
         "join_customer_nation": Q.sql_join_customer_nation(),
         "topk_orders": Q.sql_topk_orders(),
+        "topk_per_group": Q.sql_topk_per_group(),
         "dedup_exact": Q.sql_dedup_exact(),
+        "curate": Q.sql_curate(),
         "token_stats": Q.sql_token_stats(),
         "sessions": Q.sql_sessions(),
         "dedup_minhash_lsh": Q.sql_minhash_lsh(),

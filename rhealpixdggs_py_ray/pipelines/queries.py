@@ -423,6 +423,130 @@ def sql_topk_orders() -> str:
 # Exact dedup (hash-partition + per-group min)
 # ---------------------------------------------------------------------------
 
+def q_curate(sf_dir: str):
+    """Composed end-to-end curation pipeline — the realistic shape a
+    training-data user runs: language filter (pred_lang == 'en') AND
+    quality gate (n_tokens >= 5, alpha_ratio >= 0.5) -> exact dedup of
+    the survivors (keep min doc_id per md5) -> per-source kept counts.
+    One fused map stage computes lang + quality + md5 per batch (the
+    operators compose row-aligned), then a bucket exchange dedupes and
+    pre-counts, then a tiny per-source sum."""
+    from rhealpixdggs_py_ray.ops.text import LangId, QualityScorer
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def curate_batch(batch: pa.Table) -> pa.Table:
+        lang = LangId()(batch)
+        qual = QualityScorer()(batch)
+        keep = (
+            (np.asarray(lang["pred_lang"]) == "en")
+            & (qual["n_tokens"].to_numpy() >= 5)
+            & (qual["alpha_ratio"].to_numpy() >= 0.5)
+        )
+        idx = np.flatnonzero(keep)
+        texts = batch["text"].to_pylist()
+        hexes = [hashlib.md5(texts[i].encode("utf-8")).hexdigest() for i in idx]
+        bucket = np.fromiter(
+            (int(h[:2], 16) & 31 for h in hexes), dtype=np.int64, count=len(hexes)
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].take(pa.array(idx)),
+                "source": batch["source"].take(pa.array(idx)),
+                "text_md5": pa.array(hexes, type=pa.string()),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def dedup_count(g: pd.DataFrame) -> pd.DataFrame:
+        first = (
+            g.sort_values(["text_md5", "doc_id"]).groupby("text_md5", sort=False).head(1)
+        )
+        out = first.groupby("source", sort=False).size().reset_index(name="n_partial")
+        out["n_partial"] = out["n_partial"].astype(np.int64)
+        return out[["source", "n_partial"]]
+
+    kept = ds.map_batches(curate_batch, batch_format="pyarrow", zero_copy_batch=True)
+    partials = kept.groupby("bucket").map_groups(dedup_count, batch_format="pandas")
+    return partials.groupby("source").aggregate(Sum("n_partial", alias_name="n_kept"))
+
+
+def sql_curate() -> str:
+    from rhealpixdggs_py_ray.ops import text
+
+    return (
+        f"WITH lang AS MATERIALIZED ({text.langid_sql()}),"
+        f" qual AS MATERIALIZED ({text.quality_sql()}),"
+        " f AS MATERIALIZED ("
+        "  SELECT d.doc_id, d.source, md5(d.text) AS h"
+        "  FROM documents d"
+        "  JOIN lang l ON l.doc_id = d.doc_id"
+        "  JOIN qual q ON q.doc_id = d.doc_id"
+        "  WHERE l.pred_lang = 'en' AND q.n_tokens >= 5 AND q.alpha_ratio >= 0.5),"
+        " k AS MATERIALIZED (SELECT h, MIN(doc_id) AS keep_id FROM f GROUP BY h)"
+        " SELECT f.source, COUNT(*) AS n_kept"
+        " FROM f JOIN k ON f.doc_id = k.keep_id GROUP BY f.source"
+    )
+
+
+def q_topk_per_group(sf_dir: str):
+    """Per-group top-k (top-3 orders by totalprice within each
+    o_orderpriority, ties -> smaller key): every batch keeps at most
+    3 rows per group (vectorized lexsort partial top-k), so the final
+    exchange merges <= 3*n_groups*n_blocks tiny partials — the
+    distributed shape for 'best documents per domain' selection."""
+    K = 3
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderpriority"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pr = batch["o_orderpriority"].to_numpy(zero_copy_only=False)
+        key = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        codes, uniques = pd.factorize(pr)
+        order = np.lexsort((key, -price, codes))
+        codes_s = codes[order]
+        # rank within group after the (price DESC, key ASC) sort
+        starts = np.flatnonzero(
+            np.concatenate([[True], codes_s[1:] != codes_s[:-1]])
+        )
+        rank = np.arange(len(codes_s)) - np.repeat(starts, np.diff(np.append(starts, len(codes_s))))
+        keep = order[rank < K]
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(pr[keep], type=pa.string()),
+                "o_orderkey": pa.array(key[keep]),
+                "price_c": pa.array(np.floor(price[keep] * 100).astype(np.int64)),
+            }
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["o_orderkey"].to_numpy()
+        price = g["price_c"].to_numpy()
+        order = np.lexsort((key, -price))[:K]
+        return pd.DataFrame(
+            {
+                "o_orderpriority": g["o_orderpriority"].to_numpy()[order],
+                "rank": np.arange(1, len(order) + 1, dtype=np.int64),
+                "o_orderkey": key[order],
+                "price_c": price[order],
+            }
+        )
+
+    part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return part.groupby("o_orderpriority").map_groups(final, batch_format="pandas")
+
+
+def sql_topk_per_group() -> str:
+    return (
+        "SELECT o_orderpriority,"
+        " CAST(row_number() OVER (PARTITION BY o_orderpriority"
+        "   ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank,"
+        " o_orderkey, CAST(floor(o_totalprice*100) AS BIGINT) AS price_c"
+        " FROM orders"
+        " QUALIFY rank <= 3"
+    )
+
+
 def q_dedup_exact(sf_dir: str):
     """Exact dedup, hash-partitioned: rows ride ONE exchange keyed by a
     small int bucket (the md5's leading byte), and each bucket group
