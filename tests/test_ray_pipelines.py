@@ -233,3 +233,32 @@ def test_range_join_overlap_multimatch(ray_session):
     )
     assert n_match > int(in_any.sum())
     assert int(got["n_events"].sum()) == n_match
+
+
+def test_flagship_partitioned_write_roundtrip(images_dir, ray_session, tmp_path):
+    """spatial_join_tiling(out_dir=...) writes one directory per face
+    (the resumable layout) and the read-back equals the lazy result."""
+    from rhealpixdggs_py_ray.pipelines import spatial_join_tiling
+
+    poly = geo.Polygon([(-40.0, -25.0), (-40.0, 35.0), (60.0, 35.0), (60.0, -25.0)])
+    kw = dict(
+        region_polygon=poly, resolution=9, cover_res=2, tile_res=2,
+        override_num_blocks=8,
+    )
+    lazy = (
+        spatial_join_tiling(images_dir, **kw)
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    out_dir = str(tmp_path / "tiled")
+    written = (
+        spatial_join_tiling(images_dir, out_dir=out_dir, **kw)
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    parts = sorted(os.path.basename(p) for p in glob.glob(os.path.join(out_dir, "face=*")))
+    assert parts and all(p.startswith("face=") for p in parts)
+    cols = ["image_id", "cell_id", "tile_id"]
+    pd.testing.assert_frame_equal(lazy[cols], written[cols])
