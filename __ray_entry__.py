@@ -43,6 +43,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": Q.q_dedup_exact,
         "curate": Q.q_curate,
         "token_stats": Q.q_token_stats,
+        "sample_stratified": Q.q_sample_stratified,
+        "vocab": Q.q_vocab,
         "sessions": Q.q_sessions,
         "dedup_minhash_lsh": Q.q_minhash_lsh,
         "dedup_simhash": Q.q_simhash,
@@ -111,6 +113,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": Q.sql_dedup_exact(),
         "curate": Q.sql_curate(),
         "token_stats": Q.sql_token_stats(),
+        "sample_stratified": Q.sql_sample_stratified(),
+        "vocab": Q.sql_vocab(),
         "sessions": Q.sql_sessions(),
         "dedup_minhash_lsh": Q.sql_minhash_lsh(),
         "dedup_simhash": Q.sql_simhash(),

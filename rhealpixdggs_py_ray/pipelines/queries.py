@@ -627,6 +627,136 @@ def sql_token_stats() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Deterministic stratified sampling (data mixing) + corpus vocabulary
+# ---------------------------------------------------------------------------
+
+def q_sample_stratified(sf_dir: str):
+    """Deterministic stratified sampling (training-data mixing): each
+    source stratum keeps rows at its own dyadic rate (srcN -> rate
+    ((N % 4) + 1)/4) decided by splitmix64(doc_id) < rate * 2^64 — an
+    exact integer rule, so a mixture-weight sweep over a fixed corpus
+    is reproducible shard-by-shard.  Pure map, no shuffle: the 100 TB
+    shape (the decision never looks outside the row)."""
+    import pyarrow.compute as pc
+
+    from rhealpixdggs_py_ray.fixtures import splitmix64
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = splitmix64(did)
+        m = (
+            pc.cast(pc.utf8_slice_codeunits(batch["source"], 3), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            % 4
+        )
+        # rate (m+1)/4: threshold (m+1)<<62; m==3 (rate 1.0) would
+        # overflow uint64, so it keeps unconditionally
+        thr = (m.astype(np.uint64) + np.uint64(1)) << np.uint64(62)
+        return batch.filter(pa.array((m == 3) | (h < thr)))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_sample_stratified() -> str:
+    sm = oracle.splitmix64_sql_ctes(
+        "SELECT doc_id, source FROM documents", "doc_id, source", "doc_id", "h"
+    )
+    m = "(CAST(substr(source, 4) AS BIGINT) % 4)"
+    return (
+        f"SELECT doc_id, source FROM {sm} t"
+        f" WHERE {m} = 3"
+        f" OR CAST(h AS HUGEINT) < ({m} + 1) * CAST(4611686018427387904 AS HUGEINT)"
+    )
+
+
+VOCAB_W = 3      # word n-gram width for the vocabulary
+VOCAB_K = 50     # global top-k
+VOCAB_BUCKETS = 16
+
+
+def q_vocab(sf_dir: str):
+    """Corpus vocabulary: global top-50 word 3-grams by total frequency
+    (count DESC, gram ASC tie-break).  Distributed shape: per-batch
+    np.unique partial counts -> disjoint hash buckets (every occurrence
+    of a gram meets exactly one reducer, so per-bucket local top-k is
+    exact) -> tiny global merge.  The exploded n-gram table itself is
+    never sort-shuffled (ops/agg.py pattern; the bucket hash is
+    engine-internal, so any deterministic vectorized hash works)."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        grams: list[str] = []
+        for t in batch["text"].to_pylist():
+            toks = t.split()
+            grams.extend(
+                " ".join(toks[i : i + VOCAB_W])
+                for i in range(len(toks) - VOCAB_W + 1)
+            )
+        if not grams:
+            return pa.table(
+                {
+                    "s": pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                    "bucket": pa.array([], type=pa.int64()),
+                }
+            )
+        uq, cnt = np.unique(np.asarray(grams, dtype=object), return_counts=True)
+        bucket = (pd.util.hash_array(uq) % VOCAB_BUCKETS).astype(np.int64)
+        return pa.table(
+            {
+                "s": pa.array(uq, type=pa.string()),
+                "n": pa.array(cnt.astype(np.int64)),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uq, inv = np.unique(g["s"].to_numpy(), return_inverse=True)
+        tot = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(tot, inv, g["n"].to_numpy())
+        order = np.lexsort((uq, -tot))[:VOCAB_K]
+        return pd.DataFrame({"s": uq[order], "n": tot[order], "g": 0})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        s = g["s"].to_numpy()
+        n = g["n"].to_numpy()
+        order = np.lexsort((s, -n))[:VOCAB_K]
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, len(order) + 1, dtype=np.int64),
+                "s": s[order],
+                "n": n[order],
+            }
+        )
+
+    part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    merged = part.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+    return merged.groupby("g").map_groups(final, batch_format="pandas")
+
+
+def sql_vocab() -> str:
+    # short docs: len(w) - 2 < 1 makes generate_series empty, matching
+    # Python's empty range; whitespace-only text trims to [''] (len 1)
+    # which is likewise below the width
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+),
+sh AS MATERIALIZED (
+  SELECT array_to_string(w[i : i + {VOCAB_W - 1}], ' ') AS s
+  FROM toks, unnest(generate_series(1, len(w) - {VOCAB_W - 1})) AS t(i)
+),
+cnt AS MATERIALIZED (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY s
+)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, s) AS BIGINT) AS rank, s, n
+FROM cnt QUALIFY rank <= {VOCAB_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Sessionization (event-time gap > 30 min) — groupby + map_groups
 # ---------------------------------------------------------------------------
 

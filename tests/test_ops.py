@@ -309,3 +309,56 @@ def test_video_audio_stub_plumbing(ray_session):
         FrameSampler()(rows)
     with _pytest.raises(NotImplementedError):
         AudioFeatureStub()(rows)
+
+
+def test_sample_stratified_exact_rule(ray_session):
+    """The kept set is exactly {splitmix64(doc_id) < rate(source)*2^64}
+    computed brute-force in-process, and re-running reproduces it."""
+    from rhealpixdggs_py_ray.fixtures import splitmix64
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    got = (
+        Q.q_sample_stratified(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "source"]
+    ).to_pandas()
+    m = docs["source"].str[3:].astype(int).to_numpy() % 4
+    h = splitmix64(docs["doc_id"].to_numpy().astype(np.uint64))
+    thr = (m.astype(np.uint64) + np.uint64(1)) << np.uint64(62)
+    keep = (m == 3) | (h < thr)
+    want = docs[keep].sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["source"].tolist() == want["source"].tolist()
+    # every rate-1.0 stratum row survives; lower strata thin out
+    kept_frac = (
+        want.groupby(want["source"].str[3:].astype(int) % 4).size()
+        / docs.groupby(m).size()
+    )
+    assert kept_frac[3] == 1.0
+    assert kept_frac[0] < kept_frac[3]
+
+
+def test_vocab_matches_bruteforce(ray_session):
+    """Top-50 3-grams equal the single-process counter, including the
+    (count DESC, gram ASC) tie-break order."""
+    from collections import Counter
+
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    got = Q.q_vocab(SF).to_pandas().sort_values("rank").reset_index(drop=True)
+    c: Counter = Counter()
+    for t in _docs_table()["text"].to_pylist():
+        toks = t.split()
+        c.update(
+            " ".join(toks[i : i + Q.VOCAB_W])
+            for i in range(len(toks) - Q.VOCAB_W + 1)
+        )
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[: Q.VOCAB_K]
+    assert list(zip(got["s"], got["n"])) == want
+    assert got["rank"].tolist() == list(range(1, len(want) + 1))
