@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": Q.q_ngram_jaccard,
         "dedup_embedding": Q.q_embedding_dedup,
         "dedup_embedding_lsh": Q.q_embedding_dedup_lsh,
+        "embedding_centroids": Q.q_embedding_centroids,
         "ann_topk": Q.q_ann_topk,
         "ann_topk_lsh": Q.q_ann_topk_lsh,
         "ann_topk_ivf": Q.q_ann_topk_ivf,
@@ -121,6 +122,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": Q.sql_ngram_jaccard(),
         "dedup_embedding": Q.sql_embedding_dedup(),
         "dedup_embedding_lsh": Q.sql_embedding_dedup_lsh(),
+        "embedding_centroids": Q.sql_embedding_centroids(),
         "ann_topk": Q.sql_ann_topk(),
         "ann_topk_lsh": Q.sql_ann_topk_lsh(),
         "ann_topk_ivf": Q.sql_ann_topk_ivf(),

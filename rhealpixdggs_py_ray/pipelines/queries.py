@@ -940,6 +940,59 @@ def sql_embedding_dedup_lsh() -> str:
     return dedup.embedding_dedup_lsh_sql()
 
 
+EMB_D = 64  # fixture embedding width (TESTDATA.md)
+
+
+def q_embedding_centroids(sf_dir: str):
+    """Per-label embedding centroids (cluster prototypes): map-side
+    per-label vector sums + counts combined per batch, ONE tiny
+    exchange over (label, dim) long-format partials.  Elements are
+    quantized to integer micros BEFORE summation, so the aggregate is
+    order-free and bit-exact against SQL regardless of how blocks or
+    reducers interleave — the only float-parity-safe shape for a
+    distributed float sum (CLAUDE.md quantization invariant)."""
+    from rhealpixdggs_py_ray.ops.dedup import _emb_matrix
+
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        M = _emb_matrix(batch)  # (n, EMB_D) zero-copy from Arrow
+        Q = np.floor(M.astype(np.float64) * 1000000.0).astype(np.int64)
+        uq, inv = np.unique(lab, return_inverse=True)
+        S = np.zeros((len(uq), Q.shape[1]), dtype=np.int64)
+        np.add.at(S, inv, Q)
+        cnt = np.bincount(inv).astype(np.int64)
+        d = Q.shape[1]
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uq, d)),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(uq))),
+                "sum_micros": pa.array(S.reshape(-1)),
+                "n": pa.array(np.repeat(cnt, d)),
+            }
+        )
+
+    part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return part.groupby(["label", "dim"]).aggregate(
+        Sum("sum_micros", alias_name="sum_micros"), Sum("n", alias_name="n")
+    )
+
+
+def sql_embedding_centroids() -> str:
+    # static dim range (generate_series can't take lateral column
+    # parameters); embedding[i] is 1-based, dim output 0-based
+    return (
+        "WITH e AS MATERIALIZED ("
+        "  SELECT label, d.i - 1 AS dim,"
+        "    CAST(floor(CAST(embedding[d.i] AS DOUBLE) * 1000000.0) AS BIGINT) AS m"
+        f"  FROM embeddings, (SELECT unnest(generate_series(1, {EMB_D})) AS i) d)"
+        " SELECT CAST(label AS BIGINT) AS label, dim,"
+        "   CAST(SUM(m) AS BIGINT) AS sum_micros, CAST(COUNT(*) AS BIGINT) AS n"
+        " FROM e GROUP BY label, dim"
+    )
+
+
 def q_lang_id(sf_dir: str):
     from rhealpixdggs_py_ray.ops.text import LangId
 

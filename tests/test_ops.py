@@ -362,3 +362,28 @@ def test_vocab_matches_bruteforce(ray_session):
     want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[: Q.VOCAB_K]
     assert list(zip(got["s"], got["n"])) == want
     assert got["rank"].tolist() == list(range(1, len(want) + 1))
+
+
+def test_embedding_centroids_match_bruteforce(ray_session):
+    """(label, dim) sums of integer-quantized elements equal the
+    single-process computation; counts are per-label row counts."""
+    import pyarrow.parquet as pq
+
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    got = (
+        Q.q_embedding_centroids(SF)
+        .to_pandas()
+        .sort_values(["label", "dim"])
+        .reset_index(drop=True)
+    )
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["label", "embedding"])
+    lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    M = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    Qm = np.floor(M * 1000000.0).astype(np.int64)
+    assert len(got) == len(np.unique(lab)) * Qm.shape[1]
+    for L in np.unique(lab):
+        sel = got[got["label"] == L]
+        rows = Qm[lab == L]
+        assert sel["sum_micros"].to_numpy().tolist() == rows.sum(axis=0).tolist()
+        assert (sel["n"] == rows.shape[0]).all()
