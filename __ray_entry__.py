@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": Q.q_embedding_dedup,
         "dedup_embedding_lsh": Q.q_embedding_dedup_lsh,
         "embedding_centroids": Q.q_embedding_centroids,
+        "nearest_centroid": Q.q_nearest_centroid,
         "ann_topk": Q.q_ann_topk,
         "ann_topk_lsh": Q.q_ann_topk_lsh,
         "ann_topk_ivf": Q.q_ann_topk_ivf,
@@ -123,6 +124,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": Q.sql_embedding_dedup(),
         "dedup_embedding_lsh": Q.sql_embedding_dedup_lsh(),
         "embedding_centroids": Q.sql_embedding_centroids(),
+        "nearest_centroid": Q.sql_nearest_centroid(),
         "ann_topk": Q.sql_ann_topk(),
         "ann_topk_lsh": Q.sql_ann_topk_lsh(),
         "ann_topk_ivf": Q.sql_ann_topk_ivf(),

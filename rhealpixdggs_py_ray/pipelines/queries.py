@@ -993,6 +993,81 @@ def sql_embedding_centroids() -> str:
     )
 
 
+def q_nearest_centroid(sf_dir: str):
+    """Nearest-centroid assignment (the k-means assignment step /
+    centroid classifier): the 10x64 centroid matrix is derived from the
+    verified per-label sums (a bounded aggregate), broadcast once via
+    ray.put, and every batch computes its distances vectorized — no
+    shuffle touches the embedding rows; only <= 100 confusion partials
+    per batch enter the final exchange.  Distances fold dimension-by-
+    dimension left-to-right (ops/ann._seq_d2) so they are bit-identical
+    to the SQL's left-associative 64-term expression, making the argmin
+    (ties -> smaller label) exactly comparable."""
+    from rhealpixdggs_py_ray.ops.ann import _seq_d2
+    from rhealpixdggs_py_ray.ops.dedup import _emb_matrix
+
+    cdf = (
+        q_embedding_centroids(sf_dir)
+        .to_pandas()
+        .sort_values(["label", "dim"])
+        .reset_index(drop=True)
+    )
+    labels = np.sort(cdf["label"].unique()).astype(np.int64)
+    C = (
+        cdf["sum_micros"].to_numpy().astype(np.float64)
+        / cdf["n"].to_numpy().astype(np.float64)
+    ).reshape(len(labels), EMB_D)
+    cent_ref = ray.put((labels, C))
+
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        labs, cm = ray.get(cent_ref)
+        true_lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        X = np.floor(_emb_matrix(batch).astype(np.float64) * 1000000.0)
+        D = _seq_d2(X, cm)
+        near = labs[np.argmin(D, axis=1)]  # first win == smallest label
+        pairs = true_lab * 1000 + near
+        uq, cnt = np.unique(pairs, return_counts=True)
+        return pa.table(
+            {
+                "label": pa.array(uq // 1000),
+                "nearest": pa.array(uq % 1000),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    part = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    return part.groupby(["label", "nearest"]).aggregate(Sum("n", alias_name="n"))
+
+
+def sql_nearest_centroid() -> str:
+    cent = sql_embedding_centroids()
+    cw_cols = ", ".join(
+        f"MAX(CASE WHEN dim = {d} THEN CAST(sum_micros AS DOUBLE)"
+        f" / CAST(n AS DOUBLE) END) AS c{d}"
+        for d in range(EMB_D)
+    )
+
+    def e(d: int) -> str:
+        return f"floor(CAST(embedding[{d + 1}] AS DOUBLE) * 1000000.0)"
+
+    dist = " + ".join(f"(({e(d)}) - c{d}) * (({e(d)}) - c{d})" for d in range(EMB_D))
+    return (
+        f"WITH cent AS MATERIALIZED ({cent}),"
+        f" cw AS MATERIALIZED (SELECT label AS clabel, {cw_cols} FROM cent GROUP BY label),"
+        " d AS MATERIALIZED ("
+        "   SELECT e.vec_id, CAST(e.label AS BIGINT) AS label, cw.clabel,"
+        f"    ({dist}) AS dist"
+        "   FROM embeddings e CROSS JOIN cw),"
+        " pick AS MATERIALIZED ("
+        "   SELECT vec_id, label, clabel AS nearest FROM d"
+        "   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) = 1)"
+        " SELECT label, nearest, CAST(COUNT(*) AS BIGINT) AS n"
+        " FROM pick GROUP BY label, nearest"
+    )
+
+
 def q_lang_id(sf_dir: str):
     from rhealpixdggs_py_ray.ops.text import LangId
 

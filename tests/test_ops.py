@@ -387,3 +387,35 @@ def test_embedding_centroids_match_bruteforce(ray_session):
         rows = Qm[lab == L]
         assert sel["sum_micros"].to_numpy().tolist() == rows.sum(axis=0).tolist()
         assert (sel["n"] == rows.shape[0]).all()
+
+
+def test_nearest_centroid_matches_bruteforce(ray_session):
+    """Confusion counts equal the single-process argmin over exact
+    per-label centroid means of the quantized matrix."""
+    import pyarrow.parquet as pq
+
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    got = (
+        Q.q_nearest_centroid(SF)
+        .to_pandas()
+        .sort_values(["label", "nearest"])
+        .reset_index(drop=True)
+    )
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["label", "embedding"])
+    lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    X = np.floor(
+        np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        * 1000000.0
+    )
+    labels = np.sort(np.unique(lab))
+    C = np.stack([X[lab == L].sum(axis=0) / (lab == L).sum() for L in labels])
+    D = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    near = labels[np.argmin(D, axis=1)]
+    want = {}
+    for a, b in zip(lab, near):
+        want[(int(a), int(b))] = want.get((int(a), int(b)), 0) + 1
+    got_map = {
+        (int(r.label), int(r.nearest)): int(r.n) for r in got.itertuples()
+    }
+    assert got_map == want
