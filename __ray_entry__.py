@@ -45,6 +45,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": Q.q_token_stats,
         "sample_stratified": Q.q_sample_stratified,
         "vocab": Q.q_vocab,
+        "decontaminate": Q.q_decontaminate,
+        "repetition": Q.q_repetition,
         "sessions": Q.q_sessions,
         "dedup_minhash_lsh": Q.q_minhash_lsh,
         "dedup_simhash": Q.q_simhash,
@@ -117,6 +119,8 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": Q.sql_token_stats(),
         "sample_stratified": Q.sql_sample_stratified(),
         "vocab": Q.sql_vocab(),
+        "decontaminate": Q.sql_decontaminate(),
+        "repetition": Q.sql_repetition(),
         "sessions": Q.sql_sessions(),
         "dedup_minhash_lsh": Q.sql_minhash_lsh(),
         "dedup_simhash": Q.sql_simhash(),

@@ -756,6 +756,133 @@ FROM cnt QUALIFY rank <= {VOCAB_K}
 """
 
 
+DECON_EVAL_MAX_ID = 50  # doc_id < 50 plays the held-out benchmark set
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag training docs sharing any word
+    4-gram with the held-out eval set (doc_id < 50 plays the benchmark
+    corpus).  The eval shingle set is a bounded small side — built from
+    a filtered read and broadcast once via ray.put — and the corpus
+    scan is a pure map emitting only contaminated (doc_id, n_hits)
+    rows: the 100 TB shape (eval sets are MBs; the corpus never
+    shuffles)."""
+    from rhealpixdggs_py_ray.ops.dedup import shingles
+
+    def eval_mask(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(did < DECON_EVAL_MAX_ID))
+
+    eval_rows = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"], blocks=4)
+        .map_batches(eval_mask, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    eval_set: set[str] = set()
+    for r in eval_rows:
+        eval_set.update(shingles(r["text"]))
+    ev_ref = ray.put(eval_set)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def scan(batch: pa.Table) -> pa.Table:
+        ev = ray.get(ev_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out_id, out_n = [], []
+        for did, t in zip(ids, batch["text"].to_pylist()):
+            if did < DECON_EVAL_MAX_ID:
+                continue
+            n = sum(1 for s in shingles(t) if s in ev)
+            if n:
+                out_id.append(int(did))
+                out_n.append(n)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "n_hits": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_decontaminate() -> str:
+    from rhealpixdggs_py_ray.ops.dedup import SHINGLE_W
+
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, array_to_string(w[i : i + {SHINGLE_W - 1}], ' ') AS s
+  FROM toks, unnest(generate_series(1, len(w) - {SHINGLE_W - 1})) AS t(i)
+),
+ev AS MATERIALIZED (
+  SELECT DISTINCT s FROM sh WHERE doc_id < {DECON_EVAL_MAX_ID}
+)
+SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM sh d JOIN ev ON d.s = ev.s
+WHERE d.doc_id >= {DECON_EVAL_MAX_ID}
+GROUP BY d.doc_id
+"""
+
+
+def q_repetition(sf_dir: str):
+    """Intra-document repetition score (a standard text-quality gate):
+    per doc, the most frequent word 3-gram's share of all 3-grams,
+    kept integer-exact as (1000 * max_count) // total.  Pure map —
+    the score never looks outside the row."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out_id, out_m, out_g, out_r = [], [], [], []
+        for did, t in zip(ids, batch["text"].to_pylist()):
+            toks = t.split()
+            g = len(toks) - VOCAB_W + 1
+            if g < 1:
+                continue  # too short to have a 3-gram (oracle groups nothing)
+            c = Counter(
+                " ".join(toks[i : i + VOCAB_W]) for i in range(g)
+            )
+            m = max(c.values())
+            out_id.append(int(did))
+            out_m.append(m)
+            out_g.append(g)
+            out_r.append((1000 * m) // g)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "max_count": pa.array(out_m, type=pa.int64()),
+                "total_grams": pa.array(out_g, type=pa.int64()),
+                "rep_permille": pa.array(out_r, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_repetition() -> str:
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+),
+sh AS MATERIALIZED (
+  SELECT doc_id, array_to_string(w[i : i + {VOCAB_W - 1}], ' ') AS s
+  FROM toks, unnest(generate_series(1, len(w) - {VOCAB_W - 1})) AS t(i)
+),
+cnt AS MATERIALIZED (
+  SELECT doc_id, s, COUNT(*) AS c FROM sh GROUP BY doc_id, s
+)
+SELECT doc_id, CAST(MAX(c) AS BIGINT) AS max_count,
+  CAST(SUM(c) AS BIGINT) AS total_grams,
+  CAST((1000 * MAX(c)) // SUM(c) AS BIGINT) AS rep_permille
+FROM cnt GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Sessionization (event-time gap > 30 min) — groupby + map_groups
 # ---------------------------------------------------------------------------

@@ -419,3 +419,56 @@ def test_nearest_centroid_matches_bruteforce(ray_session):
         (int(r.label), int(r.nearest)): int(r.n) for r in got.itertuples()
     }
     assert got_map == want
+
+
+def test_decontaminate_matches_bruteforce(ray_session):
+    """Contaminated-doc flags equal the single-process shingle-set
+    intersection against the doc_id<50 eval corpus."""
+    from rhealpixdggs_py_ray.ops.dedup import shingles
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    got = (
+        Q.q_decontaminate(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    t = _docs_table()
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    texts = t["text"].to_pylist()
+    ev: set = set()
+    for did, tx in zip(ids, texts):
+        if did < Q.DECON_EVAL_MAX_ID:
+            ev.update(shingles(tx))
+    want = {}
+    for did, tx in zip(ids, texts):
+        if did >= Q.DECON_EVAL_MAX_ID:
+            n = len(set(shingles(tx)) & ev)
+            if n:
+                want[int(did)] = n
+    assert dict(zip(got["doc_id"], got["n_hits"])) == want
+    assert (got["n_hits"] > 0).all()
+
+
+def test_repetition_matches_bruteforce(ray_session):
+    from collections import Counter
+
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    got = (
+        Q.q_repetition(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    t = _docs_table()
+    want = {}
+    for did, tx in zip(t["doc_id"].to_numpy(zero_copy_only=False), t["text"].to_pylist()):
+        toks = tx.split()
+        g = len(toks) - Q.VOCAB_W + 1
+        if g < 1:
+            continue
+        c = Counter(" ".join(toks[i : i + Q.VOCAB_W]) for i in range(g))
+        m = max(c.values())
+        want[int(did)] = (m, g, (1000 * m) // g)
+    assert {
+        int(r.doc_id): (int(r.max_count), int(r.total_grams), int(r.rep_permille))
+        for r in got.itertuples()
+    } == want
