@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_from_point": Q.q_cell_from_point,
         "tile_counts": Q.q_tile_counts,
+        "tile_pyramid": Q.q_tile_pyramid,
         "spatial_join_bbox": Q.q_spatial_join_bbox,
         "grid": Q.q_grid,
         "knn": Q.q_knn,
@@ -107,6 +108,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cell_from_point": Q.sql_cell_from_point(),
         "tile_counts": Q.sql_tile_counts(),
+        "tile_pyramid": Q.sql_tile_pyramid(),
         "spatial_join_bbox": Q.sql_spatial_join_bbox(),
         "grid": Q.sql_grid(),
         "knn": Q.sql_knn(),

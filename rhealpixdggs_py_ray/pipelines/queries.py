@@ -2287,6 +2287,52 @@ def sql_cell_stats() -> str:
     )
 
 
+PYRAMID_MAX_RES = 3
+
+
+def q_tile_pyramid(sf_dir: str):
+    """Aggregation pyramid: per-tile counts at resolutions 0..3 from a
+    SINGLE res-9 indexing pass — every batch emits (res, tile, n)
+    partials for all levels (np.unique on the packed-SUID prefix via
+    su.parent), and one exchange carries the whole pyramid; no
+    per-level re-index or re-shuffle.  The standard DGGS rollup shape
+    for serving map tiles at every zoom from one scan."""
+    ds = indexed_events(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = batch["cell_u64"].to_numpy(zero_copy_only=False)
+        res_out, tile_out, n_out = [], [], []
+        for r in range(PYRAMID_MAX_RES + 1):
+            uq, cnt = np.unique(su.parent(u, r), return_counts=True)
+            res_out.append(np.full(len(uq), r, dtype=np.int64))
+            tile_out.append(su.to_string_fixed(uq, r))
+            n_out.append(cnt.astype(np.int64))
+        return pa.table(
+            {
+                "res": pa.array(np.concatenate(res_out)),
+                "tile_id": pa.array(np.concatenate(tile_out), type=pa.string()),
+                "n": pa.array(np.concatenate(n_out)),
+            }
+        )
+
+    part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return part.groupby(["res", "tile_id"]).aggregate(Sum("n", alias_name="n"))
+
+
+def sql_tile_pyramid() -> str:
+    inner = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), RES, CFG, id_cols=("event_id",)
+    )
+    return (
+        f"WITH pts AS MATERIALIZED (SELECT cell_id FROM {inner} t)"
+        " SELECT r.res, substr(cell_id, 1, 1 + r.res) AS tile_id,"
+        "   CAST(COUNT(*) AS BIGINT) AS n"
+        " FROM pts CROSS JOIN"
+        f"  (SELECT unnest(generate_series(0, {PYRAMID_MAX_RES})) AS res) r"
+        " GROUP BY r.res, tile_id"
+    )
+
+
 def q_tile_counts_salted(sf_dir: str):
     """Same result as tile_counts but through the salted two-stage merge
     (combiner -> groupby(tile, salt) -> groupby(tile)) — the explicit

@@ -472,3 +472,26 @@ def test_repetition_matches_bruteforce(ray_session):
         int(r.doc_id): (int(r.max_count), int(r.total_grams), int(r.rep_permille))
         for r in got.itertuples()
     } == want
+
+
+def test_tile_pyramid_levels_consistent(ray_session):
+    """Each pyramid level's counts sum to the row count, and every
+    child tile's count folds into its parent's."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    got = Q.q_tile_pyramid(SF).to_pandas()
+    total = got[got["res"] == 0]["n"].sum()
+    for r in range(Q.PYRAMID_MAX_RES + 1):
+        lev = got[got["res"] == r]
+        assert lev["n"].sum() == total
+        assert lev["tile_id"].str.len().eq(1 + r).all()
+    child = got[got["res"] == Q.PYRAMID_MAX_RES].copy()
+    child["parent"] = child["tile_id"].str[: Q.PYRAMID_MAX_RES]
+    rolled = child.groupby("parent")["n"].sum().sort_index()
+    parent = (
+        got[got["res"] == Q.PYRAMID_MAX_RES - 1]
+        .set_index("tile_id")["n"]
+        .sort_index()
+    )
+    assert rolled.index.tolist() == parent.index.tolist()
+    assert (rolled.to_numpy() == parent.to_numpy()).all()
