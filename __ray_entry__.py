@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": Q.q_repetition,
         "sessions": Q.q_sessions,
         "dedup_minhash_lsh": Q.q_minhash_lsh,
+        "dedup_clusters": Q.q_dedup_clusters,
         "dedup_simhash": Q.q_simhash,
         "dedup_ngram_jaccard": Q.q_ngram_jaccard,
         "dedup_embedding": Q.q_embedding_dedup,
@@ -125,6 +126,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition": Q.sql_repetition(),
         "sessions": Q.sql_sessions(),
         "dedup_minhash_lsh": Q.sql_minhash_lsh(),
+        "dedup_clusters": Q.sql_dedup_clusters(),
         "dedup_simhash": Q.sql_simhash(),
         "dedup_ngram_jaccard": Q.sql_ngram_jaccard(),
         "dedup_embedding": Q.sql_embedding_dedup(),

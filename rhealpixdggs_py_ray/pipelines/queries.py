@@ -970,6 +970,21 @@ def sql_minhash_lsh() -> str:
     return dedup.minhash_lsh_sql()
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup cluster assignment: minhash pair graph -> connected
+    components (distributed hash-min over bucket exchanges, ops/cc.py)
+    -> (doc_id, cluster_id=min member, keep=canonical)."""
+    from rhealpixdggs_py_ray.ops import cc, dedup
+
+    return cc.connected_components(dedup.minhash_lsh_pairs(_docs(sf_dir)))
+
+
+def sql_dedup_clusters() -> str:
+    from rhealpixdggs_py_ray.ops import cc, dedup
+
+    return cc.connected_components_sql(dedup.minhash_lsh_sql())
+
+
 def q_simhash(sf_dir: str):
     from rhealpixdggs_py_ray.ops.dedup import SimHasher
 
