@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": Q.q_token_stats,
         "sample_stratified": Q.q_sample_stratified,
         "vocab": Q.q_vocab,
+        "salient_terms": Q.q_salient_terms,
         "decontaminate": Q.q_decontaminate,
         "repetition": Q.q_repetition,
         "sessions": Q.q_sessions,
@@ -73,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validate": Q.q_validate,
         "minimal_cover": Q.q_minimal_cover,
         "windowed_counts": Q.q_windowed_counts,
+        "distinct_users": Q.q_distinct_users,
         "quantiles": Q.q_quantiles,
         "asof_join": Q.q_asof_join,
         "range_join": Q.q_range_join,
@@ -122,6 +124,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": Q.sql_token_stats(),
         "sample_stratified": Q.sql_sample_stratified(),
         "vocab": Q.sql_vocab(),
+        "salient_terms": Q.sql_salient_terms(),
         "decontaminate": Q.sql_decontaminate(),
         "repetition": Q.sql_repetition(),
         "sessions": Q.sql_sessions(),
@@ -152,6 +155,7 @@ def oracle_sql() -> dict[str, str]:
         "validate": Q.sql_validate(),
         "minimal_cover": Q.sql_minimal_cover(),
         "windowed_counts": Q.sql_windowed_counts(),
+        "distinct_users": Q.sql_distinct_users(),
         "quantiles": Q.sql_quantiles(),
         "asof_join": Q.sql_asof_join(),
         "range_join": Q.sql_range_join(),

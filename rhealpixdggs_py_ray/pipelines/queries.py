@@ -756,6 +756,108 @@ FROM cnt QUALIFY rank <= {VOCAB_K}
 """
 
 
+SALIENT_K = 3
+
+
+def q_salient_terms(sf_dir: str):
+    """Per-doc salient terms: top-3 by (tf DESC, global df ASC, term
+    ASC) — the tf-idf selection shape with exact integer ranking (no
+    float idf that could flip a boundary bit vs the oracle).
+
+    Two passes, docs never shuffled: (1) distributed document
+    frequency — per-doc distinct terms are local to the row, per-batch
+    np.unique partials meet in disjoint hash buckets (exact df per
+    term, one exchange over the term table only); the df map is
+    vocabulary-sized (same bounded-vocab assumption as q_vocab) and is
+    broadcast once via ray.put; (2) a pure map over docs computes
+    per-doc tf and the top-3 pick against the broadcast df."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        terms: list[str] = []
+        for t in batch["text"].to_pylist():
+            toks = t.split()
+            if toks:
+                terms.extend(set(toks))
+        if not terms:
+            return pa.table({
+                "term": pa.array([], type=pa.string()),
+                "df": pa.array([], type=pa.int64()),
+                "bucket": pa.array([], type=pa.int64()),
+            })
+        uq, cnt = np.unique(np.asarray(terms, dtype=object), return_counts=True)
+        bucket = (pd.util.hash_array(uq) % VOCAB_BUCKETS).astype(np.int64)
+        return pa.table({
+            "term": pa.array(uq, type=pa.string()),
+            "df": pa.array(cnt.astype(np.int64)),
+            "bucket": pa.array(bucket),
+        })
+
+    def df_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uq, inv = np.unique(g["term"].to_numpy(), return_inverse=True)
+        tot = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(tot, inv, g["df"].to_numpy())
+        return pd.DataFrame({"term": uq, "df": tot})
+
+    df_pd = (
+        ds.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(df_bucket, batch_format="pandas")
+        .to_pandas()  # vocabulary-sized, bounded
+    )
+    df_ref = ray.put(dict(zip(df_pd["term"].tolist(),
+                              df_pd["df"].astype(np.int64).tolist())))
+
+    def top_terms(batch: pa.Table) -> pa.Table:
+        dfm = ray.get(df_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        o_doc, o_term, o_tf, o_df, o_rank = [], [], [], [], []
+        for did, t in zip(ids, batch["text"].to_pylist()):
+            toks = t.split()
+            if not toks:
+                continue
+            uq, cnt = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+            dfv = np.fromiter((dfm[x] for x in uq), dtype=np.int64, count=len(uq))
+            order = np.lexsort((uq, dfv, -cnt))[:SALIENT_K]
+            o_doc.extend([did] * len(order))
+            o_term.extend(uq[order].tolist())
+            o_tf.extend(cnt[order].astype(np.int64).tolist())
+            o_df.extend(dfv[order].tolist())
+            o_rank.extend(range(1, len(order) + 1))
+        return pa.table({
+            "doc_id": pa.array(o_doc, type=pa.int64()),
+            "term": pa.array(o_term, type=pa.string()),
+            "tf": pa.array(o_tf, type=pa.int64()),
+            "df": pa.array(o_df, type=pa.int64()),
+            "rank": pa.array(np.asarray(o_rank, dtype=np.int64)),
+        })
+
+    return ds.map_batches(top_terms, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_salient_terms() -> str:
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+),
+tf AS MATERIALIZED (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+),
+df AS MATERIALIZED (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks GROUP BY term
+)
+SELECT doc_id, term, tf, df,
+  CAST(row_number() OVER (
+    PARTITION BY doc_id ORDER BY tf DESC, df ASC, term ASC
+  ) AS BIGINT) AS rank
+FROM tf JOIN df USING (term)
+QUALIFY rank <= {SALIENT_K}
+"""
+
+
 DECON_EVAL_MAX_ID = 50  # doc_id < 50 plays the held-out benchmark set
 
 
@@ -1653,6 +1755,75 @@ def sql_minimal_cover() -> str:
         _points_sql("events", "event_id"), 5, CFG, id_cols=("event_id",)
     )
     return f"SELECT cell_id, COUNT(*) AS n_points FROM {inner} t GROUP BY cell_id"
+
+
+def q_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) + COUNT(*) per event_type.
+
+    Shape: per-batch lexsort dedup of (event_type, user_id) pairs with
+    a raw-row tally -> ONE exchange bucketed by h(user_id) (a pair
+    lives in exactly one bucket, so per-bucket distinct is globally
+    exact) -> per-bucket partials -> tiny final groupby over the
+    handful of event types.  Never a per-user ray group."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    n_buckets = 32
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        et_uniq, et_inv = np.unique(et, return_inverse=True)
+        order = np.lexsort((uid, et_inv))
+        ei, ui = et_inv[order], uid[order]
+        new = np.ones(len(ui), dtype=bool)
+        new[1:] = (ei[1:] != ei[:-1]) | (ui[1:] != ui[:-1])
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, len(ui))).astype(np.int64)
+        ei, ui = ei[starts], ui[starts]
+        bucket = (
+            ((ui.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+             >> np.uint64(58)).astype(np.int64) % n_buckets
+        )
+        return pa.table({
+            "bucket": pa.array(bucket),
+            "event_type": pa.array(et_uniq[ei]),
+            "user_id": pa.array(ui),
+            "cnt": pa.array(cnt),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        et = g["event_type"].to_numpy()
+        uid = g["user_id"].to_numpy()
+        cnt = g["cnt"].to_numpy()
+        et_uniq, et_inv = np.unique(et, return_inverse=True)
+        order = np.lexsort((uid, et_inv))
+        ei, ui, ci = et_inv[order], uid[order], cnt[order]
+        new = np.ones(len(ui), dtype=bool)
+        new[1:] = (ei[1:] != ei[:-1]) | (ui[1:] != ui[:-1])
+        n_users = np.zeros(len(et_uniq), dtype=np.int64)
+        np.add.at(n_users, ei[new], 1)
+        n_events = np.zeros(len(et_uniq), dtype=np.int64)
+        np.add.at(n_events, ei, ci)
+        return pd.DataFrame({
+            "event_type": et_uniq,
+            "n_users": n_users,
+            "n_events": n_events,
+        })
+
+    part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    buckets = part.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+    return buckets.groupby("event_type").aggregate(
+        Sum("n_users", alias_name="n_users"),
+        Sum("n_events", alias_name="n_events"),
+    )
+
+
+def sql_distinct_users() -> str:
+    return (
+        "SELECT event_type,"
+        " CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,"
+        " CAST(COUNT(*) AS BIGINT) AS n_events"
+        " FROM events GROUP BY event_type"
+    )
 
 
 def q_windowed_counts(sf_dir: str):
