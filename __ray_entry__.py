@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": Q.q_topk_orders,
         "topk_per_group": Q.q_topk_per_group,
         "dedup_exact": Q.q_dedup_exact,
+        "dedup_normalized": Q.q_dedup_normalized,
         "curate": Q.q_curate,
         "token_stats": Q.q_token_stats,
         "sample_stratified": Q.q_sample_stratified,
@@ -76,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_counts": Q.q_windowed_counts,
         "distinct_users": Q.q_distinct_users,
         "quantiles": Q.q_quantiles,
+        "winsorize": Q.q_winsorize,
         "asof_join": Q.q_asof_join,
         "range_join": Q.q_range_join,
         "spatial_antijoin": Q.q_spatial_antijoin,
@@ -120,6 +122,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders": Q.sql_topk_orders(),
         "topk_per_group": Q.sql_topk_per_group(),
         "dedup_exact": Q.sql_dedup_exact(),
+        "dedup_normalized": Q.sql_dedup_normalized(),
         "curate": Q.sql_curate(),
         "token_stats": Q.sql_token_stats(),
         "sample_stratified": Q.sql_sample_stratified(),
@@ -157,6 +160,7 @@ def oracle_sql() -> dict[str, str]:
         "windowed_counts": Q.sql_windowed_counts(),
         "distinct_users": Q.sql_distinct_users(),
         "quantiles": Q.sql_quantiles(),
+        "winsorize": Q.sql_winsorize(),
         "asof_join": Q.sql_asof_join(),
         "range_join": Q.sql_range_join(),
         "spatial_antijoin": Q.sql_spatial_antijoin(),

@@ -592,6 +592,53 @@ def sql_dedup_exact() -> str:
     )
 
 
+def q_dedup_normalized(sf_dir: str):
+    """Normalization-aware exact dedup: lowercase, collapse every
+    non-[a-z0-9] run to one space, trim, then md5-group (catches
+    whitespace/punctuation/casing dups that byte-exact dedup misses —
+    the first dedup stage of a real curation pipeline).  Same
+    one-exchange bucket shape as dedup_exact."""
+    import re as _re
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pat = _re.compile(r"[^a-z0-9]+")
+
+    def key(batch: pa.Table) -> pa.Table:
+        hexes = [
+            hashlib.md5(pat.sub(" ", t.lower()).strip().encode("utf-8")).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        bucket = np.fromiter(
+            (int(h[:2], 16) & 31 for h in hexes), dtype=np.int64, count=len(hexes)
+        )
+        return pa.table({
+            "norm_md5": pa.array(hexes, type=pa.string()),
+            "doc_id": batch["doc_id"],
+            "bucket": pa.array(bucket),
+        })
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("norm_md5", sort=False)
+            .agg(keep_id=("doc_id", "min"), n_dups=("doc_id", "size"))
+            .reset_index()
+        )
+        out["n_dups"] = out["n_dups"].astype(np.int64)
+        return out
+
+    keyed = ds.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
+    return keyed.groupby("bucket").map_groups(combine, batch_format="pandas")
+
+
+def sql_dedup_normalized() -> str:
+    return (
+        "SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))"
+        "   AS norm_md5,"
+        " MIN(doc_id) AS keep_id, COUNT(*) AS n_dups"
+        " FROM documents GROUP BY 1"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Token counting / text stats
 # ---------------------------------------------------------------------------
@@ -1924,6 +1971,115 @@ def sql_quantiles() -> str:
         "  MIN(CASE WHEN cn >= (9*tot+9)//10 THEN c END) AS p90_c,"
         "  MIN(CASE WHEN cn >= (99*tot+99)//100 THEN c END) AS p99_c"
         " FROM cum GROUP BY event_type"
+    )
+
+
+def q_winsorize(sf_dir: str):
+    """Outlier clipping (winsorization): clamp events.value to the
+    exact per-type [p05, p95] cent thresholds, then aggregate.  Pass 1
+    reuses the quantile histogram exchange to produce the tiny
+    threshold table (one row per event type), broadcast via ray.put;
+    pass 2 is a pure map emitting integer partials (clip counts +
+    clamped cent sums, bit-exact under any summation order) merged by
+    a final handful-of-groups aggregate."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def part_hist(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        c = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        g = (
+            pd.DataFrame({"event_type": et, "c": c})
+            .groupby(["event_type", "c"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table({
+            "event_type": pa.array(g["event_type"].to_numpy(), type=pa.string()),
+            "c": pa.array(g["c"].to_numpy()),
+            "n": pa.array(g["n"].to_numpy().astype(np.int64)),
+        })
+
+    def thresholds(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["c"].to_numpy()
+        n = g["n"].to_numpy()
+        uq, inv = np.unique(c, return_inverse=True)
+        s = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(s, inv, n)
+        cum = np.cumsum(s)
+        tot = int(cum[-1])
+        lo = int(uq[np.searchsorted(cum, (5 * tot + 99) // 100)])
+        hi = int(uq[np.searchsorted(cum, (95 * tot + 99) // 100)])
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "lo": np.array([lo], dtype=np.int64),
+            "hi": np.array([hi], dtype=np.int64),
+        })
+
+    thr = (
+        ds.map_batches(part_hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .map_groups(thresholds, batch_format="pandas")
+        .to_pandas()  # one row per event type
+    )
+    thr_ref = ray.put({
+        r.event_type: (int(r.lo), int(r.hi)) for r in thr.itertuples()
+    })
+
+    def clamp_partial(batch: pa.Table) -> pa.Table:
+        bounds = ray.get(thr_ref)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        c = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        et_uniq, et_inv = np.unique(et, return_inverse=True)
+        lo = np.array([bounds[e][0] for e in et_uniq], dtype=np.int64)[et_inv]
+        hi = np.array([bounds[e][1] for e in et_uniq], dtype=np.int64)[et_inv]
+        clamped = np.clip(c, lo, hi)
+        n = np.zeros(len(et_uniq), dtype=np.int64)
+        np.add.at(n, et_inv, 1)
+        nlo = np.zeros(len(et_uniq), dtype=np.int64)
+        np.add.at(nlo, et_inv, (c < lo).astype(np.int64))
+        nhi = np.zeros(len(et_uniq), dtype=np.int64)
+        np.add.at(nhi, et_inv, (c > hi).astype(np.int64))
+        sc = np.zeros(len(et_uniq), dtype=np.int64)
+        np.add.at(sc, et_inv, clamped)
+        return pa.table({
+            "event_type": pa.array(et_uniq, type=pa.string()),
+            "n": pa.array(n), "n_clip_lo": pa.array(nlo),
+            "n_clip_hi": pa.array(nhi), "sum_clamped_c": pa.array(sc),
+        })
+
+    part = ds.map_batches(clamp_partial, batch_format="pyarrow", zero_copy_batch=True)
+    return part.groupby("event_type").aggregate(
+        Sum("n", alias_name="n"),
+        Sum("n_clip_lo", alias_name="n_clip_lo"),
+        Sum("n_clip_hi", alias_name="n_clip_hi"),
+        Sum("sum_clamped_c", alias_name="sum_clamped_c"),
+    )
+
+
+def sql_winsorize() -> str:
+    return (
+        "WITH h AS MATERIALIZED (SELECT event_type,"
+        " CAST(floor(value*100) AS BIGINT) AS c, COUNT(*) AS n"
+        " FROM events GROUP BY 1, 2),"
+        " cum AS (SELECT event_type, c,"
+        "  SUM(n) OVER (PARTITION BY event_type ORDER BY c) AS cn,"
+        "  SUM(n) OVER (PARTITION BY event_type) AS tot FROM h),"
+        " thr AS MATERIALIZED (SELECT event_type,"
+        "  MIN(CASE WHEN cn >= (5*tot+99)//100 THEN c END) AS lo,"
+        "  MIN(CASE WHEN cn >= (95*tot+99)//100 THEN c END) AS hi"
+        "  FROM cum GROUP BY event_type),"
+        " e AS (SELECT e.event_type,"
+        "  CAST(floor(e.value*100) AS BIGINT) AS c, t.lo, t.hi"
+        "  FROM events e JOIN thr t USING (event_type))"
+        " SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,"
+        "  CAST(SUM(CASE WHEN c < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,"
+        "  CAST(SUM(CASE WHEN c > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,"
+        "  CAST(SUM(least(greatest(c, lo), hi)) AS BIGINT) AS sum_clamped_c"
+        " FROM e GROUP BY event_type"
     )
 
 
