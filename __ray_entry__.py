@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": Q.q_ann_topk_ivf,
         "lang_id": Q.q_lang_id,
         "quality_score": Q.q_quality,
+        "label_quality": Q.q_label_quality,
         "fingerprint": Q.q_fingerprint,
         "polyfill": Q.q_polyfill,
         "compress_cells": Q.q_compress,
@@ -144,6 +145,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivf": Q.sql_ann_topk_ivf(),
         "lang_id": Q.sql_lang_id(),
         "quality_score": Q.sql_quality(),
+        "label_quality": Q.sql_label_quality(),
         "fingerprint": Q.sql_fingerprint(),
         "polyfill": Q.sql_polyfill(),
         "k_ring": Q.sql_k_ring(),

@@ -803,6 +803,133 @@ FROM cnt QUALIFY rank <= {VOCAB_K}
 """
 
 
+def q_label_quality(sf_dir: str):
+    """Cross-modal big-big join: documents (integer token stats) joined
+    to embeddings (cluster label) on doc_id = vec_id, aggregated per
+    label.  Neither side is bounded, so neither is broadcast: the two
+    narrow projections meet in ONE union bucket exchange on h(key) (a
+    bucketed hash join without Ray JoinOperator's reserved actor-pool
+    cost, cf. CLAUDE.md), and matches are reduced to per-label integer
+    partials inside the resolve — only a handful of rows reach the
+    final groupby."""
+    from rhealpixdggs_py_ray.ops.text import QualityScorer
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    embs = _read(sf_dir, "embeddings", columns=["vec_id", "label"])
+    nb = 32
+
+    def _bkt(ids: np.ndarray) -> np.ndarray:
+        return (
+            ((ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+             >> np.uint64(58)).astype(np.int64) % nb
+        )
+
+    def doc_side(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        n_tok = np.empty(len(texts), dtype=np.int64)
+        n_stop = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            n_tok[i] = len(t.split())
+            padded = " " + t + " "
+            n_stop[i] = sum(
+                padded.count(f" {w} ") for w in QualityScorer.STOPWORDS
+            )
+        return pa.table({
+            "bucket": pa.array(_bkt(ids)),
+            "side": pa.array(np.zeros(len(ids), dtype=np.int64)),
+            "key": pa.array(ids.astype(np.int64)),
+            "a": pa.array(n_tok),
+            "b": pa.array(n_stop),
+        })
+
+    def emb_side(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        z = np.zeros(len(ids), dtype=np.int64)
+        return pa.table({
+            "bucket": pa.array(_bkt(ids)),
+            "side": pa.array(np.ones(len(ids), dtype=np.int64)),
+            "key": pa.array(ids.astype(np.int64)),
+            "a": pa.array(lab),
+            "b": pa.array(z),
+        })
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        key = g["key"].to_numpy()
+        a = g["a"].to_numpy()
+        b = g["b"].to_numpy()
+        dmask = side == 0
+        dk, dt, dstp = key[dmask], a[dmask], b[dmask]
+        ek, elab = key[~dmask], a[~dmask]
+        empty = pd.DataFrame({
+            "label": np.array([], dtype=np.int64),
+            "n_docs": np.array([], dtype=np.int64),
+            "sum_tokens": np.array([], dtype=np.int64),
+            "sum_stop": np.array([], dtype=np.int64),
+        })
+        if not len(dk) or not len(ek):
+            return empty
+        order = np.argsort(dk)
+        dk, dt, dstp = dk[order], dt[order], dstp[order]
+        pos = np.minimum(np.searchsorted(dk, ek), len(dk) - 1)
+        hit = dk[pos] == ek
+        if not hit.any():
+            return empty
+        lab = elab[hit]
+        tok = dt[pos[hit]]
+        stp = dstp[pos[hit]]
+        lu, li = np.unique(lab, return_inverse=True)
+        nd = np.zeros(len(lu), dtype=np.int64)
+        np.add.at(nd, li, 1)
+        st = np.zeros(len(lu), dtype=np.int64)
+        np.add.at(st, li, tok)
+        ss = np.zeros(len(lu), dtype=np.int64)
+        np.add.at(ss, li, stp)
+        return pd.DataFrame({
+            "label": lu.astype(np.int64),
+            "n_docs": nd, "sum_tokens": st, "sum_stop": ss,
+        })
+
+    both = docs.map_batches(
+        doc_side, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        embs.map_batches(emb_side, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    part = both.groupby("bucket").map_groups(resolve, batch_format="pandas")
+    return part.groupby("label").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("sum_tokens", alias_name="sum_tokens"),
+        Sum("sum_stop", alias_name="sum_stop"),
+    )
+
+
+def sql_label_quality() -> str:
+    from rhealpixdggs_py_ray.ops.text import QualityScorer
+
+    stop = " + ".join(
+        f"CAST((length(p) - length(replace(p, ' {w} ', ''))) // {len(w) + 2} AS BIGINT)"
+        for w in QualityScorer.STOPWORDS
+    )
+    ntok = (
+        "CASE WHEN trim(text) = '' THEN 0"
+        " ELSE CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) END"
+    )
+    return (
+        "WITH p AS MATERIALIZED (SELECT doc_id, text, ' ' || text || ' ' AS p"
+        "  FROM documents),"
+        f" q AS MATERIALIZED (SELECT doc_id, {ntok} AS n_tokens, {stop} AS n_stop"
+        "  FROM p)"
+        " SELECT CAST(e.label AS BIGINT) AS label,"
+        "  CAST(COUNT(*) AS BIGINT) AS n_docs,"
+        "  CAST(SUM(q.n_tokens) AS BIGINT) AS sum_tokens,"
+        "  CAST(SUM(q.n_stop) AS BIGINT) AS sum_stop"
+        " FROM q JOIN embeddings e ON e.vec_id = q.doc_id"
+        " GROUP BY e.label"
+    )
+
+
 SALIENT_K = 3
 
 
