@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": Q.q_embedding_dedup,
         "dedup_embedding_lsh": Q.q_embedding_dedup_lsh,
         "embedding_centroids": Q.q_embedding_centroids,
+        "embedding_gram": Q.q_embedding_gram,
         "nearest_centroid": Q.q_nearest_centroid,
         "ann_topk": Q.q_ann_topk,
         "ann_topk_lsh": Q.q_ann_topk_lsh,
@@ -139,6 +140,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": Q.sql_embedding_dedup(),
         "dedup_embedding_lsh": Q.sql_embedding_dedup_lsh(),
         "embedding_centroids": Q.sql_embedding_centroids(),
+        "embedding_gram": Q.sql_embedding_gram(),
         "nearest_centroid": Q.sql_nearest_centroid(),
         "ann_topk": Q.sql_ann_topk(),
         "ann_topk_lsh": Q.sql_ann_topk_lsh(),

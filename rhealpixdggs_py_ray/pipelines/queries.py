@@ -1411,6 +1411,52 @@ def sql_embedding_centroids() -> str:
     )
 
 
+def q_embedding_gram(sf_dir: str):
+    """Distributed second-moment (gram) matrix of the embedding table —
+    the reduction behind PCA / whitening / covariance monitoring.  Each
+    batch quantizes to integer millis and matmuls Q^T Q (float64 BLAS;
+    every partial product and per-batch sum stays < 2^53, so the cast
+    back to int64 is exact), emitting only the 2080 upper-triangle
+    partials per batch into one tiny (i, j) exchange.  The embedding
+    rows themselves never shuffle.  Order-free by construction —
+    integer sums commute."""
+    from rhealpixdggs_py_ray.ops.dedup import _emb_matrix
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        M = _emb_matrix(batch)
+        Q = np.floor(M.astype(np.float64) * 1000.0)
+        G = (Q.T @ Q)  # exact: |q| < 2^24, n < 2^17 per batch
+        d = Q.shape[1]
+        iu, ju = np.triu_indices(d)
+        return pa.table({
+            "i": pa.array(iu.astype(np.int64)),
+            "j": pa.array(ju.astype(np.int64)),
+            "g": pa.array(G[iu, ju].astype(np.int64)),
+            "n": pa.array(np.full(len(iu), Q.shape[0], dtype=np.int64)),
+        })
+
+    part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return part.groupby(["i", "j"]).aggregate(
+        Sum("g", alias_name="g"), Sum("n", alias_name="n")
+    )
+
+
+def sql_embedding_gram() -> str:
+    return (
+        "WITH e AS MATERIALIZED ("
+        "  SELECT vec_id, d.i - 1 AS i,"
+        "    CAST(floor(CAST(embedding[d.i] AS DOUBLE) * 1000.0) AS BIGINT) AS m"
+        f"  FROM embeddings, (SELECT unnest(generate_series(1, {EMB_D})) AS i) d)"
+        " SELECT a.i AS i, b.i AS j,"
+        "   CAST(SUM(a.m * b.m) AS BIGINT) AS g,"
+        "   CAST(COUNT(*) AS BIGINT) AS n"
+        " FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i"
+        " GROUP BY a.i, b.i"
+    )
+
+
 def q_nearest_centroid(sf_dir: str):
     """Nearest-centroid assignment (the k-means assignment step /
     centroid classifier): the 10x64 centroid matrix is derived from the
