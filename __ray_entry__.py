@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validate": Q.q_validate,
         "minimal_cover": Q.q_minimal_cover,
         "windowed_counts": Q.q_windowed_counts,
+        "sliding_counts": Q.q_sliding_counts,
+        "hll_registers": Q.q_hll_registers,
         "distinct_users": Q.q_distinct_users,
         "quantiles": Q.q_quantiles,
         "winsorize": Q.q_winsorize,
@@ -162,6 +164,8 @@ def oracle_sql() -> dict[str, str]:
         "validate": Q.sql_validate(),
         "minimal_cover": Q.sql_minimal_cover(),
         "windowed_counts": Q.sql_windowed_counts(),
+        "sliding_counts": Q.sql_sliding_counts(),
+        "hll_registers": Q.sql_hll_registers(),
         "distinct_users": Q.sql_distinct_users(),
         "quantiles": Q.sql_quantiles(),
         "winsorize": Q.sql_winsorize(),

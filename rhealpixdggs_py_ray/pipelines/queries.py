@@ -2078,6 +2078,115 @@ def sql_windowed_counts() -> str:
     )
 
 
+def q_sliding_counts(sf_dir: str):
+    """Sliding event-time windows (1 h window, 15 min slide): every
+    event belongs to exactly 4 windows.  The 4x expansion happens on
+    the per-batch (quarter, type) PARTIALS, not the raw rows — combine
+    first, replicate the handful of partials, recombine, then one
+    bounded (window, type) exchange.  The streaming construct the
+    reference lacks (SURVEY §2.6), windowed_counts' tumbling sibling."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        q = ts.astype(np.int64) // 900_000_000  # 15-min quarter index
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        vc = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        df = pd.DataFrame({"q": q, "event_type": et, "v": vc})
+        g = df.groupby(["q", "event_type"], sort=False).agg(
+            n=("v", "size"), s=("v", "sum")
+        ).reset_index()
+        # replicate each (quarter, type) partial into the 4 windows
+        # [q-3 .. q] that cover it; window label = start quarter
+        win = (g["q"].to_numpy()[None, :] - np.arange(4)[:, None]).reshape(-1)
+        return pa.table({
+            "win_q": pa.array(win.astype(np.int64)),
+            "event_type": pa.array(np.tile(g["event_type"].to_numpy(), 4)),
+            "n": pa.array(np.tile(g["n"].to_numpy().astype(np.int64), 4)),
+            "sum_value_c": pa.array(np.tile(g["s"].to_numpy().astype(np.int64), 4)),
+        })
+
+    part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return part.groupby(["win_q", "event_type"]).aggregate(
+        Sum("n", alias_name="n"), Sum("sum_value_c", alias_name="sum_value_c")
+    )
+
+
+def sql_sliding_counts() -> str:
+    return (
+        "SELECT (epoch_us(ts) // 900000000) - k.k AS win_q, event_type,"
+        " CAST(COUNT(*) AS BIGINT) AS n,"
+        " CAST(SUM(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c"
+        " FROM events, (VALUES (0),(1),(2),(3)) k(k)"
+        " GROUP BY 1, 2"
+    )
+
+
+HLL_P = 8  # 2^8 = 256 registers
+
+
+def q_hll_registers(sf_dir: str):
+    """HyperLogLog register sketch of distinct user_ids per event_type
+    — the approximate-distinct aggregate the reference has no analogue
+    for (SURVEY §2.6 notes it has no sketches at all).  Deterministic
+    md5 hashing (ops/dedup.md5_u64 == DuckDB md5_number_lower), so the
+    REGISTERS themselves are exact integers the oracle reproduces; the
+    user applies the harmonic-mean estimator downstream.  Shape:
+    per-batch distinct-uid hash + np.maximum partials -> one tiny
+    (event_type, reg) max exchange; mergeable by construction (max is
+    commutative), i.e. the 100 TB shape for distinct monitoring."""
+    from rhealpixdggs_py_ray.ops.dedup import md5_u64
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    mask56 = np.uint64((1 << 56) - 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        et_uniq, et_inv = np.unique(et, return_inverse=True)
+        # hash each distinct uid once per batch
+        uu, ui = np.unique(uid, return_inverse=True)
+        h = np.fromiter(
+            (md5_u64(str(int(x))) for x in uu), dtype=np.uint64, count=len(uu)
+        )[ui]
+        reg = (h >> np.uint64(56)).astype(np.int64)
+        suf = h & mask56
+        # exact bit_length via 56 vectorized compares (float frexp is
+        # NOT exact above 2^53)
+        bl = np.zeros(len(suf), dtype=np.int64)
+        for k in range(56):
+            bl += (suf >= np.uint64(1 << k)).astype(np.int64)
+        rho = 57 - bl  # suffix==0 -> bl 0 -> rho 57
+        key = et_inv * 256 + reg
+        ku, ki = np.unique(key, return_inverse=True)
+        mx = np.zeros(len(ku), dtype=np.int64)
+        np.maximum.at(mx, ki, rho)
+        return pa.table({
+            "event_type": pa.array(et_uniq[ku // 256]),
+            "reg": pa.array((ku % 256).astype(np.int64)),
+            "rho": pa.array(mx),
+        })
+
+    part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return part.groupby(["event_type", "reg"]).aggregate(
+        Max("rho", alias_name="rho")
+    )
+
+
+def sql_hll_registers() -> str:
+    return (
+        "WITH h AS MATERIALIZED (SELECT event_type,"
+        "  md5_number_lower(CAST(user_id AS VARCHAR)) AS h FROM events)"
+        " SELECT event_type, CAST(h >> 56 AS BIGINT) AS reg,"
+        "  MAX(CASE WHEN h % 72057594037927936 = 0 THEN 57"
+        "    ELSE 57 - length(printf('%b',"
+        "      CAST(h % 72057594037927936 AS BIGINT))) END) AS rho"
+        " FROM h GROUP BY 1, 2"
+    )
+
+
 def q_quantiles(sf_dir: str):
     """Distributed EXACT quantiles (p50/p90/p99 of events.value per
     event_type) via cent-quantized histograms: each batch emits a
