@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linetrace": Q.q_linetrace,
         "cells_from_region": Q.q_cells_from_region,
         "cells_from_parallel": Q.q_cells_from_parallel,
+        "cell_latitudes": Q.q_cell_latitudes,
         "cells_from_meridian": Q.q_cells_from_meridian,
         "knn_rings": Q.q_knn_rings,
         "resumable_tiling": Q.q_resumable_tiling,
@@ -157,6 +158,7 @@ def oracle_sql() -> dict[str, str]:
         "compress_cells": Q.sql_compress(),
         "cells_from_region": Q.sql_cells_from_region(),
         "cells_from_parallel": Q.sql_cells_from_parallel(),
+        "cell_latitudes": Q.sql_cell_latitudes(),
         "cells_from_meridian": Q.sql_cells_from_meridian(),
         "cell_geometry": Q.sql_cell_geometry(),
         "hierarchy": Q.sql_hierarchy(),

@@ -2256,6 +2256,92 @@ def sql_quantiles() -> str:
     )
 
 
+LATBAND_FIXTURES = ((-35.0, 18.0), (-12.5, 38.0), (5.0, 9.0))
+LATBAND_RES = 4
+
+
+def q_cell_latitudes(sf_dir: str):
+    """cell_latitudes (dggs.py:909-1004): nucleus and boundary parallels
+    of the res-4 grid inside fixture latitude bands (equatorial region,
+    where the closed-form SQL chain is exact — CLAUDE.md band rule).
+    The sequential ``y += w`` float walk is mirrored bit-for-bit by a
+    recursive CTE; latitudes compare through floor(lat*1e6)."""
+    import math as _math
+
+    from rhealpixdggs_py_ray.core import cover as cov
+
+    rows = []
+    for bid, (pmin, pmax) in enumerate(LATBAND_FIXTURES):
+        for nuc in (True, False):
+            lats = cov.cell_latitudes(
+                CFG, LATBAND_RES, pmin, pmax, nucleus=nuc, plane=False
+            )
+            for k, lat in enumerate(lats):
+                rows.append((bid, 1 if nuc else 0, k, _math.floor(lat * 1e6)))
+    arr = np.array(rows, dtype=np.int64).reshape(-1, 4)
+    return pa.table({
+        "band": pa.array(arr[:, 0]),
+        "nucleus": pa.array(arr[:, 1]),
+        "k": pa.array(arr[:, 2]),
+        "lat_micros": pa.array(arr[:, 3]),
+    })
+
+
+def sql_cell_latitudes() -> str:
+    import math as _math
+
+    R = CFG.R_A
+    w = CFG.cell_width(LATBAND_RES)
+    xm = R * _math.pi / 4
+    L = oracle._lit
+
+    def band_sql(bid: int, pmin: float, pmax: float, nucleus: bool) -> str:
+        # N_side=3 (odd): first candidate parallel below the south pole
+        # edge (dggs.py:975-991), computed in the same float op order
+        yb = -R * _math.pi / 2 + w if nucleus else -R * _math.pi / 2 + w / 2
+        pts = (
+            f"SELECT * FROM (VALUES (0, 0.0, {L(pmin)}), (1, 0.0, {L(pmax)}))"
+            " v(id, lon, lat)"
+        )
+        fwd = oracle.projection_sql(pts, CFG, id_cols=("id",))
+        inv = oracle.inverse_sql(
+            f"(SELECT k, {L(xm)} AS xm, y AS ym FROM ys)", CFG, id_cols=("k",)
+        )
+        return f"""
+WITH RECURSIVE
+mm AS MATERIALIZED (
+  SELECT MAX(CASE WHEN id = 0 THEN ym END) AS ymin,
+         MAX(CASE WHEN id = 1 THEN ym END) AS ymax
+  FROM {fwd} q
+),
+snap AS MATERIALIZED (
+  SELECT CASE WHEN {L(yb)} <= ymin
+    THEN greatest({L(yb)} + CAST(ceil((ymin - {L(yb)}) / {L(w)}) AS BIGINT) * {L(w)},
+                  {L(yb)} + {L(w)})
+    ELSE {L(yb)} END AS y0, ymax
+  FROM mm
+),
+ys(k, y, ymax) AS (
+  SELECT 0, y0, ymax FROM snap WHERE y0 < ymax
+  UNION ALL
+  SELECT k + 1, y + {L(w)}, ymax FROM ys WHERE y + {L(w)} < ymax
+)
+SELECT CAST({bid} AS BIGINT) AS band,
+  CAST({1 if nucleus else 0} AS BIGINT) AS nucleus,
+  CAST(k AS BIGINT) AS k,
+  CAST(floor(lat * 1000000.0) AS BIGINT) AS lat_micros
+FROM {inv} q
+"""
+
+    parts = []
+    for bid, (pmin, pmax) in enumerate(LATBAND_FIXTURES):
+        for nuc in (True, False):
+            parts.append(band_sql(bid, pmin, pmax, nuc))
+    return " UNION ALL ".join(
+        f"SELECT * FROM ({p}) u{i}" for i, p in enumerate(parts)
+    )
+
+
 def q_winsorize(sf_dir: str):
     """Outlier clipping (winsorization): clamp events.value to the
     exact per-type [p05, p95] cent thresholds, then aggregate.  Pass 1
