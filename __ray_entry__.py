@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_normalized": Q.q_dedup_normalized,
         "curate": Q.q_curate,
         "token_stats": Q.q_token_stats,
+        "chunk_docs": Q.q_chunk_docs,
         "sample_stratified": Q.q_sample_stratified,
         "vocab": Q.q_vocab,
         "salient_terms": Q.q_salient_terms,
@@ -130,6 +131,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_normalized": Q.sql_dedup_normalized(),
         "curate": Q.sql_curate(),
         "token_stats": Q.sql_token_stats(),
+        "chunk_docs": Q.sql_chunk_docs(),
         "sample_stratified": Q.sql_sample_stratified(),
         "vocab": Q.sql_vocab(),
         "salient_terms": Q.sql_salient_terms(),

@@ -1032,6 +1032,63 @@ QUALIFY rank <= {SALIENT_K}
 """
 
 
+CHUNK_W = 32   # tokens per chunk
+CHUNK_S = 24   # stride (8-token overlap)
+
+
+def q_chunk_docs(sf_dir: str):
+    """Document chunking for training/RAG: fixed 32-token windows at
+    stride 24 (8-token overlap).  Pure flat-map — one output row per
+    (doc, window), no shuffle anywhere; chunks leave as narrow
+    (doc_id, chunk_k, n_tokens, md5) rows so the 100 TB output stream
+    stays bytes-per-row bounded regardless of document length."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        o_id, o_k, o_n, o_md5 = [], [], [], []
+        for did, t in zip(ids, batch["text"].to_pylist()):
+            toks = t.split()
+            n = len(toks)
+            if n == 0:
+                continue
+            k = 0
+            while k * CHUNK_S < n:
+                piece = toks[k * CHUNK_S : k * CHUNK_S + CHUNK_W]
+                o_id.append(did)
+                o_k.append(k)
+                o_n.append(len(piece))
+                o_md5.append(hashlib.md5(" ".join(piece).encode("utf-8")).hexdigest())
+                k += 1
+        return pa.table({
+            "doc_id": pa.array(np.asarray(o_id, dtype=np.int64)),
+            "chunk_k": pa.array(np.asarray(o_k, dtype=np.int64)),
+            "n_tokens": pa.array(np.asarray(o_n, dtype=np.int64)),
+            "chunk_md5": pa.array(o_md5, type=pa.string()),
+        })
+
+    return ds.map_batches(chunk, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_chunk_docs() -> str:
+    # static chunk-index range (generate_series can't take lateral
+    # column parameters — CLAUDE.md); 4096 indices cover ~98k tokens,
+    # far above any fixture doc; the filter keeps k*stride < len(w)
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents WHERE trim(text) <> ''
+),
+ks AS (SELECT unnest(generate_series(0, 4095)) AS k)
+SELECT doc_id, CAST(k AS BIGINT) AS chunk_k,
+  CAST(least({CHUNK_W}, len(w) - k * {CHUNK_S}) AS BIGINT) AS n_tokens,
+  md5(array_to_string(w[k * {CHUNK_S} + 1 : k * {CHUNK_S} + {CHUNK_W}], ' '))
+    AS chunk_md5
+FROM toks, ks
+WHERE k * {CHUNK_S} < len(w)
+"""
+
+
 DECON_EVAL_MAX_ID = 50  # doc_id < 50 plays the held-out benchmark set
 
 
