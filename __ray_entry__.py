@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": Q.q_token_stats,
         "chunk_docs": Q.q_chunk_docs,
         "sample_stratified": Q.q_sample_stratified,
+        "sample_bottomk": Q.q_sample_bottomk,
         "vocab": Q.q_vocab,
         "salient_terms": Q.q_salient_terms,
         "decontaminate": Q.q_decontaminate,
@@ -133,6 +134,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": Q.sql_token_stats(),
         "chunk_docs": Q.sql_chunk_docs(),
         "sample_stratified": Q.sql_sample_stratified(),
+        "sample_bottomk": Q.sql_sample_bottomk(),
         "vocab": Q.sql_vocab(),
         "salient_terms": Q.sql_salient_terms(),
         "decontaminate": Q.sql_decontaminate(),

@@ -1032,6 +1032,63 @@ QUALIFY rank <= {SALIENT_K}
 """
 
 
+BOTTOMK_K = 5
+
+
+def q_sample_bottomk(sf_dir: str):
+    """Deterministic per-source sample WITHOUT replacement via hash
+    order statistics: the BOTTOMK_K docs with the smallest
+    md5(doc_id) per source.  Unlike rate-based stratified sampling
+    (sample_stratified) this guarantees an exact sample SIZE, is
+    mergeable (bottom-k of bottom-ks), and doubles as a KMV distinct
+    sketch.  Shape: per-batch partial bottom-k per source -> one tiny
+    exchange over ≤ k rows per (batch, source)."""
+    from rhealpixdggs_py_ray.ops.dedup import md5_u64
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        h = np.fromiter(
+            (md5_u64(str(int(x))) for x in ids), dtype=np.uint64, count=len(ids)
+        )
+        keep = np.zeros(len(ids), dtype=bool)
+        for s in np.unique(src):
+            m = np.flatnonzero(src == s)
+            order = np.lexsort((ids[m], h[m]))[:BOTTOMK_K]
+            keep[m[order]] = True
+        return pa.table({
+            "source": pa.array(src[keep]),
+            "doc_id": pa.array(ids[keep].astype(np.int64)),
+            "h": pa.array(h[keep]),
+        })
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy()
+        h = g["h"].to_numpy().astype(np.uint64)
+        order = np.lexsort((ids, h))[:BOTTOMK_K]
+        return pd.DataFrame({
+            "source": g["source"].to_numpy()[order],
+            "rnk": np.arange(1, len(order) + 1, dtype=np.int64),
+            "doc_id": ids[order].astype(np.int64),
+        })
+
+    part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return part.groupby("source").map_groups(final, batch_format="pandas")
+
+
+def sql_sample_bottomk() -> str:
+    return (
+        "SELECT source,"
+        " CAST(row_number() OVER (PARTITION BY source"
+        "   ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id)"
+        "  AS BIGINT) AS rnk,"
+        " doc_id"
+        f" FROM documents QUALIFY rnk <= {BOTTOMK_K}"
+    )
+
+
 CHUNK_W = 32   # tokens per chunk
 CHUNK_S = 24   # stride (8-token overlap)
 

@@ -292,3 +292,29 @@ def test_cover_line_fixtures_differential(reference):
         assert ours == theirs, (lam, phi_min, phi_max)
         saw_dup |= len(ours) >= 2 and ours[-1] == ours[-2]
     assert saw_dup  # the fixtures exercise the end-duplication quirk
+
+
+def test_cell_latitudes_differential(ref):
+    # the new driver-facing fixture bands + randomized bands, both
+    # nucleus flavors, vs the reference's sequential walk
+    from rhealpixdggs_py_ray.core import cover as cov
+    from rhealpixdggs_py_ray.pipelines.queries import LATBAND_FIXTURES, LATBAND_RES
+
+    random.seed(7)
+    bands = list(LATBAND_FIXTURES) + [
+        tuple(sorted((random.uniform(-40, 40), random.uniform(-40, 40))))
+        for _ in range(5)
+    ]
+    for pmin, pmax in bands:
+        for nuc in (True, False):
+            ours = cov.cell_latitudes(
+                WGS84_003, LATBAND_RES, pmin, pmax, nucleus=nuc, plane=False
+            )
+            theirs = [
+                float(v)
+                for v in ref.cell_latitudes(
+                    LATBAND_RES, pmin, pmax, nucleus=nuc, plane=False
+                )
+            ]
+            assert len(ours) == len(theirs)
+            assert np.allclose(ours, theirs, rtol=0, atol=1e-12)
