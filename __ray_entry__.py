@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_counts": Q.q_sliding_counts,
         "hll_registers": Q.q_hll_registers,
         "distinct_users": Q.q_distinct_users,
+        "props_parse": Q.q_props_parse,
         "quantiles": Q.q_quantiles,
         "winsorize": Q.q_winsorize,
         "asof_join": Q.q_asof_join,
@@ -173,6 +174,7 @@ def oracle_sql() -> dict[str, str]:
         "sliding_counts": Q.sql_sliding_counts(),
         "hll_registers": Q.sql_hll_registers(),
         "distinct_users": Q.sql_distinct_users(),
+        "props_parse": Q.sql_props_parse(),
         "quantiles": Q.sql_quantiles(),
         "winsorize": Q.sql_winsorize(),
         "asof_join": Q.sql_asof_join(),

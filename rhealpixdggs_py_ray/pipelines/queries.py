@@ -2091,6 +2091,49 @@ def sql_minimal_cover() -> str:
     return f"SELECT cell_id, COUNT(*) AS n_points FROM {inner} t GROUP BY cell_id"
 
 
+def q_props_parse(sf_dir: str):
+    """Semi-structured extraction: parse the JSON ``props`` column with
+    a zero-copy pyarrow.compute regex kernel (no Python per row), then
+    aggregate value stats per extracted key.  The parse+combine is one
+    map; only ≤ |k| partial rows per batch reach the exchange."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", columns=["props", "value"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ks = pc.extract_regex(batch["props"], r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(ks, "k"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        vc = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        uq, inv = np.unique(k, return_inverse=True)
+        n = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(n, inv, 1)
+        s = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(s, inv, vc)
+        return pa.table({
+            "k": pa.array(uq),
+            "n": pa.array(n),
+            "sum_value_c": pa.array(s),
+        })
+
+    part = ds.map_batches(parse, batch_format="pyarrow", zero_copy_batch=True)
+    return part.groupby("k").aggregate(
+        Sum("n", alias_name="n"), Sum("sum_value_c", alias_name="sum_value_c")
+    )
+
+
+def sql_props_parse() -> str:
+    return (
+        "SELECT CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT) AS k,"
+        " CAST(COUNT(*) AS BIGINT) AS n,"
+        " CAST(SUM(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c"
+        " FROM events GROUP BY 1"
+    )
+
+
 def q_distinct_users(sf_dir: str):
     """Exact COUNT(DISTINCT user_id) + COUNT(*) per event_type.
 
