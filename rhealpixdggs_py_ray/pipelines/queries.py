@@ -4000,3 +4000,113 @@ def sql_image_neardup() -> str:
         f" FROM pairs p JOIN ph x ON x.idx = p.a JOIN ph y ON y.idx = p.b"
         f" WHERE bit_count(xor(x.ph64, y.ph64)) <= {NEARDUP_MAX_HAMMING}"
     )
+
+
+def q_multimodal_neardup(sf_dir: str):
+    """Joint image+caption near-dup: phash-verified image pairs
+    (image_near_dup_pairs) annotated with exact caption token-set
+    jaccard — the cross-modal dedup decision a web-scale image-text
+    curation pipeline makes.  Caption attach is ONE fused bucketed
+    exchange (pack mode); the image payload and raw captions never
+    ride a pair-keyed shuffle."""
+    import pyarrow.compute as pc
+
+    from rhealpixdggs_py_ray.fixtures import write_images_table
+    from rhealpixdggs_py_ray.ops.dedup import (
+        _attach_pair_sides_fused,
+        _pair_sides_pivot,
+    )
+    from rhealpixdggs_py_ray.ops.multimodal import image_near_dup_pairs
+
+    write_images_table(IMG_DIR, IMG_N)
+    ds = ray.data.read_parquet(IMG_DIR, override_num_blocks=8)
+
+    def add_idx(batch: pa.Table) -> pa.Table:
+        ii = pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 3, 15), pa.int64())
+        return batch.append_column("img_idx", ii)
+
+    ds = ds.map_batches(add_idx, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = image_near_dup_pairs(ds, max_hamming=NEARDUP_MAX_HAMMING)
+
+    def cap_kv(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["img_idx"],
+            "caption": batch["caption"],
+        })
+
+    caps = ds.map_batches(cap_kv, batch_format="pyarrow", zero_copy_batch=True)
+
+    def kv_pack(sub: pd.DataFrame) -> dict:
+        sets = [sorted(set(c.split())) for c in sub["caption"].tolist()]
+        return {
+            "capset": ["\n".join(s) for s in sets],
+            "ncap": np.array([len(s) for s in sets], dtype=np.int64),
+        }
+
+    att = _attach_pair_sides_fused(
+        pairs,
+        caps,
+        pair_sums=[("hamming", "hamming")],
+        val_cols=[("capset", pa.string()), ("ncap", pa.int64())],
+        kv_mode="pack",
+        kv_pack=kv_pack,
+        kv_in_cols=[("caption", pa.string())],
+    )
+
+    def verify(m: pd.DataFrame) -> pd.DataFrame:
+        ni = np.fromiter(
+            (
+                len(set(x.split("\n")) & set(y.split("\n")))
+                for x, y in zip(m["capset_a"].tolist(), m["capset_b"].tolist())
+            ),
+            dtype=np.int64,
+            count=len(m),
+        )
+        na = m["ncap_a"].to_numpy().astype(np.int64)
+        nb = m["ncap_b"].to_numpy().astype(np.int64)
+        j = ni.astype(np.float64) / (na + nb - ni).astype(np.float64)
+        return pd.DataFrame({
+            "a": m["a"].to_numpy(),
+            "b": m["b"].to_numpy(),
+            "hamming": m["hamming_a"].to_numpy().astype(np.int64),
+            "jac_micros": np.floor(j * 1000000.0).astype(np.int64),
+        })
+
+    return _pair_sides_pivot(att, verify, ["capset", "ncap", "hamming"])
+
+
+def sql_multimodal_neardup() -> str:
+    # caption reconstruction mirrors fixtures.py:138 exactly
+    cap = (
+        "'caption ' || CAST(idx AS VARCHAR) || ': cell of img'"
+        " || lpad(CAST(idx AS VARCHAR), 12, '0')"
+    )
+    return f"""
+WITH pairs AS MATERIALIZED (
+{sql_image_neardup()}
+),
+ids AS MATERIALIZED (
+  SELECT a AS idx FROM pairs UNION SELECT b FROM pairs
+),
+tok AS MATERIALIZED (
+  SELECT DISTINCT idx, unnest(regexp_split_to_array({cap}, ' ')) AS t
+  FROM ids
+),
+sizes AS MATERIALIZED (
+  SELECT idx, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY idx
+),
+inter AS MATERIALIZED (
+  SELECT p.a, p.b, CAST(COUNT(*) AS BIGINT) AS ni
+  FROM pairs p
+  JOIN tok ta ON ta.idx = p.a
+  JOIN tok tb ON tb.idx = p.b AND tb.t = ta.t
+  GROUP BY p.a, p.b
+)
+SELECT p.a, p.b, p.hamming,
+  CAST(floor(CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) * 1000000.0)
+    AS BIGINT) AS jac_micros
+FROM pairs p
+JOIN inter i ON i.a = p.a AND i.b = p.b
+JOIN sizes sa ON sa.idx = p.a
+JOIN sizes sb ON sb.idx = p.b
+"""
