@@ -89,3 +89,47 @@ def test_distinct_users_vs_pandas(ray_session):
     for et, row in exp.iterrows():
         assert got.loc[et, "n_users"] == row["nunique"]
         assert got.loc[et, "n_events"] == row["size"]
+
+
+def _write_skew_dir(tmp_path):
+    """events table where one user and one event_type dominate (hot
+    key); documents/embeddings with a single label."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 20_000
+    uid = np.where(np.arange(n) % 100 == 0, np.arange(n), 7).astype(np.int64)
+    et = np.where(np.arange(n) % 1000 == 0, "rare", "hot")
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(
+            np.datetime64("2024-01-01", "us")
+            + np.arange(n).astype("timedelta64[us]") * 1_000_000
+        ),
+        "user_id": pa.array(uid),
+        "event_type": pa.array(et.astype(object), type=pa.string()),
+        "value": pa.array(np.linspace(0.0, 10.0, n)),
+        "props": pa.array(['{"k": 1}'] * n, type=pa.string()),
+    })
+    pq.write_table(t, f"{tmp_path}/events.parquet")
+    return uid, et
+
+
+def test_distinct_users_skewed_hot_key(ray_session, tmp_path):
+    uid, et = _write_skew_dir(tmp_path)
+    got = Q.q_distinct_users(str(tmp_path)).to_pandas().set_index("event_type")
+    df = pd.DataFrame({"et": et, "uid": uid})
+    exp = df.groupby("et")["uid"].agg(["nunique", "size"])
+    for e, row in exp.iterrows():
+        assert got.loc[e, "n_users"] == row["nunique"]
+        assert got.loc[e, "n_events"] == row["size"]
+
+
+def test_hll_and_sliding_on_skewed_input(ray_session, tmp_path):
+    uid, et = _write_skew_dir(tmp_path)
+    hll = Q.q_hll_registers(str(tmp_path)).to_pandas()
+    # registers bounded and present for both types
+    assert set(hll["event_type"]) == {"hot", "rare"}
+    assert (hll["rho"] >= 1).all() and (hll["rho"] <= 57).all()
+    slid = Q.q_sliding_counts(str(tmp_path)).to_pandas()
+    assert slid["n"].sum() == 4 * len(uid)
