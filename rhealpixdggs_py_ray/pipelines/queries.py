@@ -2091,6 +2091,141 @@ def sql_minimal_cover() -> str:
     return f"SELECT cell_id, COUNT(*) AS n_points FROM {inner} t GROUP BY cell_id"
 
 
+REG_EPOCH_DAYS = 19723  # days(1970-01-01 .. 2024-01-01); centers x so
+#                          every sufficient statistic stays far below 2^63
+
+
+def q_regression_stats(sf_dir: str):
+    """Distributed least-squares sufficient statistics per event_type
+    (value trend over time): n, Σx, Σy, Σxx, Σxy with x = days since
+    2024-01-01 and y = value cents — all exact integers, so the
+    distributed sum is order-free and the user derives slope/intercept
+    from five numbers instead of re-scanning 100 TB.  The
+    sufficient-statistics shape is the general pattern for distributed
+    closed-form model fits."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        x = ts.astype(np.int64) // 86_400_000_000 - REG_EPOCH_DAYS
+        y = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        uq, inv = np.unique(et, return_inverse=True)
+        out = {}
+        for name, arr in (
+            ("n", np.ones(len(x), dtype=np.int64)),
+            ("sum_x", x), ("sum_y", y), ("sum_xx", x * x), ("sum_xy", x * y),
+        ):
+            s = np.zeros(len(uq), dtype=np.int64)
+            np.add.at(s, inv, arr)
+            out[name] = pa.array(s)
+        return pa.table({"event_type": pa.array(uq), **out})
+
+    part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return part.groupby("event_type").aggregate(
+        Sum("n", alias_name="n"),
+        Sum("sum_x", alias_name="sum_x"),
+        Sum("sum_y", alias_name="sum_y"),
+        Sum("sum_xx", alias_name="sum_xx"),
+        Sum("sum_xy", alias_name="sum_xy"),
+    )
+
+
+def sql_regression_stats() -> str:
+    x = f"(epoch_us(ts) // 86400000000 - {REG_EPOCH_DAYS})"
+    y = "CAST(floor(value*100) AS BIGINT)"
+    return (
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,"
+        f" CAST(SUM({x}) AS BIGINT) AS sum_x,"
+        f" CAST(SUM({y}) AS BIGINT) AS sum_y,"
+        f" CAST(SUM({x} * {x}) AS BIGINT) AS sum_xx,"
+        f" CAST(SUM({x} * {y}) AS BIGINT) AS sum_xy"
+        " FROM events GROUP BY event_type"
+    )
+
+
+def q_table_checksum(sf_dir: str):
+    """Order-free integrity fingerprint of the documents and events
+    tables: per-row md5 summed with uint64 wraparound (commutative —
+    any block order, any reducer interleaving, same checksum), emitted
+    as two BIGINT halves.  The standard migration/replication
+    validation pass: one map, one scalar-sized exchange, never a
+    sort."""
+    from rhealpixdggs_py_ray.ops.dedup import md5_u64
+
+    def doc_partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        h = np.fromiter(
+            (md5_u64(f"{int(did)}|{t}") for did, t in zip(ids, texts)),
+            dtype=np.uint64, count=len(ids),
+        )
+        s = np.add.reduce(h) if len(h) else np.uint64(0)  # wraps mod 2^64
+        return pa.table({
+            "tbl": pa.array(["documents"]), "g": pa.array([0], type=pa.int64()),
+            "chk": pa.array([s], type=pa.uint64()),
+            "n": pa.array([len(ids)], type=pa.int64()),
+        })
+
+    def ev_partial(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        h = np.fromiter(
+            (md5_u64(f"{int(eid)}|{int(u)}") for eid, u in zip(ids, uid)),
+            dtype=np.uint64, count=len(ids),
+        )
+        s = np.add.reduce(h) if len(h) else np.uint64(0)  # wraps mod 2^64
+        return pa.table({
+            "tbl": pa.array(["events"]), "g": pa.array([0], type=pa.int64()),
+            "chk": pa.array([s], type=pa.uint64()),
+            "n": pa.array([len(ids)], type=pa.int64()),
+        })
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        doc_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    evs = _read(sf_dir, "events", columns=["event_id", "user_id"]).map_batches(
+        ev_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for tbl, sub in g.groupby("tbl", sort=True):
+            s = np.add.reduce(sub["chk"].to_numpy().astype(np.uint64))
+            out.append((
+                tbl, int(s >> np.uint64(32)), int(s & np.uint64(0xFFFFFFFF)),
+                int(sub["n"].sum()),
+            ))
+        return pd.DataFrame(
+            out, columns=["tbl", "chk_hi", "chk_lo", "n_rows"]
+        ).astype({"chk_hi": np.int64, "chk_lo": np.int64, "n_rows": np.int64})
+
+    return docs.union(evs).groupby("g").map_groups(resolve, batch_format="pandas")
+
+
+def sql_table_checksum() -> str:
+    m = "18446744073709551616"  # 2^64
+    return f"""
+SELECT 'documents' AS tbl,
+  CAST((SUM(CAST(md5_number_lower(CAST(doc_id AS VARCHAR) || '|' || text)
+    AS HUGEINT)) % {m}) // 4294967296 AS BIGINT) AS chk_hi,
+  CAST((SUM(CAST(md5_number_lower(CAST(doc_id AS VARCHAR) || '|' || text)
+    AS HUGEINT)) % {m}) % 4294967296 AS BIGINT) AS chk_lo,
+  CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM documents
+UNION ALL
+SELECT 'events' AS tbl,
+  CAST((SUM(CAST(md5_number_lower(CAST(event_id AS VARCHAR) || '|'
+    || CAST(user_id AS VARCHAR)) AS HUGEINT)) % {m}) // 4294967296 AS BIGINT),
+  CAST((SUM(CAST(md5_number_lower(CAST(event_id AS VARCHAR) || '|'
+    || CAST(user_id AS VARCHAR)) AS HUGEINT)) % {m}) % 4294967296 AS BIGINT),
+  CAST(COUNT(*) AS BIGINT)
+FROM events
+"""
+
+
 def q_props_parse(sf_dir: str):
     """Semi-structured extraction: parse the JSON ``props`` column with
     a zero-copy pyarrow.compute regex kernel (no Python per row), then
