@@ -2091,6 +2091,120 @@ def sql_minimal_cover() -> str:
     return f"SELECT cell_id, COUNT(*) AS n_points FROM {inner} t GROUP BY cell_id"
 
 
+def q_priority_revenue(sf_dir: str):
+    """Big-big fact join (TPC-H Q3 shape): lineitem ⋈ orders on
+    orderkey, revenue per order priority.  Lineitem rows are combined
+    per orderkey INSIDE each batch (map-side pre-aggregation), then
+    both narrow sides meet in ONE union bucket exchange on
+    h(orderkey); the resolve joins and immediately reduces to
+    per-priority partials, so only a handful of rows reach the final
+    groupby.  Revenue quantizes floor(price*(1-disc)*100) per row
+    before any summation — order-free and bit-exact vs SQL."""
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    od = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    nb = 32
+
+    def _bkt(ids: np.ndarray) -> np.ndarray:
+        return (
+            ((ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+             >> np.uint64(58)).astype(np.int64) % nb
+        )
+
+    def li_side(batch: pa.Table) -> pa.Table:
+        k = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = batch["l_discount"].to_numpy(zero_copy_only=False)
+        r = np.floor(p * (1 - d) * 100).astype(np.int64)
+        uq, inv = np.unique(k, return_inverse=True)
+        rev = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(rev, inv, r)
+        nl = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(nl, inv, 1)
+        return pa.table({
+            "bucket": pa.array(_bkt(uq)),
+            "side": pa.array(np.zeros(len(uq), dtype=np.int64)),
+            "key": pa.array(uq.astype(np.int64)),
+            "rev": pa.array(rev),
+            "nl": pa.array(nl),
+            "prio": pa.array([""] * len(uq), type=pa.string()),
+        })
+
+    def od_side(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(_bkt(k)),
+            "side": pa.array(np.ones(len(k), dtype=np.int64)),
+            "key": pa.array(k.astype(np.int64)),
+            "rev": pa.array(np.zeros(len(k), dtype=np.int64)),
+            "nl": pa.array(np.zeros(len(k), dtype=np.int64)),
+            "prio": batch["o_orderpriority"],
+        })
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        key = g["key"].to_numpy()
+        lmask = side == 0
+        lk, lrev, lnl = key[lmask], g["rev"].to_numpy()[lmask], g["nl"].to_numpy()[lmask]
+        ok, opr = key[~lmask], g["prio"].to_numpy()[~lmask]
+        empty = pd.DataFrame({
+            "o_orderpriority": np.array([], dtype=object),
+            "n_orders": np.array([], dtype=np.int64),
+            "n_lines": np.array([], dtype=np.int64),
+            "revenue_c": np.array([], dtype=np.int64),
+        })
+        if not len(lk) or not len(ok):
+            return empty
+        # combine lineitem partials per key (a key spans many batches)
+        uq, inv = np.unique(lk, return_inverse=True)
+        rev = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(rev, inv, lrev)
+        nl = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(nl, inv, lnl)
+        order = np.argsort(ok)
+        ok, opr = ok[order], opr[order]
+        pos = np.minimum(np.searchsorted(ok, uq), len(ok) - 1)
+        hit = ok[pos] == uq
+        if not hit.any():
+            return empty
+        pr = opr[pos[hit]]
+        pu, pi = np.unique(pr, return_inverse=True)
+        n_ord = np.zeros(len(pu), dtype=np.int64)
+        np.add.at(n_ord, pi, 1)
+        n_li = np.zeros(len(pu), dtype=np.int64)
+        np.add.at(n_li, pi, nl[hit])
+        rv = np.zeros(len(pu), dtype=np.int64)
+        np.add.at(rv, pi, rev[hit])
+        return pd.DataFrame({
+            "o_orderpriority": pu,
+            "n_orders": n_ord, "n_lines": n_li, "revenue_c": rv,
+        })
+
+    both = li.map_batches(
+        li_side, batch_format="pyarrow", zero_copy_batch=True
+    ).union(od.map_batches(od_side, batch_format="pyarrow", zero_copy_batch=True))
+    part = both.groupby("bucket").map_groups(resolve, batch_format="pandas")
+    return part.groupby("o_orderpriority").aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("n_lines", alias_name="n_lines"),
+        Sum("revenue_c", alias_name="revenue_c"),
+    )
+
+
+def sql_priority_revenue() -> str:
+    return (
+        "WITH l AS MATERIALIZED (SELECT l_orderkey,"
+        " CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT) AS r"
+        " FROM lineitem)"
+        " SELECT o.o_orderpriority,"
+        " CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,"
+        " CAST(COUNT(*) AS BIGINT) AS n_lines,"
+        " CAST(SUM(l.r) AS BIGINT) AS revenue_c"
+        " FROM l JOIN orders o ON o.o_orderkey = l.l_orderkey"
+        " GROUP BY o.o_orderpriority"
+    )
+
+
 REG_EPOCH_DAYS = 19723  # days(1970-01-01 .. 2024-01-01); centers x so
 #                          every sufficient statistic stays far below 2^63
 
