@@ -17,6 +17,18 @@ import pandas as pd
 import pyarrow as pa
 
 
+def hash_bucket_u64(ids: np.ndarray, n_buckets: int) -> np.ndarray:
+    """THE engine-wide bucket hash (splitmix multiplier, top-6-bit
+    fold, mod n).  Every stage that must co-partition by an int64/u64
+    key calls this one function — parity of bucket assignment between
+    stages is load-bearing (e.g. labels and edges in ops/cc.py must
+    collide), so do not fork local copies."""
+    return (
+        ((ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+         >> np.uint64(58)).astype(np.int64) % n_buckets
+    )
+
+
 def sum_by_u64_key(ds, key_col: str, val_col: str, out_val: str,
                    n_buckets: int = 32):
     """Exact per-key int64 sums for a uint64 key column.  Returns a
@@ -28,7 +40,7 @@ def sum_by_u64_key(ds, key_col: str, val_col: str, out_val: str,
         uq, inv = np.unique(k, return_inverse=True)
         s = np.zeros(len(uq), dtype=np.int64)
         np.add.at(s, inv, v)
-        bucket = ((uq * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(58)).astype(np.int64) % n_buckets
+        bucket = hash_bucket_u64(uq, n_buckets)
         return pa.table(
             {key_col: pa.array(uq, type=pa.uint64()),
              out_val: pa.array(s),

@@ -31,14 +31,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-_MULT = np.uint64(0x9E3779B97F4A7C15)
-
-
-def _bucket_of(node: np.ndarray, n_buckets: int) -> np.ndarray:
-    return (
-        ((node.astype(np.uint64) * _MULT) >> np.uint64(58)).astype(np.int64)
-        % n_buckets
-    )
+from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64 as _bucket_of
 
 
 def _union_find_label(u: np.ndarray, v: np.ndarray):
@@ -190,9 +183,11 @@ def connected_components_iterative(pairs_ds, a_col: str = "a", b_col: str = "b",
         to_edges, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
-    # Initial labels: label(node) = node, deduped per bucket.
-    def init_labels(batch: pa.Table) -> pa.Table:
-        nodes = np.unique(batch["node"].to_numpy(zero_copy_only=False))
+    # Initial labels: label(node) = node; the same kernel serves the
+    # per-batch pass and the per-bucket dedup (both are "unique nodes
+    # -> self-label rows").
+    def init_labels(t: pa.Table) -> pa.Table:
+        nodes = np.unique(t["node"].to_numpy(zero_copy_only=False))
         return pa.table({
             "bucket": pa.array(_bucket_of(nodes, n_buckets)),
             "kind": pa.array(np.ones(len(nodes), dtype=np.int64)),
@@ -201,20 +196,10 @@ def connected_components_iterative(pairs_ds, a_col: str = "a", b_col: str = "b",
             "changed": pa.array(np.zeros(len(nodes), dtype=np.int64)),
         })
 
-    def dedup_labels(g: pa.Table) -> pa.Table:
-        nodes = np.unique(g["node"].to_numpy(zero_copy_only=False))
-        return pa.table({
-            "bucket": pa.array(_bucket_of(nodes, n_buckets)),
-            "kind": pa.array(np.ones(len(nodes), dtype=np.int64)),
-            "node": pa.array(nodes),
-            "other": pa.array(nodes),
-            "changed": pa.array(np.zeros(len(nodes), dtype=np.int64)),
-        })
-
     labels = (
         edges.map_batches(init_labels, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
-        .map_groups(dedup_labels, batch_format="pyarrow")
+        .map_groups(init_labels, batch_format="pyarrow")
         .materialize()
     )
 
@@ -256,6 +241,7 @@ def connected_components_iterative(pairs_ds, a_col: str = "a", b_col: str = "b",
             "changed": pa.array((new < old).astype(np.int64)),
         })
 
+    converged = False
     for _ in range(max_iters):
         msgs = (
             labels.union(edges)
@@ -268,8 +254,16 @@ def connected_components_iterative(pairs_ds, a_col: str = "a", b_col: str = "b",
             .map_groups(scatter, batch_format="pyarrow")
             .materialize()
         )
-        if labels.sum("changed") == 0:
+        # sum() is None on an all-empty dataset (no pairs at all)
+        if (labels.sum("changed") or 0) == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_iterative did not converge within "
+            f"{max_iters} hash-min iterations (component diameter too "
+            f"large); raise max_iters"
+        )
 
     def finish(batch: pa.Table) -> pa.Table:
         node = batch["node"].to_numpy(zero_copy_only=False)

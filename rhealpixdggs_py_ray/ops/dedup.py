@@ -230,9 +230,9 @@ def _count_by_key(ds, key_col: str, out_val: str, n_buckets: int = 32):
     def combine_batch(batch: pa.Table) -> pa.Table:
         k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
         uq, cnt = np.unique(k, return_counts=True)
-        bucket = (
-            (uq.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(58)
-        ).astype(np.int64) % n_buckets
+        from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+        bucket = hash_bucket_u64(uq, n_buckets)
         return pa.table(
             {
                 key_col: pa.array(uq),
@@ -276,9 +276,9 @@ def _attach_pair_sides(pairs_ds, kv_ds, pair_extra, val_cols, n_buckets: int = 6
         return ["bkt", "kind", "a", "b", *pair_extra, "side", "doc_id", *val_names]
 
     def _bkt(ids: np.ndarray) -> np.ndarray:
-        return (
-            (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(58)
-        ).astype(np.int64) % n_buckets
+        from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+        return hash_bucket_u64(ids, n_buckets)
 
     def explode_pairs(batch: pa.Table) -> pa.Table:
         a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -427,9 +427,9 @@ def _attach_pair_sides_fused(
     sum_out = [o for o, _ in pair_sums]
 
     def _bkt(ids: np.ndarray) -> np.ndarray:
-        return (
-            (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(58)
-        ).astype(np.int64) % n_buckets
+        from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+        return hash_bucket_u64(ids, n_buckets)
 
     def _sentinel(n: int, typ) -> pa.Array:
         if pa.types.is_string(typ):

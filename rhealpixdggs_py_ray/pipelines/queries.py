@@ -818,11 +818,10 @@ def q_label_quality(sf_dir: str):
     embs = _read(sf_dir, "embeddings", columns=["vec_id", "label"])
     nb = 32
 
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
     def _bkt(ids: np.ndarray) -> np.ndarray:
-        return (
-            ((ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-             >> np.uint64(58)).astype(np.int64) % nb
-        )
+        return hash_bucket_u64(ids, nb)
 
     def doc_side(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -2105,11 +2104,10 @@ def q_priority_revenue(sf_dir: str):
     od = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
     nb = 32
 
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
     def _bkt(ids: np.ndarray) -> np.ndarray:
-        return (
-            ((ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-             >> np.uint64(58)).astype(np.int64) % nb
-        )
+        return hash_bucket_u64(ids, nb)
 
     def li_side(batch: pa.Table) -> pa.Table:
         k = batch["l_orderkey"].to_numpy(zero_copy_only=False)
@@ -2405,10 +2403,9 @@ def q_distinct_users(sf_dir: str):
         starts = np.flatnonzero(new)
         cnt = np.diff(np.append(starts, len(ui))).astype(np.int64)
         ei, ui = ei[starts], ui[starts]
-        bucket = (
-            ((ui.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-             >> np.uint64(58)).astype(np.int64) % n_buckets
-        )
+        from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+        bucket = hash_bucket_u64(ui, n_buckets)
         return pa.table({
             "bucket": pa.array(bucket),
             "event_type": pa.array(et_uniq[ei]),
@@ -4352,10 +4349,11 @@ inter AS MATERIALIZED (
   GROUP BY p.a, p.b
 )
 SELECT p.a, p.b, p.hamming,
-  CAST(floor(CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) * 1000000.0)
+  CAST(floor(CAST(COALESCE(i.ni, 0) AS DOUBLE)
+    / (sa.n + sb.n - COALESCE(i.ni, 0)) * 1000000.0)
     AS BIGINT) AS jac_micros
 FROM pairs p
-JOIN inter i ON i.a = p.a AND i.b = p.b
+LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
 JOIN sizes sa ON sa.idx = p.a
 JOIN sizes sb ON sb.idx = p.b
 """
