@@ -1645,6 +1645,88 @@ def sql_nearest_centroid() -> str:
     )
 
 
+def q_kmeans_step(sf_dir: str):
+    """One full Lloyd (k-means) iteration, distributed: assignment to
+    the broadcast centroids (bit-parity _seq_d2 distances, ties ->
+    smaller label) AND the centroid UPDATE sufficient statistics
+    (per-assigned-cluster quantized element sums + counts) in the same
+    single pass over the embeddings — new centroids are
+    sum_micros/n.  Iterating = re-running this query with the new
+    centroids; each iteration is one map + one tiny (cluster, dim)
+    exchange, the 100 TB k-means shape."""
+    from rhealpixdggs_py_ray.ops.ann import _seq_d2
+    from rhealpixdggs_py_ray.ops.dedup import _emb_matrix
+
+    cdf = (
+        q_embedding_centroids(sf_dir)
+        .to_pandas()
+        .sort_values(["label", "dim"])
+        .reset_index(drop=True)
+    )
+    labels = np.sort(cdf["label"].unique()).astype(np.int64)
+    C = (
+        cdf["sum_micros"].to_numpy().astype(np.float64)
+        / cdf["n"].to_numpy().astype(np.float64)
+    ).reshape(len(labels), EMB_D)
+    cent_ref = ray.put((labels, C))
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def step(batch: pa.Table) -> pa.Table:
+        labs, cm = ray.get(cent_ref)
+        X = np.floor(_emb_matrix(batch).astype(np.float64) * 1000000.0)
+        D = _seq_d2(X, cm)
+        near = np.argmin(D, axis=1)  # first win == smallest label
+        k, d = len(labs), X.shape[1]
+        S = np.zeros((k, d), dtype=np.int64)
+        np.add.at(S, near, X.astype(np.int64))
+        n = np.bincount(near, minlength=k).astype(np.int64)
+        used = np.flatnonzero(n > 0)
+        return pa.table({
+            "cluster": pa.array(np.repeat(labs[used], d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(used))),
+            "sum_micros": pa.array(S[used].reshape(-1)),
+            "n": pa.array(np.repeat(n[used], d)),
+        })
+
+    part = ds.map_batches(step, batch_format="pyarrow", zero_copy_batch=True)
+    return part.groupby(["cluster", "dim"]).aggregate(
+        Sum("sum_micros", alias_name="sum_micros"), Sum("n", alias_name="n")
+    )
+
+
+def sql_kmeans_step() -> str:
+    cent = sql_embedding_centroids()
+    cw_cols = ", ".join(
+        f"MAX(CASE WHEN dim = {d} THEN CAST(sum_micros AS DOUBLE)"
+        f" / CAST(n AS DOUBLE) END) AS c{d}"
+        for d in range(EMB_D)
+    )
+
+    def e(d: int) -> str:
+        return f"floor(CAST(embedding[{d + 1}] AS DOUBLE) * 1000000.0)"
+
+    dist = " + ".join(f"(({e(d)}) - c{d}) * (({e(d)}) - c{d})" for d in range(EMB_D))
+    return (
+        f"WITH cent AS MATERIALIZED ({cent}),"
+        f" cw AS MATERIALIZED (SELECT label AS clabel, {cw_cols} FROM cent GROUP BY label),"
+        " d AS MATERIALIZED ("
+        "   SELECT e.vec_id, cw.clabel,"
+        f"    ({dist}) AS dist"
+        "   FROM embeddings e CROSS JOIN cw),"
+        " pick AS MATERIALIZED ("
+        "   SELECT vec_id, clabel AS cluster FROM d"
+        "   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) = 1)"
+        " SELECT p.cluster, dd.i - 1 AS dim,"
+        "  CAST(SUM(CAST(floor(CAST(e.embedding[dd.i] AS DOUBLE) * 1000000.0)"
+        "   AS BIGINT)) AS BIGINT) AS sum_micros,"
+        "  CAST(COUNT(*) AS BIGINT) AS n"
+        " FROM pick p JOIN embeddings e ON e.vec_id = p.vec_id,"
+        f"  (SELECT unnest(generate_series(1, {EMB_D})) AS i) dd"
+        " GROUP BY p.cluster, dd.i"
+    )
+
+
 def q_lang_id(sf_dir: str):
     from rhealpixdggs_py_ray.ops.text import LangId
 
@@ -2186,6 +2268,105 @@ def q_priority_revenue(sf_dir: str):
         Sum("n_orders", alias_name="n_orders"),
         Sum("n_lines", alias_name="n_lines"),
         Sum("revenue_c", alias_name="revenue_c"),
+    )
+
+
+def q_nation_revenue(sf_dir: str):
+    """Three-way join: orders ⋈ customer (big-big, one bucket exchange
+    on h(custkey)) ⋈ nation (25-row dimension, ray.put broadcast into
+    the resolve) -> order count + total-price cents per nation name.
+    The canonical star-schema rollup: one exchange total, the fact
+    table pre-combined map-side per custkey."""
+    od = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cu = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"], blocks=1).to_pandas()
+    nk = nation["n_nationkey"].to_numpy().astype(np.int64)
+    order = np.argsort(nk)
+    n_ref = ray.put((nk[order], nation["n_name"].to_numpy()[order]))
+    nb = 32
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    def od_side(batch: pa.Table) -> pa.Table:
+        k = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        pc_ = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        uq, inv = np.unique(k, return_inverse=True)
+        tp = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(tp, inv, pc_)
+        n = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(n, inv, 1)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(uq, nb)),
+            "side": pa.array(np.zeros(len(uq), dtype=np.int64)),
+            "key": pa.array(uq.astype(np.int64)),
+            "a": pa.array(tp), "b": pa.array(n),
+        })
+
+    def cu_side(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        nkk = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(k, nb)),
+            "side": pa.array(np.ones(len(k), dtype=np.int64)),
+            "key": pa.array(k.astype(np.int64)),
+            "a": pa.array(nkk), "b": pa.array(np.zeros(len(k), dtype=np.int64)),
+        })
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        keys, names = ray.get(n_ref)
+        side = g["side"].to_numpy()
+        key = g["key"].to_numpy()
+        omask = side == 0
+        okey, otp, on = key[omask], g["a"].to_numpy()[omask], g["b"].to_numpy()[omask]
+        ckey, cnat = key[~omask], g["a"].to_numpy()[~omask]
+        empty = pd.DataFrame({
+            "n_name": np.array([], dtype=object),
+            "n_orders": np.array([], dtype=np.int64),
+            "total_c": np.array([], dtype=np.int64),
+        })
+        if not len(okey) or not len(ckey):
+            return empty
+        uq, inv = np.unique(okey, return_inverse=True)
+        tp = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(tp, inv, otp)
+        n = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(n, inv, on)
+        order = np.argsort(ckey)
+        ckey, cnat = ckey[order], cnat[order]
+        pos = np.minimum(np.searchsorted(ckey, uq), len(ckey) - 1)
+        hit = ckey[pos] == uq
+        if not hit.any():
+            return empty
+        nat = cnat[pos[hit]]
+        nu, ni = np.unique(nat, return_inverse=True)
+        cnt = np.zeros(len(nu), dtype=np.int64)
+        np.add.at(cnt, ni, n[hit])
+        tot = np.zeros(len(nu), dtype=np.int64)
+        np.add.at(tot, ni, tp[hit])
+        name = names[np.searchsorted(keys, nu)]
+        return pd.DataFrame({"n_name": name, "n_orders": cnt, "total_c": tot})
+
+    both = od.map_batches(
+        od_side, batch_format="pyarrow", zero_copy_batch=True
+    ).union(cu.map_batches(cu_side, batch_format="pyarrow", zero_copy_batch=True))
+    part = both.groupby("bucket").map_groups(resolve, batch_format="pandas")
+    return part.groupby("n_name").aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("total_c", alias_name="total_c"),
+    )
+
+
+def sql_nation_revenue() -> str:
+    return (
+        "SELECT n.n_name,"
+        " CAST(COUNT(*) AS BIGINT) AS n_orders,"
+        " CAST(SUM(CAST(floor(o.o_totalprice*100) AS BIGINT)) AS BIGINT)"
+        "  AS total_c"
+        " FROM orders o"
+        " JOIN customer c ON c.c_custkey = o.o_custkey"
+        " JOIN nation n ON n.n_nationkey = c.c_nationkey"
+        " GROUP BY n.n_name"
     )
 
 
