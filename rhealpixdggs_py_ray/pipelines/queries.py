@@ -187,6 +187,89 @@ def sql_spatial_join_bbox() -> str:
     )
 
 
+ZONAL_ZONES = (
+    ((-30.0, 35.0), (20.0, 38.0), (25.0, 5.0), (-20.0, -8.0)),
+    ((0.0, 20.0), (60.0, 30.0), (70.0, -15.0), (5.0, -25.0)),
+    ((-120.0, 10.0), (-60.0, 25.0), (-55.0, -20.0), (-110.0, -30.0)),
+)
+
+
+def q_zonal_stats(sf_dir: str):
+    """Zonal statistics (the raster/vector analytics join): count the
+    event points inside each of three polygons.  Per-zone padded-bbox
+    covers at COVER_RES are merged into ONE broadcast (cell -> zone
+    bitmask) lookup; each batch prunes by cell ancestor, then refines
+    only the candidate rows per zone with the exact vectorized
+    ray-casting PIP (core/geometry.points_in_polygon — the same
+    arithmetic the oracle replays).  Overlapping zones count a point
+    in each; only ≤ |zones| partial rows per batch reach the
+    exchange."""
+    from rhealpixdggs_py_ray.core import wrappers as W
+
+    pad = COVER_PAD
+    zone_cells = []
+    for verts in ZONAL_ZONES:
+        lons = [v[0] for v in verts]
+        lats = [v[1] for v in verts]
+        bbox = geo.Polygon([
+            (max(min(lons) - pad, -180.0), min(max(lats) + pad, 89.9)),
+            (min(max(lons) + pad, 179.9), min(max(lats) + pad, 89.9)),
+            (min(max(lons) + pad, 179.9), max(min(lats) - pad, -89.9)),
+            (max(min(lons) - pad, -180.0), max(min(lats) - pad, -89.9)),
+        ])
+        cells = W.polyfill(bbox, COVER_RES, plane=False, cfg=CFG)
+        zone_cells.append(np.sort(su.from_string(sorted(cells))))
+    allc = np.unique(np.concatenate(zone_cells))
+    mask = np.zeros(len(allc), dtype=np.int64)
+    for z, zc in enumerate(zone_cells):
+        mask[np.searchsorted(allc, zc)] |= 1 << z
+    look_ref = ray.put((allc, mask))
+
+    ds = indexed_events(sf_dir)
+
+    def zonal(batch: pa.Table) -> pa.Table:
+        cells, m = ray.get(look_ref)
+        u = su.parent(
+            batch["cell_u64"].to_numpy(zero_copy_only=False), COVER_RES
+        )
+        pos = np.minimum(np.searchsorted(cells, u), len(cells) - 1)
+        zm = np.where(cells[pos] == u, m[pos], 0)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        zs, ns = [], []
+        for z, verts in enumerate(ZONAL_ZONES):
+            cand = (zm >> z) & 1 == 1
+            if not cand.any():
+                continue
+            inside = geo.points_in_polygon(
+                lon[cand], lat[cand], geo.Polygon(list(verts))
+            )
+            zs.append(z)
+            ns.append(int(inside.sum()))
+        return pa.table({
+            "zone": pa.array(np.asarray(zs, dtype=np.int64)),
+            "n_points": pa.array(np.asarray(ns, dtype=np.int64)),
+        })
+
+    part = ds.map_batches(zonal, batch_format="pyarrow", zero_copy_batch=True)
+    return part.groupby("zone").aggregate(Sum("n_points", alias_name="n_points"))
+
+
+def sql_zonal_stats() -> str:
+    lon, lat = oracle.lonlat_from_id_sql("event_id")
+    parts = []
+    for z, verts in enumerate(ZONAL_ZONES):
+        pip = oracle._pip_sql(list(verts), "px", "py")
+        parts.append(
+            f"SELECT CAST({z} AS BIGINT) AS zone,"
+            f" CAST(COUNT(*) AS BIGINT) AS n_points FROM pts WHERE {pip}"
+        )
+    return (
+        f"WITH pts AS MATERIALIZED (SELECT {lon} AS px, {lat} AS py FROM events) "
+        + " UNION ALL ".join(parts)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Grid enumeration (dggs.grid, embarrassingly parallel)
 # ---------------------------------------------------------------------------
