@@ -2467,6 +2467,64 @@ def sql_priority_revenue() -> str:
     )
 
 
+def q_running_totals(sf_dir: str):
+    """Ordered window function: per-user running total of value cents
+    over event time (SUM OVER (PARTITION BY user ORDER BY ts,
+    event_id)).  One bucket exchange on h(user_id) co-locates each
+    user's history; the resolve lexsorts the bucket once and computes
+    every user's cumulative sum vectorized (segmented cumsum — no
+    per-user loop, no per-user ray group)."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    nb = 32
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(uid, nb)),
+            "user_id": batch["user_id"],
+            "t": pa.array(ts.astype(np.int64)),
+            "event_id": batch["event_id"],
+            "v_c": pa.array(np.floor(
+                batch["value"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)),
+        })
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        t = g["t"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        v = g["v_c"].to_numpy()
+        order = np.lexsort((eid, t, uid))
+        uid, t, eid, v = uid[order], t[order], eid[order], v[order]
+        cum = np.cumsum(v)
+        # segmented: subtract the global running total just before each
+        # user's first row (sign-safe, unlike a max-accumulate trick)
+        new_seg = np.r_[True, uid[1:] != uid[:-1]]
+        starts = np.flatnonzero(new_seg)
+        seg_base = np.where(starts > 0, cum[starts - 1], 0)
+        seg_id = np.cumsum(new_seg) - 1
+        return pd.DataFrame({
+            "event_id": eid, "user_id": uid,
+            "cum_value_c": cum - seg_base[seg_id],
+        })
+
+    part = ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+    return part.groupby("bucket").map_groups(window, batch_format="pandas")
+
+
+def sql_running_totals() -> str:
+    return (
+        "SELECT event_id, user_id,"
+        " CAST(SUM(CAST(floor(value*100) AS BIGINT)) OVER ("
+        "  PARTITION BY user_id ORDER BY ts, event_id"
+        " ) AS BIGINT) AS cum_value_c"
+        " FROM events"
+    )
+
+
 REG_EPOCH_DAYS = 19723  # days(1970-01-01 .. 2024-01-01); centers x so
 #                          every sufficient statistic stays far below 2^63
 
