@@ -2703,6 +2703,59 @@ def sql_props_parse() -> str:
     )
 
 
+CSV_FIXTURE_N = 20000
+CSV_FIXTURE_PATH = f"/tmp/graft_csv_fixture_{CSV_FIXTURE_N}.csv"
+
+
+def _write_csv_fixture() -> str:
+    """Deterministic CSV fixture (integer columns only — no float ever
+    crosses the text boundary); idempotent, safe whichever side (Ray
+    query or DuckDB oracle) runs first."""
+    import os
+
+    import pyarrow.csv as pacsv
+
+    if os.path.exists(CSV_FIXTURE_PATH):
+        return CSV_FIXTURE_PATH
+    i = np.arange(CSV_FIXTURE_N, dtype=np.int64)
+    t = pa.table({
+        "event_id": pa.array(i),
+        "event_type": pa.array(
+            np.array([f"t{k}" for k in range(5)], dtype=object)[i % 5],
+            type=pa.string(),
+        ),
+        "v_c": pa.array((i * 2654435761) % 100000),
+    })
+    tmp = CSV_FIXTURE_PATH + ".tmp"
+    pacsv.write_csv(t, tmp)
+    os.replace(tmp, CSV_FIXTURE_PATH)
+    return CSV_FIXTURE_PATH
+
+
+def q_csv_source(sf_dir: str):
+    """Second source format: ray.data.read_csv over a deterministic
+    CSV fixture, aggregated per type.  The oracle reads the identical
+    file with DuckDB read_csv, so the source-parse-aggregate loop is
+    value-hash verified end-to-end."""
+    path = _write_csv_fixture()
+    ds = ray.data.read_csv(path)
+    return ds.groupby("event_type").aggregate(
+        Count(alias_name="n"), Sum("v_c", alias_name="sum_v_c")
+    )
+
+
+def sql_csv_source() -> str:
+    path = _write_csv_fixture()  # driver may run the SQL side first
+    return (
+        "SELECT event_type, COUNT(*) AS n,"
+        " CAST(SUM(v_c) AS BIGINT) AS sum_v_c"
+        f" FROM read_csv('{path}', header=true,"
+        " columns={'event_id': 'BIGINT', 'event_type': 'VARCHAR',"
+        " 'v_c': 'BIGINT'})"
+        " GROUP BY event_type"
+    )
+
+
 def q_distinct_users(sf_dir: str):
     """Exact COUNT(DISTINCT user_id) + COUNT(*) per event_type.
 
