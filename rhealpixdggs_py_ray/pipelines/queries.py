@@ -4732,3 +4732,233 @@ LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
 JOIN sizes sa ON sa.idx = p.a
 JOIN sizes sb ON sb.idx = p.b
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 2c: split assignment, pivot, set ops, JSON source
+# ---------------------------------------------------------------------------
+
+def q_split_assign(sf_dir: str):
+    """Deterministic train/val/test split assignment: every doc hashes
+    to a split via md5(doc_id) % 100 (<90 train, <95 val, else test) —
+    the standard leakage-free dataset split (content-independent, so
+    re-crawls land in the same split).  Pure map over the corpus;
+    per-batch (split, lang) np.unique partials; one tiny exchange."""
+    from rhealpixdggs_py_ray.ops.dedup import md5_u64
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    names = np.array(["test", "train", "val"], dtype=object)  # sorted
+
+    def partial(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        lang = batch["lang"].to_numpy(zero_copy_only=False)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False)
+        h = np.fromiter(
+            (md5_u64(str(int(d))) for d in did), dtype=np.uint64, count=len(did)
+        ) % np.uint64(100)
+        split = np.where(h < 90, 1, np.where(h < 95, 2, 0))  # idx into names
+        lang_uniq, lang_inv = np.unique(lang, return_inverse=True)
+        key = split * len(lang_uniq) + lang_inv
+        key_uniq, key_inv = np.unique(key, return_inverse=True)
+        n = np.zeros(len(key_uniq), dtype=np.int64)
+        np.add.at(n, key_inv, 1)
+        chars = np.zeros(len(key_uniq), dtype=np.int64)
+        np.add.at(chars, key_inv, nch)
+        return pa.table({
+            "split": pa.array(names[key_uniq // len(lang_uniq)], type=pa.string()),
+            "lang": pa.array(lang_uniq[key_uniq % len(lang_uniq)]),
+            "n_docs": pa.array(n),
+            "sum_chars": pa.array(chars),
+        })
+
+    p = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return p.groupby(["split", "lang"]).aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("sum_chars", alias_name="sum_chars"),
+    )
+
+
+def sql_split_assign() -> str:
+    return """
+SELECT CASE
+    WHEN CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) AS HUGEINT) % 100 < 90
+      THEN 'train'
+    WHEN CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) AS HUGEINT) % 100 < 95
+      THEN 'val'
+    ELSE 'test' END AS split,
+  lang,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY 1, 2
+"""
+
+
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_events(sf_dir: str):
+    """Pivot / wide aggregation: one row per day, one count column per
+    event_type (the columnar report shape).  The pivot happens on the
+    MAP side — each batch emits already-wide per-day partials (5 known
+    type columns), so the exchange carries ~days × 6 ints, never a
+    (day, type) long table."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        day = ts.astype(np.int64) // 86_400_000_000
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        day_uniq, day_inv = np.unique(day, return_inverse=True)
+        cols = {"day": pa.array(day_uniq)}
+        for t in PIVOT_TYPES:
+            n = np.zeros(len(day_uniq), dtype=np.int64)
+            np.add.at(n, day_inv[et == t], 1)
+            cols[f"n_{t}"] = pa.array(n)
+        tot = np.zeros(len(day_uniq), dtype=np.int64)
+        np.add.at(tot, day_inv, 1)
+        cols["n_total"] = pa.array(tot)
+        return pa.table(cols)
+
+    p = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    aggs = [Sum(f"n_{t}", alias_name=f"n_{t}") for t in PIVOT_TYPES]
+    aggs.append(Sum("n_total", alias_name="n_total"))
+    return p.groupby("day").aggregate(*aggs)
+
+
+def sql_pivot_events() -> str:
+    cols = ",\n  ".join(
+        f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in PIVOT_TYPES
+    )
+    return f"""
+SELECT epoch_us(ts) // 86400000000 AS day,
+  {cols},
+  CAST(COUNT(*) AS BIGINT) AS n_total
+FROM events GROUP BY 1
+"""
+
+
+def q_user_setops(sf_dir: str):
+    """Distributed set algebra between two key sets (event users vs
+    order customers): INTERSECT / EXCEPT / UNION cardinalities in one
+    pass.  Per-batch distinct partials with a side bitmask -> ONE
+    h(key) bucket exchange (each key lands in exactly one bucket, so
+    per-bucket bit-OR is globally exact) -> 1-row fold."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    n_buckets = 16
+    ev = _read(sf_dir, "events", columns=["user_id"])
+    od = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def side(col: str, bit: int):
+        def partial(batch: pa.Table) -> pa.Table:
+            k = np.unique(batch[col].to_numpy(zero_copy_only=False))
+            return pa.table({
+                "bucket": pa.array(hash_bucket_u64(k, n_buckets)),
+                "key": pa.array(k.astype(np.int64)),
+                "sides": pa.array(np.full(len(k), bit, dtype=np.int64)),
+            })
+        return partial
+
+    both = ev.map_batches(
+        side("user_id", 1), batch_format="pyarrow", zero_copy_batch=True
+    ).union(od.map_batches(
+        side("o_custkey", 2), batch_format="pyarrow", zero_copy_batch=True
+    ))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["key"].to_numpy()
+        sides = g["sides"].to_numpy()
+        uniq, inv = np.unique(key, return_inverse=True)
+        mask = np.zeros(len(uniq), dtype=np.int64)
+        np.bitwise_or.at(mask, inv, sides)
+        return pd.DataFrame({
+            "g": [0],
+            "n_events_only": [int(np.count_nonzero(mask == 1))],
+            "n_orders_only": [int(np.count_nonzero(mask == 2))],
+            "n_both": [int(np.count_nonzero(mask == 3))],
+        })
+
+    b = both.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        eo = int(g["n_events_only"].sum())
+        oo = int(g["n_orders_only"].sum())
+        nb = int(g["n_both"].sum())
+        return pd.DataFrame({
+            "n_event_users": [eo + nb], "n_order_custs": [oo + nb],
+            "n_both": [nb], "n_events_only": [eo], "n_orders_only": [oo],
+            "n_union": [eo + oo + nb],
+        })
+
+    return b.groupby("g").map_groups(resolve, batch_format="pandas")
+
+
+def sql_user_setops() -> str:
+    return """
+WITH e AS MATERIALIZED (SELECT DISTINCT user_id AS k FROM events),
+o AS MATERIALIZED (SELECT DISTINCT o_custkey AS k FROM orders),
+b AS MATERIALIZED (SELECT k FROM e INTERSECT SELECT k FROM o),
+eo AS MATERIALIZED (SELECT k FROM e EXCEPT SELECT k FROM o),
+oo AS MATERIALIZED (SELECT k FROM o EXCEPT SELECT k FROM e)
+SELECT
+  CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_event_users,
+  CAST((SELECT COUNT(*) FROM o) AS BIGINT) AS n_order_custs,
+  CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_both,
+  CAST((SELECT COUNT(*) FROM eo) AS BIGINT) AS n_events_only,
+  CAST((SELECT COUNT(*) FROM oo) AS BIGINT) AS n_orders_only,
+  CAST((SELECT COUNT(*) FROM (SELECT k FROM e UNION SELECT k FROM o)) AS BIGINT)
+    AS n_union
+"""
+
+
+JSON_FIXTURE_N = 48_000
+JSON_FIXTURE_PATH = f"/tmp/graft_json_fixture_{JSON_FIXTURE_N}.jsonl"
+
+
+def _write_json_fixture() -> str:
+    """Deterministic JSON-lines fixture (integer payloads only);
+    idempotent, safe whichever side runs first."""
+    import os
+
+    if os.path.exists(JSON_FIXTURE_PATH):
+        return JSON_FIXTURE_PATH
+    i = np.arange(JSON_FIXTURE_N, dtype=np.int64)
+    kind = i % 4
+    val = (i * 6364136223846793005) % 1_000_000
+    lines = [
+        '{"rec_id": %d, "kind": "k%d", "val": %d}' % (int(a), int(b), int(c))
+        for a, b, c in zip(i, kind, val)
+    ]
+    tmp = JSON_FIXTURE_PATH + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    os.replace(tmp, JSON_FIXTURE_PATH)
+    return JSON_FIXTURE_PATH
+
+
+def q_json_source(sf_dir: str):
+    """Third source format: ray.data.read_json over a deterministic
+    JSON-lines fixture, aggregated per kind; the oracle reads the
+    identical file with DuckDB read_json_auto, so the parse-aggregate
+    loop is value-hash verified end-to-end (csv_source's sibling)."""
+    path = _write_json_fixture()
+    ds = ray.data.read_json(path)
+    return ds.groupby("kind").aggregate(
+        Count(alias_name="n"),
+        Sum("val", alias_name="sum_val"),
+        Min("rec_id", alias_name="min_rec"),
+        Max("rec_id", alias_name="max_rec"),
+    )
+
+
+def sql_json_source() -> str:
+    path = _write_json_fixture()
+    return f"""
+SELECT kind, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(val) AS BIGINT) AS sum_val,
+  CAST(MIN(rec_id) AS BIGINT) AS min_rec,
+  CAST(MAX(rec_id) AS BIGINT) AS max_rec
+FROM read_json_auto('{path}')
+GROUP BY kind
+"""
