@@ -4962,3 +4962,254 @@ SELECT kind, CAST(COUNT(*) AS BIGINT) AS n,
 FROM read_json_auto('{path}')
 GROUP BY kind
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 2c: sequence packing (distributed prefix scan) + focal statistics
+# ---------------------------------------------------------------------------
+
+PACK_CTX = 384        # tokens per packed training context window
+PACK_BUCKET_W = 128   # doc_id range-bucket width (order-preserving)
+
+
+def q_pack_sequences(sf_dir: str):
+    """Sequence packing for LLM training: concatenate the corpus in
+    doc_id order and split into fixed PACK_CTX-token context windows;
+    emit each doc's global token offset and the pack range it spans.
+
+    This is the canonical DISTRIBUTED PREFIX SCAN: (1) narrow
+    (doc_id, n_tokens) map, materialized once; (2) per-range-bucket
+    token totals folded on the driver (one tiny row per bucket per
+    block — at 100 TB this fold is a tree reduce over ~1e4 bucket
+    partials, never the corpus); (3) exclusive prefix over bucket
+    totals broadcast via ray.put; (4) ONE order-preserving range
+    exchange where each bucket cumsums locally on top of its broadcast
+    base.  No global sort, no O(N) driver state."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tok(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = np.array(
+            [len(t.split()) for t in batch["text"].to_pylist()], dtype=np.int64
+        )
+        return pa.table({
+            "doc_id": pa.array(did),
+            "n_tokens": pa.array(n),
+            "bucket": pa.array(did // PACK_BUCKET_W),
+        })
+
+    toks = ds.map_batches(
+        tok, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # shared by the totals pass and the scan pass
+
+    def bucket_sums(batch: pa.Table) -> pa.Table:
+        b = batch["bucket"].to_numpy(zero_copy_only=False)
+        n = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        ub, inv = np.unique(b, return_inverse=True)
+        s = np.zeros(len(ub), dtype=np.int64)
+        np.add.at(s, inv, n)
+        return pa.table({"bucket": pa.array(ub), "s": pa.array(s)})
+
+    totals: dict[int, int] = {}
+    for bt in toks.map_batches(
+        bucket_sums, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        if bt.num_rows == 0:
+            continue
+        for b, s in zip(
+            bt["bucket"].to_numpy(zero_copy_only=False),
+            bt["s"].to_numpy(zero_copy_only=False),
+        ):
+            totals[int(b)] = totals.get(int(b), 0) + int(s)
+    base: dict[int, int] = {}
+    acc = 0
+    for b in sorted(totals):
+        base[b] = acc
+        acc += totals[b]
+    base_ref = ray.put(base)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        bases = ray.get(base_ref)
+        g = g.sort_values("doc_id")
+        n = g["n_tokens"].to_numpy()
+        start = bases[int(g["bucket"].iloc[0])] + np.concatenate(
+            ([0], np.cumsum(n)[:-1])
+        ).astype(np.int64)
+        pf = start // PACK_CTX
+        pl = np.where(n == 0, pf, (start + np.maximum(n, 1) - 1) // PACK_CTX)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "n_tokens": n,
+            "start_tok": start,
+            "pack_first": pf,
+            "pack_last": pl,
+        })
+
+    return toks.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def sql_pack_sequences() -> str:
+    ntok = (
+        "CASE WHEN trim(text) = '' THEN 0"
+        " ELSE length(regexp_split_to_array(trim(text), '\\s+')) END"
+    )
+    return f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, {ntok} AS n FROM documents
+),
+c AS MATERIALIZED (
+  SELECT doc_id, n,
+    CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS start_tok
+  FROM t
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, start_tok,
+  start_tok // {PACK_CTX} AS pack_first,
+  CASE WHEN n = 0 THEN start_tok // {PACK_CTX}
+    ELSE (start_tok + n - 1) // {PACK_CTX} END AS pack_last
+FROM c
+"""
+
+
+FOCAL_RES = 4  # 81 rows x 324 cols equatorial grid
+
+
+def _cells_from_band_rowcol(r: np.ndarray, c: np.ndarray, res: int) -> np.ndarray:
+    """Inverse of _band_row_col: (band row, global col) -> packed SUID
+    on the equatorial faces (suid_rowcol semantics, cell.py:269-291)."""
+    N = CFG.N_side
+    nrow = N**res
+    face = 1 + c // nrow
+    digits = np.empty((len(r), res), dtype=np.int64)
+    rr = r.astype(np.int64).copy()
+    cc = (c % nrow).astype(np.int64)
+    for i in range(res - 1, -1, -1):
+        digits[:, i] = (rr % N) * N + (cc % N)
+        rr //= N
+        cc //= N
+    return su.pack(face.astype(np.int64), digits, res)
+
+
+def q_focal_stats(sf_dir: str):
+    """Focal (moving-window) statistics: for every band-interior
+    equatorial res-4 cell with events, the 3x3-neighborhood event count
+    (raster focal sum in DGGS space — for band-interior cells the 8
+    grid neighbors ARE the true planar DGGS neighbors).
+
+    Shape: index + per-batch (cell, count) np.unique partials -> each
+    partial emits 1 self row + 9 neighbor CONTRIBUTION rows (counts
+    sum linearly, so expanding combined partials is exact) -> ONE
+    h(cell) bucket exchange -> per-bucket (cell, side) sums, inner
+    join in-resolve.  The 10x expansion runs on partials (bounded by
+    distinct cells per block), never on raw events."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    n_buckets = 32
+    nrow = CFG.N_side**FOCAL_RES
+    ncol = 4 * nrow
+    ds = _read(sf_dir, "events", columns=["event_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = oracle.lonlat_from_id(ids)
+        u = idx.cell_from_point(CFG, FOCAL_RES, lon, lat, plane=False)
+        face = su.face_of(u)
+        eq = (face >= 1) & (face <= 4)
+        cu, cnt_inv = np.unique(u[eq], return_inverse=True)
+        cnt = np.zeros(len(cu), dtype=np.int64)
+        np.add.at(cnt, cnt_inv, 1)
+        _, digits, _ = su.unpack(cu)
+        N = CFG.N_side
+        row = np.zeros(len(cu), dtype=np.int64)
+        col = np.zeros(len(cu), dtype=np.int64)
+        for i in range(FOCAL_RES):
+            row = row * N + digits[:, i] // N
+            col = col * N + digits[:, i] % N
+        gcol = (su.face_of(cu).astype(np.int64) - 1) * nrow + col
+        # self rows: band-interior only (where the 3x3 grid = true DGGS
+        # neighbors); contributions: from every equatorial cell
+        interior = (row >= 1) & (row <= nrow - 2)
+        tgt = [cu[interior]]
+        side = [np.zeros(int(interior.sum()), dtype=np.int64)]
+        val = [cnt[interior]]
+        for dr in (-1, 0, 1):
+            r2 = row + dr
+            ok = (r2 >= 0) & (r2 <= nrow - 1)
+            for dc in (-1, 0, 1):
+                c2 = (gcol[ok] + dc) % ncol
+                tgt.append(_cells_from_band_rowcol(r2[ok], c2, FOCAL_RES))
+                side.append(np.ones(int(ok.sum()), dtype=np.int64))
+                val.append(cnt[ok])
+        tgt_a = np.concatenate(tgt)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(tgt_a, n_buckets)),
+            "cell_u64": pa.array(tgt_a, type=pa.uint64()),
+            "side": pa.array(np.concatenate(side)),
+            "cnt": pa.array(np.concatenate(val)),
+        })
+
+    p = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cu = g["cell_u64"].to_numpy().astype(np.uint64)
+        side = g["side"].to_numpy()
+        cnt = g["cnt"].to_numpy()
+        uniq, inv = np.unique(cu, return_inverse=True)
+        n_self = np.zeros(len(uniq), dtype=np.int64)
+        n_focal = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(n_self, inv[side == 0], cnt[side == 0])
+        np.add.at(n_focal, inv[side == 1], cnt[side == 1])
+        keep = n_self > 0
+        return pd.DataFrame({
+            "cell_id": su.to_string_fixed(uniq[keep], FOCAL_RES),
+            "n_self": n_self[keep],
+            "n_focal": n_focal[keep],
+        })
+
+    return p.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def sql_focal_stats() -> str:
+    res, N = FOCAL_RES, CFG.N_side
+    nrow = N**res
+    ncol = 4 * nrow
+    inner = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), res, CFG, id_cols=("event_id",)
+    )
+    dig = lambda i: f"CAST(substr(cell_id, {i + 2}, 1) AS BIGINT)"
+    row = "(" + " + ".join(
+        f"({dig(i)} // {N}) * {N ** (res - 1 - i)}" for i in range(res)
+    ) + ")"
+    colf = "(" + " + ".join(
+        f"({dig(i)} % {N}) * {N ** (res - 1 - i)}" for i in range(res)
+    ) + ")"
+    fidx = (
+        "(CASE substr(cell_id, 1, 1) "
+        + " ".join(f"WHEN '{c}' THEN {i}" for i, c in enumerate(CELLS0))
+        + " END)"
+    )
+    gcol = f"(({fidx} - 1) * {nrow} + {colf})"
+    return f"""
+WITH idxp AS MATERIALIZED (
+  SELECT event_id, cell_id FROM {inner} t
+),
+eq AS MATERIALIZED (
+  SELECT cell_id, {row} AS row, {gcol} AS gcol, COUNT(*) AS n
+  FROM idxp WHERE substr(cell_id, 1, 1) IN ('O', 'P', 'Q', 'R')
+  GROUP BY 1, 2, 3
+),
+offs AS (SELECT dr, dc FROM
+  (SELECT unnest(generate_series(-1, 1)) AS dr),
+  (SELECT unnest(generate_series(-1, 1)) AS dc)),
+f AS MATERIALIZED (
+  SELECT a.row + dr AS r2, ((a.gcol + dc) % {ncol} + {ncol}) % {ncol} AS c2,
+    CAST(SUM(a.n) AS BIGINT) AS nf
+  FROM eq a, offs
+  WHERE a.row + dr BETWEEN 0 AND {nrow - 1}
+  GROUP BY 1, 2
+)
+SELECT a.cell_id, CAST(a.n AS BIGINT) AS n_self, f.nf AS n_focal
+FROM eq a JOIN f ON f.r2 = a.row AND f.c2 = a.gcol
+WHERE a.row BETWEEN 1 AND {nrow - 2}
+"""
