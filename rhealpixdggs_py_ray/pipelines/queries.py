@@ -5213,3 +5213,369 @@ SELECT a.cell_id, CAST(a.n AS BIGINT) AS n_self, f.nf AS n_focal
 FROM eq a JOIN f ON f.r2 = a.row AND f.c2 = a.gcol
 WHERE a.row BETWEEN 1 AND {nrow - 2}
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 2c: bloom decontamination, percentile rank, count-min sketch,
+# left outer join
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 16384  # bits
+BLOOM_K = 3      # hash functions
+
+
+def q_bloom_decontaminate(sf_dir: str):
+    """Bloom-filter benchmark decontamination: the eval set's 4-gram
+    shingles populate a BLOOM_M-bit, BLOOM_K-hash filter (2 KB — vs
+    the exact set's unbounded growth); the corpus scan flags any doc
+    with a shingle whose K bits are all set.  Deterministic md5 bit
+    positions, so the oracle replays the filter bit-for-bit including
+    FALSE POSITIVES — the real at-scale trade (constant-memory filter,
+    auditable FP rate).  Eval set is MBs and driver-built (same bound
+    as decontaminate); the corpus never shuffles — pure map."""
+    from rhealpixdggs_py_ray.ops.dedup import md5_u64, shingles
+
+    def eval_mask(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(did < DECON_EVAL_MAX_ID))
+
+    eval_rows = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"], blocks=4)
+        .map_batches(eval_mask, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    bits = np.zeros(BLOOM_M, dtype=bool)
+    for r in eval_rows:
+        for s in shingles(r["text"]):
+            for j in range(BLOOM_K):
+                bits[md5_u64(f"{j}|{s}") % BLOOM_M] = True
+    bits_ref = ray.put(bits)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def scan(batch: pa.Table) -> pa.Table:
+        b = ray.get(bits_ref)
+        dids, n_sh, n_hits = [], [], []
+        for did, text in zip(
+            batch["doc_id"].to_numpy(zero_copy_only=False),
+            batch["text"].to_pylist(),
+        ):
+            if did < DECON_EVAL_MAX_ID:
+                continue
+            sh = shingles(text)
+            hits = sum(
+                1 for s in sh
+                if all(b[md5_u64(f"{j}|{s}") % BLOOM_M] for j in range(BLOOM_K))
+            )
+            if hits:
+                dids.append(did)
+                n_sh.append(len(sh))
+                n_hits.append(hits)
+        return pa.table({
+            "doc_id": pa.array(np.array(dids, dtype=np.int64)),
+            "n_shingles": pa.array(np.array(n_sh, dtype=np.int64)),
+            "n_hits": pa.array(np.array(n_hits, dtype=np.int64)),
+        })
+
+    return ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_bloom_decontaminate() -> str:
+    from rhealpixdggs_py_ray.ops.dedup import SHINGLE_W
+
+    pos = (
+        "CAST(md5_number_lower(CAST(j AS VARCHAR) || '|' || s) AS HUGEINT)"
+        f" % {BLOOM_M}"
+    )
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, array_to_string(w[i : i + {SHINGLE_W - 1}], ' ') AS s
+  FROM toks, unnest(generate_series(1, len(w) - {SHINGLE_W - 1})) AS t(i)
+),
+js AS (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS j),
+bloom AS MATERIALIZED (
+  SELECT DISTINCT {pos} AS pos
+  FROM (SELECT DISTINCT s FROM sh WHERE doc_id < {DECON_EVAL_MAX_ID}), js
+),
+probe AS MATERIALIZED (
+  SELECT doc_id, s, j, {pos} AS pos
+  FROM (SELECT doc_id, s FROM sh WHERE doc_id >= {DECON_EVAL_MAX_ID}), js
+),
+hit AS MATERIALIZED (
+  -- one probe row per (doc, s, j); a j passes iff its pos bit is set,
+  -- so COUNT(*) = K even when two j's collide on one position
+  SELECT doc_id, s FROM probe JOIN bloom USING (pos)
+  GROUP BY doc_id, s HAVING COUNT(*) = {BLOOM_K}
+),
+ns AS MATERIALIZED (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM sh GROUP BY doc_id
+)
+SELECT h.doc_id, ns.n_shingles, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM hit h JOIN ns ON ns.doc_id = h.doc_id
+GROUP BY h.doc_id, ns.n_shingles
+"""
+
+
+def q_percentile_rank(sf_dir: str):
+    """Exact percentile-rank normalization of a per-doc metric within
+    its language (quality-threshold calibration): pct_micros =
+    floor(1e6 * n_smaller / (n_lang - 1)).  Two passes, ZERO
+    exchanges: (1) per-batch (lang, n_chars) histogram partials folded
+    on the driver (bounded by metric cardinality, not corpus size);
+    (2) broadcast cumulative histogram + np.searchsorted lookup map."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        lang = batch["lang"].to_numpy(zero_copy_only=False)
+        v = batch["n_chars"].to_numpy(zero_copy_only=False)
+        lu, li = np.unique(lang, return_inverse=True)
+        vu, vi = np.unique(v, return_inverse=True)
+        key = li * len(vu) + vi
+        ku, kc = np.unique(key, return_counts=True)
+        return pa.table({
+            "lang": pa.array(lu[ku // len(vu)]),
+            "val": pa.array(vu[ku % len(vu)]),
+            "n": pa.array(kc.astype(np.int64)),
+        })
+
+    folded: dict[str, dict[int, int]] = {}
+    for bt in ds.map_batches(
+        hist, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        if bt.num_rows == 0:
+            continue
+        for lg, v, n in zip(
+            bt["lang"].to_pylist(),
+            bt["val"].to_numpy(zero_copy_only=False),
+            bt["n"].to_numpy(zero_copy_only=False),
+        ):
+            d = folded.setdefault(lg, {})
+            d[int(v)] = d.get(int(v), 0) + int(n)
+    lookup = {}
+    for lg, d in folded.items():
+        vals = np.array(sorted(d), dtype=np.int64)
+        cnts = np.array([d[int(v)] for v in vals], dtype=np.int64)
+        cum = np.concatenate(([0], np.cumsum(cnts)[:-1]))  # n strictly smaller
+        lookup[lg] = (vals, cum, int(cnts.sum()))
+    lut_ref = ray.put(lookup)
+
+    def rank(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        lang = batch["lang"].to_numpy(zero_copy_only=False)
+        v = batch["n_chars"].to_numpy(zero_copy_only=False)
+        n_lt = np.zeros(len(v), dtype=np.int64)
+        pct = np.zeros(len(v), dtype=np.int64)
+        for lg in np.unique(lang):
+            vals, cum, total = lut[lg]
+            m = lang == lg
+            lt = cum[np.searchsorted(vals, v[m])]
+            n_lt[m] = lt
+            if total > 1:
+                pct[m] = lt * 1_000_000 // (total - 1)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "lang": batch["lang"],
+            "n_chars": batch["n_chars"],
+            "n_lt": pa.array(n_lt),
+            "pct_micros": pa.array(pct),
+        })
+
+    return ds.map_batches(rank, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_percentile_rank() -> str:
+    return """
+WITH r AS MATERIALIZED (
+  SELECT doc_id, lang, n_chars,
+    CAST(RANK() OVER (PARTITION BY lang ORDER BY n_chars) - 1 AS BIGINT)
+      AS n_lt,
+    COUNT(*) OVER (PARTITION BY lang) AS n_lang
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, n_lt,
+  CASE WHEN n_lang > 1 THEN n_lt * 1000000 // (n_lang - 1)
+    ELSE 0 END AS pct_micros
+FROM r
+"""
+
+
+CMS_D = 4    # sketch depth (hash functions)
+CMS_W = 256  # sketch width
+CMS_HH_MIN = 50  # heavy-hitter true-count threshold
+
+
+def q_cms_heavy_hitters(sf_dir: str):
+    """Count-Min-Sketch heavy hitters over event user_ids: per-batch
+    (D x W) register partials sum into one tiny driver-folded matrix
+    (registers are counters — merge = add, the mergeable-sketch
+    property); candidates' exact counts come from one h(user) bucket
+    exchange filtered to n >= threshold (output bounded by the
+    threshold, not user cardinality).  Estimates are min-over-rows
+    reads of the folded sketch — the oracle replays registers AND the
+    over-estimate bias exactly."""
+    from rhealpixdggs_py_ray.ops.dedup import md5_u64
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def reg_partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        uu, cnt = np.unique(uid, return_counts=True)
+        reg = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+        for u, c in zip(uu, cnt):
+            for j in range(CMS_D):
+                reg[j, md5_u64(f"{j}|{int(u)}") % CMS_W] += int(c)
+        j, p = np.nonzero(reg)
+        return pa.table({
+            "j": pa.array(j.astype(np.int64)),
+            "pos": pa.array(p.astype(np.int64)),
+            "n": pa.array(reg[j, p]),
+        })
+
+    reg = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    for bt in ds.map_batches(
+        reg_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        if bt.num_rows == 0:
+            continue
+        np.add.at(
+            reg,
+            (bt["j"].to_numpy(zero_copy_only=False),
+             bt["pos"].to_numpy(zero_copy_only=False)),
+            bt["n"].to_numpy(zero_copy_only=False),
+        )
+
+    def cnt_partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        uu, cnt = np.unique(uid, return_counts=True)
+        return pa.table({
+            "user_id": pa.array(uu.astype(np.int64)),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    heavy = (
+        ds.map_batches(cnt_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Sum("n", alias_name="n_true"))
+        .filter(lambda r: r["n_true"] >= CMS_HH_MIN)
+        .take_all()
+    )  # bounded by the threshold: at most total_rows / CMS_HH_MIN rows
+    uids = np.array(sorted(r["user_id"] for r in heavy), dtype=np.int64)
+    true_n = {int(r["user_id"]): int(r["n_true"]) for r in heavy}
+    est = np.array([
+        min(reg[j, md5_u64(f"{j}|{int(u)}") % CMS_W] for j in range(CMS_D))
+        for u in uids
+    ], dtype=np.int64)
+    return ray.data.from_arrow(pa.table({
+        "user_id": pa.array(uids),
+        "n_true": pa.array(np.array([true_n[int(u)] for u in uids], dtype=np.int64)),
+        "n_est": pa.array(est),
+    }))
+
+
+def sql_cms_heavy_hitters() -> str:
+    pos = (
+        "CAST(md5_number_lower(CAST(js.j AS VARCHAR) || '|'"
+        f" || CAST(user_id AS VARCHAR)) AS HUGEINT) % {CMS_W}"
+    )
+    return f"""
+WITH js AS (SELECT unnest(generate_series(0, {CMS_D - 1})) AS j),
+reg AS MATERIALIZED (
+  SELECT j, {pos} AS pos, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events, js GROUP BY 1, 2
+),
+heavy AS MATERIALIZED (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_true
+  FROM events GROUP BY user_id HAVING COUNT(*) >= {CMS_HH_MIN}
+)
+SELECT h.user_id, h.n_true, MIN(r.n) AS n_est
+FROM heavy h CROSS JOIN js
+JOIN reg r ON r.j = js.j AND r.pos = {pos.replace('user_id', 'h.user_id')}
+GROUP BY h.user_id, h.n_true
+"""
+
+
+def q_left_join_orders(sf_dir: str):
+    """LEFT OUTER join: every customer row survives, order aggregates
+    COALESCE to zero for the no-order customers (the join type the
+    engine's inner/semi/anti trio lacked).  Both sides route through
+    ONE union bucket exchange on custkey; the outer semantics cost
+    nothing extra — the left side is kept whether or not the bucket
+    holds matching right rows."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    n_buckets = 16
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def left_rows(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(k, n_buckets)),
+            "key": pa.array(k.astype(np.int64)),
+            "seg": batch["c_mktsegment"],
+            "n": pa.array(np.zeros(len(k), dtype=np.int64)),
+            "cents": pa.array(np.zeros(len(k), dtype=np.int64)),
+            "side": pa.array(np.zeros(len(k), dtype=np.int64)),
+        })
+
+    def right_partial(batch: pa.Table) -> pa.Table:
+        k = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        ku, ki = np.unique(k, return_inverse=True)
+        n = np.zeros(len(ku), dtype=np.int64)
+        np.add.at(n, ki, 1)
+        s = np.zeros(len(ku), dtype=np.int64)
+        np.add.at(s, ki, cents)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(ku, n_buckets)),
+            "key": pa.array(ku.astype(np.int64)),
+            "seg": pa.array(np.full(len(ku), "", dtype=object), type=pa.string()),
+            "n": pa.array(n),
+            "cents": pa.array(s),
+            "side": pa.array(np.ones(len(ku), dtype=np.int64)),
+        })
+
+    both = cust.map_batches(
+        left_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(orders.map_batches(
+        right_partial, batch_format="pyarrow", zero_copy_batch=True
+    ))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0]
+        right = g[g["side"] == 1]
+        rk = right["key"].to_numpy()
+        ru, ri = np.unique(rk, return_inverse=True)
+        rn = np.zeros(len(ru), dtype=np.int64)
+        np.add.at(rn, ri, right["n"].to_numpy())
+        rc = np.zeros(len(ru), dtype=np.int64)
+        np.add.at(rc, ri, right["cents"].to_numpy())
+        lk = left["key"].to_numpy()
+        pos = np.searchsorted(ru, lk)
+        hit = (pos < len(ru)) & (ru[np.minimum(pos, len(ru) - 1)] == lk)
+        n = np.where(hit, rn[np.minimum(pos, len(ru) - 1)], 0)
+        cents = np.where(hit, rc[np.minimum(pos, len(ru) - 1)], 0)
+        return pd.DataFrame({
+            "c_custkey": lk,
+            "c_mktsegment": left["seg"].to_numpy(),
+            "n_orders": n,
+            "sum_cents": cents,
+        })
+
+    return both.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def sql_left_join_orders() -> str:
+    return """
+SELECT c.c_custkey, c.c_mktsegment,
+  CAST(COUNT(o.o_custkey) AS BIGINT) AS n_orders,
+  CAST(COALESCE(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT)), 0) AS BIGINT)
+    AS sum_cents
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2
+"""
