@@ -5579,3 +5579,202 @@ SELECT c.c_custkey, c.c_mktsegment,
 FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 2c: BM25 retrieval (integer-exact scoring)
+# ---------------------------------------------------------------------------
+
+BM25_NQ = 4        # query docs: doc_id 0..3 ("more-like-this" retrieval)
+BM25_K = 10        # results per query
+BM25_TF_SCALE = 10_000
+BM25_IDF_SCALE = 1_000_000
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 top-k retrieval with INTEGER-EXACT scoring: k1=6/5 and
+    b=3/4 are kept rational and avgdl enters as dl*N/T, so the tf
+    normalization is one integer division —
+      tf_part = (44*T*tf*S1) // (20*T*tf + 6*T + 18*dl*N)
+    — and the idf substitute ((N-df)*S2)//(df+1) is integer too: no
+    float log anywhere, the oracle replays every division exactly.
+
+    Shape: query-doc terms broadcast (bounded: BM25_NQ docs); pass A
+    folds corpus stats (N, T, per-query-term df — bounded by the query
+    vocabulary, never the corpus vocabulary) from per-batch partials;
+    pass B scores candidates in one map and keeps per-batch partial
+    top-k, so the final exchange merges <= K*NQ*n_blocks tiny rows."""
+    from collections import Counter
+
+    def q_mask(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(did < BM25_NQ))
+
+    qrows = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"], blocks=4)
+        .map_batches(q_mask, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    qterms = {int(r["doc_id"]): sorted(set(r["text"].split())) for r in qrows}
+    qvocab = sorted({t for ts in qterms.values() for t in ts})
+    qv_set = set(qvocab)
+    q_ref = ray.put((qterms, qvocab))
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        _, qv = ray.get(q_ref)
+        qvs = set(qv)
+        n_docs = 0
+        n_toks = 0
+        df: Counter = Counter()
+        for did, text in zip(
+            batch["doc_id"].to_numpy(zero_copy_only=False),
+            batch["text"].to_pylist(),
+        ):
+            if did < BM25_NQ:
+                continue
+            toks = text.split()
+            if not toks:  # SQL's dl CTE drops token-less docs
+                continue
+            n_docs += 1
+            n_toks += len(toks)
+            for t in set(toks) & qvs:
+                df[t] += 1
+        terms = sorted(df)
+        return pa.table({
+            "term": pa.array(["\x00N", "\x00T"] + terms, type=pa.string()),
+            "n": pa.array(
+                np.array([n_docs, n_toks] + [df[t] for t in terms],
+                         dtype=np.int64)
+            ),
+        })
+
+    n_corpus = 0
+    t_corpus = 0
+    df_map: dict[str, int] = {}
+    for bt in ds.map_batches(
+        stats_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        if bt.num_rows == 0:
+            continue
+        for term, n in zip(bt["term"].to_pylist(),
+                           bt["n"].to_numpy(zero_copy_only=False)):
+            if term == "\x00N":
+                n_corpus += int(n)
+            elif term == "\x00T":
+                t_corpus += int(n)
+            else:
+                df_map[term] = df_map.get(term, 0) + int(n)
+    stats_ref = ray.put((n_corpus, t_corpus, df_map))
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        qt, _ = ray.get(q_ref)
+        N, T, df = ray.get(stats_ref)
+        out_q, out_d, out_s = [], [], []
+        per_q: dict[int, list[tuple[int, int]]] = {q: [] for q in qt}
+        for did, text in zip(
+            batch["doc_id"].to_numpy(zero_copy_only=False),
+            batch["text"].to_pylist(),
+        ):
+            if did < BM25_NQ:
+                continue
+            toks = text.split()
+            dl = len(toks)
+            tf = Counter(toks)
+            for qid, terms in qt.items():
+                s = 0
+                for t in terms:
+                    f = tf.get(t, 0)
+                    if not f:
+                        continue
+                    tf_part = (44 * T * f * BM25_TF_SCALE) // (
+                        20 * T * f + 6 * T + 18 * dl * N
+                    )
+                    idf = ((N - df.get(t, 0)) * BM25_IDF_SCALE) // (
+                        df.get(t, 0) + 1
+                    )
+                    s += tf_part * idf
+                if s > 0:
+                    per_q[qid].append((int(did), s))
+        for qid, rows in per_q.items():
+            rows.sort(key=lambda r: (-r[1], r[0]))
+            for did, s in rows[:BM25_K]:
+                out_q.append(qid)
+                out_d.append(did)
+                out_s.append(s)
+        return pa.table({
+            "qid": pa.array(np.array(out_q, dtype=np.int64)),
+            "doc_id": pa.array(np.array(out_d, dtype=np.int64)),
+            "score": pa.array(np.array(out_s, dtype=np.int64)),
+        })
+
+    part = ds.map_batches(
+        score_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        d = g["doc_id"].to_numpy()
+        s = g["score"].to_numpy()
+        order = np.lexsort((d, -s))[:BM25_K]
+        return pd.DataFrame({
+            "qid": g["qid"].to_numpy()[order],
+            "rank": np.arange(1, len(order) + 1, dtype=np.int64),
+            "doc_id": d[order],
+            "score": s[order],
+        })
+
+    return part.groupby("qid").map_groups(final, batch_format="pandas")
+
+
+def sql_bm25_topk() -> str:
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+  FROM documents WHERE trim(text) <> ''
+),
+dl AS MATERIALIZED (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks
+  WHERE doc_id >= {BM25_NQ} GROUP BY doc_id
+),
+corpus AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM dl
+),
+qterm AS MATERIALIZED (
+  SELECT DISTINCT doc_id AS qid, t FROM toks WHERE doc_id < {BM25_NQ}
+),
+qvocab AS MATERIALIZED (SELECT DISTINCT t FROM qterm),
+df AS MATERIALIZED (
+  SELECT k.t, CAST(COUNT(DISTINCT k.doc_id) AS BIGINT) AS df
+  FROM toks k JOIN qvocab v ON v.t = k.t
+  WHERE k.doc_id >= {BM25_NQ} GROUP BY k.t
+),
+tf AS MATERIALIZED (
+  SELECT k.doc_id, k.t, CAST(COUNT(*) AS BIGINT) AS f
+  FROM toks k JOIN qvocab v ON v.t = k.t
+  WHERE k.doc_id >= {BM25_NQ} GROUP BY k.doc_id, k.t
+),
+scores AS MATERIALIZED (
+  SELECT q.qid, tf.doc_id,
+    CAST(SUM(
+      ((44 * c.t * tf.f * {BM25_TF_SCALE})
+        // (20 * c.t * tf.f + 6 * c.t + 18 * d.dl * c.n))
+      * (((c.n - COALESCE(df.df, 0)) * {BM25_IDF_SCALE})
+        // (COALESCE(df.df, 0) + 1))
+    ) AS BIGINT) AS score
+  FROM qterm q
+  JOIN tf ON tf.t = q.t
+  JOIN dl d ON d.doc_id = tf.doc_id
+  LEFT JOIN df ON df.t = q.t
+  CROSS JOIN corpus c
+  GROUP BY q.qid, tf.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id, score,
+    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)
+      AS rank
+  FROM scores WHERE score > 0
+)
+SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id, score
+FROM ranked WHERE rank <= {BM25_K}
+"""
