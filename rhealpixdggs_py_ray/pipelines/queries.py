@@ -2264,10 +2264,16 @@ def q_priority_revenue(sf_dir: str):
     per-priority partials, so only a handful of rows reach the final
     groupby.  Revenue quantizes floor(price*(1-disc)*100) per row
     before any summation — order-free and bit-exact vs SQL."""
+    # blocks=4/nb=8: the sort exchange's fixed cost scales with input
+    # blocks x partitions (A/B at sf0.1: 8.2s @16 blocks/32 buckets vs
+    # 1.9s @4/8 — remote compute is ~300ms either way); at 100 TB the
+    # fragment count and a proportional bucket count take over.
     li = _read(sf_dir, "lineitem",
-               columns=["l_orderkey", "l_extendedprice", "l_discount"])
-    od = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
-    nb = 32
+               columns=["l_orderkey", "l_extendedprice", "l_discount"],
+               blocks=4)
+    od = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"],
+               blocks=4)
+    nb = 8
 
     from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
 
@@ -5777,4 +5783,258 @@ ranked AS (
 )
 SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id, score
 FROM ranked WHERE rank <= {BM25_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 2c: distance join, funnel, type-token ratio, count-of-counts
+# ---------------------------------------------------------------------------
+
+DISTJOIN_NPOI = 5
+DISTJOIN_D2 = 1.44e12  # (1200 km)^2 chord threshold in m^2
+
+
+def q_distance_join(sf_dir: str):
+    """Distance-threshold spatial join: events within 1200 km (ECEF
+    chord) of any of 5 deterministic POIs, per-POI counts.  POIs
+    broadcast once (5 x 3 matrix — never a shuffle); per-batch xyz +
+    one (n x 3)@(3 x 5) matmul; partial counts fold in a tiny final
+    groupby.  d2 is computed in the exact operation order of the SQL
+    so the threshold compare is bit-stable; the reported min distance
+    quantizes d2 // 1e6 to keep 1-ulp trig differences sub-floor."""
+    from rhealpixdggs_py_ray.core import projection as proj
+
+    pid = np.arange(DISTJOIN_NPOI, dtype=np.int64)
+    plon, plat = oracle.lonlat_from_id(pid + 2_000_000)
+    px, py, pz = proj.xyz(CFG, plon, plat)
+
+    ds = _read(sf_dir, "events", columns=["event_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = oracle.lonlat_from_id(ids)
+        x, y, z = proj.xyz(CFG, lon, lat)
+        out_p, out_n, out_m = [], [], []
+        for j in range(DISTJOIN_NPOI):
+            dx = x - px[j]
+            dy = y - py[j]
+            dz = z - pz[j]
+            d2 = dx * dx + dy * dy + dz * dz  # SQL's operand order
+            hit = d2 <= DISTJOIN_D2
+            n = int(np.count_nonzero(hit))
+            if n:
+                out_p.append(j)
+                out_n.append(n)
+                out_m.append(int(np.floor(d2[hit].min() / 1e6)))
+        return pa.table({
+            "poi_id": pa.array(np.array(out_p, dtype=np.int64)),
+            "n": pa.array(np.array(out_n, dtype=np.int64)),
+            "min_d2_mm2": pa.array(np.array(out_m, dtype=np.int64)),
+        })
+
+    p = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return p.groupby("poi_id").aggregate(
+        Sum("n", alias_name="n_within"),
+        Min("min_d2_mm2", alias_name="min_d2_mm2"),
+    )
+
+
+def sql_distance_join() -> str:
+    a = repr(CFG.a)
+    e2 = repr(CFG.e**2)
+    lon, lat = oracle.lonlat_from_id_sql("event_id")
+    qlon, qlat = oracle.lonlat_from_id_sql("poi_id + 2000000")
+    xyz = (
+        "SELECT {id}, "
+        f"{a}/sqrt(1 - {e2}*sin(radians(lat))*sin(radians(lat)))*cos(radians(lon))*cos(radians(lat)) AS x, "
+        f"{a}/sqrt(1 - {e2}*sin(radians(lat))*sin(radians(lat)))*sin(radians(lon))*cos(radians(lat)) AS y, "
+        f"{a}/sqrt(1 - {e2}*sin(radians(lat))*sin(radians(lat)))*(1 - {e2})*sin(radians(lat)) AS z FROM {{src}}"
+    )
+    pts = xyz.format(
+        id="event_id",
+        src=f"(SELECT event_id, {lon} AS lon, {lat} AS lat FROM events)",
+    )
+    poi = xyz.format(
+        id="poi_id",
+        src=(
+            f"(SELECT poi_id, {qlon} AS lon, {qlat} AS lat FROM"
+            f" (SELECT unnest(generate_series(0, {DISTJOIN_NPOI - 1})) AS poi_id))"
+        ),
+    )
+    return (
+        f"WITH p AS MATERIALIZED ({pts}), q AS MATERIALIZED ({poi}),"
+        " d AS (SELECT q.poi_id, "
+        "  (q.x-p.x)*(q.x-p.x) + (q.y-p.y)*(q.y-p.y) + (q.z-p.z)*(q.z-p.z) AS d2"
+        "  FROM q CROSS JOIN p)"
+        " SELECT poi_id, CAST(COUNT(*) AS BIGINT) AS n_within,"
+        "  CAST(MIN(CAST(floor(d2 / 1000000.0) AS BIGINT)) AS BIGINT)"
+        "   AS min_d2_mm2"
+        f" FROM d WHERE d2 <= {DISTJOIN_D2!r} GROUP BY poi_id"
+    )
+
+
+def q_funnel(sf_dir: str):
+    """Funnel analysis (view -> click -> purchase): users whose first
+    click strictly follows their first view, and first purchase
+    strictly follows that click.  ONE h(user) bucket exchange; inside
+    a bucket the three stage timestamps resolve with vectorized pandas
+    groupby mins (no per-user loop); only 1-row stage-count partials
+    leave the bucket."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    n_buckets = 16
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == "view") | (et == "click") | (et == "purchase")
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)[keep]
+        ts = (
+            batch["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)[keep]
+        )
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(uid, n_buckets)),
+            "user_id": pa.array(uid.astype(np.int64)),
+            "t": pa.array(ts),
+            "event_type": pa.array(et[keep], type=pa.string()),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        fv = (
+            g[g["event_type"] == "view"].groupby("user_id")["t"].min()
+        )
+        c = g[g["event_type"] == "click"].merge(
+            fv.rename("fv"), left_on="user_id", right_index=True
+        )
+        fc = c[c["t"] > c["fv"]].groupby("user_id")["t"].min()
+        p = g[g["event_type"] == "purchase"].merge(
+            fc.rename("fc"), left_on="user_id", right_index=True
+        )
+        fp = p[p["t"] > p["fc"]].groupby("user_id")["t"].min()
+        return pd.DataFrame({
+            "g": [0],
+            "n_view": [int(len(fv))],
+            "n_click": [int(len(fc))],
+            "n_purchase": [int(len(fp))],
+        })
+
+    b = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    out = b.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_view": [int(g["n_view"].sum())],
+            "n_click": [int(g["n_click"].sum())],
+            "n_purchase": [int(g["n_purchase"].sum())],
+        })
+
+    return out.groupby("g").map_groups(resolve, batch_format="pandas")
+
+
+def sql_funnel() -> str:
+    return """
+WITH v AS MATERIALIZED (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+c AS MATERIALIZED (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY 1
+),
+p AS MATERIALIZED (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY 1
+)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+  CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click,
+  CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase
+"""
+
+
+def q_ttr(sf_dir: str):
+    """Type-token ratio (lexical diversity, a quality gate the float
+    entropy score can't beat for oracle-exactness): per doc,
+    1000 * distinct_words // words.  Pure map — never a shuffle."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        dids, n_t, n_d, ttr = [], [], [], []
+        for did, text in zip(
+            batch["doc_id"].to_numpy(zero_copy_only=False),
+            batch["text"].to_pylist(),
+        ):
+            toks = text.split()
+            if not toks:
+                continue
+            dids.append(did)
+            n_t.append(len(toks))
+            n_d.append(len(set(toks)))
+            ttr.append(1000 * len(set(toks)) // len(toks))
+        return pa.table({
+            "doc_id": pa.array(np.array(dids, dtype=np.int64)),
+            "n_tokens": pa.array(np.array(n_t, dtype=np.int64)),
+            "n_distinct": pa.array(np.array(n_d, dtype=np.int64)),
+            "ttr_permille": pa.array(np.array(ttr, dtype=np.int64)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_ttr() -> str:
+    return """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(COUNT(DISTINCT t) AS BIGINT) AS n_distinct,
+  1000 * COUNT(DISTINCT t) // COUNT(*) AS ttr_permille
+FROM toks GROUP BY doc_id
+"""
+
+
+def q_count_of_counts(sf_dir: str):
+    """Skew diagnostic: the distribution of per-user event counts
+    (count-of-counts).  Per-batch (user, n) partials -> ONE h(user)
+    bucket exchange (per-user totals exact per bucket) -> per-bucket
+    count-of-count partials -> tiny final fold over distinct counts."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    n_buckets = 16
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        uu, cnt = np.unique(uid, return_counts=True)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(uu, n_buckets)),
+            "user_id": pa.array(uu.astype(np.int64)),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        n = g["n"].to_numpy()
+        uu, inv = np.unique(uid, return_inverse=True)
+        tot = np.zeros(len(uu), dtype=np.int64)
+        np.add.at(tot, inv, n)
+        cu, cc = np.unique(tot, return_counts=True)
+        return pd.DataFrame({"n_events": cu, "n_users": cc.astype(np.int64)})
+
+    b = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        b.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+        .groupby("n_events").aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
+def sql_count_of_counts() -> str:
+    return """
+SELECT n_events, CAST(COUNT(*) AS BIGINT) AS n_users FROM (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+) GROUP BY n_events
 """
