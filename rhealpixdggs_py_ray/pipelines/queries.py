@@ -6038,3 +6038,195 @@ SELECT n_events, CAST(COUNT(*) AS BIGINT) AS n_users FROM (
   FROM events GROUP BY user_id
 ) GROUP BY n_events
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 2c: DGGS image mosaic + trajectory segmentation
+# ---------------------------------------------------------------------------
+
+MOSAIC_RES = 2
+
+
+def q_image_mosaic(sf_dir: str):
+    """DGGS raster mosaic: decode every image (actor pool), index it
+    to its res-2 cell, and aggregate per-tile channel statistics (n +
+    per-channel mean sums in centi-units) — the canonical
+    'rasters into a discrete global grid' aggregation.  Payload bytes
+    never shuffle: only (tile, 3 ints) partials leave the decode
+    stage."""
+    from rhealpixdggs_py_ray.fixtures import write_images_table
+    from rhealpixdggs_py_ray.ops.multimodal import DecodeResizeFeatures
+    from rhealpixdggs_py_ray.stages.indexer import CellIndexer
+
+    write_images_table(IMG_DIR, IMG_N)
+    ds = ray.data.read_parquet(IMG_DIR, override_num_blocks=8)
+    ds = ds.map_batches(
+        DecodeResizeFeatures,
+        batch_format="pyarrow",
+        batch_size=256,
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+    ds = ds.map_batches(
+        CellIndexer,
+        fn_constructor_kwargs={"resolution": MOSAIC_RES},
+        batch_format="pyarrow",
+        batch_size=256,
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        cid = batch["cell_id"].to_numpy(zero_copy_only=False)
+        fm = np.array(batch["feat_mean"].to_pylist(), dtype=np.float64)
+        cm = np.floor(fm * 100).astype(np.int64)  # (n, 3) centi-means
+        uq, inv = np.unique(cid, return_inverse=True)
+        n = np.bincount(inv)
+        sums = np.zeros((len(uq), 3), dtype=np.int64)
+        np.add.at(sums, inv, cm)
+        return pa.table({
+            "tile_id": pa.array(uq, type=pa.string()),
+            "n": pa.array(n.astype(np.int64)),
+            "sum_mean_r_c": pa.array(sums[:, 0]),
+            "sum_mean_g_c": pa.array(sums[:, 1]),
+            "sum_mean_b_c": pa.array(sums[:, 2]),
+        })
+
+    part = ds.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)
+    return part.groupby("tile_id").aggregate(
+        Sum("n", alias_name="n"),
+        Sum("sum_mean_r_c", alias_name="sum_mean_r_c"),
+        Sum("sum_mean_g_c", alias_name="sum_mean_g_c"),
+        Sum("sum_mean_b_c", alias_name="sum_mean_b_c"),
+    )
+
+
+def sql_image_mosaic() -> str:
+    src = _image_src_sql()
+    tiled = oracle.cell_from_point_sql(
+        f"SELECT image_id, w, h, u, lon, lat FROM {src} t", MOSAIC_RES, CFG,
+        id_cols=("image_id",), extra_cols=("w", "h", "u"),
+    )
+    # channel-c mean of the 32x32 nearest-resized generative pattern:
+    # pix(y, x, c) = (x*3 + y*5 + c*7 + ((phash >> 8c) & 255)) % 256
+    def val(c: int) -> str:
+        return (
+            "(((CAST(gj AS BIGINT) * w) // 32) * 3"
+            " + ((CAST(gi AS BIGINT) * h) // 32) * 5"
+            f" + {c * 7} + CAST((u >> {8 * c}) & 255 AS BIGINT)) % 256"
+        )
+
+    means = ", ".join(
+        f"CAST(floor((SUM({val(c)}) / 1024.0) * 100) AS BIGINT) AS m{c}"
+        for c in range(3)
+    )
+    return f"""
+WITH f AS MATERIALIZED (SELECT image_id, w, h, u, cell_id FROM {tiled} t),
+g AS (SELECT gi.gi, gj.gj FROM
+  (SELECT unnest(generate_series(0, 31)) AS gi) gi,
+  (SELECT unnest(generate_series(0, 31)) AS gj) gj),
+mm AS MATERIALIZED (
+  SELECT image_id, cell_id, {means} FROM f, g GROUP BY image_id, cell_id
+)
+SELECT cell_id AS tile_id, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(m0) AS BIGINT) AS sum_mean_r_c,
+  CAST(SUM(m1) AS BIGINT) AS sum_mean_g_c,
+  CAST(SUM(m2) AS BIGINT) AS sum_mean_b_c
+FROM mm GROUP BY cell_id
+"""
+
+
+TRAJ_D2 = 6.4e13  # (8000 km)^2 chord-step segmentation threshold
+
+
+def q_trajectory_segments(sf_dir: str):
+    """GPS-trajectory segmentation: each user's events ordered by
+    (ts, event_id) form a track; a new segment starts where the ECEF
+    chord step exceeds 8000 km.  ONE h(user) bucket exchange; inside a
+    bucket one lexsort + vectorized diff over the whole bucket (user
+    boundaries masked) — no per-user loop."""
+    from rhealpixdggs_py_ray.core import projection as proj
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    n_buckets = 16
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = (
+            batch["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        lon, lat = oracle.lonlat_from_id(eid)
+        x, y, z = proj.xyz(CFG, lon, lat)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(uid, n_buckets)),
+            "user_id": pa.array(uid.astype(np.int64)),
+            "t": pa.array(ts),
+            "event_id": pa.array(eid.astype(np.int64)),
+            "x": pa.array(x), "y": pa.array(y), "z": pa.array(z),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        t = g["t"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, t, uid))
+        uid, x, y, z = (
+            uid[order], g["x"].to_numpy()[order],
+            g["y"].to_numpy()[order], g["z"].to_numpy()[order],
+        )
+        dx = x[1:] - x[:-1]
+        dy = y[1:] - y[:-1]
+        dz = z[1:] - z[:-1]
+        d2 = dx * dx + dy * dy + dz * dz  # SQL operand order
+        same = uid[1:] == uid[:-1]
+        uu, inv = np.unique(uid, return_inverse=True)
+        n_pts = np.bincount(inv).astype(np.int64)
+        brk = np.zeros(len(uu), dtype=np.int64)
+        np.add.at(brk, inv[1:][same], (d2[same] > TRAJ_D2).astype(np.int64))
+        mx = np.zeros(len(uu), dtype=np.int64)
+        step_mm2 = np.floor(d2[same] / 1e6).astype(np.int64)
+        np.maximum.at(mx, inv[1:][same], step_mm2)
+        return pd.DataFrame({
+            "user_id": uu,
+            "n_points": n_pts,
+            "n_segments": 1 + brk,
+            "max_step_mm2": mx,
+        })
+
+    b = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return b.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def sql_trajectory_segments() -> str:
+    a = repr(CFG.a)
+    e2 = repr(CFG.e**2)
+    lon, lat = oracle.lonlat_from_id_sql("event_id")
+    nn = f"{a}/sqrt(1 - {e2}*sin(radians(lat))*sin(radians(lat)))"
+    return f"""
+WITH pts AS MATERIALIZED (
+  SELECT user_id, ts, event_id,
+    {nn}*cos(radians(lon))*cos(radians(lat)) AS x,
+    {nn}*sin(radians(lon))*cos(radians(lat)) AS y,
+    {nn}*(1 - {e2})*sin(radians(lat)) AS z
+  FROM (SELECT user_id, ts, event_id, {lon} AS lon, {lat} AS lat FROM events)
+),
+lagged AS MATERIALIZED (
+  SELECT user_id,
+    lag(x) OVER w AS px, lag(y) OVER w AS py, lag(z) OVER w AS pz, x, y, z
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+steps AS MATERIALIZED (
+  SELECT user_id,
+    CASE WHEN px IS NULL THEN NULL
+      ELSE (x-px)*(x-px) + (y-py)*(y-py) + (z-pz)*(z-pz) END AS d2
+  FROM lagged
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+  CAST(1 + COUNT(*) FILTER (WHERE d2 > {TRAJ_D2!r}) AS BIGINT) AS n_segments,
+  CAST(COALESCE(MAX(CAST(floor(d2 / 1000000.0) AS BIGINT)), 0) AS BIGINT)
+    AS max_step_mm2
+FROM steps GROUP BY user_id
+"""
