@@ -6230,3 +6230,161 @@ SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points,
     AS max_step_mm2
 FROM steps GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 2c: anomaly filter (quantile-gated) + rollup aggregation
+# ---------------------------------------------------------------------------
+
+def q_anomaly_filter(sf_dir: str):
+    """Quantile-gated anomaly detection: events whose cent-quantized
+    value strictly exceeds their type's EXACT p99 (monitoring's
+    standard alert rule).  Pass 1 folds the bounded (type, cent)
+    histogram on the driver and reads p99 off cumulative counts with
+    pure-integer rank arithmetic (k = (99*N + 99) // 100); pass 2 is a
+    broadcast-threshold pure-map filter — the corpus never shuffles."""
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def part_hist(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        c = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        eu, ei = np.unique(et, return_inverse=True)
+        cu, ci = np.unique(c, return_inverse=True)
+        key = ei * len(cu) + ci
+        ku, kc = np.unique(key, return_counts=True)
+        return pa.table({
+            "event_type": pa.array(eu[ku // len(cu)]),
+            "c": pa.array(cu[ku % len(cu)]),
+            "n": pa.array(kc.astype(np.int64)),
+        })
+
+    hist: dict[str, dict[int, int]] = {}
+    for bt in ds.map_batches(
+        part_hist, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        if bt.num_rows == 0:
+            continue
+        for et, c, n in zip(
+            bt["event_type"].to_pylist(),
+            bt["c"].to_numpy(zero_copy_only=False),
+            bt["n"].to_numpy(zero_copy_only=False),
+        ):
+            d = hist.setdefault(et, {})
+            d[int(c)] = d.get(int(c), 0) + int(n)
+    p99: dict[str, int] = {}
+    for et, d in hist.items():
+        cs = np.array(sorted(d), dtype=np.int64)
+        cum = np.cumsum([d[int(c)] for c in cs])
+        tot = int(cum[-1])
+        k = (99 * tot + 99) // 100
+        p99[et] = int(cs[np.searchsorted(cum, k)])
+    p99_ref = ray.put(p99)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        thr = ray.get(p99_ref)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        c = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        lim = np.array([thr[t] for t in et], dtype=np.int64)
+        keep = c > lim
+        return pa.table({
+            "event_id": batch["event_id"].filter(pa.array(keep)),
+            "event_type": batch["event_type"].filter(pa.array(keep)),
+            "value_c": pa.array(c[keep]),
+            "p99_c": pa.array(lim[keep]),
+        })
+
+    return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_anomaly_filter() -> str:
+    return """
+WITH h AS MATERIALIZED (
+  SELECT event_type, CAST(floor(value*100) AS BIGINT) AS c, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+cum AS MATERIALIZED (
+  SELECT event_type, c,
+    SUM(n) OVER (PARTITION BY event_type ORDER BY c) AS cn,
+    SUM(n) OVER (PARTITION BY event_type) AS tot
+  FROM h
+),
+thr AS MATERIALIZED (
+  SELECT event_type,
+    MIN(CASE WHEN cn >= (99*tot+99)//100 THEN c END) AS p99_c
+  FROM cum GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+  CAST(floor(e.value*100) AS BIGINT) AS value_c, t.p99_c
+FROM events e JOIN thr t ON t.event_type = e.event_type
+WHERE CAST(floor(e.value*100) AS BIGINT) > t.p99_c
+"""
+
+
+def q_rollup_revenue(sf_dir: str):
+    """Multi-granularity ROLLUP in ONE pass: revenue by
+    (priority, status), per-priority subtotals and the grand total all
+    derive from the same per-batch partials — the finest level is
+    aggregated once and coarser levels are re-reduced from it
+    (tile_pyramid's relational sibling), never a second scan."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pr = batch["o_orderpriority"].to_numpy(zero_copy_only=False)
+        st = batch["o_orderstatus"].to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        pu, pi = np.unique(pr, return_inverse=True)
+        su_, si = np.unique(st, return_inverse=True)
+        key = pi * len(su_) + si
+        ku, ki = np.unique(key, return_inverse=True)
+        n = np.bincount(ki).astype(np.int64)
+        s = np.zeros(len(ku), dtype=np.int64)
+        np.add.at(s, ki, cents)
+        return pa.table({
+            "g": pa.array(np.zeros(len(ku), dtype=np.int64)),
+            "prio": pa.array(pu[ku // len(su_)], type=pa.string()),
+            "status": pa.array(su_[ku % len(su_)], type=pa.string()),
+            "n": pa.array(n),
+            "cents": pa.array(s),
+        })
+
+    p = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        fine = g.groupby(["prio", "status"], sort=True).agg(
+            n=("n", "sum"), cents=("cents", "sum")
+        ).reset_index()
+        sub = fine.groupby("prio", sort=True).agg(
+            n=("n", "sum"), cents=("cents", "sum")
+        ).reset_index()
+        sub["status"] = "ALL"
+        tot = pd.DataFrame({
+            "prio": ["ALL"], "status": ["ALL"],
+            "n": [fine["n"].sum()], "cents": [fine["cents"].sum()],
+        })
+        out = pd.concat([fine, sub, tot], ignore_index=True)
+        return pd.DataFrame({
+            "prio": out["prio"], "status": out["status"],
+            "n_orders": out["n"].astype(np.int64),
+            "revenue_c": out["cents"].astype(np.int64),
+        })
+
+    return p.groupby("g").map_groups(resolve, batch_format="pandas")
+
+
+def sql_rollup_revenue() -> str:
+    return """
+SELECT COALESCE(o_orderpriority, 'ALL') AS prio,
+  COALESCE(o_orderstatus, 'ALL') AS status,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    AS revenue_c
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
