@@ -6388,3 +6388,95 @@ SELECT COALESCE(o_orderpriority, 'ALL') AS prio,
 FROM orders
 GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 2c: geofence cap cover
+# ---------------------------------------------------------------------------
+
+CAP_NPOI = 3
+CAP_D2 = 9.0e12  # (3000 km)^2 ECEF chord
+
+
+def q_cap_cover(sf_dir: str):
+    """Geofence materialization: every res-2 cell whose NUCLEUS lies
+    within 3000 km (ECEF chord) of a POI -> (poi_id, cell_id, d2).
+    Grid enumeration is a pure map over the level-order index range
+    (at res 9 that's 2.5e9 cells split across range partitions — no
+    driver list); POIs broadcast.  Both sides derive xyz from the SAME
+    floor(1e6)-quantized nucleus micros, so the threshold compare sees
+    bit-identical inputs (the cell_geometry parity rule)."""
+    from rhealpixdggs_py_ray.core import projection as proj
+
+    pid = np.arange(CAP_NPOI, dtype=np.int64)
+    plon, plat = oracle.lonlat_from_id(pid + 3_000_000)
+    px, py, pz = proj.xyz(CFG, plon, plat)
+
+    b = CFG.N_side**2
+    total = 6 * b**2
+    base = 6 * (b**2 - 1) // (b - 1)
+
+    def cover(batch: pa.Table) -> pa.Table:
+        i = batch["id"].to_numpy(zero_copy_only=False)
+        u = su.suid_from_level_order_index(i + base, CFG)
+        nlon, nlat = idx.nucleus(CFG, u, plane=False)
+        qlon = np.floor(nlon * 1e6).astype(np.int64) / 1e6
+        qlat = np.floor(nlat * 1e6).astype(np.int64) / 1e6
+        x, y, z = proj.xyz(CFG, qlon, qlat)
+        cid = su.to_string_fixed(u, 2)
+        out_p, out_c, out_d = [], [], []
+        for j in range(CAP_NPOI):
+            dx = x - px[j]
+            dy = y - py[j]
+            dz = z - pz[j]
+            d2 = dx * dx + dy * dy + dz * dz
+            hit = d2 <= CAP_D2
+            out_p.append(np.full(int(hit.sum()), j, dtype=np.int64))
+            out_c.append(cid[hit])
+            out_d.append(np.floor(d2[hit] / 1e6).astype(np.int64))
+        return pa.table({
+            "poi_id": pa.array(np.concatenate(out_p)),
+            "cell_id": pa.array(np.concatenate(out_c), type=pa.string()),
+            "d2_mm2": pa.array(np.concatenate(out_d)),
+        })
+
+    return ray.data.range(total, override_num_blocks=4).map_batches(
+        cover, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def sql_cap_cover() -> str:
+    a = repr(CFG.a)
+    e2 = repr(CFG.e**2)
+    qlon, qlat = oracle.lonlat_from_id_sql("poi_id + 3000000")
+    geom = oracle.cell_geometry_sql(2, CFG)
+    nn = f"{a}/sqrt(1 - {e2}*sin(radians(lat))*sin(radians(lat)))"
+    return f"""
+WITH geom AS MATERIALIZED (
+  SELECT cell_id, nuc_lon_micros / 1000000.0 AS lon,
+    nuc_lat_micros / 1000000.0 AS lat
+  FROM ({geom}) g
+),
+cells AS MATERIALIZED (
+  SELECT cell_id,
+    {nn}*cos(radians(lon))*cos(radians(lat)) AS x,
+    {nn}*sin(radians(lon))*cos(radians(lat)) AS y,
+    {nn}*(1 - {e2})*sin(radians(lat)) AS z
+  FROM geom
+),
+poi AS MATERIALIZED (
+  SELECT poi_id,
+    {nn}*cos(radians(lon))*cos(radians(lat)) AS x,
+    {nn}*sin(radians(lon))*cos(radians(lat)) AS y,
+    {nn}*(1 - {e2})*sin(radians(lat)) AS z
+  FROM (SELECT poi_id, {qlon} AS lon, {qlat} AS lat FROM
+    (SELECT unnest(generate_series(0, {CAP_NPOI - 1})) AS poi_id))
+),
+d AS (
+  SELECT p.poi_id, c.cell_id,
+    (c.x-p.x)*(c.x-p.x) + (c.y-p.y)*(c.y-p.y) + (c.z-p.z)*(c.z-p.z) AS d2
+  FROM poi p CROSS JOIN cells c
+)
+SELECT poi_id, cell_id, CAST(floor(d2 / 1000000.0) AS BIGINT) AS d2_mm2
+FROM d WHERE d2 <= {CAP_D2!r}
+"""
