@@ -5465,7 +5465,15 @@ def q_cms_heavy_hitters(sf_dir: str):
         ds.map_batches(cnt_partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("user_id")
         .aggregate(Sum("n", alias_name="n_true"))
-        .filter(lambda r: r["n_true"] >= CMS_HH_MIN)
+        .map_batches(
+            lambda t: t.filter(
+                pa.array(
+                    t["n_true"].to_numpy(zero_copy_only=False) >= CMS_HH_MIN
+                )
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
         .take_all()
     )  # bounded by the threshold: at most total_rows / CMS_HH_MIN rows
     uids = np.array(sorted(r["user_id"] for r in heavy), dtype=np.int64)
