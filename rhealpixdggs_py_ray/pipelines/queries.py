@@ -6488,3 +6488,203 @@ d AS (
 SELECT poi_id, cell_id, CAST(floor(d2 / 1000000.0) AS BIGINT) AS d2_mm2
 FROM d WHERE d2 <= {CAP_D2!r}
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 2d: co-occurrence matrix + constraint audit
+# ---------------------------------------------------------------------------
+
+def q_cooccurrence(sf_dir: str):
+    """Market-basket co-occurrence: for every unordered event_type
+    pair, the number of (user, day) baskets containing both.  ONE
+    h(user, day) bucket exchange; inside a bucket each basket
+    collapses to a 5-bit type mask and the 10 pair counters bump off
+    the mask — partials leaving a bucket are <= 15 rows."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    n_buckets = 16
+    types = list(PIVOT_TYPES)
+    t_idx = {t: i for i, t in enumerate(types)}
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = (
+            batch["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        day = ts // 86_400_000_000
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        bit = np.array([1 << t_idx[t] for t in et], dtype=np.int64)
+        basket = uid * 1_000_000 + day  # day < 1e6: collision-free key
+        # per-batch partial: OR the bits per basket
+        bu, bi = np.unique(basket, return_inverse=True)
+        mask = np.zeros(len(bu), dtype=np.int64)
+        np.bitwise_or.at(mask, bi, bit)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(bu, n_buckets)),
+            "basket": pa.array(bu),
+            "mask": pa.array(mask),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        b = g["basket"].to_numpy()
+        m = g["mask"].to_numpy()
+        bu, bi = np.unique(b, return_inverse=True)
+        full = np.zeros(len(bu), dtype=np.int64)
+        np.bitwise_or.at(full, bi, m)
+        rows = []
+        for i in range(len(types)):
+            for j in range(i + 1, len(types)):
+                n = int(np.count_nonzero(
+                    (full & (1 << i)).astype(bool) & (full & (1 << j)).astype(bool)
+                ))
+                if n:
+                    rows.append((types[i], types[j], n))
+        return pd.DataFrame(rows, columns=["type_a", "type_b", "n_baskets"])
+
+    b = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        b.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+        .groupby(["type_a", "type_b"])
+        .aggregate(Sum("n_baskets", alias_name="n_baskets"))
+    )
+
+
+def sql_cooccurrence() -> str:
+    return """
+WITH basket AS MATERIALIZED (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day, event_type
+  FROM events
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+  CAST(COUNT(*) AS BIGINT) AS n_baskets
+FROM basket a
+JOIN basket b ON b.user_id = a.user_id AND b.day = a.day
+  AND b.event_type > a.event_type
+GROUP BY 1, 2
+"""
+
+
+def q_constraint_audit(sf_dir: str):
+    """Data-quality constraint audit in one pass per table (the
+    'dbt tests at 100 TB' shape — every check is a map-side count, the
+    referential check is the bucket anti-join): duplicate order keys,
+    out-of-range values, orphan orders (o_custkey missing from
+    customer), negative prices.  Output: one row per check."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    n_buckets = 16
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    events = _read(sf_dir, "events", columns=["value"])
+
+    def ev_checks(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "check_name": pa.array(["events_value_negative"]),
+            "n": pa.array(
+                np.array([np.count_nonzero(v < 0)], dtype=np.int64)
+            ),
+        })
+
+    def ord_checks(batch: pa.Table) -> pa.Table:
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "check_name": pa.array(["orders_price_nonpositive"]),
+            "n": pa.array(
+                np.array([np.count_nonzero(p <= 0)], dtype=np.int64)
+            ),
+        })
+
+    # referential + uniqueness need co-location: one union bucket
+    # exchange keyed by the integer key
+    def ord_keys(batch: pa.Table) -> pa.Table:
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        ku, kc = np.unique(ok, return_counts=True)
+        cu, cc = np.unique(ck, return_counts=True)
+        return pa.table({
+            "bucket": pa.array(np.concatenate([
+                hash_bucket_u64(ku, n_buckets), hash_bucket_u64(cu, n_buckets),
+            ])),
+            "key": pa.array(np.concatenate([ku, cu]).astype(np.int64)),
+            "kind": pa.array(np.concatenate([
+                np.zeros(len(ku), dtype=np.int64),   # order key count
+                np.full(len(cu), 1, dtype=np.int64),  # custkey reference
+            ])),
+            "n": pa.array(np.concatenate([kc, cc]).astype(np.int64)),
+        })
+
+    def cust_keys(batch: pa.Table) -> pa.Table:
+        k = np.unique(batch["c_custkey"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(k, n_buckets)),
+            "key": pa.array(k.astype(np.int64)),
+            "kind": pa.array(np.full(len(k), 2, dtype=np.int64)),  # cust dim
+            "n": pa.array(np.ones(len(k), dtype=np.int64)),
+        })
+
+    keyed = orders.map_batches(
+        ord_keys, batch_format="pyarrow", zero_copy_batch=True
+    ).union(cust.map_batches(
+        cust_keys, batch_format="pyarrow", zero_copy_batch=True
+    ))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        kind = g["kind"].to_numpy()
+        key = g["key"].to_numpy()
+        n = g["n"].to_numpy()
+        # duplicate orderkeys: total per key > 1 among kind-0 rows
+        ok = kind == 0
+        ku, ki = np.unique(key[ok], return_inverse=True)
+        cnt = np.zeros(len(ku), dtype=np.int64)
+        np.add.at(cnt, ki, n[ok])
+        dup = int(np.count_nonzero(cnt > 1))
+        # orphan orders: kind-1 custkeys with no kind-2 row
+        refs = kind == 1
+        ru, ri = np.unique(key[refs], return_inverse=True)
+        rn = np.zeros(len(ru), dtype=np.int64)
+        np.add.at(rn, ri, n[refs])
+        dim = np.unique(key[kind == 2])
+        pos = np.searchsorted(dim, ru)
+        present = (pos < len(dim)) & (dim[np.minimum(pos, len(dim) - 1)] == ru)
+        orphan = int(rn[~present].sum())
+        return pd.DataFrame({
+            "check_name": ["orders_orderkey_duplicate", "orders_custkey_orphan"],
+            "n": np.array([dup, orphan], dtype=np.int64),
+        })
+
+    audits = (
+        events.map_batches(ev_checks, batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            orders.map_batches(
+                ord_checks, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            keyed.groupby("bucket").map_groups(
+                per_bucket, batch_format="pandas"
+            ).map_batches(
+                lambda t: t, batch_format="pyarrow", zero_copy_batch=True
+            ),
+        )
+    )
+    return audits.groupby("check_name").aggregate(Sum("n", alias_name="n"))
+
+
+def sql_constraint_audit() -> str:
+    return """
+SELECT 'events_value_negative' AS check_name,
+  CAST(COUNT(*) FILTER (WHERE value < 0) AS BIGINT) AS n FROM events
+UNION ALL
+SELECT 'orders_price_nonpositive',
+  CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'orders_orderkey_duplicate',
+  CAST(COUNT(*) AS BIGINT) FROM (
+    SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'orders_custkey_orphan',
+  CAST(COUNT(*) AS BIGINT) FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+"""
