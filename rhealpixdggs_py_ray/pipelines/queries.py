@@ -6688,3 +6688,155 @@ SELECT 'orders_custkey_orphan',
   CAST(COUNT(*) AS BIGINT) FROM orders o
   WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 2d: image quality filter + thumbnail pyramid
+# ---------------------------------------------------------------------------
+
+IMGVAR_MIN = 4_000_000_000  # 1024^2-scaled channel-0 variance threshold
+
+
+def q_image_quality_filter(sf_dir: str):
+    """Low-texture image filter (the visual twin of the text quality
+    gate): decode -> resize(32) -> INTEGER per-channel variance
+    var_q = 1024*sum(px^2) - sum(px)^2 (exact — no float std), flag
+    images with channel-0 var_q below threshold.  Actor-pool decode,
+    small batches, payloads never shuffle; emits only flagged rows."""
+    from rhealpixdggs_py_ray.fixtures import decode_image, write_images_table
+    from rhealpixdggs_py_ray.ops.multimodal import resize_nearest
+
+    write_images_table(IMG_DIR, IMG_N)
+    ds = ray.data.read_parquet(IMG_DIR, override_num_blocks=8)
+
+    class VarStage:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            blobs = batch["bytes"].to_pylist()
+            fmts = batch["fmt"].to_pylist()
+            ws = batch["w"].to_numpy()
+            hs = batch["h"].to_numpy()
+            ids = batch["image_id"].to_pylist()
+            out = {"image_id": [], "var_r_q": [], "var_g_q": [], "var_b_q": []}
+            for k in range(len(blobs)):
+                pix = decode_image(blobs[k], fmts[k], int(ws[k]), int(hs[k]))
+                small = resize_nearest(pix, 32, 32).astype(np.int64)
+                s = small.sum(axis=(0, 1))
+                s2 = (small * small).sum(axis=(0, 1))
+                v = 1024 * s2 - s * s
+                if v[0] < IMGVAR_MIN:
+                    out["image_id"].append(ids[k])
+                    out["var_r_q"].append(int(v[0]))
+                    out["var_g_q"].append(int(v[1]))
+                    out["var_b_q"].append(int(v[2]))
+            return pa.table({
+                "image_id": pa.array(out["image_id"], type=pa.string()),
+                "var_r_q": pa.array(np.array(out["var_r_q"], dtype=np.int64)),
+                "var_g_q": pa.array(np.array(out["var_g_q"], dtype=np.int64)),
+                "var_b_q": pa.array(np.array(out["var_b_q"], dtype=np.int64)),
+            })
+
+    return ds.map_batches(
+        VarStage, batch_format="pyarrow", batch_size=256,
+        zero_copy_batch=True, concurrency=(1, 8),
+    )
+
+
+def sql_image_quality_filter() -> str:
+    src = _image_src_sql()
+
+    def val(c: int) -> str:
+        return (
+            "(((CAST(gj AS BIGINT) * w) // 32) * 3"
+            " + ((CAST(gi AS BIGINT) * h) // 32) * 5"
+            f" + {c * 7} + CAST((u >> {8 * c}) & 255 AS BIGINT)) % 256"
+        )
+
+    vars_ = ", ".join(
+        f"1024 * SUM(({val(c)}) * ({val(c)})) - SUM({val(c)}) * SUM({val(c)})"
+        f" AS v{c}"
+        for c in range(3)
+    )
+    return f"""
+WITH f AS MATERIALIZED (SELECT image_id, w, h, u FROM {src} t),
+g AS (SELECT gi.gi, gj.gj FROM
+  (SELECT unnest(generate_series(0, 31)) AS gi) gi,
+  (SELECT unnest(generate_series(0, 31)) AS gj) gj),
+v AS MATERIALIZED (
+  SELECT image_id, {vars_} FROM f, g GROUP BY image_id
+)
+SELECT image_id, CAST(v0 AS BIGINT) AS var_r_q, CAST(v1 AS BIGINT)
+  AS var_g_q, CAST(v2 AS BIGINT) AS var_b_q
+FROM v WHERE v0 < {IMGVAR_MIN}
+"""
+
+
+PYRAMID_LEVELS = (32, 16, 8)
+
+
+def q_image_pyramid(sf_dir: str):
+    """Thumbnail pyramid in ONE decode pass: each image decodes once
+    and resizes to 32/16/8; per-level channel-0 centi-mean sums
+    aggregate globally.  The multi-output map shape for 'generate all
+    serving resolutions in one read' — 3 output rows per image, never
+    3 decodes."""
+    from rhealpixdggs_py_ray.fixtures import decode_image, write_images_table
+    from rhealpixdggs_py_ray.ops.multimodal import resize_nearest
+
+    write_images_table(IMG_DIR, IMG_N)
+    ds = ray.data.read_parquet(IMG_DIR, override_num_blocks=8)
+
+    class PyramidStage:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            blobs = batch["bytes"].to_pylist()
+            fmts = batch["fmt"].to_pylist()
+            ws = batch["w"].to_numpy()
+            hs = batch["h"].to_numpy()
+            n = len(blobs)
+            levels = np.empty((n, len(PYRAMID_LEVELS)), dtype=np.int64)
+            for k in range(n):
+                pix = decode_image(blobs[k], fmts[k], int(ws[k]), int(hs[k]))
+                for li, L in enumerate(PYRAMID_LEVELS):
+                    small = resize_nearest(pix, L, L).astype(np.int64)
+                    m = small[:, :, 0].sum() / (L * L)
+                    levels[k, li] = int(np.floor(m * 100))
+            out_lv, out_n, out_s = [], [], []
+            for li, L in enumerate(PYRAMID_LEVELS):
+                out_lv.append(L)
+                out_n.append(n)
+                out_s.append(int(levels[:, li].sum()))
+            return pa.table({
+                "level": pa.array(np.array(out_lv, dtype=np.int64)),
+                "n": pa.array(np.array(out_n, dtype=np.int64)),
+                "sum_mean_r_c": pa.array(np.array(out_s, dtype=np.int64)),
+            })
+
+    p = ds.map_batches(
+        PyramidStage, batch_format="pyarrow", batch_size=256,
+        zero_copy_batch=True, concurrency=(1, 8),
+    )
+    return p.groupby("level").aggregate(
+        Sum("n", alias_name="n"),
+        Sum("sum_mean_r_c", alias_name="sum_mean_r_c"),
+    )
+
+
+def sql_image_pyramid() -> str:
+    src = _image_src_sql()
+    parts = []
+    for L in PYRAMID_LEVELS:
+        val = (
+            f"(((CAST(gj AS BIGINT) * w) // {L}) * 3"
+            f" + ((CAST(gi AS BIGINT) * h) // {L}) * 5"
+            " + CAST(u & 255 AS BIGINT)) % 256"
+        )
+        parts.append(f"""
+SELECT CAST({L} AS BIGINT) AS level, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(m) AS BIGINT) AS sum_mean_r_c FROM (
+  SELECT image_id,
+    CAST(floor((SUM({val}) / {float(L * L)!r}) * 100) AS BIGINT) AS m
+  FROM (SELECT image_id, w, h, u FROM {src} t) f,
+    (SELECT gi.gi, gj.gj FROM
+      (SELECT unnest(generate_series(0, {L - 1})) AS gi) gi,
+      (SELECT unnest(generate_series(0, {L - 1})) AS gj) gj) g
+  GROUP BY image_id)""")
+    return " UNION ALL ".join(parts)
