@@ -6840,3 +6840,169 @@ SELECT CAST({L} AS BIGINT) AS level, CAST(COUNT(*) AS BIGINT) AS n,
       (SELECT unnest(generate_series(0, {L - 1})) AS gj) gj) g
   GROUP BY image_id)""")
     return " UNION ALL ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Round 2d: stream-stream window join + exact deep pagination
+# ---------------------------------------------------------------------------
+
+SSJOIN_WINDOW_US = 3_600_000_000  # 1 h
+
+
+def q_window_join(sf_dir: str):
+    """Stream-stream interval self-join: (click, purchase) pairs by the
+    same user with 0 < t_purchase - t_click <= 1 h — the classic
+    attribution join.  ONE h(user) bucket exchange; inside a bucket a
+    merged lexsort + two-pointer vectorized searchsorted counts pairs
+    per user without materializing the pair table (the SQL oracle's
+    join DOES build it — the pipeline is strictly cheaper).  Output:
+    per-user pair count + matched-purchase count."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    n_buckets = 16
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == "click") | (et == "purchase")
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)[keep]
+        ts = (
+            batch["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)[keep]
+        )
+        is_p = (et[keep] == "purchase").astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(uid, n_buckets)),
+            "user_id": pa.array(uid.astype(np.int64)),
+            "t": pa.array(ts),
+            "is_p": pa.array(is_p),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        t = g["t"].to_numpy()
+        is_p = g["is_p"].to_numpy().astype(bool)
+        out_u, out_pairs, out_m = [], [], []
+        order = np.lexsort((t, uid))
+        uid, t, is_p = uid[order], t[order], is_p[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], uid[1:] != uid[:-1]])
+        )
+        ends = np.append(starts[1:], len(uid))
+        for s, e in zip(starts, ends):
+            ct = t[s:e][~is_p[s:e]]
+            pt = t[s:e][is_p[s:e]]
+            if len(ct) == 0 or len(pt) == 0:
+                continue
+            # pairs per purchase: clicks in [pt - W, pt)
+            lo = np.searchsorted(ct, pt - SSJOIN_WINDOW_US)
+            hi = np.searchsorted(ct, pt)  # strict: click < purchase
+            cnt = hi - lo
+            n_pairs = int(cnt.sum())
+            if n_pairs:
+                out_u.append(int(uid[s]))
+                out_pairs.append(n_pairs)
+                out_m.append(int(np.count_nonzero(cnt > 0)))
+        return pd.DataFrame({
+            "user_id": np.array(out_u, dtype=np.int64),
+            "n_pairs": np.array(out_pairs, dtype=np.int64),
+            "n_matched_purchases": np.array(out_m, dtype=np.int64),
+        })
+
+    b = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return b.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def sql_window_join() -> str:
+    return f"""
+WITH c AS MATERIALIZED (
+  SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'click'
+),
+p AS MATERIALIZED (
+  SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'purchase'
+),
+pairs AS MATERIALIZED (
+  SELECT p.user_id, p.t AS pt, c.t AS ct
+  FROM p JOIN c ON c.user_id = p.user_id
+    AND c.t < p.t AND c.t >= p.t - {SSJOIN_WINDOW_US}
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(COUNT(DISTINCT pt) AS BIGINT) AS n_matched_purchases
+FROM pairs GROUP BY user_id
+"""
+
+
+PAGE_OFFSET = 100
+PAGE_SIZE = 10
+
+
+def q_page_orders(sf_dir: str):
+    """Exact deep pagination (rows ranked 101..110 by totalprice DESC,
+    orderkey ASC) WITHOUT a global sort: a driver-folded cent
+    histogram finds the price cut that brackets the page, only the
+    ~page-sized candidate slice ships to the driver for the final
+    exact ordering — the OFFSET/LIMIT shape that stays O(page), not
+    O(offset), at 100 TB."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        c = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        cu, cc = np.unique(c, return_counts=True)
+        return pa.table({"c": pa.array(cu), "n": pa.array(cc.astype(np.int64))})
+
+    folded: dict[int, int] = {}
+    for bt in ds.map_batches(
+        hist, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        if bt.num_rows == 0:
+            continue
+        for c, n in zip(bt["c"].to_numpy(zero_copy_only=False),
+                        bt["n"].to_numpy(zero_copy_only=False)):
+            folded[int(c)] = folded.get(int(c), 0) + int(n)
+    cs = np.array(sorted(folded, reverse=True), dtype=np.int64)  # DESC
+    cum = np.cumsum([folded[int(c)] for c in cs])
+    # the page needs ranks (PAGE_OFFSET, PAGE_OFFSET + PAGE_SIZE];
+    # candidates: every row with cent >= the cent at rank OFFSET+SIZE
+    cut = int(cs[np.searchsorted(cum, PAGE_OFFSET + PAGE_SIZE)])
+
+    def cand(batch: pa.Table) -> pa.Table:
+        c = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        keep = c >= cut
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"].filter(pa.array(keep)),
+            "price_c": pa.array(c[keep]),
+        })
+
+    rows = ds.map_batches(
+        cand, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # bounded: <= OFFSET + SIZE + ties at the cut cent
+    rows.sort(key=lambda r: (-r["price_c"], r["o_orderkey"]))
+    page = rows[PAGE_OFFSET:PAGE_OFFSET + PAGE_SIZE]
+    return ray.data.from_arrow(pa.table({
+        "rank": pa.array(
+            np.arange(PAGE_OFFSET + 1, PAGE_OFFSET + 1 + len(page),
+                      dtype=np.int64)
+        ),
+        "o_orderkey": pa.array(
+            np.array([r["o_orderkey"] for r in page], dtype=np.int64)
+        ),
+        "price_c": pa.array(
+            np.array([r["price_c"] for r in page], dtype=np.int64)
+        ),
+    }))
+
+
+def sql_page_orders() -> str:
+    return f"""
+SELECT CAST(rn AS BIGINT) AS rank, o_orderkey, price_c FROM (
+  SELECT o_orderkey,
+    CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c,
+    row_number() OVER (
+      ORDER BY floor(o_totalprice * 100) DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn > {PAGE_OFFSET} AND rn <= {PAGE_OFFSET + PAGE_SIZE}
+"""
