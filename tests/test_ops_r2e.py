@@ -1,0 +1,89 @@
+"""Invariant tests for the round-2e operators (co-occurrence,
+constraint audit, image quality filter, thumbnail pyramid,
+stream-stream window join, deep pagination)."""
+
+import numpy as np
+import pandas as pd
+
+import rhealpixdggs_py_ray.pipelines.queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _df(ds):
+    return ds.to_pandas() if hasattr(ds, "to_pandas") else ds
+
+
+def test_cooccurrence_symmetric_bound(ray_session):
+    import duckdb
+
+    df = _df(Q.q_cooccurrence(SF))
+    # pairs are canonical (a < b) and bounded by the smaller side's
+    # basket count
+    assert (df["type_a"] < df["type_b"]).all()
+    baskets = duckdb.sql(
+        f"""SELECT event_type, COUNT(*) FROM (
+          SELECT DISTINCT user_id, epoch_us(ts) // 86400000000, event_type
+          FROM '{SF}/events.parquet') GROUP BY 1"""
+    ).fetchall()
+    per_type = dict(baskets)
+    for _, r in df.iterrows():
+        assert r["n_baskets"] <= min(per_type[r["type_a"]], per_type[r["type_b"]])
+
+
+def test_constraint_audit_clean_fixture(ray_session):
+    df = _df(Q.q_constraint_audit(SF)).set_index("check_name")["n"]
+    assert len(df) == 4
+    # the synthetic fixture is referentially clean with unique keys
+    assert df["orders_orderkey_duplicate"] == 0
+    assert df["orders_custkey_orphan"] == 0
+
+
+def test_image_quality_filter_threshold(ray_session):
+    df = _df(Q.q_image_quality_filter(SF))
+    assert len(df) > 0
+    assert (df["var_r_q"] < Q.IMGVAR_MIN).all()
+    assert (df["var_r_q"] >= 0).all()
+
+
+def test_image_pyramid_levels(ray_session):
+    df = _df(Q.q_image_pyramid(SF)).set_index("level")
+    assert sorted(df.index) == sorted(Q.PYRAMID_LEVELS)
+    assert (df["n"] == Q.IMG_N).all()
+    # centi-mean sums bounded by 255*100 per image
+    assert (df["sum_mean_r_c"] <= 25500 * Q.IMG_N).all()
+
+
+def test_window_join_against_bruteforce(ray_session):
+    import duckdb
+
+    df = _df(Q.q_window_join(SF))
+    assert (df["n_matched_purchases"] <= df["n_pairs"]).all()
+    brute = duckdb.sql(
+        f"""WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type
+             FROM '{SF}/events.parquet')
+        SELECT p.user_id, COUNT(*) AS n
+        FROM e p JOIN e c ON c.user_id = p.user_id
+          AND p.event_type = 'purchase' AND c.event_type = 'click'
+          AND c.t < p.t AND c.t >= p.t - {Q.SSJOIN_WINDOW_US}
+        GROUP BY 1"""
+    ).fetchdf().set_index("user_id")["n"]
+    got = df.set_index("user_id")["n_pairs"]
+    assert got.to_dict() == brute.to_dict()
+
+
+def test_page_orders_is_true_slice(ray_session):
+    import duckdb
+
+    df = _df(Q.q_page_orders(SF)).sort_values("rank")
+    assert len(df) == Q.PAGE_SIZE
+    assert (df["rank"].to_numpy()
+            == np.arange(Q.PAGE_OFFSET + 1,
+                         Q.PAGE_OFFSET + 1 + Q.PAGE_SIZE)).all()
+    # the page's max price must not exceed the (OFFSET)th price overall
+    top = duckdb.sql(
+        f"""SELECT CAST(floor(o_totalprice*100) AS BIGINT) AS c
+        FROM '{SF}/orders.parquet'
+        ORDER BY c DESC LIMIT {Q.PAGE_OFFSET}"""
+    ).fetchdf()["c"]
+    assert df["price_c"].max() <= top.min()
