@@ -652,8 +652,10 @@ def minhash_lsh_pairs(docs_ds, jaccard_min: float = 0.5):
     return _pair_sides_pivot(att, verify, ["shset", "n"])
 
 
-def minhash_lsh_sql(jaccard_min: float = 0.5) -> str:
-    """DuckDB oracle: identical minhash family + bands + verification."""
+def _mh_cand_cte_prefix() -> str:
+    """Shared CTE chain: documents -> shingles -> minhash bands ->
+    DISTINCT candidate pairs (``cand``).  Used by the jaccard verify
+    oracle (minhash_lsh_sql) and the edit-distance refine oracle."""
     a, b = perm_constants()
     perm_rows = ", ".join(f"({s}, {int(a[s])}, {int(b[s])})" for s in range(N_PERM))
     return f"""
@@ -687,7 +689,12 @@ cand AS MATERIALIZED (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
   FROM bands x JOIN bands y
     ON x.band = y.band AND x.k1 = y.k1 AND x.k2 = y.k2 AND x.doc_id < y.doc_id
-),
+)"""
+
+
+def minhash_lsh_sql(jaccard_min: float = 0.5) -> str:
+    """DuckDB oracle: identical minhash family + bands + verification."""
+    return _mh_cand_cte_prefix() + f""",
 sizes AS MATERIALIZED (
   SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
 ),
@@ -1197,4 +1204,100 @@ FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE list_sum(list_transform(generate_series(1, len(a.embedding)),
       i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])) / (a.nrm * b.nrm)
       >= {tau!r}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance refine (Levenshtein over LSH candidates)
+# ---------------------------------------------------------------------------
+
+def levenshtein_u(s: str, t: str) -> int:
+    """Unit-cost Levenshtein (DuckDB ``levenshtein`` parity) with the
+    insertion recurrence vectorized as a min-plus prefix scan:
+    cur[j] = min_k<=j (cand[k] + (j-k)) = j + running-min(cand[k]-k)."""
+    if s == t:
+        return 0
+    if not s:
+        return len(t)
+    if not t:
+        return len(s)
+    n = len(t)
+    ta = np.fromiter(map(ord, t), np.int64, n)
+    ar = np.arange(n + 1, dtype=np.int64)
+    prev = ar.copy()
+    cur = np.empty(n + 1, dtype=np.int64)
+    for i, ch in enumerate(s, 1):
+        cur[0] = i
+        np.minimum(prev[1:] + 1, prev[:-1] + (ta != ord(ch)), out=cur[1:])
+        cur = np.minimum.accumulate(cur - ar) + ar
+        prev, cur = cur, prev
+    return int(prev[n])
+
+
+def editdist_pairs(docs_ds):
+    """LSH-candidate generation (identical to minhash_lsh_pairs) with
+    an EXACT edit-distance refine instead of jaccard: (a, b,
+    edit_dist).  The O(|a|*|b|) DP runs only on candidate pairs —
+    never corpus-quadratic — and texts reach the pair via the same
+    fused one-exchange attach."""
+    sig = docs_ds.map_batches(
+        MinHasher, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k1 = batch["k1"].to_numpy(zero_copy_only=False)
+        k2 = batch["k2"].to_numpy(zero_copy_only=False)
+        b = batch["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = (
+            (k1 ^ (k2 >> np.uint64(1)) ^ b) % np.uint64(N_PAIR_BUCKETS)
+        ).astype(np.int64)
+        return batch.append_column("bucket", pa.array(bucket))
+
+    cand = (
+        sig.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(
+            lambda g: _pairs_within_keys(g, ["band", "k1", "k2"]),
+            batch_format="pandas",
+        )
+    )
+
+    def kv_pack(sub: pd.DataFrame) -> dict:
+        return {"txt": sub["text"].tolist()}
+
+    att = _attach_pair_sides_fused(
+        cand,
+        docs_ds.select_columns(["doc_id", "text"]),
+        pair_sums=[],
+        val_cols=[("txt", pa.string())],
+        kv_mode="pack",
+        kv_pack=kv_pack,
+        kv_in_cols=[("text", pa.string())],
+    )
+
+    def verify(m: pd.DataFrame) -> pd.DataFrame:
+        d = np.fromiter(
+            (
+                levenshtein_u(x, y)
+                for x, y in zip(m["txt_a"].tolist(), m["txt_b"].tolist())
+            ),
+            dtype=np.int64,
+            count=len(m),
+        )
+        return pd.DataFrame({
+            "a": m["a"].to_numpy(),
+            "b": m["b"].to_numpy(),
+            "edit_dist": d,
+        })
+
+    return _pair_sides_pivot(att, verify, ["txt"])
+
+
+def editdist_sql() -> str:
+    return _mh_cand_cte_prefix() + """
+SELECT c.a, c.b,
+  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+FROM cand c
+JOIN documents da ON da.doc_id = c.a
+JOIN documents db ON db.doc_id = c.b
 """

@@ -7006,3 +7006,18 @@ SELECT CAST(rn AS BIGINT) AS rank, o_orderkey, price_c FROM (
   FROM orders
 ) WHERE rn > {PAGE_OFFSET} AND rn <= {PAGE_OFFSET + PAGE_SIZE}
 """
+
+
+def q_dedup_editdist(sf_dir: str):
+    """Edit-distance near-dup refine: exact Levenshtein over the
+    minhash-LSH candidate pairs (ops/dedup.editdist_pairs) — the
+    byte-accurate last pass after cheap LSH blocking."""
+    from rhealpixdggs_py_ray.ops import dedup
+
+    return dedup.editdist_pairs(_docs(sf_dir))
+
+
+def sql_dedup_editdist() -> str:
+    from rhealpixdggs_py_ray.ops import dedup
+
+    return dedup.editdist_sql()

@@ -87,3 +87,30 @@ def test_page_orders_is_true_slice(ray_session):
         ORDER BY c DESC LIMIT {Q.PAGE_OFFSET}"""
     ).fetchdf()["c"]
     assert df["price_c"].max() <= top.min()
+
+
+def test_levenshtein_duckdb_parity():
+    """levenshtein_u (min-plus prefix-scan DP) == DuckDB levenshtein
+    on 300 random string pairs incl. empty strings."""
+    import duckdb
+    import numpy as np
+
+    from rhealpixdggs_py_ray.ops.dedup import levenshtein_u
+
+    rng = np.random.RandomState(7)
+    con = duckdb.connect()
+    for _ in range(300):
+        a = "".join(rng.choice(list("abcde "), rng.randint(0, 30)))
+        b = "".join(rng.choice(list("abcde "), rng.randint(0, 30)))
+        assert levenshtein_u(a, b) == con.execute(
+            "SELECT levenshtein(?, ?)", [a, b]
+        ).fetchone()[0]
+
+
+def test_editdist_identical_docs_zero(ray_session):
+    df = _df(Q.q_dedup_editdist(SF))
+    assert len(df) > 0
+    assert (df["edit_dist"] >= 0).all()
+    # LSH candidates are near-dups: the closest pair must be within a
+    # few edits (fixture near-dups differ by small token perturbations)
+    assert df["edit_dist"].min() <= 8
