@@ -7021,3 +7021,113 @@ def sql_dedup_editdist() -> str:
     from rhealpixdggs_py_ray.ops import dedup
 
     return dedup.editdist_sql()
+
+
+# ---------------------------------------------------------------------------
+# Round 2e: ANN recall evaluation + incremental ingest merge
+# ---------------------------------------------------------------------------
+
+def q_ann_recall(sf_dir: str):
+    """ANN quality evaluation as a first-class pipeline: recall@k of
+    the LSH index against exact brute-force, per query.  Both sides
+    are the existing distributed pipelines; their outputs are
+    Q x k-bounded, so the compare is a driver-side set intersection —
+    the eval harness a production ANN deployment runs per re-index."""
+    from rhealpixdggs_py_ray.ops import ann
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    emb2 = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    brute = ann.ann_topk(emb).take_all()
+    approx = ann.ann_topk_lsh(emb2).take_all()
+    b_by_q: dict[int, set[int]] = {}
+    for r in brute:
+        b_by_q.setdefault(int(r["qid"]), set()).add(int(r["vec_id"]))
+    a_by_q: dict[int, set[int]] = {}
+    for r in approx:
+        a_by_q.setdefault(int(r["qid"]), set()).add(int(r["vec_id"]))
+    qids = sorted(b_by_q)
+    n_brute = np.array([len(b_by_q[q]) for q in qids], dtype=np.int64)
+    n_hit = np.array(
+        [len(b_by_q[q] & a_by_q.get(q, set())) for q in qids], dtype=np.int64
+    )
+    return ray.data.from_arrow(pa.table({
+        "qid": pa.array(np.array(qids, dtype=np.int64)),
+        "n_brute": pa.array(n_brute),
+        "n_hit": pa.array(n_hit),
+        "recall_micros": pa.array(n_hit * 1_000_000 // n_brute),
+    }))
+
+
+def sql_ann_recall() -> str:
+    from rhealpixdggs_py_ray.ops import ann
+
+    return f"""
+WITH b AS MATERIALIZED ({ann.ann_topk_sql()}),
+l AS MATERIALIZED ({ann.ann_topk_lsh_sql()}),
+hit AS MATERIALIZED (
+  SELECT b.qid, CAST(COUNT(l.vec_id) AS BIGINT) AS n_hit
+  FROM b LEFT JOIN l ON l.qid = b.qid AND l.vec_id = b.vec_id
+  GROUP BY b.qid
+),
+nb AS MATERIALIZED (
+  SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_brute FROM b GROUP BY qid
+)
+SELECT nb.qid, nb.n_brute, hit.n_hit,
+  hit.n_hit * 1000000 // nb.n_brute AS recall_micros
+FROM nb JOIN hit ON hit.qid = nb.qid
+"""
+
+
+INCR_SPLIT_DAY = 15
+
+
+def q_incremental_merge(sf_dir: str):
+    """Incremental materialized-view maintenance: the per-type
+    (count, sum) state built from the first half of the month MERGES
+    with the second half's delta — associative integer partials, so
+    merge(old_state, delta) == full recompute, which is exactly what
+    the oracle computes.  The at-scale shape: yesterday's state is a
+    tiny table, only the delta is scanned."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def half(which: int):
+        def partial(batch: pa.Table) -> pa.Table:
+            ts = (
+                batch["ts"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]").astype(np.int64)
+            )
+            day = ts // 86_400_000_000 - 19723  # days since 2024-01-01
+            m = (day < INCR_SPLIT_DAY) if which == 0 else (day >= INCR_SPLIT_DAY)
+            et = batch["event_type"].to_numpy(zero_copy_only=False)[m]
+            vc = np.floor(
+                batch["value"].to_numpy(zero_copy_only=False)[m] * 100
+            ).astype(np.int64)
+            eu, ei = np.unique(et, return_inverse=True)
+            n = np.bincount(ei, minlength=len(eu)).astype(np.int64)
+            s = np.zeros(len(eu), dtype=np.int64)
+            np.add.at(s, ei, vc)
+            return pa.table({
+                "event_type": pa.array(eu),
+                "n": pa.array(n),
+                "sum_value_c": pa.array(s),
+            })
+        return partial
+
+    state = ds.map_batches(
+        half(0), batch_format="pyarrow", zero_copy_batch=True
+    )
+    delta = ds.map_batches(
+        half(1), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return state.union(delta).groupby("event_type").aggregate(
+        Sum("n", alias_name="n"),
+        Sum("sum_value_c", alias_name="sum_value_c"),
+    )
+
+
+def sql_incremental_merge() -> str:
+    return (
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,"
+        " CAST(SUM(CAST(floor(value*100) AS BIGINT)) AS BIGINT)"
+        " AS sum_value_c FROM events GROUP BY event_type"
+    )
