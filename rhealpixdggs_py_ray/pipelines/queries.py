@@ -7131,3 +7131,87 @@ def sql_incremental_merge() -> str:
         " CAST(SUM(CAST(floor(value*100) AS BIGINT)) AS BIGINT)"
         " AS sum_value_c FROM events GROUP BY event_type"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 2e: BPE merge-candidate counting
+# ---------------------------------------------------------------------------
+
+BPE_TOPK = 20
+
+
+def q_bpe_pairs(sf_dir: str):
+    """The inner loop of BPE tokenizer training: corpus-wide counts of
+    ADJACENT token pairs, global top-20 (count DESC, pair ASC).
+    Per-batch np.unique partials over the pair strings -> disjoint
+    hash-bucket exchange -> exact per-bucket top-k -> tiny final merge
+    (the vocab query's bigram sibling; same no-global-sort shape)."""
+    from rhealpixdggs_py_ray.ops.dedup import md5_u64
+
+    n_buckets = 16
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            toks = text.split()
+            for i in range(len(toks) - 1):
+                cnt[(toks[i], toks[i + 1])] += 1
+        t1 = [k[0] for k in cnt]
+        t2 = [k[1] for k in cnt]
+        n = np.fromiter(cnt.values(), dtype=np.int64, count=len(cnt))
+        bucket = np.fromiter(
+            (md5_u64(f"{a}\x01{b}") % n_buckets for a, b in cnt),
+            dtype=np.int64, count=len(cnt),
+        )
+        return pa.table({
+            "bucket": pa.array(bucket),
+            "t1": pa.array(t1, type=pa.string()),
+            "t2": pa.array(t2, type=pa.string()),
+            "n": pa.array(n),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["t1", "t2"], sort=False)["n"].sum().reset_index()
+        agg = agg.sort_values(
+            ["n", "t1", "t2"], ascending=[False, True, True]
+        ).head(BPE_TOPK)
+        return agg
+
+    b = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    parts = b.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["n", "t1", "t2"], ascending=[False, True, True]
+        ).head(BPE_TOPK)
+        return pd.DataFrame({
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            "t1": g["t1"].to_numpy(),
+            "t2": g["t2"].to_numpy(),
+            "n": g["n"].to_numpy(),
+        })
+
+    return parts.map_batches(
+        lambda t: t.append_column("g", pa.array(np.zeros(t.num_rows, dtype=np.int64))),
+        batch_format="pyarrow",
+    ).groupby("g").map_groups(final, batch_format="pandas")
+
+
+def sql_bpe_pairs() -> str:
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents WHERE trim(text) <> ''
+),
+pairs AS MATERIALIZED (
+  SELECT w[i] AS t1, w[i + 1] AS t2, CAST(COUNT(*) AS BIGINT) AS n
+  FROM toks, unnest(generate_series(1, len(w) - 1)) AS g(i)
+  GROUP BY 1, 2
+)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, t1, t2) AS BIGINT) AS rank,
+  t1, t2, n
+FROM pairs ORDER BY n DESC, t1, t2 LIMIT {BPE_TOPK}
+"""
