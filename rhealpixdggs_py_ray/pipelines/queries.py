@@ -897,9 +897,9 @@ def q_label_quality(sf_dir: str):
     final groupby."""
     from rhealpixdggs_py_ray.ops.text import QualityScorer
 
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    embs = _read(sf_dir, "embeddings", columns=["vec_id", "label"])
-    nb = 32
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"], blocks=4)
+    embs = _read(sf_dir, "embeddings", columns=["vec_id", "label"], blocks=4)
+    nb = 8  # exchange fixed cost ~ blocks x partitions (BASELINE r2c)
 
     from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
 
@@ -2366,13 +2366,17 @@ def q_nation_revenue(sf_dir: str):
     the resolve) -> order count + total-price cents per nation name.
     The canonical star-schema rollup: one exchange total, the fact
     table pre-combined map-side per custkey."""
-    od = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    cu = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    # blocks=4/nb=8: exchange fixed cost scales with blocks x
+    # partitions (see priority_revenue / BASELINE.md round-2c note)
+    od = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"],
+               blocks=4)
+    cu = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"],
+               blocks=4)
     nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"], blocks=1).to_pandas()
     nk = nation["n_nationkey"].to_numpy().astype(np.int64)
     order = np.argsort(nk)
     n_ref = ray.put((nk[order], nation["n_name"].to_numpy()[order]))
-    nb = 32
+    nb = 8
     from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
 
     def od_side(batch: pa.Table) -> pa.Table:
@@ -2482,8 +2486,9 @@ def q_running_totals(sf_dir: str):
     per-user loop, no per-user ray group)."""
     from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
 
-    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
-    nb = 32
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"], blocks=4)
+    nb = 8  # exchange fixed cost ~ blocks x partitions (BASELINE r2c)
 
     def keyed(batch: pa.Table) -> pa.Table:
         uid = batch["user_id"].to_numpy(zero_copy_only=False)
@@ -3235,7 +3240,7 @@ def sql_winsorize() -> str:
     )
 
 
-N_ASOF_BUCKETS = 32
+N_ASOF_BUCKETS = 8  # exchange fixed cost ~ blocks x partitions
 
 
 def q_asof_join(sf_dir: str):
@@ -3251,9 +3256,12 @@ def q_asof_join(sf_dir: str):
     — no per-key loop, no JoinOperator, no O(|events| x |orders|)
     intermediate (the SQL oracle's join + QUALIFY builds ~10x the rows
     this pipeline ever materializes)."""
-    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"],
+               blocks=4)
     od = _read(
-        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        blocks=4,
     )
 
     def _bkt(ids: np.ndarray) -> np.ndarray:
