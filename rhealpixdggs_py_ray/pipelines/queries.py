@@ -452,7 +452,7 @@ def q_join_customer_nation(sf_dir: str):
     nkeys = nation["n_nationkey"].to_numpy().astype(np.int64)
     order = np.argsort(nkeys)
     lookup_ref = ray.put((nkeys[order], nation["n_name"].to_numpy()[order]))
-    ds = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+    ds = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"], blocks=4)
 
     def join_combine(batch: pa.Table) -> pa.Table:
         keys, names = ray.get(lookup_ref)
@@ -491,7 +491,7 @@ def sql_join_customer_nation() -> str:
 
 
 def q_topk_orders(sf_dir: str):
-    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"], blocks=4)
     return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
 
 
@@ -579,7 +579,7 @@ def q_topk_per_group(sf_dir: str):
     exchange merges <= 3*n_groups*n_blocks tiny partials — the
     distributed shape for 'best documents per domain' selection."""
     K = 3
-    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderpriority"])
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderpriority"], blocks=4)
 
     def partial(batch: pa.Table) -> pa.Table:
         pr = batch["o_orderpriority"].to_numpy(zero_copy_only=False)
@@ -1366,7 +1366,7 @@ def q_sessions(sf_dir: str):
     """Sessionization without one-pandas-frame-per-user overhead: users
     are hash-bucketed (64 buckets), each bucket's groups are counted in
     one vectorized lexsort + segment-reduce pass."""
-    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"], blocks=4)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -2775,7 +2775,7 @@ def q_distinct_users(sf_dir: str):
     lives in exactly one bucket, so per-bucket distinct is globally
     exact) -> per-bucket partials -> tiny final groupby over the
     handful of event types.  Never a per-user ray group."""
-    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"], blocks=4)
     n_buckets = 32
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -2838,7 +2838,7 @@ def sql_distinct_users() -> str:
 def q_windowed_counts(sf_dir: str):
     """Tumbling 1-hour event-time window per event_type (streaming-style
     windowed aggregate over the events table)."""
-    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"], blocks=4)
 
     def bucket(batch: pa.Table) -> pa.Table:
         ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
@@ -2874,7 +2874,7 @@ def q_sliding_counts(sf_dir: str):
     first, replicate the handful of partials, recombine, then one
     bounded (window, type) exchange.  The streaming construct the
     reference lacks (SURVEY §2.6), windowed_counts' tumbling sibling."""
-    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"], blocks=4)
 
     def partial(batch: pa.Table) -> pa.Table:
         ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
@@ -4816,7 +4816,7 @@ def q_pivot_events(sf_dir: str):
     MAP side — each batch emits already-wide per-day partials (5 known
     type columns), so the exchange carries ~days × 6 ints, never a
     (day, type) long table."""
-    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"], blocks=4)
 
     def partial(batch: pa.Table) -> pa.Table:
         ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
@@ -4861,8 +4861,8 @@ def q_user_setops(sf_dir: str):
     from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
 
     n_buckets = 16
-    ev = _read(sf_dir, "events", columns=["user_id"])
-    od = _read(sf_dir, "orders", columns=["o_custkey"])
+    ev = _read(sf_dir, "events", columns=["user_id"], blocks=4)
+    od = _read(sf_dir, "orders", columns=["o_custkey"], blocks=4)
 
     def side(col: str, bit: int):
         def partial(batch: pa.Table) -> pa.Table:
@@ -5529,8 +5529,8 @@ def q_left_join_orders(sf_dir: str):
     from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
 
     n_buckets = 16
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"], blocks=4)
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"], blocks=4)
 
     def left_rows(batch: pa.Table) -> pa.Table:
         k = batch["c_custkey"].to_numpy(zero_copy_only=False)
@@ -5899,7 +5899,7 @@ def q_funnel(sf_dir: str):
     from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
 
     n_buckets = 16
-    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"], blocks=4)
 
     def tag(batch: pa.Table) -> pa.Table:
         et = batch["event_type"].to_numpy(zero_copy_only=False)
@@ -6020,7 +6020,7 @@ def q_count_of_counts(sf_dir: str):
     from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
 
     n_buckets = 16
-    ds = _read(sf_dir, "events", columns=["user_id"])
+    ds = _read(sf_dir, "events", columns=["user_id"], blocks=4)
 
     def partial(batch: pa.Table) -> pa.Table:
         uid = batch["user_id"].to_numpy(zero_copy_only=False)
@@ -6165,7 +6165,7 @@ def q_trajectory_segments(sf_dir: str):
     from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
 
     n_buckets = 16
-    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"], blocks=4)
 
     def tag(batch: pa.Table) -> pa.Table:
         eid = batch["event_id"].to_numpy(zero_copy_only=False)
@@ -6513,7 +6513,7 @@ def q_cooccurrence(sf_dir: str):
     n_buckets = 16
     types = list(PIVOT_TYPES)
     t_idx = {t: i for i, t in enumerate(types)}
-    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"], blocks=4)
 
     def tag(batch: pa.Table) -> pa.Table:
         uid = batch["user_id"].to_numpy(zero_copy_only=False)
@@ -6584,9 +6584,10 @@ def q_constraint_audit(sf_dir: str):
 
     n_buckets = 16
     orders = _read(sf_dir, "orders",
-                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
-    cust = _read(sf_dir, "customer", columns=["c_custkey"])
-    events = _read(sf_dir, "events", columns=["value"])
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"],
+                   blocks=4)
+    cust = _read(sf_dir, "customer", columns=["c_custkey"], blocks=4)
+    events = _read(sf_dir, "events", columns=["value"], blocks=4)
 
     def ev_checks(batch: pa.Table) -> pa.Table:
         v = batch["value"].to_numpy(zero_copy_only=False)
@@ -6868,7 +6869,7 @@ def q_window_join(sf_dir: str):
     from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
 
     n_buckets = 16
-    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"], blocks=4)
 
     def tag(batch: pa.Table) -> pa.Table:
         et = batch["event_type"].to_numpy(zero_copy_only=False)
