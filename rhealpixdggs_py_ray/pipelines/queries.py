@@ -7044,10 +7044,14 @@ def q_ann_recall(sf_dir: str):
     the eval harness a production ANN deployment runs per re-index."""
     from rhealpixdggs_py_ray.ops import ann
 
+    import concurrent.futures as cf
+
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     emb2 = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    brute = ann.ann_topk(emb).take_all()
-    approx = ann.ann_topk_lsh(emb2).take_all()
+    with cf.ThreadPoolExecutor(2) as ex:  # both pipelines execute at once
+        fb = ex.submit(lambda: ann.ann_topk(emb).take_all())
+        fa = ex.submit(lambda: ann.ann_topk_lsh(emb2).take_all())
+        brute, approx = fb.result(), fa.result()
     b_by_q: dict[int, set[int]] = {}
     for r in brute:
         b_by_q.setdefault(int(r["qid"]), set()).add(int(r["vec_id"]))
