@@ -6928,15 +6928,18 @@ WITH c AS MATERIALIZED (
   SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'click'
 ),
 p AS MATERIALIZED (
-  SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'purchase'
+  SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+  WHERE event_type = 'purchase'
 ),
 pairs AS MATERIALIZED (
-  SELECT p.user_id, p.t AS pt, c.t AS ct
+  -- purchase EVENTS, not timestamps: two purchases at the same ts are
+  -- distinct matches (surfaced by the hot-key skew test)
+  SELECT p.user_id, p.event_id AS pe, c.t AS ct
   FROM p JOIN c ON c.user_id = p.user_id
     AND c.t < p.t AND c.t >= p.t - {SSJOIN_WINDOW_US}
 )
 SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
-  CAST(COUNT(DISTINCT pt) AS BIGINT) AS n_matched_purchases
+  CAST(COUNT(DISTINCT pe) AS BIGINT) AS n_matched_purchases
 FROM pairs GROUP BY user_id
 """
 
