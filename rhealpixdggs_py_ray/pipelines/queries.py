@@ -7231,3 +7231,56 @@ SELECT CAST(row_number() OVER (ORDER BY n DESC, t1, t2) AS BIGINT) AS rank,
   t1, t2, n
 FROM pairs ORDER BY n DESC, t1, t2 LIMIT {BPE_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 2e: uncompact (compress's inverse)
+# ---------------------------------------------------------------------------
+
+def q_uncompact_cells(sf_dir: str):
+    """uncompact: expand the COMPRESSED polyfill cover back to uniform
+    POLYFILL_RES — compress_order_cells' inverse, completing the
+    H3-workalike compact/uncompact pair.  The expansion is a
+    distributed map over the compressed cells (each emits its
+    N^(2*(res-r')) descendants via vectorized digit appends); the
+    oracle is the ORIGINAL uniform cover, so round-trip losslessness
+    is what the hash verifies."""
+    from rhealpixdggs_py_ray.core import wrappers as W
+
+    cells = W.polyfill(geo.Polygon(POLYFILL_POLY), POLYFILL_RES, plane=False, cfg=CFG)
+    comp = W.compress_order_cells(list(cells))
+    ds = ray.data.from_arrow(
+        pa.table({"cell_id": pa.array(comp, type=pa.string())})
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        N = CFG.N_side
+        ids = batch["cell_id"].to_pylist()
+        u = su.from_string(ids)
+        res = su.resolution_of(u)
+        out = []
+        for k in range(len(u)):
+            need = POLYFILL_RES - int(res[k])
+            cur = np.array([u[k]], dtype=np.uint64)
+            for lvl in range(need):
+                # append every digit 0..N^2-1 at the next level
+                # (with_digit levels are 1-based)
+                reps = np.repeat(cur, N * N)
+                digs = np.tile(np.arange(N * N, dtype=np.int64), len(cur))
+                cur = su.with_digit(reps, int(res[k]) + lvl + 1, digs)
+            # stamp the packed resolution field to the target res
+            cur = (cur & ~np.uint64(0xF)) | np.uint64(POLYFILL_RES)
+            out.append(cur)
+        allu = np.concatenate(out) if out else np.array([], dtype=np.uint64)
+        return pa.table({
+            "cell_id": pa.array(
+                np.sort(su.to_string_fixed(allu, POLYFILL_RES)),
+                type=pa.string(),
+            )
+        })
+
+    return ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_uncompact_cells() -> str:
+    return oracle.polyfill_sql(POLYFILL_POLY, POLYFILL_RES, CFG)
