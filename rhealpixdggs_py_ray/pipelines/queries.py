@@ -7284,3 +7284,123 @@ def q_uncompact_cells(sf_dir: str):
 
 def sql_uncompact_cells() -> str:
     return oracle.polyfill_sql(POLYFILL_POLY, POLYFILL_RES, CFG)
+
+
+# ---------------------------------------------------------------------------
+# Round 2e: grid distance (h3_distance workalike)
+# ---------------------------------------------------------------------------
+
+GRIDDIST_RES = 4
+
+
+def q_grid_distance(sf_dir: str):
+    """Grid (Chebyshev) distance between consecutive events of each
+    user, in band (row, col-mod-wrap) space at res 4 — the
+    h3_distance workalike, defined on equatorial-face pairs where the
+    planar grid metric is closed-form (CLAUDE.md band rule).  Pure map
+    after ONE h(user) bucket exchange (same shape as
+    trajectory_segments); pairs with either endpoint off the
+    equatorial band drop."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    n_buckets = 16
+    nrow = CFG.N_side**GRIDDIST_RES
+    ncol = 4 * nrow
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"], blocks=4)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = (
+            batch["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        lon, lat = oracle.lonlat_from_id(eid)
+        u = idx.cell_from_point(CFG, GRIDDIST_RES, lon, lat, plane=False)
+        face = su.face_of(u)
+        _, digits, _ = su.unpack(u)
+        N = CFG.N_side
+        row = np.zeros(len(u), dtype=np.int64)
+        col = np.zeros(len(u), dtype=np.int64)
+        for i in range(GRIDDIST_RES):
+            row = row * N + digits[:, i] // N
+            col = col * N + digits[:, i] % N
+        gcol = (face.astype(np.int64) - 1) * nrow + col
+        eq = (face >= 1) & (face <= 4)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(uid, n_buckets)),
+            "user_id": pa.array(uid.astype(np.int64)),
+            "t": pa.array(ts),
+            "event_id": pa.array(eid.astype(np.int64)),
+            "row": pa.array(np.where(eq, row, -1)),
+            "gcol": pa.array(gcol),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        t = g["t"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, t, uid))
+        uid, eid = uid[order], eid[order]
+        row = g["row"].to_numpy()[order]
+        gcol = g["gcol"].to_numpy()[order]
+        same = uid[1:] == uid[:-1]
+        both_eq = (row[1:] >= 0) & (row[:-1] >= 0)
+        m = same & both_eq
+        dr = np.abs(row[1:] - row[:-1])
+        dcol_raw = np.abs(gcol[1:] - gcol[:-1])
+        dc = np.minimum(dcol_raw, ncol - dcol_raw)  # east-west wrap
+        d = np.maximum(dr, dc)
+        return pd.DataFrame({
+            "event_id": eid[1:][m],          # the later endpoint
+            "user_id": uid[1:][m],
+            "grid_dist": d[m].astype(np.int64),
+        })
+
+    b = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return b.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def sql_grid_distance() -> str:
+    res, N = GRIDDIST_RES, CFG.N_side
+    nrow = N**res
+    ncol = 4 * nrow
+    inner = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), res, CFG, id_cols=("event_id",)
+    )
+    dig = lambda i: f"CAST(substr(cell_id, {i + 2}, 1) AS BIGINT)"
+    row = "(" + " + ".join(
+        f"({dig(i)} // {N}) * {N ** (res - 1 - i)}" for i in range(res)
+    ) + ")"
+    colf = "(" + " + ".join(
+        f"({dig(i)} % {N}) * {N ** (res - 1 - i)}" for i in range(res)
+    ) + ")"
+    fidx = (
+        "(CASE substr(cell_id, 1, 1) "
+        + " ".join(f"WHEN '{c}' THEN {i}" for i, c in enumerate(CELLS0))
+        + " END)"
+    )
+    return f"""
+WITH cells AS MATERIALIZED (
+  SELECT event_id, cell_id,
+    CASE WHEN substr(cell_id, 1, 1) IN ('O','P','Q','R')
+      THEN {row} ELSE -1 END AS row,
+    ({fidx} - 1) * {nrow} + {colf} AS gcol
+  FROM {inner} t
+),
+ev AS MATERIALIZED (
+  SELECT e.event_id, e.user_id, e.ts, c.row, c.gcol
+  FROM events e JOIN cells c ON c.event_id = e.event_id
+),
+lagged AS MATERIALIZED (
+  SELECT event_id, user_id, row, gcol,
+    lag(row) OVER w AS prow, lag(gcol) OVER w AS pgcol
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id,
+  CAST(greatest(abs(row - prow),
+    least(abs(gcol - pgcol), {ncol} - abs(gcol - pgcol))) AS BIGINT)
+    AS grid_dist
+FROM lagged
+WHERE prow IS NOT NULL AND row >= 0 AND prow >= 0
+"""
