@@ -7404,3 +7404,115 @@ SELECT event_id, user_id,
 FROM lagged
 WHERE prow IS NOT NULL AND row >= 0 AND prow >= 0
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 2e: snapshot diff (CDC-style table compare)
+# ---------------------------------------------------------------------------
+
+SNAPDIFF_CUT_DAY = 20
+SNAPDIFF_REMOVE_DAY = 28
+
+
+def q_snapshot_diff(sf_dir: str):
+    """CDC-style snapshot diff: the old snapshot (all events) vs the
+    new one (day>=28 rows dropped, day 20..27 values perturbed) —
+    per-event_type modified / removed / unchanged counts.  Both snapshots meet in ONE
+    h(event_id) union bucket exchange carrying only (key, row-hash)
+    pairs — the migration-validation shape where neither side fits
+    anywhere whole."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+    from rhealpixdggs_py_ray.ops.dedup import md5_u64
+
+    n_buckets = 8
+    ds_old = _read(sf_dir, "events",
+                   columns=["event_id", "ts", "event_type", "value"], blocks=4)
+    ds_new = _read(sf_dir, "events",
+                   columns=["event_id", "ts", "event_type", "value"], blocks=4)
+
+    def side(which: int):
+        def partial(batch: pa.Table) -> pa.Table:
+            eid = batch["event_id"].to_numpy(zero_copy_only=False)
+            ts = (
+                batch["ts"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]").astype(np.int64)
+            )
+            day = ts // 86_400_000_000 - 19723
+            et = batch["event_type"].to_numpy(zero_copy_only=False)
+            vc = np.floor(
+                batch["value"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            if which == 0:  # old snapshot: every row, original values
+                m = np.ones(len(eid), dtype=bool)
+            else:  # new snapshot: day>=28 rows dropped ("removed"),
+                # day 20..27 rows value-perturbed ("modified")
+                m = day < SNAPDIFF_REMOVE_DAY
+                vc = np.where(day >= SNAPDIFF_CUT_DAY, vc + 1, vc)
+            eid, et, vc = eid[m], et[m], vc[m]
+            h = np.fromiter(
+                (md5_u64(f"{int(e)}|{int(v)}") for e, v in zip(eid, vc)),
+                dtype=np.uint64, count=len(eid),
+            ).view(np.int64)
+            return pa.table({
+                "bucket": pa.array(hash_bucket_u64(eid, n_buckets)),
+                "key": pa.array(eid.astype(np.int64)),
+                "event_type": pa.array(et),
+                "h": pa.array(h),
+                "side": pa.array(np.full(len(eid), which, dtype=np.int64)),
+            })
+        return partial
+
+    both = ds_old.map_batches(
+        side(0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(ds_new.map_batches(
+        side(1), batch_format="pyarrow", zero_copy_batch=True
+    ))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["key"].to_numpy()
+        h = g["h"].to_numpy()
+        sd = g["side"].to_numpy()
+        et = g["event_type"].to_numpy()
+        old = {int(k): int(v) for k, v in zip(key[sd == 0], h[sd == 0])}
+        old_et = {int(k): e for k, e in zip(key[sd == 0], et[sd == 0])}
+        nk, nh, net = key[sd == 1], h[sd == 1], et[sd == 1]
+        status = np.empty(len(nk), dtype=object)
+        seen = set()
+        for i in range(len(nk)):
+            o = old.get(int(nk[i]))
+            seen.add(int(nk[i]))
+            status[i] = (
+                "added" if o is None
+                else ("unchanged" if o == int(nh[i]) else "modified")
+            )
+        removed = [k for k in old if k not in seen]
+        df = pd.DataFrame({
+            "event_type": np.concatenate(
+                [net, np.array([old_et[k] for k in removed], dtype=object)]
+            ),
+            "status": np.concatenate(
+                [status, np.full(len(removed), "removed", dtype=object)]
+            ),
+        })
+        out = df.groupby(["event_type", "status"]).size().reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return (
+        both.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+        .groupby(["event_type", "status"]).aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def sql_snapshot_diff() -> str:
+    # the statuses are closed-form in event day: >=28 removed,
+    # 20..27 modified, else unchanged — the oracle needs no join
+    day = "(epoch_us(ts) // 86400000000 - 19723)"
+    return f"""
+SELECT event_type,
+  CASE WHEN {day} >= {SNAPDIFF_REMOVE_DAY} THEN 'removed'
+    WHEN {day} >= {SNAPDIFF_CUT_DAY} THEN 'modified'
+    ELSE 'unchanged' END AS status,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+"""
