@@ -7516,3 +7516,42 @@ SELECT event_type,
   CAST(COUNT(*) AS BIGINT) AS n
 FROM events GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 2e: in-memory polars/Arrow source
+# ---------------------------------------------------------------------------
+
+POLARS_N = 64_000
+
+
+def q_polars_source(sf_dir: str):
+    """Fourth source format: a deterministic in-memory polars frame
+    enters Ray Data zero-copy via Arrow (from_arrow) and aggregates
+    per group — the 'dataframe handoff' path (parquet, CSV, JSON-lines
+    and Arrow-memory sources now all gate-verified)."""
+    import polars as pl
+
+    i = np.arange(POLARS_N, dtype=np.int64)
+    frame = pl.DataFrame({
+        "k": (i % 7),
+        "v": (i * 2654435761) % 1_000_003,
+    })
+    ds = ray.data.from_arrow(frame.to_arrow())
+    return ds.groupby("k").aggregate(
+        Count(alias_name="n"),
+        Sum("v", alias_name="sum_v"),
+        Min("v", alias_name="min_v"),
+        Max("v", alias_name="max_v"),
+    )
+
+
+def sql_polars_source() -> str:
+    return f"""
+SELECT i % 7 AS k, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM((i * 2654435761) % 1000003) AS BIGINT) AS sum_v,
+  CAST(MIN((i * 2654435761) % 1000003) AS BIGINT) AS min_v,
+  CAST(MAX((i * 2654435761) % 1000003) AS BIGINT) AS max_v
+FROM (SELECT unnest(generate_series(0, {POLARS_N - 1})) AS i)
+GROUP BY 1
+"""
