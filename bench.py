@@ -23,7 +23,7 @@ numpy shows the same ceiling; see BASELINE.md) — node counts on a
 real cluster add bandwidth per node, CPU counts on one box do not.
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS
-(default 32), GRAFT_BENCH_ROWS (default 32_000_000),
+(default 32), GRAFT_BENCH_ROWS (default 128_000_000),
 GRAFT_SCALING_ROWS (default 512_000_000), GRAFT_SCALING_CPUS
 (default "2,8").
 """
@@ -38,7 +38,9 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "32000000"))
+# 128M default (was 32M): startup amortizes ~4x better — measured
+# 5.9M rows/s @32M vs 18.4M rows/s @128M on 32 cpus, +2s wall
+ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "128000000"))
 SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "512000000"))
 SCALING_CPUS = tuple(
     int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "2,8").split(",")
