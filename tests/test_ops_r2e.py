@@ -114,3 +114,51 @@ def test_editdist_identical_docs_zero(ray_session):
     # LSH candidates are near-dups: the closest pair must be within a
     # few edits (fixture near-dups differ by small token perturbations)
     assert df["edit_dist"].min() <= 8
+
+
+def test_uncompact_roundtrip_exact(ray_session):
+    """compress -> uncompact is lossless: the expanded set equals the
+    original uniform cover exactly."""
+    from rhealpixdggs_py_ray.core import geometry as geo
+    from rhealpixdggs_py_ray.core import wrappers as W
+    from rhealpixdggs_py_ray.pipelines.queries import (
+        CFG, POLYFILL_POLY, POLYFILL_RES)
+
+    orig = sorted(
+        W.polyfill(geo.Polygon(POLYFILL_POLY), POLYFILL_RES,
+                   plane=False, cfg=CFG)
+    )
+    got = sorted(_df(Q.q_uncompact_cells(SF))["cell_id"].tolist())
+    assert got == orig
+    # and the compressed form is strictly smaller
+    comp = W.compress_order_cells(list(orig))
+    assert len(comp) < len(orig)
+
+
+def test_grid_distance_bounds(ray_session):
+    from rhealpixdggs_py_ray.pipelines.queries import CFG, GRIDDIST_RES
+
+    df = _df(Q.q_grid_distance(SF))
+    assert len(df) > 0
+    nrow = CFG.N_side**GRIDDIST_RES
+    # Chebyshev distance bounded by max(row span, wrapped col span)
+    assert (df["grid_dist"] >= 0).all()
+    assert (df["grid_dist"] <= max(nrow - 1, (4 * nrow) // 2)).all()
+
+
+def test_snapshot_diff_partitions_rows(ray_session):
+    import duckdb
+
+    df = _df(Q.q_snapshot_diff(SF))
+    total = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF}/events.parquet'"
+    ).fetchone()[0]
+    # modified + removed + unchanged covers every old-snapshot row
+    assert df["n"].sum() == total
+    assert set(df["status"]) <= {"modified", "removed", "unchanged"}
+
+
+def test_polars_source_total(ray_session):
+    df = _df(Q.q_polars_source(SF))
+    assert df["n"].sum() == Q.POLARS_N
+    assert len(df) == 7
