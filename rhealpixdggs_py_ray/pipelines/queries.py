@@ -7555,3 +7555,55 @@ SELECT i % 7 AS k, CAST(COUNT(*) AS BIGINT) AS n,
 FROM (SELECT unnest(generate_series(0, {POLARS_N - 1})) AS i)
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 2e: space-time cube
+# ---------------------------------------------------------------------------
+
+CUBE_RES = 2
+
+
+def q_space_time_cube(sf_dir: str):
+    """Space-time cube: event counts per (res-2 cell, day) — the
+    standard geo-analytics aggregation (hotspot detection input).
+    Index + per-batch (cell, day) np.unique partials; one small
+    exchange over the bounded (cells x days) key space."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"], blocks=4)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        ts = (
+            batch["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        day = ts // 86_400_000_000
+        lon, lat = oracle.lonlat_from_id(ids)
+        u = idx.cell_from_point(CFG, CUBE_RES, lon, lat, plane=False)
+        du, di = np.unique(day, return_inverse=True)
+        cu, ci = np.unique(u, return_inverse=True)
+        key = di * len(cu) + ci
+        ku, kc = np.unique(key, return_counts=True)
+        return pa.table({
+            "cell_id": pa.array(
+                su.to_string_fixed(cu[ku % len(cu)], CUBE_RES),
+                type=pa.string(),
+            ),
+            "day": pa.array(du[ku // len(cu)]),
+            "n": pa.array(kc.astype(np.int64)),
+        })
+
+    p = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return p.groupby(["cell_id", "day"]).aggregate(Sum("n", alias_name="n"))
+
+
+def sql_space_time_cube() -> str:
+    inner = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), CUBE_RES, CFG, id_cols=("event_id",)
+    )
+    return f"""
+SELECT t.cell_id, epoch_us(e.ts) // 86400000000 AS day,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM {inner} t JOIN events e ON e.event_id = t.event_id
+GROUP BY 1, 2
+"""
