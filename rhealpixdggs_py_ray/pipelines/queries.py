@@ -1427,7 +1427,10 @@ def sql_sessions() -> str:
 # ---------------------------------------------------------------------------
 
 def _docs(sf_dir: str):
-    return _read(sf_dir, "documents", columns=["doc_id", "text"])
+    # 8 blocks: halves the pair pipelines' exchange fan-in vs 16 while
+    # still feeding the 8-actor hash stages (A/B at sf0.1: minhash
+    # 2.0->1.7s, ngram 2.4->1.8s; 4 blocks is no better)
+    return _read(sf_dir, "documents", columns=["doc_id", "text"], blocks=8)
 
 
 def q_minhash_lsh(sf_dir: str):
