@@ -7610,3 +7610,415 @@ SELECT t.cell_id, epoch_us(e.ts) // 86400000000 AS day,
 FROM {inner} t JOIN events e ON e.event_id = t.event_id
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 2f: window frames, watermarks, outer joins, span dedup, vector tiles
+# ---------------------------------------------------------------------------
+
+MOV_FRAME = 4  # ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+
+
+def q_moving_avg(sf_dir: str):
+    """Sliding window FRAME aggregate: per-user moving sum/count of
+    value cents over the last MOV_FRAME events by time (SUM ... OVER
+    (PARTITION BY user ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING
+    AND CURRENT ROW)).  Same single h(user) bucket exchange as
+    running_totals; the frame is a vectorized difference of the
+    segmented cumsum — no per-row loop, no per-user group."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"], blocks=4)
+    nb = 8
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(uid, nb)),
+            "user_id": batch["user_id"],
+            "t": pa.array(ts.astype(np.int64)),
+            "event_id": batch["event_id"],
+            "v_c": pa.array(np.floor(
+                batch["value"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)),
+        })
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        t = g["t"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        v = g["v_c"].to_numpy()
+        order = np.lexsort((eid, t, uid))
+        uid, t, eid, v = uid[order], t[order], eid[order], v[order]
+        n = len(v)
+        cum = np.cumsum(v)
+        new_seg = np.r_[True, uid[1:] != uid[:-1]]
+        starts = np.flatnonzero(new_seg)
+        seg_id = np.cumsum(new_seg) - 1
+        seg_start = starts[seg_id]
+        i = np.arange(n)
+        lo = np.maximum(i - (MOV_FRAME - 1), seg_start)
+        base = np.where(lo > 0, cum[np.maximum(lo - 1, 0)], 0)
+        return pd.DataFrame({
+            "event_id": eid, "user_id": uid,
+            "mov_sum_c": cum - base,
+            "n_frame": i - lo + 1,
+        })
+
+    part = ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+    return part.groupby("bucket").map_groups(window, batch_format="pandas")
+
+
+def sql_moving_avg() -> str:
+    return (
+        "SELECT event_id, user_id,"
+        " CAST(SUM(CAST(floor(value*100) AS BIGINT)) OVER w AS BIGINT)"
+        "  AS mov_sum_c,"
+        " CAST(COUNT(*) OVER w AS BIGINT) AS n_frame"
+        " FROM events WINDOW w AS ("
+        f"  PARTITION BY user_id ORDER BY ts, event_id"
+        f"  ROWS BETWEEN {MOV_FRAME - 1} PRECEDING AND CURRENT ROW)"
+    )
+
+
+LATE_GAP_US = 900_000_000  # 15 min watermark lag
+
+
+def q_late_events(sf_dir: str):
+    """Streaming watermark semantics, replayed deterministically: the
+    arrival order of each user's events is the splitmix64(event_id)
+    permutation (a fixed shuffle of the time order), the watermark is
+    (max event time seen so far for that user) - 15 min, and an event
+    is LATE if it arrives below the watermark (the row a streaming
+    engine would drop or side-output).  One h(user) bucket exchange;
+    the per-bucket resolve is a segmented running max (pandas groupby
+    cummax, C-vectorized) + shift, not a per-event loop."""
+    from rhealpixdggs_py_ray.fixtures import splitmix64
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id"], blocks=4)
+    nb = 8
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(uid, nb)),
+            "user_id": batch["user_id"],
+            "event_id": batch["event_id"],
+            "t": pa.array(ts.astype(np.int64)),
+            "arr": pa.array(splitmix64(eid.astype(np.uint64)).view(np.int64)),
+        })
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        arr_u = g["arr"].to_numpy().view(np.uint64)
+        order = np.lexsort((
+            g["event_id"].to_numpy(), arr_u, g["user_id"].to_numpy()
+        ))
+        g = g.iloc[order]
+        cm = g.groupby("user_id", sort=False)["t"].cummax()
+        pm = cm.groupby(g["user_id"], sort=False).shift(1)
+        t = g["t"].to_numpy()
+        late = (pm.notna().to_numpy()
+                & (t < pm.fillna(0).to_numpy() - LATE_GAP_US))
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+            "late": late.astype(np.int64),
+        })
+
+    part = ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+    return part.groupby("bucket").map_groups(flag, batch_format="pandas")
+
+
+def sql_late_events() -> str:
+    sm = oracle.splitmix64_sql_ctes(
+        "SELECT event_id FROM events", "event_id", "event_id", "h"
+    )
+    return f"""
+WITH arr AS MATERIALIZED (SELECT event_id, h FROM {sm} t),
+e AS MATERIALIZED (
+  SELECT e.event_id, e.user_id, epoch_us(e.ts) AS t, arr.h
+  FROM events e JOIN arr USING (event_id)
+),
+w AS (
+  SELECT event_id, user_id, t,
+    MAX(t) OVER (PARTITION BY user_id ORDER BY h, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM e
+)
+SELECT event_id, user_id,
+  CAST(CASE WHEN pm IS NOT NULL AND t < pm - {LATE_GAP_US}
+       THEN 1 ELSE 0 END AS BIGINT) AS late
+FROM w
+"""
+
+
+def q_full_outer_days(sf_dir: str):
+    """FULL OUTER join (completes the inner/left/semi/anti family):
+    per-epoch-day event counts vs order counts, days surviving from
+    EITHER side with the missing side COALESCEd to zero.  Both sides
+    arrive as map-side per-day partials through ONE union bucket
+    exchange on h(day); outer-ness is free in the resolve (a day's
+    group emits whichever sides it holds)."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    nb = 8
+    events = _read(sf_dir, "events", columns=["ts"], blocks=4)
+    orders = _read(sf_dir, "orders", columns=["o_orderdate"], blocks=4)
+
+    def side_partial(col: str, side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            ts = batch[col].to_numpy(zero_copy_only=False)
+            day = ts.astype("datetime64[us]").astype(np.int64) // 86_400_000_000
+            du, dc = np.unique(day, return_counts=True)
+            return pa.table({
+                "bucket": pa.array(hash_bucket_u64(du.astype(np.uint64), nb)),
+                "day": pa.array(du),
+                "n": pa.array(dc.astype(np.int64)),
+                "side": pa.array(np.full(len(du), side, dtype=np.int64)),
+            })
+        return fn
+
+    both = events.map_batches(
+        side_partial("ts", 0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(orders.map_batches(
+        side_partial("o_orderdate", 1), batch_format="pyarrow",
+        zero_copy_batch=True,
+    ))
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        day = g["day"].to_numpy()
+        n = g["n"].to_numpy()
+        side = g["side"].to_numpy()
+        du, di = np.unique(day, return_inverse=True)
+        ev = np.zeros(len(du), dtype=np.int64)
+        od = np.zeros(len(du), dtype=np.int64)
+        np.add.at(ev, di[side == 0], n[side == 0])
+        np.add.at(od, di[side == 1], n[side == 1])
+        return pd.DataFrame({"day": du, "n_events": ev, "n_orders": od})
+
+    return both.groupby("bucket").map_groups(resolve, batch_format="pandas")
+
+
+def sql_full_outer_days() -> str:
+    return """
+WITH e AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+o AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+)
+SELECT COALESCE(e.day, o.day) AS day,
+  CAST(COALESCE(e.n, 0) AS BIGINT) AS n_events,
+  CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders
+FROM e FULL OUTER JOIN o ON e.day = o.day
+"""
+
+
+def q_rank_orders(sf_dir: str):
+    """Ranking window functions (rank + dense_rank, the tie-aware pair
+    row_number can't express): each order ranked by totalprice cents
+    DESC within its customer.  One h(custkey) bucket exchange; ranks
+    come from flag arithmetic on the lexsorted bucket (rank = offset of
+    the latest price-change row within the segment, dense = count of
+    price-change rows), fully vectorized."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_totalprice"], blocks=4)
+    nb = 8
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(ck.astype(np.uint64), nb)),
+            "o_orderkey": batch["o_orderkey"],
+            "o_custkey": batch["o_custkey"],
+            "price_c": pa.array(np.floor(
+                batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)),
+        })
+
+    def ranks(g: pd.DataFrame) -> pd.DataFrame:
+        ck = g["o_custkey"].to_numpy()
+        ok = g["o_orderkey"].to_numpy()
+        pc = g["price_c"].to_numpy()
+        order = np.lexsort((ok, -pc, ck))
+        ck, ok, pc = ck[order], ok[order], pc[order]
+        n = len(ck)
+        i = np.arange(n)
+        new_seg = np.r_[True, ck[1:] != ck[:-1]]
+        starts = np.flatnonzero(new_seg)
+        seg_id = np.cumsum(new_seg) - 1
+        seg_start = starts[seg_id]
+        chg = new_seg | np.r_[True, pc[1:] != pc[:-1]]
+        last_chg = np.maximum.accumulate(np.where(chg, i, 0))
+        cnt = np.cumsum(chg)
+        return pd.DataFrame({
+            "o_orderkey": ok, "o_custkey": ck, "price_c": pc,
+            "rnk": last_chg - seg_start + 1,
+            "drnk": cnt - cnt[seg_start] + 1,
+        })
+
+    part = ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+    return part.groupby("bucket").map_groups(ranks, batch_format="pandas")
+
+
+def sql_rank_orders() -> str:
+    return """
+SELECT o_orderkey, o_custkey,
+  CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c,
+  CAST(rank() OVER w AS BIGINT) AS rnk,
+  CAST(dense_rank() OVER w AS BIGINT) AS drnk
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT) DESC)
+"""
+
+
+SPAN_W = 8  # tokens per span (substring-level dedup granule)
+
+
+def q_dup_spans(sf_dir: str):
+    """Substring-level duplication detection (the Lee-et-al "exact
+    substring dedup" granule): every SPAN_W-token span of every
+    document is fingerprinted (md5 of the space-joined window) and
+    spans occurring in >= 2 distinct documents are reported with their
+    document and occurrence counts.  Per-batch partials collapse each
+    batch's spans to (span, n_occ, n_docs) before the single
+    h(span) bucket exchange — the exploded span table itself never
+    shuffles."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"], blocks=8)
+    nb = 16
+
+    def partial(batch: pa.Table) -> pa.Table:
+        occ: dict[str, int] = {}
+        docs: dict[str, int] = {}
+        for text in batch["text"].to_pylist():
+            toks = text.split()
+            if len(toks) < SPAN_W:
+                continue
+            seen: set[str] = set()
+            for i in range(len(toks) - SPAN_W + 1):
+                h = hashlib.md5(
+                    " ".join(toks[i:i + SPAN_W]).encode("utf-8")
+                ).hexdigest()
+                occ[h] = occ.get(h, 0) + 1
+                seen.add(h)
+            for h in seen:
+                docs[h] = docs.get(h, 0) + 1
+        grams = np.array(sorted(occ.keys()), dtype=object)
+        gu64 = np.array(
+            [int(h[:16], 16) for h in grams], dtype=np.uint64
+        ) if len(grams) else np.array([], dtype=np.uint64)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(gu64, nb)),
+            "gram_md5": pa.array(grams, type=pa.string()),
+            "occ": pa.array(
+                np.array([occ[h] for h in grams], dtype=np.int64)),
+            "docs": pa.array(
+                np.array([docs[h] for h in grams], dtype=np.int64)),
+        })
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        gm = g["gram_md5"].to_numpy()
+        gu, gi = np.unique(gm, return_inverse=True)
+        occ = np.zeros(len(gu), dtype=np.int64)
+        dcs = np.zeros(len(gu), dtype=np.int64)
+        np.add.at(occ, gi, g["occ"].to_numpy())
+        np.add.at(dcs, gi, g["docs"].to_numpy())
+        keep = dcs >= 2
+        return pd.DataFrame({
+            "gram_md5": gu[keep], "n_docs": dcs[keep], "n_occ": occ[keep],
+        })
+
+    part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return part.groupby("bucket").map_groups(resolve, batch_format="pandas")
+
+
+def sql_dup_spans() -> str:
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents WHERE trim(text) <> ''
+),
+grams AS MATERIALIZED (
+  SELECT doc_id, md5(array_to_string(w[i:i + {SPAN_W - 1}], ' ')) AS gram_md5
+  FROM toks, unnest(generate_series(1, len(w) - {SPAN_W - 1})) AS t(i)
+)
+SELECT gram_md5, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) AS BIGINT) AS n_occ
+FROM grams GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
+def q_vector_tiles(sf_dir: str):
+    """Raster->vector tile export (the north rule's raster<->vector
+    leg as ONE artifact): every res-TILE_RES tile holding events is
+    emitted as its 4-corner ellipsoidal polygon (unordered vertex set,
+    rotation-invariant like cell_boundary) annotated with the tile's
+    event count — i.e. a vector layer ready for a tile server.  The
+    count comes from the salted-combiner tile aggregation; the
+    vertices are computed once per surviving tile (a few hundred
+    rows), never per event."""
+    ds = q_tile_counts(sf_dir)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        tid = batch["tile_id"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        if len(tid) == 0:
+            return pa.table({
+                "tile_id": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+                "pt_lon_micros": pa.array([], type=pa.int64()),
+                "pt_lat_micros": pa.array([], type=pa.int64()),
+            })
+        u = su.from_string(tid)
+        v = idx.vertices(CFG, u, plane=False)  # (m, 4, 2) NW-rotated
+        return pa.table({
+            "tile_id": pa.array(np.repeat(tid, 4)),
+            "n": pa.array(np.repeat(n, 4).astype(np.int64)),
+            "pt_lon_micros": pa.array(
+                np.floor(v[:, :, 0].ravel() * 1e6).astype(np.int64)),
+            "pt_lat_micros": pa.array(
+                np.floor(v[:, :, 1].ravel() * 1e6).astype(np.int64)),
+        })
+
+    return ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_vector_tiles() -> str:
+    counts = sql_tile_counts()
+    ul = oracle.grid_ul_sql(TILE_RES, CFG)
+    w = oracle._lit(CFG.cell_width(TILE_RES))
+    corners = (
+        f"(WITH ulv AS (SELECT cell_id, xul, yul FROM {ul} t)"
+        f" SELECT cell_id, xul AS xm, yul AS ym FROM ulv"
+        f" UNION ALL SELECT cell_id, xul + {w}, yul FROM ulv"
+        f" UNION ALL SELECT cell_id, xul + {w}, yul - {w} FROM ulv"
+        f" UNION ALL SELECT cell_id, xul, yul - {w} FROM ulv)"
+    )
+    inv = oracle.inverse_sql(
+        f"SELECT cell_id, xm, ym FROM {corners} t", CFG, id_cols=("cell_id",)
+    )
+    return f"""
+WITH counts AS MATERIALIZED ({counts}),
+pts AS MATERIALIZED (
+  SELECT cell_id,
+    CAST(floor(lon * 1e6) AS BIGINT) AS pt_lon_micros,
+    CAST(floor(lat * 1e6) AS BIGINT) AS pt_lat_micros
+  FROM {inv} t
+)
+SELECT c.tile_id, CAST(c.n AS BIGINT) AS n, p.pt_lon_micros, p.pt_lat_micros
+FROM counts c JOIN pts p ON p.cell_id = c.tile_id
+"""
