@@ -8022,3 +8022,449 @@ pts AS MATERIALIZED (
 SELECT c.tile_id, CAST(c.n AS BIGINT) AS n, p.pt_lon_micros, p.pt_lat_micros
 FROM counts c JOIN pts p ON p.cell_id = c.tile_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 2g: batching plans, mixture weights, normalization, overlay, Moran
+# ---------------------------------------------------------------------------
+
+LB_MAX_B = 15  # length buckets 2^0 .. 2^15 (fixture max is 100 tokens)
+
+
+def q_length_buckets(sf_dir: str):
+    """Sequence-length bucketing plan (the padding-waste audit a
+    training data loader runs before batching): docs binned to
+    power-of-two token-length buckets [2^b, 2^(b+1)), per bucket the
+    doc count, true token total, padded token total (every doc padded
+    to the bucket cap 2^(b+1)) and the implied waste.  Pure map +
+    16-key combine — never a shuffle."""
+    ds = _read(sf_dir, "documents", columns=["text"], blocks=4)
+    powers = (1 << np.arange(LB_MAX_B + 2)).astype(np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = np.array(
+            [len(t.split()) for t in batch["text"].to_pylist()],
+            dtype=np.int64,
+        )
+        n = n[n >= 1]
+        b = np.searchsorted(powers, n, side="right") - 1
+        bu, bi = np.unique(b, return_inverse=True)
+        cnt = np.zeros(len(bu), dtype=np.int64)
+        tok = np.zeros(len(bu), dtype=np.int64)
+        np.add.at(cnt, bi, 1)
+        np.add.at(tok, bi, n)
+        return pa.table({
+            "bucket": pa.array(bu),
+            "n_docs": pa.array(cnt),
+            "sum_tokens": pa.array(tok),
+        })
+
+    agg = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("bucket").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("sum_tokens", alias_name="sum_tokens"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        b = batch["bucket"].to_numpy(zero_copy_only=False)
+        nd = batch["n_docs"].to_numpy(zero_copy_only=False)
+        st = batch["sum_tokens"].to_numpy(zero_copy_only=False)
+        cap = (np.int64(1) << (b + 1)).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(b.astype(np.int64)),
+            "n_docs": pa.array(nd.astype(np.int64)),
+            "sum_tokens": pa.array(st.astype(np.int64)),
+            "padded_tokens": pa.array(nd * cap),
+            "waste_tokens": pa.array(nd * cap - st),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_length_buckets() -> str:
+    return f"""
+WITH t AS (
+  SELECT CASE WHEN trim(text) = '' THEN 0
+    ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n
+  FROM documents
+),
+b AS (SELECT unnest(generate_series(0, {LB_MAX_B})) AS bucket),
+m AS (
+  SELECT b.bucket, t.n, (CAST(1 AS BIGINT) << (b.bucket + 1)) AS cap
+  FROM t JOIN b ON t.n >= (CAST(1 AS BIGINT) << b.bucket)
+    AND t.n < (CAST(1 AS BIGINT) << (b.bucket + 1))
+  WHERE t.n >= 1
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n) AS BIGINT) AS sum_tokens,
+  CAST(COUNT(*) * cap AS BIGINT) AS padded_tokens,
+  CAST(COUNT(*) * cap - SUM(n) AS BIGINT) AS waste_tokens
+FROM m GROUP BY bucket, cap
+"""
+
+
+MIX_ALPHA_NOTE = "alpha = 0.5 (sqrt temperature)"
+
+
+def q_mixture_weights(sf_dir: str):
+    """Data-mixture weights with temperature alpha=0.5 (the
+    multi-source sampling schedule of large-corpus training): per
+    source the token total T_s, weight_ppm = floor(1e6 * sqrt(T_s) /
+    S) with S the left-to-right fold of sqrt(T_s) in source-name
+    order (the engine's list_sum parity rule, ops/ann._seq_*).
+    Map-side per-source token partials -> tiny groupby -> the global
+    fold runs in-dataset on the one-block repartition."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"], blocks=4)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch["source"].to_pylist(), dtype=object)
+        n = np.array(
+            [len(t.split()) for t in batch["text"].to_pylist()],
+            dtype=np.int64,
+        )
+        su_, si = np.unique(src, return_inverse=True)
+        tok = np.zeros(len(su_), dtype=np.int64)
+        np.add.at(tok, si, n)
+        return pa.table({
+            "source": pa.array(su_, type=pa.string()),
+            "sum_tokens": pa.array(tok),
+        })
+
+    agg = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("source").aggregate(Sum("sum_tokens", alias_name="sum_tokens"))
+
+    def weights(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch["source"].to_pylist(), dtype=object)
+        tok = batch["sum_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(src)  # name order = the SQL list ORDER BY
+        s = 0.0
+        for v in np.sqrt(tok[order].astype(np.float64)):
+            s += v
+        w = np.floor(
+            (1e6 * np.sqrt(tok.astype(np.float64))) / s
+        ).astype(np.int64)
+        return pa.table({
+            "source": pa.array(src, type=pa.string()),
+            "sum_tokens": pa.array(tok),
+            "weight_ppm": pa.array(w),
+        })
+
+    return agg.repartition(1).map_batches(
+        weights, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def sql_mixture_weights() -> str:
+    return """
+WITH t AS MATERIALIZED (
+  SELECT source,
+    CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+      ELSE length(regexp_split_to_array(trim(text), '\\s+')) END)
+      AS BIGINT) AS sum_tokens
+  FROM documents GROUP BY 1
+),
+s AS (
+  SELECT list_sum(list(sqrt(CAST(sum_tokens AS DOUBLE)) ORDER BY source))
+    AS total FROM t
+)
+SELECT t.source, t.sum_tokens,
+  CAST(floor((1e6 * sqrt(CAST(t.sum_tokens AS DOUBLE))) / s.total)
+    AS BIGINT) AS weight_ppm
+FROM t, s
+"""
+
+
+def q_zscore_events(sf_dir: str):
+    """Per-group z-score normalization (feature scaling as a
+    distributed two-pass): per event type the exact integer sufficient
+    stats (n, Sigma c, Sigma c^2) are combined map-side and broadcast
+    via ray.put, then a pure map emits z_milli = floor(1000 * (n*c -
+    Sc) / sqrt(n*Sq - Sc^2)) — numerator and radicand are exact
+    int64 (envelope: value<=561 -> c<=56101, safe through ~1e6 rows
+    per type), so both sides floor the identical IEEE double."""
+    import ray
+
+    stats_ds = _read(sf_dir, "events", columns=["event_type", "value"], blocks=4)
+
+    def spartial(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        c = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        tu, ti = np.unique(et, return_inverse=True)
+        n = np.zeros(len(tu), dtype=np.int64)
+        sc = np.zeros(len(tu), dtype=np.int64)
+        sq = np.zeros(len(tu), dtype=np.int64)
+        np.add.at(n, ti, 1)
+        np.add.at(sc, ti, c)
+        np.add.at(sq, ti, c * c)
+        return pa.table({
+            "event_type": pa.array(tu, type=pa.string()),
+            "n": pa.array(n), "sc": pa.array(sc), "sq": pa.array(sq),
+        })
+
+    stats = stats_ds.map_batches(
+        spartial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("event_type").aggregate(
+        Sum("n", alias_name="n"), Sum("sc", alias_name="sc"),
+        Sum("sq", alias_name="sq"),
+    ).take_all()  # bounded: one row per event type
+    table = {
+        r["event_type"]: (int(r["n"]), int(r["sc"]), int(r["sq"]))
+        for r in stats
+    }
+    ref = ray.put(table)
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "value"], blocks=4)
+
+    def zmap(batch: pa.Table) -> pa.Table:
+        tab = ray.get(ref)
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        c = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        n = np.array([tab[t][0] for t in et], dtype=np.int64)
+        sc = np.array([tab[t][1] for t in et], dtype=np.int64)
+        sq = np.array([tab[t][2] for t in et], dtype=np.int64)
+        den2 = n * sq - sc * sc
+        num = 1000 * (n * c - sc)
+        z = np.zeros(len(c), dtype=np.int64)
+        ok = den2 > 0
+        z[ok] = np.floor(
+            num[ok].astype(np.float64) / np.sqrt(den2[ok].astype(np.float64))
+        ).astype(np.int64)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+            "z_milli": pa.array(z),
+        })
+
+    return ds.map_batches(zmap, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_zscore_events() -> str:
+    return """
+WITH c AS MATERIALIZED (
+  SELECT event_id, event_type,
+    CAST(floor(value * 100) AS BIGINT) AS c
+  FROM events
+),
+s AS MATERIALIZED (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(c * c) AS BIGINT) AS sq
+  FROM c GROUP BY 1
+)
+SELECT e.event_id, e.event_type,
+  CAST(CASE WHEN s.n * s.sq - s.sc * s.sc <= 0 THEN 0
+    ELSE floor(CAST(1000 * (s.n * e.c - s.sc) AS DOUBLE)
+               / sqrt(CAST(s.n * s.sq - s.sc * s.sc AS DOUBLE)))
+    END AS BIGINT) AS z_milli
+FROM c e JOIN s USING (event_type)
+"""
+
+
+OVERLAY_A = [(-20.3, 30.2), (25.4, 33.1), (22.2, -8.4), (-18.7, -4.6)]
+OVERLAY_B = [(0.3, 20.2), (45.6, 24.1), (41.4, -14.3), (2.6, -10.2)]
+OVERLAY_RES = 4
+
+
+def q_polygon_overlay(sf_dir: str):
+    """Polygon overlay analysis via DGGS covers (the vector-GIS
+    intersect/union estimate without polygon clipping): both polygons
+    are rasterized to res-4 cell covers (polyfill semantics), the two
+    cover sets meet in one cell groupby with a side bitmask, and the
+    overlap report is (n_a, n_b, n_both, jaccard_ppm).  Cover sizes
+    are resolution-bound, so the final gather is O(cover), never
+    O(events)."""
+    from rhealpixdggs_py_ray.core import wrappers as W
+
+    ca = sorted(W.polyfill(geo.Polygon(OVERLAY_A), OVERLAY_RES, plane=False, cfg=CFG))
+    cb = sorted(W.polyfill(geo.Polygon(OVERLAY_B), OVERLAY_RES, plane=False, cfg=CFG))
+    a_ds = ray.data.from_arrow(pa.table({
+        "cell_id": pa.array(ca, type=pa.string()),
+        "side": pa.array(np.ones(len(ca), dtype=np.int64)),
+    }))
+    b_ds = ray.data.from_arrow(pa.table({
+        "cell_id": pa.array(cb, type=pa.string()),
+        "side": pa.array(np.full(len(cb), 2, dtype=np.int64)),
+    }))
+    masks = a_ds.union(b_ds).groupby("cell_id").aggregate(
+        Sum("side", alias_name="mask")
+    )
+    rows = masks.take_all()  # bounded by the covers
+    m = np.array([r["mask"] for r in rows], dtype=np.int64)
+    n_a = int(((m & 1) > 0).sum())
+    n_b = int((m >= 2).sum())
+    n_both = int((m == 3).sum())
+    union = n_a + n_b - n_both
+    return pa.table({
+        "n_a": pa.array([n_a], type=pa.int64()),
+        "n_b": pa.array([n_b], type=pa.int64()),
+        "n_both": pa.array([n_both], type=pa.int64()),
+        "jaccard_ppm": pa.array(
+            [1_000_000 * n_both // union if union else 0], type=pa.int64()),
+    })
+
+
+def sql_polygon_overlay() -> str:
+    a = oracle.polyfill_sql(OVERLAY_A, OVERLAY_RES, CFG)
+    b = oracle.polyfill_sql(OVERLAY_B, OVERLAY_RES, CFG)
+    return f"""
+WITH a AS MATERIALIZED (SELECT cell_id FROM ({a}) t),
+b AS MATERIALIZED (SELECT cell_id FROM ({b}) t),
+m AS (
+  SELECT (a.cell_id IS NOT NULL) AS ia, (b.cell_id IS NOT NULL) AS ib
+  FROM a FULL OUTER JOIN b ON a.cell_id = b.cell_id
+),
+c AS (
+  SELECT CAST(SUM(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN ib THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN ia AND ib THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+  FROM m
+)
+SELECT n_a, n_b, n_both,
+  CAST(CASE WHEN n_a + n_b - n_both = 0 THEN 0
+    ELSE (1000000 * n_both) // (n_a + n_b - n_both) END AS BIGINT)
+    AS jaccard_ppm
+FROM c
+"""
+
+
+MORAN_RES = 2  # 9 rows x 36 cols equatorial lattice
+
+
+def q_morans_i(sf_dir: str):
+    """Moran's I spatial-autocorrelation sufficient statistics over
+    the equatorial res-2 event lattice (hotspot detection): x_i =
+    event count per lattice cell (0 for empty cells), deviations
+    d_i = n_cells*x_i - Sigma x kept integer, and the report is the
+    exact integer pair (num = Sigma_{i~j} d_i d_j over the 8-neighbor
+    lattice with east-west wrap, den = Sigma d_i^2) plus W = pair
+    count; I = (n/W) * num/den for the caller.  Counting is
+    distributed; the lattice fold is O(324), resolution-bound.
+    Envelope: |d| <= 324 * n_events keeps num/den in int64 through
+    ~1e7 events."""
+    nrow = CFG.N_side**MORAN_RES
+    ncol = 4 * nrow
+    ds = _read(sf_dir, "events", columns=["event_id"], blocks=4)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = oracle.lonlat_from_id(ids)
+        u = idx.cell_from_point(CFG, MORAN_RES, lon, lat, plane=False)
+        face = su.face_of(u)
+        eq = (face >= 1) & (face <= 4)
+        cu, ci = np.unique(u[eq], return_inverse=True)
+        cnt = np.zeros(len(cu), dtype=np.int64)
+        np.add.at(cnt, ci, 1)
+        _, digits, _ = su.unpack(cu)
+        N = CFG.N_side
+        row = np.zeros(len(cu), dtype=np.int64)
+        col = np.zeros(len(cu), dtype=np.int64)
+        for i in range(MORAN_RES):
+            row = row * N + digits[:, i] // N
+            col = col * N + digits[:, i] % N
+        k = row * ncol + (su.face_of(cu).astype(np.int64) - 1) * nrow + col
+        return pa.table({"k": pa.array(k), "n": pa.array(cnt)})
+
+    agg = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("k").aggregate(Sum("n", alias_name="n"))
+    rows = agg.take_all()  # bounded: <= nrow*ncol lattice cells
+    x = np.zeros(nrow * ncol, dtype=np.int64)
+    for r in rows:
+        x[int(r["k"])] = int(r["n"])
+    x = x.reshape(nrow, ncol)
+    nc = nrow * ncol
+    sx = int(x.sum())
+    d = (nc * x - sx).astype(object)  # python ints: exact at any scale
+    num = 0
+    w_pairs = 0
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            if dr == 0 and dc == 0:
+                continue
+            shifted = np.roll(d, -dc, axis=1)
+            if dr == -1:
+                a, b = d[1:, :], shifted[:-1, :]
+            elif dr == 1:
+                a, b = d[:-1, :], shifted[1:, :]
+            else:
+                a, b = d, shifted
+            num += int((a * b).sum())
+            w_pairs += a.size
+    den = int((d * d).sum())
+    assert abs(num) < 2**63 and den < 2**63
+    return pa.table({
+        "n_cells": pa.array([nc], type=pa.int64()),
+        "sum_x": pa.array([sx], type=pa.int64()),
+        "w_pairs": pa.array([w_pairs], type=pa.int64()),
+        "num": pa.array([num], type=pa.int64()),
+        "den": pa.array([den], type=pa.int64()),
+    })
+
+
+def sql_morans_i() -> str:
+    res, N = MORAN_RES, CFG.N_side
+    nrow = N**res
+    ncol = 4 * nrow
+    inner = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), res, CFG, id_cols=("event_id",)
+    )
+    dig = lambda i: f"CAST(substr(cell_id, {i + 2}, 1) AS BIGINT)"
+    row = "(" + " + ".join(
+        f"({dig(i)} // {N}) * {N ** (res - 1 - i)}" for i in range(res)
+    ) + ")"
+    colf = "(" + " + ".join(
+        f"({dig(i)} % {N}) * {N ** (res - 1 - i)}" for i in range(res)
+    ) + ")"
+    fidx = (
+        "(CASE substr(cell_id, 1, 1) "
+        + " ".join(f"WHEN '{c}' THEN {i}" for i, c in enumerate(CELLS0))
+        + " END)"
+    )
+    gcol = f"(({fidx} - 1) * {nrow} + {colf})"
+    return f"""
+WITH idxp AS MATERIALIZED (
+  SELECT event_id, cell_id FROM {inner} t
+),
+eq AS MATERIALIZED (
+  SELECT {row} AS row, {gcol} AS gcol, CAST(COUNT(*) AS BIGINT) AS n
+  FROM idxp WHERE substr(cell_id, 1, 1) IN ('O', 'P', 'Q', 'R')
+  GROUP BY 1, 2
+),
+lat AS (
+  SELECT r.row, c.gcol FROM
+    (SELECT unnest(generate_series(0, {nrow - 1})) AS row) r,
+    (SELECT unnest(generate_series(0, {ncol - 1})) AS gcol) c
+),
+x AS MATERIALIZED (
+  SELECT l.row, l.gcol, COALESCE(eq.n, 0) AS n
+  FROM lat l LEFT JOIN eq ON eq.row = l.row AND eq.gcol = l.gcol
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS sx, CAST(COUNT(*) AS BIGINT) AS nc FROM x),
+d AS MATERIALIZED (
+  SELECT row, gcol, CAST(tot.nc * x.n - tot.sx AS BIGINT) AS d
+  FROM x, tot
+),
+offs AS (
+  SELECT dr.dr, dc.dc FROM
+    (SELECT unnest(generate_series(-1, 1)) AS dr) dr,
+    (SELECT unnest(generate_series(-1, 1)) AS dc) dc
+  WHERE NOT (dr.dr = 0 AND dc.dc = 0)
+),
+pairs AS (
+  SELECT CAST(a.d AS HUGEINT) * b.d AS p
+  FROM d a JOIN offs o ON TRUE
+  JOIN d b ON b.row = a.row + o.dr
+    AND b.gcol = ((a.gcol + o.dc) % {ncol} + {ncol}) % {ncol}
+)
+SELECT tot.nc AS n_cells, tot.sx AS sum_x,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS w_pairs,
+  (SELECT CAST(SUM(p) AS BIGINT) FROM pairs) AS num,
+  (SELECT CAST(SUM(CAST(d AS HUGEINT) * d) AS BIGINT) FROM d) AS den
+FROM tot
+"""

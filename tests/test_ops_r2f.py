@@ -110,3 +110,69 @@ def test_vector_tiles_matches_tile_counts(ray_session):
     # corners are sane coordinates
     assert vt["pt_lon_micros"].between(-180_000_000, 180_000_000).all()
     assert vt["pt_lat_micros"].between(-90_000_000, 90_000_000).all()
+
+
+# --- round 2g ---
+
+
+def test_length_buckets_partition(ray_session):
+    df = _df(Q.q_length_buckets(SF))
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    n_nonempty = sum(1 for t in docs["text"] if len(t.split()) >= 1)
+    assert df["n_docs"].sum() == n_nonempty  # buckets partition the docs
+    assert (df["waste_tokens"] == df["padded_tokens"] - df["sum_tokens"]).all()
+    assert (df["waste_tokens"] >= 0).all()
+    for _, r in df.iterrows():  # bucket cap bounds the true tokens
+        assert r["sum_tokens"] <= r["n_docs"] * (1 << (r["bucket"] + 1))
+        assert r["sum_tokens"] >= r["n_docs"] * (1 << r["bucket"])
+
+
+def test_mixture_weights_sum_to_one(ray_session):
+    df = _df(Q.q_mixture_weights(SF))
+    # ppm weights sum to 1e6 within the floor slack (one unit/source)
+    assert 1_000_000 - len(df) <= df["weight_ppm"].sum() <= 1_000_000
+    # sqrt temperature flattens: every weight between uniform/3 and 3x
+    assert (df["weight_ppm"] > 1_000_000 // (3 * len(df))).all()
+
+
+def test_zscore_events_moments(ray_session):
+    df = _df(Q.q_zscore_events(SF))
+    # z in milli units: per type, mean ~0 and spread ~1000
+    for et, g in df.groupby("event_type"):
+        z = g["z_milli"].to_numpy() / 1000.0
+        assert abs(z.mean()) < 0.01
+        assert 0.9 < z.std() < 1.1
+
+
+def test_polygon_overlay_set_algebra(ray_session):
+    from rhealpixdggs_py_ray.core import wrappers as W
+    from rhealpixdggs_py_ray.core import geometry as geo
+
+    df = _df(Q.q_polygon_overlay(SF))
+    r = df.iloc[0]
+    ca = W.polyfill(geo.Polygon(Q.OVERLAY_A), Q.OVERLAY_RES, plane=False)
+    cb = W.polyfill(geo.Polygon(Q.OVERLAY_B), Q.OVERLAY_RES, plane=False)
+    assert r["n_a"] == len(set(ca)) and r["n_b"] == len(set(cb))
+    assert r["n_both"] == len(set(ca) & set(cb))
+    assert 0 < r["n_both"] < min(r["n_a"], r["n_b"])  # genuine overlap
+    u = r["n_a"] + r["n_b"] - r["n_both"]
+    assert r["jaccard_ppm"] == 1_000_000 * r["n_both"] // u
+
+
+def test_morans_i_identities(ray_session):
+    import duckdb
+
+    df = _df(Q.q_morans_i(SF))
+    r = df.iloc[0]
+    nrow = 9
+    assert r["n_cells"] == nrow * 4 * nrow
+    # every interior cell has 8 neighbors; edge rows lose the 3
+    # off-lattice ones (columns wrap, rows clip)
+    assert r["w_pairs"] == 8 * r["n_cells"] - 2 * 3 * (4 * nrow)
+    assert r["den"] > 0
+    # |I| <= ~1 sanity via the normalized statistic
+    i_stat = (r["n_cells"] / r["w_pairs"]) * (r["num"] / r["den"])
+    assert -1.5 < i_stat < 1.5
+    con = duckdb.connect()
+    n_ev = con.sql(f"SELECT COUNT(*) FROM '{SF}/events.parquet'").fetchone()[0]
+    assert 0 < r["sum_x"] <= n_ev  # equatorial subset of events
