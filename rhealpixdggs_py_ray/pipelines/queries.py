@@ -8468,3 +8468,251 @@ SELECT tot.nc AS n_cells, tot.sx AS sum_x,
   (SELECT CAST(SUM(CAST(d AS HUGEINT) * d) AS BIGINT) FROM d) AS den
 FROM tot
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 2h: iterative k-means training, event debounce, behavioral Gini
+# ---------------------------------------------------------------------------
+
+KM_ITERS = 3
+
+
+def _kmeans_pass(sf_dir: str, labels: np.ndarray, C: np.ndarray):
+    """One distributed Lloyd pass against broadcast centroids (the
+    q_kmeans_step kernel, parameterized so iterations can chain):
+    returns the (cluster, dim, sum_micros, n) update statistics."""
+    from rhealpixdggs_py_ray.ops.ann import _seq_d2
+    from rhealpixdggs_py_ray.ops.dedup import _emb_matrix
+
+    cent_ref = ray.put((labels, C))
+    # 2 read blocks: the exchange fixed cost scales with blocks x
+    # partitions and the per-iteration latency IS the query cost here
+    ds = _read(sf_dir, "embeddings", columns=["embedding"], blocks=2)
+
+    def step(batch: pa.Table) -> pa.Table:
+        labs, cm = ray.get(cent_ref)
+        X = np.floor(_emb_matrix(batch).astype(np.float64) * 1000000.0)
+        D = _seq_d2(X, cm)
+        near = np.argmin(D, axis=1)  # first win == smallest label
+        k, d = len(labs), X.shape[1]
+        S = np.zeros((k, d), dtype=np.int64)
+        np.add.at(S, near, X.astype(np.int64))
+        n = np.bincount(near, minlength=k).astype(np.int64)
+        used = np.flatnonzero(n > 0)
+        return pa.table({
+            "cluster": pa.array(np.repeat(labs[used], d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(used))),
+            "sum_micros": pa.array(S[used].reshape(-1)),
+            "n": pa.array(np.repeat(n[used], d)),
+        })
+
+    part = ds.map_batches(step, batch_format="pyarrow", zero_copy_batch=True)
+    return part.groupby(["cluster", "dim"]).aggregate(
+        Sum("sum_micros", alias_name="sum_micros"), Sum("n", alias_name="n")
+    )
+
+
+def q_kmeans_train(sf_dir: str):
+    """THE iterative distributed-training loop: KM_ITERS full Lloyd
+    iterations of k-means over the embeddings, each iteration one
+    broadcast (ray.put centroids) + one map + one tiny (cluster, dim)
+    exchange; between iterations only the k x d sufficient statistics
+    land on the driver (the irreducible synchronization point of
+    distributed k-means).  Clusters that lose all members drop out of
+    the next round, matching the SQL replay exactly."""
+    cdf = (
+        q_embedding_centroids(sf_dir)
+        .to_pandas()
+        .sort_values(["label", "dim"])
+        .reset_index(drop=True)
+    )
+    labels = np.sort(cdf["label"].unique()).astype(np.int64)
+    C = (
+        cdf["sum_micros"].to_numpy().astype(np.float64)
+        / cdf["n"].to_numpy().astype(np.float64)
+    ).reshape(len(labels), EMB_D)
+    for it in range(KM_ITERS):
+        stats = _kmeans_pass(sf_dir, labels, C)
+        if it == KM_ITERS - 1:
+            return stats
+        sdf = (
+            stats.to_pandas()
+            .sort_values(["cluster", "dim"])
+            .reset_index(drop=True)
+        )  # bounded: k x d rows
+        labels = np.sort(sdf["cluster"].unique()).astype(np.int64)
+        C = (
+            sdf["sum_micros"].to_numpy().astype(np.float64)
+            / sdf["n"].to_numpy().astype(np.float64)
+        ).reshape(len(labels), EMB_D)
+
+
+def sql_kmeans_train() -> str:
+    def e(d: int) -> str:
+        return f"floor(CAST(e.embedding[{d + 1}] AS DOUBLE) * 1000000.0)"
+
+    dist = " + ".join(
+        f"(({e(d)}) - c{d}) * (({e(d)}) - c{d})" for d in range(EMB_D)
+    )
+    ctes = [f"cent0 AS MATERIALIZED ({sql_embedding_centroids()})"]
+    prev, prev_label = "cent0", "label"
+    for it in range(1, KM_ITERS + 1):
+        cw_cols = ", ".join(
+            f"MAX(CASE WHEN dim = {d} THEN CAST(sum_micros AS DOUBLE)"
+            f" / CAST(n AS DOUBLE) END) AS c{d}"
+            for d in range(EMB_D)
+        )
+        ctes.append(
+            f"cw{it} AS MATERIALIZED (SELECT {prev_label} AS clabel,"
+            f" {cw_cols} FROM {prev} GROUP BY {prev_label})"
+        )
+        ctes.append(
+            f"d{it} AS MATERIALIZED (SELECT e.vec_id, cw{it}.clabel,"
+            f" ({dist}) AS dist FROM embeddings e CROSS JOIN cw{it})"
+        )
+        ctes.append(
+            f"pick{it} AS MATERIALIZED (SELECT vec_id, clabel AS cluster"
+            f" FROM d{it} QUALIFY row_number() OVER"
+            f" (PARTITION BY vec_id ORDER BY dist, clabel) = 1)"
+        )
+        ctes.append(
+            f"stats{it} AS MATERIALIZED (SELECT p.cluster, dd.i - 1 AS dim,"
+            f" CAST(SUM(CAST(floor(CAST(e.embedding[dd.i] AS DOUBLE)"
+            f" * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_micros,"
+            f" CAST(COUNT(*) AS BIGINT) AS n"
+            f" FROM pick{it} p JOIN embeddings e ON e.vec_id = p.vec_id,"
+            f" (SELECT unnest(generate_series(1, {EMB_D})) AS i) dd"
+            f" GROUP BY p.cluster, dd.i)"
+        )
+        prev, prev_label = f"stats{it}", "cluster"
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT cluster, dim, sum_micros, n FROM stats{KM_ITERS}"
+    )
+
+
+DEBOUNCE_US = 3_600_000_000  # 1 h (fixture gaps: min ~8 s at sf0.01,
+#   ~9 min at sf0.001 — 1 h makes the suppression branch fire at every sf)
+
+
+def q_debounce(sf_dir: str):
+    """Event debouncing (the duplicate-suppression rule of telemetry
+    ingestion): within each (user, event_type) stream ordered by (ts,
+    event_id), an event is kept iff it is the stream head or arrives
+    >= 60 s after its predecessor (LAG semantics, not chained-kept —
+    both sides implement the same rule).  One h(user) bucket exchange;
+    the resolve is one lexsort + one vectorized diff."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"], blocks=4)
+    nb = 8
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(uid, nb)),
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "event_type": batch["event_type"],
+            "t": pa.array(ts.astype(np.int64)),
+        })
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        t = g["t"].to_numpy()
+        order = np.lexsort((eid, t, et, uid))
+        uid, et, eid, t = uid[order], et[order], eid[order], t[order]
+        new_seg = np.r_[True, (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])]
+        prev_t = np.r_[0, t[:-1]]
+        keep = new_seg | (t - prev_t >= DEBOUNCE_US)
+        return pd.DataFrame({
+            "event_id": eid, "user_id": uid, "event_type": et,
+            "keep": keep.astype(np.int64),
+        })
+
+    part = ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+    return part.groupby("bucket").map_groups(flag, batch_format="pandas")
+
+
+def sql_debounce() -> str:
+    return f"""
+WITH w AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS t,
+    lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS pt
+  FROM events
+)
+SELECT event_id, user_id, event_type,
+  CAST(CASE WHEN pt IS NULL OR t - pt >= {DEBOUNCE_US}
+       THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM w
+"""
+
+
+def q_user_gini(sf_dir: str):
+    """Behavioral diversity per user: Gini impurity of the user's
+    event-type distribution, exact-integer ppm (1e6 - (1e6 * Sigma
+    n_t^2) // n^2).  Per-batch (user, type) count partials -> ONE
+    h(user) bucket exchange -> both aggregation levels resolve
+    in-bucket."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"], blocks=4)
+    nb = 8
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        key = np.char.add(np.char.add(uid.astype("U20"), "|"), et.astype("U16"))
+        ku, ki = np.unique(key, return_inverse=True)
+        cnt = np.zeros(len(ku), dtype=np.int64)
+        np.add.at(cnt, ki, 1)
+        u_of = np.array([k.split("|")[0] for k in ku], dtype=np.int64)
+        t_of = np.array([k.split("|")[1] for k in ku], dtype=object)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(u_of.astype(np.uint64), nb)),
+            "user_id": pa.array(u_of),
+            "event_type": pa.array(t_of, type=pa.string()),
+            "nt": pa.array(cnt),
+        })
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        key = (g["user_id"].astype(str) + "|" + g["event_type"]).to_numpy()
+        ku, ki = np.unique(key, return_inverse=True)
+        nt = np.zeros(len(ku), dtype=np.int64)
+        np.add.at(nt, ki, g["nt"].to_numpy())
+        u_of = np.array([k.split("|")[0] for k in ku], dtype=np.int64)
+        uu, ui = np.unique(u_of, return_inverse=True)
+        n = np.zeros(len(uu), dtype=np.int64)
+        s2 = np.zeros(len(uu), dtype=np.int64)
+        np.add.at(n, ui, nt)
+        np.add.at(s2, ui, nt * nt)
+        return pd.DataFrame({
+            "user_id": uu,
+            "n_events": n,
+            "gini_ppm": 1_000_000 - (1_000_000 * s2) // (n * n),
+        })
+
+    part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return part.groupby("bucket").map_groups(resolve, batch_format="pandas")
+
+
+def sql_user_gini() -> str:
+    return """
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS nt
+  FROM events GROUP BY 1, 2
+),
+u AS (
+  SELECT user_id, CAST(SUM(nt) AS BIGINT) AS n,
+    CAST(SUM(nt * nt) AS BIGINT) AS s2
+  FROM c GROUP BY 1
+)
+SELECT user_id, n AS n_events,
+  CAST(1000000 - (1000000 * s2) // (n * n) AS BIGINT) AS gini_ppm
+FROM u
+"""

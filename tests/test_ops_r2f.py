@@ -176,3 +176,57 @@ def test_morans_i_identities(ray_session):
     con = duckdb.connect()
     n_ev = con.sql(f"SELECT COUNT(*) FROM '{SF}/events.parquet'").fetchone()[0]
     assert 0 < r["sum_x"] <= n_ev  # equatorial subset of events
+
+
+# --- round 2h ---
+
+
+def test_kmeans_train_improves_inertia(ray_session):
+    from rhealpixdggs_py_ray.ops.ann import _seq_d2
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet")
+    X = np.floor(np.array(emb["embedding"].to_pylist()) * 1e6)
+
+    def inertia(stats):
+        sdf = stats.sort_values(["cluster", "dim"]).reset_index(drop=True)
+        k = sdf["cluster"].nunique()
+        C = (sdf["sum_micros"].to_numpy() / sdf["n"].to_numpy()).reshape(k, -1)
+        return _seq_d2(X, C).min(axis=1).sum()
+
+    one = _df(Q.q_kmeans_step(SF))
+    three = _df(Q.q_kmeans_train(SF))
+    # Lloyd monotonicity: more iterations never increase inertia
+    assert inertia(three) <= inertia(one) + 1e-6
+    # every embedding is assigned exactly once per dim
+    d = three.groupby("dim")["n"].sum()
+    assert (d == len(X)).all()
+
+
+def test_debounce_lag_rule(ray_session):
+    df = _df(Q.q_debounce(SF))
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+    ev["t"] = ev["ts"].astype("datetime64[us]").astype(np.int64)
+    got = df.set_index("event_id")["keep"]
+    for (u, et), sub in list(ev.groupby(["user_id", "event_type"]))[:25]:
+        sub = sub.sort_values(["t", "event_id"])
+        t = sub["t"].to_numpy()
+        keep = np.r_[True, (t[1:] - t[:-1]) >= Q.DEBOUNCE_US]
+        assert np.array_equal(
+            got.loc[sub["event_id"]].to_numpy(), keep.astype(np.int64))
+    assert 0 < df["keep"].sum() < len(df)  # rule actually fires both ways
+
+
+def test_user_gini_bounds(ray_session):
+    df = _df(Q.q_user_gini(SF))
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
+    assert df["n_events"].sum() == len(ev)
+    assert df["user_id"].is_unique
+    assert (df["gini_ppm"] >= 0).all()
+    # 5 event types -> gini < 1 - 1/5
+    assert (df["gini_ppm"] <= 800_000).all()
+    # single-event users have zero diversity
+    solo = df[df["n_events"] == 1]
+    assert (solo["gini_ppm"] == 0).all()
