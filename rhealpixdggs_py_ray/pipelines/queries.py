@@ -8716,3 +8716,150 @@ SELECT user_id, n AS n_events,
   CAST(1000000 - (1000000 * s2) // (n * n) AS BIGINT) AS gini_ppm
 FROM u
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 2h (cont.): image retention policy, nearest-POI assignment
+# ---------------------------------------------------------------------------
+
+def q_image_retention(sf_dir: str):
+    """Near-dup retention policy (the curation step AFTER detection):
+    from every verified phash near-dup pair, the lower-resolution
+    member (fewer pixels; ties -> larger index) is marked dropped, and
+    the query reports the distinct dropped images with their
+    dimensions.  The pair graph comes from the existing band-LSH +
+    Hamming pipeline; dims are a broadcast dimension lookup (2000
+    rows), so no payload and no extra shuffle."""
+    import pyarrow.parquet as pq
+
+    from rhealpixdggs_py_ray.fixtures import write_images_table
+
+    write_images_table(IMG_DIR, IMG_N)
+    dims = pq.read_table(IMG_DIR, columns=["image_id", "w", "h"])
+    idxs = np.array(
+        [int(s[3:]) for s in dims["image_id"].to_pylist()], dtype=np.int64
+    )
+    px = np.zeros(int(idxs.max()) + 1, dtype=np.int64)
+    px[idxs] = (
+        dims["w"].to_numpy().astype(np.int64)
+        * dims["h"].to_numpy().astype(np.int64)
+    )
+    wof = np.zeros_like(px)
+    wof[idxs] = dims["w"].to_numpy().astype(np.int64)
+    hof = np.zeros_like(px)
+    hof[idxs] = dims["h"].to_numpy().astype(np.int64)
+    ref = ray.put((px, wof, hof))
+
+    pairs = q_image_neardup(sf_dir)
+
+    def losers(batch: pa.Table) -> pa.Table:
+        pxv, _, _ = ray.get(ref)
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        loser = np.where(
+            pxv[a] < pxv[b], a, np.where(pxv[b] < pxv[a], b, np.maximum(a, b))
+        )
+        return pa.table({"img_idx": pa.array(np.unique(loser))})
+
+    ds = pairs.map_batches(losers, batch_format="pyarrow", zero_copy_batch=True)
+    uniq = ds.groupby("img_idx").aggregate(Count(alias_name="_c"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        _, w, h = ray.get(ref)
+        i = batch["img_idx"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "img_idx": pa.array(i.astype(np.int64)),
+            "w": pa.array(w[i]),
+            "h": pa.array(h[i]),
+        })
+
+    return uniq.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_image_retention() -> str:
+    nd = sql_image_neardup()
+    return f"""
+WITH pr AS MATERIALIZED (SELECT a, b FROM ({nd}) t),
+dims AS MATERIALIZED (
+  SELECT CAST(substr(image_id, 4) AS BIGINT) AS idx,
+    CAST(w AS BIGINT) * h AS px, CAST(w AS BIGINT) AS w,
+    CAST(h AS BIGINT) AS h
+  FROM read_parquet('{IMG_DIR}/*.parquet')
+),
+losers AS (
+  SELECT DISTINCT CASE WHEN da.px < db.px THEN p.a
+    WHEN db.px < da.px THEN p.b
+    ELSE greatest(p.a, p.b) END AS idx
+  FROM pr p JOIN dims da ON da.idx = p.a JOIN dims db ON db.idx = p.b
+)
+SELECT l.idx AS img_idx, d.w, d.h FROM losers l JOIN dims d ON d.idx = l.idx
+"""
+
+
+def q_nearest_poi(sf_dir: str):
+    """Nearest-POI assignment (reverse-geocoding shape): every event
+    assigned to the argmin-chord-distance POI of the broadcast 5-POI
+    set (ties -> smaller poi_id), with the quantized squared distance.
+    Pure map over the events — the (n x 5) distance block is computed
+    in the SQL's exact operand order so the argmin is bit-stable."""
+    from rhealpixdggs_py_ray.core import projection as proj
+
+    pid = np.arange(DISTJOIN_NPOI, dtype=np.int64)
+    plon, plat = oracle.lonlat_from_id(pid + 2_000_000)
+    px, py, pz = proj.xyz(CFG, plon, plat)
+
+    ds = _read(sf_dir, "events", columns=["event_id"], blocks=4)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = oracle.lonlat_from_id(ids)
+        x, y, z = proj.xyz(CFG, lon, lat)
+        D = np.empty((len(ids), DISTJOIN_NPOI), dtype=np.float64)
+        for j in range(DISTJOIN_NPOI):
+            dx = px[j] - x
+            dy = py[j] - y
+            dz = pz[j] - z
+            D[:, j] = dx * dx + dy * dy + dz * dz  # SQL operand order
+        near = np.argmin(D, axis=1)  # first win == smaller poi_id
+        d2 = D[np.arange(len(ids)), near]
+        return pa.table({
+            "event_id": batch["event_id"],
+            "poi_id": pa.array(near.astype(np.int64)),
+            "d2_mm2": pa.array(np.floor(d2 / 1e6).astype(np.int64)),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_nearest_poi() -> str:
+    a = repr(CFG.a)
+    e2 = repr(CFG.e**2)
+    lon, lat = oracle.lonlat_from_id_sql("event_id")
+    qlon, qlat = oracle.lonlat_from_id_sql("poi_id + 2000000")
+    xyz = (
+        "SELECT {id}, "
+        f"{a}/sqrt(1 - {e2}*sin(radians(lat))*sin(radians(lat)))*cos(radians(lon))*cos(radians(lat)) AS x, "
+        f"{a}/sqrt(1 - {e2}*sin(radians(lat))*sin(radians(lat)))*sin(radians(lon))*cos(radians(lat)) AS y, "
+        f"{a}/sqrt(1 - {e2}*sin(radians(lat))*sin(radians(lat)))*(1 - {e2})*sin(radians(lat)) AS z FROM {{src}}"
+    )
+    pts = xyz.format(
+        id="event_id",
+        src=f"(SELECT event_id, {lon} AS lon, {lat} AS lat FROM events)",
+    )
+    poi = xyz.format(
+        id="poi_id",
+        src=(
+            f"(SELECT poi_id, {qlon} AS lon, {qlat} AS lat FROM"
+            f" (SELECT unnest(generate_series(0, {DISTJOIN_NPOI - 1})) AS poi_id))"
+        ),
+    )
+    return (
+        f"WITH p AS MATERIALIZED ({pts}), q AS MATERIALIZED ({poi}),"
+        " d AS (SELECT p.event_id, q.poi_id,"
+        "  (q.x-p.x)*(q.x-p.x) + (q.y-p.y)*(q.y-p.y) + (q.z-p.z)*(q.z-p.z) AS d2"
+        "  FROM p CROSS JOIN q)"
+        " SELECT event_id, poi_id,"
+        "  CAST(floor(d2 / 1000000.0) AS BIGINT) AS d2_mm2"
+        " FROM d QUALIFY row_number() OVER"
+        "  (PARTITION BY event_id ORDER BY d2, poi_id) = 1"
+    )

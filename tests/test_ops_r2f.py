@@ -230,3 +230,36 @@ def test_user_gini_bounds(ray_session):
     # single-event users have zero diversity
     solo = df[df["n_events"] == 1]
     assert (solo["gini_ppm"] == 0).all()
+
+
+def test_image_retention_policy(ray_session):
+    pairs = _df(Q.q_image_neardup(SF))
+    dropped = _df(Q.q_image_retention(SF))
+    di = set(dropped["img_idx"])
+    assert dropped["img_idx"].is_unique
+    # every pair loses at least one member; no pair survives intact
+    assert all(a in di or b in di for a, b in zip(pairs["a"], pairs["b"]))
+    # dropped set is minimal per pair rule: each dropped image must be
+    # the designated loser of at least one pair
+    import pyarrow.parquet as pq
+    dims = pq.read_table(Q.IMG_DIR, columns=["image_id", "w", "h"])
+    px = {int(s[3:]): w * h for s, w, h in zip(
+        dims["image_id"].to_pylist(),
+        dims["w"].to_numpy(), dims["h"].to_numpy())}
+    losers = set()
+    for a, b in zip(pairs["a"], pairs["b"]):
+        losers.add(a if px[a] < px[b] else b if px[b] < px[a] else max(a, b))
+    assert di == losers
+
+
+def test_nearest_poi_consistent_with_distance_join(ray_session):
+    near = _df(Q.q_nearest_poi(SF))
+    assert len(near) == len(pd.read_parquet(f"{SF}/events.parquet",
+                                            columns=["event_id"]))
+    assert near["poi_id"].between(0, Q.DISTJOIN_NPOI - 1).all()
+    assert (near["d2_mm2"] >= 0).all()
+    # the per-POI min over assignments can't beat distance_join's min
+    dj = _df(Q.q_distance_join(SF)).set_index("poi_id")
+    for pid, g in near.groupby("poi_id"):
+        if pid in dj.index:
+            assert g["d2_mm2"].min() >= dj.loc[pid, "min_d2_mm2"]
