@@ -8863,3 +8863,86 @@ def sql_nearest_poi() -> str:
         " FROM d QUALIFY row_number() OVER"
         "  (PARTITION BY event_id ORDER BY d2, poi_id) = 1"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 2h (cont.): custom Datasource (generated image shards, no disk)
+# ---------------------------------------------------------------------------
+
+def q_generator_source(sf_dir: str):
+    """Custom ``ray.data.Datasource`` connector: the image table
+    GENERATED inside read tasks (sources/generator.ImagesDatasource) —
+    the extension-surface shape of any object-store / record-service
+    source.  The query proves the full row contract: per (w, h) shard
+    of the dimension lattice it reports row count, raw-format count,
+    the TOTAL raw payload bytes measured from the actual binary
+    buffers (pc.binary_length, zero-copy), and the signed phash
+    min/max — all replayed closed-form by the oracle from the
+    generative rule (splitmix64 + lattice), with no parquet read on
+    either side."""
+    import pyarrow.compute as pc
+
+    from rhealpixdggs_py_ray.sources.generator import ImagesDatasource
+
+    ds = ray.data.read_datasource(ImagesDatasource(IMG_N), override_num_blocks=8)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ph = batch["phash"].to_numpy(zero_copy_only=False)
+        raw = np.asarray(batch["fmt"].to_pylist(), dtype=object) == "raw"
+        blen = pc.binary_length(batch["bytes"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        key = w * 1000 + h
+        ku, ki = np.unique(key, return_inverse=True)
+        n = np.zeros(len(ku), dtype=np.int64)
+        nr = np.zeros(len(ku), dtype=np.int64)
+        rb = np.zeros(len(ku), dtype=np.int64)
+        mn = np.full(len(ku), np.iinfo(np.int64).max, dtype=np.int64)
+        mx = np.full(len(ku), np.iinfo(np.int64).min, dtype=np.int64)
+        np.add.at(n, ki, 1)
+        np.add.at(nr, ki[raw], 1)
+        np.add.at(rb, ki[raw], blen[raw])
+        np.minimum.at(mn, ki, ph)
+        np.maximum.at(mx, ki, ph)
+        return pa.table({
+            "w": pa.array(ku // 1000), "h": pa.array(ku % 1000),
+            "n": pa.array(n), "n_raw": pa.array(nr),
+            "raw_bytes": pa.array(rb),
+            "min_phash": pa.array(mn), "max_phash": pa.array(mx),
+        })
+
+    p = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return p.groupby(["w", "h"]).aggregate(
+        Sum("n", alias_name="n"), Sum("n_raw", alias_name="n_raw"),
+        Sum("raw_bytes", alias_name="raw_bytes"),
+        Min("min_phash", alias_name="min_phash"),
+        Max("max_phash", alias_name="max_phash"),
+    )
+
+
+def sql_generator_source() -> str:
+    sm = oracle.splitmix64_sql_ctes(
+        f"SELECT unnest(generate_series(0, {IMG_N - 1})) AS i", "i", "i", "hsh"
+    )
+    signed = (
+        "CAST(CAST(hsh AS HUGEINT)"
+        " - (CASE WHEN hsh >= CAST(9223372036854775808 AS UBIGINT)"
+        "    THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT)"
+        "    END) AS BIGINT)"
+    )
+    return f"""
+WITH g AS MATERIALIZED (
+  SELECT i, {signed} AS phash,
+    16 + (i % 4) * 16 AS w, 16 + ((i // 4) % 4) * 16 AS h,
+    (i % 2 = 0) AS is_raw
+  FROM {sm} t
+)
+SELECT CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CASE WHEN is_raw THEN 1 ELSE 0 END) AS BIGINT) AS n_raw,
+  CAST(SUM(CASE WHEN is_raw THEN w * h * 3 ELSE 0 END) AS BIGINT)
+    AS raw_bytes,
+  CAST(MIN(phash) AS BIGINT) AS min_phash,
+  CAST(MAX(phash) AS BIGINT) AS max_phash
+FROM g GROUP BY 1, 2
+"""

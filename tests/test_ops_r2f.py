@@ -263,3 +263,23 @@ def test_nearest_poi_consistent_with_distance_join(ray_session):
     for pid, g in near.groupby("poi_id"):
         if pid in dj.index:
             assert g["d2_mm2"].min() >= dj.loc[pid, "min_d2_mm2"]
+
+
+def test_generator_source_matches_parquet_fixture(ray_session):
+    import ray as _ray
+    from rhealpixdggs_py_ray.sources.generator import ImagesDatasource
+
+    # the generated table IS the parquet fixture, row for row
+    ds = _ray.data.read_datasource(ImagesDatasource(64), override_num_blocks=5)
+    gen = ds.to_pandas().sort_values("image_id").reset_index(drop=True)
+    from rhealpixdggs_py_ray.fixtures import images_batch
+    want = images_batch(0, 64).to_pandas()
+    pd.testing.assert_frame_equal(gen, want)
+    # parallelism honored: 5 requested -> 5 declared metadata tasks
+    tasks = ImagesDatasource(64).get_read_tasks(5)
+    assert len(tasks) == 5
+    assert sum(t.metadata.num_rows for t in tasks) == 64
+    # meta_only drops the payload column
+    slim = _ray.data.read_datasource(
+        ImagesDatasource(16, meta_only=True), override_num_blocks=2)
+    assert "bytes" not in slim.schema().names
