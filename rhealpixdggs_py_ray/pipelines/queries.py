@@ -8226,9 +8226,10 @@ def q_zscore_events(sf_dir: str):
         c = np.floor(
             batch["value"].to_numpy(zero_copy_only=False) * 100
         ).astype(np.int64)
-        n = np.array([tab[t][0] for t in et], dtype=np.int64)
-        sc = np.array([tab[t][1] for t in et], dtype=np.int64)
-        sq = np.array([tab[t][2] for t in et], dtype=np.int64)
+        tu, ti = np.unique(et, return_inverse=True)  # lookups per TYPE
+        n = np.array([tab[t][0] for t in tu], dtype=np.int64)[ti]
+        sc = np.array([tab[t][1] for t in tu], dtype=np.int64)[ti]
+        sq = np.array([tab[t][2] for t in tu], dtype=np.int64)[ti]
         den2 = n * sq - sc * sc
         num = 1000 * (n * c - sc)
         z = np.zeros(len(c), dtype=np.int64)
