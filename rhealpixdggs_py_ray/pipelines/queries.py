@@ -8947,3 +8947,87 @@ SELECT CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
   CAST(MAX(phash) AS BIGINT) AS max_phash
 FROM g GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 2i: 4-way star join over the last unused dimension tables
+# ---------------------------------------------------------------------------
+
+def q_brand_nation_revenue(sf_dir: str):
+    """TPC-H-Q9-shaped profit rollup: lineitem joined to part (brand),
+    supplier and nation — revenue cents per (brand, supplier nation).
+    Both dimension sides are small, so the 4-way join is ONE ray.put
+    broadcast of two int->label lookups (partkey->brand idx,
+    suppkey->nation name idx) and the combine happens map-side per
+    batch; only (brand, nation, partials) rows reach the tiny final
+    groupby.  This is the canonical star-schema shape at 100 TB: facts
+    never shuffle, dimensions ride the object store once."""
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"], blocks=1).to_pandas()
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"], blocks=1).to_pandas()
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"], blocks=1).to_pandas()
+
+    brands = np.sort(part["p_brand"].unique())
+    b_of = dict(zip(brands, range(len(brands))))
+    pk = part["p_partkey"].to_numpy()
+    part_brand = np.full(int(pk.max()) + 2, -1, dtype=np.int64)  # -1 = no part
+    part_brand[pk] = np.array([b_of[b] for b in part["p_brand"]], dtype=np.int64)
+
+    nnames = nation.set_index("n_nationkey")["n_name"]
+    sk = supp["s_suppkey"].to_numpy()
+    names = np.sort(nation["n_name"].unique())
+    n_of = dict(zip(names, range(len(names))))
+    supp_nation = np.full(int(sk.max()) + 1, -1, dtype=np.int64)  # -1 = no supp
+    supp_nation[sk] = np.array(
+        [n_of[nnames[k]] for k in supp["s_nationkey"]], dtype=np.int64
+    )
+    ref = ray.put((part_brand, supp_nation, brands, names))
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"], blocks=4)
+
+    def combine(batch: pa.Table) -> pa.Table:
+        pb, sn, br, nm = ray.get(ref)
+        r = np.floor(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1 - batch["l_discount"].to_numpy(zero_copy_only=False))
+            * 100
+        ).astype(np.int64)
+        lpk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        lsk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        bi = np.where(lpk < len(pb), pb[np.minimum(lpk, len(pb) - 1)], -1)
+        ni = np.where(lsk < len(sn), sn[np.minimum(lsk, len(sn) - 1)], -1)
+        hit = (bi >= 0) & (ni >= 0)  # inner-join semantics on both dims
+        bi, ni, r = bi[hit], ni[hit], r[hit]
+        key = bi * len(nm) + ni
+        ku, ki = np.unique(key, return_inverse=True)
+        n = np.zeros(len(ku), dtype=np.int64)
+        s = np.zeros(len(ku), dtype=np.int64)
+        np.add.at(n, ki, 1)
+        np.add.at(s, ki, r)
+        return pa.table({
+            "p_brand": pa.array(br[ku // len(nm)], type=pa.string()),
+            "n_name": pa.array(nm[ku % len(nm)], type=pa.string()),
+            "n_items": pa.array(n),
+            "revenue_c": pa.array(s),
+        })
+
+    p = ds.map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
+    return p.groupby(["p_brand", "n_name"]).aggregate(
+        Sum("n_items", alias_name="n_items"),
+        Sum("revenue_c", alias_name="revenue_c"),
+    )
+
+
+def sql_brand_nation_revenue() -> str:
+    return """
+SELECT p.p_brand, n.n_name,
+  CAST(COUNT(*) AS BIGINT) AS n_items,
+  CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+    AS BIGINT)) AS BIGINT) AS revenue_c
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY 1, 2
+"""

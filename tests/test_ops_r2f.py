@@ -283,3 +283,16 @@ def test_generator_source_matches_parquet_fixture(ray_session):
     slim = _ray.data.read_datasource(
         ImagesDatasource(16, meta_only=True), override_num_blocks=2)
     assert "bytes" not in slim.schema().names
+
+
+def test_brand_nation_revenue_consistent(ray_session):
+    import duckdb
+
+    df = _df(Q.q_brand_nation_revenue(SF))
+    con = duckdb.connect()
+    n_li = con.sql(
+        f"SELECT COUNT(*) FROM '{SF}/lineitem.parquet'").fetchone()[0]
+    # 4-way inner join with full referential integrity keeps every line
+    assert df["n_items"].sum() == n_li
+    assert (df["revenue_c"] > 0).all()
+    assert df.set_index(["p_brand", "n_name"]).index.is_unique
