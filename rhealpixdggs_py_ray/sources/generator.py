@@ -25,6 +25,31 @@ from ray.data.block import BlockMetadata
 from ray.data.datasource import Datasource, ReadTask
 
 
+def _meta_batch(start: int, count: int):
+    """Metadata columns of fixtures.images_batch WITHOUT rendering the
+    payload (vectorized id formatting; the pixel/PNG work is the whole
+    cost of the full rows)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rhealpixdggs_py_ray.fixtures import splitmix64
+
+    i = np.arange(start, start + count, dtype=np.uint64)
+    phash = splitmix64(i).view(np.int64)
+    ii = i.astype(np.int64)
+    w = (16 + (ii % 4) * 16).astype(np.int32)
+    h = (16 + ((ii // 4) % 4) * 16).astype(np.int32)
+    fmts = np.where(ii % 2 == 0, "raw", "png")
+    ids = np.char.add("img", np.char.zfill(ii.astype("U12"), 12))
+    return pa.table({
+        "image_id": pa.array(ids, type=pa.string()),
+        "w": pa.array(w, type=pa.int32()),
+        "h": pa.array(h, type=pa.int32()),
+        "fmt": pa.array(fmts, type=pa.string()),
+        "phash": pa.array(phash, type=pa.int64()),
+    })
+
+
 class ImagesDatasource(Datasource):
     """n_rows of the canonical images table, sliced into read tasks."""
 
@@ -48,10 +73,10 @@ class ImagesDatasource(Datasource):
 
         def make_read_fn(start: int, count: int):
             def read_fn():
-                t = images_batch(start, count)
                 if meta_only:
-                    t = t.select(["image_id", "w", "h", "fmt", "phash"])
-                yield t
+                    yield _meta_batch(start, count)
+                else:
+                    yield images_batch(start, count)
 
             return read_fn
 

@@ -296,3 +296,14 @@ def test_brand_nation_revenue_consistent(ray_session):
     assert df["n_items"].sum() == n_li
     assert (df["revenue_c"] > 0).all()
     assert df.set_index(["p_brand", "n_name"]).index.is_unique
+
+
+def test_generator_meta_fast_path_parity(ray_session):
+    from rhealpixdggs_py_ray.sources.generator import _meta_batch
+    from rhealpixdggs_py_ray.fixtures import images_batch
+
+    # the payload-free fast path must equal the canonical rows column
+    # for column (same ids, dims, fmt, phash) at an odd offset
+    a = _meta_batch(37, 200)
+    b = images_batch(37, 200).select(["image_id", "w", "h", "fmt", "phash"])
+    assert a.equals(b)
