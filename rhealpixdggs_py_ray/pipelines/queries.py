@@ -9031,3 +9031,172 @@ JOIN supplier s ON s.s_suppkey = l.l_suppkey
 JOIN nation n ON n.n_nationkey = s.s_nationkey
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 2j: mixed-resolution zonal counts, origin-destination matrix
+# ---------------------------------------------------------------------------
+
+def q_mixed_res_counts(sf_dir: str):
+    """Adaptive/mixed-resolution zonal counts: events aggregated onto
+    the COMPACTED polygon cover (compress_order_cells output — cells of
+    resolutions 1..4 mixed), each event assigned by LONGEST-PREFIX
+    match, the IP-routing-table discipline of variable-resolution DGGS
+    layers.  The compacted cover (resolution-bound) broadcasts as
+    per-resolution u64 sets; matching is four vectorized set probes per
+    batch, deepest hit wins; counts combine map-side."""
+    from rhealpixdggs_py_ray.core import wrappers as W
+
+    cover = W.compress_order_cells(
+        list(W.polyfill(geo.Polygon(POLYFILL_POLY), POLYFILL_RES,
+                        plane=False, cfg=CFG))
+    )
+    by_res: dict[int, np.ndarray] = {}
+    for c in cover:
+        by_res.setdefault(len(c) - 1, []).append(c)
+    by_res = {
+        r: np.sort(su.from_string(np.array(v, dtype=object)))
+        for r, v in by_res.items()
+    }
+    ref = ray.put(by_res)
+
+    ds = _read(sf_dir, "events", columns=["event_id"], blocks=4)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        tabs = ray.get(ref)
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = oracle.lonlat_from_id(ids)
+        u = idx.cell_from_point(CFG, POLYFILL_RES, lon, lat, plane=False)
+        out = np.zeros(len(u), dtype=np.uint64)
+        depth = np.full(len(u), -1, dtype=np.int64)
+        for r in sorted(tabs):  # deepest probe last wins
+            p = su.parent(u, r)
+            srt = tabs[r]
+            pos = np.searchsorted(srt, p)
+            hit = (pos < len(srt)) & (srt[np.minimum(pos, len(srt) - 1)] == p)
+            out[hit] = p[hit]
+            depth[hit] = r
+        m = depth >= 0
+        cu, ci = np.unique(out[m], return_inverse=True)
+        cnt = np.zeros(len(cu), dtype=np.int64)
+        np.add.at(cnt, ci, 1)
+        rr = np.array([su.resolution_of(c) for c in cu], dtype=np.int64) \
+            if len(cu) else np.array([], dtype=np.int64)
+        return pa.table({
+            "cell_id": pa.array(
+                [su.to_string_fixed(np.array([c], dtype=np.uint64),
+                                    int(r))[0] for c, r in zip(cu, rr)],
+                type=pa.string()),
+            "n": pa.array(cnt),
+        })
+
+    p = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    return p.groupby("cell_id").aggregate(Sum("n", alias_name="n"))
+
+
+def sql_mixed_res_counts() -> str:
+    cover = sql_compress()
+    inner = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), POLYFILL_RES, CFG,
+        id_cols=("event_id",),
+    )
+    return f"""
+WITH cover AS MATERIALIZED ({cover}),
+pts AS MATERIALIZED (SELECT event_id, cell_id FROM {inner} t),
+m AS (
+  SELECT p.event_id, c.cell_id,
+    row_number() OVER (PARTITION BY p.event_id
+                       ORDER BY length(c.cell_id) DESC) AS rk
+  FROM pts p JOIN cover c
+    ON c.cell_id = substr(p.cell_id, 1, length(c.cell_id))
+)
+SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n
+FROM m WHERE rk = 1 GROUP BY 1
+"""
+
+
+OD_RES = 2
+
+
+def q_od_matrix(sf_dir: str):
+    """Origin-destination matrix (mobility analytics): per (user, day),
+    the res-2 cells of the user's first and last events (order by ts,
+    event_id), counted per (origin, destination) pair.  One h(user)
+    bucket exchange; first/last fall out of one lexsort as segment
+    endpoints — no per-group reduction loop."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"], blocks=4)
+    nb = 8
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        lon, lat = oracle.lonlat_from_id(ids)
+        u = idx.cell_from_point(CFG, OD_RES, lon, lat, plane=False)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(uid, nb)),
+            "user_id": batch["user_id"],
+            "event_id": batch["event_id"],
+            "day": pa.array(ts.astype(np.int64) // 86_400_000_000),
+            "t": pa.array(ts.astype(np.int64)),
+            "cell": pa.array(su.to_string_fixed(u, OD_RES)),
+        })
+
+    def endpoints(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        day = g["day"].to_numpy()
+        t = g["t"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        cell = g["cell"].to_numpy()
+        order = np.lexsort((eid, t, day, uid))
+        uid, day, cell = uid[order], day[order], cell[order]
+        new_seg = np.r_[True, (uid[1:] != uid[:-1]) | (day[1:] != day[:-1])]
+        starts = np.flatnonzero(new_seg)
+        ends = np.r_[starts[1:] - 1, len(uid) - 1]
+        key = np.char.add(
+            np.char.add(cell[starts].astype("U4"), ">"),
+            cell[ends].astype("U4"),
+        )
+        ku, ki = np.unique(key, return_inverse=True)
+        n = np.zeros(len(ku), dtype=np.int64)
+        np.add.at(n, ki, 1)
+        return pd.DataFrame({
+            "origin": [k.split(">")[0] for k in ku],
+            "dest": [k.split(">")[1] for k in ku],
+            "n_user_days": n,
+        })
+
+    part = ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+    agg = part.groupby("bucket").map_groups(endpoints, batch_format="pandas")
+    # buckets are disjoint in user, so (origin, dest) partials still
+    # need one tiny final fold
+    return agg.groupby(["origin", "dest"]).aggregate(
+        Sum("n_user_days", alias_name="n_user_days")
+    )
+
+
+def sql_od_matrix() -> str:
+    inner = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), OD_RES, CFG, id_cols=("event_id",)
+    )
+    return f"""
+WITH c AS MATERIALIZED (SELECT event_id, cell_id FROM {inner} t),
+e AS MATERIALIZED (
+  SELECT ev.user_id, epoch_us(ev.ts) // 86400000000 AS day,
+    ev.ts, ev.event_id, c.cell_id
+  FROM events ev JOIN c USING (event_id)
+),
+ends AS (
+  SELECT user_id, day,
+    first_value(cell_id) OVER w AS origin,
+    last_value(cell_id) OVER
+      (PARTITION BY user_id, day ORDER BY ts, event_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS dest,
+    row_number() OVER w AS rk
+  FROM e WINDOW w AS (PARTITION BY user_id, day ORDER BY ts, event_id)
+)
+SELECT origin, dest, CAST(COUNT(*) AS BIGINT) AS n_user_days
+FROM ends WHERE rk = 1 GROUP BY 1, 2
+"""

@@ -307,3 +307,39 @@ def test_generator_meta_fast_path_parity(ray_session):
     a = _meta_batch(37, 200)
     b = images_batch(37, 200).select(["image_id", "w", "h", "fmt", "phash"])
     assert a.equals(b)
+
+
+def test_mixed_res_counts_partitions_polygon_events(ray_session):
+    from rhealpixdggs_py_ray.core import wrappers as W
+    from rhealpixdggs_py_ray.core import geometry as geo
+
+    df = _df(Q.q_mixed_res_counts(SF))
+    # compacted cover cells are mixed-resolution and unique
+    lens = df["cell_id"].str.len()
+    assert lens.min() < lens.max()
+    assert df["cell_id"].is_unique
+    # totals match the uncompacted res-4 polyfill cover count
+    full = set(W.polyfill(geo.Polygon(Q.POLYFILL_POLY), Q.POLYFILL_RES,
+                          plane=False))
+    flat = _df(Q.q_cell_from_point(SF))
+    # every event whose res-4 cell is in the uncompacted cover is
+    # counted exactly once (compaction preserves membership)
+    r4 = flat["cell_id"].str.slice(0, 5)
+    n_in = int(r4.isin(full).sum())
+    assert df["n"].sum() == n_in
+
+
+def test_od_matrix_conservation(ray_session):
+    import duckdb
+
+    df = _df(Q.q_od_matrix(SF))
+    con = duckdb.connect()
+    n_ud = con.sql(
+        f"""SELECT COUNT(*) FROM (SELECT DISTINCT user_id,
+            epoch_us(ts) // 86400000000 FROM '{SF}/events.parquet')"""
+    ).fetchone()[0]
+    # one OD pair per (user, day)
+    assert df["n_user_days"].sum() == n_ud
+    # diagonal exists (single-event days) and off-diagonal movement too
+    assert (df["origin"] == df["dest"]).any()
+    assert (df["origin"] != df["dest"]).any()
