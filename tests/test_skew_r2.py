@@ -100,3 +100,38 @@ def test_cooccurrence_hot_user(ray_session, skew_dir):
     got = Q.q_cooccurrence(skew_dir).to_pandas()
     want = _con(skew_dir).execute(Q.sql_cooccurrence()).fetchdf()
     _cmp(got, want)
+
+
+def test_moving_avg_hot_user(ray_session, skew_dir):
+    got = Q.q_moving_avg(skew_dir).to_pandas()
+    want = _con(skew_dir).execute(Q.sql_moving_avg()).fetchdf()
+    _cmp(got, want)
+    assert (got["user_id"] == HOT_USER).sum() > 0.8 * N
+
+
+def test_late_events_hot_user(ray_session, skew_dir):
+    got = Q.q_late_events(skew_dir).to_pandas()
+    want = _con(skew_dir).execute(Q.sql_late_events()).fetchdf()
+    _cmp(got, want)
+    # the hot user's shuffled arrivals must produce lateness
+    assert got.loc[got["user_id"] == HOT_USER, "late"].sum() > 0
+
+
+def test_debounce_hot_user(ray_session, skew_dir):
+    got = Q.q_debounce(skew_dir).to_pandas()
+    want = _con(skew_dir).execute(Q.sql_debounce()).fetchdf()
+    _cmp(got, want)
+    hot = got[got["user_id"] == HOT_USER]
+    assert 0 < hot["keep"].sum() < len(hot)  # suppression fires on the hot key
+
+
+def test_user_gini_hot_user(ray_session, skew_dir):
+    got = Q.q_user_gini(skew_dir).to_pandas()
+    want = _con(skew_dir).execute(Q.sql_user_gini()).fetchdf()
+    _cmp(got, want)
+
+
+def test_od_matrix_hot_user(ray_session, skew_dir):
+    got = Q.q_od_matrix(skew_dir).to_pandas()
+    want = _con(skew_dir).execute(Q.sql_od_matrix()).fetchdf()
+    _cmp(got, want)
