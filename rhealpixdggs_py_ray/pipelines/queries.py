@@ -9200,3 +9200,77 @@ ends AS (
 SELECT origin, dest, CAST(COUNT(*) AS BIGINT) AS n_user_days
 FROM ends WHERE rk = 1 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 2j (cont.): CUBE grouping sets
+# ---------------------------------------------------------------------------
+
+def q_cube_revenue(sf_dir: str):
+    """GROUP BY CUBE(priority, status) in one pass: all four grouping
+    sets — (prio, status), (prio), (status), () — re-reduced from the
+    same per-batch finest-level partials (rollup_revenue plus the
+    column-wise marginal ROLLUP can't express)."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+               blocks=4)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pr = batch["o_orderpriority"].to_numpy(zero_copy_only=False)
+        st = batch["o_orderstatus"].to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        pu, pi = np.unique(pr, return_inverse=True)
+        su_, si = np.unique(st, return_inverse=True)
+        key = pi * len(su_) + si
+        ku, ki = np.unique(key, return_inverse=True)
+        n = np.bincount(ki).astype(np.int64)
+        s = np.zeros(len(ku), dtype=np.int64)
+        np.add.at(s, ki, cents)
+        return pa.table({
+            "g": pa.array(np.zeros(len(ku), dtype=np.int64)),
+            "prio": pa.array(pu[ku // len(su_)], type=pa.string()),
+            "status": pa.array(su_[ku % len(su_)], type=pa.string()),
+            "n": pa.array(n),
+            "cents": pa.array(s),
+        })
+
+    p = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        fine = g.groupby(["prio", "status"], sort=True).agg(
+            n=("n", "sum"), cents=("cents", "sum")
+        ).reset_index()
+        by_p = fine.groupby("prio", sort=True).agg(
+            n=("n", "sum"), cents=("cents", "sum")
+        ).reset_index()
+        by_p["status"] = "ALL"
+        by_s = fine.groupby("status", sort=True).agg(
+            n=("n", "sum"), cents=("cents", "sum")
+        ).reset_index()
+        by_s["prio"] = "ALL"
+        tot = pd.DataFrame({
+            "prio": ["ALL"], "status": ["ALL"],
+            "n": [fine["n"].sum()], "cents": [fine["cents"].sum()],
+        })
+        out = pd.concat([fine, by_p, by_s, tot], ignore_index=True)
+        return pd.DataFrame({
+            "prio": out["prio"], "status": out["status"],
+            "n_orders": out["n"].astype(np.int64),
+            "revenue_c": out["cents"].astype(np.int64),
+        })
+
+    return p.groupby("g").map_groups(resolve, batch_format="pandas")
+
+
+def sql_cube_revenue() -> str:
+    return """
+SELECT COALESCE(o_orderpriority, 'ALL') AS prio,
+  COALESCE(o_orderstatus, 'ALL') AS status,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    AS revenue_c
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""

@@ -343,3 +343,18 @@ def test_od_matrix_conservation(ray_session):
     # diagonal exists (single-event days) and off-diagonal movement too
     assert (df["origin"] == df["dest"]).any()
     assert (df["origin"] != df["dest"]).any()
+
+
+def test_cube_revenue_marginals_consistent(ray_session):
+    df = _df(Q.q_cube_revenue(SF)).set_index(["prio", "status"])
+    fine = df[(df.index.get_level_values(0) != "ALL")
+              & (df.index.get_level_values(1) != "ALL")]
+    tot = df.loc[("ALL", "ALL")]
+    # both marginals and the grand total re-add exactly
+    assert fine["revenue_c"].sum() == tot["revenue_c"]
+    assert fine["n_orders"].sum() == tot["n_orders"]
+    for p in fine.index.get_level_values(0).unique():
+        assert fine.loc[p]["revenue_c"].sum() == df.loc[(p, "ALL"), "revenue_c"]
+    for s in fine.index.get_level_values(1).unique():
+        sub = fine[fine.index.get_level_values(1) == s]
+        assert sub["revenue_c"].sum() == df.loc[("ALL", s), "revenue_c"]
