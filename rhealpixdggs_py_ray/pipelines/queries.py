@@ -9121,9 +9121,11 @@ OD_RES = 2
 def q_od_matrix(sf_dir: str):
     """Origin-destination matrix (mobility analytics): per (user, day),
     the res-2 cells of the user's first and last events (order by ts,
-    event_id), counted per (origin, destination) pair.  One h(user)
-    bucket exchange; first/last fall out of one lexsort as segment
-    endpoints — no per-group reduction loop."""
+    event_id), counted per (origin, destination) pair.  Two integer
+    bucket exchanges: h(user) to assemble each user-day's endpoints
+    from one lexsort, then h(od-pair) to fold the per-bucket partial
+    counts (cells travel as u64 — NEVER a string-keyed ray aggregate,
+    which measured 70 s of remote time on 32k rows)."""
     from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
 
     ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"], blocks=4)
@@ -9141,7 +9143,7 @@ def q_od_matrix(sf_dir: str):
             "event_id": batch["event_id"],
             "day": pa.array(ts.astype(np.int64) // 86_400_000_000),
             "t": pa.array(ts.astype(np.int64)),
-            "cell": pa.array(su.to_string_fixed(u, OD_RES)),
+            "cell": pa.array(u, type=pa.uint64()),
         })
 
     def endpoints(g: pd.DataFrame) -> pd.DataFrame:
@@ -9149,32 +9151,41 @@ def q_od_matrix(sf_dir: str):
         day = g["day"].to_numpy()
         t = g["t"].to_numpy()
         eid = g["event_id"].to_numpy()
-        cell = g["cell"].to_numpy()
+        cell = g["cell"].to_numpy().astype(np.uint64)
         order = np.lexsort((eid, t, day, uid))
         uid, day, cell = uid[order], day[order], cell[order]
         new_seg = np.r_[True, (uid[1:] != uid[:-1]) | (day[1:] != day[:-1])]
         starts = np.flatnonzero(new_seg)
         ends = np.r_[starts[1:] - 1, len(uid) - 1]
-        key = np.char.add(
-            np.char.add(cell[starts].astype("U4"), ">"),
-            cell[ends].astype("U4"),
-        )
+        # od key: a res-2 cell is face+2 digits in bits 63..52 — pack
+        # both 12-bit tops into one 24-bit integer
+        key = ((cell[starts] >> np.uint64(52)) << np.uint64(12)) \
+            | (cell[ends] >> np.uint64(52))
         ku, ki = np.unique(key, return_inverse=True)
         n = np.zeros(len(ku), dtype=np.int64)
         np.add.at(n, ki, 1)
         return pd.DataFrame({
-            "origin": [k.split(">")[0] for k in ku],
-            "dest": [k.split(">")[1] for k in ku],
+            "bucket2": hash_bucket_u64(ku, nb),
+            "od": ku.view(np.int64),
+            "n": n,
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        od = g["od"].to_numpy().view(np.uint64)
+        ku, ki = np.unique(od, return_inverse=True)
+        n = np.zeros(len(ku), dtype=np.int64)
+        np.add.at(n, ki, g["n"].to_numpy())
+        o_u64 = ((ku >> np.uint64(12)) << np.uint64(52)) | np.uint64(OD_RES)
+        d_u64 = ((ku & np.uint64(0xFFF)) << np.uint64(52)) | np.uint64(OD_RES)
+        return pd.DataFrame({
+            "origin": su.to_string_fixed(o_u64, OD_RES),
+            "dest": su.to_string_fixed(d_u64, OD_RES),
             "n_user_days": n,
         })
 
     part = ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
     agg = part.groupby("bucket").map_groups(endpoints, batch_format="pandas")
-    # buckets are disjoint in user, so (origin, dest) partials still
-    # need one tiny final fold
-    return agg.groupby(["origin", "dest"]).aggregate(
-        Sum("n_user_days", alias_name="n_user_days")
-    )
+    return agg.groupby("bucket2").map_groups(fold, batch_format="pandas")
 
 
 def sql_od_matrix() -> str:
@@ -9273,4 +9284,124 @@ SELECT COALESCE(o_orderpriority, 'ALL') AS prio,
     AS revenue_c
 FROM orders
 GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 2j (cont.): contrastive training-pair mining
+# ---------------------------------------------------------------------------
+
+def q_contrastive_pairs(sf_dir: str):
+    """Contrastive training-pair mining: POSITIVES are the verified
+    MinHash-LSH near-dup pairs (label 1, with their exact Jaccard);
+    NEGATIVES are one deterministic splitmix64 partner per document
+    (label 0), minus any that collide with a positive — the anti-join
+    runs distributed through the same union bucket exchange as every
+    other pair op (positive side rows kill matching negative
+    candidates in-resolve; no pair list ever lands on the driver)."""
+    from rhealpixdggs_py_ray.fixtures import splitmix64
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    nb = 16
+    pos = q_minhash_lsh(sf_dir)
+    n = _ndocs(sf_dir)
+
+    def _key(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        return a.astype(np.uint64) * np.uint64(1_000_000_007) + b.astype(np.uint64)
+
+    def pos_rows(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(_key(a, b), nb)),
+            "a": batch["a"], "b": batch["b"],
+            "jac_micros": batch["jac_micros"],
+            "side": pa.array(np.ones(len(a), dtype=np.int64)),
+        })
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"], blocks=4)
+
+    def neg_rows(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h = splitmix64(d.astype(np.uint64))
+        partner = (d + 1 + (h % np.uint64(n - 1)).astype(np.int64)) % n
+        a = np.minimum(d, partner)
+        b = np.maximum(d, partner)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(_key(a, b), nb)),
+            "a": pa.array(a), "b": pa.array(b),
+            "jac_micros": pa.array(np.zeros(len(a), dtype=np.int64)),
+            "side": pa.array(np.zeros(len(a), dtype=np.int64)),
+        })
+
+    both = pos.map_batches(
+        pos_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(docs.map_batches(
+        neg_rows, batch_format="pyarrow", zero_copy_batch=True
+    ))
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        a = g["a"].to_numpy()
+        b = g["b"].to_numpy()
+        side = g["side"].to_numpy()
+        jac = g["jac_micros"].to_numpy()
+        key = _key(a, b)
+        pos_keys = np.unique(key[side == 1])
+        if len(pos_keys):
+            p = np.searchsorted(pos_keys, key)
+            is_pos = pos_keys[np.minimum(p, len(pos_keys) - 1)] == key
+        else:
+            is_pos = np.zeros(len(key), dtype=bool)
+        keep = (side == 1) | ~is_pos
+        kk = key[keep]
+        lab = side[keep]
+        # two docs can pick the same negative pair — dedup per pair
+        _, first = np.unique(kk * np.uint64(2) + lab.astype(np.uint64),
+                             return_index=True)
+        return pd.DataFrame({
+            "a": a[keep][first], "b": b[keep][first],
+            "label": lab[first], "jac_micros": jac[keep][first],
+        })
+
+    return both.groupby("bucket").map_groups(resolve, batch_format="pandas")
+
+
+_NDOCS_CACHE: dict[str, int] = {}
+
+
+def _ndocs(sf_dir: str) -> int:
+    if sf_dir not in _NDOCS_CACHE:
+        import pyarrow.parquet as pq
+
+        _NDOCS_CACHE[sf_dir] = pq.ParquetFile(
+            f"{sf_dir}/documents.parquet"
+        ).metadata.num_rows
+    return _NDOCS_CACHE[sf_dir]
+
+
+def sql_contrastive_pairs() -> str:
+    sm = oracle.splitmix64_sql_ctes(
+        "SELECT doc_id FROM documents", "doc_id", "doc_id", "h"
+    )
+    return f"""
+WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+sm AS MATERIALIZED (SELECT doc_id, h FROM {sm} t),
+cand AS (
+  SELECT s.doc_id,
+    CAST((s.doc_id + 1
+          + CAST(s.h % CAST(nn.n - 1 AS UBIGINT) AS BIGINT)) % nn.n
+         AS BIGINT) AS partner
+  FROM sm s, nn
+),
+neg AS (
+  SELECT DISTINCT least(doc_id, partner) AS a,
+    greatest(doc_id, partner) AS b
+  FROM cand
+),
+pos AS MATERIALIZED ({sql_minhash_lsh()})
+SELECT a, b, CAST(1 AS BIGINT) AS label, jac_micros FROM pos
+UNION ALL
+SELECT n.a, n.b, CAST(0 AS BIGINT) AS label, CAST(0 AS BIGINT) AS jac_micros
+FROM neg n WHERE NOT EXISTS
+  (SELECT 1 FROM pos p WHERE p.a = n.a AND p.b = n.b)
 """

@@ -358,3 +358,17 @@ def test_cube_revenue_marginals_consistent(ray_session):
     for s in fine.index.get_level_values(1).unique():
         sub = fine[fine.index.get_level_values(1) == s]
         assert sub["revenue_c"].sum() == df.loc[("ALL", s), "revenue_c"]
+
+
+def test_contrastive_pairs_labels(ray_session):
+    df = _df(Q.q_contrastive_pairs(SF))
+    pos = _df(Q.q_minhash_lsh(SF))
+    p = df[df["label"] == 1]
+    n = df[df["label"] == 0]
+    # positives are exactly the minhash near-dup pairs
+    assert set(zip(p["a"], p["b"])) == set(zip(pos["a"], pos["b"]))
+    # negatives: canonical, non-self, disjoint from positives, jac 0
+    assert (n["a"] < n["b"]).all()
+    assert (n["jac_micros"] == 0).all()
+    assert not (set(zip(n["a"], n["b"])) & set(zip(p["a"], p["b"])))
+    assert len(n) >= len(p)  # every doc contributes a negative candidate
