@@ -9405,3 +9405,84 @@ SELECT n.a, n.b, CAST(0 AS BIGINT) AS label, CAST(0 AS BIGINT) AS jac_micros
 FROM neg n WHERE NOT EXISTS
   (SELECT 1 FROM pos p WHERE p.a = n.a AND p.b = n.b)
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 2j (cont.): calendar-aware date functions
+# ---------------------------------------------------------------------------
+
+def q_hourly_profile(sf_dir: str):
+    """Hour-of-day activity profile per event type (the diurnal
+    seasonality report): pure integer arithmetic (epoch_us // 3600e6
+    mod 24), map-side combined on a 5x24 key space — never a wide
+    exchange."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"], blocks=4)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        t = batch["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        hod = (t // 3_600_000_000) % 24
+        tu, ti = np.unique(et, return_inverse=True)
+        key = ti * 24 + hod
+        ku, ki = np.unique(key, return_inverse=True)
+        n = np.bincount(ki).astype(np.int64)
+        return pa.table({
+            "event_type": pa.array(tu[ku // 24], type=pa.string()),
+            "hour": pa.array((ku % 24).astype(np.int64)),
+            "n": pa.array(n),
+        })
+
+    p = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return p.groupby(["event_type", "hour"]).aggregate(Sum("n", alias_name="n"))
+
+
+def sql_hourly_profile() -> str:
+    return """
+SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hour,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_monthly_orders(sf_dir: str):
+    """Calendar seasonality: orders and revenue cents per civil
+    (year, month) — the calendar-aware date extraction the epoch-day
+    windows can't express.  numpy's datetime64[M] conversion is the
+    same proleptic-Gregorian calendar DuckDB's year()/month() use."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"],
+               blocks=4)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        months = d.astype("datetime64[M]").astype(np.int64)  # since 1970-01
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        mu, mi = np.unique(months, return_inverse=True)
+        n = np.bincount(mi).astype(np.int64)
+        s = np.zeros(len(mu), dtype=np.int64)
+        np.add.at(s, mi, cents)
+        yy = 1970 + mu // 12
+        mm = mu % 12 + 1
+        return pa.table({
+            "y": pa.array(yy), "m": pa.array(mm),
+            "n_orders": pa.array(n), "revenue_c": pa.array(s),
+        })
+
+    p = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return p.groupby(["y", "m"]).aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("revenue_c", alias_name="revenue_c"),
+    )
+
+
+def sql_monthly_orders() -> str:
+    return """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+  CAST(month(o_orderdate) AS BIGINT) AS m,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    AS revenue_c
+FROM orders GROUP BY 1, 2
+"""

@@ -372,3 +372,15 @@ def test_contrastive_pairs_labels(ray_session):
     assert (n["jac_micros"] == 0).all()
     assert not (set(zip(n["a"], n["b"])) & set(zip(p["a"], p["b"])))
     assert len(n) >= len(p)  # every doc contributes a negative candidate
+
+
+def test_calendar_ops_conservation(ray_session):
+    hp = _df(Q.q_hourly_profile(SF))
+    mo = _df(Q.q_monthly_orders(SF))
+    n_ev = len(pd.read_parquet(f"{SF}/events.parquet", columns=["event_id"]))
+    n_od = len(pd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey"]))
+    assert hp["n"].sum() == n_ev
+    assert hp["hour"].between(0, 23).all()
+    assert mo["n_orders"].sum() == n_od
+    assert mo["m"].between(1, 12).all()
+    assert mo.set_index(["y", "m"]).index.is_unique
