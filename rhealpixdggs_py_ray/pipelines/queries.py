@@ -9486,3 +9486,73 @@ SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
     AS revenue_c
 FROM orders GROUP BY 1, 2
 """
+
+
+def q_retention_cohorts(sf_dir: str):
+    """Cohort retention matrix (the product-analytics staple): users
+    cohorted by the civil month of their FIRST event; for every
+    (cohort, months-since) cell, the count of distinct users active in
+    that month.  One h(user) bucket exchange assembles each user's
+    distinct activity months (users are bucket-local, so cohort = the
+    segment min and the matrix partials are exact); the final fold is
+    a tiny int-keyed aggregate."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"], blocks=4)
+    nb = 8
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        mi = batch["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64) // 604_800_000_000  # epoch weeks
+        # per-batch (user, month) dedup before the exchange
+        key = uid.astype(np.uint64) * np.uint64(4096) + mi.astype(np.uint64)
+        ku = np.unique(key)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(ku >> np.uint64(12), nb)),
+            "user_id": pa.array((ku >> np.uint64(12)).view(np.int64)),
+            "mi": pa.array((ku & np.uint64(0xFFF)).view(np.int64)),
+        })
+
+    def matrix(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        mi = g["mi"].to_numpy()
+        key = uid.astype(np.uint64) * np.uint64(4096) + mi.astype(np.uint64)
+        ku = np.unique(key)  # cross-batch dedup of (user, month)
+        uid = (ku >> np.uint64(12)).view(np.int64)
+        mi = (ku & np.uint64(0xFFF)).view(np.int64)
+        # segments are sorted by user then month: cohort = segment min
+        new_seg = np.r_[True, uid[1:] != uid[:-1]]
+        starts = np.flatnonzero(new_seg)
+        seg_id = np.cumsum(new_seg) - 1
+        cohort = mi[starts][seg_id]
+        off = mi - cohort
+        ck = cohort * 4096 + off
+        cu, ci = np.unique(ck, return_inverse=True)
+        n = np.bincount(ci).astype(np.int64)
+        return pd.DataFrame({
+            "cohort_week": cu // 4096,
+            "weeks_since": cu % 4096,
+            "n_users": n,
+        })
+
+    part = ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+    agg = part.groupby("bucket").map_groups(matrix, batch_format="pandas")
+    return agg.groupby(["cohort_week", "weeks_since"]).aggregate(
+        Sum("n_users", alias_name="n_users")
+    )
+
+
+def sql_retention_cohorts() -> str:
+    return """
+WITH m AS MATERIALIZED (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS mi
+  FROM events
+),
+c AS (SELECT user_id, MIN(mi) AS cohort FROM m GROUP BY 1)
+SELECT c.cohort AS cohort_week,
+  CAST(m.mi - c.cohort AS BIGINT) AS weeks_since,
+  CAST(COUNT(*) AS BIGINT) AS n_users
+FROM m JOIN c USING (user_id)
+GROUP BY 1, 2
+"""

@@ -384,3 +384,18 @@ def test_calendar_ops_conservation(ray_session):
     assert mo["n_orders"].sum() == n_od
     assert mo["m"].between(1, 12).all()
     assert mo.set_index(["y", "m"]).index.is_unique
+
+
+def test_retention_cohorts_matrix(ray_session):
+    df = _df(Q.q_retention_cohorts(SF))
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    ev["w"] = ev["ts"].astype("datetime64[us]").astype(np.int64) // 604_800_000_000
+    um = ev.drop_duplicates(["user_id", "w"])
+    first = um.groupby("user_id")["w"].min()
+    # offset-0 cell of each cohort counts exactly its new users
+    for cw, g in first.groupby(first):
+        cell = df[(df["cohort_week"] == cw) & (df["weeks_since"] == 0)]
+        assert int(cell["n_users"].iloc[0]) == len(g)
+    # total matrix mass == distinct (user, week) pairs
+    assert df["n_users"].sum() == len(um)
+    assert (df["weeks_since"] >= 0).all()
