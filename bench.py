@@ -310,6 +310,18 @@ def main():
     queries = run_queries(SF_DIR)
     ray.shutdown()
 
+    # Full per-query timings go to a sidecar file + an EARLY stdout
+    # line; the FINAL line is kept compact (slowest 20 + totals) so the
+    # driver's 2,000-char tail always captures a parseable record
+    # (BENCH_r02.json had parsed=null from a 5KB tail-truncated line).
+    full = {"queries_full": queries}
+    try:
+        with open("/tmp/graft_bench_queries_full.json", "w") as f:
+            json.dump(full, f)
+    except OSError:
+        pass
+    print(json.dumps(full))
+    slowest = dict(sorted(queries.items(), key=lambda kv: -kv[1])[:20])
     print(json.dumps({
         "metric": (
             "spatial-join + tile-assignment sec over synthetic image-coordinate "
@@ -317,7 +329,9 @@ def main():
         ),
         "value": round(head["sec"], 3),
         "unit": "sec",
-        "queries": queries,
+        "queries": slowest,
+        "queries_total_sec": round(sum(queries.values()), 2),
+        "queries_count": len(queries),
         "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
         "num_cpus": CPUS,
         "headline_rows": head["rows"],

@@ -16,6 +16,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from rhealpixdggs_py_ray import sizing
+
 
 def hash_bucket_u64(ids: np.ndarray, n_buckets: int) -> np.ndarray:
     """THE engine-wide bucket hash (splitmix multiplier, top-6-bit
@@ -33,6 +35,7 @@ def sum_by_u64_key(ds, key_col: str, val_col: str, out_val: str,
                    n_buckets: int = 32):
     """Exact per-key int64 sums for a uint64 key column.  Returns a
     Dataset with (key_col, out_val)."""
+    n_buckets = sizing.exchange_buckets(n_buckets)
 
     def combine_batch(batch: pa.Table) -> pa.Table:
         k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)

@@ -35,6 +35,7 @@ import ray
 
 from rhealpixdggs_py_ray.fixtures import splitmix64
 from rhealpixdggs_py_ray.ops.dedup import _emb_matrix
+from rhealpixdggs_py_ray import sizing
 
 
 def _seq_norm(M: np.ndarray) -> np.ndarray:
@@ -153,7 +154,7 @@ def ann_topk(emb_ds, n_queries: int = 10, k: int = 5):
             return _partial_topk_table(self.qids, vid, S, self.k)
 
     partials = emb_ds.map_batches(
-        PartialTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+        PartialTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=sizing.pool()
     )
     return partials.groupby("qid").map_groups(_final_topk(k), batch_format="pandas")
 
@@ -241,7 +242,7 @@ def ann_topk_lsh(emb_ds, n_queries: int = 10, k: int = 5, n_planes: int = 8):
             return t.filter(pa.array(np.isfinite(t["cos"].to_numpy(zero_copy_only=False))))
 
     partials = emb_ds.map_batches(
-        BucketTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+        BucketTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=sizing.pool()
     )
     return partials.groupby("qid").map_groups(_final_topk(k), batch_format="pandas")
 
@@ -356,7 +357,7 @@ def ann_topk_ivf(emb_ds, n_queries: int = 10, k: int = 5, n_lists: int = 16,
             return t.filter(pa.array(np.isfinite(t["cos"].to_numpy(zero_copy_only=False))))
 
     partials = emb_ds.map_batches(
-        IvfTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+        IvfTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=sizing.pool()
     )
     return partials.groupby("qid").map_groups(_final_topk(k), batch_format="pandas")
 

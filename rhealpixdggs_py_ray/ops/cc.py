@@ -31,6 +31,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from rhealpixdggs_py_ray import sizing
+
 from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64 as _bucket_of
 
 
@@ -68,6 +70,7 @@ def spanning_forest(pairs_ds, a_col: str = "a", b_col: str = "b",
     Boruvka-style edge reduction).  Output is ≤ one edge per distinct
     node per bucket — O(nodes), independent of how dense the pair set
     was."""
+    n_buckets = sizing.exchange_buckets(n_buckets)
 
     def to_bucketed(batch: pa.Table) -> pa.Table:
         a = batch[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -109,6 +112,7 @@ def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b",
     Only nodes that appear in a pair are labeled (unpaired docs are
     trivially their own cluster and never enter the exchange).
     """
+    n_buckets = sizing.exchange_buckets(n_buckets)
     import ray.data as _rd
 
     # Map-side sparsification, NO shuffle: a spanning forest of any
@@ -163,6 +167,7 @@ def connected_components_iterative(pairs_ds, a_col: str = "a", b_col: str = "b",
     Exact same output as ``connected_components``; used when even the
     sparsified forest exceeds the driver cap.
     """
+    n_buckets = sizing.exchange_buckets(n_buckets)
     # Directed edge table (both directions), bucketed by h(src); built
     # once and materialized — it is re-read every iteration and its
     # lineage (the whole minhash pipeline) must not re-execute.

@@ -42,6 +42,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 from ray.data.aggregate import Count, Min, Sum
+from rhealpixdggs_py_ray import sizing
 
 # MinHash parameters (shared with the SQL oracle).
 N_PERM = 8
@@ -189,6 +190,7 @@ def _sum_by_pair(pairs_ds, alias: str, n_buckets: int = 32):
     aggregate: hash-partition pairs into a few buckets, combine each
     bucket vectorized.  (ray.data's sort-based Aggregate measured 18s
     on 48k rows with ~40k groups; this path is <1s and identical.)"""
+    n_buckets = sizing.exchange_buckets(n_buckets)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         a = batch["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -226,6 +228,7 @@ def _count_by_key(ds, key_col: str, out_val: str, n_buckets: int = 32):
     np.unique combine + hash-bucket merge (ops/agg.py rationale: ray's
     sort aggregate costs ~18s at 40k groups; this is one small
     shuffle)."""
+    n_buckets = sizing.exchange_buckets(n_buckets)
 
     def combine_batch(batch: pa.Table) -> pa.Table:
         k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -270,6 +273,7 @@ def _attach_pair_sides(pairs_ds, kv_ds, pair_extra, val_cols, n_buckets: int = 6
     a bucket group holds |kv_ds|/n_buckets doc rows plus the candidate
     side rows that hash there — size n_buckets so a group fits a worker
     heap (doc rows are a few dozen bytes unless val_cols carry text)."""
+    n_buckets = sizing.exchange_buckets(n_buckets)
     val_names = [c for c, _ in val_cols]
 
     def mk_schema_cols():
@@ -361,6 +365,7 @@ def _pair_sides_pivot(att_ds, finisher, extra_cols, n_buckets: int = 32):
     suffixed ``_a`` and side-1 suffixed ``_b``, then ``finisher``
     applied per hash bucket (vectorized).  Both side rows of a pair
     land in the same bucket by construction (same (a, b) hash)."""
+    n_buckets = sizing.exchange_buckets(n_buckets)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         a = batch["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -421,6 +426,7 @@ def _attach_pair_sides_fused(
     hash there — raise n_buckets so a group fits a worker heap ("pack"
     mode ships the raw doc payload through the exchange, the same
     volume the replaced hash join shuffled)."""
+    n_buckets = sizing.exchange_buckets(n_buckets)
     val_names = [c for c, _ in val_cols]
     payload_cols = list(kv_in_cols) if kv_mode == "pack" else list(val_cols)
     payload_names = [c for c, _ in payload_cols]
@@ -580,14 +586,16 @@ def minhash_lsh_pairs(docs_ds, jaccard_min: float = 0.5):
     groupby -> in-bucket pair expansion -> distinct -> exact-jaccard
     verification join."""
     sig = docs_ds.map_batches(
-        MinHasher, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+        MinHasher, batch_format="pyarrow", zero_copy_batch=True, concurrency=sizing.pool()
     )
+
+    npb = sizing.exchange_buckets(N_PAIR_BUCKETS)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         k1 = batch["k1"].to_numpy(zero_copy_only=False)
         k2 = batch["k2"].to_numpy(zero_copy_only=False)
         b = batch["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        bucket = ((k1 ^ (k2 >> np.uint64(1)) ^ b) % np.uint64(N_PAIR_BUCKETS)).astype(np.int64)
+        bucket = ((k1 ^ (k2 >> np.uint64(1)) ^ b) % np.uint64(npb)).astype(np.int64)
         return batch.append_column("bucket", pa.array(bucket))
 
     cand = (
@@ -802,15 +810,17 @@ def ngram_jaccard_pairs(docs_ds, jaccard_min: float = 0.2):
     -> size join -> threshold.  (a, b, jac_micros)."""
     # two consumers (inter + sizes): materialize the explode once
     sh = docs_ds.map_batches(
-        ShingleExploder, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+        ShingleExploder, batch_format="pyarrow", zero_copy_batch=True, concurrency=sizing.pool()
     ).materialize()
+
+    npb = sizing.exchange_buckets(N_PAIR_BUCKETS)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         # Bucket id is internal (any deterministic hash works); pandas'
         # siphash is vectorized and stable across worker processes,
         # unlike per-row hashlib.md5 on the exploded shingle table.
         s = batch["s"].to_numpy(zero_copy_only=False)
-        bucket = (pd.util.hash_array(s) % np.uint64(N_PAIR_BUCKETS)).astype(np.int64)
+        bucket = (pd.util.hash_array(s) % np.uint64(npb)).astype(np.int64)
         return batch.append_column("bucket", pa.array(bucket))
 
     inter = (
@@ -985,7 +995,7 @@ def embedding_dedup_pairs(emb_ds, tau: float = 0.4, chunk_rows: int | None = Non
             )
 
     return pairs_ds.map_batches(
-        ChunkPair, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+        ChunkPair, batch_format="pyarrow", zero_copy_batch=True, concurrency=sizing.pool()
     )
 
 
@@ -1055,7 +1065,7 @@ def embedding_dedup_lsh_pairs(emb_ds, tau: float = 0.4, dim: int = 64):
             )
 
     sig = emb_ds.select_columns(["vec_id", "embedding"]).map_batches(
-        BandRows, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+        BandRows, batch_format="pyarrow", zero_copy_batch=True, concurrency=sizing.pool()
     )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -1102,6 +1112,7 @@ def embedding_dedup_lsh_pairs(emb_ds, tau: float = 0.4, dim: int = 64):
 def _min_by_pair(pairs_ds, alias: str, n_buckets: int = 32):
     """Per-(a, b) min of ``ni_partial`` (pair dedupe when the value is
     identical across duplicates), same shape as _sum_by_pair."""
+    n_buckets = sizing.exchange_buckets(n_buckets)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         a = batch["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -1241,15 +1252,17 @@ def editdist_pairs(docs_ds):
     never corpus-quadratic — and texts reach the pair via the same
     fused one-exchange attach."""
     sig = docs_ds.map_batches(
-        MinHasher, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+        MinHasher, batch_format="pyarrow", zero_copy_batch=True, concurrency=sizing.pool()
     )
+
+    npb = sizing.exchange_buckets(N_PAIR_BUCKETS)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         k1 = batch["k1"].to_numpy(zero_copy_only=False)
         k2 = batch["k2"].to_numpy(zero_copy_only=False)
         b = batch["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
         bucket = (
-            (k1 ^ (k2 >> np.uint64(1)) ^ b) % np.uint64(N_PAIR_BUCKETS)
+            (k1 ^ (k2 >> np.uint64(1)) ^ b) % np.uint64(npb)
         ).astype(np.int64)
         return batch.append_column("bucket", pa.array(bucket))
 

@@ -18,6 +18,7 @@ import numpy as np
 import pyarrow as pa
 
 from rhealpixdggs_py_ray.fixtures import decode_image
+from rhealpixdggs_py_ray import sizing
 
 
 def resize_nearest(pix: np.ndarray, w: int, h: int) -> np.ndarray:
@@ -165,7 +166,7 @@ def _popcount64(v: np.ndarray) -> np.ndarray:
 
 
 def image_near_dup_pairs(ds, id_col: str = "img_idx", max_hamming: int = 6,
-                         concurrency=(1, 8)):
+                         concurrency=None):
     """End-to-end image near-dup: decode -> 64-bit perceptual hash ->
     4x16-bit band LSH -> candidate pairs -> exact Hamming verify.
 
@@ -186,7 +187,7 @@ def image_near_dup_pairs(ds, id_col: str = "img_idx", max_hamming: int = 6,
     # doesn't re-execute per consumer
     feat = ds.map_batches(
         DecodeResizeFeatures, batch_format="pyarrow", batch_size=256,
-        zero_copy_batch=True, concurrency=concurrency,
+        zero_copy_batch=True, concurrency=concurrency or sizing.pool(),
     ).select_columns([id_col, "phash64"]).materialize()
 
     def bands(batch: pa.Table) -> pa.Table:

@@ -25,6 +25,7 @@ from rhealpixdggs_py_ray.core.config import EngineConfig, WGS84_003
 from rhealpixdggs_py_ray.sources.images import read_images
 from rhealpixdggs_py_ray.stages.indexer import CellIndexer
 from rhealpixdggs_py_ray.stages.join import CoverSemiJoin, make_cover_ref
+from rhealpixdggs_py_ray import sizing
 
 
 def index_images(
@@ -32,7 +33,7 @@ def index_images(
     cfg: EngineConfig = WGS84_003,
     resolution: int = 9,
     with_payload: bool = False,
-    concurrency=(1, 8),
+    concurrency=None,
     batch_size: int = 65536,
     override_num_blocks: int | None = None,
 ):
@@ -46,7 +47,7 @@ def index_images(
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
-        concurrency=concurrency,
+        concurrency=concurrency or sizing.pool(),
     )
 
 
@@ -58,7 +59,7 @@ def spatial_join_tiling(
     tile_res: int = 3,
     cover_res: int = 3,
     out_dir: str | None = None,
-    concurrency=(1, 8),
+    concurrency=None,
     batch_size: int = 65536,
     override_num_blocks: int | None = None,
 ):
@@ -69,7 +70,7 @@ def spatial_join_tiling(
         path,
         cfg=cfg,
         resolution=resolution,
-        concurrency=concurrency,
+        concurrency=concurrency or sizing.pool(),
         batch_size=batch_size,
         override_num_blocks=override_num_blocks,
     )
@@ -81,7 +82,7 @@ def spatial_join_tiling(
             batch_format="pyarrow",
             batch_size=batch_size,
             zero_copy_batch=True,
-            concurrency=concurrency,
+            concurrency=concurrency or sizing.pool(),
         )
 
     def assign_tile(batch: pa.Table) -> pa.Table:

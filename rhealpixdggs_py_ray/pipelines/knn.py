@@ -29,6 +29,7 @@ from rhealpixdggs_py_ray.core import projection as prj
 from rhealpixdggs_py_ray.core import suid as su
 from rhealpixdggs_py_ray.core import topology as tp
 from rhealpixdggs_py_ray.core.config import EngineConfig, WGS84_003
+from rhealpixdggs_py_ray import sizing
 
 
 class _PartialKnn:
@@ -107,7 +108,7 @@ def knn_brute(
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
-        concurrency=(1, 8),
+        concurrency=sizing.pool(),
     )
     return partials.groupby("qid").map_groups(_final_topk(k), batch_format="pandas")
 
@@ -151,7 +152,7 @@ def knn_rings(
 
     pruned = ds.map_batches(
         RingFilter, batch_format="pyarrow", batch_size=batch_size,
-        zero_copy_batch=True, concurrency=(1, 8),
+        zero_copy_batch=True, concurrency=sizing.pool(),
     )
     return knn_brute(
         pruned, queries, k=k, cfg=cfg, id_col=id_col, lon_col=lon_col,

@@ -24,7 +24,7 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
-from rhealpixdggs_py_ray import oracle
+from rhealpixdggs_py_ray import oracle, sizing
 from rhealpixdggs_py_ray.core import geometry as geo
 from rhealpixdggs_py_ray.core import index as idx
 from rhealpixdggs_py_ray.core import suid as su
@@ -44,15 +44,18 @@ COVER_PAD = 16.0  # degrees; cover stays a superset, refine stage is exact
 
 
 def _read(sf_dir: str, table: str, columns=None, blocks: int | None = 16):
-    # 16 blocks, not 32: at sf-scale inputs 32 read tasks are pure
-    # overhead (A/B: a map-only docs query 0.77s @32 vs 0.38s @8
-    # blocks; a cpu-heavy per-token stage 0.86s @32 vs 0.62s @8), and
-    # the hot actor pools cap at 8 workers anyway.  At 100 TB the
-    # driver's file fragments set the block count, not this override.
+    # ``blocks`` is the measured bench-box profile (16 default; 4 for
+    # exchange-bound queries: A/B'd in BASELINE.md — a map-only docs
+    # query 0.77s @32 vs 0.38s @8 blocks, exchange fixed cost scales
+    # with blocks x partitions).  sizing.read_blocks keeps that value
+    # at sandbox scale and switches to fragment/128MiB-driven counts on
+    # big inputs, so the override can never fuse a 100 TB read into 16
+    # giant tasks (VERDICT r2 item 1).
     kwargs = {"columns": columns}
+    path = f"{sf_dir}/{table}.parquet"
     if blocks is not None:
-        kwargs["override_num_blocks"] = blocks
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", **kwargs)
+        kwargs["override_num_blocks"] = sizing.read_blocks(path, profile=blocks)
+    return ray.data.read_parquet(path, **kwargs)
 
 
 # ---------------------------------------------------------------------------
@@ -92,7 +95,7 @@ def indexed_events(sf_dir: str, resolution: int = RES, batch_size: int = 65536):
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
-        concurrency=(1, 8),
+        concurrency=sizing.pool(),
     )
 
 
@@ -154,7 +157,7 @@ def q_spatial_join_bbox(sf_dir: str):
         fn_constructor_args=(cover_ref, COVER_RES),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4),
+        concurrency=sizing.pool(8),
     )
 
     def refine(batch: pa.Table) -> pa.Table:
@@ -287,7 +290,7 @@ def q_grid(sf_dir: str):
         u = su.suid_from_level_order_index(i + base, CFG)
         return pa.table({"cell_id": pa.array(su.to_string_fixed(u, GRID_RES))})
 
-    return ray.data.range(total, override_num_blocks=8).map_batches(
+    return ray.data.range(total, override_num_blocks=sizing.range_blocks(total, 8)).map_batches(
         to_suid, batch_format="pyarrow", zero_copy_batch=True
     )
 
@@ -1464,7 +1467,7 @@ def q_simhash(sf_dir: str):
     from rhealpixdggs_py_ray.ops.dedup import SimHasher
 
     return _docs(sf_dir).map_batches(
-        SimHasher, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+        SimHasher, batch_format="pyarrow", zero_copy_batch=True, concurrency=sizing.pool()
     )
 
 
@@ -1817,7 +1820,7 @@ def q_lang_id(sf_dir: str):
     from rhealpixdggs_py_ray.ops.text import LangId
 
     return _docs(sf_dir).map_batches(
-        LangId, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+        LangId, batch_format="pyarrow", zero_copy_batch=True, concurrency=sizing.pool()
     )
 
 
@@ -1831,7 +1834,7 @@ def q_quality(sf_dir: str):
     from rhealpixdggs_py_ray.ops.text import QualityScorer
 
     return _docs(sf_dir).map_batches(
-        QualityScorer, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+        QualityScorer, batch_format="pyarrow", zero_copy_batch=True, concurrency=sizing.pool()
     )
 
 
@@ -1845,7 +1848,7 @@ def q_fingerprint(sf_dir: str):
     from rhealpixdggs_py_ray.ops.text import Fingerprinter
 
     return _docs(sf_dir).map_batches(
-        Fingerprinter, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+        Fingerprinter, batch_format="pyarrow", zero_copy_batch=True, concurrency=sizing.pool()
     )
 
 
@@ -2023,7 +2026,7 @@ def q_cell_geometry(sf_dir: str):
             }
         )
 
-    return ray.data.range(total, override_num_blocks=4).map_batches(
+    return ray.data.range(total, override_num_blocks=sizing.range_blocks(total, 4)).map_batches(
         geom, batch_format="pyarrow", zero_copy_batch=True
     )
 
@@ -2043,13 +2046,13 @@ def q_image_pipeline(sf_dir: str):
     n = 2000
     out_dir = f"/tmp/graft_images_{n}"
     write_images_table(out_dir, n)
-    ds = ray.data.read_parquet(out_dir, override_num_blocks=8)
+    ds = ray.data.read_parquet(out_dir, override_num_blocks=sizing.read_blocks(out_dir, profile=8))
     ds = ds.map_batches(
         PayloadVerifier,
         batch_format="pyarrow",
         batch_size=256,
         zero_copy_batch=True,
-        concurrency=(1, 8),
+        concurrency=sizing.pool(),
     )
     from rhealpixdggs_py_ray.stages.indexer import CellIndexer
 
@@ -2059,7 +2062,7 @@ def q_image_pipeline(sf_dir: str):
         batch_format="pyarrow",
         batch_size=256,
         zero_copy_batch=True,
-        concurrency=(1, 8),
+        concurrency=sizing.pool(),
     )
 
     def summarize(batch: pa.Table) -> pa.Table:
@@ -2114,7 +2117,7 @@ def q_hierarchy(sf_dir: str):
             }
         )
 
-    return ray.data.range(total, override_num_blocks=8).map_batches(
+    return ray.data.range(total, override_num_blocks=sizing.range_blocks(total, 8)).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True
     )
 
@@ -2148,7 +2151,7 @@ def q_successor(sf_dir: str):
             }
         )
 
-    return ray.data.range(total, override_num_blocks=8).map_batches(
+    return ray.data.range(total, override_num_blocks=sizing.range_blocks(total, 8)).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True
     )
 
@@ -2779,7 +2782,7 @@ def q_distinct_users(sf_dir: str):
     exact) -> per-bucket partials -> tiny final groupby over the
     handful of event types.  Never a per-user ray group."""
     ds = _read(sf_dir, "events", columns=["event_type", "user_id"], blocks=4)
-    n_buckets = 32
+    n_buckets = sizing.exchange_buckets(32)
 
     def partial(batch: pa.Table) -> pa.Table:
         et = batch["event_type"].to_numpy(zero_copy_only=False)
@@ -3682,7 +3685,7 @@ def q_resumable_tiling(sf_dir: str):
             fn_constructor_kwargs={"resolution": RES},
             batch_format="pyarrow",
             zero_copy_batch=True,
-            concurrency=(1, 4),
+            concurrency=sizing.pool(8),
         )
         tiles = aggregate_tiles(ds, TILE_RES, salt_col=None)
         tiles.write_parquet(part_out)
@@ -3718,13 +3721,13 @@ def q_image_features(sf_dir: str):
     n = 2000
     out_dir = f"/tmp/graft_images_{n}"
     write_images_table(out_dir, n)
-    ds = ray.data.read_parquet(out_dir, override_num_blocks=8)
+    ds = ray.data.read_parquet(out_dir, override_num_blocks=sizing.read_blocks(out_dir, profile=8))
     ds = ds.map_batches(
         DecodeResizeFeatures,
         batch_format="pyarrow",
         batch_size=256,
         zero_copy_batch=True,
-        concurrency=(1, 8),
+        concurrency=sizing.pool(),
     )
     ds = ds.map_batches(
         CellIndexer,
@@ -3732,7 +3735,7 @@ def q_image_features(sf_dir: str):
         batch_format="pyarrow",
         batch_size=256,
         zero_copy_batch=True,
-        concurrency=(1, 8),
+        concurrency=sizing.pool(),
     )
 
     def summarize(batch: pa.Table) -> pa.Table:
@@ -3930,7 +3933,7 @@ def q_predecessor(sf_dir: str):
             }
         )
 
-    return ray.data.range(total, override_num_blocks=8).map_batches(
+    return ray.data.range(total, override_num_blocks=sizing.range_blocks(total, 8)).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True
     )
 
@@ -4032,7 +4035,7 @@ def q_suid_rowcol(sf_dir: str):
             }
         )
 
-    return ray.data.range(total, override_num_blocks=8).map_batches(
+    return ray.data.range(total, override_num_blocks=sizing.range_blocks(total, 8)).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True
     )
 
@@ -4118,7 +4121,7 @@ def q_xy_range(sf_dir: str):
             }
         )
 
-    return ray.data.range(total, override_num_blocks=4).map_batches(
+    return ray.data.range(total, override_num_blocks=sizing.range_blocks(total, 4)).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True
     )
 
@@ -4170,7 +4173,7 @@ def q_cell_boundary(sf_dir: str):
             }
         )
 
-    return ray.data.range(total, override_num_blocks=4).map_batches(
+    return ray.data.range(total, override_num_blocks=sizing.range_blocks(total, 4)).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True
     )
 
@@ -4241,7 +4244,7 @@ def q_cell_interior(sf_dir: str):
             }
         )
 
-    return ray.data.range(total, override_num_blocks=2).map_batches(
+    return ray.data.range(total, override_num_blocks=sizing.range_blocks(total, 2)).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True
     )
 
@@ -4342,7 +4345,7 @@ def q_cell_overlaps(sf_dir: str):
             }
         )
 
-    return ray.data.range(total, override_num_blocks=8).map_batches(
+    return ray.data.range(total, override_num_blocks=sizing.range_blocks(total, 8)).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True
     )
 
@@ -4384,7 +4387,7 @@ def q_random_cells(sf_dir: str):
             }
         )
 
-    return ray.data.range(RANDOM_N, override_num_blocks=4).map_batches(
+    return ray.data.range(RANDOM_N, override_num_blocks=sizing.range_blocks(RANDOM_N, 4)).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True
     )
 
@@ -4426,7 +4429,7 @@ def q_random_points(sf_dir: str):
             }
         )
 
-    return ray.data.range(RANDOM_N, override_num_blocks=4).map_batches(
+    return ray.data.range(RANDOM_N, override_num_blocks=sizing.range_blocks(RANDOM_N, 4)).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True
     )
 
@@ -4589,7 +4592,7 @@ def q_image_neardup(sf_dir: str):
     from rhealpixdggs_py_ray.ops.multimodal import image_near_dup_pairs
 
     write_images_table(IMG_DIR, IMG_N)
-    ds = ray.data.read_parquet(IMG_DIR, override_num_blocks=8)
+    ds = ray.data.read_parquet(IMG_DIR, override_num_blocks=sizing.read_blocks(IMG_DIR, profile=8))
 
     def add_idx(batch: pa.Table) -> pa.Table:
         ii = pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 3, 15), pa.int64())
@@ -4657,7 +4660,7 @@ def q_multimodal_neardup(sf_dir: str):
     from rhealpixdggs_py_ray.ops.multimodal import image_near_dup_pairs
 
     write_images_table(IMG_DIR, IMG_N)
-    ds = ray.data.read_parquet(IMG_DIR, override_num_blocks=8)
+    ds = ray.data.read_parquet(IMG_DIR, override_num_blocks=sizing.read_blocks(IMG_DIR, profile=8))
 
     def add_idx(batch: pa.Table) -> pa.Table:
         ii = pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 3, 15), pa.int64())
@@ -4863,7 +4866,7 @@ def q_user_setops(sf_dir: str):
     per-bucket bit-OR is globally exact) -> 1-row fold."""
     from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
 
-    n_buckets = 16
+    n_buckets = sizing.exchange_buckets(16)
     ev = _read(sf_dir, "events", columns=["user_id"], blocks=4)
     od = _read(sf_dir, "orders", columns=["o_custkey"], blocks=4)
 
@@ -5122,7 +5125,7 @@ def q_focal_stats(sf_dir: str):
     distinct cells per block), never on raw events."""
     from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
 
-    n_buckets = 32
+    n_buckets = sizing.exchange_buckets(32)
     nrow = CFG.N_side**FOCAL_RES
     ncol = 4 * nrow
     ds = _read(sf_dir, "events", columns=["event_id"])
@@ -5531,7 +5534,7 @@ def q_left_join_orders(sf_dir: str):
     holds matching right rows."""
     from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
 
-    n_buckets = 16
+    n_buckets = sizing.exchange_buckets(16)
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"], blocks=4)
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"], blocks=4)
 
@@ -5901,7 +5904,7 @@ def q_funnel(sf_dir: str):
     leave the bucket."""
     from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
 
-    n_buckets = 16
+    n_buckets = sizing.exchange_buckets(16)
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"], blocks=4)
 
     def tag(batch: pa.Table) -> pa.Table:
@@ -6022,7 +6025,7 @@ def q_count_of_counts(sf_dir: str):
     count-of-count partials -> tiny final fold over distinct counts."""
     from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
 
-    n_buckets = 16
+    n_buckets = sizing.exchange_buckets(16)
     ds = _read(sf_dir, "events", columns=["user_id"], blocks=4)
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -6078,13 +6081,13 @@ def q_image_mosaic(sf_dir: str):
     from rhealpixdggs_py_ray.stages.indexer import CellIndexer
 
     write_images_table(IMG_DIR, IMG_N)
-    ds = ray.data.read_parquet(IMG_DIR, override_num_blocks=8)
+    ds = ray.data.read_parquet(IMG_DIR, override_num_blocks=sizing.read_blocks(IMG_DIR, profile=8))
     ds = ds.map_batches(
         DecodeResizeFeatures,
         batch_format="pyarrow",
         batch_size=256,
         zero_copy_batch=True,
-        concurrency=(1, 8),
+        concurrency=sizing.pool(),
     )
     ds = ds.map_batches(
         CellIndexer,
@@ -6092,7 +6095,7 @@ def q_image_mosaic(sf_dir: str):
         batch_format="pyarrow",
         batch_size=256,
         zero_copy_batch=True,
-        concurrency=(1, 8),
+        concurrency=sizing.pool(),
     )
 
     def summarize(batch: pa.Table) -> pa.Table:
@@ -6167,7 +6170,7 @@ def q_trajectory_segments(sf_dir: str):
     from rhealpixdggs_py_ray.core import projection as proj
     from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
 
-    n_buckets = 16
+    n_buckets = sizing.exchange_buckets(16)
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"], blocks=4)
 
     def tag(batch: pa.Table) -> pa.Table:
@@ -6459,7 +6462,7 @@ def q_cap_cover(sf_dir: str):
             "d2_mm2": pa.array(np.concatenate(out_d)),
         })
 
-    return ray.data.range(total, override_num_blocks=4).map_batches(
+    return ray.data.range(total, override_num_blocks=sizing.range_blocks(total, 4)).map_batches(
         cover, batch_format="pyarrow", zero_copy_batch=True
     )
 
@@ -6513,7 +6516,7 @@ def q_cooccurrence(sf_dir: str):
     the mask — partials leaving a bucket are <= 15 rows."""
     from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
 
-    n_buckets = 16
+    n_buckets = sizing.exchange_buckets(16)
     types = list(PIVOT_TYPES)
     t_idx = {t: i for i, t in enumerate(types)}
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"], blocks=4)
@@ -6585,7 +6588,7 @@ def q_constraint_audit(sf_dir: str):
     customer), negative prices.  Output: one row per check."""
     from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
 
-    n_buckets = 16
+    n_buckets = sizing.exchange_buckets(16)
     orders = _read(sf_dir, "orders",
                    columns=["o_orderkey", "o_custkey", "o_totalprice"],
                    blocks=4)
@@ -6719,7 +6722,7 @@ def q_image_quality_filter(sf_dir: str):
     from rhealpixdggs_py_ray.ops.multimodal import resize_nearest
 
     write_images_table(IMG_DIR, IMG_N)
-    ds = ray.data.read_parquet(IMG_DIR, override_num_blocks=8)
+    ds = ray.data.read_parquet(IMG_DIR, override_num_blocks=sizing.read_blocks(IMG_DIR, profile=8))
 
     class VarStage:
         def __call__(self, batch: pa.Table) -> pa.Table:
@@ -6749,7 +6752,7 @@ def q_image_quality_filter(sf_dir: str):
 
     return ds.map_batches(
         VarStage, batch_format="pyarrow", batch_size=256,
-        zero_copy_batch=True, concurrency=(1, 8),
+        zero_copy_batch=True, concurrency=sizing.pool(),
     )
 
 
@@ -6795,7 +6798,7 @@ def q_image_pyramid(sf_dir: str):
     from rhealpixdggs_py_ray.ops.multimodal import resize_nearest
 
     write_images_table(IMG_DIR, IMG_N)
-    ds = ray.data.read_parquet(IMG_DIR, override_num_blocks=8)
+    ds = ray.data.read_parquet(IMG_DIR, override_num_blocks=sizing.read_blocks(IMG_DIR, profile=8))
 
     class PyramidStage:
         def __call__(self, batch: pa.Table) -> pa.Table:
@@ -6824,7 +6827,7 @@ def q_image_pyramid(sf_dir: str):
 
     p = ds.map_batches(
         PyramidStage, batch_format="pyarrow", batch_size=256,
-        zero_copy_batch=True, concurrency=(1, 8),
+        zero_copy_batch=True, concurrency=sizing.pool(),
     )
     return p.groupby("level").aggregate(
         Sum("n", alias_name="n"),
@@ -6871,7 +6874,7 @@ def q_window_join(sf_dir: str):
     per-user pair count + matched-purchase count."""
     from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
 
-    n_buckets = 16
+    n_buckets = sizing.exchange_buckets(16)
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"], blocks=4)
 
     def tag(batch: pa.Table) -> pa.Table:
@@ -7167,7 +7170,7 @@ def q_bpe_pairs(sf_dir: str):
     (the vocab query's bigram sibling; same no-global-sort shape)."""
     from rhealpixdggs_py_ray.ops.dedup import md5_u64
 
-    n_buckets = 16
+    n_buckets = sizing.exchange_buckets(16)
     ds = _read(sf_dir, "documents", columns=["text"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -7306,7 +7309,7 @@ def q_grid_distance(sf_dir: str):
     equatorial band drop."""
     from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
 
-    n_buckets = 16
+    n_buckets = sizing.exchange_buckets(16)
     nrow = CFG.N_side**GRIDDIST_RES
     ncol = 4 * nrow
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"], blocks=4)
@@ -7427,7 +7430,7 @@ def q_snapshot_diff(sf_dir: str):
     from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
     from rhealpixdggs_py_ray.ops.dedup import md5_u64
 
-    n_buckets = 8
+    n_buckets = sizing.exchange_buckets(8)
     ds_old = _read(sf_dir, "events",
                    columns=["event_id", "ts", "event_type", "value"], blocks=4)
     ds_new = _read(sf_dir, "events",
@@ -8885,7 +8888,7 @@ def q_generator_source(sf_dir: str):
 
     from rhealpixdggs_py_ray.sources.generator import ImagesDatasource
 
-    ds = ray.data.read_datasource(ImagesDatasource(IMG_N), override_num_blocks=8)
+    ds = ray.data.read_datasource(ImagesDatasource(IMG_N), override_num_blocks=sizing.range_blocks(IMG_N, 8))
 
     def partial(batch: pa.Table) -> pa.Table:
         w = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
