@@ -166,14 +166,20 @@ def _popcount64(v: np.ndarray) -> np.ndarray:
 
 
 def image_near_dup_pairs(ds, id_col: str = "img_idx", max_hamming: int = 6,
-                         concurrency=None):
+                         concurrency=None, extra_val_cols=()):
     """End-to-end image near-dup: decode -> 64-bit perceptual hash ->
     4x16-bit band LSH -> candidate pairs -> exact Hamming verify.
 
     The image payload never enters a shuffle: the decode actor pool
     reduces each row to (id, phash64), and only those 16 bytes ride the
     band groupby.  ``id_col`` must be int64.  Output
-    (a, b, hamming) for pairs with hamming <= max_hamming."""
+    (a, b, hamming) for pairs with hamming <= max_hamming.
+
+    ``extra_val_cols``: int64 columns of ``ds`` to carry through the
+    SAME fused verify exchange and emit per endpoint as ``{c}_a`` /
+    ``{c}_b`` — downstream per-pair policies (e.g. retention picking
+    the lower-resolution member by w*h) read them as a pure map
+    instead of paying a second attach+pivot exchange."""
     from rhealpixdggs_py_ray.ops.dedup import (
         _attach_pair_sides_fused,
         _pair_sides_pivot,
@@ -188,7 +194,7 @@ def image_near_dup_pairs(ds, id_col: str = "img_idx", max_hamming: int = 6,
     feat = ds.map_batches(
         DecodeResizeFeatures, batch_format="pyarrow", batch_size=256,
         zero_copy_batch=True, concurrency=concurrency or sizing.pool(),
-    ).select_columns([id_col, "phash64"]).materialize()
+    ).select_columns([id_col, "phash64", *extra_val_cols]).materialize()
 
     def bands(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -221,37 +227,43 @@ def image_near_dup_pairs(ds, id_col: str = "img_idx", max_hamming: int = 6,
     # _sum_by_pair distinct + two JoinOperators (each ~3s fixed setup
     # locally) at identical output.
     def as_doc_kv(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {"doc_id": batch[id_col], "phash64": batch["phash64"]}
-        )
+        cols = {"doc_id": batch[id_col], "phash64": batch["phash64"]}
+        for c in extra_val_cols:
+            cols[c] = batch[c].cast(pa.int64())
+        return pa.table(cols)
 
     att = _attach_pair_sides_fused(
         cand,
         feat.map_batches(as_doc_kv, batch_format="pyarrow", zero_copy_batch=True),
         pair_sums=[],
-        val_cols=[("phash64", pa.int64())],
+        val_cols=[("phash64", pa.int64())]
+        + [(c, pa.int64()) for c in extra_val_cols],
         kv_mode="direct",
     )
 
+    extra_out = [f"{c}_{side}" for c in extra_val_cols for side in ("a", "b")]
+
     def verify(m: pd.DataFrame) -> pd.DataFrame:
         if not len(m):
-            return pd.DataFrame(
-                {
-                    "a": pd.Series([], dtype=np.int64),
-                    "b": pd.Series([], dtype=np.int64),
-                    "hamming": pd.Series([], dtype=np.int64),
-                }
-            )
+            cols = {
+                "a": pd.Series([], dtype=np.int64),
+                "b": pd.Series([], dtype=np.int64),
+                "hamming": pd.Series([], dtype=np.int64),
+            }
+            for c in extra_out:
+                cols[c] = pd.Series([], dtype=np.int64)
+            return pd.DataFrame(cols)
         pa_ = np.ascontiguousarray(m["phash64_a"].to_numpy().astype(np.int64)).view(np.uint64)
         pb_ = np.ascontiguousarray(m["phash64_b"].to_numpy().astype(np.int64)).view(np.uint64)
         ham = _popcount64(np.bitwise_xor(pa_, pb_))
         keep = ham <= max_hamming
-        return pd.DataFrame(
-            {
-                "a": m["a"].to_numpy()[keep].astype(np.int64),
-                "b": m["b"].to_numpy()[keep].astype(np.int64),
-                "hamming": ham[keep],
-            }
-        )
+        cols = {
+            "a": m["a"].to_numpy()[keep].astype(np.int64),
+            "b": m["b"].to_numpy()[keep].astype(np.int64),
+            "hamming": ham[keep],
+        }
+        for c in extra_out:
+            cols[c] = m[c].to_numpy()[keep].astype(np.int64)
+        return pd.DataFrame(cols)
 
-    return _pair_sides_pivot(att, verify, ["phash64"])
+    return _pair_sides_pivot(att, verify, ["phash64", *extra_val_cols])
