@@ -76,6 +76,21 @@ def md5_u64(s: str) -> int:
     return struct.unpack("<Q", hashlib.md5(s.encode("utf-8")).digest()[8:])[0]
 
 
+def md5_u64_many(strings) -> np.ndarray:
+    """md5_u64 over a sequence, hashing each DISTINCT value exactly
+    once (md5 is the deliberate DuckDB-parity hash, so it cannot be
+    swapped for a vectorized family; what CAN be amortized is the call
+    count — near-dup corpora repeat shingles heavily, and np.unique
+    collapses the Python-loop cost to the distinct set per batch;
+    VERDICT r2 item 3)."""
+    arr = np.asarray(strings, dtype=object)
+    if not len(arr):
+        return np.empty(0, dtype=np.uint64)
+    uq, inv = np.unique(arr, return_inverse=True)
+    h = np.fromiter((md5_u64(x) for x in uq), dtype=np.uint64, count=len(uq))
+    return h[inv]
+
+
 def shingles(text: str, w: int = SHINGLE_W) -> list[str]:
     toks = text.split()
     return sorted({" ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)})
@@ -98,25 +113,44 @@ class MinHasher:
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         texts = batch["text"].to_pylist()
-        out_doc, out_band, out_k1, out_k2 = [], [], [], []
+        # Flatten shingles batch-wide: string construction stays a
+        # Python loop (it is string work), but hashing happens ONCE per
+        # distinct shingle in the batch (md5_u64_many) and the minhash
+        # fold is one segmented numpy reduction — no per-doc loop.
+        keep_doc, sh_all, counts = [], [], []
         for d, t in zip(doc_ids, texts):
             sh = shingles(t)
             if not sh:
                 continue
-            h = np.array([md5_u64(x) for x in sh], dtype=np.uint64)
-            # perm_s(h) = a_s * h + b_s  (mod 2^64, numpy wraparound)
-            mh = (self.a[:, None] * h[None, :] + self.b[:, None]).min(axis=1)
-            for band in range(N_BANDS):
-                out_doc.append(d)
-                out_band.append(band)
-                out_k1.append(mh[2 * band])
-                out_k2.append(mh[2 * band + 1])
+            keep_doc.append(d)
+            sh_all.extend(sh)
+            counts.append(len(sh))
+        if not keep_doc:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "band": pa.array([], type=pa.int64()),
+                    "k1": pa.array(np.empty(0, dtype=np.uint64)),
+                    "k2": pa.array(np.empty(0, dtype=np.uint64)),
+                }
+            )
+        h = md5_u64_many(sh_all)
+        counts = np.asarray(counts, dtype=np.int64)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        # perm_s(h) = a_s * h + b_s  (mod 2^64, numpy wraparound)
+        v = self.a[:, None] * h[None, :] + self.b[:, None]
+        mh = np.minimum.reduceat(v, starts, axis=1)  # (N_PERM, ndocs)
+        ndocs = len(keep_doc)
+        drep = np.repeat(np.arange(ndocs), N_BANDS)
+        band = np.tile(np.arange(N_BANDS, dtype=np.int64), ndocs)
         return pa.table(
             {
-                "doc_id": pa.array(out_doc, type=pa.int64()),
-                "band": pa.array(out_band, type=pa.int64()),
-                "k1": pa.array(np.array(out_k1, dtype=np.uint64)),
-                "k2": pa.array(np.array(out_k2, dtype=np.uint64)),
+                "doc_id": pa.array(
+                    np.asarray(keep_doc, dtype=np.int64)[drep]
+                ),
+                "band": pa.array(band),
+                "k1": pa.array(mh[2 * band, drep]),
+                "k2": pa.array(mh[2 * band + 1, drep]),
             }
         )
 
@@ -731,26 +765,35 @@ class SimHasher:
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         texts = batch["text"].to_pylist()
-        bits = np.arange(64, dtype=np.uint64)
-        hi = np.empty(len(texts), dtype=np.int64)
-        lo = np.empty(len(texts), dtype=np.int64)
+        n = len(texts)
+        # Flatten tokens batch-wide; per-occurrence votes sum to the
+        # same totals as the old per-doc unique x count formulation,
+        # and md5 runs once per DISTINCT token in the batch.
+        toks_all, doc_idx = [], []
         for i, t in enumerate(texts):
-            toks = t.split()
-            uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
-            h = np.array([md5_u64(x) for x in uniq], dtype=np.uint64)
-            bm = ((h[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)
-            v = (counts[:, None] * (2 * bm - 1)).sum(axis=0)
-            sig = np.uint64(0)
-            for j in range(64):
-                if v[j] > 0:
-                    sig |= np.uint64(1) << np.uint64(j)
-            hi[i] = int(sig >> np.uint64(32))
-            lo[i] = int(sig & np.uint64(0xFFFFFFFF))
+            tk = t.split()
+            toks_all.extend(tk)
+            doc_idx.extend([i] * len(tk))
+        votes = np.zeros((n, 64), dtype=np.int64)
+        if toks_all:
+            h = md5_u64_many(toks_all)
+            di = np.asarray(doc_idx, dtype=np.int64)
+            bits = np.arange(64, dtype=np.uint64)
+            bm = (
+                2 * ((h[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)
+                - 1
+            )
+            np.add.at(votes, di, bm)
+        pos = (votes > 0).astype(np.uint64)
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        sig = (pos * weights[None, :]).sum(axis=1, dtype=np.uint64)
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, type=pa.int64()),
-                "sim_hi": pa.array(hi),
-                "sim_lo": pa.array(lo),
+                "sim_hi": pa.array((sig >> np.uint64(32)).astype(np.int64)),
+                "sim_lo": pa.array(
+                    (sig & np.uint64(0xFFFFFFFF)).astype(np.int64)
+                ),
             }
         )
 
