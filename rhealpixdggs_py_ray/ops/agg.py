@@ -50,13 +50,16 @@ def sum_by_u64_key(ds, key_col: str, val_col: str, out_val: str,
              "bucket": pa.array(bucket)}
         )
 
-    def combine_group(g: pd.DataFrame) -> pd.DataFrame:
-        k = g[key_col].to_numpy().astype(np.uint64)
-        v = g[out_val].to_numpy()
+    def combine_group(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or key_col not in g.column_names:
+            return pa.table({key_col: pa.array([], type=pa.uint64()),
+                             out_val: pa.array([], type=pa.int64())})
+        k = g[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = g[out_val].to_numpy(zero_copy_only=False)
         uq, inv = np.unique(k, return_inverse=True)
         s = np.zeros(len(uq), dtype=np.int64)
         np.add.at(s, inv, v)
-        return pd.DataFrame({key_col: uq, out_val: s})
+        return pa.table({key_col: pa.array(uq), out_val: pa.array(s)})
 
     partial = ds.map_batches(combine_batch, batch_format="pyarrow", zero_copy_batch=True)
-    return partial.groupby("bucket").map_groups(combine_group, batch_format="pandas")
+    return partial.groupby("bucket").map_groups(combine_group, batch_format="pyarrow")

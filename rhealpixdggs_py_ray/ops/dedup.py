@@ -158,36 +158,37 @@ class MinHasher:
 N_PAIR_BUCKETS = 64
 
 
-def _pairs_within_keys(g: pd.DataFrame, key_cols: list[str]) -> pd.DataFrame:
+def _pairs_within_keys(g: pa.Table, key_cols: list[str]) -> pa.Table:
     """Vectorized pair expansion: for every distinct key (the group-by
     unit), emit all (a < b) doc pairs.  Called once per hash BUCKET of
     keys (not once per key): a map_groups over one group per key costs
     more in per-group overhead than the pair math itself at 10^5+
-    keys."""
-    empty = pd.DataFrame(
+    keys.  Arrow-native: the bucket group arrives as a zero-copy arrow
+    table, all work is numpy."""
+    empty = pa.table(
         {
-            "a": pd.Series([], dtype=np.int64),
-            "b": pd.Series([], dtype=np.int64),
-            "ni_partial": pd.Series([], dtype=np.int64),
+            "a": pa.array([], type=pa.int64()),
+            "b": pa.array([], type=pa.int64()),
+            "ni_partial": pa.array([], type=pa.int64()),
         }
     )
-    if not len(g):
+    if g.num_rows == 0 or "doc_id" not in g.column_names:
         return empty
     if len(key_cols) == 1:
-        codes, _ = pd.factorize(g[key_cols[0]])
+        codes, _ = pd.factorize(g[key_cols[0]].to_numpy(zero_copy_only=False))
     else:
         # Exact multi-column group codes via lexsort + change flags (no
         # string concatenation, no hash collisions).
-        cols = [g[c].to_numpy() for c in key_cols]
+        cols = [g[c].to_numpy(zero_copy_only=False) for c in key_cols]
         order = np.lexsort(tuple(reversed(cols)))
         chg = np.zeros(len(g), dtype=bool)
         for c in cols:
             cs = c[order]
             chg[1:] |= cs[1:] != cs[:-1]
         grp_sorted = np.cumsum(chg)
-        codes = np.empty(len(g), dtype=np.int64)
+        codes = np.empty(g.num_rows, dtype=np.int64)
         codes[order] = grp_sorted
-    ids = g["doc_id"].to_numpy()
+    ids = g["doc_id"].to_numpy(zero_copy_only=False)
     order = np.lexsort((ids, codes))
     codes, ids = codes[order], ids[order]
     counts = np.bincount(codes)
@@ -210,11 +211,11 @@ def _pairs_within_keys(g: pd.DataFrame, key_cols: list[str]) -> pd.DataFrame:
     key = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
     uq, inv = np.unique(key, return_inverse=True)
     cnt = np.bincount(inv)
-    return pd.DataFrame(
+    return pa.table(
         {
-            "a": (uq >> np.uint64(32)).astype(np.int64),
-            "b": (uq & np.uint64(0xFFFFFFFF)).astype(np.int64),
-            "ni_partial": cnt.astype(np.int64),
+            "a": pa.array((uq >> np.uint64(32)).astype(np.int64)),
+            "b": pa.array((uq & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+            "ni_partial": pa.array(cnt.astype(np.int64)),
         }
     )
 
@@ -234,26 +235,30 @@ def _sum_by_pair(pairs_ds, alias: str, n_buckets: int = 32):
         )
         return batch.append_column("pair_bucket", pa.array(bucket))
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        a = g["a"].to_numpy().astype(np.uint64)
-        b = g["b"].to_numpy().astype(np.uint64)
-        v = g["ni_partial"].to_numpy()
+    def combine(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "a" not in g.column_names:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64()),
+                             alias: pa.array([], type=pa.int64())})
+        a = g["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = g["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = g["ni_partial"].to_numpy(zero_copy_only=False)
         key = (a << np.uint64(32)) | b
         uq, inv = np.unique(key, return_inverse=True)
         s = np.zeros(len(uq), dtype=np.int64)
         np.add.at(s, inv, v)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "a": (uq >> np.uint64(32)).astype(np.int64),
-                "b": (uq & np.uint64(0xFFFFFFFF)).astype(np.int64),
-                alias: s,
+                "a": pa.array((uq >> np.uint64(32)).astype(np.int64)),
+                "b": pa.array((uq & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+                alias: pa.array(s),
             }
         )
 
     return (
         pairs_ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("pair_bucket")
-        .map_groups(combine, batch_format="pandas")
+        .map_groups(combine, batch_format="pyarrow")
     )
 
 
@@ -278,16 +283,19 @@ def _count_by_key(ds, key_col: str, out_val: str, n_buckets: int = 32):
             }
         )
 
-    def combine_group(g: pd.DataFrame) -> pd.DataFrame:
-        k = g[key_col].to_numpy()
-        v = g[out_val].to_numpy()
+    def combine_group(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or key_col not in g.column_names:
+            return pa.table({key_col: pa.array([], type=pa.int64()),
+                             out_val: pa.array([], type=pa.int64())})
+        k = g[key_col].to_numpy(zero_copy_only=False)
+        v = g[out_val].to_numpy(zero_copy_only=False)
         uq, inv = np.unique(k, return_inverse=True)
         s = np.zeros(len(uq), dtype=np.int64)
         np.add.at(s, inv, v)
-        return pd.DataFrame({key_col: uq, out_val: s})
+        return pa.table({key_col: pa.array(uq), out_val: pa.array(s)})
 
     partial = ds.map_batches(combine_batch, batch_format="pyarrow", zero_copy_batch=True)
-    return partial.groupby("skbucket").map_groups(combine_group, batch_format="pandas")
+    return partial.groupby("skbucket").map_groups(combine_group, batch_format="pyarrow")
 
 
 def _attach_pair_sides(pairs_ds, kv_ds, pair_extra, val_cols, n_buckets: int = 64):
@@ -368,30 +376,43 @@ def _attach_pair_sides(pairs_ds, kv_ds, pair_extra, val_cols, n_buckets: int = 6
 
     out_cols = ["a", "b", *pair_extra, "side", *val_names]
 
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        kv = g[g["kind"] == 0]
-        pr = g[g["kind"] == 1]
-        if not len(pr) or not len(kv):
-            return pd.DataFrame(
-                {
-                    **{c: pr[c].to_numpy()[:0] for c in ("a", "b", *pair_extra, "side")},
-                    **{c: kv[c].to_numpy()[:0] for c in val_names},
-                }
-            )
-        out = {c: pr[c].to_numpy() for c in ("a", "b", *pair_extra, "side")}
-        want = pr["doc_id"].to_numpy()
-        keys = kv["doc_id"].to_numpy()
+    def resolve(g: pa.Table) -> pa.Table:
+        def _empty() -> pa.Table:
+            cols = {c: pa.array([], type=pa.int64())
+                    for c in ("a", "b", *pair_extra, "side")}
+            for c, typ in val_cols:
+                cols[c] = pa.array([], type=typ)
+            return pa.table(cols)
+
+        if g.num_rows == 0 or "kind" not in g.column_names:
+            return _empty()
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        kv_m = kind == 0
+        pr_m = kind == 1
+        if not pr_m.any() or not kv_m.any():
+            return _empty()
+        out = {
+            c: g[c].to_numpy(zero_copy_only=False)[pr_m]
+            for c in ("a", "b", *pair_extra, "side")
+        }
+        doc_all = g["doc_id"].to_numpy(zero_copy_only=False)
+        want = doc_all[pr_m]
+        keys = doc_all[kv_m]
         order = np.argsort(keys, kind="mergesort")
         pos = np.searchsorted(keys, want, sorter=order)
         pos = np.clip(pos, 0, len(keys) - 1)
         hit = keys[order][pos] == want
+        cols = {}
         for c in ("a", "b", *pair_extra, "side"):
-            out[c] = out[c][hit]
-        for c in val_names:
-            out[c] = kv[c].to_numpy()[order][pos][hit]
-        return pd.DataFrame(out)
+            cols[c] = pa.array(out[c][hit].astype(np.int64))
+        for c, typ in val_cols:
+            cols[c] = pa.array(
+                g[c].to_numpy(zero_copy_only=False)[kv_m][order][pos][hit],
+                type=typ,
+            )
+        return pa.table(cols)
 
-    return u.groupby("bkt").map_groups(resolve, batch_format="pandas")
+    return u.groupby("bkt").map_groups(resolve, batch_format="pyarrow")
 
 
 def _pair_sides_pivot(att_ds, finisher, extra_cols, n_buckets: int = 32):
@@ -409,17 +430,49 @@ def _pair_sides_pivot(att_ds, finisher, extra_cols, n_buckets: int = 32):
         )
         return batch.append_column("pair_bucket", pa.array(bucket))
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        cols = ["a", "b", *extra_cols]
-        s0 = g[g["side"] == 0][cols]
-        s1 = g[g["side"] == 1][cols]
-        m = s0.merge(s1, on=["a", "b"], suffixes=("_a", "_b"))
-        return finisher(m)
+    def combine(g: pa.Table) -> pa.Table:
+        # Arrow-native resolve (VERDICT r2 item 5): no arrow->pandas
+        # block conversion, and the (a, b) equi-join is a numpy
+        # searchsorted instead of a pandas merge.  The finisher still
+        # receives a pandas frame (cheap wrap over numpy columns — the
+        # per-row block conversions are what this removes).
+        mcols = {}
+        if g.num_rows and "side" in g.column_names:
+            side = g["side"].to_numpy(zero_copy_only=False)
+            a = g["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = g["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            m0 = side == 0
+            m1 = side == 1
+            k0 = (a[m0].astype(np.uint64) << np.uint64(32)) | b[m0].astype(
+                np.uint64
+            )
+            k1 = (a[m1].astype(np.uint64) << np.uint64(32)) | b[m1].astype(
+                np.uint64
+            )
+            order = np.argsort(k1, kind="mergesort")
+            pos = np.searchsorted(k1[order], k0)
+            pos = np.clip(pos, 0, max(0, len(k1) - 1))
+            hit = (k1[order][pos] == k0) if len(k1) else np.zeros(len(k0), bool)
+            gpos = order[pos][hit] if len(k1) else np.empty(0, np.int64)
+            mcols["a"] = a[m0][hit]
+            mcols["b"] = b[m0][hit]
+            for c in extra_cols:
+                v = g[c].to_numpy(zero_copy_only=False)
+                mcols[f"{c}_a"] = v[m0][hit]
+                mcols[f"{c}_b"] = v[m1][gpos]
+        else:
+            mcols["a"] = np.empty(0, dtype=np.int64)
+            mcols["b"] = np.empty(0, dtype=np.int64)
+            for c in extra_cols:
+                mcols[f"{c}_a"] = np.empty(0, dtype=object)
+                mcols[f"{c}_b"] = np.empty(0, dtype=object)
+        out = finisher(pd.DataFrame(mcols))
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     return (
         att_ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("pair_bucket")
-        .map_groups(combine, batch_format="pandas")
+        .map_groups(combine, batch_format="pyarrow")
     )
 
 
@@ -522,33 +575,39 @@ def _attach_pair_sides_fused(
     out_cols = ["a", "b", *sum_out, "side", *val_names]
     MASK32 = np.uint64(0xFFFFFFFF)
 
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        kv = g[g["kind"] == 0]
-        pr = g[g["kind"] == 1]
+    def resolve(g: pa.Table) -> pa.Table:
+        # Arrow-native (VERDICT r2 item 5): the group arrives as a
+        # zero-copy arrow table; all work is numpy over its columns.
 
-        def _empty() -> pd.DataFrame:
+        def _empty() -> pa.Table:
             cols = {}
             for c in ("a", "b", *sum_out, "side"):
-                cols[c] = pd.Series([], dtype=np.int64)
+                cols[c] = pa.array([], type=pa.int64())
             for c, typ in val_cols:
-                cols[c] = pd.Series(
-                    [], dtype=(object if pa.types.is_string(typ) else np.int64)
-                )
-            return pd.DataFrame(cols)
+                cols[c] = pa.array([], type=typ)
+            return pa.table(cols)
 
-        if not len(pr) or not len(kv):
+        if g.num_rows == 0 or "kind" not in g.column_names:
             return _empty()
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        kv_m = kind == 0
+        pr_m = kind == 1
+        if not pr_m.any() or not kv_m.any():
+            return _empty()
+        a_all = g["a"].to_numpy(zero_copy_only=False)
+        b_all = g["b"].to_numpy(zero_copy_only=False)
+        side_all = g["side"].to_numpy(zero_copy_only=False)
+        doc_all = g["doc_id"].to_numpy(zero_copy_only=False)
 
         # 1. presum / dedupe pair rows per (a, b, side); reconstruct the
         #    endpoint doc from the packed key (side 0 -> a, side 1 -> b)
         parts = []
-        side_arr = pr["side"].to_numpy()
         for side in (0, 1):
-            sub = pr[side_arr == side]
-            if not len(sub):
+            m = pr_m & (side_all == side)
+            if not m.any():
                 continue
-            a = sub["a"].to_numpy().astype(np.uint64)
-            b = sub["b"].to_numpy().astype(np.uint64)
+            a = a_all[m].astype(np.uint64)
+            b = b_all[m].astype(np.uint64)
             key = (a << np.uint64(32)) | b
             uq, inv = np.unique(key, return_inverse=True)
             part = {
@@ -557,8 +616,9 @@ def _attach_pair_sides_fused(
                 "side": np.full(len(uq), side, dtype=np.int64),
             }
             for out, _ in pair_sums:
+                sv = g[out].to_numpy(zero_copy_only=False)[m].astype(np.int64)
                 s = np.zeros(len(uq), dtype=np.int64)
-                np.add.at(s, inv, sub[out].to_numpy().astype(np.int64))
+                np.add.at(s, inv, sv)
                 part[out] = s
             part["_doc"] = part["a"] if side == 0 else part["b"]
             parts.append(part)
@@ -567,17 +627,30 @@ def _attach_pair_sides_fused(
 
         # 2. build the per-doc value table for this bucket
         if kv_mode == "sum":
-            kd = kv["doc_id"].to_numpy().astype(np.int64)
+            kd = doc_all[kv_m].astype(np.int64)
             keys, inv = np.unique(kd, return_inverse=True)
             vals = {}
             for c in val_names:
+                sv = g[c].to_numpy(zero_copy_only=False)[kv_m].astype(np.int64)
                 s = np.zeros(len(keys), dtype=np.int64)
-                np.add.at(s, inv, kv[c].to_numpy().astype(np.int64))
+                np.add.at(s, inv, sv)
                 vals[c] = s
         elif kv_mode == "pack":
             want = np.unique(np.concatenate([p["_doc"] for p in parts]))
-            sub = kv[np.isin(kv["doc_id"].to_numpy(), want)]
-            keys = sub["doc_id"].to_numpy().astype(np.int64)
+            kvd = doc_all[kv_m].astype(np.int64)
+            sel = np.isin(kvd, want)
+            keys = kvd[sel]
+            # kv_pack keeps its pandas-frame contract (a cheap wrap
+            # over the selected numpy columns, not a block conversion)
+            sub = pd.DataFrame(
+                {
+                    "doc_id": keys,
+                    **{
+                        c: g[c].to_numpy(zero_copy_only=False)[kv_m][sel]
+                        for c in payload_names
+                    },
+                }
+            )
             packed = kv_pack(sub)
             vals = {
                 c: (
@@ -588,8 +661,8 @@ def _attach_pair_sides_fused(
                 for c, t in val_cols
             }
         else:  # direct
-            keys = kv["doc_id"].to_numpy().astype(np.int64)
-            vals = {c: kv[c].to_numpy() for c in val_names}
+            keys = doc_all[kv_m].astype(np.int64)
+            vals = {c: g[c].to_numpy(zero_copy_only=False)[kv_m] for c in val_names}
 
         # 3. sorted lookup of each side row's endpoint value
         order = np.argsort(keys, kind="mergesort")
@@ -609,9 +682,14 @@ def _attach_pair_sides_fused(
                 out[c].append(vals[c][gpos])
         if not out["a"]:
             return _empty()
-        return pd.DataFrame({c: np.concatenate(out[c]) for c in out_cols})
+        cols = {}
+        for c in ("a", "b", *sum_out, "side"):
+            cols[c] = pa.array(np.concatenate(out[c]).astype(np.int64))
+        for c, typ in val_cols:
+            cols[c] = pa.array(np.concatenate(out[c]), type=typ)
+        return pa.table(cols)
 
-    return u.groupby("bkt").map_groups(resolve, batch_format="pandas")
+    return u.groupby("bkt").map_groups(resolve, batch_format="pyarrow")
 
 
 def minhash_lsh_pairs(docs_ds, jaccard_min: float = 0.5):
@@ -637,7 +715,7 @@ def minhash_lsh_pairs(docs_ds, jaccard_min: float = 0.5):
         .groupby("bucket")
         .map_groups(
             lambda g: _pairs_within_keys(g, ["band", "k1", "k2"]),
-            batch_format="pandas",
+            batch_format="pyarrow",
         )
     )
     # Verification: exact jaccard, distributed — never an O(corpus)
@@ -870,7 +948,7 @@ def ngram_jaccard_pairs(docs_ds, jaccard_min: float = 0.2):
         sh.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
         .map_groups(
-            lambda g: _pairs_within_keys(g, ["s"]), batch_format="pandas"
+            lambda g: _pairs_within_keys(g, ["s"]), batch_format="pyarrow"
         )
     )
     # Per-doc shingle-set sizes picked up by the pair endpoints through
@@ -1111,18 +1189,19 @@ def embedding_dedup_lsh_pairs(emb_ds, tau: float = 0.4, dim: int = 64):
         BandRows, batch_format="pyarrow", zero_copy_batch=True, concurrency=sizing.pool()
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table(
             {
-                "a": pd.Series([], dtype=np.int64),
-                "b": pd.Series([], dtype=np.int64),
-                "ni_partial": pd.Series([], dtype=np.int64),
+                "a": pa.array([], type=pa.int64()),
+                "b": pa.array([], type=pa.int64()),
+                "ni_partial": pa.array([], type=pa.int64()),
             }
         )
-        if len(g) < 2:
+        if g.num_rows < 2 or "vec_id" not in g.column_names:
             return empty
-        ids = g["vec_id"].to_numpy()
-        M = np.array([np.asarray(e, dtype=np.float64) for e in g["embedding"]])
+        ids = g["vec_id"].to_numpy(zero_copy_only=False)
+        emb = g["embedding"].combine_chunks()
+        M = np.asarray(emb.to_pylist(), dtype=np.float64)
         order = np.argsort(ids)
         ids, M = ids[order], M[order]
         nrm = _seq_norm(M)
@@ -1130,15 +1209,17 @@ def embedding_dedup_lsh_pairs(emb_ds, tau: float = 0.4, dim: int = 64):
         r, c = np.nonzero((S >= tau) & (ids[:, None] < ids[None, :]))
         if not len(r):
             return empty
-        return pd.DataFrame(
+        return pa.table(
             {
-                "a": ids[r].astype(np.int64),
-                "b": ids[c].astype(np.int64),
-                "ni_partial": np.floor(S[r, c] * 1000000.0).astype(np.int64),
+                "a": pa.array(ids[r].astype(np.int64)),
+                "b": pa.array(ids[c].astype(np.int64)),
+                "ni_partial": pa.array(
+                    np.floor(S[r, c] * 1000000.0).astype(np.int64)
+                ),
             }
         )
 
-    pairs = sig.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    pairs = sig.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
 
     # distinct across bands: same pair from two buckets carries an
     # identical cos (same fold) — Min == the value
@@ -1165,10 +1246,14 @@ def _min_by_pair(pairs_ds, alias: str, n_buckets: int = 32):
         )
         return batch.append_column("pair_bucket", pa.array(bucket))
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        a = g["a"].to_numpy().astype(np.uint64)
-        b = g["b"].to_numpy().astype(np.uint64)
-        v = g["ni_partial"].to_numpy()
+    def combine(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "a" not in g.column_names:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64()),
+                             alias: pa.array([], type=pa.int64())})
+        a = g["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = g["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = g["ni_partial"].to_numpy(zero_copy_only=False)
         key = (a << np.uint64(32)) | b
         order = np.lexsort((v, key))
         key, v = key[order], v[order]
@@ -1177,18 +1262,18 @@ def _min_by_pair(pairs_ds, alias: str, n_buckets: int = 32):
             first[0] = True
             first[1:] = key[1:] != key[:-1]
         uq, mv = key[first], v[first]
-        return pd.DataFrame(
+        return pa.table(
             {
-                "a": (uq >> np.uint64(32)).astype(np.int64),
-                "b": (uq & np.uint64(0xFFFFFFFF)).astype(np.int64),
-                alias: mv.astype(np.int64),
+                "a": pa.array((uq >> np.uint64(32)).astype(np.int64)),
+                "b": pa.array((uq & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+                alias: pa.array(mv.astype(np.int64)),
             }
         )
 
     return (
         pairs_ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("pair_bucket")
-        .map_groups(combine, batch_format="pandas")
+        .map_groups(combine, batch_format="pyarrow")
     )
 
 
@@ -1314,7 +1399,7 @@ def editdist_pairs(docs_ds):
         .groupby("bucket")
         .map_groups(
             lambda g: _pairs_within_keys(g, ["band", "k1", "k2"]),
-            batch_format="pandas",
+            batch_format="pyarrow",
         )
     )
 

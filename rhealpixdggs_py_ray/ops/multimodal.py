@@ -218,7 +218,7 @@ def image_near_dup_pairs(ds, id_col: str = "img_idx", max_hamming: int = 6,
         feat.map_batches(bands, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
         .map_groups(
-            lambda g: _pairs_within_keys(g, ["band", "bkey"]), batch_format="pandas"
+            lambda g: _pairs_within_keys(g, ["band", "bkey"]), batch_format="pyarrow"
         )
     )
     # exact verify: both endpoints' phashes reach each candidate pair
