@@ -182,15 +182,15 @@ def polyfill(
     """Polygon -> cell set by centroid containment
     (rhp_wrappers.py:510-599).  ``geometry`` is a
     core.geometry.Polygon/MultiPolygon (shapely is unavailable here; the
-    types are structurally identical)."""
-    if geometry is None:
+    types are structurally identical).  Malformed geometry (empty,
+    self-intersecting, overlapping members, zero area) returns None
+    exactly like the reference (rhp_wrappers.py:555-557, 810-827)."""
+    if geo.malformed_geometry(geometry):
         return None
     if geometry.geom_type == "Polygon":
         geoms = [geometry]
-    elif geometry.geom_type == "MultiPolygon":
-        geoms = list(geometry.geoms)
     else:
-        return None
+        geoms = list(geometry.geoms)
 
     cells: set[str] = set()
     for geom in geoms:
@@ -217,15 +217,15 @@ def linetrace(
     geometry, res: int, plane: bool = True, cfg: EngineConfig = WGS84_003
 ):
     """Line -> ordered cell list with sequential dedup
-    (rhp_wrappers.py:602-674, 849-866)."""
-    if geometry is None:
+    (rhp_wrappers.py:602-674, 849-866).  Malformed lines (empty,
+    wrong type, zero length) return None like the reference
+    (rhp_wrappers.py:636-638, 830-846)."""
+    if geo.malformed_lines(geometry):
         return None
     if geometry.geom_type == "LineString":
         lines = [geometry]
-    elif geometry.geom_type == "MultiLineString":
-        lines = list(geometry.geoms)
     else:
-        return None
+        lines = list(geometry.geoms)
     cells: list[str] = []
     for line in lines:
         for i, j in zip(line.coords, line.coords[1:]):
