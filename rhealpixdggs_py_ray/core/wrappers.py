@@ -441,3 +441,139 @@ def seeded_random_point_in_cell(rhpindex: str, i: int,
     u1 = (h1 >> 11) / float(1 << 53)
     v1 = (h2 >> 11) / float(1 << 53)
     return float(x[0] + u1 * w), float(y[0] - v1 * w)
+
+
+# ---------------------------------------------------------------------------
+# True-RNG sampling mode (VERDICT r2 item 6)
+#
+# The seeded_random_* variants above replace every draw with splitmix64
+# bit fields so the driver oracles can replay them in SQL.  The rng=
+# mode below matches the REFERENCE's sampling instead — uniform
+# longitude plus the authalic-sphere latitude trick (an equiareal
+# diffeomorphism, so uniform there is uniform on the ellipsoid), with
+# the same pole-avoidance band and cap-cell rejection loop
+# (ellipsoids.py:149-209, dggs.py:1333-1370, cell.py:1448-1487).
+# ---------------------------------------------------------------------------
+
+def _rng_randint(rng, lo: int, hi: int) -> int:
+    """Inclusive randint over stdlib random.Random or numpy Generator."""
+    if hasattr(rng, "randint"):
+        return int(rng.randint(lo, hi))
+    return int(rng.integers(lo, hi + 1))
+
+
+def _rng_uniform(rng, lo: float, hi: float) -> float:
+    if hasattr(rng, "uniform"):
+        return float(rng.uniform(lo, hi))
+    return float(rng.random() * (hi - lo) + lo)
+
+
+def ellipsoid_random_point(
+    rng,
+    lam_min: float = -180.0,
+    lam_max: float = 180.0,
+    phi_min: float = -90.0,
+    phi_max: float = 90.0,
+    cfg: EngineConfig = WGS84_003,
+):
+    """Uniform point on the ellipsoid section (degrees), the
+    reference's authalic-sphere sampler (ellipsoids.py:149-209)."""
+    import math
+
+    from rhealpixdggs_py_ray.core.utils import auth_lat
+
+    lam0, lam1, phi0, phi1 = (
+        math.radians(lam_min),
+        math.radians(lam_max),
+        math.radians(phi_min),
+        math.radians(phi_max),
+    )
+    while True:
+        u = _rng_uniform(rng, 0.0, 1.0)
+        lam = (lam1 - lam0) * u + lam0
+        if lam < lam1:
+            break
+    delta = math.pi / 360
+    while True:
+        v = _rng_uniform(rng, 0.0, 1.0)
+        if cfg.e == 0:
+            phi = math.asin(
+                (math.sin(phi1) - math.sin(phi0)) * v + math.sin(phi0)
+            )
+        else:
+            beta0 = float(auth_lat(np.asarray(phi0), cfg, radians=True))
+            beta1 = float(auth_lat(np.asarray(phi1), cfg, radians=True))
+            beta = math.asin(
+                (math.sin(beta1) - math.sin(beta0)) * v + math.sin(beta0)
+            )
+            phi = float(
+                auth_lat(np.asarray(beta), cfg, inverse=True, radians=True)
+            )
+        if abs(phi) <= math.pi / 2 - delta:
+            break
+    return math.degrees(lam), math.degrees(phi)
+
+
+def cell_random_point_rng(
+    rhpindex: str, rng, plane: bool = True, cfg: EngineConfig = WGS84_003
+):
+    """Cell.random_point with an explicit rng (cell.py:1448-1487):
+    planar = uniform in the cell square; ellipsoidal = authalic-sphere
+    sampling over the vertex envelope (cap envelopes widened exactly
+    like the reference) with rejection against ``contains``."""
+    if not rhp_is_valid(rhpindex, cfg):
+        return None
+    u = su.from_string([rhpindex])
+    verts = idx.vertices(cfg, u, plane=plane)[0]
+    u_min = float(verts[:, 0].min())
+    u_max = float(verts[:, 0].max())
+    v_min = float(verts[:, 1].min())
+    v_max = float(verts[:, 1].max())
+    if plane:
+        return (
+            _rng_uniform(rng, u_min, u_max),
+            _rng_uniform(rng, v_min, v_max),
+        )
+    if idx.shape_of(cfg, u)[0] == idx.SHAPE_CAP:
+        u_max = 180.0
+        if v_min > 0:
+            v_max = 90.0
+        else:
+            v_min = -90.0
+    elif u_max - u_min > 180.0:
+        # Cell crosses the antimeridian (engine vertices wrap lon to
+        # (-180, 180], so the east corner of face R comes back as -180
+        # and the naive envelope is the cell's complement).  Unwrap to
+        # [0, 360) for the envelope, wrap samples back before testing.
+        lons = verts[:, 0]
+        lons = np.where(lons < 0, lons + 360.0, lons)
+        u_min = float(lons.min())
+        u_max = float(lons.max())
+    while True:
+        lam, phi = ellipsoid_random_point(rng, u_min, u_max, v_min, v_max, cfg)
+        if lam > 180.0:
+            lam -= 360.0
+        if idx.contains(
+            cfg, u, np.asarray([lam]), np.asarray([phi]), plane=False
+        )[0]:
+            return lam, phi
+
+
+def random_point_rng(rng, plane: bool = True, cfg: EngineConfig = WGS84_003):
+    """dggs.random_point with an explicit rng (dggs.py:1333-1350):
+    uniform res-0 cell, then a random point in it."""
+    face = CELLS0[_rng_randint(rng, 0, 5)]
+    return cell_random_point_rng(face, rng, plane=plane, cfg=cfg)
+
+
+def random_cell_rng(
+    rng, resolution: int | None = None, max_res: int = 10,
+    cfg: EngineConfig = WGS84_003,
+) -> str:
+    """dggs.random_cell with an explicit rng (dggs.py:1352-1370)."""
+    if resolution is None:
+        resolution = _rng_randint(rng, 0, max_res)
+    out = [CELLS0[_rng_randint(rng, 0, 5)]]
+    for _ in range(1, resolution + 1):
+        out.append(_rng_randint(rng, 0, cfg.N_side**2 - 1))
+    return "".join(str(x) for x in out)
