@@ -419,3 +419,35 @@ def minimal_cover(
     for c in cells:
         seen[int(c)] = None
     return list(seen.keys())
+
+
+def cells_from_line_sampled(
+    cfg: EngineConfig, resolution: int, lstart, lend, n_samples: int = 4096
+) -> list[int]:
+    """Cap-safe linetrace (round-3 extension BEYOND the reference).
+
+    ``cells_from_line`` above mirrors the reference's ellipsoidal
+    neighbor walk, including its documented breakage on cap cells
+    (dggs.py:1110-1114: "Cap cells are not handled correctly").  This
+    variant instead samples the lon/lat-straight segment at
+    ``n_samples``+1 uniform parameters, indexes every sample with the
+    exact vectorized ``cell_from_point`` kernel (valid at ALL
+    latitudes, caps included) and collapses consecutive duplicates —
+    yielding the exact entry-ordered crossing sequence whenever no
+    cell is clipped over a parameter interval shorter than one step
+    (fixtures keep step << cell width; tests pin refinement
+    stability).  Still no antimeridian crossing, like the reference.
+
+    n_samples is a power of two so i/n_samples is exact in binary —
+    the DuckDB oracle (oracle.linetrace_sampled_sql) replays the
+    sample coordinates bit-identically.
+    """
+    x0, y0 = float(lstart[0]), float(lstart[1])
+    x1, y1 = float(lend[0]), float(lend[1])
+    t = np.arange(n_samples + 1, dtype=np.float64) / float(n_samples)
+    lon = x0 + (x1 - x0) * t
+    lat = y0 + (y1 - y0) * t
+    cells = idx.cell_from_point(cfg, resolution, lon, lat, plane=False)
+    keep = np.ones(len(cells), dtype=bool)
+    keep[1:] = cells[1:] != cells[:-1]
+    return [int(c) for c in cells[keep]]

@@ -1157,3 +1157,44 @@ def cell_zone_sql(poly, res_limit: int, cfg: EngineConfig = WGS84_003) -> str:
         + f" SELECT row_number() OVER (ORDER BY cell_id) - 1 AS seq,"
         f" cell_id, kind FROM ({allemit})"
     )
+
+
+def linetrace_sampled_sql(
+    segs, resolution: int, n_samples: int = 4096,
+    cfg: EngineConfig = WGS84_003,
+) -> str:
+    """(line_id, seq, cell_id) oracle for the cap-safe sampled
+    linetrace (core/cover.py:cells_from_line_sampled) — valid at ALL
+    latitudes, unlike linetrace_sql's equatorial band.
+
+    Replays the engine's rule verbatim: n_samples+1 uniform samples
+    per segment (n_samples a power of two, so i/n is exact and the
+    sample coordinates are bit-identical doubles), cell_from_point on
+    each sample via the verified projection SQL, then a lag() collapse
+    of consecutive duplicates ordered by sample index."""
+    if n_samples & (n_samples - 1):
+        raise NotImplementedError("n_samples must be a power of two for bit parity")
+    inv_n = f"(CAST(i AS DOUBLE) / {float(n_samples)!r})"
+    vals = ", ".join(
+        f"({li}, {_lit(float(p0[0]))}, {_lit(float(p0[1]))},"
+        f" {_lit(float(p1[0]))}, {_lit(float(p1[1]))})"
+        for li, (p0, p1) in enumerate(segs)
+    )
+    points = (
+        f"SELECT line_id, i,"
+        f" lon0 + (lon1 - lon0) * {inv_n} AS lon,"
+        f" lat0 + (lat1 - lat0) * {inv_n} AS lat"
+        f" FROM (VALUES {vals}) seg(line_id, lon0, lat0, lon1, lat1)"
+        f" CROSS JOIN range({n_samples + 1}) r(i)"
+    )
+    cells = cell_from_point_sql(points, resolution, cfg, id_cols=("line_id", "i"))
+    return (
+        f"WITH c AS MATERIALIZED (SELECT * FROM {cells} t),"
+        f" d AS MATERIALIZED (SELECT line_id, i, cell_id,"
+        f"   lag(cell_id) OVER (PARTITION BY line_id ORDER BY i) AS prev FROM c),"
+        f" e AS (SELECT line_id, i, cell_id FROM d"
+        f"   WHERE prev IS NULL OR cell_id <> prev)"
+        f" SELECT CAST(line_id AS BIGINT) AS line_id,"
+        f" CAST(row_number() OVER (PARTITION BY line_id ORDER BY i) - 1 AS BIGINT) AS seq,"
+        f" cell_id FROM e ORDER BY line_id, seq"
+    )

@@ -9577,3 +9577,55 @@ SELECT c.cohort AS cohort_week,
 FROM m JOIN c USING (user_id)
 GROUP BY 1, 2
 """
+
+
+# Cap-safe polar linetrace (round 3; BEYOND the reference, which
+# documents cap cells broken in cells_from_line, dggs.py:1110-1114).
+# The first segment is the reference's own doctest line; the second is
+# a pole-adjacent crossing where the reference's neighbor walk skips
+# N442/N445 (pinned in tests/test_polar_linetrace.py).
+LINETRACE_POLAR_SEGS = [
+    ((-89.669615, 86.549596), (-134.0, 86.0)),
+    ((10.1, 87.9), (-79.3, 88.4)),
+    ((23.7, 82.3), (157.3, 83.1)),
+    ((-42.1, -84.7), (31.9, -83.3)),
+    ((12.3, 41.2), (15.9, 44.8)),
+]
+LINETRACE_POLAR_RES = 3
+LINETRACE_POLAR_N = 4096  # power of two: i/N exact, SQL parity
+
+
+def q_linetrace_polar(sf_dir: str):
+    """Sampling linetrace valid at all latitudes (caps included);
+    cover.py:cells_from_line_sampled.  One row per (line, seq, cell)."""
+    from rhealpixdggs_py_ray.core import cover as cov
+
+    ds = ray.data.from_items(
+        [{"line_id": i} for i in range(len(LINETRACE_POLAR_SEGS))],
+        override_num_blocks=2,
+    )
+
+    def trace(batch: pa.Table) -> pa.Table:
+        lid, seq, cell = [], [], []
+        for i in batch["line_id"].to_pylist():
+            p0, p1 = LINETRACE_POLAR_SEGS[i]
+            cells = cov.cells_from_line_sampled(
+                CFG, LINETRACE_POLAR_RES, p0, p1, LINETRACE_POLAR_N
+            )
+            names = su.to_string(np.array(cells, dtype=np.uint64))
+            lid.extend([i] * len(cells))
+            seq.extend(range(len(cells)))
+            cell.extend(names.tolist())
+        return pa.table({
+            "line_id": pa.array(np.array(lid, dtype=np.int64)),
+            "seq": pa.array(np.array(seq, dtype=np.int64)),
+            "cell_id": pa.array(cell, type=pa.string()),
+        })
+
+    return ds.map_batches(trace, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_linetrace_polar() -> str:
+    return oracle.linetrace_sampled_sql(
+        LINETRACE_POLAR_SEGS, LINETRACE_POLAR_RES, LINETRACE_POLAR_N, CFG
+    )
