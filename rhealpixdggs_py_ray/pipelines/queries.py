@@ -9629,3 +9629,90 @@ def sql_linetrace_polar() -> str:
     return oracle.linetrace_sampled_sql(
         LINETRACE_POLAR_SEGS, LINETRACE_POLAR_RES, LINETRACE_POLAR_N, CFG
     )
+
+
+# Text lon/lat points source (Ellipsoid.get_points, ellipsoids.py:306-326)
+POINTS_FIXTURE_PATH = "/tmp/graft_points_fixture.txt"
+POINTS_FIXTURE_N = 4000
+POINTS_RES = 4
+# junk lines the leading-char rule must skip — incl. the quirk cases:
+# leading '0', leading '+', leading '.' are all ignored (py2 reference
+# behavior; see sources/points.py docstring)
+POINTS_JUNK = ["# comment line", "", "lon lat", "0.25 33.25",
+               "+17.5 2.5", ".5 .5"]
+
+
+def _write_points_fixture() -> str:
+    """Deterministic whitespace-delimited text fixture; repr() floats
+    so both float parsers (Arrow cast, DuckDB CAST) see identical
+    shortest-round-trip decimal strings.  Idempotent."""
+    import os
+
+    if os.path.exists(POINTS_FIXTURE_PATH):
+        return POINTS_FIXTURE_PATH
+    rows = []
+    for i in range(POINTS_FIXTURE_N):
+        if i % 7 == 3:
+            rows.append(POINTS_JUNK[i % len(POINTS_JUNK)])
+        lon = ((i * 2654435761) % 360000) / 1000.0 - 180.0
+        lat = ((i * 40503 + 137) % 170000) / 1000.0 - 85.0
+        rows.append(f"{lon!r} {lat!r}")
+    tmp = POINTS_FIXTURE_PATH + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("\n".join(rows) + "\n")
+    os.replace(tmp, POINTS_FIXTURE_PATH)
+    return POINTS_FIXTURE_PATH
+
+
+def q_points_source(sf_dir: str):
+    """Text-source pipeline: distributed read_text -> vectorized Arrow
+    line parse (sources/points.py) -> cell_from_point at res 4 ->
+    per-cell counts.  ~1 point per res-4 cell, i.e. a high-cardinality
+    key: np.unique partials + the u64 hash-bucket exchange
+    (ops/agg.py), never a per-string-key ray group."""
+    from rhealpixdggs_py_ray.ops.agg import sum_by_u64_key
+    from rhealpixdggs_py_ray.sources.points import read_points_text
+
+    path = _write_points_fixture()
+    ds = read_points_text(path)
+
+    def index_count(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        cells = idx.cell_from_point(CFG, POINTS_RES, lon, lat, plane=False)
+        uniq, cnt = np.unique(cells, return_counts=True)
+        return pa.table({
+            "cell_u64": pa.array(uniq, type=pa.uint64()),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    part = ds.map_batches(index_count, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    agg = sum_by_u64_key(part, "cell_u64", "n", "n", n_buckets=8)
+
+    def to_name(batch: pa.Table) -> pa.Table:
+        u = batch["cell_u64"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table({
+            "cell_id": pa.array(su.to_string(u).tolist(), type=pa.string()),
+            "n": batch["n"],
+        })
+
+    return agg.map_batches(to_name, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def sql_points_source() -> str:
+    path = _write_points_fixture()
+    pts = (
+        "SELECT row_number() OVER () AS id,"
+        " CAST(split_part(line, ' ', 1) AS DOUBLE) AS lon,"
+        " CAST(split_part(line, ' ', 2) AS DOUBLE) AS lat"
+        f" FROM read_csv('{path}', header=false,"
+        " columns={'line': 'VARCHAR'}, delim='|', quote='')"
+        " WHERE regexp_matches(line, '^[-1-9]')"
+    )
+    cells = oracle.cell_from_point_sql(pts, POINTS_RES, CFG, id_cols=("id",))
+    return (
+        f"SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n FROM {cells} t"
+        " GROUP BY cell_id"
+    )
