@@ -4695,14 +4695,31 @@ def q_multimodal_neardup(sf_dir: str):
     )
 
     def verify(m: pd.DataFrame) -> pd.DataFrame:
-        ni = np.fromiter(
-            (
-                len(set(x.split("\n")) & set(y.split("\n")))
-                for x, y in zip(m["capset_a"].tolist(), m["capset_b"].tolist())
-            ),
-            dtype=np.int64,
-            count=len(m),
-        )
+        # vectorized |A ∩ B|: within-side token lists are unique, so a
+        # (pair, token) key occurring twice across the two sides is an
+        # intersection hit — factorize tokens once (np.unique), pack
+        # (pair, code) into u64, sort, count adjacent-equal per pair
+        if len(m):
+            arr_a = pc.split_pattern(pa.array(m["capset_a"], type=pa.string()), "\n")
+            arr_b = pc.split_pattern(pa.array(m["capset_b"], type=pa.string()), "\n")
+            idx_a = np.repeat(np.arange(len(m), dtype=np.int64),
+                              pc.list_value_length(arr_a).to_numpy())
+            idx_b = np.repeat(np.arange(len(m), dtype=np.int64),
+                              pc.list_value_length(arr_b).to_numpy())
+            tokens = np.concatenate([
+                pc.list_flatten(arr_a).to_numpy(zero_copy_only=False),
+                pc.list_flatten(arr_b).to_numpy(zero_copy_only=False),
+            ])
+            idxs = np.concatenate([idx_a, idx_b])
+            vocab, codes = np.unique(tokens, return_inverse=True)
+            key = (idxs.astype(np.uint64) * np.uint64(len(vocab) + 1)
+                   + codes.astype(np.uint64))
+            order = np.argsort(key)
+            k = key[order]
+            dup = k[1:] == k[:-1]
+            ni = np.bincount(idxs[order][1:][dup], minlength=len(m)).astype(np.int64)
+        else:
+            ni = np.zeros(0, dtype=np.int64)
         na = m["ncap_a"].to_numpy().astype(np.int64)
         nb = m["ncap_b"].to_numpy().astype(np.int64)
         j = ni.astype(np.float64) / (na + nb - ni).astype(np.float64)
