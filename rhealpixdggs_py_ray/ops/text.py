@@ -183,3 +183,39 @@ def fingerprint_sql() -> str:
         f"  (h, c) -> (h * {FP_BASE} + c) % {FP_MOD}) END AS fp"
         " FROM documents"
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (engine-only LLM-pipeline operator, round 3).
+# Both Arrow and DuckDB bind RE2, so leftmost-first global replace is
+# bit-identical between pc.replace_substring_regex and
+# regexp_replace(..., 'g') — the whole scrub is oracle-verifiable.
+# ---------------------------------------------------------------------------
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+1 [0-9]{3} [0-9]{3} [0-9]{4}"
+PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+# fixed scrub order: emails first (they contain dots/digits), then
+# phones, then IPs — the SQL oracle mirrors the same chain
+PII_CHAIN = [(PII_EMAIL, "[EMAIL]"), (PII_PHONE, "[PHONE]"), (PII_IP, "[IP]")]
+
+
+def pii_counts(arr: "pa.Array"):
+    """(n_email, n_phone, n_ip) int64 numpy arrays, counted on the
+    ORIGINAL text (the three patterns are mutually non-overlapping)."""
+    import pyarrow.compute as pc
+
+    return tuple(
+        pc.count_substring_regex(arr, pat).to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+        for pat, _ in PII_CHAIN
+    )
+
+
+def pii_redact(arr: "pa.Array") -> "pa.Array":
+    """Scrub all three PII classes with typed placeholder tokens."""
+    import pyarrow.compute as pc
+
+    for pat, tok in PII_CHAIN:
+        arr = pc.replace_substring_regex(arr, pattern=pat, replacement=tok)
+    return arr

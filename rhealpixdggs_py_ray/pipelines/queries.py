@@ -9733,3 +9733,121 @@ def sql_points_source() -> str:
         f"SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n FROM {cells} t"
         " GROUP BY cell_id"
     )
+
+
+def q_pii_redact(sf_dir: str):
+    """PII redaction over documents (engine-only LLM-pipeline op).
+
+    The synthetic corpus carries no PII, so the stage first APPENDS
+    deterministic doc_id-derived PII spans (emails x (doc_id%3),
+    a phone on even ids, an IPv4 always — integer arithmetic only, so
+    the SQL oracle rebuilds the identical augmented text), then runs
+    the real operator under test: RE2 count + chained typed-token
+    scrub (ops/text.py:pii_counts/pii_redact, vectorized Arrow
+    kernels), and an order-free u64-wraparound md5 checksum of the
+    scrubbed text proving the redacted bytes match DuckDB's
+    regexp_replace chain exactly.  Partials per (batch, lang);
+    one tiny exchange."""
+    from rhealpixdggs_py_ray.ops.dedup import md5_u64_many
+    from rhealpixdggs_py_ray.ops.text import pii_counts, pii_redact
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        aug = []
+        for i, t in zip(did, texts):
+            i = int(i)
+            parts = [t, " contact",
+                     (" u%d@m%d.example.com" % (i, i % 7)) * (i % 3)]
+            if i % 2 == 0:
+                parts.append(" or +1 %d %d %d" % (
+                    100 + i % 900, 200 + i % 800, 1000 + i % 9000))
+            parts.append(" from %d.%d.%d.%d" % (
+                i % 256, (i // 256) % 256, (i // 7) % 256, i % 254 + 1))
+            aug.append("".join(parts))
+        arr = pa.array(aug, type=pa.string())
+        ne, np_, ni = pii_counts(arr)
+        red = pii_redact(arr).to_pylist()
+        h = md5_u64_many([f"{int(i)}|{r}" for i, r in zip(did, red)])
+        lang = batch["lang"].to_numpy(zero_copy_only=False)
+        lu, li = np.unique(lang, return_inverse=True)
+        n = np.bincount(li).astype(np.int64)
+        sums = []
+        for col in (ne, np_, ni):
+            s = np.zeros(len(lu), dtype=np.int64)
+            np.add.at(s, li, col)
+            sums.append(s)
+        chk = np.zeros(len(lu), dtype=np.uint64)
+        np.add.at(chk, li, h)  # wraps mod 2^64, commutative
+        return pa.table({
+            "lang": pa.array(lu.tolist(), type=pa.string()),
+            "n_docs": pa.array(n),
+            "n_email": pa.array(sums[0]),
+            "n_phone": pa.array(sums[1]),
+            "n_ip": pa.array(sums[2]),
+            "chk": pa.array(chk, type=pa.uint64()),
+        })
+
+    part = ds.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)
+
+    def resolve(g: pa.Table) -> pa.Table:
+        chk = np.add.reduce(
+            g["chk"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        out = {
+            "lang": g["lang"].slice(0, 1),
+            "n_docs": pa.array([int(np.sum(g["n_docs"].to_numpy()))], type=pa.int64()),
+        }
+        for c in ("n_email", "n_phone", "n_ip"):
+            out[c] = pa.array([int(np.sum(g[c].to_numpy()))], type=pa.int64())
+        out["chk_hi"] = pa.array([int(chk >> np.uint64(32))], type=pa.int64())
+        out["chk_lo"] = pa.array([int(chk & np.uint64(0xFFFFFFFF))], type=pa.int64())
+        return pa.table(out)
+
+    return part.groupby("lang").map_groups(resolve, batch_format="pyarrow")
+
+
+def sql_pii_redact() -> str:
+    from rhealpixdggs_py_ray.ops.text import PII_CHAIN
+
+    m = "18446744073709551616"  # 2^64
+    aug = (
+        "text || ' contact'"
+        " || repeat(' u' || CAST(doc_id AS VARCHAR) || '@m'"
+        "   || CAST(doc_id % 7 AS VARCHAR) || '.example.com',"
+        "   CAST(doc_id % 3 AS INTEGER))"
+        " || CASE WHEN doc_id % 2 = 0 THEN ' or +1 '"
+        "   || CAST(100 + doc_id % 900 AS VARCHAR) || ' '"
+        "   || CAST(200 + doc_id % 800 AS VARCHAR) || ' '"
+        "   || CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END"
+        " || ' from ' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.' || CAST((doc_id // 256) % 256 AS VARCHAR)"
+        " || '.' || CAST((doc_id // 7) % 256 AS VARCHAR)"
+        " || '.' || CAST(doc_id % 254 + 1 AS VARCHAR)"
+    )
+    red = "t"
+    for pat, tok in PII_CHAIN:
+        red = f"regexp_replace({red}, '{pat}', '{tok}', 'g')"
+    counts = ", ".join(
+        f"len(regexp_extract_all(t, '{pat}')) AS c{i}"
+        for i, (pat, _) in enumerate(PII_CHAIN)
+    )
+    return f"""
+WITH aug AS MATERIALIZED (
+  SELECT doc_id, lang, {aug} AS t FROM documents
+),
+red AS MATERIALIZED (
+  SELECT doc_id, lang, {counts}, {red} AS rt FROM aug
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(c0) AS BIGINT) AS n_email,
+  CAST(SUM(c1) AS BIGINT) AS n_phone,
+  CAST(SUM(c2) AS BIGINT) AS n_ip,
+  CAST((SUM(CAST(md5_number_lower(CAST(doc_id AS VARCHAR) || '|' || rt)
+    AS HUGEINT)) % {m}) // 4294967296 AS BIGINT) AS chk_hi,
+  CAST((SUM(CAST(md5_number_lower(CAST(doc_id AS VARCHAR) || '|' || rt)
+    AS HUGEINT)) % {m}) % 4294967296 AS BIGINT) AS chk_lo
+FROM red GROUP BY lang
+"""

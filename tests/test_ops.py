@@ -495,3 +495,27 @@ def test_tile_pyramid_levels_consistent(ray_session):
     )
     assert rolled.index.tolist() == parent.index.tolist()
     assert (rolled.to_numpy() == parent.to_numpy()).all()
+
+
+def test_pii_redact_kernels():
+    import pyarrow as pa
+
+    from rhealpixdggs_py_ray.ops.text import pii_counts, pii_redact
+
+    arr = pa.array([
+        "mail bob.smith+x@sub.example.org now",
+        "call +1 310 555 0176 or +1 999 888 7777",
+        "host 10.0.255.3 and 1.2.3.4 up",
+        "clean text, no pii at all",
+        "both a@b.co and 5.6.7.8",
+    ])
+    ne, np_, ni = pii_counts(arr)
+    assert ne.tolist() == [1, 0, 0, 0, 1]
+    assert np_.tolist() == [0, 2, 0, 0, 0]
+    assert ni.tolist() == [0, 0, 2, 0, 1]
+    red = pii_redact(arr).to_pylist()
+    assert red[0] == "mail [EMAIL] now"
+    assert red[1] == "call [PHONE] or [PHONE]"
+    assert red[2] == "host [IP] and [IP] up"
+    assert red[3] == "clean text, no pii at all"
+    assert red[4] == "both [EMAIL] and [IP]"
