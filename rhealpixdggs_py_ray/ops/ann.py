@@ -440,3 +440,58 @@ SELECT qid, vec_id,
   CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_micros
 FROM d QUALIFY rank <= {k}
 """
+
+
+def ann_topk_filtered(emb_ds, n_queries: int = 10, k: int = 5):
+    """Filtered vector search (the 'search within my shard' workload):
+    exact top-k over only the rows whose metadata passes the query's
+    predicate — here label % 3 == qid % 3, evaluated as a vectorized
+    mask INSIDE the scoring batch (no second pass over the corpus, no
+    per-query filter job).  Same distributed shape as ann_topk:
+    broadcast queries, per-batch partial top-k, per-qid merge."""
+    qids, Q = _gather_queries(emb_ds, n_queries)
+    qn = _seq_norm(Q)
+    ref = ray.put((qids, Q, qn))
+
+    class PartialTopKFiltered:
+        def __init__(self):
+            self.qids, self.Q, self.qn = ray.get(ref)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+            lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+            B = _emb_matrix(batch)
+            bn = _seq_norm(B)
+            S = _seq_dots(B, self.Q) / (bn[:, None] * self.qn[None, :])
+            S[vid[:, None] == self.qids[None, :]] = -np.inf
+            S[(lab[:, None] % 3) != (self.qids[None, :] % 3)] = -np.inf
+            return _partial_topk_table(self.qids, vid, S, self.k)
+
+    partials = emb_ds.map_batches(
+        PartialTopKFiltered, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=sizing.pool(),
+    )
+    return partials.groupby("qid").map_groups(_final_topk(k), batch_format="pandas")
+
+
+def ann_topk_filtered_sql(n_queries: int = 10, k: int = 5) -> str:
+    dot = (
+        "list_sum(list_transform(generate_series(1, len(a.embedding)),"
+        " i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))"
+    )
+    nrm = "sqrt(list_sum(list_transform({t}.embedding, x -> CAST(x AS DOUBLE) * x)))"
+    return f"""
+WITH b AS MATERIALIZED (SELECT vec_id, label, embedding FROM embeddings),
+a AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {n_queries}),
+d AS MATERIALIZED (
+  SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+    {dot} / ({nrm.format(t='a')} * {nrm.format(t='b')}) AS cos
+  FROM a CROSS JOIN b
+  WHERE a.vec_id <> b.vec_id AND b.label % 3 = a.vec_id % 3
+)
+SELECT qid, vec_id,
+  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank,
+  CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_micros
+FROM d QUALIFY rank <= {k}
+"""

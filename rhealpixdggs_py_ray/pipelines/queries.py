@@ -9851,3 +9851,18 @@ SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
     AS HUGEINT)) % {m}) % 4294967296 AS BIGINT) AS chk_lo
 FROM red GROUP BY lang
 """
+
+
+def q_ann_topk_filtered(sf_dir: str):
+    """Metadata-filtered exact vector search: per-query label predicate
+    applied as a mask inside the scoring batch (ops/ann.py)."""
+    from rhealpixdggs_py_ray.ops import ann
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "label", "embedding"])
+    return ann.ann_topk_filtered(emb)
+
+
+def sql_ann_topk_filtered() -> str:
+    from rhealpixdggs_py_ray.ops import ann
+
+    return ann.ann_topk_filtered_sql()
