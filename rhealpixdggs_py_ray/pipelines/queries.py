@@ -9866,3 +9866,99 @@ def sql_ann_topk_filtered() -> str:
     from rhealpixdggs_py_ray.ops import ann
 
     return ann.ann_topk_filtered_sql()
+
+
+# SDXL-style aspect-ratio bucketing for image-batch packing
+ASPECT_BINS = [(1, 1), (4, 3), (3, 4), (16, 9), (9, 16)]
+
+
+def q_aspect_buckets(sf_dir: str):
+    """Aspect-ratio bucketing (the image-training batch-packing prep):
+    assign every image to the nearest canonical ratio bin by exact
+    integer permille distance (ties -> lower bin index), then audit
+    each bucket: count, canonical pad target (max w, max h) and the
+    pixel padding waste of padding every member to it.  Metadata-only
+    (w, h columns pruned at the read; payload bytes never load)."""
+    from rhealpixdggs_py_ray.fixtures import write_images_table
+
+    write_images_table(IMG_DIR, IMG_N)
+    ds = ray.data.read_parquet(
+        IMG_DIR, columns=["w", "h"],
+        override_num_blocks=sizing.read_blocks(IMG_DIR, profile=8),
+    )
+    bm = np.array([(1000 * n) // d for n, d in ASPECT_BINS], dtype=np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        arm = (1000 * w) // h
+        bucket = np.argmin(np.abs(arm[:, None] - bm[None, :]), axis=1)
+        uq, inv = np.unique(bucket, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        spx = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(spx, inv, w * h)
+        mw = np.zeros(len(uq), dtype=np.int64)
+        mh = np.zeros(len(uq), dtype=np.int64)
+        np.maximum.at(mw, inv, w)
+        np.maximum.at(mh, inv, h)
+        return pa.table({
+            "bucket": pa.array(uq.astype(np.int64)),
+            "n": pa.array(n), "spx": pa.array(spx),
+            "mw": pa.array(mw), "mh": pa.array(mh),
+        })
+
+    part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def resolve(g: pa.Table) -> pa.Table:
+        b = int(g["bucket"][0].as_py())
+        n = int(np.sum(g["n"].to_numpy()))
+        spx = int(np.sum(g["spx"].to_numpy()))
+        mw = int(np.max(g["mw"].to_numpy()))
+        mh = int(np.max(g["mh"].to_numpy()))
+        nm, dn = ASPECT_BINS[b]
+        return pa.table({
+            "bucket": pa.array([b], type=pa.int64()),
+            "ratio": pa.array([f"{nm}:{dn}"], type=pa.string()),
+            "n_images": pa.array([n], type=pa.int64()),
+            "max_w": pa.array([mw], type=pa.int64()),
+            "max_h": pa.array([mh], type=pa.int64()),
+            "pad_waste": pa.array([n * mw * mh - spx], type=pa.int64()),
+        })
+
+    return part.groupby("bucket").map_groups(resolve, batch_format="pyarrow")
+
+
+def sql_aspect_buckets() -> str:
+    from rhealpixdggs_py_ray.fixtures import write_images_table
+
+    write_images_table(IMG_DIR, IMG_N)
+    bins = ", ".join(
+        f"({i}, '{n}:{d}', {(1000 * n) // d})"
+        for i, (n, d) in enumerate(ASPECT_BINS)
+    )
+    return f"""
+WITH img AS MATERIALIZED (
+  SELECT CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+         (1000 * CAST(w AS BIGINT)) // CAST(h AS BIGINT) AS arm
+  FROM read_parquet('{IMG_DIR}/*.parquet')
+),
+bins(bucket, ratio, bm) AS (VALUES {bins}),
+dw AS MATERIALIZED (SELECT DISTINCT w, h, arm FROM img),
+asg AS MATERIALIZED (
+  SELECT w, h, bucket, ratio FROM (
+    SELECT dw.w, dw.h, b.bucket, b.ratio,
+      row_number() OVER (PARTITION BY dw.w, dw.h
+                         ORDER BY abs(dw.arm - b.bm), b.bucket) AS rn
+    FROM dw CROSS JOIN bins b) t WHERE rn = 1
+),
+j AS MATERIALIZED (
+  SELECT img.w, img.h, asg.bucket, asg.ratio FROM img
+  JOIN asg ON img.w = asg.w AND img.h = asg.h
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, ratio,
+  CAST(COUNT(*) AS BIGINT) AS n_images,
+  CAST(MAX(w) AS BIGINT) AS max_w,
+  CAST(MAX(h) AS BIGINT) AS max_h,
+  CAST(COUNT(*) * MAX(w) * MAX(h) - SUM(w * h) AS BIGINT) AS pad_waste
+FROM j GROUP BY bucket, ratio
+"""

@@ -519,3 +519,19 @@ def test_pii_redact_kernels():
     assert red[2] == "host [IP] and [IP] up"
     assert red[3] == "clean text, no pii at all"
     assert red[4] == "both [EMAIL] and [IP]"
+
+
+def test_aspect_bucket_assignment_rule():
+    import numpy as np
+
+    from rhealpixdggs_py_ray.pipelines.queries import ASPECT_BINS
+
+    bm = np.array([(1000 * n) // d for n, d in ASPECT_BINS], dtype=np.int64)
+    # 1:1 -> bucket 0; 64x48 (4:3) -> 1; 48x64 -> 2; 16x64 (0.25) ->
+    # nearest of [1000,1333,750,1777,562] to 250 is 562 (9:16) -> 4
+    cases = [((32, 32), 0), ((64, 48), 1), ((48, 64), 2),
+             ((16, 64), 4), ((64, 16), 3)]
+    for (w, h), want in cases:
+        arm = (1000 * w) // h
+        got = int(np.argmin(np.abs(arm - bm)))
+        assert got == want, (w, h, arm)
