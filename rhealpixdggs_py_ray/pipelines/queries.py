@@ -9962,3 +9962,120 @@ SELECT CAST(bucket AS BIGINT) AS bucket, ratio,
   CAST(COUNT(*) * MAX(w) * MAX(h) - SUM(w * h) AS BIGINT) AS pad_waste
 FROM j GROUP BY bucket, ratio
 """
+
+
+# Iterative link analysis (PageRank), round 3
+PAGERANK_ITERS = 3
+PAGERANK_TOPK = 20
+PAGERANK_NODE_CAP = 8_000_000  # driver rank-vector bound (same budget as
+# ops/cc.py's union-find cap: 8M nodes = 64 MB; beyond it the rank
+# table must live as a src-bucketed dataset joined to the edges each
+# iteration — the hash-min CC shape, 2 exchanges/iteration)
+
+
+def q_pagerank(sf_dir: str):
+    """PageRank over a deterministic event graph (src = user_id,
+    dst = splitmix64(event_id) mod n_nodes), 3 damped iterations in
+    EXACT integer arithmetic: contrib = r[src] // outdeg[src],
+    r' = 150000 + (85 * sum_in(contrib)) // 100 — every step is
+    order-free, so block/reducer interleaving can't move a bit.
+
+    Shape: edges materialized once as a narrow (src, dst) projection
+    (payloads never enter); per iteration ONE map pass emitting
+    per-batch np.unique dst-partials, driver-combined into the rank
+    vector (n_nodes-bounded, cap documented above; k-means syncs k*d
+    the same way).  Returns the top-20 nodes by final rank."""
+    from rhealpixdggs_py_ray.fixtures import splitmix64
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
+    n = int(ds.max("user_id")) + 1
+    if n > PAGERANK_NODE_CAP:
+        raise NotImplementedError(
+            "rank vector beyond the driver cap: bucket ranks by src and "
+            "join edges per iteration (see PAGERANK_NODE_CAP note)"
+        )
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        src = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = (splitmix64(eid) % np.uint64(n)).astype(np.int64)
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    edges = ds.map_batches(
+        mk_edges, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # consumed 1 + ITERS times; never recompute lineage
+
+    def deg_part(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(batch["src"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"k": pa.array(u), "c": pa.array(c.astype(np.int64))})
+
+    deg = np.zeros(n, dtype=np.int64)
+    for b in edges.map_batches(
+        deg_part, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            np.add.at(deg, b["k"].to_numpy(zero_copy_only=False),
+                      b["c"].to_numpy(zero_copy_only=False))
+
+    r = np.full(n, 1_000_000, dtype=np.int64)
+    for _ in range(PAGERANK_ITERS):
+        contrib_ref = ray.put(r // np.maximum(deg, 1))
+
+        def spart(batch: pa.Table, _ref=contrib_ref) -> pa.Table:
+            c = ray.get(_ref)  # zero-copy plasma view
+            s = batch["src"].to_numpy(zero_copy_only=False)
+            d = batch["dst"].to_numpy(zero_copy_only=False)
+            u, inv = np.unique(d, return_inverse=True)
+            acc = np.zeros(len(u), dtype=np.int64)
+            np.add.at(acc, inv, c[s])
+            return pa.table({"k": pa.array(u), "c": pa.array(acc)})
+
+        snew = np.zeros(n, dtype=np.int64)
+        for b in edges.map_batches(
+            spart, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow"):
+            if b.num_rows:
+                np.add.at(snew, b["k"].to_numpy(zero_copy_only=False),
+                          b["c"].to_numpy(zero_copy_only=False))
+        r = 150000 + (85 * snew) // 100
+
+    order = np.lexsort((np.arange(n), -r))[:PAGERANK_TOPK]
+    return pa.table({
+        "node": pa.array(order.astype(np.int64)),
+        "rank_micros": pa.array(r[order]),
+    })
+
+
+def sql_pagerank() -> str:
+    sm = oracle.splitmix64_sql_ctes(
+        "SELECT event_id, user_id AS src FROM events", "src", "event_id", "h"
+    )
+    iters = []
+    prev = "r0"
+    for t in (1, 2, 3):
+        iters.append(f"""
+s{t} AS MATERIALIZED (
+  SELECT e.dst AS node, SUM(r.r // g.d) AS s
+  FROM edges e JOIN deg g ON g.src = e.src
+  JOIN {prev} r ON r.node = e.src
+  GROUP BY e.dst),
+r{t} AS MATERIALIZED (
+  SELECT n.node, 150000 + (85 * COALESCE(s.s, 0)) // 100 AS r
+  FROM nodes n LEFT JOIN s{t} s ON s.node = n.node)""")
+        prev = f"r{t}"
+    chain = ",".join(iters)
+    return f"""
+WITH mx AS MATERIALIZED (SELECT MAX(user_id) + 1 AS n FROM events),
+edges AS MATERIALIZED (
+  SELECT src, CAST(h % CAST((SELECT n FROM mx) AS UBIGINT) AS BIGINT) AS dst
+  FROM {sm} t),
+deg AS MATERIALIZED (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+nodes AS MATERIALIZED (
+  SELECT unnest(generate_series(0, (SELECT n FROM mx) - 1)) AS node),
+r0 AS MATERIALIZED (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+{chain}
+SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS rank_micros
+FROM r3 ORDER BY r DESC, node LIMIT {PAGERANK_TOPK}
+"""
