@@ -1,0 +1,154 @@
+"""Distributed iterative link analysis (PageRank beyond the driver
+rank-vector cap).
+
+q_pagerank (pipelines/queries.py) holds the rank vector on the driver
+— the k-means-style bounded sync, capped at 8M nodes.  This module is
+the beyond-cap shape: ranks live as a DATASET bucketed by node hash,
+and each damped iteration costs exactly TWO exchanges (the hash-min
+CC budget, ops/cc.py):
+
+  A. rank-attach: union(edge rows keyed by src, rank rows keyed by
+     node) -> groupby hash bucket -> one vectorized resolve that
+     computes out-degrees IN-GROUP (every out-edge of src lands in
+     src's bucket, so deg needs no separate join), looks ranks up via
+     searchsorted, and emits per-dst partial contribution sums;
+  B. dst-sum: the partials union a zero base row per node (so nodes
+     with no in-links keep the damping floor) -> bucketed sum
+     (ops/agg.py machinery) -> r' = 150000 + (85 * s) // 100.
+
+Same exact integer arithmetic as the driver variant, so both paths
+hash-match the same unrolled-CTE DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from rhealpixdggs_py_ray import sizing
+from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+
+def _tag_edges(batch: pa.Table, n_buckets: int) -> pa.Table:
+    src = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table({
+        "k": pa.array(src), "v": pa.array(dst),
+        "is_rank": pa.array(np.zeros(len(src), dtype=np.int8)),
+        "bucket": pa.array(hash_bucket_u64(src.astype(np.uint64), n_buckets)),
+    })
+
+
+def _tag_ranks(batch: pa.Table, n_buckets: int) -> pa.Table:
+    node = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    r = batch["r"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table({
+        "k": pa.array(node), "v": pa.array(r),
+        "is_rank": pa.array(np.ones(len(node), dtype=np.int8)),
+        "bucket": pa.array(hash_bucket_u64(node.astype(np.uint64), n_buckets)),
+    })
+
+
+def _contrib_resolve(g: pa.Table) -> pa.Table:
+    if g.num_rows == 0 or "k" not in g.column_names:
+        return pa.table({"node": pa.array([], type=pa.int64()),
+                         "s": pa.array([], type=pa.int64())})
+    k = g["k"].to_numpy(zero_copy_only=False)
+    v = g["v"].to_numpy(zero_copy_only=False)
+    is_rank = g["is_rank"].to_numpy(zero_copy_only=False).astype(bool)
+    rk, rv = k[is_rank], v[is_rank]
+    es, ed = k[~is_rank], v[~is_rank]
+    if not len(es):
+        return pa.table({"node": pa.array([], type=pa.int64()),
+                         "s": pa.array([], type=pa.int64())})
+    order = np.argsort(rk)
+    r_src = rv[order][np.searchsorted(rk[order], es)]
+    uq, inv, cnt = np.unique(es, return_inverse=True, return_counts=True)
+    contrib = r_src // cnt[inv]
+    du, dinv = np.unique(ed, return_inverse=True)
+    acc = np.zeros(len(du), dtype=np.int64)
+    np.add.at(acc, dinv, contrib)
+    return pa.table({"node": pa.array(du), "s": pa.array(acc)})
+
+
+def pagerank_distributed(
+    edges, n_nodes: int, iters: int = 3, n_buckets: int | None = None,
+):
+    """(node, rank_micros) Dataset over ALL n_nodes after ``iters``
+    damped integer iterations.  ``edges`` is a (src, dst) int64
+    Dataset (materialize it first — it is consumed every iteration)."""
+    n_buckets = n_buckets or sizing.exchange_buckets(8)
+    base = ray.data.range(n_nodes, override_num_blocks=sizing.range_blocks(n_nodes, 2))
+
+    def init_rank(batch: pa.Table) -> pa.Table:
+        node = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "node": pa.array(node),
+            "r": pa.array(np.full(len(node), 1_000_000, dtype=np.int64)),
+        })
+
+    def zero_base(batch: pa.Table) -> pa.Table:
+        node = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "node": pa.array(node),
+            "s": pa.array(np.zeros(len(node), dtype=np.int64)),
+        })
+
+    ranks = base.map_batches(init_rank, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+    tagged_edges = edges.map_batches(
+        lambda b: _tag_edges(b, n_buckets),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+
+    for _ in range(iters):
+        tagged_ranks = ranks.map_batches(
+            lambda b: _tag_ranks(b, n_buckets),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        partials = tagged_edges.union(tagged_ranks).groupby("bucket").map_groups(
+            _contrib_resolve, batch_format="pyarrow"
+        )
+        basez = base.map_batches(zero_base, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+        def sum_part(batch: pa.Table) -> pa.Table:
+            node = batch["node"].to_numpy(zero_copy_only=False)
+            s = batch["s"].to_numpy(zero_copy_only=False)
+            uq, inv = np.unique(node, return_inverse=True)
+            acc = np.zeros(len(uq), dtype=np.int64)
+            np.add.at(acc, inv, s)
+            return pa.table({
+                "node": pa.array(uq), "s": pa.array(acc),
+                "bucket": pa.array(
+                    hash_bucket_u64(uq.astype(np.uint64), n_buckets)),
+            })
+
+        def new_rank(g: pa.Table) -> pa.Table:
+            if g.num_rows == 0 or "node" not in g.column_names:
+                return pa.table({"node": pa.array([], type=pa.int64()),
+                                 "r": pa.array([], type=pa.int64())})
+            node = g["node"].to_numpy(zero_copy_only=False)
+            s = g["s"].to_numpy(zero_copy_only=False)
+            uq, inv = np.unique(node, return_inverse=True)
+            acc = np.zeros(len(uq), dtype=np.int64)
+            np.add.at(acc, inv, s)
+            return pa.table({
+                "node": pa.array(uq),
+                "r": pa.array(150000 + (85 * acc) // 100),
+            })
+
+        ranks = (
+            partials.union(basez)
+            .map_batches(sum_part, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(new_rank, batch_format="pyarrow")
+            .materialize()
+        )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["node"], "rank_micros": batch["r"]})
+
+    return ranks.map_batches(rename, batch_format="pyarrow",
+                             zero_copy_batch=True)

@@ -10079,3 +10079,35 @@ r0 AS MATERIALIZED (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
 SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS rank_micros
 FROM r3 ORDER BY r DESC, node LIMIT {PAGERANK_TOPK}
 """
+
+
+def q_pagerank_distributed(sf_dir: str):
+    """The beyond-cap PageRank shape (ops/graph.py): rank table as a
+    node-hash-bucketed DATASET, two exchanges per iteration, no
+    O(n_nodes) driver state.  Bit-identical to q_pagerank (same exact
+    integer rule), so it shares the same unrolled-CTE oracle."""
+    from rhealpixdggs_py_ray.fixtures import splitmix64
+    from rhealpixdggs_py_ray.ops.graph import pagerank_distributed
+
+    # exchange-bound (6 exchanges over 3 iterations): read narrow at
+    # the 4-block profile so blocks x partitions stays small
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"], blocks=4)
+    n = int(ds.max("user_id")) + 1
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        src = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = (splitmix64(eid) % np.uint64(n)).astype(np.int64)
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    edges = ds.map_batches(
+        mk_edges, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    ranks = pagerank_distributed(edges, n, iters=PAGERANK_ITERS)
+    return ranks.sort(["rank_micros", "node"], descending=[True, False]).limit(
+        PAGERANK_TOPK
+    )
+
+
+def sql_pagerank_distributed() -> str:
+    return sql_pagerank()

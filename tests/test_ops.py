@@ -535,3 +535,18 @@ def test_aspect_bucket_assignment_rule():
         arm = (1000 * w) // h
         got = int(np.argmin(np.abs(arm - bm)))
         assert got == want, (w, h, arm)
+
+
+def test_pagerank_paths_agree(ray_session):
+    # the driver-vector path and the bucketed-dataset path implement
+    # the same exact integer rule — identical top-k on the same input
+    from rhealpixdggs_py_ray.pipelines.queries import (
+        q_pagerank,
+        q_pagerank_distributed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = q_pagerank(sf).to_pandas()
+    b = q_pagerank_distributed(sf).to_pandas()
+    assert a["node"].tolist() == b["node"].tolist()
+    assert a["rank_micros"].tolist() == b["rank_micros"].tolist()
