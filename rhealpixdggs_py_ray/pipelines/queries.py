@@ -9990,10 +9990,9 @@ def q_pagerank(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
     n = int(ds.max("user_id")) + 1
     if n > PAGERANK_NODE_CAP:
-        raise NotImplementedError(
-            "rank vector beyond the driver cap: bucket ranks by src and "
-            "join edges per iteration (see PAGERANK_NODE_CAP note)"
-        )
+        # beyond the driver-vector budget: the fully distributed path
+        # (bucketed rank dataset, 2 exchanges/iteration) takes over
+        return q_pagerank_distributed(sf_dir)
 
     def mk_edges(batch: pa.Table) -> pa.Table:
         eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
