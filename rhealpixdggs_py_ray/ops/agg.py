@@ -63,3 +63,30 @@ def sum_by_u64_key(ds, key_col: str, val_col: str, out_val: str,
 
     partial = ds.map_batches(combine_batch, batch_format="pyarrow", zero_copy_batch=True)
     return partial.groupby("bucket").map_groups(combine_group, batch_format="pyarrow")
+
+
+def pareto_front_mask(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Non-dominated mask (maximize BOTH) over DISTINCT (x, y) pairs —
+    strict dominance: a beats b iff a >= b on both and > on one.
+    Sweep: keep the max-y pair per x, walk x descending, survive while
+    y exceeds the running max of larger-x ys.  O(n log n), mirrors the
+    window-function form the SQL oracles use.
+
+    Skyline reduction is distribution-friendly: the local front of any
+    subset contains every global-front point present in that subset
+    (a dominator anywhere would dominate globally), so map-side fronts
+    union -> one final front is exact."""
+    mask = np.zeros(len(x), dtype=bool)
+    if not len(x):
+        return mask
+    order = np.lexsort((-y, -x))
+    xs, ys = x[order], y[order]
+    first_of_x = np.ones(len(xs), dtype=bool)
+    first_of_x[1:] = xs[1:] != xs[:-1]
+    cand = np.flatnonzero(first_of_x)
+    cy = ys[cand]
+    on = np.ones(len(cand), dtype=bool)
+    if len(cand) > 1:
+        on[1:] = cy[1:] > np.maximum.accumulate(cy)[:-1]
+    mask[order[cand[on]]] = True
+    return mask

@@ -10110,3 +10110,97 @@ def q_pagerank_distributed(sf_dir: str):
 
 def sql_pagerank_distributed() -> str:
     return sql_pagerank()
+
+
+def q_pareto_docs(sf_dir: str):
+    """Skyline / Pareto-front curation: the documents that are
+    non-dominated on (length, lexical diversity) — the multi-criteria
+    shortlist a data-curation pass keeps when no single score wins.
+
+    Distributed anti-chain reduction (ops/agg.py:pareto_front_mask):
+    each batch emits its LOCAL front's distinct (n_tokens, ttr) pairs
+    with doc counts + min doc_id (a global-front pair survives every
+    local front it appears in, so counts merge exactly); one tiny
+    exchange; the final resolve re-sweeps the merged pairs."""
+    from rhealpixdggs_py_ray.ops.agg import pareto_front_mask
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dids, xs, ys = [], [], []
+        for did, text in zip(
+            batch["doc_id"].to_numpy(zero_copy_only=False),
+            batch["text"].to_pylist(),
+        ):
+            toks = text.split()
+            if not toks:
+                continue
+            dids.append(did)
+            xs.append(len(toks))
+            ys.append(1000 * len(set(toks)) // len(toks))
+        did = np.array(dids, dtype=np.int64)
+        x = np.array(xs, dtype=np.int64)
+        y = np.array(ys, dtype=np.int64)
+        key = x.astype(np.uint64) * np.uint64(1024) + y.astype(np.uint64)
+        uq, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        mind = np.full(len(uq), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mind, inv, did)
+        ux = (uq // np.uint64(1024)).astype(np.int64)
+        uy = (uq % np.uint64(1024)).astype(np.int64)
+        m = pareto_front_mask(ux, uy)
+        return pa.table({
+            "g": pa.array(np.zeros(int(m.sum()), dtype=np.int64)),
+            "x": pa.array(ux[m]), "y": pa.array(uy[m]),
+            "n": pa.array(n[m]), "mind": pa.array(mind[m]),
+        })
+
+    part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def resolve(g: pa.Table) -> pa.Table:
+        from rhealpixdggs_py_ray.ops.agg import pareto_front_mask as pfm
+
+        x = g["x"].to_numpy(zero_copy_only=False)
+        y = g["y"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        mind = g["mind"].to_numpy(zero_copy_only=False)
+        key = x.astype(np.uint64) * np.uint64(1024) + y.astype(np.uint64)
+        uq, inv = np.unique(key, return_inverse=True)
+        ns = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(ns, inv, n)
+        ms = np.full(len(uq), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(ms, inv, mind)
+        ux = (uq // np.uint64(1024)).astype(np.int64)
+        uy = (uq % np.uint64(1024)).astype(np.int64)
+        m = pfm(ux, uy)
+        return pa.table({
+            "n_tokens": pa.array(ux[m]), "ttr_permille": pa.array(uy[m]),
+            "n_docs": pa.array(ns[m]), "min_doc": pa.array(ms[m]),
+        })
+
+    return part.groupby("g").map_groups(resolve, batch_format="pyarrow")
+
+
+def sql_pareto_docs() -> str:
+    return """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+  FROM documents WHERE trim(text) <> ''
+),
+m AS MATERIALIZED (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS x,
+    1000 * COUNT(DISTINCT t) // COUNT(*) AS y
+  FROM toks GROUP BY doc_id
+),
+gx AS MATERIALIZED (SELECT x, MAX(y) AS y FROM m GROUP BY x),
+w AS MATERIALIZED (
+  SELECT x, y, MAX(y) OVER (ORDER BY x DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM gx
+),
+front AS MATERIALIZED (SELECT x, y FROM w WHERE pm IS NULL OR y > pm)
+SELECT f.x AS n_tokens, CAST(f.y AS BIGINT) AS ttr_permille,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(MIN(m.doc_id) AS BIGINT) AS min_doc
+FROM m JOIN front f ON m.x = f.x AND m.y = f.y
+GROUP BY f.x, f.y
+"""

@@ -550,3 +550,53 @@ def test_pagerank_paths_agree(ray_session):
     b = q_pagerank_distributed(sf).to_pandas()
     assert a["node"].tolist() == b["node"].tolist()
     assert a["rank_micros"].tolist() == b["rank_micros"].tolist()
+
+
+def test_pareto_front_mask_matches_bruteforce():
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rhealpixdggs_py_ray.ops.agg import pareto_front_mask
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 20), st.integers(0, 20)),
+                    min_size=0, max_size=40, unique=True))
+    def run(pairs):
+        x = np.array([p[0] for p in pairs], dtype=np.int64)
+        y = np.array([p[1] for p in pairs], dtype=np.int64)
+        got = pareto_front_mask(x, y)
+        for i in range(len(pairs)):
+            dominated = any(
+                x[j] >= x[i] and y[j] >= y[i]
+                and (x[j] > x[i] or y[j] > y[i])
+                for j in range(len(pairs))
+            )
+            assert got[i] == (not dominated), (pairs, i)
+
+    run()
+
+
+def test_pareto_local_front_preserves_global():
+    # the distribution property the operator relies on: union of
+    # subset fronts -> final front == front of the whole set
+    import numpy as np
+
+    from rhealpixdggs_py_ray.ops.agg import pareto_front_mask
+
+    rng = np.random.RandomState(7)
+    x = rng.randint(0, 1000, 5000).astype(np.int64)
+    y = rng.randint(0, 1000, 5000).astype(np.int64)
+    key = x * 1024 + y
+    _, idx = np.unique(key, return_index=True)
+    x, y = x[idx], y[idx]
+    whole = set(zip(x[pareto_front_mask(x, y)], y[pareto_front_mask(x, y)]))
+    parts = np.array_split(np.arange(len(x)), 7)
+    ux, uy = [], []
+    for p in parts:
+        m = pareto_front_mask(x[p], y[p])
+        ux.extend(x[p][m]); uy.extend(y[p][m])
+    ux = np.array(ux, dtype=np.int64); uy = np.array(uy, dtype=np.int64)
+    merged = set(zip(ux[pareto_front_mask(ux, uy)],
+                     uy[pareto_front_mask(ux, uy)]))
+    assert merged == whole
