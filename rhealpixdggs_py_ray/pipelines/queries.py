@@ -10204,3 +10204,90 @@ SELECT f.x AS n_tokens, CAST(f.y AS BIGINT) AS ttr_permille,
 FROM m JOIN front f ON m.x = f.x AND m.y = f.y
 GROUP BY f.x, f.y
 """
+
+
+def q_image_augment(sf_dir: str):
+    """Deterministic augmentation plumbing: actor-pool decode of the
+    REAL payload bytes (raw/png codec) -> center square crop ->
+    horizontal flip when phash is odd -> position-weighted pixel
+    checksum (sum of (row*s + col + 1) * pixel; flip-sensitive, unlike
+    a plain sum).  The oracle replays crop/flip index remapping on the
+    generative pixel rule, so the whole decode+transform chain is
+    value-verified byte-for-byte.  Payload never shuffles: output is
+    4 ints per image."""
+    from rhealpixdggs_py_ray.fixtures import decode_image, write_images_table
+
+    write_images_table(IMG_DIR, IMG_N)
+    ds = ray.data.read_parquet(
+        IMG_DIR, override_num_blocks=sizing.read_blocks(IMG_DIR, profile=8)
+    )
+
+    class Augment:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["image_id"].to_pylist()
+            blobs = batch["bytes"].to_pylist()
+            fmts = batch["fmt"].to_pylist()
+            ws = batch["w"].to_numpy(zero_copy_only=False)
+            hs = batch["h"].to_numpy(zero_copy_only=False)
+            phs = batch["phash"].to_numpy(zero_copy_only=False)
+            idx, size, flip, chk = [], [], [], []
+            for iid, data, fmt, w, h, ph in zip(ids, blobs, fmts, ws, hs, phs):
+                w, h = int(w), int(h)
+                pix = decode_image(data, fmt, w, h).astype(np.int64)
+                s = min(w, h)
+                x0, y0 = (w - s) // 2, (h - s) // 2
+                crop = pix[y0:y0 + s, x0:x0 + s, :]
+                f = int(ph) & 1
+                if f:
+                    crop = crop[:, ::-1, :]
+                wgt = np.arange(s, dtype=np.int64)[:, None] * s \
+                    + np.arange(s, dtype=np.int64)[None, :] + 1
+                idx.append(int(iid[3:]))
+                size.append(s)
+                flip.append(f)
+                chk.append(int((crop.sum(axis=2) * wgt).sum()))
+            return pa.table({
+                "idx": pa.array(np.array(idx, dtype=np.int64)),
+                "out_size": pa.array(np.array(size, dtype=np.int64)),
+                "flipped": pa.array(np.array(flip, dtype=np.int64)),
+                "chk": pa.array(np.array(chk, dtype=np.int64)),
+            })
+
+    return ds.map_batches(
+        Augment, batch_format="pyarrow", batch_size=256,
+        zero_copy_batch=True, concurrency=sizing.pool(),
+    )
+
+
+def sql_image_augment() -> str:
+    from rhealpixdggs_py_ray.fixtures import write_images_table
+
+    write_images_table(IMG_DIR, IMG_N)
+    M = "18446744073709551616"
+    u = f"CAST(((CAST(phash AS HUGEINT) % {M}) + {M}) % {M} AS UBIGINT)"
+    val = (
+        "((x * 3 + y * 5 + cc * 7"
+        " + CAST((u >> CAST(8 * cc AS UBIGINT)) & 255 AS BIGINT)) % 256)"
+    )
+    return f"""
+WITH src AS MATERIALIZED (
+  SELECT CAST(substr(image_id, 4) AS BIGINT) AS idx,
+    CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h, u,
+    least(CAST(w AS BIGINT), CAST(h AS BIGINT)) AS s,
+    CAST(u & 1 AS BIGINT) AS flip
+  FROM (SELECT image_id, w, h, {u} AS u
+        FROM read_parquet('{IMG_DIR}/*.parquet')) q
+),
+cells AS MATERIALIZED (
+  SELECT idx, s, flip, u, aa, bb, cc,
+    (w - s) // 2 + CASE WHEN flip = 1 THEN s - 1 - bb ELSE bb END AS x,
+    (h - s) // 2 + aa AS y
+  FROM src,
+    unnest(generate_series(0, s - 1)) AS ta(aa),
+    unnest(generate_series(0, s - 1)) AS tb(bb),
+    (SELECT unnest(generate_series(0, 2)) AS cc) tc
+)
+SELECT idx, MIN(s) AS out_size, MIN(flip) AS flipped,
+  CAST(SUM((aa * s + bb + 1) * {val}) AS BIGINT) AS chk
+FROM cells GROUP BY idx
+"""
