@@ -10291,3 +10291,79 @@ SELECT idx, MIN(s) AS out_size, MIN(flip) AS flipped,
   CAST(SUM((aa * s + bb + 1) * {val}) AS BIGINT) AS chk
 FROM cells GROUP BY idx
 """
+
+
+def q_ewma_user(sf_dir: str):
+    """Per-user exponentially-decayed activity state (the streaming
+    feature-store fold): over each user's events ordered by (ts,
+    event_id), r := (r * 7) // 8 + v_cents, seeded with the first
+    value.  The integer floor makes the fold NON-associative — unlike
+    running_totals' cumsum it cannot be prefix-scanned — so the
+    resolve runs all users of a bucket in LOCKSTEP: one vectorized
+    gather per event position (max events/user iterations), never a
+    per-user Python loop (the fingerprint fold pattern, ops/text.py).
+    One h(user) bucket exchange total."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"], blocks=4)
+    nb = 8
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(uid, nb)),
+            "user_id": batch["user_id"],
+            "t": pa.array(ts.astype(np.int64)),
+            "event_id": batch["event_id"],
+            "v_c": pa.array(np.floor(
+                batch["value"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)),
+        })
+
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "user_id" not in g.column_names:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "n_events": pa.array([], type=pa.int64()),
+                             "ewma_c": pa.array([], type=pa.int64())})
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        v = g["v_c"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, t, uid))
+        uid, v = uid[order], v[order]
+        new_seg = np.r_[True, uid[1:] != uid[:-1]]
+        starts = np.flatnonzero(new_seg)
+        seg_len = np.diff(np.append(starts, len(uid)))
+        r = v[starts].copy()  # seed: first value per user
+        jmax = int(seg_len.max()) if len(seg_len) else 0
+        for j in range(1, jmax):
+            alive = seg_len > j
+            pos = starts[alive] + j
+            r[alive] = (r[alive] * 7) // 8 + v[pos]
+        return pa.table({
+            "user_id": pa.array(uid[starts]),
+            "n_events": pa.array(seg_len.astype(np.int64)),
+            "ewma_c": pa.array(r),
+        })
+
+    part = ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+    return part.groupby("bucket").map_groups(fold, batch_format="pyarrow")
+
+
+def sql_ewma_user() -> str:
+    return """
+WITH e AS MATERIALIZED (
+  SELECT user_id, ts, event_id, CAST(floor(value * 100) AS BIGINT) AS v
+  FROM events
+),
+l AS MATERIALIZED (
+  SELECT user_id, list(v ORDER BY ts, event_id) AS vs FROM e GROUP BY user_id
+)
+SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
+  CAST(CASE WHEN len(vs) = 1 THEN vs[1]
+    ELSE list_reduce(vs, (a, b) -> (a * 7) // 8 + b) END AS BIGINT)
+  AS ewma_c
+FROM l
+"""
