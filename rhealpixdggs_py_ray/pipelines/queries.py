@@ -10367,3 +10367,151 @@ SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
   AS ewma_c
 FROM l
 """
+
+
+# ---------------------------------------------------------------------------
+# Dissolve: raster -> vector boundary of the occupied-cell region
+# ---------------------------------------------------------------------------
+
+DISSOLVE_RES = 4      # res-4 equatorial lattice: 4*3^4 = 324 cols, 81 rows
+DISSOLVE_LAT = 35.0   # keeps every point inside faces O..R (caps start ~41.9)
+
+
+def q_dissolve(sf_dir: str):
+    """Raster->vector dissolve (the north-star's raster<->vector tiling,
+    vector direction): events -> occupied res-4 cells (exact distinct)
+    -> outer/inner boundary RINGS of the occupied region as directed
+    lattice edges, via edge cancellation.
+
+    Inside the equatorial band the res-k cells of faces O..R form one
+    global integer lattice (row from the base-3 row digits, col from
+    face order O,P,Q,R + col digits; verified empirically and pinned in
+    tests).  Every cell emits its 4 directed boundary edges weighted
+    4+dir on an undirected edge key; an edge shared by two occupied
+    cells is traversed twice in OPPOSITE directions (weight sum >= 8),
+    so after one exact u64-key sum the boundary is ``wsum < 8`` and the
+    surviving direction bit is ``wsum - 4``.  Two bucket exchanges
+    total (cell distinct, edge cancel); both are mergeable partial sums
+    -- the 10^12-row shape.  Vertical edges wrap modulo 4*3^k, so the
+    dissolve is correct across the antimeridian seam.
+    """
+    from rhealpixdggs_py_ray.ops.agg import sum_by_u64_key
+
+    k = DISSOLVE_RES
+    side = 3 ** k
+    W = 4 * side
+
+    def cells(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        u = batch["cell_u64"].to_numpy(zero_copy_only=False)
+        u = u[np.abs(lat) <= DISSOLVE_LAT]
+        return pa.table({
+            "cell_u64": pa.array(u, type=pa.uint64()),
+            "one": pa.array(np.ones(len(u), dtype=np.int64)),
+        })
+
+    occ = sum_by_u64_key(
+        indexed_events(sf_dir, resolution=k).map_batches(
+            cells, batch_format="pyarrow", zero_copy_batch=True),
+        "cell_u64", "one", "n_pts",
+    )
+
+    def edges(batch: pa.Table) -> pa.Table:
+        u = batch["cell_u64"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        face, digits, _res = su.unpack(u)
+        d = digits[:, :k].astype(np.int64)
+        pw = (3 ** np.arange(k - 1, -1, -1)).astype(np.int64)
+        gy = (d // 3) @ pw
+        gx = (face.astype(np.int64) - 1) * side + (d % 3) @ pw
+        # undirected key: typ<<41 | y<<21 | x ; weight 4 + direction
+        def key(typ, y, x):
+            return (np.int64(typ) << np.int64(41)) | (y << np.int64(21)) | x
+        ekey = np.concatenate([
+            key(0, gy, gx),                 # top,    traversed +x
+            key(0, gy + 1, gx),             # bottom, traversed -x
+            key(1, gy, (gx + 1) % W),       # right,  traversed +y
+            key(1, gy, gx),                 # left,   traversed -y
+        ])
+        n = len(gx)
+        w = np.concatenate([
+            np.full(n, 5, dtype=np.int64), np.full(n, 4, dtype=np.int64),
+            np.full(n, 5, dtype=np.int64), np.full(n, 4, dtype=np.int64),
+        ])
+        return pa.table({"ekey": pa.array(ekey.astype(np.uint64)),
+                         "w": pa.array(w)})
+
+    bd = sum_by_u64_key(
+        occ.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True),
+        "ekey", "w", "wsum",
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        key = batch["ekey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        wsum = batch["wsum"].to_numpy(zero_copy_only=False)
+        m = wsum < 8
+        key, wsum = key[m], wsum[m]
+        typ = key >> np.int64(41)
+        y = (key >> np.int64(21)) & np.int64((1 << 20) - 1)
+        x = key & np.int64((1 << 20) - 1)
+        fwd = wsum == 5
+        x1 = np.where(typ == 0, np.where(fwd, x, x + 1), x)
+        x2 = np.where(typ == 0, np.where(fwd, x + 1, x), x)
+        y1 = np.where(typ == 0, y, np.where(fwd, y, y + 1))
+        y2 = np.where(typ == 0, y, np.where(fwd, y + 1, y))
+        return pa.table({
+            "x1": pa.array(x1), "y1": pa.array(y1),
+            "x2": pa.array(x2), "y2": pa.array(y2),
+        })
+
+    return bd.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _dissolve_rowcol_sql(k: int) -> tuple[str, str]:
+    """Closed-form (gy, gx) from the cell_id string digits."""
+    side = 3 ** k
+    gy = " + ".join(
+        f"(CAST(substr(cell_id, {1 + i}, 1) AS INT) // 3) * {3 ** (k - i)}"
+        for i in range(1, k + 1)
+    )
+    gx = " + ".join(
+        f"(CAST(substr(cell_id, {1 + i}, 1) AS INT) % 3) * {3 ** (k - i)}"
+        for i in range(1, k + 1)
+    )
+    face = ("(CASE substr(cell_id, 1, 1) WHEN 'O' THEN 0 WHEN 'P' THEN 1"
+            f" WHEN 'Q' THEN 2 ELSE 3 END) * {side}")
+    return gy, f"{face} + {gx}"
+
+
+def sql_dissolve() -> str:
+    k = DISSOLVE_RES
+    W = 4 * 3 ** k
+    pts = (
+        f"SELECT event_id, lon, lat FROM ({_points_sql('events', 'event_id')}) p"
+        f" WHERE abs(lat) <= {DISSOLVE_LAT!r}"
+    )
+    idx_sql = oracle.cell_from_point_sql(pts, k, CFG, id_cols=("event_id",))
+    gy, gx = _dissolve_rowcol_sql(k)
+    return f"""
+WITH cells AS MATERIALIZED (
+  SELECT DISTINCT cell_id FROM {idx_sql} t
+),
+rc AS MATERIALIZED (
+  SELECT {gy} AS gy, {gx} AS gx FROM cells
+),
+edges AS MATERIALIZED (
+  SELECT 0 AS typ, gy AS ey, gx AS ex, 5 AS w FROM rc
+  UNION ALL SELECT 0, gy + 1, gx, 4 FROM rc
+  UNION ALL SELECT 1, gy, (gx + 1) % {W}, 5 FROM rc
+  UNION ALL SELECT 1, gy, gx, 4 FROM rc
+),
+g AS MATERIALIZED (
+  SELECT typ, ey, ex, SUM(w) AS wsum FROM edges
+  GROUP BY 1, 2, 3 HAVING SUM(w) < 8
+)
+SELECT
+  CAST(CASE WHEN typ = 0 AND wsum = 4 THEN ex + 1 ELSE ex END AS BIGINT) AS x1,
+  CAST(CASE WHEN typ = 1 AND wsum = 4 THEN ey + 1 ELSE ey END AS BIGINT) AS y1,
+  CAST(CASE WHEN typ = 0 AND wsum = 5 THEN ex + 1 ELSE ex END AS BIGINT) AS x2,
+  CAST(CASE WHEN typ = 1 AND wsum = 5 THEN ey + 1 ELSE ey END AS BIGINT) AS y2
+FROM g
+"""

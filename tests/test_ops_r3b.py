@@ -1,0 +1,104 @@
+"""Invariant tests for the round-3b operators (dissolve raster->vector
+boundary, and later additions)."""
+
+import numpy as np
+import pandas as pd
+
+import rhealpixdggs_py_ray.pipelines.queries as Q
+from rhealpixdggs_py_ray import oracle
+from rhealpixdggs_py_ray.core import index as idx
+from rhealpixdggs_py_ray.core import suid as su
+
+SF = "/root/testdata/sf0.001"
+
+
+def _df(ds):
+    return ds.to_pandas() if hasattr(ds, "to_pandas") else ds
+
+
+def test_dissolve_rings_closed(ray_session):
+    """Every boundary vertex must have in-degree == out-degree — the
+    directed edge set decomposes into closed rings."""
+    df = _df(Q.q_dissolve(SF))
+    assert len(df) > 0
+    W = 4 * 3 ** Q.DISSOLVE_RES
+    starts = df["x1"].to_numpy() * 100000 + df["y1"].to_numpy()
+    ends = df["x2"].to_numpy() * 100000 + df["y2"].to_numpy()
+    s_u, s_c = np.unique(starts, return_counts=True)
+    e_u, e_c = np.unique(ends, return_counts=True)
+    assert np.array_equal(s_u, e_u)
+    assert np.array_equal(s_c, e_c)
+    # lattice bounds: x in [0, W], y in [0, 3^k]
+    for c in ("x1", "x2"):
+        assert df[c].between(0, W).all()
+    for c in ("y1", "y2"):
+        assert df[c].between(0, 3 ** Q.DISSOLVE_RES).all()
+    # every edge is unit-length and axis-aligned
+    dx = (df["x2"] - df["x1"]).abs()
+    dy = (df["y2"] - df["y1"]).abs()
+    assert ((dx + dy) == 1).all()
+
+
+def test_dissolve_shoelace_equals_cell_count(ray_session):
+    """On a seam-free occupied set, the directed boundary's shoelace sum
+    equals 2 x (number of occupied cells) — orientation and cancellation
+    are both exactly right.  Built directly from the same lattice mapping
+    the query uses, on a synthetic blob away from the antimeridian."""
+    k = Q.DISSOLVE_RES
+    side = 3 ** k
+    rng = np.random.default_rng(7)
+    # random blob in the middle of face Q (gx in [2*side, 3*side))
+    occ = set()
+    for _ in range(400):
+        occ.add((int(rng.integers(20, 60)), int(2 * side + rng.integers(10, 70))))
+    occ = sorted(occ)
+    gy = np.array([a for a, b in occ], dtype=np.int64)
+    gx = np.array([b for a, b in occ], dtype=np.int64)
+    # emit edges exactly as the query does
+    W = 4 * side
+    ekey = np.concatenate([
+        (0 << 41) | (gy << 21) | gx,
+        (0 << 41) | ((gy + 1) << 21) | gx,
+        (1 << 41) | (gy << 21) | ((gx + 1) % W),
+        (1 << 41) | (gy << 21) | gx,
+    ])
+    w = np.concatenate([np.full(len(gx), 5), np.full(len(gx), 4),
+                        np.full(len(gx), 5), np.full(len(gx), 4)]).astype(np.int64)
+    uq, inv = np.unique(ekey, return_inverse=True)
+    s = np.zeros(len(uq), dtype=np.int64)
+    np.add.at(s, inv, w)
+    m = s < 8
+    key, wsum = uq[m], s[m]
+    typ = key >> 41
+    y = (key >> 21) & ((1 << 20) - 1)
+    x = key & ((1 << 20) - 1)
+    fwd = wsum == 5
+    x1 = np.where(typ == 0, np.where(fwd, x, x + 1), x)
+    x2 = np.where(typ == 0, np.where(fwd, x + 1, x), x)
+    y1 = np.where(typ == 0, y, np.where(fwd, y, y + 1))
+    y2 = np.where(typ == 0, y, np.where(fwd, y + 1, y))
+    shoelace = np.sum(x1 * y2 - x2 * y1)
+    assert shoelace == 2 * len(occ)
+
+
+def test_dissolve_lattice_matches_projection_order(ray_session):
+    """The (gy, gx) lattice mapping is consistent with geography: gx
+    increases monotonically with longitude along a parallel, gy with
+    colatitude along a meridian (the empirical layout pinned at build
+    time)."""
+    k = Q.DISSOLVE_RES
+    side = 3 ** k
+    cfg = Q.CFG
+    lons = np.linspace(-179.0, 179.0, 41)
+    u = idx.cell_from_point(cfg, k, lons, np.full_like(lons, 11.0), plane=False)
+    face, digits, _ = su.unpack(u)
+    d = digits[:, :k].astype(np.int64)
+    pw = (3 ** np.arange(k - 1, -1, -1)).astype(np.int64)
+    gx = (face.astype(np.int64) - 1) * side + (d % 3) @ pw
+    assert (np.diff(gx) >= 0).all()
+    lats = np.linspace(34.0, -34.0, 21)
+    u2 = idx.cell_from_point(cfg, k, np.full_like(lats, 11.0), lats, plane=False)
+    face2, digits2, _ = su.unpack(u2)
+    d2 = digits2[:, :k].astype(np.int64)
+    gy = (d2 // 3) @ pw
+    assert (np.diff(gy) >= 0).all()
