@@ -10515,3 +10515,122 @@ SELECT
   CAST(CASE WHEN typ = 1 AND wsum = 5 THEN ey + 1 ELSE ey END AS BIGINT) AS y2
 FROM g
 """
+
+
+# ---------------------------------------------------------------------------
+# Line buffer cover: Chebyshev-r dilation of the linetrace supercover
+# ---------------------------------------------------------------------------
+
+LINE_BUFFER_R = 2  # lattice Chebyshev radius (cells)
+
+
+def _lattice_from_cell_strings(cell_id: np.ndarray, k: int):
+    """Vectorized (gy, gx) from fixed-width equatorial cell_id strings.
+    Faces O..R are contiguous ASCII (79..82), digit chars are '0'..'8'."""
+    b = np.frombuffer(
+        np.asarray(cell_id, dtype=f"S{k + 1}").tobytes(), dtype=np.uint8
+    ).reshape(-1, k + 1)
+    side = 3 ** k
+    face_col = b[:, 0].astype(np.int64) - 79
+    d = b[:, 1:].astype(np.int64) - 48
+    pw = (3 ** np.arange(k - 1, -1, -1)).astype(np.int64)
+    gy = (d // 3) @ pw
+    gx = face_col * side + (d % 3) @ pw
+    return gy, gx
+
+
+def _cell_string_array_from_lattice(gy, gx, k) -> np.ndarray:
+    side = 3 ** k
+    out = np.empty((len(gy), k + 1), dtype=np.uint8)
+    out[:, 0] = 79 + gx // side
+    gxw = gx % side
+    for i in range(k):
+        p = 3 ** (k - 1 - i)
+        out[:, 1 + i] = 48 + ((gy // p) % 3) * 3 + ((gxw // p) % 3)
+    return out.view(f"S{k + 1}").ravel().astype(str)
+
+
+def q_line_buffer(sf_dir: str):
+    """Buffered polyline cover: every res-4 cell within lattice
+    Chebyshev distance LINE_BUFFER_R of the linetrace supercover of
+    each fixture polyline (the corridor-query shape: 'all tiles within
+    r cells of this route').  Dilation happens on the same global
+    equatorial lattice as q_dissolve: per trace cell a (2r+1)^2 offset
+    fan, rows clipped to the band, columns wrapped modulo 4*3^k, then
+    one exact u64-key distinct.  Scale shape: the trace is tiny (one
+    row per crossed cell), the fan is constant-size, and the distinct
+    is one bucket exchange."""
+    from rhealpixdggs_py_ray.ops.agg import sum_by_u64_key
+
+    k = LINETRACE_RES
+    side = 3 ** k
+    W = 4 * side
+    r = LINE_BUFFER_R
+    trace = q_linetrace(sf_dir)
+
+    offs = np.arange(-r, r + 1, dtype=np.int64)
+    dy, dx = [a.ravel() for a in np.meshgrid(offs, offs, indexing="ij")]
+
+    def dilate(batch: pa.Table) -> pa.Table:
+        lid = batch["line_id"].to_numpy(zero_copy_only=False)
+        gy, gx = _lattice_from_cell_strings(
+            batch["cell_id"].to_numpy(zero_copy_only=False), k)
+        gy2 = (gy[:, None] + dy[None, :]).ravel()
+        gx2 = ((gx[:, None] + dx[None, :]) % W).ravel()
+        lid2 = np.repeat(lid, len(dy))
+        keep = (gy2 >= 0) & (gy2 < side)
+        gy2, gx2, lid2 = gy2[keep], gx2[keep], lid2[keep]
+        key = (lid2 << np.int64(32)) | (gy2 * W + gx2)
+        return pa.table({
+            "key": pa.array(key.astype(np.uint64)),
+            "one": pa.array(np.ones(len(key), dtype=np.int64)),
+        })
+
+    dil = sum_by_u64_key(
+        trace.map_batches(dilate, batch_format="pyarrow", zero_copy_batch=True),
+        "key", "one", "n",
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        key = batch["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lid = key >> np.int64(32)
+        yx = key & np.int64((1 << 32) - 1)
+        gy, gx = yx // W, yx % W
+        return pa.table({
+            "line_id": pa.array(lid),
+            "cell_id": pa.array(
+                _cell_string_array_from_lattice(gy, gx, k), type=pa.string()),
+        })
+
+    return dil.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_line_buffer() -> str:
+    k = LINETRACE_RES
+    side = 3 ** k
+    W = 4 * side
+    r = LINE_BUFFER_R
+    gy, gx = _dissolve_rowcol_sql(k)
+    rebuild = (
+        f"CASE gx2 // {side} WHEN 0 THEN 'O' WHEN 1 THEN 'P'"
+        " WHEN 2 THEN 'Q' ELSE 'R' END || "
+        + " || ".join(
+            f"CAST(((gy2 // {3 ** (k - 1 - i)}) % 3) * 3"
+            f" + (((gx2 % {side}) // {3 ** (k - 1 - i)}) % 3) AS VARCHAR)"
+            for i in range(k)
+        )
+    )
+    return f"""
+WITH trace AS MATERIALIZED ({oracle.linetrace_sql(LINETRACE_LINES, k, CFG)}),
+rc AS MATERIALIZED (
+  SELECT DISTINCT line_id, {gy} AS gy, {gx} AS gx FROM trace
+),
+dil AS MATERIALIZED (
+  SELECT DISTINCT line_id, gy + dy AS gy2, (gx + dx + {W}) % {W} AS gx2
+  FROM rc,
+       (SELECT unnest(generate_series(-{r}, {r})) AS dy) a,
+       (SELECT unnest(generate_series(-{r}, {r})) AS dx) b
+  WHERE gy + dy >= 0 AND gy + dy < {side}
+)
+SELECT line_id, {rebuild} AS cell_id FROM dil
+"""

@@ -102,3 +102,32 @@ def test_dissolve_lattice_matches_projection_order(ray_session):
     d2 = digits2[:, :k].astype(np.int64)
     gy = (d2 // 3) @ pw
     assert (np.diff(gy) >= 0).all()
+
+
+def test_line_buffer_contains_trace_and_is_tight(ray_session):
+    """The buffer is exactly the Chebyshev-r dilation of the trace:
+    superset of the trace, and every buffer cell is within r (with
+    column wrap) of some trace cell of the same line."""
+    k = Q.LINETRACE_RES
+    side = 3 ** k
+    W = 4 * side
+    r = Q.LINE_BUFFER_R
+    trace = _df(Q.q_linetrace(SF))
+    buf = _df(Q.q_line_buffer(SF))
+    for lid, tsub in trace.groupby("line_id"):
+        bsub = buf[buf["line_id"] == lid]
+        tset = set(tsub["cell_id"])
+        bset = set(bsub["cell_id"])
+        assert tset <= bset
+        ty, tx = Q._lattice_from_cell_strings(
+            tsub["cell_id"].to_numpy(), k)
+        by, bx = Q._lattice_from_cell_strings(
+            bsub["cell_id"].to_numpy(), k)
+        dy = np.abs(by[:, None] - ty[None, :])
+        dxr = np.abs(bx[:, None] - tx[None, :])
+        dx = np.minimum(dxr, W - dxr)
+        cheb = np.maximum(dy, dx).min(axis=1)
+        assert (cheb <= r).all()
+        # round-trip of the string codec
+        assert list(Q._cell_string_array_from_lattice(by, bx, k)) == list(
+            bsub["cell_id"])
