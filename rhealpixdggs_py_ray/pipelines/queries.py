@@ -10634,3 +10634,114 @@ dil AS MATERIALIZED (
 )
 SELECT line_id, {rebuild} AS cell_id FROM dil
 """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup inside nearest-centroid clusters
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.4
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023 shape): embeddings -> nearest-
+    centroid clusters -> exact cosine near-dup removal WITHIN each
+    cluster, keeping the smallest vec_id of every near-dup pair.
+    Output one row per vector: (vec_id, cluster, keep).
+
+    Scale shape: centroids are a bounded broadcast (ray.put once), the
+    corpus shuffles ONCE by cluster id, and the quadratic verify runs
+    per cluster — at 10^12 rows the quantizer's k grows with N so
+    per-cluster size stays bounded (here k = the 10 fixture labels).
+    Float parity: assignment distances and cosines fold left-to-right
+    (ops/ann._seq_*) mirroring the SQL list folds; ties -> smaller
+    label, matching the QUALIFY ordering."""
+    from rhealpixdggs_py_ray.ops.ann import _seq_d2, _seq_dots, _seq_norm
+    from rhealpixdggs_py_ray.ops.dedup import _emb_matrix
+
+    cdf = (
+        q_embedding_centroids(sf_dir)
+        .to_pandas()
+        .sort_values(["label", "dim"])
+        .reset_index(drop=True)
+    )
+    labels = np.sort(cdf["label"].unique()).astype(np.int64)
+    C = (
+        cdf["sum_micros"].to_numpy().astype(np.float64)
+        / cdf["n"].to_numpy().astype(np.float64)
+    ).reshape(len(labels), EMB_D)
+    cent_ref = ray.put((labels, C))
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        labs, cm = ray.get(cent_ref)
+        X = np.floor(_emb_matrix(batch).astype(np.float64) * 1000000.0)
+        near = labs[np.argmin(_seq_d2(X, cm), axis=1)]
+        return batch.append_column("cluster", pa.array(near))
+
+    asg = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+    def resolve(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "vec_id" not in g.column_names:
+            return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "cluster": pa.array([], type=pa.int64()),
+                             "keep": pa.array([], type=pa.int64())})
+        ids = g["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = g["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+        M = _emb_matrix(g)
+        nrm = _seq_norm(M)
+        S = _seq_dots(M, M) / (nrm[:, None] * nrm[None, :])
+        smaller = ids[:, None] < ids[None, :]  # [i, j]: i precedes j
+        dropped = ((S >= SEMDEDUP_TAU) & smaller).any(axis=0)
+        return pa.table({
+            "vec_id": pa.array(ids),
+            "cluster": pa.array(cl),
+            "keep": pa.array((~dropped).astype(np.int64)),
+        })
+
+    return asg.groupby("cluster").map_groups(resolve, batch_format="pyarrow")
+
+
+def sql_semdedup() -> str:
+    cent = sql_embedding_centroids()
+    cw_cols = ", ".join(
+        f"MAX(CASE WHEN dim = {d} THEN CAST(sum_micros AS DOUBLE)"
+        f" / CAST(n AS DOUBLE) END) AS c{d}"
+        for d in range(EMB_D)
+    )
+
+    def e(d: int) -> str:
+        return f"floor(CAST(embedding[{d + 1}] AS DOUBLE) * 1000000.0)"
+
+    dist = " + ".join(f"(({e(d)}) - c{d}) * (({e(d)}) - c{d})" for d in range(EMB_D))
+    cos = (
+        "list_sum(list_transform(generate_series(1, len(a.embedding)),"
+        " i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))"
+        " / (a.nrm * b.nrm)"
+    )
+    return f"""
+WITH cent AS MATERIALIZED ({cent}),
+cw AS MATERIALIZED (SELECT label AS clabel, {cw_cols} FROM cent GROUP BY label),
+d AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding, cw.clabel, ({dist}) AS dist
+  FROM embeddings e CROSS JOIN cw
+),
+asg AS MATERIALIZED (
+  SELECT vec_id, embedding, clabel AS cluster FROM d
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) = 1
+),
+n AS MATERIALIZED (
+  SELECT vec_id, cluster, embedding,
+    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+  FROM asg
+),
+drops AS MATERIALIZED (
+  SELECT DISTINCT b.vec_id FROM n a
+  JOIN n b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE {cos} >= {SEMDEDUP_TAU!r}
+)
+SELECT n.vec_id, CAST(n.cluster AS BIGINT) AS cluster,
+  CAST(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM n LEFT JOIN drops dr ON n.vec_id = dr.vec_id
+"""

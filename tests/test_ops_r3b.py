@@ -131,3 +131,34 @@ def test_line_buffer_contains_trace_and_is_tight(ray_session):
         # round-trip of the string codec
         assert list(Q._cell_string_array_from_lattice(by, bx, k)) == list(
             bsub["cell_id"])
+
+
+def test_semdedup_brute_replay(ray_session):
+    """Brute-force replay of the SemDeDup rule at sf0.001: keep == 0
+    iff a smaller vec_id in the same assigned cluster has cosine >= tau
+    (same seq-fold arithmetic)."""
+    from rhealpixdggs_py_ray.ops.ann import _seq_d2, _seq_dots, _seq_norm
+    from rhealpixdggs_py_ray.ops.dedup import _emb_matrix
+    import pyarrow.parquet as pq
+
+    df = _df(Q.q_semdedup(SF)).sort_values("vec_id").reset_index(drop=True)
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    M = _emb_matrix(t)[order]
+    cdf = _df(Q.q_embedding_centroids(SF)).sort_values(["label", "dim"])
+    labels = np.sort(cdf["label"].unique()).astype(np.int64)
+    C = (cdf["sum_micros"].to_numpy() / cdf["n"].to_numpy()).reshape(
+        len(labels), Q.EMB_D)
+    X = np.floor(M * 1000000.0)
+    cl = labels[np.argmin(_seq_d2(X, C), axis=1)]
+    nrm = _seq_norm(M)
+    S = _seq_dots(M, M) / (nrm[:, None] * nrm[None, :])
+    same = cl[:, None] == cl[None, :]
+    smaller = ids[:, None] < ids[None, :]
+    dropped = ((S >= Q.SEMDEDUP_TAU) & same & smaller).any(axis=0)
+    assert np.array_equal(df["vec_id"].to_numpy(), ids)
+    assert np.array_equal(df["cluster"].to_numpy(), cl)
+    assert np.array_equal(df["keep"].to_numpy(), (~dropped).astype(np.int64))
+    assert dropped.sum() > 0  # fixture actually exercises the drop path
