@@ -495,3 +495,140 @@ SELECT qid, vec_id,
   CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_micros
 FROM d QUALIFY rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact k-NN GRAPH (top-k neighbors for EVERY vector)
+# ---------------------------------------------------------------------------
+
+def knn_graph(emb_ds, k: int = 5, chunk_rows: int | None = None,
+              scratch_dir: str | None = None):
+    """(qid, vec_id, rank, cos_micros): the exact cosine k-NN graph over
+    the whole table — every vector is a query.  Same chunked-scratch
+    shape as ops/dedup.embedding_dedup_pairs (the honest exact baseline
+    for an inherently quadratic self-join): embeddings spill once to
+    hash-chunked parquet, one task per unordered chunk pair emits the
+    pair-block's PER-ROW partial top-k in BOTH directions, and partials
+    resolve per qid inside a bounded hash-bucket exchange (never a
+    per-qid Ray aggregate — qid cardinality is the corpus).  Worker
+    memory is O(chunk_rows^2); driver holds nothing.  Parity: seq-fold
+    cosines, (cos DESC, vec_id ASC) ties, floor micros."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+    from rhealpixdggs_py_ray.ops.dedup import _emb_matrix
+
+    n = emb_ds.count()
+    if chunk_rows is None:
+        chunk_rows = max(512, -(-n // 64))
+    K = max(1, -(-n // chunk_rows))
+    scratch = scratch_dir or tempfile.mkdtemp(prefix="knn_graph_", dir="/tmp")
+
+    def add_chunk(batch: pa.Table) -> pa.Table:
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column("chunk", pa.array((vid % K).astype(np.int64)))
+
+    emb_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        add_chunk, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(scratch, partition_cols=["chunk"])
+
+    pair_items = [{"ci": i, "cj": j} for i in range(K) for j in range(i, K)]
+    pairs_ds = ray.data.from_items(
+        pair_items, override_num_blocks=min(len(pair_items), 64)
+    )
+    nb = sizing.exchange_buckets(16)
+
+    class ChunkPairTopK:
+        def __init__(self):
+            self.cache: dict = {}
+
+        def _load(self, c: int):
+            hit = self.cache.get(c)
+            if hit is None:
+                t = pq.read_table(os.path.join(scratch, f"chunk={c}"))
+                ids = t["vec_id"].to_numpy().astype(np.int64)
+                M = _emb_matrix(t)
+                hit = (ids, M, _seq_norm(M))
+                if len(self.cache) >= 8:
+                    self.cache.clear()
+                self.cache[c] = hit
+            return hit
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            outs = []
+            for ci, cj in zip(batch["ci"].to_pylist(), batch["cj"].to_pylist()):
+                ia, Ma, na = self._load(int(ci))
+                ib, Mb, nb_ = self._load(int(cj))
+                S = _seq_dots(Ma, Mb) / (na[:, None] * nb_[None, :])
+                S[ia[:, None] == ib[None, :]] = -np.inf
+                # rows of chunk j query against chunk i: S columns
+                outs.append(_partial_topk_table(ib, ia, S, k))
+                if ci != cj:
+                    outs.append(_partial_topk_table(ia, ib, S.T, k))
+            return pa.concat_tables(outs) if outs else pa.table(
+                {"qid": pa.array([], type=pa.int64()),
+                 "vec_id": pa.array([], type=pa.int64()),
+                 "cos": pa.array([], type=pa.float64())})
+
+    partials = pairs_ds.map_batches(
+        ChunkPairTopK, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=sizing.pool(),
+    )
+
+    def bucketed(batch: pa.Table) -> pa.Table:
+        q = batch["qid"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array(hash_bucket_u64(q, nb)))
+
+    def resolve(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "qid" not in g.column_names:
+            return pa.table({"qid": pa.array([], type=pa.int64()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "rank": pa.array([], type=pa.int64()),
+                             "cos_micros": pa.array([], type=pa.int64())})
+        q = g["qid"].to_numpy(zero_copy_only=False)
+        v = g["vec_id"].to_numpy(zero_copy_only=False)
+        c = g["cos"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, -c, q))
+        q, v, c = q[order], v[order], c[order]
+        new_seg = np.r_[True, q[1:] != q[:-1]]
+        starts = np.flatnonzero(new_seg)
+        rank = np.arange(len(q), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.append(starts, len(q)))) + 1
+        m = rank <= k
+        return pa.table({
+            "qid": pa.array(q[m]),
+            "vec_id": pa.array(v[m]),
+            "rank": pa.array(rank[m]),
+            "cos_micros": pa.array(
+                np.floor(c[m] * 1000000.0).astype(np.int64)),
+        })
+
+    return (
+        partials.map_batches(bucketed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pyarrow")
+    )
+
+
+def knn_graph_sql(k: int = 5) -> str:
+    dot = (
+        "list_sum(list_transform(generate_series(1, len(a.embedding)),"
+        " i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))"
+    )
+    nrm = "sqrt(list_sum(list_transform({t}.embedding, x -> CAST(x AS DOUBLE) * x)))"
+    return f"""
+WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+d AS MATERIALIZED (
+  SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+    {dot} / ({nrm.format(t='a')} * {nrm.format(t='b')}) AS cos
+  FROM e a CROSS JOIN e b WHERE a.vec_id <> b.vec_id
+)
+SELECT qid, vec_id,
+  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank,
+  CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_micros
+FROM d QUALIFY rank <= {k}
+"""

@@ -10745,3 +10745,18 @@ SELECT n.vec_id, CAST(n.cluster AS BIGINT) AS cluster,
   CAST(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM n LEFT JOIN drops dr ON n.vec_id = dr.vec_id
 """
+
+
+def q_knn_graph(sf_dir: str):
+    """Exact cosine k-NN graph (every vector a query) via chunk-pair
+    partial top-k + bucketed resolve (ops/ann.knn_graph)."""
+    from rhealpixdggs_py_ray.ops import ann
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann.knn_graph(emb)
+
+
+def sql_knn_graph() -> str:
+    from rhealpixdggs_py_ray.ops import ann
+
+    return ann.knn_graph_sql()

@@ -162,3 +162,19 @@ def test_semdedup_brute_replay(ray_session):
     assert np.array_equal(df["cluster"].to_numpy(), cl)
     assert np.array_equal(df["keep"].to_numpy(), (~dropped).astype(np.int64))
     assert dropped.sum() > 0  # fixture actually exercises the drop path
+
+
+def test_knn_graph_matches_ann_topk_on_query_subset(ray_session):
+    """The k-NN graph restricted to ann_topk's query set must equal
+    ann_topk exactly (same ties, same micros)."""
+    g = _df(Q.q_knn_graph(SF))
+    t = _df(Q.q_ann_topk(SF))
+    sub = g[g["qid"].isin(t["qid"].unique())]
+    key = ["qid", "rank"]
+    sub = sub.sort_values(key).reset_index(drop=True)
+    t = t.sort_values(key).reset_index(drop=True)
+    assert len(sub) == len(t)
+    for c in ("qid", "vec_id", "rank", "cos_micros"):
+        assert np.array_equal(
+            sub[c].to_numpy().astype(np.int64),
+            t[c].to_numpy().astype(np.int64)), c
