@@ -10760,3 +10760,102 @@ def sql_knn_graph() -> str:
     from rhealpixdggs_py_ray.ops import ann
 
     return ann.knn_graph_sql()
+
+
+# ---------------------------------------------------------------------------
+# IDW interpolation raster: inverse-distance-weighted field per tile
+# ---------------------------------------------------------------------------
+
+IDW_NPOI = 5
+
+
+def q_idw_raster(sf_dir: str):
+    """Spatial interpolation raster: every event location gets an
+    inverse-squared-chord-distance weighted value from the broadcast
+    5-station set (value_j = (j+1)*10), then the res-2 tile aggregate
+    of the quantized field -> (tile_id, n, sum_idw_micros).  The IDW
+    numerator/denominator fold station-by-station in SQL operand order
+    so the double division is bit-identical; per-tile sums are int64
+    micros (order-free).  Pure map + one small-cardinality aggregate —
+    the interpolate-a-field-at-10^12-points shape."""
+    from rhealpixdggs_py_ray.core import projection as proj
+
+    pid = np.arange(IDW_NPOI, dtype=np.int64)
+    plon, plat = oracle.lonlat_from_id(pid + 3_000_000)
+    px, py, pz = proj.xyz(CFG, plon, plat)
+    pval = ((pid + 1) * 10).astype(np.float64)
+
+    ds = indexed_events(sf_dir, resolution=TILE_RES)
+
+    def idw(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        x, y, z = proj.xyz(CFG, lon, lat)
+        num = np.zeros(len(lon), dtype=np.float64)
+        den = np.zeros(len(lon), dtype=np.float64)
+        for j in range(IDW_NPOI):
+            dx = px[j] - x
+            dy = py[j] - y
+            dz = pz[j] - z
+            d2 = dx * dx + dy * dy + dz * dz  # SQL operand order
+            num = num + pval[j] / d2
+            den = den + 1.0 / d2
+        val = np.floor(num / den * 1000000.0).astype(np.int64)
+        return pa.table({
+            "tile_id": batch["cell_id"],
+            "idw_micros": pa.array(val),
+            "one": pa.array(np.ones(len(val), dtype=np.int64)),
+        })
+
+    part = ds.map_batches(idw, batch_format="pyarrow", zero_copy_batch=True)
+    return part.groupby("tile_id").aggregate(
+        Sum("idw_micros", alias_name="sum_idw_micros"),
+        Sum("one", alias_name="n"),
+    )
+
+
+def sql_idw_raster() -> str:
+    a = repr(CFG.a)
+    e2 = repr(CFG.e**2)
+    lon, lat = oracle.lonlat_from_id_sql("event_id")
+    idx_sql = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), TILE_RES, CFG, id_cols=("event_id",)
+    )
+
+    def xyz_exprs(lon_e: str, lat_e: str):
+        nrm = f"{a}/sqrt(1 - {e2}*sin(radians({lat_e}))*sin(radians({lat_e})))"
+        return (
+            f"{nrm}*cos(radians({lon_e}))*cos(radians({lat_e}))",
+            f"{nrm}*sin(radians({lon_e}))*cos(radians({lat_e}))",
+            f"{nrm}*(1 - {e2})*sin(radians({lat_e}))",
+        )
+
+    x, y, z = xyz_exprs("lon", "lat")
+    pid = np.arange(IDW_NPOI, dtype=np.int64)
+    plon, plat = oracle.lonlat_from_id(pid + 3_000_000)
+    num_terms, den_terms = [], []
+    for j in range(IDW_NPOI):
+        pxe, pye, pze = xyz_exprs(repr(float(plon[j])), repr(float(plat[j])))
+        d2 = (f"(({pxe})-x)*(({pxe})-x) + (({pye})-y)*(({pye})-y)"
+              f" + (({pze})-z)*(({pze})-z)")
+        num_terms.append(f"{float((j + 1) * 10)!r} / ({d2})")
+        den_terms.append(f"1.0 / ({d2})")
+    num = " + ".join(num_terms)
+    den = " + ".join(den_terms)
+    return f"""
+WITH xyzp AS MATERIALIZED (
+  SELECT event_id, lon, lat, {x} AS x, {y} AS y, {z} AS z
+  FROM (SELECT event_id, {lon} AS lon, {lat} AS lat FROM events) p
+),
+cells AS MATERIALIZED (
+  SELECT event_id, cell_id FROM {idx_sql} t
+),
+v AS MATERIALIZED (
+  SELECT cells.cell_id AS tile_id,
+    CAST(floor(({num}) / ({den}) * 1000000.0) AS BIGINT) AS idw_micros
+  FROM xyzp JOIN cells ON xyzp.event_id = cells.event_id
+)
+SELECT tile_id, CAST(SUM(idw_micros) AS BIGINT) AS sum_idw_micros,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM v GROUP BY tile_id
+"""

@@ -178,3 +178,15 @@ def test_knn_graph_matches_ann_topk_on_query_subset(ray_session):
         assert np.array_equal(
             sub[c].to_numpy().astype(np.int64),
             t[c].to_numpy().astype(np.int64)), c
+
+
+def test_idw_raster_bounds_and_totals(ray_session):
+    """IDW values are convex combinations of the station values, so the
+    per-tile mean must lie in [10, 50] * 1e6; n totals the events."""
+    import pyarrow.parquet as pq
+
+    df = _df(Q.q_idw_raster(SF))
+    n_events = pq.read_metadata(f"{SF}/events.parquet").num_rows
+    assert df["n"].sum() == n_events
+    mean = df["sum_idw_micros"].to_numpy() / df["n"].to_numpy()
+    assert (mean >= 10_000_000 - 1).all() and (mean <= 50_000_000).all()
