@@ -10859,3 +10859,127 @@ SELECT tile_id, CAST(SUM(idw_micros) AS BIGINT) AS sum_idw_micros,
   CAST(COUNT(*) AS BIGINT) AS n
 FROM v GROUP BY tile_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-source quota (CCNet-style corpus balancing) + reverse-kNN counts
+# ---------------------------------------------------------------------------
+
+SOURCE_CAP = 40
+
+
+def q_source_cap(sf_dir: str):
+    """Per-source document quota (the CCNet/C4 corpus-balancing shape):
+    within each source keep the SOURCE_CAP docs with the smallest
+    doc_id (deterministic priority), flag the rest.  One h(source)
+    bucket exchange; the per-bucket resolve ranks every source of the
+    bucket in one segmented vectorized pass.  Output (doc_id, source,
+    rank, keep)."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"], blocks=4)
+    nb = 8
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(src.astype(object)).astype(np.uint64)
+        return batch.append_column(
+            "bucket", pa.array((h % np.uint64(nb)).astype(np.int64)))
+
+    def rank(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "doc_id" not in g.column_names:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "source": pa.array([], type=pa.string()),
+                             "rank": pa.array([], type=pa.int64()),
+                             "keep": pa.array([], type=pa.int64())})
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        s = g["source"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, s))
+        d, s = d[order], s[order]
+        new_seg = np.r_[True, s[1:] != s[:-1]]
+        starts = np.flatnonzero(new_seg)
+        rk = np.arange(len(d), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.append(starts, len(d)))) + 1
+        return pa.table({
+            "doc_id": pa.array(d),
+            "source": pa.array(s, type=pa.string()),
+            "rank": pa.array(rk),
+            "keep": pa.array((rk <= SOURCE_CAP).astype(np.int64)),
+        })
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(rank, batch_format="pyarrow")
+    )
+
+
+def sql_source_cap() -> str:
+    return f"""
+SELECT doc_id, source,
+  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rank,
+  CAST(CASE WHEN row_number() OVER (PARTITION BY source ORDER BY doc_id)
+       <= {SOURCE_CAP} THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM documents
+"""
+
+
+def q_rknn_counts(sf_dir: str):
+    """Reverse-kNN in-degree: for every vector, how many other vectors
+    list it among their top-k (hubness audit of the embedding space).
+    The graph's neighbor column and a zero row per vector from the
+    embeddings table enter the SAME bucket exchange as mergeable
+    partials (union -> one exact u64-key sum) — zero-in-degree vectors
+    appear with no driver-side table and no join."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+    from rhealpixdggs_py_ray.ops.ann import knn_graph
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    g = knn_graph(emb)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uq, cnt = np.unique(v, return_counts=True)
+        return pa.table({
+            "vec_id": pa.array(uq),
+            "n": pa.array(cnt.astype(np.int64)),
+            "bucket": pa.array(hash_bucket_u64(uq.astype(np.uint64), 8)),
+        })
+
+    def zeros(batch: pa.Table) -> pa.Table:
+        v = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "vec_id": pa.array(v),
+            "n": pa.array(np.zeros(len(v), dtype=np.int64)),
+            "bucket": pa.array(hash_bucket_u64(v.astype(np.uint64), 8)),
+        })
+
+    def reduce_(gr: pa.Table) -> pa.Table:
+        if gr.num_rows == 0 or "vec_id" not in gr.column_names:
+            return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "indeg": pa.array([], type=pa.int64())})
+        v = gr["vec_id"].to_numpy(zero_copy_only=False)
+        n = gr["n"].to_numpy(zero_copy_only=False)
+        uq, inv = np.unique(v, return_inverse=True)
+        sm = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(sm, inv, n)
+        return pa.table({"vec_id": pa.array(uq), "indeg": pa.array(sm)})
+
+    parts = g.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        _read(sf_dir, "embeddings", columns=["vec_id"]).map_batches(
+            zeros, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return parts.groupby("bucket").map_groups(reduce_, batch_format="pyarrow")
+
+
+def sql_rknn_counts() -> str:
+    from rhealpixdggs_py_ray.ops.ann import knn_graph_sql
+
+    return f"""
+WITH g AS MATERIALIZED ({knn_graph_sql()})
+SELECT e.vec_id, CAST(coalesce(COUNT(g.qid), 0) AS BIGINT) AS indeg
+FROM embeddings e LEFT JOIN g ON g.vec_id = e.vec_id
+GROUP BY e.vec_id
+"""

@@ -190,3 +190,27 @@ def test_idw_raster_bounds_and_totals(ray_session):
     assert df["n"].sum() == n_events
     mean = df["sum_idw_micros"].to_numpy() / df["n"].to_numpy()
     assert (mean >= 10_000_000 - 1).all() and (mean <= 50_000_000).all()
+
+
+def test_rknn_counts_conservation(ray_session):
+    """In-degrees must sum to exactly N * k edges and cover every
+    vector (zeros included)."""
+    import pyarrow.parquet as pq
+
+    df = _df(Q.q_rknn_counts(SF))
+    n = pq.read_metadata(f"{SF}/embeddings.parquet").num_rows
+    assert len(df) == n
+    assert df["indeg"].sum() == n * 5
+    assert df["vec_id"].is_unique
+
+
+def test_source_cap_rule(ray_session):
+    """keep == 1 iff rank <= cap; ranks are 1..n_source contiguous."""
+    df = _df(Q.q_source_cap(SF))
+    assert ((df["rank"] <= Q.SOURCE_CAP) == (df["keep"] == 1)).all()
+    for _, g in df.groupby("source"):
+        r = np.sort(g["rank"].to_numpy())
+        assert np.array_equal(r, np.arange(1, len(g) + 1))
+        # rank order == doc_id order
+        gg = g.sort_values("rank")
+        assert gg["doc_id"].is_monotonic_increasing
