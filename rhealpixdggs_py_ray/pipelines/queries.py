@@ -10377,7 +10377,7 @@ DISSOLVE_RES = 4      # res-4 equatorial lattice: 4*3^4 = 324 cols, 81 rows
 DISSOLVE_LAT = 35.0   # keeps every point inside faces O..R (caps start ~41.9)
 
 
-def q_dissolve(sf_dir: str):
+def _dissolve_boundary(sf_dir: str):
     """Raster->vector dissolve (the north-star's raster<->vector tiling,
     vector direction): events -> occupied res-4 cells (exact distinct)
     -> outer/inner boundary RINGS of the occupied region as directed
@@ -10459,11 +10459,18 @@ def q_dissolve(sf_dir: str):
         y1 = np.where(typ == 0, y, np.where(fwd, y, y + 1))
         y2 = np.where(typ == 0, y, np.where(fwd, y + 1, y))
         return pa.table({
-            "x1": pa.array(x1), "y1": pa.array(y1),
+            "ekey": pa.array(key), "x1": pa.array(x1), "y1": pa.array(y1),
             "x2": pa.array(x2), "y2": pa.array(y2),
         })
 
     return bd.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_dissolve(sf_dir: str):
+    """Raster->vector dissolve output surface: the directed boundary
+    edges only (see _dissolve_boundary's docstring for the algorithm;
+    q_dissolve_rings chains the rings)."""
+    return _dissolve_boundary(sf_dir).select_columns(["x1", "y1", "x2", "y2"])
 
 
 def _dissolve_rowcol_sql(k: int) -> tuple[str, str]:
@@ -10982,4 +10989,223 @@ WITH g AS MATERIALIZED ({knn_graph_sql()})
 SELECT e.vec_id, CAST(coalesce(COUNT(g.qid), 0) AS BIGINT) AS indeg
 FROM embeddings e LEFT JOIN g ON g.vec_id = e.vec_id
 GROUP BY e.vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dissolve rings: chain the boundary into closed rings (cc composition)
+# ---------------------------------------------------------------------------
+
+def q_dissolve_rings(sf_dir: str):
+    """Ring decomposition of the dissolve boundary: directed edges are
+    graph nodes, consecutive edges (end vertex == start vertex) are
+    graph edges, and each closed ring is a connected component
+    (ops/cc.connected_components — the same machinery as the dedup
+    cluster step, composed onto geometry).  Output one row per ring:
+    (ring_id = min member ekey, n_edges, area2 = directed shoelace
+    sum, exact integer).  Pinch vertices (2 ends x 2 starts) merge the
+    touching rings identically on both sides.  Exchanges: one h(vertex)
+    pair build, the cc forest pass, one h(ekey) label+coords attach,
+    one h(ring) final sum."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+    from rhealpixdggs_py_ray.ops.cc import connected_components
+
+    bnd = _dissolve_boundary(sf_dir).materialize()  # two consumers
+    nb = 8
+
+    def vertex_rows(batch: pa.Table) -> pa.Table:
+        ek = batch["ekey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x1 = batch["x1"].to_numpy(zero_copy_only=False)
+        y1 = batch["y1"].to_numpy(zero_copy_only=False)
+        x2 = batch["x2"].to_numpy(zero_copy_only=False)
+        y2 = batch["y2"].to_numpy(zero_copy_only=False)
+        # vertex keys take x modulo the seam width so rings chain
+        # across the antimeridian (x == W and x == 0 are the same
+        # geodesic vertex)
+        W = 4 * 3 ** DISSOLVE_RES
+        v_end = (x2 % W) * (1 << 21) + y2    # this edge ENDS here
+        v_start = (x1 % W) * (1 << 21) + y1  # this edge STARTS here
+        vk = np.concatenate([v_end, v_start])
+        side = np.concatenate([np.zeros(len(ek), dtype=np.int64),
+                               np.ones(len(ek), dtype=np.int64)])
+        ek2 = np.concatenate([ek, ek])
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(vk.astype(np.uint64), nb)),
+            "vk": pa.array(vk),
+            "side": pa.array(side),
+            "ekey": pa.array(ek2),
+        })
+
+    def make_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "vk" not in g.column_names:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64())})
+        vk = g["vk"].to_numpy(zero_copy_only=False)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        ek = g["ekey"].to_numpy(zero_copy_only=False)
+        e_vk, e_ek = vk[side == 0], ek[side == 0]
+        s_vk, s_ek = vk[side == 1], ek[side == 1]
+        eo = np.lexsort((e_ek, e_vk)); e_vk, e_ek = e_vk[eo], e_ek[eo]
+        so = np.lexsort((s_ek, s_vk)); s_vk, s_ek = s_vk[so], s_ek[so]
+        # segment cross product per shared vertex (1x1 normally, 2x2 at
+        # pinches): for each end row, locate its vertex's start range
+        lo = np.searchsorted(s_vk, e_vk, side="left")
+        hi = np.searchsorted(s_vk, e_vk, side="right")
+        cnt = hi - lo
+        a = np.repeat(e_ek, cnt)
+        idx = np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)]) \
+            if len(lo) else np.array([], dtype=np.int64)
+        b = s_ek[idx]
+        return pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+    pairs = (
+        bnd.map_batches(vertex_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(make_pairs, batch_format="pyarrow")
+    )
+    lab = connected_components(pairs)  # (doc_id=ekey, cluster_id, keep)
+
+    def lab_rows(batch: pa.Table) -> pa.Table:
+        ek = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = batch["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(ek.astype(np.uint64), nb)),
+            "ekey": pa.array(ek), "cl": pa.array(cl),
+            "cross": pa.array(np.zeros(len(ek), dtype=np.int64)),
+            "is_lab": pa.array(np.ones(len(ek), dtype=np.int64)),
+        })
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        ek = batch["ekey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cross = (batch["x1"].to_numpy(zero_copy_only=False)
+                 * batch["y2"].to_numpy(zero_copy_only=False)
+                 - batch["x2"].to_numpy(zero_copy_only=False)
+                 * batch["y1"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(ek.astype(np.uint64), nb)),
+            "ekey": pa.array(ek), "cl": pa.array(np.zeros(len(ek), dtype=np.int64)),
+            "cross": pa.array(cross.astype(np.int64)),
+            "is_lab": pa.array(np.zeros(len(ek), dtype=np.int64)),
+        })
+
+    def attach(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "ekey" not in g.column_names:
+            return pa.table({"cl": pa.array([], type=pa.int64()),
+                             "cross": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        ek = g["ekey"].to_numpy(zero_copy_only=False)
+        cl = g["cl"].to_numpy(zero_copy_only=False)
+        cross = g["cross"].to_numpy(zero_copy_only=False)
+        is_lab = g["is_lab"].to_numpy(zero_copy_only=False).astype(bool)
+        lk, lv = ek[is_lab], cl[is_lab]
+        lo_ = np.argsort(lk); lk, lv = lk[lo_], lv[lo_]
+        dk, dx = ek[~is_lab], cross[~is_lab]
+        pos = np.clip(np.searchsorted(lk, dk), 0, max(len(lk) - 1, 0))
+        if len(lk) == 0 or not np.array_equal(lk[pos], dk):
+            raise AssertionError("unlabeled boundary edge — rings not closed")
+        ring = lv[pos]
+        uq, inv = np.unique(ring, return_inverse=True)
+        sx = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(sx, inv, dx)
+        nn = np.bincount(inv, minlength=len(uq)).astype(np.int64)
+        return pa.table({"cl": pa.array(uq), "cross": pa.array(sx),
+                         "n": pa.array(nn)})
+
+    merged = (
+        lab.map_batches(lab_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .union(bnd.map_batches(edge_rows, batch_format="pyarrow",
+                               zero_copy_batch=True))
+        .groupby("bucket")
+        .map_groups(attach, batch_format="pyarrow")
+    )
+
+    def final_key(batch: pa.Table) -> pa.Table:
+        c = batch["cl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(c.astype(np.uint64), nb)),
+            "cl": batch["cl"], "cross": batch["cross"], "n": batch["n"],
+        })
+
+    def final_sum(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "cl" not in g.column_names:
+            return pa.table({"ring_id": pa.array([], type=pa.int64()),
+                             "n_edges": pa.array([], type=pa.int64()),
+                             "area2": pa.array([], type=pa.int64())})
+        c = g["cl"].to_numpy(zero_copy_only=False)
+        x = g["cross"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        uq, inv = np.unique(c, return_inverse=True)
+        sx = np.zeros(len(uq), dtype=np.int64); np.add.at(sx, inv, x)
+        sn = np.zeros(len(uq), dtype=np.int64); np.add.at(sn, inv, n)
+        return pa.table({"ring_id": pa.array(uq), "n_edges": pa.array(sn),
+                         "area2": pa.array(sx)})
+
+    return (
+        merged.map_batches(final_key, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(final_sum, batch_format="pyarrow")
+    )
+
+
+def _dissolve_boundary_sql_ctes() -> str:
+    """Boundary-edge CTE chain shared by sql_dissolve_rings (names
+    prefixed b- to avoid collisions inside WITH RECURSIVE)."""
+    k = DISSOLVE_RES
+    W = 4 * 3 ** k
+    pts = (
+        f"SELECT event_id, lon, lat FROM ({_points_sql('events', 'event_id')}) p"
+        f" WHERE abs(lat) <= {DISSOLVE_LAT!r}"
+    )
+    idx_sql = oracle.cell_from_point_sql(pts, k, CFG, id_cols=("event_id",))
+    gy, gx = _dissolve_rowcol_sql(k)
+    return f"""
+bcells AS MATERIALIZED (
+  SELECT DISTINCT cell_id FROM {idx_sql} t
+),
+brc AS MATERIALIZED (
+  SELECT {gy} AS gy, {gx} AS gx FROM bcells
+),
+bed AS MATERIALIZED (
+  SELECT 0 AS typ, gy AS ey, gx AS ex, 5 AS w FROM brc
+  UNION ALL SELECT 0, gy + 1, gx, 4 FROM brc
+  UNION ALL SELECT 1, gy, (gx + 1) % {W}, 5 FROM brc
+  UNION ALL SELECT 1, gy, gx, 4 FROM brc
+),
+bg AS MATERIALIZED (
+  SELECT typ, ey, ex, SUM(w) AS wsum FROM bed
+  GROUP BY 1, 2, 3 HAVING SUM(w) < 8
+),
+bnd AS MATERIALIZED (
+  SELECT (typ * {1 << 41} + ey * {1 << 21} + ex) AS ekey,
+    CAST(CASE WHEN typ = 0 AND wsum = 4 THEN ex + 1 ELSE ex END AS BIGINT) AS x1,
+    CAST(CASE WHEN typ = 1 AND wsum = 4 THEN ey + 1 ELSE ey END AS BIGINT) AS y1,
+    CAST(CASE WHEN typ = 0 AND wsum = 5 THEN ex + 1 ELSE ex END AS BIGINT) AS x2,
+    CAST(CASE WHEN typ = 1 AND wsum = 5 THEN ey + 1 ELSE ey END AS BIGINT) AS y2
+  FROM bg
+)"""
+
+
+def sql_dissolve_rings() -> str:
+    W = 4 * 3 ** DISSOLVE_RES
+    return f"""
+WITH RECURSIVE {_dissolve_boundary_sql_ctes()},
+p AS MATERIALIZED (
+  SELECT e.ekey AS a, s.ekey AS b FROM bnd e
+  JOIN bnd s ON (e.x2 % {W}) = (s.x1 % {W}) AND e.y2 = s.y1
+),
+ed2 AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM p UNION ALL SELECT b AS u, a AS v FROM p
+),
+reach(n, m) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM ed2) t
+  UNION
+  SELECT r.n, e.v FROM reach r JOIN ed2 e ON e.u = r.m
+),
+lab AS MATERIALIZED (
+  SELECT n AS ekey, MIN(m) AS ring_id FROM reach GROUP BY n
+)
+SELECT l.ring_id, CAST(COUNT(*) AS BIGINT) AS n_edges,
+  CAST(SUM(bnd.x1 * bnd.y2 - bnd.x2 * bnd.y1) AS BIGINT) AS area2
+FROM bnd JOIN lab l ON bnd.ekey = l.ekey
+GROUP BY 1
 """

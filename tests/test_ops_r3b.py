@@ -22,8 +22,8 @@ def test_dissolve_rings_closed(ray_session):
     df = _df(Q.q_dissolve(SF))
     assert len(df) > 0
     W = 4 * 3 ** Q.DISSOLVE_RES
-    starts = df["x1"].to_numpy() * 100000 + df["y1"].to_numpy()
-    ends = df["x2"].to_numpy() * 100000 + df["y2"].to_numpy()
+    starts = (df["x1"].to_numpy() % W) * 100000 + df["y1"].to_numpy()
+    ends = (df["x2"].to_numpy() % W) * 100000 + df["y2"].to_numpy()
     s_u, s_c = np.unique(starts, return_counts=True)
     e_u, e_c = np.unique(ends, return_counts=True)
     assert np.array_equal(s_u, e_u)
@@ -214,3 +214,13 @@ def test_source_cap_rule(ray_session):
         # rank order == doc_id order
         gg = g.sort_values("rank")
         assert gg["doc_id"].is_monotonic_increasing
+
+
+def test_dissolve_rings_partition_boundary(ray_session):
+    """Rings exactly partition the boundary edge set; every ring has at
+    least 4 edges (the smallest closed lattice ring)."""
+    bnd = _df(Q.q_dissolve(SF))
+    rings = _df(Q.q_dissolve_rings(SF))
+    assert rings["n_edges"].sum() == len(bnd)
+    assert (rings["n_edges"] >= 4).all()
+    assert rings["ring_id"].is_unique
