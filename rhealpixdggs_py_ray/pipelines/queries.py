@@ -11209,3 +11209,178 @@ SELECT l.ring_id, CAST(COUNT(*) AS BIGINT) AS n_edges,
 FROM bnd JOIN lab l ON bnd.ekey = l.ekey
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Zonal median + OOV-rate quality score
+# ---------------------------------------------------------------------------
+
+def q_tile_median(sf_dir: str):
+    """Exact per-tile median event value (zonal stats beyond the sums):
+    values quantized to integer cents ride ONE h(tile) bucket exchange;
+    the per-bucket resolve takes each tile's lower median by segmented
+    selection (lexsort + positional pick) — never a per-tile Ray
+    aggregate.  Output (tile_id, n, median_cents)."""
+    from rhealpixdggs_py_ray.core import index as cidx
+
+    ds = _read(sf_dir, "events", columns=["event_id", "value"], blocks=4)
+    nb = 8
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = oracle.lonlat_from_id(ids)
+        u = cidx.cell_from_point(CFG, TILE_RES, lon, lat, plane=False)
+        tile = su.to_string_fixed(u, TILE_RES)
+        v = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        h = (pd.util.hash_array(tile.astype(object)) % np.uint64(nb)).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(h),
+            "tile_id": pa.array(tile, type=pa.string()),
+            "v": pa.array(v),
+        })
+
+    def median(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "tile_id" not in g.column_names:
+            return pa.table({"tile_id": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64()),
+                             "median_cents": pa.array([], type=pa.int64())})
+        t = g["tile_id"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, t))
+        t, v = t[order], v[order]
+        new_seg = np.r_[True, t[1:] != t[:-1]]
+        starts = np.flatnonzero(new_seg)
+        n = np.diff(np.append(starts, len(t)))
+        pick = starts + (n - 1) // 2  # lower median
+        return pa.table({
+            "tile_id": pa.array(t[starts], type=pa.string()),
+            "n": pa.array(n.astype(np.int64)),
+            "median_cents": pa.array(v[pick]),
+        })
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(median, batch_format="pyarrow")
+    )
+
+
+def sql_tile_median() -> str:
+    idx_sql = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), TILE_RES, CFG, id_cols=("event_id",)
+    )
+    return f"""
+WITH v AS MATERIALIZED (
+  SELECT t.cell_id AS tile_id, CAST(floor(e.value * 100) AS BIGINT) AS v
+  FROM {idx_sql} t JOIN events e ON t.event_id = e.event_id
+),
+r AS MATERIALIZED (
+  SELECT tile_id, v,
+    row_number() OVER (PARTITION BY tile_id ORDER BY v) AS rn,
+    COUNT(*) OVER (PARTITION BY tile_id) AS n
+  FROM v
+)
+SELECT tile_id, CAST(n AS BIGINT) AS n, v AS median_cents
+FROM r WHERE rn = (n + 1) // 2
+"""
+
+
+OOV_K = 64
+
+
+def q_oov_rate(sf_dir: str):
+    """LM-style data-quality score: per-doc out-of-vocabulary token
+    ratio against the global top-K unigram vocabulary.  Pass 1 builds
+    the vocab with the np.unique-partial -> disjoint-hash-bucket
+    pattern (exact counts, bounded K result); pass 2 broadcasts the
+    K-word set and scores every doc map-only.  Output (doc_id, total,
+    oov, oov_micros); empty docs score 0."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    nb = 16
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch["text"].to_pylist():
+            toks.extend(t.split())
+        if not toks:
+            return pa.table({"s": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64()),
+                             "bucket": pa.array([], type=pa.int64())})
+        uq, cnt = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        bucket = (pd.util.hash_array(uq) % np.uint64(nb)).astype(np.int64)
+        return pa.table({"s": pa.array(uq, type=pa.string()),
+                         "n": pa.array(cnt.astype(np.int64)),
+                         "bucket": pa.array(bucket)})
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "s" not in g.column_names:
+            return pa.table({"s": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        uq, inv = np.unique(g["s"].to_numpy(zero_copy_only=False),
+                            return_inverse=True)
+        tot = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(tot, inv, g["n"].to_numpy(zero_copy_only=False))
+        order = np.lexsort((uq, -tot))[:OOV_K]
+        return pa.table({"s": pa.array(uq[order], type=pa.string()),
+                         "n": pa.array(tot[order])})
+
+    cand = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    ).to_pandas()  # bounded: <= nb * K rows
+    s = cand["s"].to_numpy()
+    n = cand["n"].to_numpy()
+    order = np.lexsort((s, -n))[:OOV_K]
+    vocab_ref = ray.put(frozenset(s[order].tolist()))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab = ray.get(vocab_ref)
+        out_t, out_o = [], []
+        for t in batch["text"].to_pylist():
+            toks = t.split()
+            out_t.append(len(toks))
+            out_o.append(sum(1 for w in toks if w not in vocab))
+        total = np.array(out_t, dtype=np.int64)
+        oov = np.array(out_o, dtype=np.int64)
+        safe = np.maximum(total, 1)
+        micros = np.floor(
+            oov.astype(np.float64) / safe.astype(np.float64) * 1000000.0
+        ).astype(np.int64)
+        micros[total == 0] = 0
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "total": pa.array(total),
+            "oov": pa.array(oov),
+            "oov_micros": pa.array(micros),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_oov_rate() -> str:
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents WHERE len(trim(text)) > 0
+),
+cnt AS MATERIALIZED (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+topk AS MATERIALIZED (
+  SELECT w FROM cnt QUALIFY row_number() OVER (ORDER BY c DESC, w) <= {OOV_K}
+),
+per AS MATERIALIZED (
+  SELECT t.doc_id, COUNT(*) AS total,
+    SUM(CASE WHEN k.w IS NULL THEN 1 ELSE 0 END) AS oov
+  FROM toks t LEFT JOIN topk k ON t.w = k.w
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(per.total, 0) AS BIGINT) AS total,
+  CAST(coalesce(per.oov, 0) AS BIGINT) AS oov,
+  CAST(CASE WHEN per.total IS NULL THEN 0
+       ELSE floor(CAST(per.oov AS DOUBLE) / per.total * 1000000.0)
+       END AS BIGINT) AS oov_micros
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""

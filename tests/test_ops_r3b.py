@@ -224,3 +224,31 @@ def test_dissolve_rings_partition_boundary(ray_session):
     assert rings["n_edges"].sum() == len(bnd)
     assert (rings["n_edges"] >= 4).all()
     assert rings["ring_id"].is_unique
+
+
+def test_tile_median_brute(ray_session):
+    """Brute per-tile replay: lower median of cents."""
+    import pyarrow.parquet as pq
+    from rhealpixdggs_py_ray.core import index as cidx
+
+    df = _df(Q.q_tile_median(SF))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "value"]).to_pandas()
+    lon, lat = oracle.lonlat_from_id(ev["event_id"].to_numpy())
+    u = cidx.cell_from_point(Q.CFG, Q.TILE_RES, lon, lat, plane=False)
+    ev["tile"] = su.to_string_fixed(u, Q.TILE_RES)
+    ev["v"] = np.floor(ev["value"].to_numpy() * 100).astype(np.int64)
+    got = df.set_index("tile_id")
+    for tile, g in ev.groupby("tile"):
+        v = np.sort(g["v"].to_numpy())
+        assert got.loc[tile, "n"] == len(v)
+        assert got.loc[tile, "median_cents"] == v[(len(v) - 1) // 2]
+
+
+def test_oov_rate_monotone_and_bounds(ray_session):
+    df = _df(Q.q_oov_rate(SF))
+    assert (df["oov"] <= df["total"]).all()
+    assert df["oov_micros"].between(0, 1000000).all()
+    # the vocab is the global top-K: the corpus-wide OOV mass must be
+    # smaller than with any other same-size vocab built from a suffix
+    assert df["oov"].sum() < df["total"].sum()
