@@ -11384,3 +11384,180 @@ SELECT d.doc_id,
        END AS BIGINT) AS oov_micros
 FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Grid flood: depth-capped multi-source BFS over the occupied lattice
+# ---------------------------------------------------------------------------
+
+FLOOD_D = 4       # BFS depth cap == halo width
+FLOOD_T = 27      # tile size (divides both 81 rows and 324 cols)
+FLOOD_SEED_MOD = 97
+
+
+def q_grid_flood(sf_dir: str):
+    """Cost-distance raster: BFS distance (4-neighborhood, steps
+    through OCCUPIED cells only, antimeridian wrap) from the seed cells
+    (cells containing an event with event_id % 97 == 0) out to depth
+    FLOOD_D.  The distributed shape is a HALO EXCHANGE: one exact
+    u64-key sum builds (occupied cell, seed flag); each cell is then
+    routed to its home tile plus every adjacent tile whose D-halo
+    contains it (any BFS path of length <= D stays within Manhattan D
+    of its endpoint, so the halo is sufficient), and each tile runs a
+    dense vectorized BFS locally and emits only its home window.  Two
+    exchanges total, independent of D.  Output (cell_id, dist)."""
+    from rhealpixdggs_py_ray.ops.agg import sum_by_u64_key
+
+    k = DISSOLVE_RES
+    side = 3 ** k
+    W = 4 * side
+    D, T = FLOOD_D, FLOOD_T
+    n_tx = W // T
+    n_ty = side // T
+    L = T + 2 * D
+
+    ds = indexed_events(sf_dir, resolution=k)
+
+    def cells(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        u = batch["cell_u64"].to_numpy(zero_copy_only=False)
+        m = np.abs(lat) <= DISSOLVE_LAT
+        u, ids = u[m], ids[m]
+        return pa.table({
+            "cell_u64": pa.array(u, type=pa.uint64()),
+            "seed": pa.array((ids % FLOOD_SEED_MOD == 0).astype(np.int64)),
+        })
+
+    occ = sum_by_u64_key(
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True),
+        "cell_u64", "seed", "n_seed",
+    )
+
+    def halo(batch: pa.Table) -> pa.Table:
+        u = batch["cell_u64"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        nseed = batch["n_seed"].to_numpy(zero_copy_only=False)
+        face, digits, _res = su.unpack(u)
+        d = digits[:, :k].astype(np.int64)
+        pw = (3 ** np.arange(k - 1, -1, -1)).astype(np.int64)
+        gy = (d // 3) @ pw
+        gx = (face.astype(np.int64) - 1) * side + (d % 3) @ pw
+        home_ty = gy // T
+        home_tx = gx // T
+        tiles, lys, lxs, seeds = [], [], [], []
+        for dty in (-1, 0, 1):
+            for dtx in (-1, 0, 1):
+                ty = home_ty + dty
+                tx = (home_tx + dtx) % n_tx
+                ok = (ty >= 0) & (ty < n_ty)
+                off = ((gx - tx * T + W // 2) % W) - W // 2
+                ly = gy - ty * T + D
+                lx = off + D
+                ok &= (ly >= 0) & (ly < L) & (lx >= 0) & (lx < L)
+                tiles.append((ty * n_tx + tx)[ok])
+                lys.append(ly[ok])
+                lxs.append(lx[ok])
+                seeds.append(nseed[ok])
+        return pa.table({
+            "tile": pa.array(np.concatenate(tiles)),
+            "ly": pa.array(np.concatenate(lys)),
+            "lx": pa.array(np.concatenate(lxs)),
+            "n_seed": pa.array(np.concatenate(seeds)),
+        })
+
+    def bfs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "tile" not in g.column_names:
+            return pa.table({"cell_id": pa.array([], type=pa.string()),
+                             "dist": pa.array([], type=pa.int64())})
+        tile = int(g["tile"][0].as_py())
+        ty, tx = tile // n_tx, tile % n_tx
+        ly = g["ly"].to_numpy(zero_copy_only=False)
+        lx = g["lx"].to_numpy(zero_copy_only=False)
+        ns = g["n_seed"].to_numpy(zero_copy_only=False)
+        occg = np.zeros((L, L), dtype=bool)
+        occg[ly, lx] = True
+        dist = np.full((L, L), -1, dtype=np.int64)
+        dist[ly[ns > 0], lx[ns > 0]] = 0
+        frontier = dist == 0
+        for dd in range(1, D + 1):
+            nxt = np.zeros_like(frontier)
+            nxt[1:, :] |= frontier[:-1, :]
+            nxt[:-1, :] |= frontier[1:, :]
+            nxt[:, 1:] |= frontier[:, :-1]
+            nxt[:, :-1] |= frontier[:, 1:]
+            nxt &= occg & (dist < 0)
+            dist[nxt] = dd
+            frontier = nxt
+        hy, hx = np.nonzero((dist >= 0)
+                            & (np.arange(L)[:, None] >= D)
+                            & (np.arange(L)[:, None] < T + D)
+                            & (np.arange(L)[None, :] >= D)
+                            & (np.arange(L)[None, :] < T + D))
+        gy_out = ty * T + hy - D
+        gx_out = (tx * T + hx - D) % W
+        return pa.table({
+            "cell_id": pa.array(
+                _cell_string_array_from_lattice(gy_out, gx_out, k),
+                type=pa.string()),
+            "dist": pa.array(dist[hy, hx]),
+        })
+
+    return (
+        occ.map_batches(halo, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tile")
+        .map_groups(bfs, batch_format="pyarrow")
+    )
+
+
+def sql_grid_flood() -> str:
+    k = DISSOLVE_RES
+    side = 3 ** k
+    W = 4 * side
+    pts = (
+        f"SELECT event_id, lon, lat FROM ({_points_sql('events', 'event_id')}) p"
+        f" WHERE abs(lat) <= {DISSOLVE_LAT!r}"
+    )
+    idx_sql = oracle.cell_from_point_sql(pts, k, CFG, id_cols=("event_id",))
+    gy, gx = _dissolve_rowcol_sql(k)
+    rebuild = (
+        f"CASE gx // {side} WHEN 0 THEN 'O' WHEN 1 THEN 'P'"
+        " WHEN 2 THEN 'Q' ELSE 'R' END || "
+        + " || ".join(
+            f"CAST(((gy // {3 ** (k - 1 - i)}) % 3) * 3"
+            f" + (((gx % {side}) // {3 ** (k - 1 - i)}) % 3) AS VARCHAR)"
+            for i in range(k)
+        )
+    )
+    return f"""
+WITH RECURSIVE fidx AS MATERIALIZED (
+  SELECT event_id, cell_id FROM {idx_sql} t
+),
+focc AS MATERIALIZED (
+  SELECT DISTINCT {gy} AS gy, {gx} AS gx FROM fidx
+),
+fseeds AS MATERIALIZED (
+  SELECT DISTINCT {gy} AS gy, {gx} AS gx FROM fidx
+  WHERE event_id % {FLOOD_SEED_MOD} = 0
+),
+fnbr AS MATERIALIZED (
+  SELECT gy, gx, gy AS ny, (gx + 1) % {W} AS nx FROM focc
+  UNION ALL SELECT gy, gx, gy, (gx + {W - 1}) % {W} FROM focc
+  UNION ALL SELECT gy, gx, gy + 1, gx FROM focc
+  UNION ALL SELECT gy, gx, gy - 1, gx FROM focc
+),
+fadj AS MATERIALIZED (
+  SELECT n.gy AS ay, n.gx AS ax, o.gy AS by_, o.gx AS bx
+  FROM fnbr n JOIN focc o ON o.gy = n.ny AND o.gx = n.nx
+),
+walk(gy, gx, d) AS (
+  SELECT gy, gx, 0 FROM fseeds
+  UNION
+  SELECT a.by_, a.bx, w.d + 1 FROM walk w
+  JOIN fadj a ON a.ay = w.gy AND a.ax = w.gx
+  WHERE w.d < {FLOOD_D}
+),
+best AS MATERIALIZED (
+  SELECT gy, gx, MIN(d) AS dist FROM walk GROUP BY 1, 2
+)
+SELECT {rebuild} AS cell_id, CAST(dist AS BIGINT) AS dist FROM best
+"""

@@ -252,3 +252,34 @@ def test_oov_rate_monotone_and_bounds(ray_session):
     # the vocab is the global top-K: the corpus-wide OOV mass must be
     # smaller than with any other same-size vocab built from a suffix
     assert df["oov"].sum() < df["total"].sum()
+
+
+def test_grid_flood_bfs_invariants(ray_session):
+    """dist-0 rows are exactly the seed cells; every dist-d row has a
+    4-neighbor (with wrap) at dist d-1; all rows are occupied cells."""
+    from rhealpixdggs_py_ray.core import index as cidx
+    import pyarrow.parquet as pq
+
+    k = Q.DISSOLVE_RES
+    side = 3 ** k
+    W = 4 * side
+    df = _df(Q.q_grid_flood(SF))
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["event_id"])
+    ids = ev["event_id"].to_numpy()
+    lon, lat = oracle.lonlat_from_id(ids)
+    m = np.abs(lat) <= Q.DISSOLVE_LAT
+    u = cidx.cell_from_point(Q.CFG, k, lon[m], lat[m], plane=False)
+    cells = su.to_string_fixed(u, k)
+    occ = set(cells)
+    seeds = set(cells[(ids[m] % Q.FLOOD_SEED_MOD) == 0])
+    got0 = set(df[df["dist"] == 0]["cell_id"])
+    assert got0 == seeds
+    assert set(df["cell_id"]) <= occ
+    gy, gx = Q._lattice_from_cell_strings(df["cell_id"].to_numpy(), k)
+    pos = {(int(a), int(b)): int(d)
+           for a, b, d in zip(gy, gx, df["dist"])}
+    for (a, b), d in pos.items():
+        if d == 0:
+            continue
+        nbrs = [(a + 1, b), (a - 1, b), (a, (b + 1) % W), (a, (b - 1) % W)]
+        assert any(pos.get(n) == d - 1 for n in nbrs), (a, b, d)
