@@ -11561,3 +11561,192 @@ best AS MATERIALIZED (
 )
 SELECT {rebuild} AS cell_id, CAST(dist AS BIGINT) AS dist FROM best
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-tile HLL registers + largest-remainder quota sampling
+# ---------------------------------------------------------------------------
+
+def q_tile_hll(sf_dir: str):
+    """Per-tile HyperLogLog registers over distinct user_ids (the
+    distinct-visitors-per-zone monitoring sketch): md5 register/rho
+    exactly as q_hll_registers, keyed by the res-2 cell of the event
+    location.  Registers are mergeable maxima — per-batch partials,
+    one (tile, reg) exchange."""
+    from rhealpixdggs_py_ray.core import index as cidx
+    from rhealpixdggs_py_ray.ops.dedup import md5_u64
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
+    mask56 = np.uint64((1 << 56) - 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        lon, lat = oracle.lonlat_from_id(ids)
+        u = cidx.cell_from_point(CFG, TILE_RES, lon, lat, plane=False)
+        tile = su.to_string_fixed(u, TILE_RES)
+        t_uniq, t_inv = np.unique(tile, return_inverse=True)
+        uu, ui = np.unique(uid, return_inverse=True)
+        h = np.fromiter(
+            (md5_u64(str(int(x))) for x in uu), dtype=np.uint64, count=len(uu)
+        )[ui]
+        reg = (h >> np.uint64(56)).astype(np.int64)
+        suf = h & mask56
+        bl = np.zeros(len(suf), dtype=np.int64)
+        for kk in range(56):
+            bl += (suf >= np.uint64(1 << kk)).astype(np.int64)
+        rho = 57 - bl
+        key = t_inv * 256 + reg
+        ku, ki = np.unique(key, return_inverse=True)
+        mx = np.zeros(len(ku), dtype=np.int64)
+        np.maximum.at(mx, ki, rho)
+        return pa.table({
+            "tile_id": pa.array(t_uniq[ku // 256], type=pa.string()),
+            "reg": pa.array((ku % 256).astype(np.int64)),
+            "rho": pa.array(mx),
+        })
+
+    part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return part.groupby(["tile_id", "reg"]).aggregate(Max("rho", alias_name="rho"))
+
+
+def sql_tile_hll() -> str:
+    idx_sql = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), TILE_RES, CFG, id_cols=("event_id",)
+    )
+    return (
+        f"WITH tl AS MATERIALIZED (SELECT event_id, cell_id FROM {idx_sql} t),"
+        " h AS MATERIALIZED (SELECT tl.cell_id AS tile_id,"
+        "  md5_number_lower(CAST(e.user_id AS VARCHAR)) AS h"
+        "  FROM events e JOIN tl ON e.event_id = tl.event_id)"
+        " SELECT tile_id, CAST(h >> 56 AS BIGINT) AS reg,"
+        "  MAX(CASE WHEN h % 72057594037927936 = 0 THEN 57"
+        "    ELSE 57 - length(printf('%b',"
+        "      CAST(h % 72057594037927936 AS BIGINT))) END) AS rho"
+        " FROM h GROUP BY 1, 2"
+    )
+
+
+QUOTA_N = 73
+
+
+def q_quota_sample(sf_dir: str):
+    """Largest-remainder proportional allocation (the exact data-mixing
+    primitive): QUOTA_N sample slots split across sources proportional
+    to their doc counts — base = N*cnt // total, the leftover slots go
+    to the largest remainders (ties -> source ASC) — then each source
+    keeps its quota of smallest doc_ids.  Counts are one tiny bucket
+    exchange; the per-source quota table is bounded (one row per
+    source) and broadcast; selection reuses the segmented-rank resolve.
+    Output (doc_id, source, rank, quota)."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"], blocks=4)
+    nb = 8
+
+    def cnt_partial(batch: pa.Table) -> pa.Table:
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        uq, c = np.unique(src, return_counts=True)
+        h = (pd.util.hash_array(uq) % np.uint64(nb)).astype(np.int64)
+        return pa.table({"source": pa.array(uq, type=pa.string()),
+                         "n": pa.array(c.astype(np.int64)),
+                         "bucket": pa.array(h)})
+
+    def cnt_reduce(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "source" not in g.column_names:
+            return pa.table({"source": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        s = g["source"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        uq, inv = np.unique(s, return_inverse=True)
+        tot = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(tot, inv, n)
+        return pa.table({"source": pa.array(uq, type=pa.string()),
+                         "n": pa.array(tot)})
+
+    cnts = (
+        ds.map_batches(cnt_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(cnt_reduce, batch_format="pyarrow")
+    ).to_pandas()  # bounded: one row per source
+    src = cnts["source"].to_numpy()
+    n = cnts["n"].to_numpy().astype(np.int64)
+    order = np.argsort(src)
+    src, n = src[order], n[order]
+    total = int(n.sum())
+    base = QUOTA_N * n // total
+    rem = QUOTA_N * n % total
+    extra_slots = QUOTA_N - int(base.sum())
+    rank_rem = np.lexsort((src, -rem))  # rem DESC, source ASC
+    extra = np.zeros(len(src), dtype=np.int64)
+    extra[rank_rem[:extra_slots]] = 1
+    quota = dict(zip(src.tolist(), (base + extra).tolist()))
+    quota_ref = ray.put(quota)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        s = batch["source"].to_numpy(zero_copy_only=False)
+        h = (pd.util.hash_array(s.astype(object)) % np.uint64(nb)).astype(np.int64)
+        return batch.append_column("bucket", pa.array(h))
+
+    def select(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "doc_id" not in g.column_names:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "source": pa.array([], type=pa.string()),
+                             "rank": pa.array([], type=pa.int64()),
+                             "quota": pa.array([], type=pa.int64())})
+        q = ray.get(quota_ref)
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        s = g["source"].to_numpy(zero_copy_only=False)
+        order_ = np.lexsort((d, s))
+        d, s = d[order_], s[order_]
+        new_seg = np.r_[True, s[1:] != s[:-1]]
+        starts = np.flatnonzero(new_seg)
+        rk = np.arange(len(d), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.append(starts, len(d)))) + 1
+        qv = np.array([q.get(x, 0) for x in s[starts]], dtype=np.int64)
+        qfull = np.repeat(qv, np.diff(np.append(starts, len(d))))
+        keep = rk <= qfull
+        return pa.table({
+            "doc_id": pa.array(d[keep]),
+            "source": pa.array(s[keep], type=pa.string()),
+            "rank": pa.array(rk[keep]),
+            "quota": pa.array(qfull[keep]),
+        })
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(select, batch_format="pyarrow")
+    )
+
+
+def sql_quota_sample() -> str:
+    return f"""
+WITH cnt AS MATERIALIZED (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+),
+tot AS MATERIALIZED (SELECT SUM(n) AS total FROM cnt),
+alloc AS MATERIALIZED (
+  SELECT source, n,
+    ({QUOTA_N} * n) // total AS base,
+    ({QUOTA_N} * n) % total AS rem,
+    row_number() OVER (ORDER BY ({QUOTA_N} * n) % total DESC, source) AS rrank
+  FROM cnt CROSS JOIN tot
+),
+slots AS MATERIALIZED (
+  SELECT {QUOTA_N} - SUM(base) AS extra FROM alloc
+),
+quota AS MATERIALIZED (
+  SELECT source, base + CASE WHEN rrank <= (SELECT extra FROM slots)
+    THEN 1 ELSE 0 END AS quota
+  FROM alloc
+),
+ranked AS MATERIALIZED (
+  SELECT d.doc_id, d.source,
+    row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id) AS rank,
+    q.quota
+  FROM documents d JOIN quota q ON d.source = q.source
+)
+SELECT doc_id, source, rank, CAST(quota AS BIGINT) AS quota
+FROM ranked WHERE rank <= quota
+"""

@@ -283,3 +283,34 @@ def test_grid_flood_bfs_invariants(ray_session):
             continue
         nbrs = [(a + 1, b), (a - 1, b), (a, (b + 1) % W), (a, (b - 1) % W)]
         assert any(pos.get(n) == d - 1 for n in nbrs), (a, b, d)
+
+
+def test_quota_sample_allocation(ray_session):
+    """Exactly QUOTA_N rows; per-source quota differs from exact
+    proportion by < 1 slot; smallest doc_ids win."""
+    import pyarrow.parquet as pq
+
+    df = _df(Q.q_quota_sample(SF))
+    assert len(df) == Q.QUOTA_N
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "source"]).to_pandas()
+    total = len(docs)
+    cnt = docs.groupby("source").size()
+    for s, g in df.groupby("source"):
+        q = g["quota"].iloc[0]
+        exact = Q.QUOTA_N * cnt[s] / total
+        assert np.floor(exact) <= q <= np.ceil(exact) + 1e-9
+        assert len(g) == q
+        want = np.sort(docs[docs["source"] == s]["doc_id"].to_numpy())[:q]
+        assert np.array_equal(np.sort(g["doc_id"].to_numpy()), want)
+
+
+def test_tile_hll_merge_property(ray_session):
+    """Registers merged across tiles must equal the global registers
+    restricted to users present — max is the merge."""
+    df = _df(Q.q_tile_hll(SF))
+    glob = _df(Q.q_hll_registers(SF))
+    # merging ALL tiles gives the register max over every (reg)
+    merged = df.groupby("reg")["rho"].max()
+    global_all = glob.groupby("reg")["rho"].max()
+    assert (merged == global_all.loc[merged.index]).all()
