@@ -11750,3 +11750,20 @@ ranked AS MATERIALIZED (
 SELECT doc_id, source, rank, CAST(quota AS BIGINT) AS quota
 FROM ranked WHERE rank <= quota
 """
+
+
+def q_image_clusters(sf_dir: str):
+    """Near-dup image clusters: the phash band-LSH + Hamming-verified
+    pair graph (q_image_neardup) resolved to canonical clusters with
+    the same distributed connected-components machinery as the text
+    dedup family (ops/cc) — (doc_id=image idx, cluster_id=min member,
+    keep=canonical)."""
+    from rhealpixdggs_py_ray.ops import cc
+
+    return cc.connected_components(q_image_neardup(sf_dir))
+
+
+def sql_image_clusters() -> str:
+    from rhealpixdggs_py_ray.ops import cc
+
+    return cc.connected_components_sql(sql_image_neardup())
