@@ -11767,3 +11767,105 @@ def sql_image_clusters() -> str:
     from rhealpixdggs_py_ray.ops import cc
 
     return cc.connected_components_sql(sql_image_neardup())
+
+
+def q_image_equalize(sf_dir: str):
+    """Histogram equalization (the classic contrast transform) over the
+    REAL payload bytes: actor-pool decode -> per-image 256-bin joint
+    histogram -> integer CDF LUT e(v) = ((cdf(v) - cdf_min) * 255) //
+    (n_pix - cdf_min) -> position-weighted checksum of the equalized
+    pixels.  Payload never shuffles; output is 3 ints per image.  The
+    oracle replays the histogram, CDF and LUT on the generative pixel
+    rule in SQL, so the decode+equalize chain is value-verified."""
+    from rhealpixdggs_py_ray.fixtures import decode_image, write_images_table
+
+    write_images_table(IMG_DIR, IMG_N)
+    ds = ray.data.read_parquet(
+        IMG_DIR, override_num_blocks=sizing.read_blocks(IMG_DIR, profile=8)
+    )
+
+    class Equalize:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["image_id"].to_pylist()
+            blobs = batch["bytes"].to_pylist()
+            fmts = batch["fmt"].to_pylist()
+            ws = batch["w"].to_numpy(zero_copy_only=False)
+            hs = batch["h"].to_numpy(zero_copy_only=False)
+            idx, nv, chk = [], [], []
+            for iid, data, fmt, w, h in zip(ids, blobs, fmts, ws, hs):
+                w, h = int(w), int(h)
+                pix = decode_image(data, fmt, w, h).astype(np.int64)
+                hist = np.bincount(pix.ravel(), minlength=256)
+                cdf = np.cumsum(hist)
+                nz = np.flatnonzero(hist)
+                cdf_min = int(cdf[nz[0]])
+                n = pix.size
+                denom = max(n - cdf_min, 1)
+                lut = (cdf - cdf_min) * 255 // denom
+                eq = lut[pix]
+                wgt = (np.arange(h, dtype=np.int64)[:, None] * w
+                       + np.arange(w, dtype=np.int64)[None, :] + 1)
+                idx.append(int(iid[3:]))
+                nv.append(int(len(nz)))
+                chk.append(int((eq.sum(axis=2) * wgt).sum()))
+            return pa.table({
+                "idx": pa.array(np.array(idx, dtype=np.int64)),
+                "n_values": pa.array(np.array(nv, dtype=np.int64)),
+                "chk": pa.array(np.array(chk, dtype=np.int64)),
+            })
+
+    return ds.map_batches(
+        Equalize, batch_format="pyarrow", batch_size=256,
+        zero_copy_batch=True, concurrency=sizing.pool(),
+    )
+
+
+def sql_image_equalize() -> str:
+    from rhealpixdggs_py_ray.fixtures import write_images_table
+
+    write_images_table(IMG_DIR, IMG_N)
+    M = "18446744073709551616"
+    u = f"CAST(((CAST(phash AS HUGEINT) % {M}) + {M}) % {M} AS UBIGINT)"
+    val = (
+        "((x * 3 + y * 5 + cc * 7"
+        " + CAST((u >> CAST(8 * cc AS UBIGINT)) & 255 AS BIGINT)) % 256)"
+    )
+    return f"""
+WITH esrc AS MATERIALIZED (
+  SELECT CAST(substr(image_id, 4) AS BIGINT) AS idx,
+    CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h, u
+  FROM (SELECT image_id, w, h, {u} AS u
+        FROM read_parquet('{IMG_DIR}/*.parquet')) q
+),
+epix AS MATERIALIZED (
+  SELECT idx, w, h, x, y, {val} AS v
+  FROM esrc,
+    unnest(generate_series(0, w - 1)) AS tx(x),
+    unnest(generate_series(0, h - 1)) AS ty(y),
+    (SELECT unnest(generate_series(0, 2)) AS cc) tc
+),
+ehist AS MATERIALIZED (
+  SELECT idx, v, COUNT(*) AS c FROM epix GROUP BY idx, v
+),
+ecdf0 AS MATERIALIZED (
+  SELECT idx, v,
+    SUM(c) OVER (PARTITION BY idx ORDER BY v) AS cdf,
+    SUM(c) OVER (PARTITION BY idx) AS n,
+    COUNT(*) OVER (PARTITION BY idx) AS n_values
+  FROM ehist
+),
+ecdf AS MATERIALIZED (
+  SELECT idx, v, cdf, n, n_values,
+    MIN(cdf) OVER (PARTITION BY idx) AS cdf_min
+  FROM ecdf0
+),
+elut AS MATERIALIZED (
+  SELECT idx, v, n_values,
+    ((cdf - cdf_min) * 255) // greatest(n - cdf_min, 1) AS e
+  FROM ecdf
+)
+SELECT p.idx, CAST(MIN(l.n_values) AS BIGINT) AS n_values,
+  CAST(SUM((p.y * p.w + p.x + 1) * l.e) AS BIGINT) AS chk
+FROM epix p JOIN elut l ON p.idx = l.idx AND p.v = l.v
+GROUP BY p.idx
+"""
