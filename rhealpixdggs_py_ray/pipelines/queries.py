@@ -11869,3 +11869,82 @@ SELECT p.idx, CAST(MIN(l.n_values) AS BIGINT) AS n_values,
 FROM epix p JOIN elut l ON p.idx = l.idx AND p.v = l.v
 GROUP BY p.idx
 """
+
+
+# ---------------------------------------------------------------------------
+# Adaptive (density-split) cover — data-dependent mixed-resolution tiling
+# ---------------------------------------------------------------------------
+
+ADAPT_MAX_RES = 4
+ADAPT_CAP = 120
+
+
+def q_adaptive_cover(sf_dir: str):
+    """Adaptive quadtree-style tiling: a cell is in the cover iff its
+    count fits the cap while its parent's does not (root cells with
+    small counts stay whole; res-ADAPT_MAX_RES cells keep the overflow
+    — the variable-resolution tiling every map/serving layer wants).
+    Derived from ONE pyramid-counts pass (per-batch prefix partials,
+    one exchange); the selection runs on the counts table, which is
+    bounded by the GRID size at max res (6*9^4 cells), not the corpus.
+    Output (cell_id, res, n)."""
+    ds = indexed_events(sf_dir, resolution=ADAPT_MAX_RES)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = batch["cell_u64"].to_numpy(zero_copy_only=False)
+        res_out, tile_out, n_out = [], [], []
+        for r in range(ADAPT_MAX_RES + 1):
+            uq, cnt = np.unique(su.parent(u, r), return_counts=True)
+            res_out.append(np.full(len(uq), r, dtype=np.int64))
+            tile_out.append(su.to_string_fixed(uq, r))
+            n_out.append(cnt.astype(np.int64))
+        return pa.table({
+            "res": pa.array(np.concatenate(res_out)),
+            "tile_id": pa.array(np.concatenate(tile_out), type=pa.string()),
+            "n": pa.array(np.concatenate(n_out)),
+        })
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["res", "tile_id"])
+        .aggregate(Sum("n", alias_name="n"))
+    ).to_pandas()  # bounded by grid size at max res, not by data
+    t = counts["tile_id"].to_numpy()
+    r = counts["res"].to_numpy().astype(np.int64)
+    n = counts["n"].to_numpy().astype(np.int64)
+    parent = np.array([x[:rr] if rr > 0 else "" for x, rr in zip(t, r)],
+                      dtype=object)
+    lut = dict(zip(t, n))
+    pn = np.array([lut.get(x, 0) for x in parent], dtype=np.int64)
+    keep = ((n <= ADAPT_CAP) & ((r == 0) | (pn > ADAPT_CAP))) | (
+        (r == ADAPT_MAX_RES) & (n > ADAPT_CAP))
+    order = np.argsort(t[keep])
+    tk, rk, nk = t[keep][order], r[keep][order], n[keep][order]
+    return pa.table({
+        "cell_id": pa.array(tk, type=pa.string()),
+        "res": pa.array(rk),
+        "n": pa.array(nk),
+    })
+
+
+def sql_adaptive_cover() -> str:
+    inner = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), ADAPT_MAX_RES, CFG,
+        id_cols=("event_id",)
+    )
+    return f"""
+WITH apts AS MATERIALIZED (SELECT cell_id FROM {inner} t),
+acnt AS MATERIALIZED (
+  SELECT r.res, substr(cell_id, 1, 1 + r.res) AS tile_id,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM apts CROSS JOIN
+    (SELECT unnest(generate_series(0, {ADAPT_MAX_RES})) AS res) r
+  GROUP BY r.res, tile_id
+)
+SELECT c.tile_id AS cell_id, c.res, c.n
+FROM acnt c
+LEFT JOIN acnt p
+  ON p.res = c.res - 1 AND p.tile_id = substr(c.tile_id, 1, c.res)
+WHERE (c.n <= {ADAPT_CAP} AND (c.res = 0 OR p.n > {ADAPT_CAP}))
+   OR (c.res = {ADAPT_MAX_RES} AND c.n > {ADAPT_CAP})
+"""

@@ -314,3 +314,37 @@ def test_tile_hll_merge_property(ray_session):
     merged = df.groupby("reg")["rho"].max()
     global_all = glob.groupby("reg")["rho"].max()
     assert (merged == global_all.loc[merged.index]).all()
+
+
+def test_adaptive_cover_partitions_points(ray_session):
+    """The adaptive cover is a prefix-free partition of the data:
+    every indexed point has exactly ONE ancestor in the cover, counts
+    are consistent, and no selected cell's count exceeds the cap
+    unless it is a max-res overflow cell."""
+    from rhealpixdggs_py_ray.core import index as cidx
+    import pyarrow.parquet as pq
+
+    cov = _df(Q.q_adaptive_cover(SF))
+    cells = cov["cell_id"].to_numpy()
+    # prefix-free
+    cs = sorted(cells)
+    for a, b in zip(cs, cs[1:]):
+        assert not b.startswith(a)
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["event_id"])
+    lon, lat = oracle.lonlat_from_id(ev["event_id"].to_numpy())
+    u = cidx.cell_from_point(Q.CFG, Q.ADAPT_MAX_RES, lon, lat, plane=False)
+    full = su.to_string_fixed(u, Q.ADAPT_MAX_RES)
+    cover_set = set(cells)
+    hits = np.zeros(len(full), dtype=np.int64)
+    counts = {}
+    for i, f in enumerate(full):
+        anc = [f[: 1 + r] for r in range(Q.ADAPT_MAX_RES + 1)]
+        inc = [a for a in anc if a in cover_set]
+        hits[i] = len(inc)
+        if inc:
+            counts[inc[0]] = counts.get(inc[0], 0) + 1
+    assert (hits == 1).all()
+    got = dict(zip(cov["cell_id"], cov["n"]))
+    assert counts == got
+    over = cov[cov["n"] > Q.ADAPT_CAP]
+    assert (over["res"] == Q.ADAPT_MAX_RES).all()
