@@ -11948,3 +11948,180 @@ LEFT JOIN acnt p
 WHERE (c.n <= {ADAPT_CAP} AND (c.res = 0 OR p.n > {ADAPT_CAP}))
    OR (c.res = {ADAPT_MAX_RES} AND c.n > {ADAPT_CAP})
 """
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints + balanced level-order range sharding
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 5   # char k-gram
+WINNOW_W = 8   # window of consecutive k-gram hashes
+
+
+def q_winnow_fingerprint(sf_dir: str):
+    """Winnowing fingerprint selection (Schleimer et al., the MOSS
+    document-fingerprint scheme): rolling k-gram hashes, one selected
+    hash per window of W consecutive positions (the window minimum,
+    rightmost on ties), deduplicated per doc.  Guarantees every match
+    of length >= W+K-1 shares a selected fingerprint.  Fully
+    vectorized: the hash matrix folds K shifted code columns; the
+    window minimum scans W shifted slices with <=-updates for the
+    rightmost-tie rule.  Map-only.  Output (doc_id, pos, h)."""
+    from rhealpixdggs_py_ray.ops.text import FP_BASE, FP_MOD
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    K, W = WINNOW_K, WINNOW_W
+
+    def winnow(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        dids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(texts)
+        out_d, out_p, out_h = [], [], []
+        if n:
+            lens = np.array([len(t) for t in texts], dtype=np.int64)
+            mx = max(int(lens.max()), K)
+            codes = np.zeros((n, mx), dtype=np.int64)
+            for i, t in enumerate(texts):
+                codes[i, : len(t)] = np.frombuffer(
+                    t.encode("utf-32-le"), dtype=np.uint32)
+            npos = mx - K + 1
+            H = np.zeros((n, npos), dtype=np.int64)
+            for j in range(K):
+                H = H * FP_BASE + codes[:, j:j + npos]
+            H %= FP_MOD
+            n_pos = np.maximum(lens - K + 1, 0)  # valid positions/row
+            nw = npos - W + 1
+            if nw > 0:
+                best = np.full((n, nw), np.iinfo(np.int64).max, dtype=np.int64)
+                bpos = np.zeros((n, nw), dtype=np.int64)
+                for o in range(W):
+                    v = H[:, o:o + nw]
+                    upd = v <= best  # <= keeps the RIGHTMOST minimum
+                    best = np.where(upd, v, best)
+                    bpos = np.where(upd, o + np.arange(nw)[None, :], bpos)
+                n_win = np.maximum(n_pos - W + 1, 0)
+                for i in range(n):
+                    w_i = int(n_win[i])
+                    if w_i <= 0:
+                        continue
+                    sel = np.unique(bpos[i, :w_i])
+                    out_d.append(np.full(len(sel), dids[i], dtype=np.int64))
+                    out_p.append(sel + 1)  # 1-based, matches SQL substr
+                    out_h.append(H[i, sel])
+        if not out_d:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "pos": pa.array([], type=pa.int64()),
+                             "h": pa.array([], type=pa.int64())})
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_d)),
+            "pos": pa.array(np.concatenate(out_p)),
+            "h": pa.array(np.concatenate(out_h)),
+        })
+
+    return ds.map_batches(winnow, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_winnow_fingerprint() -> str:
+    from rhealpixdggs_py_ray.ops.text import FP_BASE, FP_MOD
+
+    K, W = WINNOW_K, WINNOW_W
+    # ((((c1*B + c2)*B + c3)*B + c4)*B + c5) % M — codes <= 0x10FFFF so the
+    # pre-mod value stays < 2^53 and a single trailing mod is exact.
+    # Rightmost-tie window minimum in ONE window scan: minimize the
+    # packed key h * 2^21 + (2^21 - 1 - i)  (h < 2^31, i < 2^21, so the
+    # key < 2^52 is exact).
+    poly = "CAST(ascii(substr(text, i, 1)) AS BIGINT)"
+    for j in range(1, K):
+        poly = f"({poly}) * {FP_BASE} + CAST(ascii(substr(text, i + {j}, 1)) AS BIGINT)"
+    P = 1 << 21
+    return f"""
+WITH wpos AS MATERIALIZED (
+  SELECT doc_id, i, (({poly}) % {FP_MOD}) * {P} + ({P - 1} - i) AS packed
+  FROM documents, unnest(generate_series(1, length(text) - {K - 1})) AS t(i)
+),
+wwin AS MATERIALIZED (
+  SELECT doc_id, i AS wi,
+    MIN(packed) OVER (PARTITION BY doc_id ORDER BY i
+      ROWS BETWEEN CURRENT ROW AND {W - 1} FOLLOWING) AS pmn,
+    COUNT(*) OVER (PARTITION BY doc_id) AS np
+  FROM wpos QUALIFY i <= np - {W - 1}
+)
+SELECT DISTINCT doc_id,
+  {P - 1} - (pmn % {P}) AS pos,
+  pmn // {P} AS h
+FROM wwin
+"""
+
+
+SHARDS_S = 16
+SHARDS_RES = 4
+
+
+def q_range_shards(sf_dir: str):
+    """Balanced range partitioner (the shuffle/storage planning
+    primitive): per-cell counts at res SHARDS_RES (one exact u64-key
+    exchange), then contiguous level-order key ranges with ~equal point
+    mass — shard(cell) = floor(cum_before * S / total).  Within one
+    resolution, level order == lexicographic SUID order, so the SQL
+    mirror is a plain string-ordered window cumsum.  The planning table
+    is bounded by the grid at res K, never the corpus.  Output per
+    shard: (shard, start_cell, end_cell, n_cells, n_points)."""
+    from rhealpixdggs_py_ray.ops.agg import sum_by_u64_key
+
+    ds = indexed_events(sf_dir, resolution=SHARDS_RES)
+
+    def cells(batch: pa.Table) -> pa.Table:
+        u = batch["cell_u64"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "cell_u64": pa.array(u, type=pa.uint64()),
+            "one": pa.array(np.ones(len(u), dtype=np.int64)),
+        })
+
+    counts = sum_by_u64_key(
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True),
+        "cell_u64", "one", "n",
+    ).to_pandas()  # bounded by the res-K grid
+    u = counts["cell_u64"].to_numpy().astype(np.uint64)
+    n = counts["n"].to_numpy().astype(np.int64)
+    cid = su.to_string_fixed(u, SHARDS_RES)
+    order = np.argsort(cid)
+    cid, n = cid[order], n[order]
+    total = int(n.sum())
+    cum_before = np.cumsum(n) - n
+    shard = (cum_before * SHARDS_S) // total
+    out = []
+    for sh in np.unique(shard):
+        m = shard == sh
+        out.append((int(sh), cid[m][0], cid[m][-1], int(m.sum()),
+                    int(n[m].sum())))
+    return pa.table({
+        "shard": pa.array(np.array([a for a, *_ in out], dtype=np.int64)),
+        "start_cell": pa.array([b for _, b, *_ in out], type=pa.string()),
+        "end_cell": pa.array([c for _, _, c, *_ in out], type=pa.string()),
+        "n_cells": pa.array(np.array([d for *_, d, _ in out], dtype=np.int64)),
+        "n_points": pa.array(np.array([e for *_, e in out], dtype=np.int64)),
+    })
+
+
+def sql_range_shards() -> str:
+    inner = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), SHARDS_RES, CFG,
+        id_cols=("event_id",)
+    )
+    return f"""
+WITH scnt AS MATERIALIZED (
+  SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM {inner} t GROUP BY cell_id
+),
+scum AS MATERIALIZED (
+  SELECT cell_id, n,
+    SUM(n) OVER (ORDER BY cell_id) - n AS cum_before,
+    SUM(n) OVER () AS total
+  FROM scnt
+)
+SELECT CAST((cum_before * {SHARDS_S}) // total AS BIGINT) AS shard,
+  MIN(cell_id) AS start_cell, MAX(cell_id) AS end_cell,
+  CAST(COUNT(*) AS BIGINT) AS n_cells,
+  CAST(SUM(n) AS BIGINT) AS n_points
+FROM scum GROUP BY 1
+"""

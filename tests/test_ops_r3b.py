@@ -348,3 +348,53 @@ def test_adaptive_cover_partitions_points(ray_session):
     assert counts == got
     over = cov[cov["n"] > Q.ADAPT_CAP]
     assert (over["res"] == Q.ADAPT_MAX_RES).all()
+
+
+def test_winnow_guarantee(ray_session):
+    """Winnowing guarantee: every window of W consecutive k-gram
+    positions contains at least one selected fingerprint (brute replay
+    on a sample of docs)."""
+    from rhealpixdggs_py_ray.ops.text import FP_BASE, FP_MOD
+    import pyarrow.parquet as pq
+
+    df = _df(Q.q_winnow_fingerprint(SF))
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    K, W = Q.WINNOW_K, Q.WINNOW_W
+    for _, row in docs.head(10).iterrows():
+        t = row["text"]
+        sel = df[df["doc_id"] == row["doc_id"]]
+        pos = set(sel["pos"])
+        npos = len(t) - K + 1
+        if npos < W:
+            assert len(sel) == 0
+            continue
+        # brute hashes
+        hs = [0] * npos
+        for i in range(npos):
+            h = 0
+            for c in t[i:i + K]:
+                h = h * FP_BASE + ord(c)
+            hs[i] = h % FP_MOD
+        for wi in range(npos - W + 1):
+            win = list(range(wi, wi + W))
+            mn = min(hs[j] for j in win)
+            rightmost = max(j for j in win if hs[j] == mn)
+            assert (rightmost + 1) in pos
+        # every selected hash is right
+        for _, r2 in sel.iterrows():
+            assert hs[r2["pos"] - 1] == r2["h"]
+
+
+def test_range_shards_balance(ray_session):
+    """Shards are contiguous, cover everything, and no shard exceeds
+    total/S + max single-cell count."""
+    df = _df(Q.q_range_shards(SF)).sort_values("shard").reset_index(drop=True)
+    assert np.array_equal(df["shard"].to_numpy(), np.arange(len(df)))
+    for i in range(1, len(df)):
+        assert df["end_cell"][i - 1] < df["start_cell"][i]
+    total = df["n_points"].sum()
+    target = total / Q.SHARDS_S
+    # each shard's mass < target + its own largest cell; loose sanity:
+    assert (df["n_points"] <= 2 * target + df["n_points"].max() / 2 + 1).all()
+    assert df["n_points"].min() > 0
