@@ -398,3 +398,31 @@ def test_range_shards_balance(ray_session):
     # each shard's mass < target + its own largest cell; loose sanity:
     assert (df["n_points"] <= 2 * target + df["n_points"].max() / 2 + 1).all()
     assert df["n_points"].min() > 0
+
+
+def test_pair_counts_brute(ray_session):
+    """Brute replay: unordered chord-ball pairs per home cell of the
+    smaller id."""
+    from rhealpixdggs_py_ray.core import index as cidx
+    from rhealpixdggs_py_ray.core import projection as proj
+    import pyarrow.parquet as pq
+
+    df = _df(Q.q_pair_counts(SF))
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["event_id"])
+    ids = ev["event_id"].to_numpy()
+    lon, lat = oracle.lonlat_from_id(ids)
+    m = np.abs(lat) <= Q.DISSOLVE_LAT
+    ids, lon, lat = ids[m], lon[m], lat[m]
+    x, y, z = proj.xyz(Q.CFG, lon, lat)
+    u = cidx.cell_from_point(Q.CFG, Q.PAIR_RES, lon, lat, plane=False)
+    cell = su.to_string_fixed(u, Q.PAIR_RES)
+    X = np.stack([x, y, z], axis=1)
+    D = ((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=2)
+    hit = (D <= Q.PAIR_R_M ** 2) & (ids[:, None] < ids[None, :])
+    ai, _bi = np.nonzero(hit)
+    want = {}
+    for a in ai:
+        want[cell[a]] = want.get(cell[a], 0) + 1
+    got = dict(zip(df["cell_id"], df["n_pairs"]))
+    assert got == want
+    assert sum(want.values()) > 0
