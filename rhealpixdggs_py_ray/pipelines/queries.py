@@ -12266,3 +12266,137 @@ FROM pxyz pa_ JOIN pxyz pb
 JOIN pcell c ON c.event_id = pa_.event_id
 GROUP BY c.cell_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Merkle checksum tree over tiles (anti-entropy / replica repair)
+# ---------------------------------------------------------------------------
+
+def q_merkle_tiles(sf_dir: str):
+    """Merkle tree over the tiled event table (the anti-entropy /
+    replica-repair structure): leaf digest per res-2 tile = order-free
+    wraparound sum of md5(event_id) (mergeable partials, one exchange);
+    each upper level hashes the sorted 'child:digest' list of its
+    children; one global root.  Comparing two replicas' trees localizes
+    divergent tiles in O(log) probes.  Upper levels are grid-bounded
+    driver work.  Output (res, tile_id, digest) with res -1 = root."""
+    from rhealpixdggs_py_ray.core import index as cidx
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+    from rhealpixdggs_py_ray.ops.dedup import md5_u64, md5_u64_many
+
+    ds = _read(sf_dir, "events", columns=["event_id"])
+    M = 1 << 64
+    nb = 8
+
+    def leaf_partial(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = oracle.lonlat_from_id(ids)
+        u = cidx.cell_from_point(CFG, TILE_RES, lon, lat, plane=False)
+        tile = su.to_string_fixed(u, TILE_RES)
+        h = md5_u64_many([str(int(i)) for i in ids]).astype(np.uint64)
+        t_uniq, t_inv = np.unique(tile, return_inverse=True)
+        s = np.zeros(len(t_uniq), dtype=np.uint64)
+        np.add.at(s, t_inv, h)  # wraparound mod 2^64 by dtype
+        hb = (pd.util.hash_array(t_uniq) % np.uint64(nb)).astype(np.int64)
+        return pa.table({"tile_id": pa.array(t_uniq, type=pa.string()),
+                         "s": pa.array(s),
+                         "bucket": pa.array(hb)})
+
+    def leaf_reduce(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "tile_id" not in g.column_names:
+            return pa.table({"tile_id": pa.array([], type=pa.string()),
+                             "s": pa.array([], type=pa.uint64())})
+        t = g["tile_id"].to_numpy(zero_copy_only=False)
+        s = g["s"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        uq, inv = np.unique(t, return_inverse=True)
+        acc = np.zeros(len(uq), dtype=np.uint64)
+        np.add.at(acc, inv, s)
+        return pa.table({"tile_id": pa.array(uq, type=pa.string()),
+                         "s": pa.array(acc)})
+
+    leaves = (
+        ds.map_batches(leaf_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(leaf_reduce, batch_format="pyarrow")
+    ).to_pandas()  # grid-bounded
+    tiles = leaves["tile_id"].to_numpy()
+    digs = leaves["s"].to_numpy().astype(np.uint64)
+    order = np.argsort(tiles)
+    tiles, digs = tiles[order], digs[order]
+
+    out_res = [np.full(len(tiles), TILE_RES, dtype=np.int64)]
+    out_tile = [tiles]
+    out_dig = [digs.astype(np.uint64)]
+    cur_t, cur_d = tiles, digs
+    for r in range(TILE_RES - 1, -1, -1):
+        parents = np.array([t[: 1 + r] for t in cur_t], dtype=object)
+        pu = np.unique(parents)
+        pd_ = []
+        for p in pu:
+            m = parents == p
+            payload = "|".join(
+                f"{c}:{int(d)}" for c, d in zip(cur_t[m], cur_d[m]))
+            pd_.append(md5_u64(payload))
+        cur_t = pu.astype(str)
+        cur_d = np.array(pd_, dtype=np.uint64)
+        out_res.append(np.full(len(pu), r, dtype=np.int64))
+        out_tile.append(cur_t)
+        out_dig.append(cur_d)
+    root_payload = "|".join(
+        f"{c}:{int(d)}" for c, d in zip(cur_t, cur_d))
+    out_res.append(np.array([-1], dtype=np.int64))
+    out_tile.append(np.array(["ROOT"], dtype=object))
+    out_dig.append(np.array([md5_u64(root_payload)], dtype=np.uint64))
+    return pa.table({
+        "res": pa.array(np.concatenate(out_res)),
+        "tile_id": pa.array(np.concatenate([a.astype(str) for a in out_tile]),
+                            type=pa.string()),
+        "digest": pa.array(np.concatenate(out_dig).astype(np.int64)),
+    })
+
+
+def sql_merkle_tiles() -> str:
+    inner = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), TILE_RES, CFG, id_cols=("event_id",)
+    )
+    M = "18446744073709551616"
+    lvls = []
+    lvls.append(f"""
+m2 AS MATERIALIZED (
+  SELECT cell_id AS tile_id,
+    CAST(SUM(CAST(md5_number_lower(CAST(event_id AS VARCHAR)) AS HUGEINT))
+      % {M} AS UBIGINT) AS dig
+  FROM {inner} t GROUP BY cell_id
+)""")
+    prev = "m2"
+    for r in range(TILE_RES - 1, -1, -1):
+        lvls.append(f"""
+m{r} AS MATERIALIZED (
+  SELECT substr(tile_id, 1, {1 + r}) AS tile_id,
+    md5_number_lower(string_agg(tile_id || ':' || CAST(dig AS VARCHAR),
+      '|' ORDER BY tile_id)) AS dig
+  FROM {prev} GROUP BY 1
+)""")
+        prev = f"m{r}"
+    root = f"""
+mroot AS MATERIALIZED (
+  SELECT 'ROOT' AS tile_id,
+    md5_number_lower(string_agg(tile_id || ':' || CAST(dig AS VARCHAR),
+      '|' ORDER BY tile_id)) AS dig
+  FROM {prev}
+)"""
+    selects = [
+        f"SELECT CAST({TILE_RES} AS BIGINT) AS res, tile_id,"
+        f" CAST(CAST(dig AS HUGEINT) - CASE WHEN dig >= {1 << 63} THEN {M}"
+        f" ELSE 0 END AS BIGINT) AS digest FROM m2"
+    ]
+    for r in range(TILE_RES - 1, -1, -1):
+        selects.append(
+            f"SELECT CAST({r} AS BIGINT), tile_id,"
+            f" CAST(CAST(dig AS HUGEINT) - CASE WHEN dig >= {1 << 63} THEN {M}"
+            f" ELSE 0 END AS BIGINT) FROM m{r}")
+    selects.append(
+        f"SELECT CAST(-1 AS BIGINT), tile_id,"
+        f" CAST(CAST(dig AS HUGEINT) - CASE WHEN dig >= {1 << 63} THEN {M}"
+        f" ELSE 0 END AS BIGINT) FROM mroot")
+    return "WITH " + ",".join(lvls) + "," + root + "\n" + "\nUNION ALL\n".join(selects)

@@ -426,3 +426,54 @@ def test_pair_counts_brute(ray_session):
     got = dict(zip(df["cell_id"], df["n_pairs"]))
     assert got == want
     assert sum(want.values()) > 0
+
+
+def test_merkle_tiles_localizes_change(ray_session):
+    """The merkle property: perturbing one leaf changes exactly the
+    digests on its root path (replayed driver-side on the query
+    output)."""
+    from rhealpixdggs_py_ray.ops.dedup import md5_u64
+
+    df = _df(Q.q_merkle_tiles(SF))
+    if hasattr(df, "to_pandas"):
+        df = df.to_pandas()
+    leaves = df[df["res"] == Q.TILE_RES].sort_values("tile_id")
+    tiles = leaves["tile_id"].to_numpy()
+    digs = leaves["digest"].to_numpy().astype(np.int64).astype(np.uint64)
+
+    def build(tiles, digs):
+        out = {}
+        cur_t, cur_d = tiles, digs
+        for r in range(Q.TILE_RES - 1, -1, -1):
+            parents = np.array([t[:1 + r] for t in cur_t], dtype=object)
+            pu = np.unique(parents)
+            pd_ = []
+            for p in pu:
+                m = parents == p
+                pd_.append(md5_u64("|".join(
+                    f"{c}:{int(d)}" for c, d in zip(cur_t[m], cur_d[m]))))
+            cur_t = pu.astype(str)
+            cur_d = np.array(pd_, dtype=np.uint64)
+            out[r] = dict(zip(cur_t, cur_d.astype(np.int64)))
+        out[-1] = {"ROOT": np.int64(np.uint64(md5_u64("|".join(
+            f"{c}:{int(d)}" for c, d in zip(cur_t, cur_d)))).astype(np.int64))}
+        return out
+
+    base = build(tiles, digs)
+    # the query's own upper levels must equal the replay
+    for r in range(Q.TILE_RES - 1, -1, -1):
+        got = dict(zip(df[df["res"] == r]["tile_id"],
+                       df[df["res"] == r]["digest"].astype(np.int64)))
+        assert got == {k: int(v) for k, v in base[r].items()}
+    # perturb one leaf
+    digs2 = digs.copy()
+    digs2[0] += np.uint64(1)
+    pert = build(tiles, digs2)
+    path = {tiles[0][:1 + r] for r in range(Q.TILE_RES)}
+    for r in range(Q.TILE_RES - 1, -1, -1):
+        for t in base[r]:
+            if t in path:
+                assert base[r][t] != pert[r][t]
+            else:
+                assert base[r][t] == pert[r][t]
+    assert base[-1]["ROOT"] != pert[-1]["ROOT"]
