@@ -12400,3 +12400,327 @@ mroot AS MATERIALIZED (
         f" CAST(CAST(dig AS HUGEINT) - CASE WHEN dig >= {1 << 63} THEN {M}"
         f" ELSE 0 END AS BIGINT) FROM mroot")
     return "WITH " + ",".join(lvls) + "," + root + "\n" + "\nUNION ALL\n".join(selects)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting + dissolve region moments
+# ---------------------------------------------------------------------------
+
+def q_triangle_count(sf_dir: str):
+    """Distributed triangle counting over the image near-dup graph
+    (cluster cohesion audit): the classic wedge-join — each node's
+    ordered adjacency emits its wedges (n1 < n2 pairs of neighbors),
+    wedges and edges meet in ONE union bucket exchange keyed by the
+    packed wedge endpoints, and a wedge closed by an edge is a
+    triangle, attributed to its smallest vertex.  Output (node,
+    n_triangles) for nodes in >= 1 triangle."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    pairs = q_image_neardup(sf_dir)
+    nb = 8
+
+    def wedge_rows(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # edge rows keyed by the (a, b) pair itself (a < b by contract)
+        ekey = a * (1 << 32) + b
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(ekey.astype(np.uint64), nb)),
+            "k": pa.array(ekey),
+            "apex": pa.array(np.full(len(a), -1, dtype=np.int64)),  # edge marker
+        })
+
+    # adjacency (and wedges) need all edges of a node together: one
+    # h(node) exchange first
+    def adj_rows(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.concatenate([a, b])
+        o = np.concatenate([b, a])
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(n.astype(np.uint64), nb)),
+            "n": pa.array(n),
+            "o": pa.array(o),
+        })
+
+    def make_wedges(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "n" not in g.column_names:
+            return pa.table({"bucket": pa.array([], type=pa.int64()),
+                             "k": pa.array([], type=pa.int64()),
+                             "apex": pa.array([], type=pa.int64())})
+        n = g["n"].to_numpy(zero_copy_only=False)
+        o = g["o"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((o, n))
+        n, o = n[order], o[order]
+        starts = np.flatnonzero(np.r_[True, n[1:] != n[:-1]])
+        lens = np.diff(np.append(starts, len(n)))
+        k_l, apex_l = [], []
+        for s, L in zip(starts, lens):
+            # only neighbors ABOVE the apex: each triangle {x<y<z} is
+            # emitted exactly once, as apex x's wedge (y, z)
+            nb_ = np.sort(o[s:s + L])
+            nb_ = nb_[nb_ > n[s]]
+            m_ = len(nb_)
+            if m_ < 2:
+                continue
+            i, j = np.triu_indices(m_, k=1)
+            k_l.append(nb_[i] * (1 << 32) + nb_[j])
+            apex_l.append(np.full(len(i), n[s], dtype=np.int64))
+        if not k_l:
+            return pa.table({"bucket": pa.array([], type=pa.int64()),
+                             "k": pa.array([], type=pa.int64()),
+                             "apex": pa.array([], type=pa.int64())})
+        k = np.concatenate(k_l)
+        apex = np.concatenate(apex_l)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(k.astype(np.uint64), nb)),
+            "k": pa.array(k),
+            "apex": pa.array(apex),
+        })
+
+    pairs_m = pairs.materialize()  # two consumers: edges + adjacency
+    wedges = (
+        pairs_m.map_batches(adj_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(make_wedges, batch_format="pyarrow")
+    )
+    edges = pairs_m.map_batches(wedge_rows, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def close_wedges(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "k" not in g.column_names:
+            return pa.table({"node": pa.array([], type=pa.int64()),
+                             "n_triangles": pa.array([], type=pa.int64())})
+        k = g["k"].to_numpy(zero_copy_only=False)
+        apex = g["apex"].to_numpy(zero_copy_only=False)
+        is_edge = apex == -1
+        ek = np.unique(k[is_edge])
+        wk, wapex = k[~is_edge], apex[~is_edge]
+        pos = np.searchsorted(ek, wk)
+        pos = np.clip(pos, 0, max(len(ek) - 1, 0))
+        closed = len(ek) > 0
+        m = (ek[pos] == wk) if closed else np.zeros(len(wk), dtype=bool)
+        # wedges were emitted with apex < n1 < n2, so the apex IS the
+        # triangle's smallest vertex
+        uq, cnt = np.unique(wapex[m], return_counts=True)
+        return pa.table({"node": pa.array(uq),
+                         "n_triangles": pa.array(cnt.astype(np.int64))})
+
+    merged = wedges.union(edges).groupby("bucket").map_groups(
+        close_wedges, batch_format="pyarrow")
+    # a node's triangles can land in several buckets (different wedge
+    # keys) — one final tiny exact sum
+    from rhealpixdggs_py_ray.ops.agg import sum_by_u64_key
+
+    def rekey(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node_u": pa.array(batch["node"].to_numpy(
+                zero_copy_only=False).astype(np.uint64)),
+            "n": batch["n_triangles"],
+        })
+
+    out = sum_by_u64_key(
+        merged.map_batches(rekey, batch_format="pyarrow", zero_copy_batch=True),
+        "node_u", "n", "n_triangles")
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.array(batch["node_u"].to_numpy(
+                zero_copy_only=False).astype(np.int64)),
+            "n_triangles": batch["n_triangles"],
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_triangle_count() -> str:
+    return f"""
+WITH tp AS MATERIALIZED ({sql_image_neardup()}),
+tri AS MATERIALIZED (
+  SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+  FROM tp e1 JOIN tp e2 ON e2.a = e1.b JOIN tp e3
+    ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT v1 AS node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM tri GROUP BY v1
+"""
+
+
+def q_region_moments(sf_dir: str):
+    """First moments of the dissolved region per ring: integer shoelace
+    area2 plus the centroid numerators 6A*Cx = sum (x1+x2)(x1*y2-x2*y1)
+    and 6A*Cy = sum (y1+y2)(x1*y2-x2*y1) — exact integers, so the
+    downstream centroid is a single division.  Same exchanges as
+    q_dissolve_rings with the moment partials riding the label
+    attach."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+    from rhealpixdggs_py_ray.ops.cc import connected_components
+
+    bnd = _dissolve_boundary(sf_dir).materialize()  # two consumers
+    nb = 8
+
+    def vertex_rows(batch: pa.Table) -> pa.Table:
+        ek = batch["ekey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x1 = batch["x1"].to_numpy(zero_copy_only=False)
+        y1 = batch["y1"].to_numpy(zero_copy_only=False)
+        x2 = batch["x2"].to_numpy(zero_copy_only=False)
+        y2 = batch["y2"].to_numpy(zero_copy_only=False)
+        W = 4 * 3 ** DISSOLVE_RES
+        v_end = (x2 % W) * (1 << 21) + y2
+        v_start = (x1 % W) * (1 << 21) + y1
+        vk = np.concatenate([v_end, v_start])
+        side = np.concatenate([np.zeros(len(ek), dtype=np.int64),
+                               np.ones(len(ek), dtype=np.int64)])
+        ek2 = np.concatenate([ek, ek])
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(vk.astype(np.uint64), nb)),
+            "vk": pa.array(vk), "side": pa.array(side), "ekey": pa.array(ek2),
+        })
+
+    def make_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "vk" not in g.column_names:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64())})
+        vk = g["vk"].to_numpy(zero_copy_only=False)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        ek = g["ekey"].to_numpy(zero_copy_only=False)
+        e_vk, e_ek = vk[side == 0], ek[side == 0]
+        s_vk, s_ek = vk[side == 1], ek[side == 1]
+        eo = np.lexsort((e_ek, e_vk)); e_vk, e_ek = e_vk[eo], e_ek[eo]
+        so = np.lexsort((s_ek, s_vk)); s_vk, s_ek = s_vk[so], s_ek[so]
+        lo = np.searchsorted(s_vk, e_vk, side="left")
+        hi = np.searchsorted(s_vk, e_vk, side="right")
+        cnt = hi - lo
+        a = np.repeat(e_ek, cnt)
+        idx = np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)]) \
+            if len(lo) else np.array([], dtype=np.int64)
+        return pa.table({"a": pa.array(a), "b": pa.array(s_ek[idx])})
+
+    pairs = (
+        bnd.map_batches(vertex_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket").map_groups(make_pairs, batch_format="pyarrow")
+    )
+    lab = connected_components(pairs)
+
+    def lab_rows(batch: pa.Table) -> pa.Table:
+        ek = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = batch["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        z = np.zeros(len(ek), dtype=np.int64)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(ek.astype(np.uint64), nb)),
+            "ekey": pa.array(ek), "cl": pa.array(cl),
+            "cross": pa.array(z), "mx": pa.array(z), "my": pa.array(z),
+            "is_lab": pa.array(np.ones(len(ek), dtype=np.int64)),
+        })
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        ek = batch["ekey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x1 = batch["x1"].to_numpy(zero_copy_only=False)
+        y1 = batch["y1"].to_numpy(zero_copy_only=False)
+        x2 = batch["x2"].to_numpy(zero_copy_only=False)
+        y2 = batch["y2"].to_numpy(zero_copy_only=False)
+        cr = x1 * y2 - x2 * y1
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(ek.astype(np.uint64), nb)),
+            "ekey": pa.array(ek),
+            "cl": pa.array(np.zeros(len(ek), dtype=np.int64)),
+            "cross": pa.array(cr.astype(np.int64)),
+            "mx": pa.array(((x1 + x2) * cr).astype(np.int64)),
+            "my": pa.array(((y1 + y2) * cr).astype(np.int64)),
+            "is_lab": pa.array(np.zeros(len(ek), dtype=np.int64)),
+        })
+
+    def attach(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "ekey" not in g.column_names:
+            return pa.table({"ring_id": pa.array([], type=pa.int64()),
+                             "area2": pa.array([], type=pa.int64()),
+                             "mx6": pa.array([], type=pa.int64()),
+                             "my6": pa.array([], type=pa.int64())})
+        ek = g["ekey"].to_numpy(zero_copy_only=False)
+        cl = g["cl"].to_numpy(zero_copy_only=False)
+        cr = g["cross"].to_numpy(zero_copy_only=False)
+        mx = g["mx"].to_numpy(zero_copy_only=False)
+        my = g["my"].to_numpy(zero_copy_only=False)
+        is_lab = g["is_lab"].to_numpy(zero_copy_only=False).astype(bool)
+        lk, lv = ek[is_lab], cl[is_lab]
+        o = np.argsort(lk); lk, lv = lk[o], lv[o]
+        dk = ek[~is_lab]
+        pos = np.clip(np.searchsorted(lk, dk), 0, max(len(lk) - 1, 0))
+        if len(lk) == 0 or not np.array_equal(lk[pos], dk):
+            raise AssertionError("unlabeled boundary edge")
+        ring = lv[pos]
+        uq, inv = np.unique(ring, return_inverse=True)
+        sa = np.zeros(len(uq), dtype=np.int64); np.add.at(sa, inv, cr[~is_lab])
+        sx = np.zeros(len(uq), dtype=np.int64); np.add.at(sx, inv, mx[~is_lab])
+        sy = np.zeros(len(uq), dtype=np.int64); np.add.at(sy, inv, my[~is_lab])
+        return pa.table({"ring_id": pa.array(uq), "area2": pa.array(sa),
+                         "mx6": pa.array(sx), "my6": pa.array(sy)})
+
+    partials = (
+        lab.map_batches(lab_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .union(bnd.map_batches(edge_rows, batch_format="pyarrow",
+                               zero_copy_batch=True))
+        .groupby("bucket")
+        .map_groups(attach, batch_format="pyarrow")
+    )
+
+    def final_key(batch: pa.Table) -> pa.Table:
+        c = batch["ring_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "bucket", pa.array(hash_bucket_u64(c.astype(np.uint64), nb)))
+
+    def final_sum(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "ring_id" not in g.column_names:
+            return pa.table({"ring_id": pa.array([], type=pa.int64()),
+                             "area2": pa.array([], type=pa.int64()),
+                             "mx6": pa.array([], type=pa.int64()),
+                             "my6": pa.array([], type=pa.int64())})
+        c = g["ring_id"].to_numpy(zero_copy_only=False)
+        uq, inv = np.unique(c, return_inverse=True)
+        outs = {}
+        for col in ("area2", "mx6", "my6"):
+            v = g[col].to_numpy(zero_copy_only=False)
+            acc = np.zeros(len(uq), dtype=np.int64)
+            np.add.at(acc, inv, v)
+            outs[col] = acc
+        return pa.table({"ring_id": pa.array(uq),
+                         "area2": pa.array(outs["area2"]),
+                         "mx6": pa.array(outs["mx6"]),
+                         "my6": pa.array(outs["my6"])})
+
+    return (
+        partials.map_batches(final_key, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(final_sum, batch_format="pyarrow")
+    )
+
+
+def sql_region_moments() -> str:
+    W = 4 * 3 ** DISSOLVE_RES
+    return f"""
+WITH RECURSIVE {_dissolve_boundary_sql_ctes()},
+p AS MATERIALIZED (
+  SELECT e.ekey AS a, s.ekey AS b FROM bnd e
+  JOIN bnd s ON (e.x2 % {W}) = (s.x1 % {W}) AND e.y2 = s.y1
+),
+ed2 AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM p UNION ALL SELECT b AS u, a AS v FROM p
+),
+reach(n, m) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM ed2) t
+  UNION
+  SELECT r.n, e.v FROM reach r JOIN ed2 e ON e.u = r.m
+),
+lab AS MATERIALIZED (
+  SELECT n AS ekey, MIN(m) AS ring_id FROM reach GROUP BY n
+)
+SELECT l.ring_id,
+  CAST(SUM(bnd.x1 * bnd.y2 - bnd.x2 * bnd.y1) AS BIGINT) AS area2,
+  CAST(SUM((bnd.x1 + bnd.x2) * (bnd.x1 * bnd.y2 - bnd.x2 * bnd.y1))
+    AS BIGINT) AS mx6,
+  CAST(SUM((bnd.y1 + bnd.y2) * (bnd.x1 * bnd.y2 - bnd.x2 * bnd.y1))
+    AS BIGINT) AS my6
+FROM bnd JOIN lab l ON bnd.ekey = l.ekey
+GROUP BY 1
+"""

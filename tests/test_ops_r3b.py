@@ -477,3 +477,42 @@ def test_merkle_tiles_localizes_change(ray_session):
             else:
                 assert base[r][t] == pert[r][t]
     assert base[-1]["ROOT"] != pert[-1]["ROOT"]
+
+
+def test_triangle_count_brute(ray_session):
+    """Brute triple-loop replay over the image near-dup edge set."""
+    pairs = _df(Q.q_image_neardup(SF))
+    tri = _df(Q.q_triangle_count(SF))
+    es = set(zip(pairs["a"], pairs["b"]))
+    nodes = sorted({x for e in es for x in e})
+    want = {}
+    import itertools
+    adj = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for x in nodes:
+        above = sorted(v for v in adj[x] if v > x)
+        for i, y in enumerate(above):
+            for z in above[i + 1:]:
+                if (y, z) in es:
+                    want[x] = want.get(x, 0) + 1
+    got = dict(zip(tri["node"], tri["n_triangles"]))
+    assert got == want
+
+
+def test_region_moments_consistency(ray_session):
+    """Moments agree with dissolve_rings areas; total area2 == 2 x
+    number of occupied cells is NOT asserted (seam wrap), but each
+    ring's area2 matches and centroids of positive rings lie inside
+    the lattice bounding box."""
+    mom = _df(Q.q_region_moments(SF)).set_index("ring_id")
+    rings = _df(Q.q_dissolve_rings(SF)).set_index("ring_id")
+    assert set(mom.index) == set(rings.index)
+    assert (mom["area2"] == rings["area2"]).all()
+    pos = mom[mom["area2"] > 0]
+    W = 4 * 3 ** Q.DISSOLVE_RES
+    cx = pos["mx6"] / (3.0 * pos["area2"])
+    cy = pos["my6"] / (3.0 * pos["area2"])
+    assert ((cx >= -W) & (cx <= 2 * W)).all()
+    assert ((cy >= 0) & (cy <= 3 ** Q.DISSOLVE_RES)).all()
