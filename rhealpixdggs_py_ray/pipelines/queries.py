@@ -12724,3 +12724,198 @@ SELECT l.ring_id,
 FROM bnd JOIN lab l ON bnd.ekey = l.ekey
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Trajectory analytics: geofence dwell time + impossible-travel flags
+# ---------------------------------------------------------------------------
+
+DWELL_BBOX = (-40.0, -35.0, 95.0, 50.0)  # same fence as BBOX
+
+
+def q_dwell_time(sf_dir: str):
+    """Per-user time spent inside the geofence: order each user's
+    events by (ts, event_id), credit an interval to the fence iff its
+    STARTING point is inside (step-function semantics), sum integer
+    microseconds.  One h(user) bucket exchange, segmented vectorized
+    diff — the fleet/footfall dwell metric.  Output (user_id, n_inside,
+    dwell_us)."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    lon1, lat1, lon2, lat2 = DWELL_BBOX
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"],
+               blocks=4)
+    nb = 8
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = oracle.lonlat_from_id(ids)
+        inside = ((lon >= lon1) & (lon <= lon2)
+                  & (lat >= lat1) & (lat <= lat2))
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(uid.astype(np.uint64), nb)),
+            "user_id": pa.array(uid),
+            "t": pa.array(ts),
+            "event_id": pa.array(ids),
+            "inside": pa.array(inside.astype(np.int64)),
+        })
+
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "user_id" not in g.column_names:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "n_inside": pa.array([], type=pa.int64()),
+                             "dwell_us": pa.array([], type=pa.int64())})
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        ins = g["inside"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, t, uid))
+        uid, t, ins = uid[order], t[order], ins[order]
+        same_next = np.r_[uid[1:] == uid[:-1], False]
+        dt = np.zeros(len(t), dtype=np.int64)
+        dt[:-1] = t[1:] - t[:-1]
+        credit = np.where(same_next & (ins == 1), dt, 0)
+        uq, inv = np.unique(uid, return_inverse=True)
+        dwell = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(dwell, inv, credit)
+        n_in = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(n_in, inv, ins)
+        return pa.table({"user_id": pa.array(uq),
+                         "n_inside": pa.array(n_in),
+                         "dwell_us": pa.array(dwell)})
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def sql_dwell_time() -> str:
+    lon1, lat1, lon2, lat2 = DWELL_BBOX
+    lon, lat = oracle.lonlat_from_id_sql("event_id")
+    return f"""
+WITH dpts AS MATERIALIZED (
+  SELECT user_id, ts, event_id,
+    CASE WHEN ({lon}) >= {lon1!r} AND ({lon}) <= {lon2!r}
+         AND ({lat}) >= {lat1!r} AND ({lat}) <= {lat2!r}
+      THEN 1 ELSE 0 END AS inside
+  FROM events
+),
+seq AS MATERIALIZED (
+  SELECT user_id, inside,
+    epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dt,
+    lead(user_id) OVER w AS next_uid
+  FROM dpts WINDOW w AS (ORDER BY user_id, ts, event_id)
+)
+SELECT user_id,
+  CAST(SUM(inside) AS BIGINT) AS n_inside,
+  CAST(coalesce(SUM(CASE WHEN inside = 1 AND next_uid = user_id
+    THEN dt END), 0) AS BIGINT) AS dwell_us
+FROM seq GROUP BY user_id
+"""
+
+
+TRAVEL_V_MPS = 250.0  # flag transitions implying > 250 m/s sustained
+
+
+def q_impossible_travel(sf_dir: str):
+    """Impossible-travel detection (account-integrity shape): for each
+    consecutive pair of a user's events, flag chord_distance >
+    v * dt — computed as d2 > (v * dt_s)^2 in doubles with mirrored
+    operand order (dt_s = dt_us / 1e6).  Output one row per flagged
+    transition (user_id, event_id, next_event_id, dt_us, d2_floor)."""
+    from rhealpixdggs_py_ray.core import projection as proj
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"],
+               blocks=4)
+    nb = 8
+    v = TRAVEL_V_MPS
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = oracle.lonlat_from_id(ids)
+        x, y, z = proj.xyz(CFG, lon, lat)
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(uid.astype(np.uint64), nb)),
+            "user_id": pa.array(uid), "t": pa.array(ts),
+            "event_id": pa.array(ids),
+            "x": pa.array(x), "y": pa.array(y), "z": pa.array(z),
+        })
+
+    def flag(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "user_id" not in g.column_names:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "event_id": pa.array([], type=pa.int64()),
+                             "next_event_id": pa.array([], type=pa.int64()),
+                             "dt_us": pa.array([], type=pa.int64()),
+                             "d2_floor": pa.array([], type=pa.int64())})
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        x = g["x"].to_numpy(zero_copy_only=False)
+        y = g["y"].to_numpy(zero_copy_only=False)
+        z = g["z"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, t, uid))
+        uid, t, eid, x, y, z = (a[order] for a in (uid, t, eid, x, y, z))
+        same = uid[1:] == uid[:-1]
+        dx = x[1:] - x[:-1]
+        dy = y[1:] - y[:-1]
+        dz = z[1:] - z[:-1]
+        d2 = dx * dx + dy * dy + dz * dz
+        dt_s = (t[1:] - t[:-1]).astype(np.float64) / 1000000.0
+        lim = v * dt_s
+        hot = same & (d2 > lim * lim)
+        return pa.table({
+            "user_id": pa.array(uid[:-1][hot]),
+            "event_id": pa.array(eid[:-1][hot]),
+            "next_event_id": pa.array(eid[1:][hot]),
+            "dt_us": pa.array((t[1:] - t[:-1])[hot]),
+            "d2_floor": pa.array(np.floor(d2[hot]).astype(np.int64)),
+        })
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(flag, batch_format="pyarrow")
+    )
+
+
+def sql_impossible_travel() -> str:
+    a = repr(CFG.a)
+    e2 = repr(CFG.e**2)
+    lon, lat = oracle.lonlat_from_id_sql("event_id")
+    nrm = f"{a}/sqrt(1 - {e2}*sin(radians(lat))*sin(radians(lat)))"
+    return f"""
+WITH txyz AS MATERIALIZED (
+  SELECT user_id, ts, event_id,
+    {nrm}*cos(radians(lon))*cos(radians(lat)) AS x,
+    {nrm}*sin(radians(lon))*cos(radians(lat)) AS y,
+    {nrm}*(1 - {e2})*sin(radians(lat)) AS z
+  FROM (SELECT user_id, ts, event_id, {lon} AS lon, {lat} AS lat
+        FROM events) q
+),
+seq AS MATERIALIZED (
+  SELECT user_id, event_id, ts, x, y, z,
+    lead(user_id) OVER w AS nu, lead(event_id) OVER w AS ne,
+    lead(ts) OVER w AS nt,
+    lead(x) OVER w AS nx, lead(y) OVER w AS ny, lead(z) OVER w AS nz
+  FROM txyz WINDOW w AS (ORDER BY user_id, ts, event_id)
+)
+SELECT user_id, event_id, ne AS next_event_id,
+  CAST(epoch_us(nt) - epoch_us(ts) AS BIGINT) AS dt_us,
+  CAST(floor((nx - x) * (nx - x) + (ny - y) * (ny - y)
+    + (nz - z) * (nz - z)) AS BIGINT) AS d2_floor
+FROM seq
+WHERE nu = user_id
+  AND (nx - x) * (nx - x) + (ny - y) * (ny - y) + (nz - z) * (nz - z)
+    > ({TRAVEL_V_MPS!r} * ((epoch_us(nt) - epoch_us(ts)) / 1000000.0))
+      * ({TRAVEL_V_MPS!r} * ((epoch_us(nt) - epoch_us(ts)) / 1000000.0))
+"""

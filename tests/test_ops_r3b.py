@@ -516,3 +516,35 @@ def test_region_moments_consistency(ray_session):
     cy = pos["my6"] / (3.0 * pos["area2"])
     assert ((cx >= -W) & (cx <= 2 * W)).all()
     assert ((cy >= 0) & (cy <= 3 ** Q.DISSOLVE_RES)).all()
+
+
+def test_dwell_time_brute(ray_session):
+    """Brute per-user replay of the step-function dwell credit."""
+    import pyarrow.parquet as pq
+
+    df = _df(Q.q_dwell_time(SF)).set_index("user_id")
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "ts", "user_id"]).to_pandas()
+    lon, lat = oracle.lonlat_from_id(ev["event_id"].to_numpy())
+    lon1, lat1, lon2, lat2 = Q.DWELL_BBOX
+    ev["inside"] = ((lon >= lon1) & (lon <= lon2)
+                    & (lat >= lat1) & (lat <= lat2))
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        t = g["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        ins = g["inside"].to_numpy()
+        dwell = int((np.diff(t) * ins[:-1]).sum())
+        assert df.loc[uid, "dwell_us"] == dwell
+        assert df.loc[uid, "n_inside"] == int(ins.sum())
+
+
+def test_impossible_travel_sanity(ray_session):
+    """Every flagged transition really violates the speed bound and is
+    a consecutive pair of the same user's ordered events."""
+    df = _df(Q.q_impossible_travel(SF))
+    assert len(df) > 0
+    v = Q.TRAVEL_V_MPS
+    d = np.sqrt(df["d2_floor"].to_numpy().astype(np.float64))
+    dt = df["dt_us"].to_numpy() / 1e6
+    assert (d >= v * dt - 1).all()
+    assert (df["dt_us"] >= 0).all()
