@@ -12919,3 +12919,197 @@ WHERE nu = user_id
     > ({TRAVEL_V_MPS!r} * ((epoch_us(nt) - epoch_us(ts)) / 1000000.0))
       * ({TRAVEL_V_MPS!r} * ((epoch_us(nt) - epoch_us(ts)) / 1000000.0))
 """
+
+
+# ---------------------------------------------------------------------------
+# Predicate-pushdown scan + stubbed CLIP-style pair scoring
+# ---------------------------------------------------------------------------
+
+def q_pruned_scan(sf_dir: str):
+    """Predicate + projection pushdown at the READ: the row filter and
+    the two-column projection are evaluated inside the parquet scan
+    (pyarrow dataset filter -> row-group pruning + late
+    materialization), so only qualifying rows of only the needed
+    columns ever leave storage — the prune-at-the-read discipline the
+    100 TB target demands.  Output: per-status order counts + total
+    cents among 1996 orders."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    lo = np.datetime64("1996-01-01T00:00:00", "us")
+    hi = np.datetime64("1997-01-01T00:00:00", "us")
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_totalprice", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= lo)
+        & (pads.field("o_orderdate") < hi),
+    )
+
+    def agg(batch: pa.Table) -> pa.Table:
+        st = batch["o_orderstatus"].to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        uq, inv = np.unique(st, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uq)).astype(np.int64)
+        s = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table({"o_orderstatus": pa.array(uq, type=pa.string()),
+                         "n": pa.array(n), "sum_cents": pa.array(s)})
+
+    part = ds.map_batches(agg, batch_format="pyarrow", zero_copy_batch=True)
+    return part.groupby("o_orderstatus").aggregate(
+        Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
+
+
+def sql_pruned_scan() -> str:
+    return """
+SELECT o_orderstatus,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    AS sum_cents
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY o_orderstatus
+"""
+
+
+CLIP_D = 16
+CLIP_TAU = 0.0
+
+
+def q_clip_filter(sf_dir: str):
+    """Image-text alignment filtering with a STUBBED scorer (no vision
+    model exists in this sandbox — documented stand-in, the Ray-side
+    plumbing is the real deliverable): an actor pool 'loads' the
+    deterministic projection matrices once per actor (__init__), then
+    scores batches vectorized — image embedding = phash bytes
+    projected through P_img, text embedding = caption token hash
+    votes through P_txt, score = seq-fold cosine.  Keep pairs with
+    score >= CLIP_TAU.  Output (idx, score_micros, keep)."""
+    from rhealpixdggs_py_ray.fixtures import write_images_table
+    from rhealpixdggs_py_ray.ops.ann import _seq_dots, _seq_norm
+    from rhealpixdggs_py_ray.ops.dedup import md5_u64_many
+
+    write_images_table(IMG_DIR, IMG_N)
+    ds = ray.data.read_parquet(
+        IMG_DIR, columns=["image_id", "caption", "phash"],
+        override_num_blocks=sizing.read_blocks(IMG_DIR, profile=8),
+    )
+
+    class ClipStub:
+        def __init__(self):
+            from rhealpixdggs_py_ray.fixtures import splitmix64
+            i = np.arange(8 * CLIP_D, dtype=np.uint64)
+            f = (splitmix64(i + np.uint64(424242)) >> np.uint64(11)
+                 ).astype(np.float64) / float(1 << 53)
+            self.P_img = (2.0 * f - 1.0).reshape(8, CLIP_D)
+            j = np.arange(64 * CLIP_D, dtype=np.uint64)
+            g = (splitmix64(j + np.uint64(515151)) >> np.uint64(11)
+                 ).astype(np.float64) / float(1 << 53)
+            self.P_txt = (2.0 * g - 1.0).reshape(64, CLIP_D)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ph = batch["phash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            n = len(ph)
+            B = np.zeros((n, 8), dtype=np.float64)
+            for b in range(8):
+                B[:, b] = ((ph >> np.uint64(8 * b)) & np.uint64(255)
+                           ).astype(np.float64)
+            img = _seq_dots(B, self.P_img.T)
+            caps = batch["caption"].to_pylist()
+            toks_all, doc_idx = [], []
+            for i, c in enumerate(caps):
+                tk = c.split()
+                toks_all.extend(tk)
+                doc_idx.extend([i] * len(tk))
+            T = np.zeros((n, 64), dtype=np.float64)
+            if toks_all:
+                h = md5_u64_many(toks_all)
+                bit = (h % np.uint64(64)).astype(np.int64)
+                np.add.at(T, (np.array(doc_idx), bit), 1.0)
+            txt = _seq_dots(T, self.P_txt.T)
+            num = np.zeros(n, dtype=np.float64)
+            for d in range(CLIP_D):
+                num = num + img[:, d] * txt[:, d]
+            s = num / (_seq_norm(img) * _seq_norm(txt))
+            idx = np.array([int(i[3:]) for i in
+                            batch["image_id"].to_pylist()], dtype=np.int64)
+            keep = (s >= CLIP_TAU).astype(np.int64)
+            return pa.table({
+                "idx": pa.array(idx),
+                "score_micros": pa.array(
+                    np.floor(s * 1000000.0).astype(np.int64)),
+                "keep": pa.array(keep),
+            })
+
+    return ds.map_batches(
+        ClipStub, batch_format="pyarrow", batch_size=512,
+        zero_copy_batch=True, concurrency=sizing.pool(),
+    )
+
+
+def sql_clip_filter() -> str:
+    from rhealpixdggs_py_ray.fixtures import splitmix64, write_images_table
+
+    write_images_table(IMG_DIR, IMG_N)
+    i = np.arange(8 * CLIP_D, dtype=np.uint64)
+    P_img = (2.0 * ((splitmix64(i + np.uint64(424242)) >> np.uint64(11)
+                     ).astype(np.float64) / float(1 << 53)) - 1.0
+             ).reshape(8, CLIP_D)
+    j = np.arange(64 * CLIP_D, dtype=np.uint64)
+    P_txt = (2.0 * ((splitmix64(j + np.uint64(515151)) >> np.uint64(11)
+                     ).astype(np.float64) / float(1 << 53)) - 1.0
+             ).reshape(64, CLIP_D)
+    M = "18446744073709551616"
+    u = f"CAST(((CAST(phash AS HUGEINT) % {M}) + {M}) % {M} AS UBIGINT)"
+    byte = "CAST((u >> CAST(8 * {b} AS UBIGINT)) & 255 AS DOUBLE)"
+    from rhealpixdggs_py_ray.oracle import _lit
+    img_d = []
+    for d in range(CLIP_D):
+        terms = " + ".join(
+            f"({byte.format(b=b)}) * ({_lit(float(P_img[b, d]))})"
+            for b in range(8))
+        img_d.append(f"({terms})")
+    txt_d = []
+    for d in range(CLIP_D):
+        terms = " + ".join(
+            f"tv{b} * ({_lit(float(P_txt[b, d]))})" for b in range(64))
+        txt_d.append(f"({terms})")
+    tv_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN bit = {b} THEN 1 ELSE 0 END) AS DOUBLE) AS tv{b}"
+        for b in range(64))
+    num = " + ".join(f"i{d} * t{d}" for d in range(CLIP_D))
+    inrm = " + ".join(f"i{d} * i{d}" for d in range(CLIP_D))
+    tnrm = " + ".join(f"t{d} * t{d}" for d in range(CLIP_D))
+    img_cols = ", ".join(f"{e} AS i{d}" for d, e in enumerate(img_d))
+    txt_cols = ", ".join(f"{e} AS t{d}" for d, e in enumerate(txt_d))
+    return f"""
+WITH csrc AS MATERIALIZED (
+  SELECT CAST(substr(image_id, 4) AS BIGINT) AS idx, caption, {u} AS u
+  FROM read_parquet('{IMG_DIR}/*.parquet')
+),
+ctoks AS MATERIALIZED (
+  SELECT idx, CAST(md5_number_lower(w) % 64 AS BIGINT) AS bit
+  FROM (SELECT idx, unnest(regexp_split_to_array(trim(caption), '\\s+')) AS w
+        FROM csrc) q
+),
+cvotes AS MATERIALIZED (
+  SELECT idx, {tv_cols} FROM ctoks GROUP BY idx
+),
+cimg AS MATERIALIZED (
+  SELECT idx, {img_cols} FROM csrc
+),
+ctxt AS MATERIALIZED (
+  SELECT idx, {txt_cols} FROM cvotes
+),
+cs AS MATERIALIZED (
+  SELECT cimg.idx,
+    ({num}) / (sqrt({inrm}) * sqrt({tnrm})) AS s
+  FROM cimg JOIN ctxt ON cimg.idx = ctxt.idx
+)
+SELECT idx, CAST(floor(s * 1000000.0) AS BIGINT) AS score_micros,
+  CAST(CASE WHEN s >= {_lit(CLIP_TAU)} THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM cs
+"""

@@ -548,3 +548,21 @@ def test_impossible_travel_sanity(ray_session):
     dt = df["dt_us"].to_numpy() / 1e6
     assert (d >= v * dt - 1).all()
     assert (df["dt_us"] >= 0).all()
+
+
+def test_pruned_scan_counts(ray_session):
+    import pyarrow.parquet as pq
+
+    df = _df(Q.q_pruned_scan(SF))
+    o = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    mask = (o["o_orderdate"] >= "1996-01-01") & (o["o_orderdate"] < "1997-01-01")
+    assert df["n"].sum() == mask.sum()
+
+
+def test_clip_filter_shapes(ray_session):
+    import pyarrow.parquet as pq
+
+    df = _df(Q.q_clip_filter(SF))
+    assert df["score_micros"].between(-1000000, 1000000).all()
+    assert ((df["score_micros"] >= 0) == (df["keep"] == 1)).all()
+    assert 0 < df["keep"].sum() < len(df)  # threshold actually splits
