@@ -13113,3 +13113,351 @@ SELECT idx, CAST(floor(s * 1000000.0) AS BIGINT) AS score_micros,
   CAST(CASE WHEN s >= {_lit(CLIP_TAU)} THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM cs
 """
+
+
+# ---------------------------------------------------------------------------
+# Grid DBSCAN over the occupied lattice
+# ---------------------------------------------------------------------------
+
+DBSCAN_RES = 3
+DBSCAN_MINPTS = 16
+
+
+def q_dbscan_cells(sf_dir: str):
+    """Grid DBSCAN (density-based clustering on the res-3 lattice):
+    a cell is CORE iff its 3x3 focal point count >= MINPTS; clusters
+    are connected components of 8-adjacent cores; occupied non-core
+    cells adjacent to a core join the smallest adjacent core's
+    cluster as BORDER.  Exchanges: point count, focal contribution
+    (the focal_stats expansion), core-edge build, cc, and the border/
+    singleton resolve — every one a bucketed mergeable exchange on the
+    packed lattice key, the 10^12-point density-clustering shape.
+    Output (cell_id, cluster, kind 1=core 2=border), cluster = packed
+    key of the smallest member core."""
+    from rhealpixdggs_py_ray.core import index as cidx
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64, sum_by_u64_key
+    from rhealpixdggs_py_ray.ops.cc import connected_components
+
+    k = DBSCAN_RES
+    side = 3 ** k
+    W = 4 * side
+    nb = 8
+    ds = _read(sf_dir, "events", columns=["event_id"], blocks=4)
+
+    def cells(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = oracle.lonlat_from_id(ids)
+        m = np.abs(lat) <= DISSOLVE_LAT
+        u = cidx.cell_from_point(CFG, k, lon[m], lat[m], plane=False)
+        face, digits, _res = su.unpack(u)
+        d = digits[:, :k].astype(np.int64)
+        pw = (3 ** np.arange(k - 1, -1, -1)).astype(np.int64)
+        key = ((d // 3) @ pw) * W + (
+            (face.astype(np.int64) - 1) * side + (d % 3) @ pw)
+        return pa.table({"key": pa.array(key.astype(np.uint64)),
+                         "one": pa.array(np.ones(len(key), dtype=np.int64))})
+
+    occ = sum_by_u64_key(
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True),
+        "key", "one", "n")
+
+    def _neighbors(key: np.ndarray, include_self: bool):
+        gy, gx = key // W, key % W
+        outs = []
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0 and not include_self:
+                    continue
+                ty = gy + dy
+                ok = (ty >= 0) & (ty < side)
+                tk = ty * W + (gx + dx) % W
+                outs.append((tk[ok], ok, dy == 0 and dx == 0))
+        return outs
+
+    def focal_emit(batch: pa.Table) -> pa.Table:
+        key = batch["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        t_l, w_l, o_l = [], [], []
+        for tk, ok, is_self in _neighbors(key, include_self=True):
+            t_l.append(tk)
+            w_l.append(n[ok])
+            o_l.append(n[ok] if is_self else np.zeros(ok.sum(), dtype=np.int64))
+        tk = np.concatenate(t_l)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(tk.astype(np.uint64), nb)),
+            "key": pa.array(tk),
+            "w": pa.array(np.concatenate(w_l)),
+            "own": pa.array(np.concatenate(o_l)),
+        })
+
+    def focal_reduce(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "key" not in g.column_names:
+            return pa.table({"key": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64()),
+                             "focal": pa.array([], type=pa.int64())})
+        kk = g["key"].to_numpy(zero_copy_only=False)
+        w = g["w"].to_numpy(zero_copy_only=False)
+        own = g["own"].to_numpy(zero_copy_only=False)
+        uq, inv = np.unique(kk, return_inverse=True)
+        sw = np.zeros(len(uq), dtype=np.int64); np.add.at(sw, inv, w)
+        so = np.zeros(len(uq), dtype=np.int64); np.add.at(so, inv, own)
+        m = so > 0  # occupied only
+        return pa.table({"key": pa.array(uq[m]), "n": pa.array(so[m]),
+                         "focal": pa.array(sw[m])})
+
+    cellstats = (
+        occ.map_batches(focal_emit, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket").map_groups(focal_reduce, batch_format="pyarrow")
+    ).materialize()  # consumed by edges, borders, and output
+
+    def core_edges(batch: pa.Table) -> pa.Table:
+        kk = batch["key"].to_numpy(zero_copy_only=False)
+        focal = batch["focal"].to_numpy(zero_copy_only=False)
+        core = kk[focal >= DBSCAN_MINPTS].astype(np.int64)
+        t_l, s_l, self_l = [], [], []
+        for tk, ok, _ in _neighbors(core, include_self=False):
+            t_l.append(tk)
+            s_l.append(core[ok])
+        t = np.concatenate(t_l) if t_l else np.array([], dtype=np.int64)
+        s = np.concatenate(s_l) if s_l else np.array([], dtype=np.int64)
+        # neighbor-candidate rows plus self-marker rows
+        key = np.concatenate([t, core])
+        src = np.concatenate([s, np.full(len(core), -1, dtype=np.int64)])
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(key.astype(np.uint64), nb)),
+            "key": pa.array(key), "src": pa.array(src),
+        })
+
+    def edge_resolve(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "key" not in g.column_names:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64())})
+        kk = g["key"].to_numpy(zero_copy_only=False)
+        src = g["src"].to_numpy(zero_copy_only=False)
+        is_core = src == -1
+        coreset = np.unique(kk[is_core])
+        ck, cs = kk[~is_core], src[~is_core]
+        pos = np.clip(np.searchsorted(coreset, ck), 0,
+                      max(len(coreset) - 1, 0))
+        m = (coreset[pos] == ck) if len(coreset) else np.zeros(len(ck), bool)
+        a = np.minimum(ck[m], cs[m])
+        b = np.maximum(ck[m], cs[m])
+        return pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+    edges = (
+        cellstats.map_batches(core_edges, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        .groupby("bucket").map_groups(edge_resolve, batch_format="pyarrow")
+    )
+    lab = connected_components(edges)
+
+    # final resolve: core labels (cc result, default self for isolated
+    # cores), then border assignment — one union bucket exchange.
+    def lab_rows(batch: pa.Table) -> pa.Table:
+        kk = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = batch["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(kk.astype(np.uint64), nb)),
+            "key": pa.array(kk), "val": pa.array(cl),
+            "kind": pa.array(np.full(len(kk), 0, dtype=np.int64)),  # cc label
+        })
+
+    def stat_rows(batch: pa.Table) -> pa.Table:
+        kk = batch["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        focal = batch["focal"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(kk.astype(np.uint64), nb)),
+            "key": pa.array(kk),
+            "val": pa.array((focal >= DBSCAN_MINPTS).astype(np.int64)),
+            "kind": pa.array(np.full(len(kk), 1, dtype=np.int64)),  # occupied
+        })
+
+    def core_label_resolve(g: pa.Table) -> pa.Table:
+        # emits per-core final label rows AND per-border candidate
+        # emissions would need core labels first: resolve labels here
+        if g.num_rows == 0 or "key" not in g.column_names:
+            return pa.table({"key": pa.array([], type=pa.int64()),
+                             "label": pa.array([], type=pa.int64()),
+                             "is_core": pa.array([], type=pa.int64())})
+        kk = g["key"].to_numpy(zero_copy_only=False)
+        val = g["val"].to_numpy(zero_copy_only=False)
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        occ_k = kk[kind == 1]
+        occ_core = val[kind == 1] == 1
+        lk, lv = kk[kind == 0], val[kind == 0]
+        o = np.argsort(lk); lk, lv = lk[o], lv[o]
+        pos = np.clip(np.searchsorted(lk, occ_k), 0, max(len(lk) - 1, 0))
+        has = (lk[pos] == occ_k) if len(lk) else np.zeros(len(occ_k), bool)
+        label = np.where(has, lv[pos] if len(lk) else 0, occ_k)
+        m = occ_core
+        return pa.table({"key": pa.array(occ_k[m]),
+                         "label": pa.array(label[m]),
+                         "is_core": pa.array(np.ones(m.sum(), dtype=np.int64))})
+
+    core_labeled = (
+        lab.map_batches(lab_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .union(cellstats.map_batches(stat_rows, batch_format="pyarrow",
+                                     zero_copy_batch=True))
+        .groupby("bucket").map_groups(core_label_resolve,
+                                      batch_format="pyarrow")
+    ).materialize()
+
+    # border pass: cores emit (neighbor, label); occupied non-core rows
+    # pick the min; cores emit their own final row
+    def border_emit(batch: pa.Table) -> pa.Table:
+        kk = batch["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lb = batch["label"].to_numpy(zero_copy_only=False)
+        t_l, l_l = [], []
+        for tk, ok, _ in _neighbors(kk, include_self=False):
+            t_l.append(tk)
+            l_l.append(lb[ok])
+        t = np.concatenate(t_l) if t_l else np.array([], dtype=np.int64)
+        lv = np.concatenate(l_l) if l_l else np.array([], dtype=np.int64)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(t.astype(np.uint64), nb)),
+            "key": pa.array(t), "val": pa.array(lv),
+            "kind": pa.array(np.full(len(t), 2, dtype=np.int64)),  # candidate
+        })
+
+    def final_resolve(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "key" not in g.column_names:
+            return pa.table({"cell_id": pa.array([], type=pa.string()),
+                             "cluster": pa.array([], type=pa.int64()),
+                             "kind": pa.array([], type=pa.int64())})
+        kk = g["key"].to_numpy(zero_copy_only=False)
+        val = g["val"].to_numpy(zero_copy_only=False)
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        # occupied rows (kind 1, val=is_core), candidates (kind 2),
+        # core labels (kind 0 from core_labeled re-keyed)
+        occ_k = kk[kind == 1]
+        occ_core = val[kind == 1] == 1
+        # core final labels
+        lk, lv = kk[kind == 0], val[kind == 0]
+        o = np.argsort(lk); lk, lv = lk[o], lv[o]
+        # min candidate label per key
+        ck, cv = kk[kind == 2], val[kind == 2]
+        co = np.lexsort((cv, ck)); ck, cv = ck[co], cv[co]
+        first = (np.r_[True, ck[1:] != ck[:-1]] if len(ck)
+                 else np.zeros(0, dtype=bool))
+        mk, mv = ck[first], cv[first]
+        out_k, out_c, out_kind = [], [], []
+        # cores
+        if len(lk):
+            pos = np.clip(np.searchsorted(lk, occ_k), 0, len(lk) - 1)
+            core_m = occ_core & (lk[pos] == occ_k)
+            out_k.append(occ_k[core_m]); out_c.append(lv[pos][core_m])
+            out_kind.append(np.ones(core_m.sum(), dtype=np.int64))
+        # borders: occupied, not core, with >= 1 candidate
+        if len(mk):
+            bpos = np.clip(np.searchsorted(mk, occ_k), 0, len(mk) - 1)
+            bm = (~occ_core) & (mk[bpos] == occ_k)
+            out_k.append(occ_k[bm]); out_c.append(mv[bpos][bm])
+            out_kind.append(np.full(bm.sum(), 2, dtype=np.int64))
+        if not out_k:
+            return pa.table({"cell_id": pa.array([], type=pa.string()),
+                             "cluster": pa.array([], type=pa.int64()),
+                             "kind": pa.array([], type=pa.int64())})
+        ko = np.concatenate(out_k); cl = np.concatenate(out_c)
+        kd = np.concatenate(out_kind)
+        gy_, gx_ = ko // W, ko % W
+        return pa.table({
+            "cell_id": pa.array(
+                _cell_string_array_from_lattice(gy_, gx_, k), type=pa.string()),
+            "cluster": pa.array(cl),
+            "kind": pa.array(kd),
+        })
+
+    def core_label_rows(batch: pa.Table) -> pa.Table:
+        kk = batch["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(kk.astype(np.uint64), nb)),
+            "key": pa.array(kk), "val": batch["label"],
+            "kind": pa.array(np.zeros(len(kk), dtype=np.int64)),
+        })
+
+    return (
+        core_labeled.map_batches(core_label_rows, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+        .union(core_labeled.map_batches(border_emit, batch_format="pyarrow",
+                                        zero_copy_batch=True))
+        .union(cellstats.map_batches(stat_rows, batch_format="pyarrow",
+                                     zero_copy_batch=True))
+        .groupby("bucket").map_groups(final_resolve, batch_format="pyarrow")
+    )
+
+
+def sql_dbscan_cells() -> str:
+    k = DBSCAN_RES
+    side = 3 ** k
+    W = 4 * side
+    pts = (
+        f"SELECT event_id, lon, lat FROM ({_points_sql('events', 'event_id')}) p"
+        f" WHERE abs(lat) <= {DISSOLVE_LAT!r}"
+    )
+    idx_sql = oracle.cell_from_point_sql(pts, k, CFG, id_cols=("event_id",))
+    gy, gx = _dissolve_rowcol_sql(k)
+    rebuild = (
+        f"CASE (key % {W}) // {side} WHEN 0 THEN 'O' WHEN 1 THEN 'P'"
+        " WHEN 2 THEN 'Q' ELSE 'R' END || "
+        + " || ".join(
+            f"CAST((((key // {W}) // {3 ** (k - 1 - i)}) % 3) * 3"
+            f" + ((((key % {W}) % {side}) // {3 ** (k - 1 - i)}) % 3)"
+            " AS VARCHAR)"
+            for i in range(k)
+        )
+    )
+    offs = ", ".join(f"({dy}, {dx})" for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+    return f"""
+WITH RECURSIVE docc AS MATERIALIZED (
+  SELECT ({gy}) * {W} + ({gx}) AS key, COUNT(*) AS n
+  FROM {idx_sql} t GROUP BY 1
+),
+doffs(dy, dx) AS (SELECT * FROM (VALUES {offs})),
+dfocal AS MATERIALIZED (
+  SELECT o.key, MAX(o.n) AS n, SUM(b.n) AS focal
+  FROM docc o
+  JOIN doffs f ON TRUE
+  JOIN docc b ON b.key = ((o.key // {W}) + f.dy) * {W}
+    + (((o.key % {W}) + f.dx + {W}) % {W})
+    AND (o.key // {W}) + f.dy >= 0 AND (o.key // {W}) + f.dy < {side}
+  GROUP BY o.key
+),
+dcore AS MATERIALIZED (
+  SELECT key FROM dfocal WHERE focal >= {DBSCAN_MINPTS}
+),
+dedge AS MATERIALIZED (
+  SELECT least(a.key, b.key) AS u, greatest(a.key, b.key) AS v
+  FROM dcore a
+  JOIN doffs f ON NOT (f.dy = 0 AND f.dx = 0)
+  JOIN dcore b ON b.key = ((a.key // {W}) + f.dy) * {W}
+    + (((a.key % {W}) + f.dx + {W}) % {W})
+    AND (a.key // {W}) + f.dy >= 0 AND (a.key // {W}) + f.dy < {side}
+),
+ded2 AS MATERIALIZED (
+  SELECT u, v FROM dedge UNION ALL SELECT v, u FROM dedge
+),
+dreach(n, m) AS (
+  SELECT key, key FROM dcore
+  UNION
+  SELECT r.n, e.v FROM dreach r JOIN ded2 e ON e.u = r.m
+),
+dlab AS MATERIALIZED (
+  SELECT n AS key, MIN(m) AS label FROM dreach GROUP BY n
+),
+dborder AS MATERIALIZED (
+  SELECT o.key, MIN(l.label) AS label
+  FROM dfocal o
+  JOIN doffs f ON NOT (f.dy = 0 AND f.dx = 0)
+  JOIN dcore c ON c.key = ((o.key // {W}) + f.dy) * {W}
+    + (((o.key % {W}) + f.dx + {W}) % {W})
+    AND (o.key // {W}) + f.dy >= 0 AND (o.key // {W}) + f.dy < {side}
+  JOIN dlab l ON l.key = c.key
+  WHERE o.focal < {DBSCAN_MINPTS}
+  GROUP BY o.key
+)
+SELECT {rebuild} AS cell_id, CAST(label AS BIGINT) AS cluster,
+  CAST(1 AS BIGINT) AS kind
+FROM dlab
+UNION ALL
+SELECT {rebuild}, CAST(label AS BIGINT), CAST(2 AS BIGINT) FROM dborder
+"""

@@ -566,3 +566,54 @@ def test_clip_filter_shapes(ray_session):
     assert df["score_micros"].between(-1000000, 1000000).all()
     assert ((df["score_micros"] >= 0) == (df["keep"] == 1)).all()
     assert 0 < df["keep"].sum() < len(df)  # threshold actually splits
+
+
+def test_dbscan_cells_invariants(ray_session):
+    """Core iff 3x3 focal >= MINPTS; borders are occupied non-core
+    adjacent to a core of their cluster; cluster == min core key."""
+    from rhealpixdggs_py_ray.core import index as cidx
+    import pyarrow.parquet as pq
+
+    SF01 = "/root/testdata/sf0.01"  # sf0.001 is below core density
+    k = Q.DBSCAN_RES
+    side = 3 ** k
+    W = 4 * side
+    df = _df(Q.q_dbscan_cells(SF01))
+    ev = pq.read_table(f"{SF01}/events.parquet", columns=["event_id"])
+    lon, lat = oracle.lonlat_from_id(ev["event_id"].to_numpy())
+    m = np.abs(lat) <= Q.DISSOLVE_LAT
+    u = cidx.cell_from_point(Q.CFG, k, lon[m], lat[m], plane=False)
+    gy, gx = Q._lattice_from_cell_strings(su.to_string_fixed(u, k), k)
+    key = gy * W + gx
+    uq, n = np.unique(key, return_counts=True)
+    cnt = dict(zip(uq.tolist(), n.tolist()))
+
+    def focal(kk):
+        y, x = kk // W, kk % W
+        s = 0
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if 0 <= y + dy < side:
+                    s += cnt.get((y + dy) * W + (x + dx) % W, 0)
+        return s
+
+    gy2, gx2 = Q._lattice_from_cell_strings(df["cell_id"].to_numpy(), k)
+    keys = gy2 * W + gx2
+    cores = {int(kk): int(c) for kk, c, kd in
+             zip(keys, df["cluster"], df["kind"]) if kd == 1}
+    borders = {int(kk): int(c) for kk, c, kd in
+               zip(keys, df["cluster"], df["kind"]) if kd == 2}
+    # exact core set
+    want_cores = {int(kk) for kk in uq if focal(int(kk)) >= Q.DBSCAN_MINPTS}
+    assert set(cores) == want_cores
+    assert len(want_cores) > 0 and len(borders) > 0
+    for kk, c in cores.items():
+        assert c <= kk  # label is a min member
+    for kk, c in borders.items():
+        assert kk in cnt and kk not in cores
+        y, x = kk // W, kk % W
+        adj = [cores.get((y + dy) * W + (x + dx) % W)
+               for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+               if not (dy == 0 and dx == 0) and 0 <= y + dy < side]
+        adj = [a for a in adj if a is not None]
+        assert adj and min(adj) == c
