@@ -13461,3 +13461,135 @@ FROM dlab
 UNION ALL
 SELECT {rebuild}, CAST(label AS BIGINT), CAST(2 AS BIGINT) FROM dborder
 """
+
+
+# ---------------------------------------------------------------------------
+# Space-time co-location (contact tracing join)
+# ---------------------------------------------------------------------------
+
+COLOC_RES = 4
+COLOC_T_S = 3600 * 24 * 7  # contact window: same cell within 7 days
+
+
+def q_colocation_pairs(sf_dir: str):
+    """Contact-tracing join: pairs of DIFFERENT users with events in
+    the SAME res-4 cell within COLOC_T_S seconds.  The space-time key
+    (lattice cell, time bucket of width T) partitions the stream; each
+    event lands in its own bucket and the NEXT one (time halo), so
+    every qualifying pair meets exactly where the later event is home
+    — counted once, no dedup pass.  One space-time exchange + one tiny
+    per-user-pair sum.  Output (user_a, user_b, n_contacts)."""
+    from rhealpixdggs_py_ray.core import index as cidx
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64, sum_by_u64_key
+
+    k = COLOC_RES
+    side = 3 ** k
+    W = 4 * side
+    T_us = COLOC_T_S * 1_000_000
+    nb = 8
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"],
+               blocks=4)
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = oracle.lonlat_from_id(ids)
+        m = np.abs(lat) <= DISSOLVE_LAT
+        ids = ids[m]
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)[m]
+        t = batch["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)[m]
+        u = cidx.cell_from_point(CFG, k, lon[m], lat[m], plane=False)
+        face, digits, _res = su.unpack(u)
+        d = digits[:, :k].astype(np.int64)
+        pw = (3 ** np.arange(k - 1, -1, -1)).astype(np.int64)
+        ck = ((d // 3) @ pw) * W + (
+            (face.astype(np.int64) - 1) * side + (d % 3) @ pw)
+        tb = t // T_us
+        stk0 = ck * (1 << 32) + tb
+        stk1 = ck * (1 << 32) + tb + 1
+        stk = np.concatenate([stk0, stk1])
+        home = np.concatenate([np.ones(len(ck), dtype=np.int64),
+                               np.zeros(len(ck), dtype=np.int64)])
+        rep = lambda a: np.concatenate([a, a])
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(stk.astype(np.uint64), nb)),
+            "stk": pa.array(stk),
+            "eid": pa.array(rep(ids)),
+            "uid": pa.array(rep(uid)),
+            "t": pa.array(rep(t)),
+            "home": pa.array(home),
+        })
+
+    def pair_count(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "stk" not in g.column_names:
+            return pa.table({"pkey": pa.array([], type=pa.uint64()),
+                             "n": pa.array([], type=pa.int64())})
+        stk = g["stk"].to_numpy(zero_copy_only=False)
+        eid = g["eid"].to_numpy(zero_copy_only=False)
+        uid = g["uid"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        home = g["home"].to_numpy(zero_copy_only=False).astype(bool)
+        order = np.lexsort((eid, stk))
+        stk, eid, uid, t, home = (a[order] for a in (stk, eid, uid, t, home))
+        hidx = np.flatnonzero(home)
+        if not len(hidx):
+            return pa.table({"pkey": pa.array([], type=pa.uint64()),
+                             "n": pa.array([], type=pa.int64())})
+        lo = np.searchsorted(stk, stk[hidx], side="left")
+        hi = np.searchsorted(stk, stk[hidx], side="right")
+        cnt = hi - lo
+        a_rep = np.repeat(hidx, cnt)
+        b_idx = np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)])
+        # a = LATER home event, b = strictly-earlier-by-(t, eid) event
+        dt = t[a_rep] - t[b_idx]
+        earlier = (dt > 0) | ((dt == 0) & (eid[b_idx] < eid[a_rep]))
+        hit = earlier & (dt <= T_us) & (uid[a_rep] != uid[b_idx])
+        ua = np.minimum(uid[a_rep][hit], uid[b_idx][hit]).astype(np.uint64)
+        ub = np.maximum(uid[a_rep][hit], uid[b_idx][hit]).astype(np.uint64)
+        pk = ua * np.uint64(1 << 32) + ub
+        uq, n = np.unique(pk, return_counts=True)
+        return pa.table({"pkey": pa.array(uq),
+                         "n": pa.array(n.astype(np.int64))})
+
+    partials = (
+        ds.map_batches(replicate, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(pair_count, batch_format="pyarrow")
+    )
+    summed = sum_by_u64_key(partials, "pkey", "n", "n_contacts")
+
+    def decode(batch: pa.Table) -> pa.Table:
+        pk = batch["pkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table({
+            "user_a": pa.array((pk >> np.uint64(32)).astype(np.int64)),
+            "user_b": pa.array((pk & np.uint64((1 << 32) - 1)).astype(np.int64)),
+            "n_contacts": batch["n_contacts"],
+        })
+
+    return summed.map_batches(decode, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def sql_colocation_pairs() -> str:
+    k = COLOC_RES
+    pts = (
+        f"SELECT event_id, lon, lat FROM ({_points_sql('events', 'event_id')}) p"
+        f" WHERE abs(lat) <= {DISSOLVE_LAT!r}"
+    )
+    idx_sql = oracle.cell_from_point_sql(pts, k, CFG, id_cols=("event_id",))
+    T_us = COLOC_T_S * 1_000_000
+    return f"""
+WITH ce AS MATERIALIZED (
+  SELECT t.event_id, t.cell_id, e.user_id, epoch_us(e.ts) AS tus
+  FROM {idx_sql} t JOIN events e ON e.event_id = t.event_id
+)
+SELECT least(a.user_id, b.user_id) AS user_a,
+  greatest(a.user_id, b.user_id) AS user_b,
+  CAST(COUNT(*) AS BIGINT) AS n_contacts
+FROM ce a JOIN ce b
+  ON a.cell_id = b.cell_id
+  AND a.user_id <> b.user_id
+  AND (b.tus - a.tus > 0 OR (b.tus = a.tus AND a.event_id < b.event_id))
+  AND b.tus - a.tus <= {T_us}
+GROUP BY 1, 2
+"""

@@ -617,3 +617,35 @@ def test_dbscan_cells_invariants(ray_session):
                if not (dy == 0 and dx == 0) and 0 <= y + dy < side]
         adj = [a for a in adj if a is not None]
         assert adj and min(adj) == c
+
+
+def test_colocation_pairs_brute(ray_session):
+    """Brute replay of the space-time contact join at sf0.001."""
+    from rhealpixdggs_py_ray.core import index as cidx
+    import pyarrow.parquet as pq
+
+    SF01 = "/root/testdata/sf0.01"  # sf0.001 has no same-cell contacts
+    df = _df(Q.q_colocation_pairs(SF01))
+    ev = pq.read_table(f"{SF01}/events.parquet",
+                       columns=["event_id", "ts", "user_id"]).to_pandas()
+    lon, lat = oracle.lonlat_from_id(ev["event_id"].to_numpy())
+    m = np.abs(lat) <= Q.DISSOLVE_LAT
+    ev = ev[m].copy()
+    u = cidx.cell_from_point(Q.CFG, Q.COLOC_RES, lon[m], lat[m], plane=False)
+    ev["cell"] = su.to_string_fixed(u, Q.COLOC_RES)
+    ev["tus"] = ev["ts"].astype("datetime64[us]").astype(np.int64)
+    T = Q.COLOC_T_S * 1_000_000
+    want = {}
+    for _, g in ev.groupby("cell"):
+        r = g.sort_values(["tus", "event_id"]).reset_index(drop=True)
+        for i in range(len(r)):
+            for j in range(i + 1, len(r)):
+                if r["tus"][j] - r["tus"][i] > T:
+                    break
+                if r["user_id"][i] != r["user_id"][j]:
+                    key = (min(r["user_id"][i], r["user_id"][j]),
+                           max(r["user_id"][i], r["user_id"][j]))
+                    want[key] = want.get(key, 0) + 1
+    got = {(a, b): n for a, b, n in
+           zip(df["user_a"], df["user_b"], df["n_contacts"])}
+    assert got == want and len(want) > 0
