@@ -13593,3 +13593,153 @@ FROM ce a JOIN ce b
   AND b.tus - a.tus <= {T_us}
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Home-cell inference + dictionary topic tagging
+# ---------------------------------------------------------------------------
+
+HOME_RES = 3
+
+
+def q_home_cells(sf_dir: str):
+    """Per-user home-location inference: the user's modal res-3 cell
+    (ties -> lexicographically smallest cell), with its visit count and
+    the user's total events.  One h(user) bucket exchange; the resolve
+    is a segmented (user, cell) count + per-user argmax, all
+    vectorized.  Output (user_id, home_cell, n_home, n_total)."""
+    from rhealpixdggs_py_ray.core import index as cidx
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"], blocks=4)
+    nb = 8
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        lon, lat = oracle.lonlat_from_id(ids)
+        u = cidx.cell_from_point(CFG, HOME_RES, lon, lat, plane=False)
+        cell = su.to_string_fixed(u, HOME_RES)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(uid.astype(np.uint64), nb)),
+            "user_id": pa.array(uid),
+            "cell": pa.array(cell, type=pa.string()),
+        })
+
+    def resolve(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "user_id" not in g.column_names:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "home_cell": pa.array([], type=pa.string()),
+                             "n_home": pa.array([], type=pa.int64()),
+                             "n_total": pa.array([], type=pa.int64())})
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        cell = g["cell"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"u": uid, "c": cell})
+        cnt = df.groupby(["u", "c"], sort=False).size().reset_index(name="n")
+        tot = df.groupby("u", sort=False).size()
+        cnt = cnt.sort_values(["u", "n", "c"],
+                              ascending=[True, False, True])
+        first = cnt.drop_duplicates("u", keep="first")
+        return pa.table({
+            "user_id": pa.array(first["u"].to_numpy()),
+            "home_cell": pa.array(first["c"].to_numpy(), type=pa.string()),
+            "n_home": pa.array(first["n"].to_numpy().astype(np.int64)),
+            "n_total": pa.array(tot.loc[first["u"]].to_numpy().astype(np.int64)),
+        })
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pyarrow")
+    )
+
+
+def sql_home_cells() -> str:
+    idx_sql = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), HOME_RES, CFG, id_cols=("event_id",)
+    )
+    return f"""
+WITH hc AS MATERIALIZED (
+  SELECT e.user_id, t.cell_id FROM {idx_sql} t
+  JOIN events e ON e.event_id = t.event_id
+),
+cnt AS MATERIALIZED (
+  SELECT user_id, cell_id, COUNT(*) AS n FROM hc GROUP BY 1, 2
+),
+tot AS MATERIALIZED (
+  SELECT user_id, COUNT(*) AS n_total FROM hc GROUP BY 1
+)
+SELECT c.user_id, c.cell_id AS home_cell,
+  CAST(c.n AS BIGINT) AS n_home, CAST(t.n_total AS BIGINT) AS n_total
+FROM cnt c JOIN tot t ON c.user_id = t.user_id
+QUALIFY row_number() OVER (PARTITION BY c.user_id
+  ORDER BY c.n DESC, c.cell_id) = 1
+"""
+
+
+TOPIC_DICT = [
+    ("commerce", ["order", "price", "ship", "pay"]),
+    ("geo", ["cell", "map", "region", "tile"]),
+    ("tech", ["data", "model", "train", "index"]),
+]
+
+
+def q_topic_tag(sf_dir: str):
+    """Dictionary topic classifier (the seeded-keyword corpus router):
+    per doc, count whole-word hits of each topic's keyword list (RE2
+    word-boundary counts — Arrow and DuckDB bind the same regex
+    engine), assign the argmax topic (ties -> dictionary order), or
+    'none' when nothing hits.  Map-only.  Output (doc_id, topic,
+    n_hits)."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        hits = np.zeros((n, len(TOPIC_DICT)), dtype=np.int64)
+        for ti, (_t, words) in enumerate(TOPIC_DICT):
+            for w in words:
+                hits[:, ti] += pc.count_substring_regex(
+                    batch["text"], rf"\b{w}\b").to_numpy(zero_copy_only=False)
+        best = np.argmax(hits, axis=1)  # first max == dictionary order
+        n_hits = hits[np.arange(n), best]
+        topics = np.array([t for t, _ in TOPIC_DICT], dtype=object)[best]
+        topics = np.where(n_hits > 0, topics, "none")
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "topic": pa.array(topics.astype(str), type=pa.string()),
+            "n_hits": pa.array(n_hits),
+        })
+
+    return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_topic_tag() -> str:
+    cols = []
+    for ti, (_t, words) in enumerate(TOPIC_DICT):
+        terms = " + ".join(
+            f"len(regexp_extract_all(text, '\\b{w}\\b'))" for w in words)
+        cols.append(f"({terms}) AS h{ti}")
+    case = "CASE "
+    for ti, (t, _w) in enumerate(TOPIC_DICT):
+        others = " AND ".join(
+            f"h{ti} >= h{tj}" for tj in range(len(TOPIC_DICT)) if tj != ti)
+        prior = " AND ".join(
+            f"h{ti} > h{tj}" for tj in range(ti))
+        cond = others if not prior else f"{others} AND {prior}"
+        # argmax with first-wins ties: topic ti wins iff >= all and
+        # strictly greater than every EARLIER topic
+        case += f"WHEN {cond} THEN '{t}' "
+    case += "END"
+    hits_max = "greatest(" + ", ".join(
+        f"h{ti}" for ti in range(len(TOPIC_DICT))) + ")"
+    return f"""
+WITH th AS MATERIALIZED (
+  SELECT doc_id, {', '.join(cols)} FROM documents
+)
+SELECT doc_id,
+  CASE WHEN {hits_max} > 0 THEN {case} ELSE 'none' END AS topic,
+  CAST({hits_max} AS BIGINT) AS n_hits
+FROM th
+"""

@@ -649,3 +649,29 @@ def test_colocation_pairs_brute(ray_session):
     got = {(a, b): n for a, b, n in
            zip(df["user_a"], df["user_b"], df["n_contacts"])}
     assert got == want and len(want) > 0
+
+
+def test_home_cells_mode(ray_session):
+    """Brute modal-cell replay per user."""
+    from rhealpixdggs_py_ray.core import index as cidx
+    import pyarrow.parquet as pq
+
+    df = _df(Q.q_home_cells(SF)).set_index("user_id")
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "user_id"]).to_pandas()
+    lon, lat = oracle.lonlat_from_id(ev["event_id"].to_numpy())
+    u = cidx.cell_from_point(Q.CFG, Q.HOME_RES, lon, lat, plane=False)
+    ev["cell"] = su.to_string_fixed(u, Q.HOME_RES)
+    for uid, g in ev.groupby("user_id"):
+        vc = g.groupby("cell").size()
+        best = sorted(vc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert df.loc[uid, "home_cell"] == best[0]
+        assert df.loc[uid, "n_home"] == best[1]
+        assert df.loc[uid, "n_total"] == len(g)
+
+
+def test_topic_tag_rule(ray_session):
+    df = _df(Q.q_topic_tag(SF))
+    assert set(df["topic"].unique()) <= (
+        {t for t, _ in Q.TOPIC_DICT} | {"none"})
+    assert ((df["topic"] == "none") == (df["n_hits"] == 0)).all()
