@@ -13743,3 +13743,147 @@ SELECT doc_id,
   CAST({hits_max} AS BIGINT) AS n_hits
 FROM th
 """
+
+
+# ---------------------------------------------------------------------------
+# Antimeridian fence + group-aware split + rendezvous sharding
+# ---------------------------------------------------------------------------
+
+DATELINE_FENCE = (170.0, -25.0, -170.0, 25.0)  # lon wraps across +-180
+
+
+def q_dateline_fence(sf_dir: str):
+    """Fence that CROSSES the antimeridian (lon >= 170 OR lon <= -170):
+    per res-2 face, count of contained events — the wrap case every
+    naive bbox filter gets wrong.  Pure map + tiny aggregate."""
+    lon1, lat1, lon2, lat2 = DATELINE_FENCE
+    ds = indexed_events(sf_dir, resolution=2)
+
+    def refine(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        keep = ((lon >= lon1) | (lon <= lon2)) & (lat >= lat1) & (lat <= lat2)
+        cell = batch["cell_id"].to_numpy(zero_copy_only=False)[keep]
+        face = np.array([c[0] for c in cell], dtype=object)
+        uq, n = np.unique(face, return_counts=True)
+        return pa.table({"face_id": pa.array(uq.astype(str), type=pa.string()),
+                         "n": pa.array(n.astype(np.int64))})
+
+    return ds.map_batches(
+        refine, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("face_id").aggregate(Sum("n", alias_name="n"))
+
+
+def sql_dateline_fence() -> str:
+    lon1, lat1, lon2, lat2 = DATELINE_FENCE
+    inner = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), 2, CFG, id_cols=("event_id",)
+    )
+    lon, lat = oracle.lonlat_from_id_sql("event_id")
+    return (
+        f"SELECT substr(cell_id, 1, 1) AS face_id, CAST(COUNT(*) AS BIGINT)"
+        f" AS n FROM {inner} t"
+        f" WHERE (({lon}) >= {lon1!r} OR ({lon}) <= {lon2!r})"
+        f" AND ({lat}) >= {lat1!r} AND ({lat}) <= {lat2!r} GROUP BY 1"
+    )
+
+
+def q_group_split(sf_dir: str):
+    """Group-aware train/val/test split (leakage prevention): the WHOLE
+    source goes to one split by md5(source) % 100 (< 80 train, < 90
+    val, else test) — documents of one origin can never straddle the
+    boundary.  Map-only.  Output (doc_id, source, split)."""
+    from rhealpixdggs_py_ray.ops.dedup import md5_u64_many
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        h = md5_u64_many(src) % np.uint64(100)
+        split = np.where(h < 80, "train", np.where(h < 90, "val", "test"))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "source": batch["source"],
+            "split": pa.array(split.astype(str), type=pa.string()),
+        })
+
+    return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_group_split() -> str:
+    return """
+SELECT doc_id, source,
+  CASE WHEN md5_number_lower(source) % 100 < 80 THEN 'train'
+       WHEN md5_number_lower(source) % 100 < 90 THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+"""
+
+
+RENDEZVOUS_SERVERS = 8
+RENDEZVOUS_R = 3
+
+
+def q_rendezvous_shards(sf_dir: str):
+    """Rendezvous (highest-random-weight) replica placement: every
+    occupied res-2 tile picks its top-R of S servers by
+    md5(tile || ':' || server) — adding/removing a server moves only
+    1/S of the keys, the standard serving-shard assignment.  Map-only
+    over the bounded distinct-tile set.  Output (tile_id, server,
+    rank)."""
+    from rhealpixdggs_py_ray.ops.agg import sum_by_u64_key
+    from rhealpixdggs_py_ray.ops.dedup import md5_u64
+
+    ds = indexed_events(sf_dir, resolution=2)
+
+    def cells(batch: pa.Table) -> pa.Table:
+        u = batch["cell_u64"].to_numpy(zero_copy_only=False)
+        return pa.table({"key": pa.array(u, type=pa.uint64()),
+                         "one": pa.array(np.ones(len(u), dtype=np.int64))})
+
+    occ = sum_by_u64_key(
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True),
+        "key", "one", "n")
+
+    def place(batch: pa.Table) -> pa.Table:
+        u = batch["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        tiles = su.to_string_fixed(u, 2)
+        S, R = RENDEZVOUS_SERVERS, RENDEZVOUS_R
+        n = len(tiles)
+        H = np.empty((n, S), dtype=np.uint64)
+        for s in range(S):
+            H[:, s] = np.fromiter(
+                (md5_u64(f"{t}:{s}") for t in tiles), dtype=np.uint64,
+                count=n)
+        # exact u64 descending with (w DESC, server ASC) ties: bitwise
+        # NOT inverts the order losslessly, stable argsort keeps the
+        # lower server first on (impossible) ties
+        order = np.argsort(~H, axis=1, kind="stable")
+        top = order[:, :R]
+        return pa.table({
+            "tile_id": pa.array(np.repeat(tiles, R), type=pa.string()),
+            "server": pa.array(top.ravel().astype(np.int64)),
+            "rank": pa.array(np.tile(np.arange(1, R + 1, dtype=np.int64), n)),
+        })
+
+    return occ.map_batches(place, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_rendezvous_shards() -> str:
+    inner = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), 2, CFG, id_cols=("event_id",)
+    )
+    S, R = RENDEZVOUS_SERVERS, RENDEZVOUS_R
+    return f"""
+WITH rtiles AS MATERIALIZED (
+  SELECT DISTINCT cell_id AS tile_id FROM {inner} t
+),
+rw AS MATERIALIZED (
+  SELECT tile_id, s.s AS server,
+    md5_number_lower(tile_id || ':' || CAST(s.s AS VARCHAR)) AS w
+  FROM rtiles, (SELECT unnest(generate_series(0, {S - 1})) AS s) s
+)
+SELECT tile_id, CAST(server AS BIGINT) AS server,
+  row_number() OVER (PARTITION BY tile_id ORDER BY w DESC, server) AS rank
+FROM rw QUALIFY rank <= {R}
+"""

@@ -675,3 +675,36 @@ def test_topic_tag_rule(ray_session):
     assert set(df["topic"].unique()) <= (
         {t for t, _ in Q.TOPIC_DICT} | {"none"})
     assert ((df["topic"] == "none") == (df["n_hits"] == 0)).all()
+
+
+def test_group_split_integrity(ray_session):
+    """Every source lands wholly in one split."""
+    df = _df(Q.q_group_split(SF))
+    assert (df.groupby("source")["split"].nunique() == 1).all()
+    assert set(df["split"].unique()) <= {"train", "val", "test"}
+
+
+def test_rendezvous_stability(ray_session):
+    """HRW property: removing one server only reassigns tiles that had
+    it in their top-R (replayed from the weights)."""
+    from rhealpixdggs_py_ray.ops.dedup import md5_u64
+
+    df = _df(Q.q_rendezvous_shards(SF))
+    tiles = df["tile_id"].unique()
+    S, R = Q.RENDEZVOUS_SERVERS, Q.RENDEZVOUS_R
+    for t in tiles[:30]:
+        w = {s: md5_u64(f"{t}:{s}") for s in range(S)}
+        want = [s for s, _ in sorted(w.items(), key=lambda kv: (-kv[1], kv[0]))][:R]
+        got = df[df["tile_id"] == t].sort_values("rank")["server"].tolist()
+        assert got == want
+        # drop server want[-1]: top-R of remaining = stable prefix + next
+        w2 = {s: v for s, v in w.items() if s != want[0]}
+        want2 = [s for s, _ in sorted(w2.items(), key=lambda kv: (-kv[1], kv[0]))][:R]
+        assert want2[:R - 1] == want[1:R]
+
+
+def test_dateline_fence_nonempty_and_wraps(ray_session):
+    df = _df(Q.q_dateline_fence(SF))
+    assert df["n"].sum() > 0
+    # only equatorial faces at |lat| <= 25
+    assert set(df["face_id"]) <= {"O", "P", "Q", "R"}
