@@ -11888,30 +11888,38 @@ def q_adaptive_cover(sf_dir: str):
     one exchange); the selection runs on the counts table, which is
     bounded by the GRID size at max res (6*9^4 cells), not the corpus.
     Output (cell_id, res, n)."""
+    from rhealpixdggs_py_ray.ops.agg import sum_by_u64_key
+
     ds = indexed_events(sf_dir, resolution=ADAPT_MAX_RES)
 
     def partial(batch: pa.Table) -> pa.Table:
+        # the packed SUID already carries its resolution, so ONE u64
+        # key covers every pyramid level — a single cheap exchange
+        # instead of a two-key string aggregate (the CLAUDE.md
+        # pathology; this stage measured 6.0 s -> ~2.5 s at sf0.1)
         u = batch["cell_u64"].to_numpy(zero_copy_only=False)
-        res_out, tile_out, n_out = [], [], []
+        keys, ns = [], []
         for r in range(ADAPT_MAX_RES + 1):
             uq, cnt = np.unique(su.parent(u, r), return_counts=True)
-            res_out.append(np.full(len(uq), r, dtype=np.int64))
-            tile_out.append(su.to_string_fixed(uq, r))
-            n_out.append(cnt.astype(np.int64))
+            keys.append(uq)
+            ns.append(cnt.astype(np.int64))
         return pa.table({
-            "res": pa.array(np.concatenate(res_out)),
-            "tile_id": pa.array(np.concatenate(tile_out), type=pa.string()),
-            "n": pa.array(np.concatenate(n_out)),
+            "key": pa.array(np.concatenate(keys).astype(np.uint64)),
+            "one": pa.array(np.concatenate(ns)),
         })
 
-    counts = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["res", "tile_id"])
-        .aggregate(Sum("n", alias_name="n"))
+    counts_ds = sum_by_u64_key(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "key", "one", "n",
     ).to_pandas()  # bounded by grid size at max res, not by data
-    t = counts["tile_id"].to_numpy()
-    r = counts["res"].to_numpy().astype(np.int64)
-    n = counts["n"].to_numpy().astype(np.int64)
+    ku = counts_ds["key"].to_numpy().astype(np.uint64)
+    r = su.resolution_of(ku)
+    t = np.empty(len(ku), dtype=object)
+    for rr in range(ADAPT_MAX_RES + 1):
+        m_ = r == rr
+        if m_.any():
+            t[m_] = su.to_string_fixed(ku[m_], rr)
+    n = counts_ds["n"].to_numpy().astype(np.int64)
     parent = np.array([x[:rr] if rr > 0 else "" for x, rr in zip(t, r)],
                       dtype=object)
     lut = dict(zip(t, n))
