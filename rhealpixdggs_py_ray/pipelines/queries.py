@@ -13895,3 +13895,101 @@ SELECT tile_id, CAST(server AS BIGINT) AS server,
   row_number() OVER (PARTITION BY tile_id ORDER BY w DESC, server) AS rank
 FROM rw QUALIFY rank <= {R}
 """
+
+
+# ---------------------------------------------------------------------------
+# Global sort + embedding int8 quantization audit
+# ---------------------------------------------------------------------------
+
+def q_global_sort(sf_dir: str):
+    """Top-100 events by (value DESC, event_id ASC) through Ray Data's
+    native distributed sort-exchange (`Dataset.sort`) — the one
+    operator family the suite otherwise avoids in favor of bucketed
+    exchanges; kept narrow (2 columns in, 100 rows out) so the
+    all-to-all moves minimum bytes.  Output (rank, event_id, cents)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "value"], blocks=4)
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"],
+            "neg_cents": pa.array(-np.floor(
+                batch["value"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)),
+        })
+
+    top = (
+        ds.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["neg_cents", "event_id"])
+        .limit(100)
+    ).to_pandas()
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
+        "event_id": pa.array(top["event_id"].to_numpy().astype(np.int64)),
+        "cents": pa.array((-top["neg_cents"].to_numpy()).astype(np.int64)),
+    })
+
+
+def sql_global_sort() -> str:
+    return """
+SELECT row_number() OVER (ORDER BY CAST(floor(value * 100) AS BIGINT) DESC,
+    event_id) AS rank,
+  event_id, CAST(floor(value * 100) AS BIGINT) AS cents
+FROM events
+ORDER BY rank LIMIT 100
+"""
+
+
+QUANT_BITS = 127
+
+
+def q_quantize_embeddings(sf_dir: str):
+    """Int8 scalar quantization audit (the vector-store compression
+    step): per vector, scale = max_abs/127, q_i = floor(x_i/scale)
+    clipped to [-127, 127], reporting the exact reconstruction error
+    sum((x - q*scale)^2) as floor(err * 1e12).  Map-only; the fold
+    mirrors the SQL list expressions element-by-element.  Output
+    (vec_id, max_abs_micros, err_e12)."""
+    from rhealpixdggs_py_ray.ops.dedup import _emb_matrix
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def quant(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        M = _emb_matrix(batch)
+        amax = np.zeros(M.shape[0], dtype=np.float64)
+        for i in range(M.shape[1]):  # seq fold == SQL list_max order
+            amax = np.maximum(amax, np.abs(M[:, i]))
+        scale = amax / 127.0
+        err = np.zeros(M.shape[0], dtype=np.float64)
+        for i in range(M.shape[1]):
+            q = np.clip(np.floor(M[:, i] / scale), -127, 127)
+            d = M[:, i] - q * scale
+            err = err + d * d
+        return pa.table({
+            "vec_id": pa.array(ids),
+            "max_abs_micros": pa.array(
+                np.floor(amax * 1000000.0).astype(np.int64)),
+            "err_e12": pa.array(np.floor(err * 1e12).astype(np.int64)),
+        })
+
+    return ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_quantize_embeddings() -> str:
+    return f"""
+WITH qe AS MATERIALIZED (
+  SELECT vec_id, embedding,
+    list_max(list_transform(embedding,
+      x -> abs(CAST(x AS DOUBLE)))) AS amax
+  FROM embeddings
+)
+SELECT vec_id,
+  CAST(floor(amax * 1000000.0) AS BIGINT) AS max_abs_micros,
+  CAST(floor(list_sum(list_transform(embedding, x ->
+    (CAST(x AS DOUBLE) - greatest(least(floor(CAST(x AS DOUBLE)
+        / (amax / 127.0)), 127.0), -127.0) * (amax / 127.0))
+    * (CAST(x AS DOUBLE) - greatest(least(floor(CAST(x AS DOUBLE)
+        / (amax / 127.0)), 127.0), -127.0) * (amax / 127.0))
+  )) * 1e12) AS BIGINT) AS err_e12
+FROM qe
+"""

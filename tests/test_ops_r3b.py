@@ -708,3 +708,21 @@ def test_dateline_fence_nonempty_and_wraps(ray_session):
     assert df["n"].sum() > 0
     # only equatorial faces at |lat| <= 25
     assert set(df["face_id"]) <= {"O", "P", "Q", "R"}
+
+
+def test_global_sort_order(ray_session):
+    df = _df(Q.q_global_sort(SF))
+    c = df["cents"].to_numpy()
+    assert (np.diff(c) <= 0).all()
+    assert len(df) == 100 and (df["rank"] == np.arange(1, 101)).all()
+
+
+def test_quantize_error_bound(ray_session):
+    """Scalar int8 error per element is < scale, so total err <
+    d * scale^2."""
+    df = _df(Q.q_quantize_embeddings(SF))
+    amax = df["max_abs_micros"].to_numpy() / 1e6
+    err = df["err_e12"].to_numpy() / 1e12
+    bound = Q.EMB_D * (amax / 127.0) ** 2
+    assert (err <= bound + 1e-9).all()
+    assert (err >= 0).all()
