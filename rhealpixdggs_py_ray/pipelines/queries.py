@@ -13993,3 +13993,88 @@ SELECT vec_id,
   )) * 1e12) AS BIGINT) AS err_e12
 FROM qe
 """
+
+
+def q_daily_p95(sf_dir: str):
+    """Per-day exact p95 of event value (the SLO/latency monitoring
+    shape): per-batch (day, cent) histogram partials -> one bucketed
+    exchange -> per-day cumulative-rank pick k = ceil(0.95 n) as
+    (19n + 19) // 20.  Output (day, n, p95_c)."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"], blocks=4)
+    nb = 8
+
+    def part(batch: pa.Table) -> pa.Table:
+        t = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[D]")
+        day = t.astype(np.int64)
+        c = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        if len(c) and (np.abs(c) >= 500_000).any():
+            raise AssertionError("daily_p95 cent packing overflow (|value| >= 5000)")
+        key = day * 1_000_000 + (c + 500_000)  # cents within +-5e5, asserted
+        uq, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(
+                (uq // 1_000_000).astype(np.uint64), nb)),
+            "key": pa.array(uq),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    def pick(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "key" not in g.column_names:
+            return pa.table({"day": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64()),
+                             "p95_c": pa.array([], type=pa.int64())})
+        key = g["key"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        # merge duplicate (day, cent) partials, then rank within day
+        uq, inv = np.unique(key, return_inverse=True)
+        cnt = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(cnt, inv, n)
+        day = uq // 1_000_000
+        c = uq % 1_000_000 - 500_000
+        starts = np.flatnonzero(np.r_[True, day[1:] != day[:-1]])
+        lens = np.diff(np.append(starts, len(day)))
+        out_d, out_n, out_p = [], [], []
+        for s, L in zip(starts, lens):
+            cc = cnt[s:s + L]
+            tot = int(cc.sum())
+            k = (19 * tot + 19) // 20
+            pos = int(np.searchsorted(np.cumsum(cc), k))
+            out_d.append(int(day[s]))
+            out_n.append(tot)
+            out_p.append(int(c[s + pos]))
+        days = np.array(out_d, dtype="datetime64[D]")
+        return pa.table({
+            "day": pa.array(np.datetime_as_string(days, unit="D"),
+                            type=pa.string()),
+            "n": pa.array(np.array(out_n, dtype=np.int64)),
+            "p95_c": pa.array(np.array(out_p, dtype=np.int64)),
+        })
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(pick, batch_format="pyarrow")
+    )
+
+
+def sql_daily_p95() -> str:
+    return """
+WITH h AS MATERIALIZED (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+    CAST(floor(value * 100) AS BIGINT) AS c, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+cum AS MATERIALIZED (
+  SELECT day, c,
+    SUM(n) OVER (PARTITION BY day ORDER BY c) AS cn,
+    SUM(n) OVER (PARTITION BY day) AS tot
+  FROM h
+)
+SELECT day, CAST(MAX(tot) AS BIGINT) AS n,
+  MIN(CASE WHEN cn >= (19 * tot + 19) // 20 THEN c END) AS p95_c
+FROM cum GROUP BY day
+"""

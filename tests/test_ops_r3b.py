@@ -726,3 +726,18 @@ def test_quantize_error_bound(ray_session):
     bound = Q.EMB_D * (amax / 127.0) ** 2
     assert (err <= bound + 1e-9).all()
     assert (err >= 0).all()
+
+
+def test_daily_p95_rank_rule(ray_session):
+    import pyarrow.parquet as pq
+
+    df = _df(Q.q_daily_p95(SF)).set_index("day")
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "value"]).to_pandas()
+    ev["day"] = ev["ts"].dt.strftime("%Y-%m-%d")
+    ev["c"] = np.floor(ev["value"].to_numpy() * 100).astype(np.int64)
+    for day, g in ev.groupby("day"):
+        v = np.sort(g["c"].to_numpy())
+        k = (19 * len(v) + 19) // 20
+        assert df.loc[day, "p95_c"] == v[k - 1]
+        assert df.loc[day, "n"] == len(v)
