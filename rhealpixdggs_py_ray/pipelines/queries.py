@@ -14078,3 +14078,85 @@ SELECT day, CAST(MAX(tot) AS BIGINT) AS n,
   MIN(CASE WHEN cn >= (19 * tot + 19) // 20 THEN c END) AS p95_c
 FROM cum GROUP BY day
 """
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width binary record source
+# ---------------------------------------------------------------------------
+
+BINREC_N = 60000
+BINREC_SHARDS = 8
+BINREC_DIR = "/tmp/graft_binrec"
+
+
+def _write_binrec_fixture():
+    """Deterministic packed little-endian records (id:i64, v:i64
+    micros) across BINREC_SHARDS files — v = splitmix64(id) % 10^9."""
+    import os
+
+    from rhealpixdggs_py_ray.fixtures import splitmix64
+
+    marker = os.path.join(BINREC_DIR, f".done_{BINREC_N}_{BINREC_SHARDS}")
+    if os.path.exists(marker):
+        return
+    os.makedirs(BINREC_DIR, exist_ok=True)
+    per = BINREC_N // BINREC_SHARDS
+    for s in range(BINREC_SHARDS):
+        ids = np.arange(s * per, (s + 1) * per, dtype=np.int64)
+        v = (splitmix64(ids.astype(np.uint64))
+             % np.uint64(1_000_000_000)).astype(np.int64)
+        rec = np.empty((per, 2), dtype="<i8")
+        rec[:, 0] = ids
+        rec[:, 1] = v
+        with open(os.path.join(BINREC_DIR, f"part-{s:03d}.bin"), "wb") as f:
+            f.write(rec.tobytes())
+    open(marker, "w").close()
+
+
+def q_binary_source(sf_dir: str):
+    """Fixed-width binary record source: raw shard files read with
+    ``ray.data.read_binary_files`` (one row per file, bytes column),
+    parsed zero-copy with np.frombuffer inside map_batches, then a
+    tiny modulo-bucket aggregate.  The byte-level connector shape for
+    proprietary record formats at 100 TB: one read task per shard,
+    parse vectorized, nothing but partials shuffles."""
+    _write_binrec_fixture()
+    ds = ray.data.read_binary_files(BINREC_DIR, file_extensions=["bin"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        outs_k, outs_n, outs_s = [], [], []
+        for blob in batch["bytes"].to_pylist():
+            rec = np.frombuffer(blob, dtype="<i8").reshape(-1, 2)
+            ids, v = rec[:, 0], rec[:, 1]
+            k = ids % 7
+            uq, inv = np.unique(k, return_inverse=True)
+            n = np.bincount(inv, minlength=len(uq)).astype(np.int64)
+            sv = np.zeros(len(uq), dtype=np.int64)
+            np.add.at(sv, inv, v)
+            outs_k.append(uq)
+            outs_n.append(n)
+            outs_s.append(sv)
+        return pa.table({
+            "k": pa.array(np.concatenate(outs_k)),
+            "n": pa.array(np.concatenate(outs_n)),
+            "sum_v": pa.array(np.concatenate(outs_s)),
+        })
+
+    part = ds.map_batches(parse, batch_format="pyarrow", zero_copy_batch=True)
+    return part.groupby("k").aggregate(
+        Sum("n", alias_name="n"), Sum("sum_v", alias_name="sum_v"))
+
+
+def sql_binary_source() -> str:
+    # the records are generated from the same splitmix64 formula the
+    # fixture wrote, so the oracle replays the rule over a series
+    _write_binrec_fixture()
+    sm = oracle.splitmix64_sql_ctes(
+        f"SELECT unnest(generate_series(0, {BINREC_N - 1})) AS id",
+        "id", "id", "h", prefix="bsm")
+    return f"""
+SELECT CAST(id % 7 AS BIGINT) AS k,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(h % 1000000000 AS BIGINT)) AS BIGINT) AS sum_v
+FROM {sm} t GROUP BY 1
+"""

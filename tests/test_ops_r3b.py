@@ -741,3 +741,13 @@ def test_daily_p95_rank_rule(ray_session):
         k = (19 * len(v) + 19) // 20
         assert df.loc[day, "p95_c"] == v[k - 1]
         assert df.loc[day, "n"] == len(v)
+
+
+def test_binary_source_totals(ray_session):
+    from rhealpixdggs_py_ray.fixtures import splitmix64
+
+    df = _df(Q.q_binary_source(SF))
+    assert df["n"].sum() == Q.BINREC_N
+    ids = np.arange(Q.BINREC_N, dtype=np.uint64)
+    v = (splitmix64(ids) % np.uint64(1_000_000_000)).astype(np.int64)
+    assert df["sum_v"].sum() == v.sum()
