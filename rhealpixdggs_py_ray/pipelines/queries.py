@@ -14160,3 +14160,134 @@ SELECT CAST(id % 7 AS BIGINT) AS k,
   CAST(SUM(CAST(h % 1000000000 AS BIGINT)) AS BIGINT) AS sum_v
 FROM {sm} t GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup clusters (band LSH + Hamming verify + cc)
+# ---------------------------------------------------------------------------
+
+SIMHAM_MAX = 8
+
+
+def q_simhash_clusters(sf_dir: str):
+    """SimHash near-dup clusters, completing the dedup-family symmetry
+    (minhash and phash both have cluster steps): 64-bit simhash ->
+    4x16-bit band candidates (signatures ride the band rows, 16 bytes)
+    -> exact Hamming verify inside the band bucket -> per-pair dedup
+    (min over the duplicate band hits) -> connected components.
+    Output (doc_id, cluster_id, keep)."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+    from rhealpixdggs_py_ray.ops.cc import connected_components
+    from rhealpixdggs_py_ray.ops.dedup import SimHasher
+
+    nb = 8
+    sigs = _docs(sf_dir).map_batches(
+        SimHasher, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=sizing.pool())
+
+    def bands(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        hi = batch["sim_hi"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        lo = batch["sim_lo"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        sig = (hi << np.uint64(32)) | lo
+        t_l, b_l, d_l, s_l = [], [], [], []
+        for t in range(4):
+            bk = ((sig >> np.uint64(16 * t)) & np.uint64(0xFFFF)).astype(np.int64)
+            key = np.int64(t) * np.int64(1 << 16) + bk
+            t_l.append(key)
+            d_l.append(d)
+            s_l.append(sig)
+        key = np.concatenate(t_l)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(key.astype(np.uint64), nb)),
+            "bandkey": pa.array(key),
+            "doc_id": pa.array(np.concatenate(d_l)),
+            "sig": pa.array(np.concatenate(s_l)),
+        })
+
+    def cand_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "bandkey" not in g.column_names:
+            return pa.table({"pkey": pa.array([], type=pa.uint64()),
+                             "ham": pa.array([], type=pa.int64())})
+        bk = g["bandkey"].to_numpy(zero_copy_only=False)
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        sig = g["sig"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((d, bk))
+        bk, d, sig = bk[order], d[order], sig[order]
+        starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        lens = np.diff(np.append(starts, len(bk)))
+        pk_l, hm_l = [], []
+        for s, L in zip(starts, lens):
+            if L < 2:
+                continue
+            dd = d[s:s + L]
+            ss = sig[s:s + L]
+            i, j = np.triu_indices(L, k=1)
+            x = ss[i] ^ ss[j]
+            ham = np.zeros(len(x), dtype=np.int64)
+            for b in range(64):
+                ham += ((x >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+            keep = (ham <= SIMHAM_MAX) & (dd[i] != dd[j])
+            a = np.minimum(dd[i][keep], dd[j][keep]).astype(np.uint64)
+            b2 = np.maximum(dd[i][keep], dd[j][keep]).astype(np.uint64)
+            pk_l.append(a * np.uint64(1 << 32) + b2)
+            hm_l.append(ham[keep])
+        if not pk_l:
+            return pa.table({"pkey": pa.array([], type=pa.uint64()),
+                             "ham": pa.array([], type=pa.int64())})
+        return pa.table({"pkey": pa.array(np.concatenate(pk_l)),
+                         "ham": pa.array(np.concatenate(hm_l))})
+
+    cand = (
+        sigs.map_batches(bands, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(cand_pairs, batch_format="pyarrow")
+    )
+
+    def dedup_key(batch: pa.Table) -> pa.Table:
+        pk = batch["pkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return batch.append_column(
+            "bucket", pa.array(hash_bucket_u64(pk, nb)))
+
+    def dedup_reduce(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "pkey" not in g.column_names:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64())})
+        pk = g["pkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        uq = np.unique(pk)
+        return pa.table({
+            "a": pa.array((uq >> np.uint64(32)).astype(np.int64)),
+            "b": pa.array((uq & np.uint64((1 << 32) - 1)).astype(np.int64)),
+        })
+
+    pairs = (
+        cand.map_batches(dedup_key, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(dedup_reduce, batch_format="pyarrow")
+    )
+    return connected_components(pairs)
+
+
+def sql_simhash_clusters() -> str:
+    from rhealpixdggs_py_ray.ops import cc, dedup
+
+    sig = dedup.simhash_sql()
+    pairs = f"""
+WITH ssig AS MATERIALIZED ({sig}),
+sfull AS MATERIALIZED (
+  SELECT doc_id,
+    CAST(sim_hi AS UBIGINT) * 4294967296 + CAST(sim_lo AS UBIGINT) AS sig
+  FROM ssig
+),
+sbands AS MATERIALIZED (
+  SELECT doc_id, sig, t.t AS t,
+    CAST((sig >> CAST(16 * t.t AS UBIGINT)) & 65535 AS BIGINT) AS bkey
+  FROM sfull, (SELECT unnest(generate_series(0, 3)) AS t) t
+)
+SELECT DISTINCT least(l.doc_id, r.doc_id) AS a,
+  greatest(l.doc_id, r.doc_id) AS b
+FROM sbands l JOIN sbands r
+  ON l.t = r.t AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+WHERE bit_count(xor(l.sig, r.sig)) <= {SIMHAM_MAX}
+"""
+    return cc.connected_components_sql(pairs)

@@ -751,3 +751,33 @@ def test_binary_source_totals(ray_session):
     ids = np.arange(Q.BINREC_N, dtype=np.uint64)
     v = (splitmix64(ids) % np.uint64(1_000_000_000)).astype(np.int64)
     assert df["sum_v"].sum() == v.sum()
+
+
+def test_simhash_clusters_members_are_banded_neardups(ray_session):
+    """Every cluster member shares a 16-bit band AND hamming <= max
+    with at least one other member (replayed from q_simhash sigs)."""
+    sc = _df(Q.q_simhash_clusters(SF))
+    if len(sc) == 0:
+        import pytest
+        pytest.skip("no simhash near-dups at sf0.001")
+    sig_df = _df(Q.q_simhash(SF))
+    sig = {d: (int(h) << 32) | int(l) for d, h, l in zip(
+        sig_df["doc_id"], sig_df["sim_hi"], sig_df["sim_lo"])}
+    by_cluster = {}
+    for d, c in zip(sc["doc_id"], sc["cluster_id"]):
+        by_cluster.setdefault(c, []).append(d)
+    for c, members in by_cluster.items():
+        assert len(members) >= 2
+        assert min(members) == c
+        for d in members:
+            ok = False
+            for o in members:
+                if o == d:
+                    continue
+                x = sig[d] ^ sig[o]
+                if bin(x).count("1") <= Q.SIMHAM_MAX and any(
+                    ((sig[d] >> (16 * t)) & 0xFFFF)
+                    == ((sig[o] >> (16 * t)) & 0xFFFF) for t in range(4)):
+                    ok = True
+                    break
+            assert ok, (c, d)
