@@ -14291,3 +14291,71 @@ FROM sbands l JOIN sbands r
 WHERE bit_count(xor(l.sig, r.sig)) <= {SIMHAM_MAX}
 """
     return cc.connected_components_sql(pairs)
+
+
+TILE_CHANGE_SPLIT = "2024-01-16"
+
+
+def q_tile_change(sf_dir: str):
+    """Spatiotemporal change detection: per res-2 tile, event counts
+    before/after the split date and the signed delta — the
+    monitoring diff that drives re-tiling and anomaly review.  One
+    pass, one tiny tile aggregate (side packed into the partial)."""
+    from rhealpixdggs_py_ray.core import index as cidx
+
+    split = np.datetime64(TILE_CHANGE_SPLIT, "us")
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"], blocks=4)
+
+    def part(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        lon, lat = oracle.lonlat_from_id(ids)
+        u = cidx.cell_from_point(CFG, TILE_RES, lon, lat, plane=False)
+        tile = su.to_string_fixed(u, TILE_RES)
+        after = (ts >= split).astype(np.int64)
+        df = pd.DataFrame({"t": tile, "a": after})
+        g = df.groupby(["t", "a"], sort=False).size().reset_index(name="n")
+        return pa.table({
+            "tile_id": pa.array(g["t"].to_numpy(), type=pa.string()),
+            "n_before": pa.array(
+                np.where(g["a"].to_numpy() == 0, g["n"].to_numpy(), 0
+                         ).astype(np.int64)),
+            "n_after": pa.array(
+                np.where(g["a"].to_numpy() == 1, g["n"].to_numpy(), 0
+                         ).astype(np.int64)),
+        })
+
+    out = (
+        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tile_id")
+        .aggregate(Sum("n_before", alias_name="n_before"),
+                   Sum("n_after", alias_name="n_after"))
+    )
+
+    def delta(batch: pa.Table) -> pa.Table:
+        nb_ = batch["n_before"].to_numpy(zero_copy_only=False)
+        na_ = batch["n_after"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "tile_id": batch["tile_id"],
+            "n_before": pa.array(nb_), "n_after": pa.array(na_),
+            "delta": pa.array(na_ - nb_),
+        })
+
+    return out.map_batches(delta, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_tile_change() -> str:
+    inner = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), TILE_RES, CFG, id_cols=("event_id",)
+    )
+    return f"""
+SELECT t.cell_id AS tile_id,
+  CAST(SUM(CASE WHEN e.ts < TIMESTAMP '{TILE_CHANGE_SPLIT}' THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_before,
+  CAST(SUM(CASE WHEN e.ts >= TIMESTAMP '{TILE_CHANGE_SPLIT}' THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_after,
+  CAST(SUM(CASE WHEN e.ts >= TIMESTAMP '{TILE_CHANGE_SPLIT}' THEN 1 ELSE -1 END)
+    AS BIGINT) AS delta
+FROM {inner} t JOIN events e ON e.event_id = t.event_id
+GROUP BY 1
+"""

@@ -781,3 +781,13 @@ def test_simhash_clusters_members_are_banded_neardups(ray_session):
                     ok = True
                     break
             assert ok, (c, d)
+
+
+def test_tile_change_totals(ray_session):
+    import pyarrow.parquet as pq
+
+    df = _df(Q.q_tile_change(SF))
+    n = pq.read_metadata(f"{SF}/events.parquet").num_rows
+    assert (df["n_before"] + df["n_after"]).sum() == n
+    assert (df["delta"] == df["n_after"] - df["n_before"]).all()
+    assert df["n_before"].sum() > 0 and df["n_after"].sum() > 0
