@@ -14359,3 +14359,109 @@ SELECT t.cell_id AS tile_id,
 FROM {inner} t JOIN events e ON e.event_id = t.event_id
 GROUP BY 1
 """
+
+
+Q3_DATE = "1998-06-15"
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape end-to-end: orders placed before Q3_DATE joined
+    to lineitems shipped after it, per-order revenue, global top-10 by
+    (revenue DESC, orderkey).  Both narrow filtered sides meet in ONE
+    union bucket exchange on h(orderkey); each bucket emits only its
+    local top-10, the driver merges 8x10 rows.  Output (rank,
+    o_orderkey, revenue_c)."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    D = np.datetime64(Q3_DATE, "us")
+    nb = 8
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"], blocks=4)
+    od = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"],
+               blocks=4)
+
+    def li_side(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]")
+        m = ship > D
+        k = batch["l_orderkey"].to_numpy(zero_copy_only=False)[m]
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+        d = batch["l_discount"].to_numpy(zero_copy_only=False)[m]
+        r = np.floor(p * (1 - d) * 100).astype(np.int64)
+        uq, inv = np.unique(k, return_inverse=True)
+        rev = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(rev, inv, r)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(uq.astype(np.uint64), nb)),
+            "side": pa.array(np.zeros(len(uq), dtype=np.int64)),
+            "key": pa.array(uq.astype(np.int64)),
+            "rev": pa.array(rev),
+        })
+
+    def od_side(batch: pa.Table) -> pa.Table:
+        odt = batch["o_orderdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]")
+        m = odt < D
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False)[m]
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(k.astype(np.uint64), nb)),
+            "side": pa.array(np.ones(len(k), dtype=np.int64)),
+            "key": pa.array(k.astype(np.int64)),
+            "rev": pa.array(np.zeros(len(k), dtype=np.int64)),
+        })
+
+    def resolve(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "key" not in g.column_names:
+            return pa.table({"o_orderkey": pa.array([], type=pa.int64()),
+                             "revenue_c": pa.array([], type=pa.int64())})
+        side = g["side"].to_numpy(zero_copy_only=False)
+        key = g["key"].to_numpy(zero_copy_only=False)
+        rev = g["rev"].to_numpy(zero_copy_only=False)
+        lk, lr = key[side == 0], rev[side == 0]
+        ok = np.unique(key[side == 1])
+        uq, inv = np.unique(lk, return_inverse=True)
+        s = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(s, inv, lr)
+        if len(ok):
+            pos = np.clip(np.searchsorted(ok, uq), 0, len(ok) - 1)
+            m = ok[pos] == uq
+        else:
+            m = np.zeros(len(uq), dtype=bool)
+        uq, s = uq[m], s[m]
+        order = np.lexsort((uq, -s))[:10]  # local top-10
+        return pa.table({"o_orderkey": pa.array(uq[order]),
+                         "revenue_c": pa.array(s[order])})
+
+    merged = (
+        li.map_batches(li_side, batch_format="pyarrow", zero_copy_batch=True)
+        .union(od.map_batches(od_side, batch_format="pyarrow",
+                              zero_copy_batch=True))
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pyarrow")
+    ).to_pandas()  # <= nb*10 rows
+    order = np.lexsort((merged["o_orderkey"].to_numpy(),
+                        -merged["revenue_c"].to_numpy()))[:10]
+    top = merged.iloc[order]
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
+        "o_orderkey": pa.array(top["o_orderkey"].to_numpy().astype(np.int64)),
+        "revenue_c": pa.array(top["revenue_c"].to_numpy().astype(np.int64)),
+    })
+
+
+def sql_shipping_priority() -> str:
+    return f"""
+WITH r AS MATERIALIZED (
+  SELECT l.l_orderkey AS o_orderkey,
+    SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+      AS revenue_c
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_shipdate > TIMESTAMP '{Q3_DATE}'
+    AND o.o_orderdate < TIMESTAMP '{Q3_DATE}'
+  GROUP BY 1
+)
+SELECT row_number() OVER (ORDER BY revenue_c DESC, o_orderkey) AS rank,
+  o_orderkey, CAST(revenue_c AS BIGINT) AS revenue_c
+FROM r ORDER BY rank LIMIT 10
+"""

@@ -791,3 +791,18 @@ def test_tile_change_totals(ray_session):
     assert (df["n_before"] + df["n_after"]).sum() == n
     assert (df["delta"] == df["n_after"] - df["n_before"]).all()
     assert df["n_before"].sum() > 0 and df["n_after"].sum() > 0
+
+
+def test_shipping_priority_brute(ray_session):
+    import duckdb
+
+    df = _df(Q.q_shipping_priority(SF))
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM"
+                    f" read_parquet('{SF}/{t}.parquet')")
+    want = con.execute(Q.sql_shipping_priority()).df()
+    assert np.array_equal(df["o_orderkey"].to_numpy(),
+                          want["o_orderkey"].to_numpy())
+    assert np.array_equal(df["revenue_c"].to_numpy(),
+                          want["revenue_c"].to_numpy())
