@@ -512,8 +512,14 @@ def knn_graph(emb_ds, k: int = 5, chunk_rows: int | None = None,
     resolve per qid inside a bounded hash-bucket exchange (never a
     per-qid Ray aggregate — qid cardinality is the corpus).  Worker
     memory is O(chunk_rows^2); driver holds nothing.  Parity: seq-fold
-    cosines, (cos DESC, vec_id ASC) ties, floor micros."""
+    cosines, (cos DESC, vec_id ASC) ties, floor micros.
+
+    Scratch lifecycle: when we create the scratch dir ourselves the
+    (bounded, n*k-row) result is materialized and the dir removed before
+    returning, so repeated runs never accumulate /tmp parquet; pass
+    scratch_dir to manage it externally and get a lazy result."""
     import os
+    import shutil
     import tempfile
 
     import pyarrow.parquet as pq
@@ -525,6 +531,7 @@ def knn_graph(emb_ds, k: int = 5, chunk_rows: int | None = None,
     if chunk_rows is None:
         chunk_rows = max(512, -(-n // 64))
     K = max(1, -(-n // chunk_rows))
+    own_scratch = scratch_dir is None
     scratch = scratch_dir or tempfile.mkdtemp(prefix="knn_graph_", dir="/tmp")
 
     def add_chunk(batch: pa.Table) -> pa.Table:
@@ -548,10 +555,17 @@ def knn_graph(emb_ds, k: int = 5, chunk_rows: int | None = None,
         def _load(self, c: int):
             hit = self.cache.get(c)
             if hit is None:
-                t = pq.read_table(os.path.join(scratch, f"chunk={c}"))
-                ids = t["vec_id"].to_numpy().astype(np.int64)
-                M = _emb_matrix(t)
-                hit = (ids, M, _seq_norm(M))
+                path = os.path.join(scratch, f"chunk={c}")
+                if not os.path.isdir(path):
+                    # sparse vec_ids can leave a residue class empty —
+                    # no partition dir is written for it
+                    hit = (np.array([], dtype=np.int64),
+                           np.zeros((0, 0)), np.array([], dtype=np.float64))
+                else:
+                    t = pq.read_table(path)
+                    ids = t["vec_id"].to_numpy().astype(np.int64)
+                    M = _emb_matrix(t)
+                    hit = (ids, M, _seq_norm(M))
                 if len(self.cache) >= 8:
                     self.cache.clear()
                 self.cache[c] = hit
@@ -562,6 +576,8 @@ def knn_graph(emb_ds, k: int = 5, chunk_rows: int | None = None,
             for ci, cj in zip(batch["ci"].to_pylist(), batch["cj"].to_pylist()):
                 ia, Ma, na = self._load(int(ci))
                 ib, Mb, nb_ = self._load(int(cj))
+                if len(ia) == 0 or len(ib) == 0:
+                    continue
                 S = _seq_dots(Ma, Mb) / (na[:, None] * nb_[None, :])
                 S[ia[:, None] == ib[None, :]] = -np.inf
                 # rows of chunk j query against chunk i: S columns
@@ -607,11 +623,15 @@ def knn_graph(emb_ds, k: int = 5, chunk_rows: int | None = None,
                 np.floor(c[m] * 1000000.0).astype(np.int64)),
         })
 
-    return (
+    out = (
         partials.map_batches(bucketed, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
         .map_groups(resolve, batch_format="pyarrow")
     )
+    if own_scratch:
+        out = out.materialize()  # bounded: n*k rows of 4 int64 columns
+        shutil.rmtree(scratch, ignore_errors=True)
+    return out
 
 
 def knn_graph_sql(k: int = 5) -> str:

@@ -1042,8 +1042,13 @@ def embedding_dedup_pairs(emb_ds, tau: float = 0.4, chunk_rows: int | None = Non
 
     Float parity with ``embedding_dedup_sql``: dots and norms accumulate
     dimension-by-dimension left-to-right (ops/ann._seq_*), mirroring the
-    SQL list_sum fold.  Output (a, b, cos_micros)."""
+    SQL list_sum fold.  Output (a, b, cos_micros).
+
+    Scratch lifecycle: when we create the scratch dir ourselves the
+    (threshold-bounded) pair result is materialized and the dir removed
+    before returning, so repeated runs never accumulate /tmp parquet."""
     import os
+    import shutil
     import tempfile
 
     import pyarrow.parquet as pq
@@ -1056,6 +1061,7 @@ def embedding_dedup_pairs(emb_ds, tau: float = 0.4, chunk_rows: int | None = Non
         # a floor so tiny corpora still fan out
         chunk_rows = max(512, -(-n // 64))
     K = max(1, -(-n // chunk_rows))
+    own_scratch = scratch_dir is None
     scratch = scratch_dir or tempfile.mkdtemp(prefix="emb_dedup_", dir="/tmp")
 
     def add_chunk(batch: pa.Table) -> pa.Table:
@@ -1078,10 +1084,17 @@ def embedding_dedup_pairs(emb_ds, tau: float = 0.4, chunk_rows: int | None = Non
         def _load(self, c: int):
             hit = self.cache.get(c)
             if hit is None:
-                t = pq.read_table(os.path.join(scratch, f"chunk={c}"))
-                ids = t["vec_id"].to_numpy().astype(np.int64)
-                M = _emb_matrix(t)
-                hit = (ids, M, _seq_norm(M))
+                path = os.path.join(scratch, f"chunk={c}")
+                if not os.path.isdir(path):
+                    # sparse vec_ids can leave a residue class empty —
+                    # no partition dir is written for it
+                    hit = (np.array([], dtype=np.int64),
+                           np.zeros((0, 0)), np.array([], dtype=np.float64))
+                else:
+                    t = pq.read_table(path)
+                    ids = t["vec_id"].to_numpy().astype(np.int64)
+                    M = _emb_matrix(t)
+                    hit = (ids, M, _seq_norm(M))
                 if len(self.cache) >= 8:
                     self.cache.clear()
                 self.cache[c] = hit
@@ -1092,6 +1105,8 @@ def embedding_dedup_pairs(emb_ds, tau: float = 0.4, chunk_rows: int | None = Non
             for ci, cj in zip(batch["ci"].to_pylist(), batch["cj"].to_pylist()):
                 ia, Ma, na = self._load(int(ci))
                 ib, Mb, nb = self._load(int(cj))
+                if len(ia) == 0 or len(ib) == 0:
+                    continue
                 S = _seq_dots(Ma, Mb) / (na[:, None] * nb[None, :])
                 hot = S >= tau
                 r, c = np.nonzero(hot & (ia[:, None] < ib[None, :]))
@@ -1115,9 +1130,13 @@ def embedding_dedup_pairs(emb_ds, tau: float = 0.4, chunk_rows: int | None = Non
                 }
             )
 
-    return pairs_ds.map_batches(
+    out = pairs_ds.map_batches(
         ChunkPair, batch_format="pyarrow", zero_copy_batch=True, concurrency=sizing.pool()
     )
+    if own_scratch:
+        out = out.materialize()  # bounded: only pairs with cos >= tau
+        shutil.rmtree(scratch, ignore_errors=True)
+    return out
 
 
 # --- sub-quadratic scale path: random-hyperplane LSH bucketing -------------

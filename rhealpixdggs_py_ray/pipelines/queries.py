@@ -12430,6 +12430,9 @@ def q_triangle_count(sf_dir: str):
     def wedge_rows(batch: pa.Table) -> pa.Table:
         a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(b) and int(b.max()) >= (1 << 32):
+            raise AssertionError(
+                "triangle_count pair packing overflow (node id >= 2^32)")
         # edge rows keyed by the (a, b) pair itself (a < b by contract)
         ekey = a * (1 << 32) + b
         return pa.table({
@@ -13554,6 +13557,9 @@ def q_colocation_pairs(sf_dir: str):
         hit = earlier & (dt <= T_us) & (uid[a_rep] != uid[b_idx])
         ua = np.minimum(uid[a_rep][hit], uid[b_idx][hit]).astype(np.uint64)
         ub = np.maximum(uid[a_rep][hit], uid[b_idx][hit]).astype(np.uint64)
+        if len(ub) and int(ub.max()) >= (1 << 32):
+            raise AssertionError(
+                "colocation pair packing overflow (user id >= 2^32)")
         pk = ua * np.uint64(1 << 32) + ub
         uq, n = np.unique(pk, return_counts=True)
         return pa.table({"pkey": pa.array(uq),
@@ -13959,7 +13965,9 @@ def q_quantize_embeddings(sf_dir: str):
         amax = np.zeros(M.shape[0], dtype=np.float64)
         for i in range(M.shape[1]):  # seq fold == SQL list_max order
             amax = np.maximum(amax, np.abs(M[:, i]))
-        scale = amax / 127.0
+        # all-zero vector guard: amax==0 -> scale 1.0 (rows are all
+        # zeros, so q=0, d=0, err=0 — no NaN); SQL mirrors the CASE
+        scale = np.where(amax > 0.0, amax, 127.0) / 127.0
         err = np.zeros(M.shape[0], dtype=np.float64)
         for i in range(M.shape[1]):
             q = np.clip(np.floor(M[:, i] / scale), -127, 127)
@@ -13982,16 +13990,21 @@ WITH qe AS MATERIALIZED (
     list_max(list_transform(embedding,
       x -> abs(CAST(x AS DOUBLE)))) AS amax
   FROM embeddings
+), qs AS MATERIALIZED (
+  -- all-zero vector guard: amax==0 -> scale 1.0 (numpy mirror)
+  SELECT vec_id, embedding, amax,
+    CASE WHEN amax > 0 THEN amax ELSE 127.0 END / 127.0 AS scale
+  FROM qe
 )
 SELECT vec_id,
   CAST(floor(amax * 1000000.0) AS BIGINT) AS max_abs_micros,
   CAST(floor(list_sum(list_transform(embedding, x ->
     (CAST(x AS DOUBLE) - greatest(least(floor(CAST(x AS DOUBLE)
-        / (amax / 127.0)), 127.0), -127.0) * (amax / 127.0))
+        / scale), 127.0), -127.0) * scale)
     * (CAST(x AS DOUBLE) - greatest(least(floor(CAST(x AS DOUBLE)
-        / (amax / 127.0)), 127.0), -127.0) * (amax / 127.0))
+        / scale), 127.0), -127.0) * scale)
   )) * 1e12) AS BIGINT) AS err_e12
-FROM qe
+FROM qs
 """
 
 
@@ -14230,6 +14243,9 @@ def q_simhash_clusters(sf_dir: str):
             keep = (ham <= SIMHAM_MAX) & (dd[i] != dd[j])
             a = np.minimum(dd[i][keep], dd[j][keep]).astype(np.uint64)
             b2 = np.maximum(dd[i][keep], dd[j][keep]).astype(np.uint64)
+            if len(b2) and int(b2.max()) >= (1 << 32):
+                raise AssertionError(
+                    "simhash pair packing overflow (doc id >= 2^32)")
             pk_l.append(a * np.uint64(1 << 32) + b2)
             hm_l.append(ham[keep])
         if not pk_l:
