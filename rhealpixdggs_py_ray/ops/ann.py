@@ -118,15 +118,28 @@ def _partial_topk_table(qids: np.ndarray, vid: np.ndarray, S: np.ndarray, k: int
 
 
 def _final_topk(k: int):
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        return pd.DataFrame(
+    """Arrow-native per-qid top-k resolve (handles multi-qid groups too:
+    ranks restart at every qid boundary, so the same function works under
+    a per-qid map_groups or a hash-bucket resolve)."""
+
+    def final(g: pa.Table) -> pa.Table:
+        qid = g["qid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vid = g["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cos = g["cos"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vid, -cos, qid))
+        qs = qid[order]
+        starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+        counts = np.diff(np.r_[starts, len(qs)])
+        rank = (np.arange(len(qs), dtype=np.int64) - np.repeat(starts, counts)) + 1
+        keep = rank <= k
+        return pa.table(
             {
-                "qid": g["qid"],
-                "vec_id": g["vec_id"],
-                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
-                "cos_micros": np.floor(g["cos"].to_numpy() * 1000000.0).astype(np.int64),
+                "qid": pa.array(qs[keep]),
+                "vec_id": pa.array(vid[order][keep]),
+                "rank": pa.array(rank[keep]),
+                "cos_micros": pa.array(
+                    np.floor(cos[order][keep] * 1000000.0).astype(np.int64)
+                ),
             }
         )
 
@@ -156,7 +169,7 @@ def ann_topk(emb_ds, n_queries: int = 10, k: int = 5):
     partials = emb_ds.map_batches(
         PartialTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=sizing.pool()
     )
-    return partials.groupby("qid").map_groups(_final_topk(k), batch_format="pandas")
+    return partials.groupby("qid").map_groups(_final_topk(k), batch_format="pyarrow")
 
 
 def ann_topk_sql(n_queries: int = 10, k: int = 5) -> str:
@@ -244,7 +257,7 @@ def ann_topk_lsh(emb_ds, n_queries: int = 10, k: int = 5, n_planes: int = 8):
     partials = emb_ds.map_batches(
         BucketTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=sizing.pool()
     )
-    return partials.groupby("qid").map_groups(_final_topk(k), batch_format="pandas")
+    return partials.groupby("qid").map_groups(_final_topk(k), batch_format="pyarrow")
 
 
 def ann_topk_lsh_sql(n_queries: int = 10, k: int = 5, n_planes: int = 8,
@@ -359,7 +372,7 @@ def ann_topk_ivf(emb_ds, n_queries: int = 10, k: int = 5, n_lists: int = 16,
     partials = emb_ds.map_batches(
         IvfTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=sizing.pool()
     )
-    return partials.groupby("qid").map_groups(_final_topk(k), batch_format="pandas")
+    return partials.groupby("qid").map_groups(_final_topk(k), batch_format="pyarrow")
 
 
 def ann_topk_ivf_sql(n_queries: int = 10, k: int = 5, n_lists: int = 16,
@@ -472,7 +485,7 @@ def ann_topk_filtered(emb_ds, n_queries: int = 10, k: int = 5):
         PartialTopKFiltered, batch_format="pyarrow", zero_copy_batch=True,
         concurrency=sizing.pool(),
     )
-    return partials.groupby("qid").map_groups(_final_topk(k), batch_format="pandas")
+    return partials.groupby("qid").map_groups(_final_topk(k), batch_format="pyarrow")
 
 
 def ann_topk_filtered_sql(n_queries: int = 10, k: int = 5) -> str:

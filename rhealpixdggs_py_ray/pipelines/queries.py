@@ -544,16 +544,25 @@ def q_curate(sf_dir: str):
             }
         )
 
-    def dedup_count(g: pd.DataFrame) -> pd.DataFrame:
-        first = (
-            g.sort_values(["text_md5", "doc_id"]).groupby("text_md5", sort=False).head(1)
+    def dedup_count(g: pa.Table) -> pa.Table:
+        md5 = g["text_md5"].to_numpy(zero_copy_only=False)
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        codes, _ = pd.factorize(md5)
+        order = np.lexsort((doc, codes))
+        cs = codes[order]
+        first = order[np.r_[True, cs[1:] != cs[:-1]]]
+        src, cnt = np.unique(
+            g["source"].to_numpy(zero_copy_only=False)[first], return_counts=True
         )
-        out = first.groupby("source", sort=False).size().reset_index(name="n_partial")
-        out["n_partial"] = out["n_partial"].astype(np.int64)
-        return out[["source", "n_partial"]]
+        return pa.table(
+            {
+                "source": pa.array(src, type=pa.string()),
+                "n_partial": pa.array(cnt.astype(np.int64)),
+            }
+        )
 
     kept = ds.map_batches(curate_batch, batch_format="pyarrow", zero_copy_batch=True)
-    partials = kept.groupby("bucket").map_groups(dedup_count, batch_format="pandas")
+    partials = kept.groupby("bucket").map_groups(dedup_count, batch_format="pyarrow")
     return partials.groupby("source").aggregate(Sum("n_partial", alias_name="n_kept"))
 
 
@@ -605,21 +614,21 @@ def q_topk_per_group(sf_dir: str):
             }
         )
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        key = g["o_orderkey"].to_numpy()
-        price = g["price_c"].to_numpy()
+    def final(g: pa.Table) -> pa.Table:
+        key = g["o_orderkey"].to_numpy(zero_copy_only=False)
+        price = g["price_c"].to_numpy(zero_copy_only=False)
         order = np.lexsort((key, -price))[:K]
-        return pd.DataFrame(
+        return pa.table(
             {
-                "o_orderpriority": g["o_orderpriority"].to_numpy()[order],
-                "rank": np.arange(1, len(order) + 1, dtype=np.int64),
-                "o_orderkey": key[order],
-                "price_c": price[order],
+                "o_orderpriority": g["o_orderpriority"].take(pa.array(order)),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                "o_orderkey": pa.array(key[order]),
+                "price_c": pa.array(price[order]),
             }
         )
 
     part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    return part.groupby("o_orderpriority").map_groups(final, batch_format="pandas")
+    return part.groupby("o_orderpriority").map_groups(final, batch_format="pyarrow")
 
 
 def sql_topk_per_group() -> str:
@@ -658,17 +667,14 @@ def q_dedup_exact(sf_dir: str):
             }
         )
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        out = (
-            g.groupby("text_md5", sort=False)
-            .agg(keep_id=("doc_id", "min"), n_dups=("doc_id", "size"))
-            .reset_index()
+    def combine(g: pa.Table) -> pa.Table:
+        out = pa.TableGroupBy(g.select(["text_md5", "doc_id"]), "text_md5").aggregate(
+            [("doc_id", "min"), ("doc_id", "count")]
         )
-        out["n_dups"] = out["n_dups"].astype(np.int64)
-        return out
+        return out.rename_columns(["text_md5", "keep_id", "n_dups"])
 
     keyed = ds.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
-    return keyed.groupby("bucket").map_groups(combine, batch_format="pandas")
+    return keyed.groupby("bucket").map_groups(combine, batch_format="pyarrow")
 
 
 def sql_dedup_exact() -> str:
@@ -703,17 +709,14 @@ def q_dedup_normalized(sf_dir: str):
             "bucket": pa.array(bucket),
         })
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        out = (
-            g.groupby("norm_md5", sort=False)
-            .agg(keep_id=("doc_id", "min"), n_dups=("doc_id", "size"))
-            .reset_index()
+    def combine(g: pa.Table) -> pa.Table:
+        out = pa.TableGroupBy(g.select(["norm_md5", "doc_id"]), "norm_md5").aggregate(
+            [("doc_id", "min"), ("doc_id", "count")]
         )
-        out["n_dups"] = out["n_dups"].astype(np.int64)
-        return out
+        return out.rename_columns(["norm_md5", "keep_id", "n_dups"])
 
     keyed = ds.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
-    return keyed.groupby("bucket").map_groups(combine, batch_format="pandas")
+    return keyed.groupby("bucket").map_groups(combine, batch_format="pyarrow")
 
 
 def sql_dedup_normalized() -> str:
@@ -845,28 +848,34 @@ def q_vocab(sf_dir: str):
             }
         )
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        uq, inv = np.unique(g["s"].to_numpy(), return_inverse=True)
+    def per_bucket(g: pa.Table) -> pa.Table:
+        uq, inv = np.unique(g["s"].to_numpy(zero_copy_only=False), return_inverse=True)
         tot = np.zeros(len(uq), dtype=np.int64)
-        np.add.at(tot, inv, g["n"].to_numpy())
+        np.add.at(tot, inv, g["n"].to_numpy(zero_copy_only=False))
         order = np.lexsort((uq, -tot))[:VOCAB_K]
-        return pd.DataFrame({"s": uq[order], "n": tot[order], "g": 0})
-
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        s = g["s"].to_numpy()
-        n = g["n"].to_numpy()
-        order = np.lexsort((s, -n))[:VOCAB_K]
-        return pd.DataFrame(
+        return pa.table(
             {
-                "rank": np.arange(1, len(order) + 1, dtype=np.int64),
-                "s": s[order],
-                "n": n[order],
+                "s": pa.array(uq[order], type=pa.string()),
+                "n": pa.array(tot[order]),
+                "g": pa.array(np.zeros(len(order), dtype=np.int64)),
+            }
+        )
+
+    def final(g: pa.Table) -> pa.Table:
+        s = g["s"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, -n))[:VOCAB_K]
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                "s": pa.array(s[order], type=pa.string()),
+                "n": pa.array(n[order]),
             }
         )
 
     part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    merged = part.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
-    return merged.groupby("g").map_groups(final, batch_format="pandas")
+    merged = part.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
+    return merged.groupby("g").map_groups(final, batch_format="pyarrow")
 
 
 def sql_vocab() -> str:
@@ -940,19 +949,19 @@ def q_label_quality(sf_dir: str):
             "b": pa.array(z),
         })
 
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        side = g["side"].to_numpy()
-        key = g["key"].to_numpy()
-        a = g["a"].to_numpy()
-        b = g["b"].to_numpy()
+    def resolve(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        key = g["key"].to_numpy(zero_copy_only=False)
+        a = g["a"].to_numpy(zero_copy_only=False)
+        b = g["b"].to_numpy(zero_copy_only=False)
         dmask = side == 0
         dk, dt, dstp = key[dmask], a[dmask], b[dmask]
         ek, elab = key[~dmask], a[~dmask]
-        empty = pd.DataFrame({
-            "label": np.array([], dtype=np.int64),
-            "n_docs": np.array([], dtype=np.int64),
-            "sum_tokens": np.array([], dtype=np.int64),
-            "sum_stop": np.array([], dtype=np.int64),
+        empty = pa.table({
+            "label": pa.array([], type=pa.int64()),
+            "n_docs": pa.array([], type=pa.int64()),
+            "sum_tokens": pa.array([], type=pa.int64()),
+            "sum_stop": pa.array([], type=pa.int64()),
         })
         if not len(dk) or not len(ek):
             return empty
@@ -972,9 +981,11 @@ def q_label_quality(sf_dir: str):
         np.add.at(st, li, tok)
         ss = np.zeros(len(lu), dtype=np.int64)
         np.add.at(ss, li, stp)
-        return pd.DataFrame({
-            "label": lu.astype(np.int64),
-            "n_docs": nd, "sum_tokens": st, "sum_stop": ss,
+        return pa.table({
+            "label": pa.array(lu.astype(np.int64)),
+            "n_docs": pa.array(nd),
+            "sum_tokens": pa.array(st),
+            "sum_stop": pa.array(ss),
         })
 
     both = docs.map_batches(
@@ -982,7 +993,7 @@ def q_label_quality(sf_dir: str):
     ).union(
         embs.map_batches(emb_side, batch_format="pyarrow", zero_copy_batch=True)
     )
-    part = both.groupby("bucket").map_groups(resolve, batch_format="pandas")
+    part = both.groupby("bucket").map_groups(resolve, batch_format="pyarrow")
     return part.groupby("label").aggregate(
         Sum("n_docs", alias_name="n_docs"),
         Sum("sum_tokens", alias_name="sum_tokens"),
@@ -1052,16 +1063,19 @@ def q_salient_terms(sf_dir: str):
             "bucket": pa.array(bucket),
         })
 
-    def df_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        uq, inv = np.unique(g["term"].to_numpy(), return_inverse=True)
+    def df_bucket(g: pa.Table) -> pa.Table:
+        uq, inv = np.unique(g["term"].to_numpy(zero_copy_only=False), return_inverse=True)
         tot = np.zeros(len(uq), dtype=np.int64)
-        np.add.at(tot, inv, g["df"].to_numpy())
-        return pd.DataFrame({"term": uq, "df": tot})
+        np.add.at(tot, inv, g["df"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "term": pa.array(uq, type=pa.string()),
+            "df": pa.array(tot),
+        })
 
     df_pd = (
         ds.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
-        .map_groups(df_bucket, batch_format="pandas")
+        .map_groups(df_bucket, batch_format="pyarrow")
         .to_pandas()  # vocabulary-sized, bounded
     )
     df_ref = ray.put(dict(zip(df_pd["term"].tolist(),
@@ -1149,18 +1163,18 @@ def q_sample_bottomk(sf_dir: str):
             "h": pa.array(h[keep]),
         })
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["doc_id"].to_numpy()
-        h = g["h"].to_numpy().astype(np.uint64)
+    def final(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        h = g["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
         order = np.lexsort((ids, h))[:BOTTOMK_K]
-        return pd.DataFrame({
-            "source": g["source"].to_numpy()[order],
-            "rnk": np.arange(1, len(order) + 1, dtype=np.int64),
-            "doc_id": ids[order].astype(np.int64),
+        return pa.table({
+            "source": g["source"].take(pa.array(order)),
+            "rnk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            "doc_id": pa.array(ids[order].astype(np.int64)),
         })
 
     part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    return part.groupby("source").map_groups(final, batch_format="pandas")
+    return part.groupby("source").map_groups(final, batch_format="pyarrow")
 
 
 def sql_sample_bottomk() -> str:
@@ -1376,17 +1390,22 @@ def q_sessions(sf_dir: str):
         bucket = ((uid * np.uint64(2654435761)) % np.uint64(64)).astype(np.int64)
         return batch.append_column("bucket", pa.array(bucket))
 
-    def sess_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def sess_bucket(g: pa.Table) -> pa.Table:
         if not len(g):
-            return pd.DataFrame(
+            return pa.table(
                 {
-                    "user_id": pd.Series([], dtype=np.int64),
-                    "n_events": pd.Series([], dtype=np.int64),
-                    "n_sessions": pd.Series([], dtype=np.int64),
+                    "user_id": pa.array([], type=pa.int64()),
+                    "n_events": pa.array([], type=pa.int64()),
+                    "n_sessions": pa.array([], type=pa.int64()),
                 }
             )
-        uid = g["user_id"].to_numpy()
-        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = (
+            g["ts"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
         order = np.lexsort((ts, uid))
         uid, ts = uid[order], ts[order]
         new_user = np.empty(len(uid), dtype=bool)
@@ -1399,16 +1418,16 @@ def q_sessions(sf_dir: str):
         starts = np.flatnonzero(new_user)
         n_sessions = np.add.reduceat(inc, starts)
         counts = np.diff(np.append(starts, len(uid)))
-        return pd.DataFrame(
+        return pa.table(
             {
-                "user_id": uid[starts],
-                "n_events": counts.astype(np.int64),
-                "n_sessions": n_sessions,
+                "user_id": pa.array(uid[starts]),
+                "n_events": pa.array(counts.astype(np.int64)),
+                "n_sessions": pa.array(n_sessions),
             }
         )
 
     b = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-    return b.groupby("bucket").map_groups(sess_bucket, batch_format="pandas")
+    return b.groupby("bucket").map_groups(sess_bucket, batch_format="pyarrow")
 
 
 def sql_sessions() -> str:
@@ -2316,17 +2335,20 @@ def q_priority_revenue(sf_dir: str):
             "prio": batch["o_orderpriority"],
         })
 
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        side = g["side"].to_numpy()
-        key = g["key"].to_numpy()
+    def resolve(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        key = g["key"].to_numpy(zero_copy_only=False)
         lmask = side == 0
-        lk, lrev, lnl = key[lmask], g["rev"].to_numpy()[lmask], g["nl"].to_numpy()[lmask]
-        ok, opr = key[~lmask], g["prio"].to_numpy()[~lmask]
-        empty = pd.DataFrame({
-            "o_orderpriority": np.array([], dtype=object),
-            "n_orders": np.array([], dtype=np.int64),
-            "n_lines": np.array([], dtype=np.int64),
-            "revenue_c": np.array([], dtype=np.int64),
+        rev_all = g["rev"].to_numpy(zero_copy_only=False)
+        nl_all = g["nl"].to_numpy(zero_copy_only=False)
+        lk, lrev, lnl = key[lmask], rev_all[lmask], nl_all[lmask]
+        ok = key[~lmask]
+        opr = g["prio"].to_numpy(zero_copy_only=False)[~lmask]
+        empty = pa.table({
+            "o_orderpriority": pa.array([], type=pa.string()),
+            "n_orders": pa.array([], type=pa.int64()),
+            "n_lines": pa.array([], type=pa.int64()),
+            "revenue_c": pa.array([], type=pa.int64()),
         })
         if not len(lk) or not len(ok):
             return empty
@@ -2350,15 +2372,17 @@ def q_priority_revenue(sf_dir: str):
         np.add.at(n_li, pi, nl[hit])
         rv = np.zeros(len(pu), dtype=np.int64)
         np.add.at(rv, pi, rev[hit])
-        return pd.DataFrame({
-            "o_orderpriority": pu,
-            "n_orders": n_ord, "n_lines": n_li, "revenue_c": rv,
+        return pa.table({
+            "o_orderpriority": pa.array(pu, type=pa.string()),
+            "n_orders": pa.array(n_ord),
+            "n_lines": pa.array(n_li),
+            "revenue_c": pa.array(rv),
         })
 
     both = li.map_batches(
         li_side, batch_format="pyarrow", zero_copy_batch=True
     ).union(od.map_batches(od_side, batch_format="pyarrow", zero_copy_batch=True))
-    part = both.groupby("bucket").map_groups(resolve, batch_format="pandas")
+    part = both.groupby("bucket").map_groups(resolve, batch_format="pyarrow")
     return part.groupby("o_orderpriority").aggregate(
         Sum("n_orders", alias_name="n_orders"),
         Sum("n_lines", alias_name="n_lines"),
@@ -2412,17 +2436,19 @@ def q_nation_revenue(sf_dir: str):
             "a": pa.array(nkk), "b": pa.array(np.zeros(len(k), dtype=np.int64)),
         })
 
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+    def resolve(g: pa.Table) -> pa.Table:
         keys, names = ray.get(n_ref)
-        side = g["side"].to_numpy()
-        key = g["key"].to_numpy()
+        side = g["side"].to_numpy(zero_copy_only=False)
+        key = g["key"].to_numpy(zero_copy_only=False)
+        a_all = g["a"].to_numpy(zero_copy_only=False)
+        b_all = g["b"].to_numpy(zero_copy_only=False)
         omask = side == 0
-        okey, otp, on = key[omask], g["a"].to_numpy()[omask], g["b"].to_numpy()[omask]
-        ckey, cnat = key[~omask], g["a"].to_numpy()[~omask]
-        empty = pd.DataFrame({
-            "n_name": np.array([], dtype=object),
-            "n_orders": np.array([], dtype=np.int64),
-            "total_c": np.array([], dtype=np.int64),
+        okey, otp, on = key[omask], a_all[omask], b_all[omask]
+        ckey, cnat = key[~omask], a_all[~omask]
+        empty = pa.table({
+            "n_name": pa.array([], type=pa.string()),
+            "n_orders": pa.array([], type=pa.int64()),
+            "total_c": pa.array([], type=pa.int64()),
         })
         if not len(okey) or not len(ckey):
             return empty
@@ -2444,12 +2470,16 @@ def q_nation_revenue(sf_dir: str):
         tot = np.zeros(len(nu), dtype=np.int64)
         np.add.at(tot, ni, tp[hit])
         name = names[np.searchsorted(keys, nu)]
-        return pd.DataFrame({"n_name": name, "n_orders": cnt, "total_c": tot})
+        return pa.table({
+            "n_name": pa.array(name, type=pa.string()),
+            "n_orders": pa.array(cnt),
+            "total_c": pa.array(tot),
+        })
 
     both = od.map_batches(
         od_side, batch_format="pyarrow", zero_copy_batch=True
     ).union(cu.map_batches(cu_side, batch_format="pyarrow", zero_copy_batch=True))
-    part = both.groupby("bucket").map_groups(resolve, batch_format="pandas")
+    part = both.groupby("bucket").map_groups(resolve, batch_format="pyarrow")
     return part.groupby("n_name").aggregate(
         Sum("n_orders", alias_name="n_orders"),
         Sum("total_c", alias_name="total_c"),
@@ -2509,11 +2539,11 @@ def q_running_totals(sf_dir: str):
             ).astype(np.int64)),
         })
 
-    def window(g: pd.DataFrame) -> pd.DataFrame:
-        uid = g["user_id"].to_numpy()
-        t = g["t"].to_numpy()
-        eid = g["event_id"].to_numpy()
-        v = g["v_c"].to_numpy()
+    def window(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        v = g["v_c"].to_numpy(zero_copy_only=False)
         order = np.lexsort((eid, t, uid))
         uid, t, eid, v = uid[order], t[order], eid[order], v[order]
         cum = np.cumsum(v)
@@ -2523,13 +2553,14 @@ def q_running_totals(sf_dir: str):
         starts = np.flatnonzero(new_seg)
         seg_base = np.where(starts > 0, cum[starts - 1], 0)
         seg_id = np.cumsum(new_seg) - 1
-        return pd.DataFrame({
-            "event_id": eid, "user_id": uid,
-            "cum_value_c": cum - seg_base[seg_id],
+        return pa.table({
+            "event_id": pa.array(eid),
+            "user_id": pa.array(uid),
+            "cum_value_c": pa.array(cum - seg_base[seg_id]),
         })
 
     part = ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
-    return part.groupby("bucket").map_groups(window, batch_format="pandas")
+    return part.groupby("bucket").map_groups(window, batch_format="pyarrow")
 
 
 def sql_running_totals() -> str:
@@ -2641,19 +2672,26 @@ def q_table_checksum(sf_dir: str):
         ev_partial, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for tbl, sub in g.groupby("tbl", sort=True):
-            s = np.add.reduce(sub["chk"].to_numpy().astype(np.uint64))
-            out.append((
-                tbl, int(s >> np.uint64(32)), int(s & np.uint64(0xFFFFFFFF)),
-                int(sub["n"].sum()),
-            ))
-        return pd.DataFrame(
-            out, columns=["tbl", "chk_hi", "chk_lo", "n_rows"]
-        ).astype({"chk_hi": np.int64, "chk_lo": np.int64, "n_rows": np.int64})
+    def resolve(g: pa.Table) -> pa.Table:
+        tbl = g["tbl"].to_numpy(zero_copy_only=False)
+        chk = g["chk"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        uq, inv = np.unique(tbl, return_inverse=True)  # sorted table names
+        hi, lo, nr = [], [], []
+        for i in range(len(uq)):
+            m = inv == i
+            s = np.add.reduce(chk[m])
+            hi.append(int(s >> np.uint64(32)))
+            lo.append(int(s & np.uint64(0xFFFFFFFF)))
+            nr.append(int(n[m].sum()))
+        return pa.table({
+            "tbl": pa.array(uq, type=pa.string()),
+            "chk_hi": pa.array(hi, type=pa.int64()),
+            "chk_lo": pa.array(lo, type=pa.int64()),
+            "n_rows": pa.array(nr, type=pa.int64()),
+        })
 
-    return docs.union(evs).groupby("g").map_groups(resolve, batch_format="pandas")
+    return docs.union(evs).groupby("g").map_groups(resolve, batch_format="pyarrow")
 
 
 def sql_table_checksum() -> str:
@@ -2805,10 +2843,10 @@ def q_distinct_users(sf_dir: str):
             "cnt": pa.array(cnt),
         })
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        et = g["event_type"].to_numpy()
-        uid = g["user_id"].to_numpy()
-        cnt = g["cnt"].to_numpy()
+    def per_bucket(g: pa.Table) -> pa.Table:
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
         et_uniq, et_inv = np.unique(et, return_inverse=True)
         order = np.lexsort((uid, et_inv))
         ei, ui, ci = et_inv[order], uid[order], cnt[order]
@@ -2818,14 +2856,14 @@ def q_distinct_users(sf_dir: str):
         np.add.at(n_users, ei[new], 1)
         n_events = np.zeros(len(et_uniq), dtype=np.int64)
         np.add.at(n_events, ei, ci)
-        return pd.DataFrame({
-            "event_type": et_uniq,
-            "n_users": n_users,
-            "n_events": n_events,
+        return pa.table({
+            "event_type": pa.array(et_uniq, type=pa.string()),
+            "n_users": pa.array(n_users),
+            "n_events": pa.array(n_events),
         })
 
     part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    buckets = part.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+    buckets = part.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
     return buckets.groupby("event_type").aggregate(
         Sum("n_users", alias_name="n_users"),
         Sum("n_events", alias_name="n_events"),
@@ -3011,9 +3049,9 @@ def q_quantiles(sf_dir: str):
             }
         )
 
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        c = g["c"].to_numpy()
-        n = g["n"].to_numpy()
+    def resolve(g: pa.Table) -> pa.Table:
+        c = g["c"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
         uq, inv = np.unique(c, return_inverse=True)
         s = np.zeros(len(uq), dtype=np.int64)
         np.add.at(s, inv, n)
@@ -3021,18 +3059,18 @@ def q_quantiles(sf_dir: str):
         tot = int(cum[-1])
         ranks = ((tot + 1) // 2, (9 * tot + 9) // 10, (99 * tot + 99) // 100)
         p = [int(uq[np.searchsorted(cum, k)]) for k in ranks]
-        return pd.DataFrame(
+        return pa.table(
             {
-                "event_type": [g["event_type"].iloc[0]],
-                "n": np.array([tot], dtype=np.int64),
-                "p50_c": np.array([p[0]], dtype=np.int64),
-                "p90_c": np.array([p[1]], dtype=np.int64),
-                "p99_c": np.array([p[2]], dtype=np.int64),
+                "event_type": g["event_type"].slice(0, 1),
+                "n": pa.array([tot], type=pa.int64()),
+                "p50_c": pa.array([p[0]], type=pa.int64()),
+                "p90_c": pa.array([p[1]], type=pa.int64()),
+                "p99_c": pa.array([p[2]], type=pa.int64()),
             }
         )
 
     part = ds.map_batches(part_hist, batch_format="pyarrow", zero_copy_batch=True)
-    return part.groupby("event_type").map_groups(resolve, batch_format="pandas")
+    return part.groupby("event_type").map_groups(resolve, batch_format="pyarrow")
 
 
 def sql_quantiles() -> str:
@@ -3164,9 +3202,9 @@ def q_winsorize(sf_dir: str):
             "n": pa.array(g["n"].to_numpy().astype(np.int64)),
         })
 
-    def thresholds(g: pd.DataFrame) -> pd.DataFrame:
-        c = g["c"].to_numpy()
-        n = g["n"].to_numpy()
+    def thresholds(g: pa.Table) -> pa.Table:
+        c = g["c"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
         uq, inv = np.unique(c, return_inverse=True)
         s = np.zeros(len(uq), dtype=np.int64)
         np.add.at(s, inv, n)
@@ -3174,16 +3212,16 @@ def q_winsorize(sf_dir: str):
         tot = int(cum[-1])
         lo = int(uq[np.searchsorted(cum, (5 * tot + 99) // 100)])
         hi = int(uq[np.searchsorted(cum, (95 * tot + 99) // 100)])
-        return pd.DataFrame({
-            "event_type": [g["event_type"].iloc[0]],
-            "lo": np.array([lo], dtype=np.int64),
-            "hi": np.array([hi], dtype=np.int64),
+        return pa.table({
+            "event_type": g["event_type"].slice(0, 1),
+            "lo": pa.array([lo], type=pa.int64()),
+            "hi": pa.array([hi], type=pa.int64()),
         })
 
     thr = (
         ds.map_batches(part_hist, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("event_type")
-        .map_groups(thresholds, batch_format="pandas")
+        .map_groups(thresholds, batch_format="pyarrow")
         .to_pandas()  # one row per event type
     )
     thr_ref = ray.put({
@@ -3319,25 +3357,30 @@ def q_asof_join(sf_dir: str):
         od.map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True)
     )
 
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        kind = g["kind"].to_numpy()
-        o = g[kind == 0]
-        e = g[kind == 1]
-        empty = pd.DataFrame(
+    def resolve(g: pa.Table) -> pa.Table:
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        key_all = g["key"].to_numpy(zero_copy_only=False)
+        t_all = g["t"].to_numpy(zero_copy_only=False)
+        okey_all = g["okey"].to_numpy(zero_copy_only=False)
+        pc_all = g["price_c"].to_numpy(zero_copy_only=False)
+        eid_all = g["eid"].to_numpy(zero_copy_only=False)
+        om = kind == 0
+        em = ~om
+        empty = pa.table(
             {
-                c: pd.Series([], dtype=np.int64)
+                c: pa.array([], type=pa.int64())
                 for c in ("event_id", "user_id", "o_orderkey", "price_c")
             }
         )
-        if not len(o) or not len(e):
+        if not om.any() or not em.any():
             return empty
-        ko = o["key"].to_numpy()
-        to = o["t"].to_numpy()
-        oo = o["okey"].to_numpy()
-        pc = o["price_c"].to_numpy()
-        ke = e["key"].to_numpy()
-        te = e["t"].to_numpy()
-        ide = e["eid"].to_numpy()
+        ko = key_all[om]
+        to = t_all[om]
+        oo = okey_all[om]
+        pc = pc_all[om]
+        ke = key_all[em]
+        te = t_all[em]
+        ide = eid_all[em]
         n_o = len(ko)
         key = np.concatenate([ko, ke])
         t = np.concatenate([to, te])
@@ -3360,16 +3403,16 @@ def q_asof_join(sf_dir: str):
         evi = srt[evpos[has]] - n_o  # index into the event arrays
         good = ko[cand] == ke[evi]
         cand, evi = cand[good], evi[good]
-        return pd.DataFrame(
+        return pa.table(
             {
-                "event_id": ide[evi],
-                "user_id": ke[evi],
-                "o_orderkey": oo[cand],
-                "price_c": pc[cand],
+                "event_id": pa.array(ide[evi]),
+                "user_id": pa.array(ke[evi]),
+                "o_orderkey": pa.array(oo[cand]),
+                "price_c": pa.array(pc[cand]),
             }
         )
 
-    return u.groupby("bkt").map_groups(resolve, batch_format="pandas")
+    return u.groupby("bkt").map_groups(resolve, batch_format="pyarrow")
 
 
 def sql_asof_join() -> str:
