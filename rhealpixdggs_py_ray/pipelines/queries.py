@@ -21,6 +21,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
@@ -4946,32 +4947,35 @@ def q_user_setops(sf_dir: str):
         side("o_custkey", 2), batch_format="pyarrow", zero_copy_batch=True
     ))
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        key = g["key"].to_numpy()
-        sides = g["sides"].to_numpy()
+    def per_bucket(g: pa.Table) -> pa.Table:
+        key = g["key"].to_numpy(zero_copy_only=False)
+        sides = g["sides"].to_numpy(zero_copy_only=False)
         uniq, inv = np.unique(key, return_inverse=True)
         mask = np.zeros(len(uniq), dtype=np.int64)
         np.bitwise_or.at(mask, inv, sides)
-        return pd.DataFrame({
-            "g": [0],
-            "n_events_only": [int(np.count_nonzero(mask == 1))],
-            "n_orders_only": [int(np.count_nonzero(mask == 2))],
-            "n_both": [int(np.count_nonzero(mask == 3))],
+        return pa.table({
+            "g": pa.array([0], type=pa.int64()),
+            "n_events_only": pa.array([int(np.count_nonzero(mask == 1))], type=pa.int64()),
+            "n_orders_only": pa.array([int(np.count_nonzero(mask == 2))], type=pa.int64()),
+            "n_both": pa.array([int(np.count_nonzero(mask == 3))], type=pa.int64()),
         })
 
-    b = both.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+    b = both.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
 
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        eo = int(g["n_events_only"].sum())
-        oo = int(g["n_orders_only"].sum())
-        nb = int(g["n_both"].sum())
-        return pd.DataFrame({
-            "n_event_users": [eo + nb], "n_order_custs": [oo + nb],
-            "n_both": [nb], "n_events_only": [eo], "n_orders_only": [oo],
-            "n_union": [eo + oo + nb],
+    def resolve(g: pa.Table) -> pa.Table:
+        eo = int(pc.sum(g["n_events_only"]).as_py())
+        oo = int(pc.sum(g["n_orders_only"]).as_py())
+        nb = int(pc.sum(g["n_both"]).as_py())
+        return pa.table({
+            "n_event_users": pa.array([eo + nb], type=pa.int64()),
+            "n_order_custs": pa.array([oo + nb], type=pa.int64()),
+            "n_both": pa.array([nb], type=pa.int64()),
+            "n_events_only": pa.array([eo], type=pa.int64()),
+            "n_orders_only": pa.array([oo], type=pa.int64()),
+            "n_union": pa.array([eo + oo + nb], type=pa.int64()),
         })
 
-    return b.groupby("g").map_groups(resolve, batch_format="pandas")
+    return b.groupby("g").map_groups(resolve, batch_format="pyarrow")
 
 
 def sql_user_setops() -> str:
@@ -5108,24 +5112,25 @@ def q_pack_sequences(sf_dir: str):
         acc += totals[b]
     base_ref = ray.put(base)
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(g: pa.Table) -> pa.Table:
         bases = ray.get(base_ref)
-        g = g.sort_values("doc_id")
-        n = g["n_tokens"].to_numpy()
-        start = bases[int(g["bucket"].iloc[0])] + np.concatenate(
-            ([0], np.cumsum(n)[:-1])
-        ).astype(np.int64)
+        did = g["doc_id"].to_numpy(zero_copy_only=False)
+        n = g["n_tokens"].to_numpy(zero_copy_only=False)
+        order = np.argsort(did)
+        did, n = did[order], n[order]
+        b0 = int(g["bucket"][0].as_py())
+        start = bases[b0] + np.concatenate(([0], np.cumsum(n)[:-1])).astype(np.int64)
         pf = start // PACK_CTX
         pl = np.where(n == 0, pf, (start + np.maximum(n, 1) - 1) // PACK_CTX)
-        return pd.DataFrame({
-            "doc_id": g["doc_id"].to_numpy(),
-            "n_tokens": n,
-            "start_tok": start,
-            "pack_first": pf,
-            "pack_last": pl,
+        return pa.table({
+            "doc_id": pa.array(did),
+            "n_tokens": pa.array(n),
+            "start_tok": pa.array(start),
+            "pack_first": pa.array(pf),
+            "pack_last": pa.array(pl),
         })
 
-    return toks.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+    return toks.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
 
 
 def sql_pack_sequences() -> str:
@@ -5231,23 +5236,23 @@ def q_focal_stats(sf_dir: str):
 
     p = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        cu = g["cell_u64"].to_numpy().astype(np.uint64)
-        side = g["side"].to_numpy()
-        cnt = g["cnt"].to_numpy()
+    def per_bucket(g: pa.Table) -> pa.Table:
+        cu = g["cell_u64"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
         uniq, inv = np.unique(cu, return_inverse=True)
         n_self = np.zeros(len(uniq), dtype=np.int64)
         n_focal = np.zeros(len(uniq), dtype=np.int64)
         np.add.at(n_self, inv[side == 0], cnt[side == 0])
         np.add.at(n_focal, inv[side == 1], cnt[side == 1])
         keep = n_self > 0
-        return pd.DataFrame({
-            "cell_id": su.to_string_fixed(uniq[keep], FOCAL_RES),
-            "n_self": n_self[keep],
-            "n_focal": n_focal[keep],
+        return pa.table({
+            "cell_id": pa.array(su.to_string_fixed(uniq[keep], FOCAL_RES), type=pa.string()),
+            "n_self": pa.array(n_self[keep]),
+            "n_focal": pa.array(n_focal[keep]),
         })
 
-    return p.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+    return p.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
 
 
 def sql_focal_stats() -> str:
@@ -5634,28 +5639,31 @@ def q_left_join_orders(sf_dir: str):
         right_partial, batch_format="pyarrow", zero_copy_batch=True
     ))
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["side"] == 0]
-        right = g[g["side"] == 1]
-        rk = right["key"].to_numpy()
+    def per_bucket(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        key = g["key"].to_numpy(zero_copy_only=False)
+        n_all = g["n"].to_numpy(zero_copy_only=False)
+        c_all = g["cents"].to_numpy(zero_copy_only=False)
+        lm = side == 0
+        rk = key[~lm]
         ru, ri = np.unique(rk, return_inverse=True)
         rn = np.zeros(len(ru), dtype=np.int64)
-        np.add.at(rn, ri, right["n"].to_numpy())
+        np.add.at(rn, ri, n_all[~lm])
         rc = np.zeros(len(ru), dtype=np.int64)
-        np.add.at(rc, ri, right["cents"].to_numpy())
-        lk = left["key"].to_numpy()
+        np.add.at(rc, ri, c_all[~lm])
+        lk = key[lm]
         pos = np.searchsorted(ru, lk)
         hit = (pos < len(ru)) & (ru[np.minimum(pos, len(ru) - 1)] == lk)
         n = np.where(hit, rn[np.minimum(pos, len(ru) - 1)], 0)
         cents = np.where(hit, rc[np.minimum(pos, len(ru) - 1)], 0)
-        return pd.DataFrame({
-            "c_custkey": lk,
-            "c_mktsegment": left["seg"].to_numpy(),
-            "n_orders": n,
-            "sum_cents": cents,
+        return pa.table({
+            "c_custkey": pa.array(lk),
+            "c_mktsegment": g["seg"].filter(pa.array(lm)),
+            "n_orders": pa.array(n),
+            "sum_cents": pa.array(cents),
         })
 
-    return both.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+    return both.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
 
 
 def sql_left_join_orders() -> str:
@@ -5801,18 +5809,18 @@ def q_bm25_topk(sf_dir: str):
         score_partial, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        d = g["doc_id"].to_numpy()
-        s = g["score"].to_numpy()
+    def final(g: pa.Table) -> pa.Table:
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        s = g["score"].to_numpy(zero_copy_only=False)
         order = np.lexsort((d, -s))[:BM25_K]
-        return pd.DataFrame({
-            "qid": g["qid"].to_numpy()[order],
-            "rank": np.arange(1, len(order) + 1, dtype=np.int64),
-            "doc_id": d[order],
-            "score": s[order],
+        return pa.table({
+            "qid": g["qid"].take(pa.array(order)),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            "doc_id": pa.array(d[order]),
+            "score": pa.array(s[order]),
         })
 
-    return part.groupby("qid").map_groups(final, batch_format="pandas")
+    return part.groupby("qid").map_groups(final, batch_format="pyarrow")
 
 
 def sql_bm25_topk() -> str:
@@ -5982,36 +5990,49 @@ def q_funnel(sf_dir: str):
             "event_type": pa.array(et[keep], type=pa.string()),
         })
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        fv = (
-            g[g["event_type"] == "view"].groupby("user_id")["t"].min()
-        )
-        c = g[g["event_type"] == "click"].merge(
-            fv.rename("fv"), left_on="user_id", right_index=True
-        )
-        fc = c[c["t"] > c["fv"]].groupby("user_id")["t"].min()
-        p = g[g["event_type"] == "purchase"].merge(
-            fc.rename("fc"), left_on="user_id", right_index=True
-        )
-        fp = p[p["t"] > p["fc"]].groupby("user_id")["t"].min()
-        return pd.DataFrame({
-            "g": [0],
-            "n_view": [int(len(fv))],
-            "n_click": [int(len(fc))],
-            "n_purchase": [int(len(fp))],
+    def _group_min(u: np.ndarray, t: np.ndarray):
+        uu, inv = np.unique(u, return_inverse=True)
+        mn = np.full(len(uu), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mn, inv, t)
+        return uu, mn
+
+    def _first_after(u: np.ndarray, t: np.ndarray, bu: np.ndarray, bt: np.ndarray):
+        # min t per user where the user has a base time and t > base
+        if not len(bu) or not len(u):
+            return bu[:0], bt[:0]
+        pos = np.searchsorted(bu, u)
+        safe = np.minimum(pos, len(bu) - 1)
+        ok = (bu[safe] == u) & (t > bt[safe])
+        return _group_min(u[ok], t[ok])
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        vm = et == "view"
+        vu, vt = _group_min(uid[vm], t[vm])
+        cm = et == "click"
+        cu_, ct = _first_after(uid[cm], t[cm], vu, vt)
+        pm = et == "purchase"
+        pu, _pt = _first_after(uid[pm], t[pm], cu_, ct)
+        return pa.table({
+            "g": pa.array([0], type=pa.int64()),
+            "n_view": pa.array([len(vu)], type=pa.int64()),
+            "n_click": pa.array([len(cu_)], type=pa.int64()),
+            "n_purchase": pa.array([len(pu)], type=pa.int64()),
         })
 
     b = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
-    out = b.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+    out = b.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
 
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "n_view": [int(g["n_view"].sum())],
-            "n_click": [int(g["n_click"].sum())],
-            "n_purchase": [int(g["n_purchase"].sum())],
+    def resolve(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_view": pa.array([int(pc.sum(g["n_view"]).as_py())], type=pa.int64()),
+            "n_click": pa.array([int(pc.sum(g["n_click"]).as_py())], type=pa.int64()),
+            "n_purchase": pa.array([int(pc.sum(g["n_purchase"]).as_py())], type=pa.int64()),
         })
 
-    return out.groupby("g").map_groups(resolve, batch_format="pandas")
+    return out.groupby("g").map_groups(resolve, batch_format="pyarrow")
 
 
 def sql_funnel() -> str:
@@ -6097,18 +6118,21 @@ def q_count_of_counts(sf_dir: str):
             "n": pa.array(cnt.astype(np.int64)),
         })
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        uid = g["user_id"].to_numpy()
-        n = g["n"].to_numpy()
+    def per_bucket(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
         uu, inv = np.unique(uid, return_inverse=True)
         tot = np.zeros(len(uu), dtype=np.int64)
         np.add.at(tot, inv, n)
         cu, cc = np.unique(tot, return_counts=True)
-        return pd.DataFrame({"n_events": cu, "n_users": cc.astype(np.int64)})
+        return pa.table({
+            "n_events": pa.array(cu),
+            "n_users": pa.array(cc.astype(np.int64)),
+        })
 
     b = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     return (
-        b.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+        b.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
         .groupby("n_events").aggregate(Sum("n_users", alias_name="n_users"))
     )
 
@@ -6250,14 +6274,16 @@ def q_trajectory_segments(sf_dir: str):
             "x": pa.array(x), "y": pa.array(y), "z": pa.array(z),
         })
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        uid = g["user_id"].to_numpy()
-        t = g["t"].to_numpy()
-        eid = g["event_id"].to_numpy()
+    def per_bucket(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
         order = np.lexsort((eid, t, uid))
         uid, x, y, z = (
-            uid[order], g["x"].to_numpy()[order],
-            g["y"].to_numpy()[order], g["z"].to_numpy()[order],
+            uid[order],
+            g["x"].to_numpy(zero_copy_only=False)[order],
+            g["y"].to_numpy(zero_copy_only=False)[order],
+            g["z"].to_numpy(zero_copy_only=False)[order],
         )
         dx = x[1:] - x[:-1]
         dy = y[1:] - y[:-1]
@@ -6271,15 +6297,15 @@ def q_trajectory_segments(sf_dir: str):
         mx = np.zeros(len(uu), dtype=np.int64)
         step_mm2 = np.floor(d2[same] / 1e6).astype(np.int64)
         np.maximum.at(mx, inv[1:][same], step_mm2)
-        return pd.DataFrame({
-            "user_id": uu,
-            "n_points": n_pts,
-            "n_segments": 1 + brk,
-            "max_step_mm2": mx,
+        return pa.table({
+            "user_id": pa.array(uu),
+            "n_points": pa.array(n_pts),
+            "n_segments": pa.array(1 + brk),
+            "max_step_mm2": pa.array(mx),
         })
 
     b = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
-    return b.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+    return b.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
 
 
 def sql_trajectory_segments() -> str:
@@ -6438,26 +6464,37 @@ def q_rollup_revenue(sf_dir: str):
 
     p = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
 
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        fine = g.groupby(["prio", "status"], sort=True).agg(
-            n=("n", "sum"), cents=("cents", "sum")
-        ).reset_index()
-        sub = fine.groupby("prio", sort=True).agg(
-            n=("n", "sum"), cents=("cents", "sum")
-        ).reset_index()
-        sub["status"] = "ALL"
-        tot = pd.DataFrame({
-            "prio": ["ALL"], "status": ["ALL"],
-            "n": [fine["n"].sum()], "cents": [fine["cents"].sum()],
-        })
-        out = pd.concat([fine, sub, tot], ignore_index=True)
-        return pd.DataFrame({
-            "prio": out["prio"], "status": out["status"],
-            "n_orders": out["n"].astype(np.int64),
-            "revenue_c": out["cents"].astype(np.int64),
+    def resolve(g: pa.Table) -> pa.Table:
+        pr = g["prio"].to_numpy(zero_copy_only=False)
+        st = g["status"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        cents = g["cents"].to_numpy(zero_copy_only=False)
+
+        def _reduce(pkeys, skeys):
+            pu, pi = np.unique(pkeys, return_inverse=True)
+            su_, si = np.unique(skeys, return_inverse=True)
+            key = pi * len(su_) + si
+            ku, ki = np.unique(key, return_inverse=True)
+            nn = np.zeros(len(ku), dtype=np.int64)
+            np.add.at(nn, ki, n)
+            cc = np.zeros(len(ku), dtype=np.int64)
+            np.add.at(cc, ki, cents)
+            return pu[ku // len(su_)], su_[ku % len(su_)], nn, cc
+
+        fp, fs, fn, fc = _reduce(pr, st)
+        sp, ss, sn, sc = _reduce(pr, np.full(len(pr), "ALL", dtype=object))
+        out_p = np.concatenate([fp, sp, np.array(["ALL"], dtype=object)])
+        out_s = np.concatenate([fs, ss, np.array(["ALL"], dtype=object)])
+        out_n = np.concatenate([fn, sn, np.array([fn.sum()], dtype=np.int64)])
+        out_c = np.concatenate([fc, sc, np.array([fc.sum()], dtype=np.int64)])
+        return pa.table({
+            "prio": pa.array(out_p, type=pa.string()),
+            "status": pa.array(out_s, type=pa.string()),
+            "n_orders": pa.array(out_n),
+            "revenue_c": pa.array(out_c),
         })
 
-    return p.groupby("g").map_groups(resolve, batch_format="pandas")
+    return p.groupby("g").map_groups(resolve, batch_format="pyarrow")
 
 
 def sql_rollup_revenue() -> str:
