@@ -6638,25 +6638,31 @@ def q_cooccurrence(sf_dir: str):
             "mask": pa.array(mask),
         })
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        b = g["basket"].to_numpy()
-        m = g["mask"].to_numpy()
+    def per_bucket(g: pa.Table) -> pa.Table:
+        b = g["basket"].to_numpy(zero_copy_only=False)
+        m = g["mask"].to_numpy(zero_copy_only=False)
         bu, bi = np.unique(b, return_inverse=True)
         full = np.zeros(len(bu), dtype=np.int64)
         np.bitwise_or.at(full, bi, m)
-        rows = []
+        ta, tb, nb = [], [], []
         for i in range(len(types)):
             for j in range(i + 1, len(types)):
                 n = int(np.count_nonzero(
                     (full & (1 << i)).astype(bool) & (full & (1 << j)).astype(bool)
                 ))
                 if n:
-                    rows.append((types[i], types[j], n))
-        return pd.DataFrame(rows, columns=["type_a", "type_b", "n_baskets"])
+                    ta.append(types[i])
+                    tb.append(types[j])
+                    nb.append(n)
+        return pa.table({
+            "type_a": pa.array(ta, type=pa.string()),
+            "type_b": pa.array(tb, type=pa.string()),
+            "n_baskets": pa.array(nb, type=pa.int64()),
+        })
 
     b = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
     return (
-        b.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+        b.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
         .groupby(["type_a", "type_b"])
         .aggregate(Sum("n_baskets", alias_name="n_baskets"))
     )
@@ -6744,10 +6750,10 @@ def q_constraint_audit(sf_dir: str):
         cust_keys, batch_format="pyarrow", zero_copy_batch=True
     ))
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        kind = g["kind"].to_numpy()
-        key = g["key"].to_numpy()
-        n = g["n"].to_numpy()
+    def per_bucket(g: pa.Table) -> pa.Table:
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        key = g["key"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
         # duplicate orderkeys: total per key > 1 among kind-0 rows
         ok = kind == 0
         ku, ki = np.unique(key[ok], return_inverse=True)
@@ -6763,9 +6769,12 @@ def q_constraint_audit(sf_dir: str):
         pos = np.searchsorted(dim, ru)
         present = (pos < len(dim)) & (dim[np.minimum(pos, len(dim) - 1)] == ru)
         orphan = int(rn[~present].sum())
-        return pd.DataFrame({
-            "check_name": ["orders_orderkey_duplicate", "orders_custkey_orphan"],
-            "n": np.array([dup, orphan], dtype=np.int64),
+        return pa.table({
+            "check_name": pa.array(
+                ["orders_orderkey_duplicate", "orders_custkey_orphan"],
+                type=pa.string(),
+            ),
+            "n": pa.array([dup, orphan], type=pa.int64()),
         })
 
     audits = (
@@ -6774,11 +6783,7 @@ def q_constraint_audit(sf_dir: str):
             orders.map_batches(
                 ord_checks, batch_format="pyarrow", zero_copy_batch=True
             ),
-            keyed.groupby("bucket").map_groups(
-                per_bucket, batch_format="pandas"
-            ).map_batches(
-                lambda t: t, batch_format="pyarrow", zero_copy_batch=True
-            ),
+            keyed.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow"),
         )
     )
     return audits.groupby("check_name").aggregate(Sum("n", alias_name="n"))
@@ -6990,10 +6995,10 @@ def q_window_join(sf_dir: str):
             "is_p": pa.array(is_p),
         })
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        uid = g["user_id"].to_numpy()
-        t = g["t"].to_numpy()
-        is_p = g["is_p"].to_numpy().astype(bool)
+    def per_bucket(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        is_p = g["is_p"].to_numpy(zero_copy_only=False).astype(bool)
         out_u, out_pairs, out_m = [], [], []
         order = np.lexsort((t, uid))
         uid, t, is_p = uid[order], t[order], is_p[order]
@@ -7015,14 +7020,14 @@ def q_window_join(sf_dir: str):
                 out_u.append(int(uid[s]))
                 out_pairs.append(n_pairs)
                 out_m.append(int(np.count_nonzero(cnt > 0)))
-        return pd.DataFrame({
-            "user_id": np.array(out_u, dtype=np.int64),
-            "n_pairs": np.array(out_pairs, dtype=np.int64),
-            "n_matched_purchases": np.array(out_m, dtype=np.int64),
+        return pa.table({
+            "user_id": pa.array(np.array(out_u, dtype=np.int64)),
+            "n_pairs": pa.array(np.array(out_pairs, dtype=np.int64)),
+            "n_matched_purchases": pa.array(np.array(out_m, dtype=np.int64)),
         })
 
     b = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
-    return b.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+    return b.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
 
 
 def sql_window_join() -> str:
@@ -7292,31 +7297,43 @@ def q_bpe_pairs(sf_dir: str):
             "n": pa.array(n),
         })
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        agg = g.groupby(["t1", "t2"], sort=False)["n"].sum().reset_index()
-        agg = agg.sort_values(
-            ["n", "t1", "t2"], ascending=[False, True, True]
-        ).head(BPE_TOPK)
-        return agg
+    def per_bucket(g: pa.Table) -> pa.Table:
+        t1 = g["t1"].to_numpy(zero_copy_only=False)
+        t2 = g["t2"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        key = np.fromiter(
+            (a + "\x01" + b for a, b in zip(t1, t2)), dtype=object, count=len(t1)
+        )
+        uq, first, inv = np.unique(key, return_index=True, return_inverse=True)
+        tot = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(tot, inv, n)
+        u1, u2 = t1[first], t2[first]
+        order = np.lexsort((u2, u1, -tot))[:BPE_TOPK]
+        return pa.table({
+            "t1": pa.array(u1[order], type=pa.string()),
+            "t2": pa.array(u2[order], type=pa.string()),
+            "n": pa.array(tot[order]),
+        })
 
     b = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    parts = b.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+    parts = b.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["n", "t1", "t2"], ascending=[False, True, True]
-        ).head(BPE_TOPK)
-        return pd.DataFrame({
-            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
-            "t1": g["t1"].to_numpy(),
-            "t2": g["t2"].to_numpy(),
-            "n": g["n"].to_numpy(),
+    def final(g: pa.Table) -> pa.Table:
+        t1 = g["t1"].to_numpy(zero_copy_only=False)
+        t2 = g["t2"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((t2, t1, -n))[:BPE_TOPK]
+        return pa.table({
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            "t1": pa.array(t1[order], type=pa.string()),
+            "t2": pa.array(t2[order], type=pa.string()),
+            "n": pa.array(n[order]),
         })
 
     return parts.map_batches(
         lambda t: t.append_column("g", pa.array(np.zeros(t.num_rows, dtype=np.int64))),
         batch_format="pyarrow",
-    ).groupby("g").map_groups(final, batch_format="pandas")
+    ).groupby("g").map_groups(final, batch_format="pyarrow")
 
 
 def sql_bpe_pairs() -> str:
