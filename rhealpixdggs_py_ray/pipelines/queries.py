@@ -7456,14 +7456,14 @@ def q_grid_distance(sf_dir: str):
             "gcol": pa.array(gcol),
         })
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        uid = g["user_id"].to_numpy()
-        t = g["t"].to_numpy()
-        eid = g["event_id"].to_numpy()
+    def per_bucket(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
         order = np.lexsort((eid, t, uid))
         uid, eid = uid[order], eid[order]
-        row = g["row"].to_numpy()[order]
-        gcol = g["gcol"].to_numpy()[order]
+        row = g["row"].to_numpy(zero_copy_only=False)[order]
+        gcol = g["gcol"].to_numpy(zero_copy_only=False)[order]
         same = uid[1:] == uid[:-1]
         both_eq = (row[1:] >= 0) & (row[:-1] >= 0)
         m = same & both_eq
@@ -7471,14 +7471,14 @@ def q_grid_distance(sf_dir: str):
         dcol_raw = np.abs(gcol[1:] - gcol[:-1])
         dc = np.minimum(dcol_raw, ncol - dcol_raw)  # east-west wrap
         d = np.maximum(dr, dc)
-        return pd.DataFrame({
-            "event_id": eid[1:][m],          # the later endpoint
-            "user_id": uid[1:][m],
-            "grid_dist": d[m].astype(np.int64),
+        return pa.table({
+            "event_id": pa.array(eid[1:][m]),          # the later endpoint
+            "user_id": pa.array(uid[1:][m]),
+            "grid_dist": pa.array(d[m].astype(np.int64)),
         })
 
     b = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
-    return b.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+    return b.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
 
 
 def sql_grid_distance() -> str:
@@ -7588,38 +7588,45 @@ def q_snapshot_diff(sf_dir: str):
         side(1), batch_format="pyarrow", zero_copy_batch=True
     ))
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        key = g["key"].to_numpy()
-        h = g["h"].to_numpy()
-        sd = g["side"].to_numpy()
-        et = g["event_type"].to_numpy()
-        old = {int(k): int(v) for k, v in zip(key[sd == 0], h[sd == 0])}
-        old_et = {int(k): e for k, e in zip(key[sd == 0], et[sd == 0])}
-        nk, nh, net = key[sd == 1], h[sd == 1], et[sd == 1]
-        status = np.empty(len(nk), dtype=object)
-        seen = set()
-        for i in range(len(nk)):
-            o = old.get(int(nk[i]))
-            seen.add(int(nk[i]))
-            status[i] = (
-                "added" if o is None
-                else ("unchanged" if o == int(nh[i]) else "modified")
+    def per_bucket(g: pa.Table) -> pa.Table:
+        key = g["key"].to_numpy(zero_copy_only=False)
+        h = g["h"].to_numpy(zero_copy_only=False)
+        sd = g["side"].to_numpy(zero_copy_only=False)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        om = sd == 0
+        oo = np.argsort(key[om])
+        ok_, oh, oet = key[om][oo], h[om][oo], et[om][oo]
+        nk, nh, net = key[~om], h[~om], et[~om]
+        status = np.full(len(nk), "added", dtype=object)
+        if len(ok_) and len(nk):
+            pos = np.minimum(np.searchsorted(ok_, nk), len(ok_) - 1)
+            hit = ok_[pos] == nk
+            status[hit] = np.where(
+                oh[pos[hit]] == nh[hit], "unchanged", "modified"
             )
-        removed = [k for k in old if k not in seen]
-        df = pd.DataFrame({
-            "event_type": np.concatenate(
-                [net, np.array([old_et[k] for k in removed], dtype=object)]
-            ),
-            "status": np.concatenate(
-                [status, np.full(len(removed), "removed", dtype=object)]
-            ),
+        if len(nk) and len(ok_):
+            no = np.sort(nk)
+            pos2 = np.minimum(np.searchsorted(no, ok_), len(no) - 1)
+            removed_m = no[pos2] != ok_
+        else:
+            removed_m = np.ones(len(ok_), dtype=bool)
+        et_all = np.concatenate([net, oet[removed_m]])
+        st_all = np.concatenate(
+            [status, np.full(int(removed_m.sum()), "removed", dtype=object)]
+        )
+        pk = np.fromiter(
+            (a + "\x01" + b for a, b in zip(et_all, st_all)),
+            dtype=object, count=len(et_all),
+        )
+        uq, first, cnt = np.unique(pk, return_index=True, return_counts=True)
+        return pa.table({
+            "event_type": pa.array(et_all[first], type=pa.string()),
+            "status": pa.array(st_all[first], type=pa.string()),
+            "n": pa.array(cnt.astype(np.int64)),
         })
-        out = df.groupby(["event_type", "status"]).size().reset_index(name="n")
-        out["n"] = out["n"].astype(np.int64)
-        return out
 
     return (
-        both.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+        both.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
         .groupby(["event_type", "status"]).aggregate(Sum("n", alias_name="n"))
     )
 
@@ -7762,11 +7769,11 @@ def q_moving_avg(sf_dir: str):
             ).astype(np.int64)),
         })
 
-    def window(g: pd.DataFrame) -> pd.DataFrame:
-        uid = g["user_id"].to_numpy()
-        t = g["t"].to_numpy()
-        eid = g["event_id"].to_numpy()
-        v = g["v_c"].to_numpy()
+    def window(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        v = g["v_c"].to_numpy(zero_copy_only=False)
         order = np.lexsort((eid, t, uid))
         uid, t, eid, v = uid[order], t[order], eid[order], v[order]
         n = len(v)
@@ -7778,14 +7785,15 @@ def q_moving_avg(sf_dir: str):
         i = np.arange(n)
         lo = np.maximum(i - (MOV_FRAME - 1), seg_start)
         base = np.where(lo > 0, cum[np.maximum(lo - 1, 0)], 0)
-        return pd.DataFrame({
-            "event_id": eid, "user_id": uid,
-            "mov_sum_c": cum - base,
-            "n_frame": i - lo + 1,
+        return pa.table({
+            "event_id": pa.array(eid),
+            "user_id": pa.array(uid),
+            "mov_sum_c": pa.array(cum - base),
+            "n_frame": pa.array((i - lo + 1).astype(np.int64)),
         })
 
     part = ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
-    return part.groupby("bucket").map_groups(window, batch_format="pandas")
+    return part.groupby("bucket").map_groups(window, batch_format="pyarrow")
 
 
 def sql_moving_avg() -> str:
@@ -7831,25 +7839,43 @@ def q_late_events(sf_dir: str):
             "arr": pa.array(splitmix64(eid.astype(np.uint64)).view(np.int64)),
         })
 
-    def flag(g: pd.DataFrame) -> pd.DataFrame:
-        arr_u = g["arr"].to_numpy().view(np.uint64)
-        order = np.lexsort((
-            g["event_id"].to_numpy(), arr_u, g["user_id"].to_numpy()
-        ))
-        g = g.iloc[order]
-        cm = g.groupby("user_id", sort=False)["t"].cummax()
-        pm = cm.groupby(g["user_id"], sort=False).shift(1)
-        t = g["t"].to_numpy()
-        late = (pm.notna().to_numpy()
-                & (t < pm.fillna(0).to_numpy() - LATE_GAP_US))
-        return pd.DataFrame({
-            "event_id": g["event_id"].to_numpy(),
-            "user_id": g["user_id"].to_numpy(),
-            "late": late.astype(np.int64),
+    def flag(g: pa.Table) -> pa.Table:
+        arr_u = g["arr"].to_numpy(zero_copy_only=False).view(np.uint64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, arr_u, uid))
+        eid, uid, t = eid[order], uid[order], t[order]
+        n = len(t)
+        new_seg = np.r_[True, uid[1:] != uid[:-1]]
+        seg_id = np.cumsum(new_seg) - 1
+        # segmented prefix-max via the offset trick: lift each segment
+        # by seg_id*BIG so earlier segments can never win the
+        # accumulate; falls back to a per-segment loop if the lift
+        # would overflow int64 (gigantic buckets x time range)
+        tm = t - t.min() if n else t
+        big = int(tm.max()) + 1 if n else 1
+        n_seg = int(seg_id[-1]) + 1 if n else 0
+        if n and n_seg * big < (1 << 62):
+            lifted = tm + seg_id * big
+            cm = np.maximum.accumulate(lifted) - seg_id * big + t.min()
+        else:
+            cm = np.empty(n, dtype=np.int64)
+            starts = np.flatnonzero(new_seg)
+            for s, e in zip(starts, np.append(starts[1:], n)):
+                cm[s:e] = np.maximum.accumulate(t[s:e])
+        pm = np.empty(n, dtype=np.int64)
+        pm[1:] = cm[:-1]
+        has_pm = ~new_seg
+        late = has_pm & (t < np.where(has_pm, pm, 0) - LATE_GAP_US)
+        return pa.table({
+            "event_id": pa.array(eid),
+            "user_id": pa.array(uid),
+            "late": pa.array(late.astype(np.int64)),
         })
 
     part = ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
-    return part.groupby("bucket").map_groups(flag, batch_format="pandas")
+    return part.groupby("bucket").map_groups(flag, batch_format="pyarrow")
 
 
 def sql_late_events() -> str:
@@ -7908,18 +7934,22 @@ def q_full_outer_days(sf_dir: str):
         zero_copy_batch=True,
     ))
 
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        day = g["day"].to_numpy()
-        n = g["n"].to_numpy()
-        side = g["side"].to_numpy()
+    def resolve(g: pa.Table) -> pa.Table:
+        day = g["day"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        side = g["side"].to_numpy(zero_copy_only=False)
         du, di = np.unique(day, return_inverse=True)
         ev = np.zeros(len(du), dtype=np.int64)
         od = np.zeros(len(du), dtype=np.int64)
         np.add.at(ev, di[side == 0], n[side == 0])
         np.add.at(od, di[side == 1], n[side == 1])
-        return pd.DataFrame({"day": du, "n_events": ev, "n_orders": od})
+        return pa.table({
+            "day": pa.array(du),
+            "n_events": pa.array(ev),
+            "n_orders": pa.array(od),
+        })
 
-    return both.groupby("bucket").map_groups(resolve, batch_format="pandas")
+    return both.groupby("bucket").map_groups(resolve, batch_format="pyarrow")
 
 
 def sql_full_outer_days() -> str:
@@ -7964,10 +7994,10 @@ def q_rank_orders(sf_dir: str):
             ).astype(np.int64)),
         })
 
-    def ranks(g: pd.DataFrame) -> pd.DataFrame:
-        ck = g["o_custkey"].to_numpy()
-        ok = g["o_orderkey"].to_numpy()
-        pc = g["price_c"].to_numpy()
+    def ranks(g: pa.Table) -> pa.Table:
+        ck = g["o_custkey"].to_numpy(zero_copy_only=False)
+        ok = g["o_orderkey"].to_numpy(zero_copy_only=False)
+        pc = g["price_c"].to_numpy(zero_copy_only=False)
         order = np.lexsort((ok, -pc, ck))
         ck, ok, pc = ck[order], ok[order], pc[order]
         n = len(ck)
@@ -7979,14 +8009,16 @@ def q_rank_orders(sf_dir: str):
         chg = new_seg | np.r_[True, pc[1:] != pc[:-1]]
         last_chg = np.maximum.accumulate(np.where(chg, i, 0))
         cnt = np.cumsum(chg)
-        return pd.DataFrame({
-            "o_orderkey": ok, "o_custkey": ck, "price_c": pc,
-            "rnk": last_chg - seg_start + 1,
-            "drnk": cnt - cnt[seg_start] + 1,
+        return pa.table({
+            "o_orderkey": pa.array(ok),
+            "o_custkey": pa.array(ck),
+            "price_c": pa.array(pc),
+            "rnk": pa.array((last_chg - seg_start + 1).astype(np.int64)),
+            "drnk": pa.array((cnt - cnt[seg_start] + 1).astype(np.int64)),
         })
 
     part = ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
-    return part.groupby("bucket").map_groups(ranks, batch_format="pandas")
+    return part.groupby("bucket").map_groups(ranks, batch_format="pyarrow")
 
 
 def sql_rank_orders() -> str:
@@ -8047,20 +8079,22 @@ def q_dup_spans(sf_dir: str):
                 np.array([docs[h] for h in grams], dtype=np.int64)),
         })
 
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        gm = g["gram_md5"].to_numpy()
+    def resolve(g: pa.Table) -> pa.Table:
+        gm = g["gram_md5"].to_numpy(zero_copy_only=False)
         gu, gi = np.unique(gm, return_inverse=True)
         occ = np.zeros(len(gu), dtype=np.int64)
         dcs = np.zeros(len(gu), dtype=np.int64)
-        np.add.at(occ, gi, g["occ"].to_numpy())
-        np.add.at(dcs, gi, g["docs"].to_numpy())
+        np.add.at(occ, gi, g["occ"].to_numpy(zero_copy_only=False))
+        np.add.at(dcs, gi, g["docs"].to_numpy(zero_copy_only=False))
         keep = dcs >= 2
-        return pd.DataFrame({
-            "gram_md5": gu[keep], "n_docs": dcs[keep], "n_occ": occ[keep],
+        return pa.table({
+            "gram_md5": pa.array(gu[keep], type=pa.string()),
+            "n_docs": pa.array(dcs[keep]),
+            "n_occ": pa.array(occ[keep]),
         })
 
     part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    return part.groupby("bucket").map_groups(resolve, batch_format="pandas")
+    return part.groupby("bucket").map_groups(resolve, batch_format="pyarrow")
 
 
 def sql_dup_spans() -> str:
