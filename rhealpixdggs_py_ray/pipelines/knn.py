@@ -79,11 +79,19 @@ class _PartialKnn:
 
 
 def _final_topk(k: int):
-    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["dist", "neighbor_id"]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1)
-        return g
+    def reduce_group(g: pa.Table) -> pa.Table:
+        nid = g["neighbor_id"].to_numpy(zero_copy_only=False)
+        dist = g["dist"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nid, dist))[:k]
+        idx = pa.array(order)
+        return pa.table(
+            {
+                "qid": g["qid"].take(idx),
+                "neighbor_id": g["neighbor_id"].take(idx),
+                "dist": g["dist"].take(idx),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            }
+        )
 
     return reduce_group
 
@@ -110,7 +118,7 @@ def knn_brute(
         zero_copy_batch=True,
         concurrency=sizing.pool(),
     )
-    return partials.groupby("qid").map_groups(_final_topk(k), batch_format="pandas")
+    return partials.groupby("qid").map_groups(_final_topk(k), batch_format="pyarrow")
 
 
 def knn_rings(

@@ -8771,23 +8771,25 @@ def q_debounce(sf_dir: str):
             "t": pa.array(ts.astype(np.int64)),
         })
 
-    def flag(g: pd.DataFrame) -> pd.DataFrame:
-        uid = g["user_id"].to_numpy()
-        et = g["event_type"].to_numpy()
-        eid = g["event_id"].to_numpy()
-        t = g["t"].to_numpy()
+    def flag(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
         order = np.lexsort((eid, t, et, uid))
         uid, et, eid, t = uid[order], et[order], eid[order], t[order]
         new_seg = np.r_[True, (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])]
         prev_t = np.r_[0, t[:-1]]
         keep = new_seg | (t - prev_t >= DEBOUNCE_US)
-        return pd.DataFrame({
-            "event_id": eid, "user_id": uid, "event_type": et,
-            "keep": keep.astype(np.int64),
+        return pa.table({
+            "event_id": pa.array(eid),
+            "user_id": pa.array(uid),
+            "event_type": pa.array(et, type=pa.string()),
+            "keep": pa.array(keep.astype(np.int64)),
         })
 
     part = ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
-    return part.groupby("bucket").map_groups(flag, batch_format="pandas")
+    return part.groupby("bucket").map_groups(flag, batch_format="pyarrow")
 
 
 def sql_debounce() -> str:
@@ -8832,25 +8834,30 @@ def q_user_gini(sf_dir: str):
             "nt": pa.array(cnt),
         })
 
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        key = (g["user_id"].astype(str) + "|" + g["event_type"]).to_numpy()
-        ku, ki = np.unique(key, return_inverse=True)
+    def resolve(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        nt_in = g["nt"].to_numpy(zero_copy_only=False)
+        key = np.fromiter(
+            (f"{u}|{t}" for u, t in zip(uid, et)), dtype=object, count=len(uid)
+        )
+        ku, first, ki = np.unique(key, return_index=True, return_inverse=True)
         nt = np.zeros(len(ku), dtype=np.int64)
-        np.add.at(nt, ki, g["nt"].to_numpy())
-        u_of = np.array([k.split("|")[0] for k in ku], dtype=np.int64)
+        np.add.at(nt, ki, nt_in)
+        u_of = uid[first]
         uu, ui = np.unique(u_of, return_inverse=True)
         n = np.zeros(len(uu), dtype=np.int64)
         s2 = np.zeros(len(uu), dtype=np.int64)
         np.add.at(n, ui, nt)
         np.add.at(s2, ui, nt * nt)
-        return pd.DataFrame({
-            "user_id": uu,
-            "n_events": n,
-            "gini_ppm": 1_000_000 - (1_000_000 * s2) // (n * n),
+        return pa.table({
+            "user_id": pa.array(uu),
+            "n_events": pa.array(n),
+            "gini_ppm": pa.array(1_000_000 - (1_000_000 * s2) // (n * n)),
         })
 
     part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    return part.groupby("bucket").map_groups(resolve, batch_format="pandas")
+    return part.groupby("bucket").map_groups(resolve, batch_format="pyarrow")
 
 
 def sql_user_gini() -> str:
@@ -8930,19 +8937,19 @@ def q_image_retention(sf_dir: str):
         i = batch["img_idx"].to_numpy(zero_copy_only=False)
         return batch.append_column("lbkt", pa.array(hash_bucket_u64(i, nb)))
 
-    def distinct(g: pd.DataFrame) -> pd.DataFrame:
-        i = g["img_idx"].to_numpy().astype(np.int64)
+    def distinct(g: pa.Table) -> pa.Table:
+        i = g["img_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
         uq, first = np.unique(i, return_index=True)
-        return pd.DataFrame({
-            "img_idx": uq,
-            "w": g["w"].to_numpy().astype(np.int64)[first],
-            "h": g["h"].to_numpy().astype(np.int64)[first],
+        return pa.table({
+            "img_idx": pa.array(uq),
+            "w": pa.array(g["w"].to_numpy(zero_copy_only=False).astype(np.int64)[first]),
+            "h": pa.array(g["h"].to_numpy(zero_copy_only=False).astype(np.int64)[first]),
         })
 
     return (
         lo.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("lbkt")
-        .map_groups(distinct, batch_format="pandas")
+        .map_groups(distinct, batch_format="pyarrow")
     )
 
 
@@ -9315,12 +9322,12 @@ def q_od_matrix(sf_dir: str):
             "cell": pa.array(u, type=pa.uint64()),
         })
 
-    def endpoints(g: pd.DataFrame) -> pd.DataFrame:
-        uid = g["user_id"].to_numpy()
-        day = g["day"].to_numpy()
-        t = g["t"].to_numpy()
-        eid = g["event_id"].to_numpy()
-        cell = g["cell"].to_numpy().astype(np.uint64)
+    def endpoints(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        cell = g["cell"].to_numpy(zero_copy_only=False).astype(np.uint64)
         order = np.lexsort((eid, t, day, uid))
         uid, day, cell = uid[order], day[order], cell[order]
         new_seg = np.r_[True, (uid[1:] != uid[:-1]) | (day[1:] != day[:-1])]
@@ -9333,28 +9340,28 @@ def q_od_matrix(sf_dir: str):
         ku, ki = np.unique(key, return_inverse=True)
         n = np.zeros(len(ku), dtype=np.int64)
         np.add.at(n, ki, 1)
-        return pd.DataFrame({
-            "bucket2": hash_bucket_u64(ku, nb),
-            "od": ku.view(np.int64),
-            "n": n,
+        return pa.table({
+            "bucket2": pa.array(hash_bucket_u64(ku, nb)),
+            "od": pa.array(ku.view(np.int64)),
+            "n": pa.array(n),
         })
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        od = g["od"].to_numpy().view(np.uint64)
+    def fold(g: pa.Table) -> pa.Table:
+        od = g["od"].to_numpy(zero_copy_only=False).view(np.uint64)
         ku, ki = np.unique(od, return_inverse=True)
         n = np.zeros(len(ku), dtype=np.int64)
-        np.add.at(n, ki, g["n"].to_numpy())
+        np.add.at(n, ki, g["n"].to_numpy(zero_copy_only=False))
         o_u64 = ((ku >> np.uint64(12)) << np.uint64(52)) | np.uint64(OD_RES)
         d_u64 = ((ku & np.uint64(0xFFF)) << np.uint64(52)) | np.uint64(OD_RES)
-        return pd.DataFrame({
-            "origin": su.to_string_fixed(o_u64, OD_RES),
-            "dest": su.to_string_fixed(d_u64, OD_RES),
-            "n_user_days": n,
+        return pa.table({
+            "origin": pa.array(su.to_string_fixed(o_u64, OD_RES), type=pa.string()),
+            "dest": pa.array(su.to_string_fixed(d_u64, OD_RES), type=pa.string()),
+            "n_user_days": pa.array(n),
         })
 
     part = ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
-    agg = part.groupby("bucket").map_groups(endpoints, batch_format="pandas")
-    return agg.groupby("bucket2").map_groups(fold, batch_format="pandas")
+    agg = part.groupby("bucket").map_groups(endpoints, batch_format="pyarrow")
+    return agg.groupby("bucket2").map_groups(fold, batch_format="pyarrow")
 
 
 def sql_od_matrix() -> str:
@@ -9418,30 +9425,39 @@ def q_cube_revenue(sf_dir: str):
 
     p = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
 
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        fine = g.groupby(["prio", "status"], sort=True).agg(
-            n=("n", "sum"), cents=("cents", "sum")
-        ).reset_index()
-        by_p = fine.groupby("prio", sort=True).agg(
-            n=("n", "sum"), cents=("cents", "sum")
-        ).reset_index()
-        by_p["status"] = "ALL"
-        by_s = fine.groupby("status", sort=True).agg(
-            n=("n", "sum"), cents=("cents", "sum")
-        ).reset_index()
-        by_s["prio"] = "ALL"
-        tot = pd.DataFrame({
-            "prio": ["ALL"], "status": ["ALL"],
-            "n": [fine["n"].sum()], "cents": [fine["cents"].sum()],
-        })
-        out = pd.concat([fine, by_p, by_s, tot], ignore_index=True)
-        return pd.DataFrame({
-            "prio": out["prio"], "status": out["status"],
-            "n_orders": out["n"].astype(np.int64),
-            "revenue_c": out["cents"].astype(np.int64),
+    def resolve(g: pa.Table) -> pa.Table:
+        pr = g["prio"].to_numpy(zero_copy_only=False)
+        st = g["status"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        cents = g["cents"].to_numpy(zero_copy_only=False)
+
+        def _reduce(pkeys, skeys):
+            pu, pi = np.unique(pkeys, return_inverse=True)
+            su_, si = np.unique(skeys, return_inverse=True)
+            key = pi * len(su_) + si
+            ku, ki = np.unique(key, return_inverse=True)
+            nn = np.zeros(len(ku), dtype=np.int64)
+            np.add.at(nn, ki, n)
+            cc = np.zeros(len(ku), dtype=np.int64)
+            np.add.at(cc, ki, cents)
+            return pu[ku // len(su_)], su_[ku % len(su_)], nn, cc
+
+        all_p = np.full(len(pr), "ALL", dtype=object)
+        fp, fs, fn, fc = _reduce(pr, st)
+        pp, ps, pn, pcn = _reduce(pr, all_p)
+        sp, ss, sn, sc = _reduce(all_p, st)
+        out_p = np.concatenate([fp, pp, sp, np.array(["ALL"], dtype=object)])
+        out_s = np.concatenate([fs, ps, ss, np.array(["ALL"], dtype=object)])
+        out_n = np.concatenate([fn, pn, sn, np.array([fn.sum()], dtype=np.int64)])
+        out_c = np.concatenate([fc, pcn, sc, np.array([fc.sum()], dtype=np.int64)])
+        return pa.table({
+            "prio": pa.array(out_p, type=pa.string()),
+            "status": pa.array(out_s, type=pa.string()),
+            "n_orders": pa.array(out_n),
+            "revenue_c": pa.array(out_c),
         })
 
-    return p.groupby("g").map_groups(resolve, batch_format="pandas")
+    return p.groupby("g").map_groups(resolve, batch_format="pyarrow")
 
 
 def sql_cube_revenue() -> str:
@@ -9509,11 +9525,11 @@ def q_contrastive_pairs(sf_dir: str):
         neg_rows, batch_format="pyarrow", zero_copy_batch=True
     ))
 
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        a = g["a"].to_numpy()
-        b = g["b"].to_numpy()
-        side = g["side"].to_numpy()
-        jac = g["jac_micros"].to_numpy()
+    def resolve(g: pa.Table) -> pa.Table:
+        a = g["a"].to_numpy(zero_copy_only=False)
+        b = g["b"].to_numpy(zero_copy_only=False)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        jac = g["jac_micros"].to_numpy(zero_copy_only=False)
         key = _key(a, b)
         pos_keys = np.unique(key[side == 1])
         if len(pos_keys):
@@ -9527,12 +9543,14 @@ def q_contrastive_pairs(sf_dir: str):
         # two docs can pick the same negative pair — dedup per pair
         _, first = np.unique(kk * np.uint64(2) + lab.astype(np.uint64),
                              return_index=True)
-        return pd.DataFrame({
-            "a": a[keep][first], "b": b[keep][first],
-            "label": lab[first], "jac_micros": jac[keep][first],
+        return pa.table({
+            "a": pa.array(a[keep][first]),
+            "b": pa.array(b[keep][first]),
+            "label": pa.array(lab[first]),
+            "jac_micros": pa.array(jac[keep][first]),
         })
 
-    return both.groupby("bucket").map_groups(resolve, batch_format="pandas")
+    return both.groupby("bucket").map_groups(resolve, batch_format="pyarrow")
 
 
 _NDOCS_CACHE: dict[str, int] = {}
@@ -9683,9 +9701,9 @@ def q_retention_cohorts(sf_dir: str):
             "mi": pa.array((ku & np.uint64(0xFFF)).view(np.int64)),
         })
 
-    def matrix(g: pd.DataFrame) -> pd.DataFrame:
-        uid = g["user_id"].to_numpy()
-        mi = g["mi"].to_numpy()
+    def matrix(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        mi = g["mi"].to_numpy(zero_copy_only=False)
         key = uid.astype(np.uint64) * np.uint64(4096) + mi.astype(np.uint64)
         ku = np.unique(key)  # cross-batch dedup of (user, month)
         uid = (ku >> np.uint64(12)).view(np.int64)
@@ -9699,14 +9717,14 @@ def q_retention_cohorts(sf_dir: str):
         ck = cohort * 4096 + off
         cu, ci = np.unique(ck, return_inverse=True)
         n = np.bincount(ci).astype(np.int64)
-        return pd.DataFrame({
-            "cohort_week": cu // 4096,
-            "weeks_since": cu % 4096,
-            "n_users": n,
+        return pa.table({
+            "cohort_week": pa.array(cu // 4096),
+            "weeks_since": pa.array(cu % 4096),
+            "n_users": pa.array(n),
         })
 
     part = ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
-    agg = part.groupby("bucket").map_groups(matrix, batch_format="pandas")
+    agg = part.groupby("bucket").map_groups(matrix, batch_format="pyarrow")
     return agg.groupby(["cohort_week", "weeks_since"]).aggregate(
         Sum("n_users", alias_name="n_users")
     )
