@@ -13140,43 +13140,56 @@ CLIP_TAU = 0.0
 
 
 def q_clip_filter(sf_dir: str):
-    """Image-text alignment filtering with a STUBBED scorer (no vision
-    model exists in this sandbox — documented stand-in, the Ray-side
-    plumbing is the real deliverable): an actor pool 'loads' the
-    deterministic projection matrices once per actor (__init__), then
-    scores batches vectorized — image embedding = phash bytes
-    projected through P_img, text embedding = caption token hash
-    votes through P_txt, score = seq-fold cosine.  Keep pairs with
-    score >= CLIP_TAU.  Output (idx, score_micros, keep)."""
+    """Image-text alignment filtering with a tiny REAL two-tower
+    scorer over decoded pixels (deterministic numpy weights stand in
+    for trained CLIP weights — no model weights exist in this
+    sandbox, but the full pipeline is real: decode raw/png payload ->
+    nearest-resize 16x16 -> per-(row, channel) pooled pixel sums (a
+    48-dim image feature) -> linear projection P_img; captions ->
+    token-hash votes -> P_txt; score = seq-fold cosine).  The actor
+    pool loads both projection matrices once per actor (__init__);
+    scoring is vectorized per batch.  Keep pairs with score >=
+    CLIP_TAU.  Output (idx, score_micros, keep).  The oracle replays
+    decode+resize+pool closed-form from the generative pixel formula
+    (fixtures.gen_pixels) and the identical fold order, so scores
+    are value-hash checked end-to-end."""
     from rhealpixdggs_py_ray.fixtures import write_images_table
     from rhealpixdggs_py_ray.ops.ann import _seq_dots, _seq_norm
     from rhealpixdggs_py_ray.ops.dedup import md5_u64_many
 
     write_images_table(IMG_DIR, IMG_N)
     ds = ray.data.read_parquet(
-        IMG_DIR, columns=["image_id", "caption", "phash"],
+        IMG_DIR, columns=["image_id", "caption", "bytes", "fmt", "w", "h"],
         override_num_blocks=sizing.read_blocks(IMG_DIR, profile=8),
     )
 
-    class ClipStub:
+    class ClipScorer:
         def __init__(self):
             from rhealpixdggs_py_ray.fixtures import splitmix64
-            i = np.arange(8 * CLIP_D, dtype=np.uint64)
+            i = np.arange(48 * CLIP_D, dtype=np.uint64)
             f = (splitmix64(i + np.uint64(424242)) >> np.uint64(11)
                  ).astype(np.float64) / float(1 << 53)
-            self.P_img = (2.0 * f - 1.0).reshape(8, CLIP_D)
+            self.P_img = (2.0 * f - 1.0).reshape(48, CLIP_D)
             j = np.arange(64 * CLIP_D, dtype=np.uint64)
             g = (splitmix64(j + np.uint64(515151)) >> np.uint64(11)
                  ).astype(np.float64) / float(1 << 53)
             self.P_txt = (2.0 * g - 1.0).reshape(64, CLIP_D)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ph = batch["phash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            n = len(ph)
-            B = np.zeros((n, 8), dtype=np.float64)
-            for b in range(8):
-                B[:, b] = ((ph >> np.uint64(8 * b)) & np.uint64(255)
-                           ).astype(np.float64)
+            from rhealpixdggs_py_ray.fixtures import decode_image
+            from rhealpixdggs_py_ray.ops.multimodal import resize_nearest
+
+            blobs = batch["bytes"].to_pylist()
+            fmts = batch["fmt"].to_pylist()
+            ws = batch["w"].to_numpy(zero_copy_only=False)
+            hs = batch["h"].to_numpy(zero_copy_only=False)
+            n = len(blobs)
+            B = np.empty((n, 48), dtype=np.float64)
+            for k in range(n):
+                pix = decode_image(blobs[k], fmts[k], int(ws[k]), int(hs[k]))
+                small = resize_nearest(pix, 16, 16).astype(np.int64)
+                # pooled row sums per channel, feature index gi*3 + c
+                B[k] = small.sum(axis=1).reshape(48).astype(np.float64)
             img = _seq_dots(B, self.P_img.T)
             caps = batch["caption"].to_pylist()
             toks_all, doc_idx = [], []
@@ -13205,7 +13218,7 @@ def q_clip_filter(sf_dir: str):
             })
 
     return ds.map_batches(
-        ClipStub, batch_format="pyarrow", batch_size=512,
+        ClipScorer, batch_format="pyarrow", batch_size=512,
         zero_copy_batch=True, concurrency=sizing.pool(),
     )
 
@@ -13214,23 +13227,30 @@ def sql_clip_filter() -> str:
     from rhealpixdggs_py_ray.fixtures import splitmix64, write_images_table
 
     write_images_table(IMG_DIR, IMG_N)
-    i = np.arange(8 * CLIP_D, dtype=np.uint64)
+    i = np.arange(48 * CLIP_D, dtype=np.uint64)
     P_img = (2.0 * ((splitmix64(i + np.uint64(424242)) >> np.uint64(11)
                      ).astype(np.float64) / float(1 << 53)) - 1.0
-             ).reshape(8, CLIP_D)
+             ).reshape(48, CLIP_D)
     j = np.arange(64 * CLIP_D, dtype=np.uint64)
     P_txt = (2.0 * ((splitmix64(j + np.uint64(515151)) >> np.uint64(11)
                      ).astype(np.float64) / float(1 << 53)) - 1.0
              ).reshape(64, CLIP_D)
     M = "18446744073709551616"
     u = f"CAST(((CAST(phash AS HUGEINT) % {M}) + {M}) % {M} AS UBIGINT)"
-    byte = "CAST((u >> CAST(8 * {b} AS UBIGINT)) & 255 AS DOUBLE)"
     from rhealpixdggs_py_ray.oracle import _lit
+    # pooled pixel features: p{gi*3+c} = sum over gj of the decoded
+    # 16x16 nearest-resized pixel (closed-form fixtures.gen_pixels:
+    # (xi*3 + yi*5 + c*7 + ((u >> 8c) & 255)) % 256 at yi = gi*h//16,
+    # xi = gj*w//16) — exact integers, cast to DOUBLE once
+    pool_cols = ", ".join(
+        "CAST(SUM(CASE WHEN gi = {gi} AND c = {c} THEN pxv ELSE 0 END)"
+        " AS DOUBLE) AS p{i}".format(gi=i_ // 3, c=i_ % 3, i=i_)
+        for i_ in range(48)
+    )
     img_d = []
     for d in range(CLIP_D):
         terms = " + ".join(
-            f"({byte.format(b=b)}) * ({_lit(float(P_img[b, d]))})"
-            for b in range(8))
+            f"p{b} * ({_lit(float(P_img[b, d]))})" for b in range(48))
         img_d.append(f"({terms})")
     txt_d = []
     for d in range(CLIP_D):
@@ -13247,7 +13267,8 @@ def sql_clip_filter() -> str:
     txt_cols = ", ".join(f"{e} AS t{d}" for d, e in enumerate(txt_d))
     return f"""
 WITH csrc AS MATERIALIZED (
-  SELECT CAST(substr(image_id, 4) AS BIGINT) AS idx, caption, {u} AS u
+  SELECT CAST(substr(image_id, 4) AS BIGINT) AS idx, caption,
+    CAST(w AS BIGINT) AS iw, CAST(h AS BIGINT) AS ih, {u} AS u
   FROM read_parquet('{IMG_DIR}/*.parquet')
 ),
 ctoks AS MATERIALIZED (
@@ -13258,8 +13279,27 @@ ctoks AS MATERIALIZED (
 cvotes AS MATERIALIZED (
   SELECT idx, {tv_cols} FROM ctoks GROUP BY idx
 ),
+lat AS MATERIALIZED (
+  SELECT gi.gi, gj.gj, c.c FROM
+    (SELECT unnest(generate_series(0, 15)) AS gi) gi,
+    (SELECT unnest(generate_series(0, 15)) AS gj) gj,
+    (SELECT unnest(generate_series(0, 2)) AS c) c
+),
+cpix AS MATERIALIZED (
+  SELECT s.idx, l.gi, l.c,
+    ((CAST(l.gj AS BIGINT) * s.iw) // 16) * 3
+      + ((CAST(l.gi AS BIGINT) * s.ih) // 16) * 5
+      + CAST(l.c AS BIGINT) * 7
+      + CAST((s.u >> CAST(8 * l.c AS UBIGINT)) & 255 AS BIGINT) AS raw
+  FROM csrc s, lat l
+),
+cpool AS MATERIALIZED (
+  SELECT idx, {pool_cols}
+  FROM (SELECT idx, gi, c, raw % 256 AS pxv FROM cpix) q
+  GROUP BY idx
+),
 cimg AS MATERIALIZED (
-  SELECT idx, {img_cols} FROM csrc
+  SELECT idx, {img_cols} FROM cpool
 ),
 ctxt AS MATERIALIZED (
   SELECT idx, {txt_cols} FROM cvotes
