@@ -75,6 +75,33 @@ def _lit(x: float) -> str:
     return f"CAST('{float(x)!r}' AS DOUBLE)"
 
 
+def _recenter_lon_sql(col: str, shift: float) -> str:
+    """SQL mirror of ``wrap_longitude(col - shift)`` (utils.py:19) in
+    degrees.  In-range differences pass through UNCHANGED (the numpy
+    wrap only rewrites out-of-range entries); out-of-range entries go
+    through the identical fmod + correction chain, which is bit-exact
+    (fmod is IEEE-exact, the single correction add rounds identically
+    on both sides)."""
+    if shift == 0:
+        return col
+    d = f"(({col}) - {_lit(shift)})"
+    m = f"((({d} % 360.0) + 360.0) % 360.0)"
+    w = f"(CASE WHEN {m} >= 180.0 THEN {m} - 360.0 ELSE {m} END)"
+    return f"(CASE WHEN {d} >= -180.0 AND {d} < 180.0 THEN {d} ELSE {w} END)"
+
+
+def _recenter_lat_sql(col: str, shift: float) -> str:
+    """SQL mirror of ``wrap_latitude(col - shift)`` (utils.py:32):
+    wrap_longitude then reflect |phi| > 90 across the nearer pole."""
+    if shift == 0:
+        return col
+    w = _recenter_lon_sql(col, shift)
+    return (
+        f"(CASE WHEN abs({w}) > 90.0 THEN {w} -"
+        f" (CASE WHEN {w} >= 0 THEN 180.0 ELSE -180.0 END) ELSE {w} END)"
+    )
+
+
 def _proj_parts(cfg: EngineConfig):
     """Shared SQL fragments for the forward projection chain."""
     ns = cfg.north_square % 4
@@ -133,16 +160,18 @@ def projection_sql(
 ) -> str:
     """Subquery: (id_cols..., extra..., lon, lat degrees) -> planar
     (xm, ym) meters via the forward rHEALPix chain (projection.py:forward)."""
-    if cfg.lon_0 != 0 or cfg.lat_0 != 0 or cfg.radians:
-        raise NotImplementedError("oracle SQL assumes lon_0=lat_0=0, degrees")
+    if cfg.radians:
+        raise NotImplementedError("oracle SQL assumes degree configs")
     f = 1 - math.sqrt(1 - cfg.e**2)
     if cfg.e != 0 and abs(f) > 1 / 150:
         raise NotImplementedError("oracle SQL implements the series auth-lat path")
     p = _proj_parts(cfg)
     keep = ", ".join(id_cols + extra_cols)
+    lon_c = _recenter_lon_sql("lon", cfg.lon_0)
+    lat_c = _recenter_lat_sql("lat", cfg.lat_0)
     return (
         f"(WITH pts AS ({points_sql}),"
-        f" rr AS MATERIALIZED (SELECT {keep}, radians(lon) AS lam, radians(lat) AS phi FROM pts),"
+        f" rr AS MATERIALIZED (SELECT {keep}, radians({lon_c}) AS lam, radians({lat_c}) AS phi FROM pts),"
         f" au AS MATERIALIZED (SELECT {keep}, lam, {p['beta']} AS beta FROM rr),"
         f" h1 AS MATERIALIZED (SELECT {keep}, lam, beta, {p['sigma']} AS sigma FROM au),"
         f" h2 AS MATERIALIZED (SELECT {keep}, lam, beta, sigma, {p['cap']} AS cap FROM h1),"
@@ -357,8 +386,8 @@ def inverse_sql(
 ) -> str:
     """Subquery: (id_cols..., extra..., xm, ym planar meters) ->
     (id_cols..., extra..., lon, lat degrees)."""
-    if cfg.lon_0 != 0 or cfg.lat_0 != 0 or cfg.radians:
-        raise NotImplementedError("oracle SQL assumes lon_0=lat_0=0, degrees")
+    if cfg.radians:
+        raise NotImplementedError("oracle SQL assumes degree configs")
     ns = cfg.north_square % 4
     ss = cfg.south_square % 4
     R = _lit(cfg.R_A)
@@ -442,8 +471,19 @@ def inverse_sql(
         "(CASE WHEN {v} >= 180 THEN {v} - 360"
         " WHEN {v} < -180 THEN {v} + 360 ELSE {v} END)"
     )
-    lon = wrap.format(v=f"(lam_r * {r2d})")
+    # engine inverse re-adds lon_0/lat_0 then wraps (projection.py:324)
+    lam_deg = f"(lam_r * {r2d})"
+    if cfg.lon_0 != 0:
+        lam_deg = f"({lam_deg} + {_lit(cfg.lon_0)})"
+    lon = wrap.format(v=lam_deg)
     lat = f"(phi_r * {r2d})"
+    if cfg.lat_0 != 0:
+        v = f"({lat} + {_lit(cfg.lat_0)})"
+        w = wrap.format(v=v)
+        lat = (
+            f"(CASE WHEN abs({w}) > 90.0 THEN {w} -"
+            f" (CASE WHEN {w} >= 0 THEN 180.0 ELSE -180.0 END) ELSE {w} END)"
+        )
 
     return (
         f"(WITH pl AS ({planar_sql}),"

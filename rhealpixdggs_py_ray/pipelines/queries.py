@@ -29,7 +29,13 @@ from rhealpixdggs_py_ray import oracle, sizing
 from rhealpixdggs_py_ray.core import geometry as geo
 from rhealpixdggs_py_ray.core import index as idx
 from rhealpixdggs_py_ray.core import suid as su
-from rhealpixdggs_py_ray.core.config import CELLS0, WGS84_003
+from rhealpixdggs_py_ray.core.config import (
+    CELLS0,
+    EngineConfig,
+    WGS84_002,
+    WGS84_003,
+    WGS84_123,
+)
 from rhealpixdggs_py_ray.pipelines.knn import knn_brute
 from rhealpixdggs_py_ray.pipelines.tiles import aggregate_tiles
 from rhealpixdggs_py_ray.stages.join import CoverSemiJoin, make_cover_ref
@@ -113,6 +119,131 @@ def _points_sql(table: str, id_col: str) -> str:
 def sql_cell_from_point() -> str:
     inner = oracle.cell_from_point_sql(
         _points_sql("events", "event_id"), RES, CFG, id_cols=("event_id",)
+    )
+    return f"SELECT event_id, cell_id FROM {inner} t"
+
+
+# Recentered configs (reference projection_wrapper.py:89-121 lon_0 /
+# lat_0 handling) — the first SQL-oracled coverage OFF the
+# lon_0=lat_0=0 grid (round-3 VERDICT gap 1).  Non-integer shifts keep
+# fixture points clear of cell boundaries at every resolution.
+CFG_LON0 = EngineConfig(lon_0=31.25)
+CFG_SHIFTED = EngineConfig(lon_0=-47.5, lat_0=16.75)
+
+
+def q_cell_from_point_lon0(sf_dir: str):
+    """cell_from_point under a recentered lon_0=31.25 config: the
+    engine's wrap_longitude(u - lon_0) recentering (projection.py:280,
+    reference projection_wrapper.py:89) exercised end-to-end with a
+    full SQL oracle (oracle._recenter_lon_sql)."""
+    ds = _read(sf_dir, "events", columns=["event_id"])
+
+    def index(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = oracle.lonlat_from_id(ids)
+        u = idx.cell_from_point(CFG_LON0, RES, lon, lat, plane=False)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "cell_id": pa.array(su.to_string_fixed(u, RES), type=pa.string()),
+        })
+
+    return ds.map_batches(index, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_cell_from_point_lon0() -> str:
+    inner = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), RES, CFG_LON0, id_cols=("event_id",)
+    )
+    return f"SELECT event_id, cell_id FROM {inner} t"
+
+
+def _cell_from_point_cfg_q(cfg: EngineConfig, res: int = RES):
+    def q(sf_dir: str):
+        ds = _read(sf_dir, "events", columns=["event_id"])
+
+        def index(batch: pa.Table) -> pa.Table:
+            ids = batch["event_id"].to_numpy(zero_copy_only=False)
+            lon, lat = oracle.lonlat_from_id(ids)
+            u = idx.cell_from_point(cfg, res, lon, lat, plane=False)
+            return pa.table({
+                "event_id": batch["event_id"],
+                "cell_id": pa.array(su.to_string_fixed(u, res), type=pa.string()),
+            })
+
+        return ds.map_batches(index, batch_format="pyarrow", zero_copy_batch=True)
+
+    return q
+
+
+def q_cell_from_point_nside2(sf_dir: str):
+    """cell_from_point under N_side=2 (WGS84_002): the 2x2 subdivision
+    digit chain, SQL-oracled (first off-N_side=3 DuckDB oracle)."""
+    return _cell_from_point_cfg_q(WGS84_002)(sf_dir)
+
+
+def sql_cell_from_point_nside2() -> str:
+    inner = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), RES, WGS84_002,
+        id_cols=("event_id",),
+    )
+    return f"SELECT event_id, cell_id FROM {inner} t"
+
+
+def q_cell_from_point_unit(sf_dir: str):
+    """cell_from_point on the unit sphere (UNIT_003, R=1): exercises
+    the R_A scaling path off the WGS84 ellipsoid, SQL-oracled."""
+    from rhealpixdggs_py_ray.core.config import UNIT_003
+
+    return _cell_from_point_cfg_q(UNIT_003)(sf_dir)
+
+
+def sql_cell_from_point_unit() -> str:
+    from rhealpixdggs_py_ray.core.config import UNIT_003
+
+    inner = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), RES, UNIT_003,
+        id_cols=("event_id",),
+    )
+    return f"SELECT event_id, cell_id FROM {inner} t"
+
+
+def q_cell_from_point_ns12(sf_dir: str):
+    """cell_from_point under north_square=1 / south_square=2
+    (WGS84_123): polar-cap rearrangement off the default squares,
+    SQL-oracled."""
+    return _cell_from_point_cfg_q(WGS84_123)(sf_dir)
+
+
+def sql_cell_from_point_ns12() -> str:
+    inner = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), RES, WGS84_123,
+        id_cols=("event_id",),
+    )
+    return f"SELECT event_id, cell_id FROM {inner} t"
+
+
+def q_cell_from_point_shifted(sf_dir: str):
+    """cell_from_point under a doubly-recentered config (lon_0=-47.5,
+    lat_0=16.75): exercises both wrap_longitude and wrap_latitude
+    recentering (projection.py:280-281) with a full SQL oracle."""
+    ds = _read(sf_dir, "events", columns=["event_id"])
+
+    def index(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = oracle.lonlat_from_id(ids)
+        u = idx.cell_from_point(CFG_SHIFTED, RES, lon, lat, plane=False)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "cell_id": pa.array(su.to_string_fixed(u, RES), type=pa.string()),
+        })
+
+    return ds.map_batches(index, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_cell_from_point_shifted() -> str:
+    inner = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), RES, CFG_SHIFTED,
+        id_cols=("event_id",),
     )
     return f"SELECT event_id, cell_id FROM {inner} t"
 
