@@ -735,17 +735,19 @@ def compress_cells_sql(poly, resolution: int, cfg: EngineConfig = WGS84_003) -> 
 
 def cell_geometry_sql(resolution: int = 2, cfg: EngineConfig = WGS84_003) -> str:
     """(cell_id, nuc_lon_micros, nuc_lat_micros, shape) for every cell
-    at ``resolution`` — nucleus via ul_vertex digit arithmetic
+    at ``resolution`` (1..4) — nucleus via ul_vertex digit arithmetic
     (cell.py:483-531, 625-653) + the full inverse projection; shape via
-    the SUID digit patterns (cell.py:1008-1059)."""
-    if resolution != 2:
-        raise NotImplementedError("cell_geometry oracle is generated for res 2")
+    the per-digit SUID patterns (cell.py:1008-1059): cap iff every
+    digit is the center, dart iff every digit sits on one diagonal."""
+    if not 1 <= resolution <= 4:
+        raise NotImplementedError("cell_geometry oracle supports res 1..4")
     N = cfg.N_side
     b = N * N
-    total = 6 * b**2
+    res = resolution
+    total = 6 * b**res
     w0 = _lit(cfg.cell_width(0))
-    w = _lit(cfg.cell_width(2))
-    inv = _lit(float(N ** (-2)))
+    w = _lit(cfg.cell_width(res))
+    inv = _lit(float(N ** (-res)))
     x0case = "(CASE face " + " ".join(
         f"WHEN {i} THEN {_lit(cfg.ul_vertex[i, 0])}" for i in range(6)
     ) + " END)"
@@ -757,37 +759,48 @@ def cell_geometry_sql(resolution: int = 2, cfg: EngineConfig = WGS84_003) -> str
         + " ".join(f"WHEN {i} THEN '{c}'" for i, c in enumerate(CELLS0))
         + " END)"
     )
+    digs = [f"((i // {b ** (res - 1 - k)}) % {b})" for k in range(res)]
+    dnames = [f"d{k}" for k in range(res)]
+    cell = letter + "".join(f" || CAST({d} AS VARCHAR)" for d in dnames)
+    dxi = " + ".join(
+        f"({d} % {N}) * {N ** (res - 1 - k)}" for k, d in enumerate(dnames)
+    )
+    dyi = " + ".join(
+        f"({d} // {N}) * {N ** (res - 1 - k)}" for k, d in enumerate(dnames)
+    )
     center = (b - 1) // 2
     diag1 = sorted({i * (N + 1) for i in range(N)})
     diag2 = sorted({(i + 1) * (N - 1) for i in range(N)})
     in1 = "({d} IN (" + ", ".join(str(v) for v in diag1) + "))"
     in2 = "({d} IN (" + ", ".join(str(v) for v in diag2) + "))"
+    cap_cond = " AND ".join(f"{d} = {center}" for d in dnames)
+    dart1 = " AND ".join(in1.format(d=d) for d in dnames)
+    dart2 = " AND ".join(in2.format(d=d) for d in dnames)
     shape = (
         f"(CASE WHEN face IN (0, 5) THEN"
-        f" (CASE WHEN d1 = {center} AND d2 = {center} THEN 'cap'"
-        f" WHEN ({in1.format(d='d1')} AND {in1.format(d='d2')})"
-        f" OR ({in2.format(d='d1')} AND {in2.format(d='d2')}) THEN 'dart'"
+        f" (CASE WHEN {cap_cond} THEN 'cap'"
+        f" WHEN ({dart1}) OR ({dart2}) THEN 'dart'"
         f" ELSE 'skew_quad' END)"
         f" ELSE 'quad' END)"
     )
+    dig_sel = ", ".join(f"{e} AS {n}" for e, n in zip(digs, dnames))
+    keep_d = ", ".join(dnames)
     base = (
         f"(WITH i0 AS (SELECT unnest(generate_series(0, {total - 1})) AS i),"
-        f" dg AS (SELECT i, i // {b * b} AS face,"
-        f"   (i // {b}) % {b} AS d1, i % {b} AS d2 FROM i0),"
-        f" rc AS (SELECT i, face, d1, d2,"
-        f"   (d1 % {N}) * {N} + (d2 % {N}) AS dxi,"
-        f"   (d1 // {N}) * {N} + (d2 // {N}) AS dyi FROM dg),"
-        f" nu AS (SELECT i, face, d1, d2,"
+        f" dg AS (SELECT i, i // {b ** res} AS face, {dig_sel} FROM i0),"
+        f" rc AS (SELECT i, face, {keep_d},"
+        f"   ({dxi}) AS dxi, ({dyi}) AS dyi FROM dg),"
+        f" nu AS (SELECT i, face, {keep_d},"
         f"   ({x0case} + {w0}*(dxi * {inv})) + {w}/2 AS xm,"
         f"   ({y0case} - {w0}*(dyi * {inv})) - {w}/2 AS ym FROM rc)"
-        f" SELECT i, face, d1, d2, xm, ym FROM nu)"
+        f" SELECT i, face, {keep_d}, xm, ym FROM nu)"
     )
     invq = inverse_sql(
-        f"SELECT i, face, d1, d2, xm, ym FROM {base} t", cfg,
-        id_cols=("i",), extra_cols=("face", "d1", "d2"),
+        f"SELECT i, face, {keep_d}, xm, ym FROM {base} t", cfg,
+        id_cols=("i",), extra_cols=("face",) + tuple(dnames),
     )
     return (
-        f"SELECT {letter} || CAST(d1 AS VARCHAR) || CAST(d2 AS VARCHAR) AS cell_id,"
+        f"SELECT {cell} AS cell_id,"
         f" CAST(floor(lon * 1000000.0) AS BIGINT) AS nuc_lon_micros,"
         f" CAST(floor(lat * 1000000.0) AS BIGINT) AS nuc_lat_micros,"
         f" {shape} AS shape"

@@ -2182,6 +2182,89 @@ def q_cell_geometry(sf_dir: str):
     )
 
 
+def q_cell_geometry_r3(sf_dir: str):
+    """Per-cell geometry (nucleus micros + shape) for every res-3 cell
+    — the cell_geometry oracle generalized past res 2 (round-3 VERDICT
+    gap 2; oracle.cell_geometry_sql is digit-parametric now)."""
+    res3 = 3
+    b = CFG.N_side**2
+    total = 6 * b**res3
+    base = 6 * (b**res3 - 1) // (b - 1)
+
+    def geom(batch: pa.Table) -> pa.Table:
+        i = batch["id"].to_numpy(zero_copy_only=False)
+        u = su.suid_from_level_order_index(i + base, CFG)
+        nlon, nlat = idx.nucleus(CFG, u, plane=False)
+        shape_names = np.array(idx.SHAPE_NAMES)
+        return pa.table(
+            {
+                "cell_id": pa.array(su.to_string_fixed(u, res3)),
+                "nuc_lon_micros": pa.array(np.floor(nlon * 1e6).astype(np.int64)),
+                "nuc_lat_micros": pa.array(np.floor(nlat * 1e6).astype(np.int64)),
+                "shape": pa.array(
+                    shape_names[np.asarray(idx.shape_of(CFG, u), dtype=np.int64)],
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    return ray.data.range(total, override_num_blocks=sizing.range_blocks(total, 4)).map_batches(
+        geom, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+RASTER_RES = 3
+RASTER_NX = 256  # power-of-two sample grid: i/256, j/128 are exact
+RASTER_NY = 128  # binary fractions, so lon/lat are bit-identical in SQL
+
+
+def q_raster_sample_global(sf_dir: str):
+    """Latitude-UNRESTRICTED sampled rasterization: a 256x128 global
+    lon/lat grid (power-of-two fractions -> bit-exact floats on both
+    sides, the linetrace_polar technique) mapped through the full
+    forward projection INCLUDING the polar-cap rearrangement, counted
+    per res-3 cell.  This is the first cover-family oracle that
+    exercises the polar faces (N/S) in SQL — round-3 VERDICT gap 2:
+    cover oracles were equatorial-band only."""
+    total = RASTER_NX * RASTER_NY
+
+    def raster(batch: pa.Table) -> pa.Table:
+        k = batch["id"].to_numpy(zero_copy_only=False)
+        i = k % RASTER_NX
+        j = k // RASTER_NX
+        lon = -180.0 + 360.0 * (i / float(RASTER_NX))
+        lat = -84.0 + 168.0 * ((j + 0.5) / float(RASTER_NY))
+        u = idx.cell_from_point(CFG, RASTER_RES, lon, lat, plane=False)
+        cu, cnt = np.unique(u, return_counts=True)
+        return pa.table({
+            "cell_id": pa.array(
+                su.to_string_fixed(cu, RASTER_RES), type=pa.string()
+            ),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    return (
+        ray.data.range(total, override_num_blocks=sizing.range_blocks(total, 4))
+        .map_batches(raster, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cell_id")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def sql_raster_sample_global() -> str:
+    pts = (
+        f"SELECT k,"
+        f" -180.0 + 360.0 * (CAST(k % {RASTER_NX} AS DOUBLE) / {float(RASTER_NX)!r}) AS lon,"
+        f" -84.0 + 168.0 * ((CAST(k // {RASTER_NX} AS DOUBLE) + 0.5) / {float(RASTER_NY)!r}) AS lat"
+        f" FROM (SELECT unnest(generate_series(0, {RASTER_NX * RASTER_NY - 1})) AS k)"
+    )
+    inner = oracle.cell_from_point_sql(pts, RASTER_RES, CFG, id_cols=("k",))
+    return (
+        f"SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n"
+        f" FROM {inner} t GROUP BY cell_id"
+    )
+
+
 def q_image_pipeline(sf_dir: str):
     """Multimodal plumbing: deterministic image fixture table (the
     input_hint schema) -> actor-pool decode + payload verification ->
@@ -4081,6 +4164,10 @@ def sql_cell_from_region() -> str:
 
 def sql_cell_geometry() -> str:
     return oracle.cell_geometry_sql(2, CFG)
+
+
+def sql_cell_geometry_r3() -> str:
+    return oracle.cell_geometry_sql(3, CFG)
 
 
 # ---------------------------------------------------------------------------
