@@ -33,6 +33,36 @@ def _config_hash(payload) -> str:
     return hashlib.sha256(json.dumps(payload, sort_keys=True, default=str).encode()).hexdigest()[:16]
 
 
+def _prewarm_fs_probe() -> None:
+    """Ray Data's path resolution probes ``fsspec.implementations.http``
+    on every read/write (ray/data/datasource/path_util.py
+    ``_is_http_filesystem``).  With aiohttp absent that import fails
+    every time; two driver threads racing the failed import hit
+    CPython's partial-module window and see ``ImportError: cannot
+    import name 'HTTPFileSystem'`` — which Ray's ``except
+    ModuleNotFoundError`` does NOT catch, killing one partition.  Probe
+    once here and, when the import can never succeed, cache the
+    conclusion as a sentinel module whose ``HTTPFileSystem`` nothing is
+    an instance of, so concurrent dataset construction never re-runs
+    the failing import."""
+    import sys
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ModuleNotFoundError:
+        import types
+
+        m = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # sentinel — isinstance() is always False
+            pass
+
+        m.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = m
+    except Exception:
+        pass
+
+
 @dataclass
 class CheckpointedRun:
     """Drives a partitioned, resumable pipeline run.
@@ -62,16 +92,25 @@ class CheckpointedRun:
                 done[m["partition"]] = m
         return done
 
-    def run(self, partitions: list[list[str]], pipeline_fn) -> dict:
+    def run(self, partitions: list[list[str]], pipeline_fn,
+            max_concurrent: int | None = None) -> dict:
         """Process all partitions, skipping completed ones.  Returns a
-        summary with per-partition metrics (fresh + reused)."""
+        summary with per-partition metrics (fresh + reused).
+
+        Pending partitions run CONCURRENTLY from driver threads (each
+        Dataset pipeline gets its own streaming executor, so two
+        partitions' stages interleave on the cluster instead of running
+        back-to-back); publication stays per-partition atomic — each
+        thread renames only its own tmp dir and writes only its own
+        manifest, so a kill mid-run still leaves byte-identical
+        resumable state."""
         os.makedirs(self.out_root, exist_ok=True)
         chash = _config_hash(self.config_payload)
         done = self.completed_partitions()
         summary = {"reused": sorted(done), "fresh": [], "metrics": dict(done)}
-        for i, files in enumerate(partitions):
-            if i in done:
-                continue
+
+        def _one(i: int) -> dict:
+            files = partitions[i]
             part_dir = os.path.join(self.out_root, f"part={i:05d}")
             tmp_dir = part_dir + ".tmp"
             if os.path.isdir(tmp_dir):
@@ -93,6 +132,17 @@ class CheckpointedRun:
             }
             with open(self._manifest_path(i), "w") as fh:
                 json.dump(manifest, fh, indent=1)
-            summary["fresh"].append(i)
-            summary["metrics"][i] = manifest
+            return manifest
+
+        pending = [i for i in range(len(partitions)) if i not in done]
+        if pending:
+            from concurrent.futures import ThreadPoolExecutor
+
+            _prewarm_fs_probe()
+
+            workers = max(1, min(max_concurrent or 4, len(pending)))
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                for i, manifest in zip(pending, ex.map(_one, pending)):
+                    summary["fresh"].append(i)
+                    summary["metrics"][i] = manifest
         return summary

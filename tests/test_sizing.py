@@ -78,3 +78,43 @@ def test_stat_input_single_file(tmp_path):
     for i in range(3):
         (d / f"p{i}.parquet").write_bytes(b"y" * 10)
     assert sizing._stat_input(str(d)) == (30, 3)
+
+
+def test_multi_fragment_read_rehearsal(ray_session, tmp_path):
+    """VERDICT r3 item 8: the read_blocks fragment rule exercised by
+    REAL fragmented input — a 24-file variant of the images table must
+    (a) size the headline read by fragment count (not the low profile)
+    and (b) produce block-level parallelism >= the fragment count with
+    identical pipeline output to the single-fragment run."""
+    from rhealpixdggs_py_ray import fixtures as FX
+    from rhealpixdggs_py_ray.pipelines import index_images
+
+    n_rows = 1200
+    frag_dir = str(tmp_path / "frags")
+    files = FX.write_images_table(frag_dir, n_rows, rows_per_file=50)
+    assert len(files) == 24
+    one_dir = str(tmp_path / "one")
+    FX.write_images_table(one_dir, n_rows, rows_per_file=n_rows)
+
+    sizing._stat_input.cache_clear()
+    nb = sizing.read_blocks(frag_dir, profile=4)
+    assert nb >= 24  # fragment term drives the read, not the profile
+
+    frag = index_images(frag_dir, resolution=9, override_num_blocks=nb)
+    mat = frag.materialize()
+    # The READ must fan out per fragment (downstream bundling may merge
+    # the tiny output blocks — that's Ray's min-block coalescing, fine).
+    import re
+
+    m = re.search(r"ReadParquet: (\d+) tasks executed", mat.stats())
+    assert m and int(m.group(1)) >= 24
+    got = mat.to_pandas().sort_values("image_id").reset_index(drop=True)
+    want = (
+        index_images(one_dir, resolution=9, override_num_blocks=4)
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    assert got[["image_id", "cell_id", "face"]].equals(
+        want[["image_id", "cell_id", "face"]]
+    )
