@@ -718,11 +718,129 @@ def _sq(s: str) -> str:
     return s
 
 
-def compress_cells_sql(poly, resolution: int, cfg: EngineConfig = WGS84_003) -> str:
+def polyfill_polar_sql(
+    poly, resolution: int, cfg: EngineConfig = WGS84_003
+) -> str:
+    """cell_id oracle for polyfill over a polygon strictly inside ONE
+    open triangle of the NORTH cap face — the first polar polyfill
+    oracle (round-3 VERDICT gap 2; reference semantics
+    rhp_wrappers.py:510-599, centroid cell.py:1061-1147 skew branch).
+
+    Every candidate cell is a skew quad, so the SQL replays the
+    engine's skew-quad centroid (core/index.py:297-352): a 30x30
+    tensor Gauss-Legendre rule over the planar cell square, each node
+    mapped through the FULL inverse projection (polar rearrangement +
+    healpix polar branch + inverse authalic series, inverse_sql), then
+    the weighted lat/lon means are ray-cast against the polygon.
+
+    Candidates are pruned to the polygon's Chebyshev ring (parallels
+    map to concentric squares on the cap face) and to the top triangle
+    sector; cells on the cap diagonals (darts + the cap cell) are
+    excluded — valid because the polygon is required to keep >= 1.5
+    cell widths from the diagonals, so no dart/cap centroid can lie
+    inside it (asserted below from the projected vertices).  Summation
+    order differs from numpy's pairwise sum by ~1e-13 relative; the
+    only consumers are inside/outside decisions with >> 1e-9 margins
+    (generic-position polygon)."""
+    import numpy as np
+
+    from rhealpixdggs_py_ray.core import projection as _prj
+
+    n = cfg.N_side**resolution
+    w = cfg.cell_width(resolution)
+    ul = cfg.ul_vertex[0]  # face N
+    W0 = cfg.cell_width(0)
+    fx, fy = ul[0] + W0 / 2, ul[1] - W0 / 2
+
+    lons = np.array([p[0] for p in poly], dtype=float)
+    lats = np.array([p[1] for p in poly], dtype=float)
+    vx, vy = _prj.forward(cfg, lons, lats)
+    dxv, dyv = vx - fx, vy - fy
+    # Polygon must sit in the open top triangle of the cap square with
+    # >= 1.5 cell widths of margin from both diagonals.
+    if not (dyv > np.abs(dxv) + 1.5 * w).all():
+        raise NotImplementedError(
+            "polyfill_polar_sql: polygon must lie inside the top cap "
+            "triangle with >= 1.5 cell widths margin from the diagonals"
+        )
+    # Chebyshev ring bounds from the projected vertices (a parallel maps
+    # to a square of constant Chebyshev radius, so the polygon's planar
+    # image stays inside the vertices' radius range); 2 cell widths of
+    # slack keeps the pruned set a superset of any centroid-in-polygon
+    # candidate.
+    cheb_v = np.maximum(np.abs(dxv), np.abs(dyv))
+    r_lo = _lit(float(cheb_v.min()) - 2 * w)
+    r_hi = _lit(float(cheb_v.max()) + 2 * w)
+
+    wl = _lit(w)
+    ulx, uly = _lit(ul[0]), _lit(ul[1])
+    fxl, fyl = _lit(fx), _lit(fy)
+
+    nodes, weights = np.polynomial.legendre.leggauss(30)
+    gl_rows = ", ".join(
+        f"({_lit(g)}, {_lit(wt)})" for g, wt in zip(nodes, weights)
+    )
+
+    # SUID digit string from (row i, col j): d_t = 3*row_t + col_t.
+    digits = " || ".join(
+        f"CAST(3*((i // {cfg.N_side ** (resolution - 1 - t)}) % 3)"
+        f" + ((j // {cfg.N_side ** (resolution - 1 - t)}) % 3) AS VARCHAR)"
+        for t in range(resolution)
+    )
+
+    inv = inverse_sql(
+        "SELECT i, j, wab, xm, ym FROM pp_nodes",
+        cfg,
+        id_cols=("i", "j"),
+        extra_cols=("wab",),
+    )
+    pip = _pip_sql(list(poly), "clon", "clat")
+
+    return f"""
+WITH pp_ij AS (
+  SELECT i, j FROM (SELECT unnest(generate_series(0, {n - 1})) AS i)
+  CROSS JOIN (SELECT unnest(generate_series(0, {n - 1})) AS j)
+),
+pp_cand AS MATERIALIZED (
+  SELECT i, j,
+         {ulx} + CAST(j AS DOUBLE) * {wl} AS x1,
+         {uly} - (CAST(i AS DOUBLE) + 1.0) * {wl} AS y1
+  FROM pp_ij
+  WHERE greatest(abs(({ulx} + (CAST(j AS DOUBLE) + 0.5) * {wl}) - {fxl}),
+                 abs(({uly} - (CAST(i AS DOUBLE) + 0.5) * {wl}) - {fyl}))
+          BETWEEN {r_lo} AND {r_hi}
+    AND (({uly} - (CAST(i AS DOUBLE) + 0.5) * {wl}) - {fyl})
+          >= abs(({ulx} + (CAST(j AS DOUBLE) + 0.5) * {wl}) - {fxl}) - {wl}
+    AND abs(abs(({ulx} + (CAST(j AS DOUBLE) + 0.5) * {wl}) - {fxl})
+            - abs(({uly} - (CAST(i AS DOUBLE) + 0.5) * {wl}) - {fyl})) > {wl}/4
+),
+pp_gl(g, wg) AS (VALUES {gl_rows}),
+pp_nodes AS MATERIALIZED (
+  SELECT c.i, c.j, a.wg * b.wg AS wab,
+         (c.x1 + (c.x1 + {wl})) / 2 + ((c.x1 + {wl}) - c.x1) / 2 * a.g AS xm,
+         (c.y1 + (c.y1 + {wl})) / 2 + ((c.y1 + {wl}) - c.y1) / 2 * b.g AS ym
+  FROM pp_cand c CROSS JOIN pp_gl a CROSS JOIN pp_gl b
+),
+pp_cent AS MATERIALIZED (
+  SELECT i, j, SUM(wab * lon) / 4 AS clon, SUM(wab * lat) / 4 AS clat
+  FROM {inv} t GROUP BY i, j
+)
+SELECT 'N' || {digits} AS cell_id FROM pp_cent WHERE {pip}
+"""
+
+
+def compress_cells_sql(
+    poly, resolution: int, cfg: EngineConfig = WGS84_003, polar: bool = False
+) -> str:
     """compress_order_cells oracle over the polyfill cover
     (conversion.py:114-135): merge complete sibling groups, emit
-    parents."""
-    pf = polyfill_sql(poly, resolution, cfg)
+    parents.  ``polar=True`` compresses the north-cap cover from
+    polyfill_polar_sql instead of the equatorial one."""
+    pf = (
+        polyfill_polar_sql(poly, resolution, cfg)
+        if polar
+        else polyfill_sql(poly, resolution, cfg)
+    )
     n2 = cfg.N_side**2
     return (
         f"WITH pf AS ({pf}),"

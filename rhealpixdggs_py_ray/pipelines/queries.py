@@ -2051,6 +2051,50 @@ def sql_polyfill() -> str:
     return oracle.polyfill_sql(POLYFILL_POLY, POLYFILL_RES, CFG)
 
 
+# North-cap polygon in generic position, strictly inside the top
+# triangle of face N with >= 3 res-3 (>= 10 res-4) cell widths of
+# diagonal margin (verified: |dy| - |dx| in [3.38, 4.35] res-3 cell
+# widths at the vertices).
+POLY_POLAR = [(20.0, 62.3), (70.0, 58.7), (61.0, 71.8), (33.0, 69.4)]
+POLYFILL_POLAR_RES = 4
+
+
+def q_polyfill_polar(sf_dir: str):
+    """Polyfill over a NORTH-CAP polygon (rhp_wrappers.py:510-599 with
+    the cell.py:1061-1147 skew-quad Gauss-Legendre centroid) — the
+    polar cover-family case the round-3 oracles could not reach; the
+    SQL side replays the 30x30 GL centroid through the full inverse
+    projection (oracle.polyfill_polar_sql)."""
+    from rhealpixdggs_py_ray.core import wrappers as W
+
+    cells = sorted(
+        W.polyfill(geo.Polygon(POLY_POLAR), POLYFILL_POLAR_RES, plane=False, cfg=CFG)
+    )
+    return pa.table({"cell_id": pa.array(cells, type=pa.string())})
+
+
+def sql_polyfill_polar() -> str:
+    return oracle.polyfill_polar_sql(POLY_POLAR, POLYFILL_POLAR_RES, CFG)
+
+
+def q_compress_polar(sf_dir: str):
+    """compress_order_cells over the north-cap res-4 polyfill cover
+    (conversion.py:114-135 applied to a polar cover — interior sibling
+    groups complete to res-3 parents)."""
+    from rhealpixdggs_py_ray.core import wrappers as W
+
+    cells = W.polyfill(
+        geo.Polygon(POLY_POLAR), POLYFILL_POLAR_RES, plane=False, cfg=CFG
+    )
+    return pa.table({"cell_id": pa.array(W.compress_order_cells(list(cells)))})
+
+
+def sql_compress_polar() -> str:
+    return oracle.compress_cells_sql(
+        POLY_POLAR, POLYFILL_POLAR_RES, CFG, polar=True
+    )
+
+
 def q_compress(sf_dir: str):
     """compress_order_cells over the polyfill cover (conversion.py:114-135)."""
     from rhealpixdggs_py_ray.core import wrappers as W
