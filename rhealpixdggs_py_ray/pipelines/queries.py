@@ -2095,6 +2095,34 @@ def sql_compress_polar() -> str:
     )
 
 
+# Same cap polygon rotated +90 degrees: under north_square=1 the lon
+# range [90, 180) maps to the top triangle of the (relocated) N square.
+POLY_POLAR_NS = [(110.0, 62.3), (160.0, 58.7), (151.0, 71.8), (123.0, 69.4)]
+
+
+def q_polyfill_polar_ns12(sf_dir: str):
+    """Polar polyfill under north_square=1 / south_square=2 — the
+    off-default-grid axis (dggs.py:215-222 parameterization) crossed
+    with the polar cover family; exercises the ns-dependent cap
+    rearrangement inside the centroid inverse chain."""
+    from rhealpixdggs_py_ray.core import wrappers as W
+    from rhealpixdggs_py_ray.core.config import WGS84_123
+
+    cells = sorted(
+        W.polyfill(
+            geo.Polygon(POLY_POLAR_NS), POLYFILL_POLAR_RES, plane=False,
+            cfg=WGS84_123,
+        )
+    )
+    return pa.table({"cell_id": pa.array(cells, type=pa.string())})
+
+
+def sql_polyfill_polar_ns12() -> str:
+    from rhealpixdggs_py_ray.core.config import WGS84_123
+
+    return oracle.polyfill_polar_sql(POLY_POLAR_NS, POLYFILL_POLAR_RES, WGS84_123)
+
+
 def q_compress(sf_dir: str):
     """compress_order_cells over the polyfill cover (conversion.py:114-135)."""
     from rhealpixdggs_py_ray.core import wrappers as W
