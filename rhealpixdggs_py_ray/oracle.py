@@ -927,11 +927,13 @@ def cell_geometry_sql(resolution: int = 2, cfg: EngineConfig = WGS84_003) -> str
 
 
 def grid_ul_sql(resolution: int, cfg: EngineConfig = WGS84_003) -> str:
-    """Subquery: every cell at ``resolution`` (1..3) with its SUID and
+    """Subquery: every cell at ``resolution`` (1..5) with its SUID and
     planar upper-left vertex computed by the ul_vertex digit arithmetic
-    (cell.py:483-531): (cell_id, xul, yul)."""
-    if not 1 <= resolution <= 3:
-        raise NotImplementedError("grid_ul_sql supports resolutions 1..3")
+    (cell.py:483-531): (cell_id, xul, yul).  The arithmetic is fully
+    parametric in the resolution; 5 (2.1M rows enumerated in DuckDB)
+    is a practicality cap, not a correctness one."""
+    if not 1 <= resolution <= 5:
+        raise NotImplementedError("grid_ul_sql supports resolutions 1..5")
     N = cfg.N_side
     b = N * N
     total = 6 * b**resolution

@@ -431,6 +431,42 @@ def sql_grid() -> str:
     return oracle.grid_sql(GRID_RES, CFG)
 
 
+GRID_UL_RES = 4
+
+
+def q_grid_ul_r4(sf_dir: str):
+    """Every res-4 cell with its planar upper-left vertex
+    (cell.py:483-531 digit arithmetic) — extends the grid_ul oracle
+    past the round-3 res-3 cap (VERDICT r3 item 3)."""
+    b = CFG.N_side**2
+    total = 6 * b**GRID_UL_RES
+    base = 6 * (b**GRID_UL_RES - 1) // (b - 1)
+
+    def to_ul(batch: pa.Table) -> pa.Table:
+        i = batch["id"].to_numpy(zero_copy_only=False)
+        u = su.suid_from_level_order_index(i + base, CFG)
+        x, y = idx.ul_vertex(CFG, u)
+        return pa.table({
+            "cell_id": pa.array(su.to_string_fixed(u, GRID_UL_RES)),
+            "xul_micros": pa.array(np.floor(x * 1e6).astype(np.int64)),
+            "yul_micros": pa.array(np.floor(y * 1e6).astype(np.int64)),
+        })
+
+    return ray.data.range(
+        total, override_num_blocks=sizing.range_blocks(total, 8)
+    ).map_batches(to_ul, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_grid_ul_r4() -> str:
+    ul = oracle.grid_ul_sql(GRID_UL_RES, CFG)
+    return (
+        f"SELECT cell_id,"
+        f" CAST(floor(xul * 1e6) AS BIGINT) AS xul_micros,"
+        f" CAST(floor(yul * 1e6) AS BIGINT) AS yul_micros"
+        f" FROM {ul} t"
+    )
+
+
 # ---------------------------------------------------------------------------
 # kNN (broadcast queries + per-batch partial top-k + per-query reduce)
 # ---------------------------------------------------------------------------
@@ -2238,6 +2274,109 @@ def sql_k_ring() -> str:
         f"   row + dr AS r2, ((gcol + dc) % {ncol} + {ncol}) % {ncol} AS c2"
         f"  FROM safe, offs)"
         f" SELECT event_id, origin, {letter2}{digits2} AS ring_cell FROM ring"
+    )
+
+
+KRING_POLAR_RES = 4
+KRING_POLAR_N = 256
+
+
+def _polar_seed_lonlat(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic north-cap seed points, bit-exact on both sides:
+    dyadic fractions only (m/256, m/512 are exact binary; 360*m/256 =
+    45*m/32 and 44*m/512 = 11*m/128 are exact doubles)."""
+    lon = -180.0 + 360.0 * ((ids * 73 % 256) / 256.0)
+    lat = 45.0 + 44.0 * ((ids * 151 % 512) / 512.0)
+    return lon, lat
+
+
+def q_k_ring_polar(sf_dir: str):
+    """k_ring(2) around POLAR-face-interior res-4 cells — the ring walk
+    over the north cap, which the round-3 oracle could not reach (it was
+    restricted to the equatorial band).  For cells >= k from every face
+    edge the walk's result SET equals the face-local Chebyshev ring even
+    across the cap diagonals (dart relabeling turns the walk but not the
+    set; verified cell-by-cell in tests), so the SQL enumerates the ring
+    in face-local (row, col) space off the verified cell_from_point
+    chain.  Reference semantics rhp_wrappers.py:471-507."""
+    from rhealpixdggs_py_ray.core import topology as tp
+
+    ids = np.arange(KRING_POLAR_N, dtype=np.int64)
+    lon, lat = _polar_seed_lonlat(ids)
+    cells = idx.cell_from_point(CFG, KRING_POLAR_RES, lon, lat, plane=False)
+    face = su.face_of(cells)
+    _, digits, _ = su.unpack(cells)
+    N = CFG.N_side
+    row = np.zeros(len(cells), dtype=np.int64)
+    col = np.zeros(len(cells), dtype=np.int64)
+    for i in range(KRING_POLAR_RES):
+        row = row * N + digits[:, i] // N
+        col = col * N + digits[:, i] % N
+    n = N**KRING_POLAR_RES
+    safe = (
+        (face == 0)
+        & (row >= KRING_K) & (row <= n - 1 - KRING_K)
+        & (col >= KRING_K) & (col <= n - 1 - KRING_K)
+    )
+    ids, cells = ids[safe], cells[safe]
+    ds = ray.data.from_arrow(
+        pa.table({"seed_id": pa.array(ids), "cell_u64": pa.array(cells, type=pa.uint64())})
+    )
+
+    def rings(batch: pa.Table) -> pa.Table:
+        sids, origins, ring_cells = [], [], []
+        for e, c in zip(
+            batch["seed_id"].to_numpy(zero_copy_only=False),
+            batch["cell_u64"].to_numpy(zero_copy_only=False),
+        ):
+            for r in tp.k_ring(CFG, int(c), KRING_K):
+                sids.append(e)
+                origins.append(su.to_string(np.array([c], dtype=np.uint64))[0])
+                ring_cells.append(su.to_string(np.array([r], dtype=np.uint64))[0])
+        return pa.table(
+            {
+                "seed_id": pa.array(np.array(sids, dtype=np.int64)),
+                "origin": pa.array(origins, type=pa.string()),
+                "ring_cell": pa.array(ring_cells, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(rings, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_k_ring_polar() -> str:
+    res, k, N = KRING_POLAR_RES, KRING_K, CFG.N_side
+    n = N**res
+    pts = (
+        f"SELECT k AS seed_id,"
+        f" -180.0 + 360.0 * (CAST(k * 73 % 256 AS DOUBLE) / 256.0) AS lon,"
+        f" 45.0 + 44.0 * (CAST(k * 151 % 512 AS DOUBLE) / 512.0) AS lat"
+        f" FROM (SELECT unnest(generate_series(0, {KRING_POLAR_N - 1})) AS k)"
+    )
+    inner = oracle.cell_from_point_sql(pts, res, CFG, id_cols=("seed_id",))
+    dig = lambda i: f"CAST(substr(cell_id, {i + 2}, 1) AS BIGINT)"
+    row = "(" + " + ".join(f"({dig(i)} // {N}) * {N ** (res - 1 - i)}" for i in range(res)) + ")"
+    col = "(" + " + ".join(f"({dig(i)} % {N}) * {N ** (res - 1 - i)}" for i in range(res)) + ")"
+    digits2 = "".join(
+        f" || CAST(3 * ((r2 // {N ** (res - 1 - i)}) % {N})"
+        f" + ((c2 // {N ** (res - 1 - i)}) % {N}) AS VARCHAR)"
+        for i in range(res)
+    )
+    return (
+        f"WITH kp_pts AS MATERIALIZED ("
+        f"  SELECT seed_id, cell_id, {row} AS row, {col} AS col"
+        f"  FROM {inner} t),"
+        f" kp_safe AS MATERIALIZED ("
+        f"  SELECT * FROM kp_pts WHERE substr(cell_id, 1, 1) = 'N'"
+        f"   AND row BETWEEN {k} AND {n - 1 - k}"
+        f"   AND col BETWEEN {k} AND {n - 1 - k}),"
+        f" kp_offs AS (SELECT dr, dc FROM"
+        f"   (SELECT unnest(generate_series({-k}, {k})) AS dr),"
+        f"   (SELECT unnest(generate_series({-k}, {k})) AS dc)),"
+        f" kp_ring AS (SELECT seed_id, cell_id AS origin,"
+        f"   row + dr AS r2, col + dc AS c2"
+        f"  FROM kp_safe, kp_offs)"
+        f" SELECT seed_id, origin, 'N'{digits2} AS ring_cell FROM kp_ring"
     )
 
 

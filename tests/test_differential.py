@@ -318,3 +318,23 @@ def test_cell_latitudes_differential(ref):
             ]
             assert len(ours) == len(theirs)
             assert np.allclose(ours, theirs, rtol=0, atol=1e-12)
+
+
+def test_polyfill_polar_differential(reference):
+    """Engine polyfill over the north-cap polygon (POLY_POLAR, the
+    polyfill_polar oracle fixture) equals the reference's
+    rhp_wrappers.polyfill run in-process (stubbed shapely polygon +
+    adaptive-Simpson dblquad standing in for scipy): pins the polar
+    skew-quad Gauss-Legendre centroid path against the reference's
+    numeric integration, not just against the SQL replay."""
+    import rhealpixdggs.rhp_wrappers as rw
+    from shapely.geometry import Polygon as SPoly
+
+    from rhealpixdggs_py_ray.core import geometry as geo
+    from rhealpixdggs_py_ray.core import wrappers as W
+    from rhealpixdggs_py_ray.pipelines.queries import POLY_POLAR
+
+    res = 3  # the reference's per-cell adaptive integration is slow
+    ours = sorted(W.polyfill(geo.Polygon(POLY_POLAR), res, plane=False))
+    theirs = sorted(rw.polyfill(SPoly(list(POLY_POLAR)), res, plane=False))
+    assert ours == theirs

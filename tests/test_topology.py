@@ -100,3 +100,48 @@ def test_neighbor_involution_property():
     for d, inv in ((RIGHT, LEFT), (UP, DOWN)):
         v = tp.neighbor(WGS84_003, tp.neighbor(WGS84_003, u, d), inv)
         assert (v == u).all()
+
+
+def test_k_ring_polar_interior_is_chebyshev():
+    """For north-cap cells >= k from every face edge, k_ring's result
+    SET equals the face-local Chebyshev ring even when the disk
+    straddles the cap diagonals (dart relabeling turns the WALK, not
+    the set) — the property sql_k_ring_polar's enumeration relies on."""
+    import random
+
+    from rhealpixdggs_py_ray.core import topology as tp
+    from rhealpixdggs_py_ray.core import suid as su
+
+    res, k, N = 4, 2, WGS84_003.N_side
+    n = N**res
+
+    def cell_id(i, j):
+        digs = []
+        for t in range(res):
+            p = N ** (res - 1 - t)
+            digs.append(N * ((i // p) % N) + ((j // p) % N))
+        return "N" + "".join(map(str, digs))
+
+    rng = random.Random(11)
+    # include cells ON the diagonals and adjacent to them
+    picks = [(n // 2, n // 2 + k), (10, 10), (10, n - 1 - 10), (40, 41)]
+    picks += [(rng.randint(k, n - 1 - k), rng.randint(k, n - 1 - k))
+              for _ in range(20)]
+    for i, j in picks:
+        c = su.pack(
+            np.array([0], dtype=np.int64),
+            np.array([[N * ((i // N ** (res - 1 - t)) % N)
+                       + ((j // N ** (res - 1 - t)) % N)
+                       for t in range(res)]], dtype=np.int64),
+            res,
+        )[0]
+        ring = sorted(
+            su.to_string(np.array([r], dtype=np.uint64))[0]
+            for r in tp.k_ring(WGS84_003, int(c), k)
+        )
+        cheb = sorted(
+            cell_id(a, b)
+            for a in range(i - k, i + k + 1)
+            for b in range(j - k, j + k + 1)
+        )
+        assert ring == cheb, (i, j)
