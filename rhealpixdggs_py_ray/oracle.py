@@ -648,6 +648,159 @@ def cells_from_meridian_sql(
     )
 
 
+def cells_from_region_polar_sql(
+    ul, dr, resolution: int, cfg: EngineConfig = WGS84_003
+) -> str:
+    """(row, col, cell_id) oracle for ellipsoidal cells_from_region
+    over a NORTH-CAP region whose longitude span lies strictly inside
+    one cap-face quadrant (dggs.py:1181-1331 polar path).  In that
+    domain every parallel row is a straight run along the ring's top
+    edge (no corner turning), so the reference's east-neighbor walk
+    enumerates exactly [col(lam_min) .. col(lam_max)] stepping
+    west->east = DECREASING face column.  The SQL derives:
+
+    - the nucleus ring indices m from the projected radii of the two
+      latitude bounds (parallels map to squares of Chebyshev radius r;
+      nucleus rings sit at exact multiples of the cell width),
+    - each ring's nucleus latitude by INVERSE-projecting the planar
+      point (face center x, fy + m*w),
+    - each row's first/last cell via the verified forward
+      cell_from_point chain at (lam_min/lam_max, lat_m),
+    - the reference's boundary-row insertion (top row iff the phi_max
+      walk's first cell differs from the first nucleus row's, bottom
+      row symmetrical, dggs.py:1302-1310).
+
+    Latitude/longitude bounds must be in generic position (off cell
+    boundaries); the build asserts the region sits in the top triangle
+    with >= 1 cell width margin and spans >= 1 nucleus ring."""
+    import numpy as np
+
+    from rhealpixdggs_py_ray.core import projection as _prj
+
+    N = cfg.N_side
+    n = N**resolution
+    w = cfg.cell_width(resolution)
+    ulv = cfg.ul_vertex[0]
+    W0 = cfg.cell_width(0)
+    fx, fy = ulv[0] + W0 / 2, ulv[1] - W0 / 2
+
+    lam_min, phi_max = ul
+    lam_max, phi_min = dr
+    lons = np.array([lam_min, lam_max, lam_min, lam_max], dtype=float)
+    lats = np.array([phi_max, phi_max, phi_min, phi_min], dtype=float)
+    vx, vy = _prj.forward(cfg, lons, lats)
+    dxv, dyv = vx - fx, vy - fy
+    if not (dyv > np.abs(dxv) + w).all():
+        raise NotImplementedError(
+            "cells_from_region_polar_sql: region corners must lie in the "
+            "top cap triangle with >= 1 cell width diagonal margin"
+        )
+    r_top, r_bot = float(dyv[0]), float(dyv[2])
+    if not (int(np.ceil(r_top / w)) <= int(np.floor(r_bot / w))):
+        raise NotImplementedError(
+            "cells_from_region_polar_sql: region spans no nucleus ring"
+        )
+
+    wl = _lit(w)
+    fxl, fyl = _lit(fx), _lit(fy)
+    cl = (n - 1) // 2  # face-center cell index (odd N_side)
+
+    # --- bounds: radii of the two latitude bounds off the forward chain
+    corners = (
+        f"SELECT 0 AS bid, {_lit(lam_min)} AS lon, {_lit(phi_max)} AS lat"
+        f" UNION ALL SELECT 1, {_lit(lam_min)}, {_lit(phi_min)}"
+    )
+    proj_b = projection_sql(corners, cfg, id_cols=("bid",))
+
+    # --- nucleus ring latitudes via the inverse chain at (fx, fy + m*w)
+    inv_m = inverse_sql(
+        f"SELECT m, {fxl} AS xm, {fyl} + CAST(m AS DOUBLE) * {wl} AS ym"
+        f" FROM cr_rings",
+        cfg,
+        id_cols=("m",),
+    )
+
+    # --- row endpoints through the verified forward cell chain
+    # rowkey rk: -1 = phi_max boundary walk, m = nucleus ring, 10^9 =
+    # phi_min boundary walk; side 0 = lam_min (walk start), 1 = lam_max.
+    endpoints = (
+        f"SELECT rk, side, lon, lat FROM ("
+        f"  SELECT m AS rk, s.side,"
+        f"   CASE s.side WHEN 0 THEN {_lit(lam_min)} ELSE {_lit(lam_max)} END AS lon,"
+        f"   lat"
+        f"  FROM cr_latm, (SELECT 0 AS side UNION ALL SELECT 1) s"
+        f"  UNION ALL"
+        f"  SELECT b.rk, s.side,"
+        f"   CASE s.side WHEN 0 THEN {_lit(lam_min)} ELSE {_lit(lam_max)} END,"
+        f"   b.lat"
+        f"  FROM (SELECT -1 AS rk, {_lit(phi_max)} AS lat"
+        f"        UNION ALL SELECT 1000000000, {_lit(phi_min)}) b,"
+        f"       (SELECT 0 AS side UNION ALL SELECT 1) s"
+        f") t0"
+    )
+    cells = cell_from_point_sql(endpoints, resolution, cfg, id_cols=("rk", "side"))
+
+    dig = lambda i: f"CAST(substr(cell_id, {i + 2}, 1) AS BIGINT)"
+    row_i = "(" + " + ".join(
+        f"({dig(i)} // {N}) * {N ** (resolution - 1 - i)}" for i in range(resolution)
+    ) + ")"
+    col_j = "(" + " + ".join(
+        f"({dig(i)} % {N}) * {N ** (resolution - 1 - i)}" for i in range(resolution)
+    ) + ")"
+    digits2 = "".join(
+        f" || CAST({N} * ((fi // {N ** (resolution - 1 - i)}) % {N})"
+        f" + ((j2 // {N ** (resolution - 1 - i)}) % {N}) AS VARCHAR)"
+        for i in range(resolution)
+    )
+
+    return f"""
+WITH cr_bnd AS MATERIALIZED (
+  SELECT max(CASE WHEN bid = 0 THEN ym END) - {fyl} AS r_top,
+         max(CASE WHEN bid = 1 THEN ym END) - {fyl} AS r_bot
+  FROM {proj_b} pb
+),
+cr_rings AS MATERIALIZED (
+  SELECT unnest(generate_series(CAST(ceil(r_top / {wl}) AS BIGINT),
+                                CAST(floor(r_bot / {wl}) AS BIGINT))) AS m
+  FROM cr_bnd
+),
+cr_latm AS MATERIALIZED (SELECT m, lat FROM {inv_m} im),
+cr_cells AS MATERIALIZED (
+  SELECT rk, side, cell_id, {row_i} AS fi, {col_j} AS fj FROM {cells} cc
+),
+cr_rows AS MATERIALIZED (
+  SELECT rk,
+         max(CASE WHEN side = 0 THEN cell_id END) AS start_cell,
+         max(CASE WHEN side = 0 THEN fi END) AS fi,
+         max(CASE WHEN side = 0 THEN fj END) AS j_start,
+         max(CASE WHEN side = 1 THEN fj END) AS j_end
+  FROM cr_cells GROUP BY rk
+),
+cr_keep AS MATERIALIZED (
+  SELECT r.* FROM cr_rows r
+  WHERE (r.rk >= 0 AND r.rk < 1000000000)
+     OR (r.rk = -1 AND r.start_cell <>
+          (SELECT start_cell FROM cr_rows
+           WHERE rk >= 0 AND rk < 1000000000 ORDER BY rk LIMIT 1))
+     OR (r.rk = 1000000000 AND r.start_cell <>
+          (SELECT start_cell FROM cr_rows
+           WHERE rk >= 0 AND rk < 1000000000 ORDER BY rk DESC LIMIT 1))
+),
+cr_ordered AS MATERIALIZED (
+  SELECT rk, fi, j_start, j_end,
+         CAST(row_number() OVER (ORDER BY rk) - 1 AS BIGINT) AS row
+  FROM cr_keep
+),
+cr_expand AS (
+  SELECT row, fi, j_start - j2 AS col, j2
+  FROM (SELECT row, fi, j_start,
+               unnest(generate_series(j_end, j_start)) AS j2
+        FROM cr_ordered) e
+)
+SELECT row, col, 'N'{digits2} AS cell_id FROM cr_expand
+"""
+
+
 def _pip_sql(ring, px: str, py: str) -> str:
     """Ray-casting parity test mirroring geometry.points_in_ring
     (same xint arithmetic); ``ring`` is a list of (x, y) vertices."""

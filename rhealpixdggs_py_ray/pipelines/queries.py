@@ -4034,6 +4034,44 @@ def sql_cells_from_region() -> str:
     return oracle.cells_from_region_sql(REGION_UL, REGION_DR, 4, CFG)
 
 
+# North-cap region strictly inside the lon (0, 90) quadrant (the top
+# triangle of face N under north_square=0), generic-position bounds.
+REGION_POLAR_UL = (18.7, 71.3)
+REGION_POLAR_DR = (72.4, 57.9)
+
+
+def q_cells_from_region_polar(sf_dir: str):
+    """Ellipsoidal cells_from_region over a NORTH-CAP region
+    (dggs.py:1181-1331 polar path: rows of parallels on the cap face)
+    — the cover-walk case the round-3 oracles restricted to the
+    equatorial band; oracle.cells_from_region_polar_sql replays the
+    ring enumeration + east walk + boundary-row insertion in SQL."""
+    from rhealpixdggs_py_ray.core import cover as cov
+
+    rows = cov.cells_from_region(
+        CFG, 4, REGION_POLAR_UL, REGION_POLAR_DR, plane=False
+    )
+    ri, ci, cid = [], [], []
+    for r, row in enumerate(rows):
+        for c, u in enumerate(row):
+            ri.append(r)
+            ci.append(c)
+            cid.append(su.to_string(np.array([u], dtype=np.uint64))[0])
+    return pa.table(
+        {
+            "row": pa.array(np.array(ri, dtype=np.int64)),
+            "col": pa.array(np.array(ci, dtype=np.int64)),
+            "cell_id": pa.array(cid, type=pa.string()),
+        }
+    )
+
+
+def sql_cells_from_region_polar() -> str:
+    return oracle.cells_from_region_polar_sql(
+        REGION_POLAR_UL, REGION_POLAR_DR, 4, CFG
+    )
+
+
 # Equatorial-band fixtures (|authalic lat| < asin(2/3); fractional
 # degrees keep every point off the res-3 row/column boundaries, which
 # sit at multiples of 90/27 deg in projected space).

@@ -146,3 +146,32 @@ def test_wrapper_api_goldens():
     c = W.rhp_to_geo("S001450634", True, False)
     assert abs(c[0] - -176.2606635452476) < 1e-9
     assert abs(c[1] - -43.73654505358369) < 1e-9
+
+
+def test_cells_from_region_polar_sql_matches_engine():
+    """cells_from_region_polar_sql vs the engine walk on two north-cap
+    fixtures: the driver fixture (no boundary rows) and one where the
+    phi_max boundary row IS inserted (dggs.py:1302-1310 path)."""
+    import duckdb
+
+    from rhealpixdggs_py_ray import oracle
+    from rhealpixdggs_py_ray.core import cover as cov
+    from rhealpixdggs_py_ray.core import suid as su
+    from rhealpixdggs_py_ray.core.config import WGS84_003
+
+    for ul, dr in [
+        ((18.7, 71.3), (72.4, 57.9)),  # 13 nucleus rows, no boundary rows
+        ((18.7, 59.0), (72.4, 51.7)),  # 6 nucleus + 1 inserted top row
+    ]:
+        rows = cov.cells_from_region(WGS84_003, 4, ul, dr, plane=False)
+        eng = sorted(
+            (r, c, su.to_string(np.array([u], dtype=np.uint64))[0])
+            for r, row in enumerate(rows)
+            for c, u in enumerate(row)
+        )
+        sql = oracle.cells_from_region_polar_sql(ul, dr, 4, WGS84_003)
+        got = sorted(
+            (int(a), int(b), s)
+            for a, b, s in duckdb.connect().execute(sql).fetchall()
+        )
+        assert got == [(int(a), int(b), s) for a, b, s in eng], (ul, dr)
