@@ -872,10 +872,10 @@ def _sq(s: str) -> str:
 
 
 def polyfill_polar_sql(
-    poly, resolution: int, cfg: EngineConfig = WGS84_003
+    poly, resolution: int, cfg: EngineConfig = WGS84_003, face: int = 0
 ) -> str:
     """cell_id oracle for polyfill over a polygon strictly inside ONE
-    open triangle of the NORTH cap face — the first polar polyfill
+    open TOP triangle of a cap face (``face`` 0 = N, 5 = S) — the first polar polyfill
     oracle (round-3 VERDICT gap 2; reference semantics
     rhp_wrappers.py:510-599, centroid cell.py:1061-1147 skew branch).
 
@@ -899,9 +899,10 @@ def polyfill_polar_sql(
 
     from rhealpixdggs_py_ray.core import projection as _prj
 
+    assert face in (0, 5)
     n = cfg.N_side**resolution
     w = cfg.cell_width(resolution)
-    ul = cfg.ul_vertex[0]  # face N
+    ul = cfg.ul_vertex[face]
     W0 = cfg.cell_width(0)
     fx, fy = ul[0] + W0 / 2, ul[1] - W0 / 2
 
@@ -978,7 +979,7 @@ pp_cent AS MATERIALIZED (
   SELECT i, j, SUM(wab * lon) / 4 AS clon, SUM(wab * lat) / 4 AS clat
   FROM {inv} t GROUP BY i, j
 )
-SELECT 'N' || {digits} AS cell_id FROM pp_cent WHERE {pip}
+SELECT '{CELLS0[face]}' || {digits} AS cell_id FROM pp_cent WHERE {pip}
 """
 
 

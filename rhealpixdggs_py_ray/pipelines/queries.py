@@ -2159,6 +2159,26 @@ def sql_polyfill_polar_ns12() -> str:
     return oracle.polyfill_polar_sql(POLY_POLAR_NS, POLYFILL_POLAR_RES, WGS84_123)
 
 
+# Mirrored into the SOUTH cap's top triangle (ss=0: lon [-180, -90)).
+POLY_POLAR_S = [(-160.0, -62.3), (-110.0, -58.7), (-119.0, -71.8), (-147.0, -69.4)]
+
+
+def q_polyfill_polar_south(sf_dir: str):
+    """Polyfill over a SOUTH-CAP polygon — exercises the south-square
+    rearrangement branch (pj_rhealpix.py triangle/combine inverse,
+    southern caps) through the skew-quad centroid chain."""
+    from rhealpixdggs_py_ray.core import wrappers as W
+
+    cells = sorted(
+        W.polyfill(geo.Polygon(POLY_POLAR_S), POLYFILL_POLAR_RES, plane=False, cfg=CFG)
+    )
+    return pa.table({"cell_id": pa.array(cells, type=pa.string())})
+
+
+def sql_polyfill_polar_south() -> str:
+    return oracle.polyfill_polar_sql(POLY_POLAR_S, POLYFILL_POLAR_RES, CFG, face=5)
+
+
 def q_compress(sf_dir: str):
     """compress_order_cells over the polyfill cover (conversion.py:114-135)."""
     from rhealpixdggs_py_ray.core import wrappers as W
@@ -4069,6 +4089,79 @@ def q_cells_from_region_polar(sf_dir: str):
 def sql_cells_from_region_polar() -> str:
     return oracle.cells_from_region_polar_sql(
         REGION_POLAR_UL, REGION_POLAR_DR, 4, CFG
+    )
+
+
+# North-cap parallels, lon span inside the (0, 90) quadrant => the walk
+# is one straight descending-column run on the ring's top edge.
+PARALLEL_POLAR_FIXTURES = [
+    (6.3, 83.1, 47.2),
+    (11.9, 78.4, 58.6),
+    (23.7, 66.2, 70.9),
+    (31.4, 58.8, 79.3),
+]
+
+
+def q_cells_from_parallel_polar(sf_dir: str):
+    """cells_from_parallel at NORTH-CAP latitudes (dggs.py:1060-1094
+    polar path: the east walk rides a cap ring's top edge) — W->E order
+    preserved as col."""
+    from rhealpixdggs_py_ray.core import cover as cov
+
+    pid_l, col_l, cid_l = [], [], []
+    for pid, (lam_min, lam_max, phi) in enumerate(PARALLEL_POLAR_FIXTURES):
+        cells = cov.cells_from_parallel(CFG, COVER_LINE_RES, phi, lam_min, lam_max)
+        u = np.array(cells, dtype=np.uint64)
+        pid_l.append(np.full(len(u), pid, dtype=np.int64))
+        col_l.append(np.arange(len(u), dtype=np.int64))
+        cid_l.append(su.to_string(u))
+    return pa.table(
+        {
+            "pid": pa.array(np.concatenate(pid_l)),
+            "col": pa.array(np.concatenate(col_l)),
+            "cell_id": pa.array(np.concatenate(cid_l), type=pa.string()),
+        }
+    )
+
+
+def sql_cells_from_parallel_polar() -> str:
+    """Each polar parallel's walk = [col(lam_min) .. col(lam_max)]
+    descending on the top edge of one cap ring; endpoints through the
+    verified forward cell chain, columns enumerated in SQL."""
+    res, N = COVER_LINE_RES, CFG.N_side
+    pts = " UNION ALL ".join(
+        f"SELECT CAST({pid} AS BIGINT) AS pid, {s} AS side,"
+        f" {oracle._lit(lam_min if s == 0 else lam_max)} AS lon,"
+        f" {oracle._lit(phi)} AS lat"
+        for pid, (lam_min, lam_max, phi) in enumerate(PARALLEL_POLAR_FIXTURES)
+        for s in (0, 1)
+    )
+    cells = oracle.cell_from_point_sql(pts, res, CFG, id_cols=("pid", "side"))
+    dig = lambda i: f"CAST(substr(cell_id, {i + 2}, 1) AS BIGINT)"
+    row_i = "(" + " + ".join(
+        f"({dig(i)} // {N}) * {N ** (res - 1 - i)}" for i in range(res)
+    ) + ")"
+    col_j = "(" + " + ".join(
+        f"({dig(i)} % {N}) * {N ** (res - 1 - i)}" for i in range(res)
+    ) + ")"
+    digits2 = "".join(
+        f" || CAST({N} * ((fi // {N ** (res - 1 - i)}) % {N})"
+        f" + ((j2 // {N ** (res - 1 - i)}) % {N}) AS VARCHAR)"
+        for i in range(res)
+    )
+    return (
+        f"WITH pp2_cells AS MATERIALIZED ("
+        f"  SELECT pid, side, cell_id, {row_i} AS fi, {col_j} AS fj"
+        f"  FROM {cells} cc),"
+        f" pp2_rows AS MATERIALIZED ("
+        f"  SELECT pid, max(CASE WHEN side = 0 THEN fi END) AS fi,"
+        f"         max(CASE WHEN side = 0 THEN fj END) AS j_start,"
+        f"         max(CASE WHEN side = 1 THEN fj END) AS j_end"
+        f"  FROM pp2_cells GROUP BY pid)"
+        f" SELECT pid, j_start - j2 AS col, 'N'{digits2} AS cell_id"
+        f" FROM (SELECT pid, fi, j_start,"
+        f"              unnest(generate_series(j_end, j_start)) AS j2"
+        f"       FROM pp2_rows) e"
     )
 
 
