@@ -158,20 +158,26 @@ def projection_sql(
     points_sql: str, cfg: EngineConfig = WGS84_003,
     id_cols: tuple[str, ...] = ("id",), extra_cols: tuple[str, ...] = (),
 ) -> str:
-    """Subquery: (id_cols..., extra..., lon, lat degrees) -> planar
-    (xm, ym) meters via the forward rHEALPix chain (projection.py:forward)."""
-    if cfg.radians:
-        raise NotImplementedError("oracle SQL assumes degree configs")
+    """Subquery: (id_cols..., extra..., lon, lat in the config's angle
+    unit) -> planar (xm, ym) meters via the forward rHEALPix chain
+    (projection.py:forward).  Radians configs pass angles straight
+    through (the engine skips deg2rad identically); in-range inputs
+    need no wrap either side."""
+    if cfg.radians and (cfg.lon_0 != 0 or cfg.lat_0 != 0):
+        raise NotImplementedError("radians oracle SQL assumes lon_0 = lat_0 = 0")
     f = 1 - math.sqrt(1 - cfg.e**2)
     if cfg.e != 0 and abs(f) > 1 / 150:
         raise NotImplementedError("oracle SQL implements the series auth-lat path")
     p = _proj_parts(cfg)
     keep = ", ".join(id_cols + extra_cols)
-    lon_c = _recenter_lon_sql("lon", cfg.lon_0)
-    lat_c = _recenter_lat_sql("lat", cfg.lat_0)
+    if cfg.radians:
+        lam_in, phi_in = "lon", "lat"
+    else:
+        lam_in = f"radians({_recenter_lon_sql('lon', cfg.lon_0)})"
+        phi_in = f"radians({_recenter_lat_sql('lat', cfg.lat_0)})"
     return (
         f"(WITH pts AS ({points_sql}),"
-        f" rr AS MATERIALIZED (SELECT {keep}, radians({lon_c}) AS lam, radians({lat_c}) AS phi FROM pts),"
+        f" rr AS MATERIALIZED (SELECT {keep}, {lam_in} AS lam, {phi_in} AS phi FROM pts),"
         f" au AS MATERIALIZED (SELECT {keep}, lam, {p['beta']} AS beta FROM rr),"
         f" h1 AS MATERIALIZED (SELECT {keep}, lam, beta, {p['sigma']} AS sigma FROM au),"
         f" h2 AS MATERIALIZED (SELECT {keep}, lam, beta, sigma, {p['cap']} AS cap FROM h1),"

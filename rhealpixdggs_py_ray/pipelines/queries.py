@@ -222,6 +222,42 @@ def sql_cell_from_point_ns12() -> str:
     return f"SELECT event_id, cell_id FROM {inner} t"
 
 
+RADIANS_N = 1000
+
+
+def q_cell_from_point_radians(sf_dir: str):
+    """cell_from_point under a RADIANS config (WGS84_003_RADIANS):
+    angles pass to the chain unconverted (projection.py:forward skips
+    deg2rad).  Fixture angles are dyadic fractions (6*m/256, 3*m/512 are
+    exact doubles), so engine and SQL see bit-identical radians without
+    trusting deg2rad parity."""
+    from rhealpixdggs_py_ray.core.config import WGS84_003_RADIANS
+
+    ids = np.arange(RADIANS_N, dtype=np.int64)
+    lon = -3.0 + 6.0 * ((ids * 73 % 256) / 256.0)
+    lat = -1.5 + 3.0 * ((ids * 151 % 512) / 512.0)
+    u = idx.cell_from_point(WGS84_003_RADIANS, RES, lon, lat, plane=False)
+    return pa.table({
+        "pid": pa.array(ids),
+        "cell_id": pa.array(su.to_string_fixed(u, RES), type=pa.string()),
+    })
+
+
+def sql_cell_from_point_radians() -> str:
+    from rhealpixdggs_py_ray.core.config import WGS84_003_RADIANS
+
+    pts = (
+        f"SELECT k AS pid,"
+        f" -3.0 + 6.0 * (CAST(k * 73 % 256 AS DOUBLE) / 256.0) AS lon,"
+        f" -1.5 + 3.0 * (CAST(k * 151 % 512 AS DOUBLE) / 512.0) AS lat"
+        f" FROM (SELECT unnest(generate_series(0, {RADIANS_N - 1})) AS k)"
+    )
+    inner = oracle.cell_from_point_sql(
+        pts, RES, WGS84_003_RADIANS, id_cols=("pid",)
+    )
+    return f"SELECT pid, cell_id FROM {inner} t"
+
+
 def q_cell_from_point_shifted(sf_dir: str):
     """cell_from_point under a doubly-recentered config (lon_0=-47.5,
     lat_0=16.75): exercises both wrap_longitude and wrap_latitude
@@ -5225,6 +5261,7 @@ def sql_image_features() -> str:
 
 
 NEARDUP_MAX_HAMMING = 6
+_IMG_NEARDUP_PAIRS: dict[str, "ray.data.Dataset"] = {}
 
 
 def q_image_neardup(sf_dir: str):
@@ -5242,15 +5279,25 @@ def q_image_neardup(sf_dir: str):
     from rhealpixdggs_py_ray.fixtures import write_images_table
     from rhealpixdggs_py_ray.ops.multimodal import image_near_dup_pairs
 
-    write_images_table(IMG_DIR, IMG_N)
-    ds = ray.data.read_parquet(IMG_DIR, override_num_blocks=sizing.read_blocks(IMG_DIR, profile=8))
+    # Materialized once per process: four consumers (image_neardup,
+    # image_clusters, triangle_count, multimodal_neardup) would each
+    # re-execute the decode->phash->LSH->verify lineage; the verified
+    # pair set is tiny (near-dup pairs only).
+    if IMG_DIR not in _IMG_NEARDUP_PAIRS:
+        write_images_table(IMG_DIR, IMG_N)
+        ds = ray.data.read_parquet(
+            IMG_DIR, override_num_blocks=sizing.read_blocks(IMG_DIR, profile=8)
+        )
 
-    def add_idx(batch: pa.Table) -> pa.Table:
-        ii = pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 3, 15), pa.int64())
-        return batch.append_column("img_idx", ii)
+        def add_idx(batch: pa.Table) -> pa.Table:
+            ii = pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 3, 15), pa.int64())
+            return batch.append_column("img_idx", ii)
 
-    ds = ds.map_batches(add_idx, batch_format="pyarrow", zero_copy_batch=True)
-    return image_near_dup_pairs(ds, max_hamming=NEARDUP_MAX_HAMMING)
+        ds = ds.map_batches(add_idx, batch_format="pyarrow", zero_copy_batch=True)
+        _IMG_NEARDUP_PAIRS[IMG_DIR] = image_near_dup_pairs(
+            ds, max_hamming=NEARDUP_MAX_HAMMING
+        ).materialize()
+    return _IMG_NEARDUP_PAIRS[IMG_DIR]
 
 
 def sql_image_neardup() -> str:
@@ -5308,7 +5355,6 @@ def q_multimodal_neardup(sf_dir: str):
         _attach_pair_sides_fused,
         _pair_sides_pivot,
     )
-    from rhealpixdggs_py_ray.ops.multimodal import image_near_dup_pairs
 
     write_images_table(IMG_DIR, IMG_N)
     ds = ray.data.read_parquet(IMG_DIR, override_num_blocks=sizing.read_blocks(IMG_DIR, profile=8))
@@ -5318,7 +5364,7 @@ def q_multimodal_neardup(sf_dir: str):
         return batch.append_column("img_idx", ii)
 
     ds = ds.map_batches(add_idx, batch_format="pyarrow", zero_copy_batch=True)
-    pairs = image_near_dup_pairs(ds, max_hamming=NEARDUP_MAX_HAMMING)
+    pairs = q_image_neardup(sf_dir)  # materialized + shared (cache above)
 
     def cap_kv(batch: pa.Table) -> pa.Table:
         return pa.table({
