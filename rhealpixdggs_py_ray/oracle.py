@@ -391,9 +391,11 @@ def inverse_sql(
     extra_cols: tuple[str, ...] = (),
 ) -> str:
     """Subquery: (id_cols..., extra..., xm, ym planar meters) ->
-    (id_cols..., extra..., lon, lat degrees)."""
-    if cfg.radians:
-        raise NotImplementedError("oracle SQL assumes degree configs")
+    (id_cols..., extra..., lon, lat in the config's angle unit).
+    Radians configs skip the rad->deg scaling exactly like the engine
+    (projection.py:324); lon_0/lat_0 recentering is degree-only."""
+    if cfg.radians and (cfg.lon_0 != 0 or cfg.lat_0 != 0):
+        raise NotImplementedError("radians inverse SQL assumes lon_0 = lat_0 = 0")
     ns = cfg.north_square % 4
     ss = cfg.south_square % 4
     R = _lit(cfg.R_A)
@@ -478,6 +480,23 @@ def inverse_sql(
         " WHEN {v} < -180 THEN {v} + 360 ELSE {v} END)"
     )
     # engine inverse re-adds lon_0/lat_0 then wraps (projection.py:324)
+    if cfg.radians:
+        wrap = (
+            f"(CASE WHEN {{v}} >= {pi} THEN {{v}} - 2*{pi}"
+            f" WHEN {{v}} < -{pi} THEN {{v}} + 2*{pi} ELSE {{v}} END)"
+        )
+        lon = wrap.format(v="lam_r")
+        lat = "phi_r"
+        return (
+            f"(WITH pl AS ({planar_sql}),"
+            f" s0 AS MATERIALIZED (SELECT {keep}, xm / {R} AS x, ym / {R} AS y FROM pl),"
+            f" s1 AS MATERIALIZED (SELECT {keep}, x, y, {c} AS c FROM s0),"
+            f" s2 AS MATERIALIZED (SELECT {keep}, x, y, c, {q} AS q FROM s1),"
+            f" s3 AS MATERIALIZED (SELECT {keep}, {hx} AS hx, {hy} AS hy FROM s2),"
+            f" s4 AS MATERIALIZED (SELECT {keep}, {lam_r} AS lam_r, {beta} AS beta FROM s3),"
+            f" s5 AS MATERIALIZED (SELECT {keep}, lam_r, {phi_r} AS phi_r FROM s4)"
+            f" SELECT {keep}, {lon} AS lon, {lat} AS lat FROM s5)"
+        )
     lam_deg = f"(lam_r * {r2d})"
     if cfg.lon_0 != 0:
         lam_deg = f"({lam_deg} + {_lit(cfg.lon_0)})"

@@ -2268,20 +2268,24 @@ def q_k_ring(sf_dir: str):
     )
 
     def rings(batch: pa.Table) -> pa.Table:
-        eids, origins, ring_cells = [], [], []
+        eids, orig_u, ring_u = [], [], []
         for e, c in zip(
             batch["event_id"].to_numpy(zero_copy_only=False),
             batch["cell_u64"].to_numpy(zero_copy_only=False),
         ):
-            for r in tp.k_ring(CFG, int(c), KRING_K):
-                eids.append(e)
-                origins.append(su.to_string(np.array([c], dtype=np.uint64))[0])
-                ring_cells.append(su.to_string(np.array([r], dtype=np.uint64))[0])
+            rr = tp.k_ring(CFG, int(c), KRING_K)
+            eids.extend([e] * len(rr))
+            orig_u.extend([c] * len(rr))
+            ring_u.extend(rr)
         return pa.table(
             {
                 "event_id": pa.array(np.array(eids, dtype=np.int64)),
-                "origin": pa.array(origins, type=pa.string()),
-                "ring_cell": pa.array(ring_cells, type=pa.string()),
+                "origin": pa.array(
+                    su.to_string(np.array(orig_u, dtype=np.uint64)), type=pa.string()
+                ),
+                "ring_cell": pa.array(
+                    su.to_string(np.array(ring_u, dtype=np.uint64)), type=pa.string()
+                ),
             }
         )
 
@@ -2380,20 +2384,26 @@ def q_k_ring_polar(sf_dir: str):
     )
 
     def rings(batch: pa.Table) -> pa.Table:
-        sids, origins, ring_cells = [], [], []
+        sids, orig_u, ring_u = [], [], []
         for e, c in zip(
             batch["seed_id"].to_numpy(zero_copy_only=False),
             batch["cell_u64"].to_numpy(zero_copy_only=False),
         ):
-            for r in tp.k_ring(CFG, int(c), KRING_K):
-                sids.append(e)
-                origins.append(su.to_string(np.array([c], dtype=np.uint64))[0])
-                ring_cells.append(su.to_string(np.array([r], dtype=np.uint64))[0])
+            rr = tp.k_ring(CFG, int(c), KRING_K)
+            sids.extend([e] * len(rr))
+            orig_u.extend([c] * len(rr))
+            ring_u.extend(rr)
+        # one vectorized stringify for the whole batch (per-element
+        # to_string calls measured 2.5s -> this shape is ~0.3s)
         return pa.table(
             {
                 "seed_id": pa.array(np.array(sids, dtype=np.int64)),
-                "origin": pa.array(origins, type=pa.string()),
-                "ring_cell": pa.array(ring_cells, type=pa.string()),
+                "origin": pa.array(
+                    su.to_string(np.array(orig_u, dtype=np.uint64)), type=pa.string()
+                ),
+                "ring_cell": pa.array(
+                    su.to_string(np.array(ring_u, dtype=np.uint64)), type=pa.string()
+                ),
             }
         )
 
@@ -2495,6 +2505,45 @@ def q_cell_geometry_r3(sf_dir: str):
     return ray.data.range(total, override_num_blocks=sizing.range_blocks(total, 4)).map_batches(
         geom, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def q_cell_geometry_radians(sf_dir: str):
+    """Per-cell geometry for every res-2 cell under the RADIANS config
+    — the inverse-projection chain (nucleus lon/lat) oracled in
+    radians (inverse_sql radians branch), closing the last angle-unit
+    gap of SURVEY 8.1."""
+    from rhealpixdggs_py_ray.core.config import WGS84_003_RADIANS
+
+    b = WGS84_003_RADIANS.N_side**2
+    total = 6 * b**2
+    base = 6 * (b**2 - 1) // (b - 1)
+
+    def geom(batch: pa.Table) -> pa.Table:
+        i = batch["id"].to_numpy(zero_copy_only=False)
+        u = su.suid_from_level_order_index(i + base, WGS84_003_RADIANS)
+        nlon, nlat = idx.nucleus(WGS84_003_RADIANS, u, plane=False)
+        shape_names = np.array(idx.SHAPE_NAMES)
+        return pa.table(
+            {
+                "cell_id": pa.array(su.to_string_fixed(u, 2)),
+                "nuc_lon_micros": pa.array(np.floor(nlon * 1e6).astype(np.int64)),
+                "nuc_lat_micros": pa.array(np.floor(nlat * 1e6).astype(np.int64)),
+                "shape": pa.array(
+                    shape_names[np.asarray(idx.shape_of(WGS84_003_RADIANS, u), dtype=np.int64)],
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    return ray.data.range(total, override_num_blocks=sizing.range_blocks(total, 4)).map_batches(
+        geom, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def sql_cell_geometry_radians() -> str:
+    from rhealpixdggs_py_ray.core.config import WGS84_003_RADIANS
+
+    return oracle.cell_geometry_sql(2, WGS84_003_RADIANS)
 
 
 RASTER_RES = 3

@@ -171,3 +171,51 @@ def test_projection_image_outlines():
     y = np.array([p[1] for p in rv])
     assert prj.in_rhealpix_image(x, y).all()
     assert len(prj.rhealpix_vertices(1, 2)) == 12
+
+
+def test_radians_oracle_sql_parity():
+    """The radians-config SQL chains (forward cell_from_point with
+    dyadic-exact radian inputs; inverse nucleus geometry) match the
+    engine bit-for-bit — pins the projection_sql/inverse_sql radians
+    branches outside the driver sweep."""
+    import duckdb
+
+    from rhealpixdggs_py_ray import oracle
+    from rhealpixdggs_py_ray.core import index as idx
+    from rhealpixdggs_py_ray.core import suid as su
+    from rhealpixdggs_py_ray.core.config import WGS84_003_RADIANS as RCFG
+
+    # forward: 500 dyadic radian points
+    ids = np.arange(500, dtype=np.int64)
+    lon = -3.0 + 6.0 * ((ids * 73 % 256) / 256.0)
+    lat = -1.5 + 3.0 * ((ids * 151 % 512) / 512.0)
+    u = idx.cell_from_point(RCFG, 6, lon, lat, plane=False)
+    eng = list(su.to_string_fixed(u, 6))
+    pts = (
+        "SELECT k AS pid,"
+        " -3.0 + 6.0 * (CAST(k * 73 % 256 AS DOUBLE) / 256.0) AS lon,"
+        " -1.5 + 3.0 * (CAST(k * 151 % 512 AS DOUBLE) / 512.0) AS lat"
+        " FROM (SELECT unnest(generate_series(0, 499)) AS k)"
+    )
+    sql = oracle.cell_from_point_sql(pts, 6, RCFG, id_cols=("pid",))
+    got = [r[0] for r in duckdb.connect().execute(
+        f"SELECT cell_id FROM {sql} t ORDER BY pid").fetchall()]
+    assert got == eng
+
+    # inverse: res-2 nucleus geometry in radians
+    b = RCFG.N_side**2
+    total, base = 6 * b**2, 6 * (b**2 - 1) // (b - 1)
+    uu = su.suid_from_level_order_index(np.arange(total) + base, RCFG)
+    nlon, nlat = idx.nucleus(RCFG, uu, plane=False)
+    eng2 = sorted(zip(
+        su.to_string_fixed(uu, 2),
+        np.floor(nlon * 1e6).astype(np.int64),
+        np.floor(nlat * 1e6).astype(np.int64),
+    ))
+    got2 = sorted(
+        (r[0], int(r[1]), int(r[2]))
+        for r in duckdb.connect().execute(
+            f"SELECT cell_id, nuc_lon_micros, nuc_lat_micros FROM"
+            f" ({oracle.cell_geometry_sql(2, RCFG)}) t").fetchall()
+    )
+    assert [(a, int(x), int(y)) for a, x, y in eng2] == got2
