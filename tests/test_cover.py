@@ -175,3 +175,46 @@ def test_cells_from_region_polar_sql_matches_engine():
             for a, b, s in duckdb.connect().execute(sql).fetchall()
         )
         assert got == [(int(a), int(b), s) for a, b, s in eng], (ul, dr)
+
+
+def test_polyfill_polar_centroid_margins():
+    """The polar polyfill oracles rely on PIP decisions surviving the
+    ~1e-13 summation-order difference between numpy's pairwise sum and
+    DuckDB's fold: assert every SQL-side centroid stays > 1e-6 deg away
+    from every polygon edge (6+ orders of magnitude of margin) for all
+    three fixtures."""
+    import duckdb
+
+    from rhealpixdggs_py_ray import oracle
+    from rhealpixdggs_py_ray.core.config import WGS84_003, WGS84_123
+    from rhealpixdggs_py_ray.pipelines.queries import (
+        POLY_POLAR, POLY_POLAR_NS, POLY_POLAR_S, POLYFILL_POLAR_RES,
+    )
+
+    def min_edge_dist(px, py, poly):
+        best = np.inf
+        n = len(poly)
+        for i in range(n):
+            (x1, y1), (x2, y2) = poly[i], poly[(i + 1) % n]
+            dx, dy = x2 - x1, y2 - y1
+            t = np.clip(((px - x1) * dx + (py - y1) * dy) / (dx * dx + dy * dy), 0, 1)
+            d = np.hypot(px - (x1 + t * dx), py - (y1 + t * dy))
+            best = np.minimum(best, d)
+        return best
+
+    for poly, cfg, face in (
+        (POLY_POLAR, WGS84_003, 0),
+        (POLY_POLAR_NS, WGS84_123, 0),
+        (POLY_POLAR_S, WGS84_003, 5),
+    ):
+        sql = oracle.polyfill_polar_sql(poly, POLYFILL_POLAR_RES, cfg, face=face)
+        # pull the centroids the PIP filter consumes: replace the final
+        # projection (everything after the last CTE) with a bare select
+        head, _tail = sql.rsplit("\nSELECT ", 1)
+        q = head + "\nSELECT clon, clat FROM pp_cent"
+        rows = duckdb.connect().execute(q).fetchall()
+        assert rows
+        px = np.array([r[0] for r in rows])
+        py = np.array([r[1] for r in rows])
+        d = min_edge_dist(px, py, poly)
+        assert float(d.min()) > 1e-6, (cfg, face, float(d.min()))

@@ -2,9 +2,13 @@
 retry without result corruption, seeded-shuffle epoch determinism, and
 multi-consumer streaming splits."""
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import ray
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_flaky_stage_retries_to_exact_result(ray_session):
@@ -73,3 +77,34 @@ def test_streaming_split_partitions_rows(ray_session):
     g0, g1 = ray.get([drain.remote(it0), drain.remote(it1)])
     assert sorted(g0 + g1) == list(range(9_999))
     assert g0 and g1
+
+
+def test_ray_job_entrypoint(tmp_path):
+    """tools/ray_job.py (the `ray job submit` launch path of the north
+    rule) runs end-to-end in a fresh process: generates rows, indexes,
+    writes shard-partitioned parquet, prints one JSON metrics line."""
+    import json
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "job_out")
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "ray_job.py"),
+         "--rows", "5000", "--out", out, "--num-cpus", "2"],
+        capture_output=True, text=True, timeout=300,
+        env={**os.environ, "RAY_ADDRESS": ""},
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+    m = json.loads(line)
+    assert m.get("rows") == 5000
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    files = _glob.glob(os.path.join(out, "**", "*.parquet"), recursive=True)
+    assert files and sum(
+        pq.ParquetFile(f).metadata.num_rows for f in files
+    ) == 5000
+    # hive shard dirs present (resumable layout)
+    assert any("shard=" in f for f in files)
