@@ -3176,6 +3176,87 @@ def sql_regression_stats() -> str:
     )
 
 
+def _fragmented_events(sf_dir: str, n_frags: int = 24) -> str:
+    """24-fragment copy of the events table under /tmp (the small-file
+    problem fixture; idempotent, marker-guarded)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    src = f"/tmp/graft_compact_src_{os.path.basename(sf_dir.rstrip('/'))}"
+    marker = os.path.join(src, ".complete")
+    if not os.path.exists(marker):
+        os.makedirs(src, exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
+        n = t.num_rows
+        per = -(-n // n_frags)
+        for k in range(n_frags):
+            pq.write_table(t.slice(k * per, per), os.path.join(src, f"f{k:03d}.parquet"))
+        open(marker, "w").close()
+    return src
+
+
+def q_compact_files(sf_dir: str):
+    """Small-file compaction — the 100 TB table-maintenance op: a
+    24-fragment copy of the events table is read with per-fragment
+    fan-out, repartitioned to the byte-target block count
+    (sizing.compute_read_blocks with no fragment floor), and written
+    back as few large files; the compacted copy is then proven
+    content-equal via an order-free splitmix64 checksum.  File-count
+    reduction itself is pinned in tests (the oracle proves content)."""
+    import os
+    import shutil
+
+    from rhealpixdggs_py_ray.fixtures import splitmix64
+
+    src = _fragmented_events(sf_dir)
+    out = f"/tmp/graft_compact_out_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(out, ignore_errors=True)
+
+    total_bytes, n_frags = sizing._stat_input(src)
+    target = max(1, -(-total_bytes // sizing.TARGET_BLOCK_BYTES))
+    ds = ray.data.read_parquet(
+        src, override_num_blocks=sizing.read_blocks(src, profile=4)
+    )
+    ds.repartition(target).write_parquet(out)
+
+    comp = ray.data.read_parquet(out, columns=["event_id"])
+
+    def chk(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        h = splitmix64(ids.astype(np.uint64))
+        s = np.add.reduce(h) if len(h) else np.uint64(0)  # wraps mod 2^64
+        return pa.table({
+            "chk": pa.array([s], type=pa.uint64()),
+            "n": pa.array([len(ids)], type=pa.int64()),
+        })
+
+    # one partial row per block -> bounded driver fold
+    parts = comp.map_batches(chk, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    total = np.uint64(0)
+    for v in parts["chk"].to_numpy():
+        total = np.uint64((int(total) + int(v)) % (1 << 64))
+    n = int(parts["n"].sum())
+    return pa.table({
+        "n": pa.array([n], type=pa.int64()),
+        "chk_hi": pa.array([int(total) >> 32], type=pa.int64()),
+        "chk_lo": pa.array([int(total) & 0xFFFFFFFF], type=pa.int64()),
+    })
+
+
+def sql_compact_files() -> str:
+    sm = oracle.splitmix64_sql_ctes(
+        "SELECT event_id FROM events", "event_id", "event_id", "h"
+    )
+    m = str(1 << 64)
+    return (
+        f"SELECT CAST(COUNT(*) AS BIGINT) AS n,"
+        f" CAST((SUM(CAST(h AS HUGEINT)) % {m}) // 4294967296 AS BIGINT) AS chk_hi,"
+        f" CAST((SUM(CAST(h AS HUGEINT)) % {m}) % 4294967296 AS BIGINT) AS chk_lo"
+        f" FROM {sm} t"
+    )
+
+
 def q_table_checksum(sf_dir: str):
     """Order-free integrity fingerprint of the documents and events
     tables: per-row md5 summed with uint64 wraparound (commutative —

@@ -338,3 +338,48 @@ def test_polyfill_polar_differential(reference):
     ours = sorted(W.polyfill(geo.Polygon(POLY_POLAR), res, plane=False))
     theirs = sorted(rw.polyfill(SPoly(list(POLY_POLAR)), res, plane=False))
     assert ours == theirs
+
+
+def test_polar_covers_differential(reference):
+    """The polar cover fixtures behind the round-4 SQL oracles also
+    match the REFERENCE's own walks in-process: cells_from_region over
+    both north-cap fixtures (incl. the boundary-row-insertion case) and
+    cells_from_parallel over the four cap parallels."""
+    from rhealpixdggs_py_ray.core import cover as cov
+    from rhealpixdggs_py_ray.core.config import WGS84_003
+    from rhealpixdggs_py_ray.pipelines.queries import (
+        COVER_LINE_RES,
+        PARALLEL_POLAR_FIXTURES,
+        REGION_POLAR_DR,
+        REGION_POLAR_UL,
+    )
+
+    rd = reference.WGS84_003
+    for ul, dr in [
+        (REGION_POLAR_UL, REGION_POLAR_DR),
+        ((18.7, 59.0), (72.4, 51.7)),  # boundary-row insertion case
+    ]:
+        ours = [
+            su.to_string(np.array(row, dtype=np.uint64)).tolist()
+            for row in cov.cells_from_region(WGS84_003, 4, ul, dr, plane=False)
+        ]
+        theirs = [
+            [str(c) for c in row]
+            for row in rd.cells_from_region(4, ul, dr, plane=False)
+        ]
+        assert ours == theirs, (ul, dr)
+
+    for lam_min, lam_max, phi in PARALLEL_POLAR_FIXTURES:
+        ours = su.to_string(
+            np.array(
+                cov.cells_from_parallel(
+                    WGS84_003, COVER_LINE_RES, phi, lam_min, lam_max
+                ),
+                dtype=np.uint64,
+            )
+        ).tolist()
+        theirs = [
+            str(c)
+            for c in rd.cells_from_parallel(COVER_LINE_RES, phi, lam_min, lam_max)
+        ]
+        assert ours == theirs, (phi, lam_min, lam_max)

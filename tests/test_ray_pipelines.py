@@ -262,3 +262,27 @@ def test_flagship_partitioned_write_roundtrip(images_dir, ray_session, tmp_path)
     assert parts and all(p.startswith("face=") for p in parts)
     cols = ["image_id", "cell_id", "tile_id"]
     pd.testing.assert_frame_equal(lazy[cols], written[cols])
+
+
+def test_compaction_reduces_file_count(ray_session):
+    """q_compact_files must actually compact: the 24-fragment source
+    collapses to the byte-target file count (1 at sandbox scale), and
+    the checksum row equals the source table's."""
+    import glob
+
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    t = Q.q_compact_files(sf)
+    out = f"/tmp/graft_compact_out_{os.path.basename(sf.rstrip('/'))}"
+    files = glob.glob(os.path.join(out, "*.parquet"))
+    assert 1 <= len(files) < 24
+    import duckdb
+
+    got = duckdb.connect().execute(
+        Q.sql_compact_files().replace(
+            "FROM events", f"FROM read_parquet('{sf}/events.parquet')", 1
+        )
+    ).fetchone()
+    row = t.to_pydict()
+    assert (row["n"][0], row["chk_hi"][0], row["chk_lo"][0]) == got
