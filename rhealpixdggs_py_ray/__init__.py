@@ -26,4 +26,26 @@ from rhealpixdggs_py_ray.core.config import (  # noqa: F401
     WGS84_002,
 )
 
+# The reference's rhp_wrappers surface (H3-workalike string API), so a
+# user switching from `rhealpixdggs.rhp_wrappers` keeps their imports:
+# `from rhealpixdggs_py_ray import geo_to_rhp, polyfill, k_ring, ...`.
+from rhealpixdggs_py_ray.core.wrappers import (  # noqa: F401
+    cell_area,
+    cell_ring,
+    compress_order_cells,
+    geo_to_rhp,
+    get_finest_containing_cell,
+    k_ring,
+    linetrace,
+    num_cells,
+    polyfill,
+    rhp_get_base_cell,
+    rhp_get_resolution,
+    rhp_is_valid,
+    rhp_to_center_child,
+    rhp_to_geo,
+    rhp_to_geo_boundary,
+    rhp_to_parent,
+)
+
 __version__ = "0.1.0"
