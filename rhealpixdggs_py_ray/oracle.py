@@ -481,34 +481,25 @@ def inverse_sql(
     )
     # engine inverse re-adds lon_0/lat_0 then wraps (projection.py:324)
     if cfg.radians:
-        wrap = (
+        wrap_rad = (
             f"(CASE WHEN {{v}} >= {pi} THEN {{v}} - 2*{pi}"
             f" WHEN {{v}} < -{pi} THEN {{v}} + 2*{pi} ELSE {{v}} END)"
         )
-        lon = wrap.format(v="lam_r")
+        lon = wrap_rad.format(v="lam_r")
         lat = "phi_r"
-        return (
-            f"(WITH pl AS ({planar_sql}),"
-            f" s0 AS MATERIALIZED (SELECT {keep}, xm / {R} AS x, ym / {R} AS y FROM pl),"
-            f" s1 AS MATERIALIZED (SELECT {keep}, x, y, {c} AS c FROM s0),"
-            f" s2 AS MATERIALIZED (SELECT {keep}, x, y, c, {q} AS q FROM s1),"
-            f" s3 AS MATERIALIZED (SELECT {keep}, {hx} AS hx, {hy} AS hy FROM s2),"
-            f" s4 AS MATERIALIZED (SELECT {keep}, {lam_r} AS lam_r, {beta} AS beta FROM s3),"
-            f" s5 AS MATERIALIZED (SELECT {keep}, lam_r, {phi_r} AS phi_r FROM s4)"
-            f" SELECT {keep}, {lon} AS lon, {lat} AS lat FROM s5)"
-        )
-    lam_deg = f"(lam_r * {r2d})"
-    if cfg.lon_0 != 0:
-        lam_deg = f"({lam_deg} + {_lit(cfg.lon_0)})"
-    lon = wrap.format(v=lam_deg)
-    lat = f"(phi_r * {r2d})"
-    if cfg.lat_0 != 0:
-        v = f"({lat} + {_lit(cfg.lat_0)})"
-        w = wrap.format(v=v)
-        lat = (
-            f"(CASE WHEN abs({w}) > 90.0 THEN {w} -"
-            f" (CASE WHEN {w} >= 0 THEN 180.0 ELSE -180.0 END) ELSE {w} END)"
-        )
+    else:
+        lam_deg = f"(lam_r * {r2d})"
+        if cfg.lon_0 != 0:
+            lam_deg = f"({lam_deg} + {_lit(cfg.lon_0)})"
+        lon = wrap.format(v=lam_deg)
+        lat = f"(phi_r * {r2d})"
+        if cfg.lat_0 != 0:
+            v = f"({lat} + {_lit(cfg.lat_0)})"
+            w = wrap.format(v=v)
+            lat = (
+                f"(CASE WHEN abs({w}) > 90.0 THEN {w} -"
+                f" (CASE WHEN {w} >= 0 THEN 180.0 ELSE -180.0 END) ELSE {w} END)"
+            )
 
     return (
         f"(WITH pl AS ({planar_sql}),"
