@@ -86,8 +86,13 @@ class CheckpointedRun:
         for f in os.listdir(self.out_root):
             if not f.endswith(".manifest.json"):
                 continue
-            with open(os.path.join(self.out_root, f)) as fh:
-                m = json.load(fh)
+            try:
+                with open(os.path.join(self.out_root, f)) as fh:
+                    m = json.load(fh)
+            except (OSError, json.JSONDecodeError):
+                # truncated/corrupt manifest (crash mid-publish before
+                # manifests became atomic) => treat partition as not done
+                continue
             if m.get("config_hash") == chash and m.get("status") == "complete":
                 done[m["partition"]] = m
         return done
@@ -130,8 +135,12 @@ class CheckpointedRun:
                 "wall_seconds": round(time.perf_counter() - t0, 4),
                 **metrics,
             }
-            with open(self._manifest_path(i), "w") as fh:
+            # atomic manifest publish: a crash mid-write must leave
+            # either no manifest or a complete one, never truncated JSON
+            mp = self._manifest_path(i)
+            with open(mp + ".tmp", "w") as fh:
                 json.dump(manifest, fh, indent=1)
+            os.rename(mp + ".tmp", mp)
             return manifest
 
         pending = [i for i in range(len(partitions)) if i not in done]

@@ -286,3 +286,25 @@ def test_compaction_reduces_file_count(ray_session):
     ).fetchone()
     row = t.to_pydict()
     assert (row["n"][0], row["chk_hi"][0], row["chk_lo"][0]) == got
+
+
+def test_checkpoint_truncated_manifest_tolerated(ray_session, tmp_path):
+    """A truncated manifest (crash mid-publish) must read as
+    not-completed, not crash the resume scan."""
+    import json
+
+    from rhealpixdggs_py_ray.state import CheckpointedRun
+
+    run = CheckpointedRun(out_root=str(tmp_path), config_payload={"res": 9})
+    ok = {
+        "partition": 0, "status": "complete",
+        "config_hash": __import__(
+            "rhealpixdggs_py_ray.state.checkpoint", fromlist=["_config_hash"]
+        )._config_hash({"res": 9}),
+    }
+    with open(tmp_path / "part=00000.manifest.json", "w") as fh:
+        json.dump(ok, fh)
+    with open(tmp_path / "part=00001.manifest.json", "w") as fh:
+        fh.write('{"partition": 1, "status": "comp')  # truncated
+    done = run.completed_partitions()
+    assert set(done) == {0}
