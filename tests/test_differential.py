@@ -383,3 +383,22 @@ def test_polar_covers_differential(reference):
             for c in rd.cells_from_parallel(COVER_LINE_RES, phi, lam_min, lam_max)
         ]
         assert ours == theirs, (phi, lam_min, lam_max)
+
+
+def test_radians_cell_from_point_differential(reference):
+    """Engine cell_from_point under WGS84_003_RADIANS equals the
+    reference's radians instance on the dyadic fixture points used by
+    the cell_from_point_radians oracle."""
+    from rhealpixdggs_py_ray.core.config import WGS84_003_RADIANS
+
+    rd = reference.WGS84_003_RADIANS
+    ids = np.arange(200, dtype=np.int64)
+    lon = -3.0 + 6.0 * ((ids * 73 % 256) / 256.0)
+    lat = -1.5 + 3.0 * ((ids * 151 % 512) / 512.0)
+    u = idx.cell_from_point(WGS84_003_RADIANS, 6, lon, lat, plane=False)
+    ours = list(su.to_string_fixed(u, 6))
+    theirs = [
+        str(rd.cell_from_point(6, (float(a), float(b)), plane=False))
+        for a, b in zip(lon, lat)
+    ]
+    assert ours == theirs
