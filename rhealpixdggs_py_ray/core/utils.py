@@ -16,6 +16,27 @@ import numpy as np
 from rhealpixdggs_py_ray.core.config import EngineConfig
 
 
+def my_round(x, digits: int = 0):
+    """Round a float, or a (possibly nested) list/tuple of floats, to
+    ``digits`` digits (reference utils.py:24-44).
+
+    Scalars go through Python's correctly-rounded ``round`` — NOT
+    ``np.round``, whose scale-round-unscale differs on some doubles —
+    so results match the reference exactly.  numpy arrays take a
+    vectorized path through the same ``round`` via ``np.frompyfunc``
+    (this is a test/doc helper, never a hot-path kernel).
+    """
+    if isinstance(x, np.ndarray):
+        return np.frompyfunc(lambda v: round(float(v), digits), 1, 1)(x).astype(
+            np.float64
+        )
+    try:
+        return round(x, digits)
+    except TypeError:
+        result = [my_round(xx, digits) for xx in x]
+        return tuple(result) if isinstance(x, tuple) else result
+
+
 def wrap_longitude(lam: np.ndarray, radians: bool = False) -> np.ndarray:
     """Wrap angles into [-half, half) (reference utils.py:47-71)."""
     lam = np.asarray(lam, dtype=np.float64)

@@ -136,6 +136,58 @@ def cell_area(
     return area / 10**6 if unit == "km^2" else area
 
 
+def _hsv_to_rgb_vec(h: np.ndarray, s: float, v: float = 1.0):
+    """Vectorized stdlib colorsys.hsv_to_rgb with the exact same float
+    expression order, so per-element results match the scalar routine
+    bit-for-bit."""
+    if s == 0.0:
+        V = np.full_like(h, float(v))
+        return V, V.copy(), V.copy()
+    i = (h * 6.0).astype(np.int64)  # int(h*6.0): trunc toward 0; h >= 0
+    f = (h * 6.0) - i
+    p = np.full_like(h, v * (1.0 - s))
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i % 6
+    V = np.full_like(h, float(v))
+    r = np.choose(i, [V, q, p, p, t, V])
+    g = np.choose(i, [t, V, V, q, p, p])
+    b = np.choose(i, [p, p, t, V, V, q])
+    return r, g, b
+
+
+def cell_color_u64(
+    u: np.ndarray, saturation: float = 0.5, cfg: EngineConfig = WGS84_003
+):
+    """Vectorized ``Cell.color`` (reference cell.py:1489-1504): a unique
+    RGB per cell from an HSV hue derived from the SUID digits —
+    hue = face_index/6 + (sum_i digit_i * N^(-2 i))/6, then
+    colorsys.hsv_to_rgb(hue, saturation, 1).  Both stages replay the
+    reference's float operation order (left-to-right digit sum, the
+    two /6.0 divisions kept separate) for bit-identical results."""
+    u = np.asarray(u, dtype=np.uint64)
+    face, digits, res = su.unpack(u)
+    N = cfg.N_side
+    hue = face.astype(np.float64) / 6.0
+    rmax = int(res.max()) if len(res) else 0
+    acc = np.zeros(len(u), dtype=np.float64)
+    for i in range(1, rmax + 1):
+        # adding exact 0.0 beyond a row's resolution preserves parity
+        acc = acc + np.where(
+            res >= i, digits[:, i - 1].astype(np.float64) * (N ** (-2 * i)), 0.0
+        )
+    hue = hue + acc / 6.0
+    return _hsv_to_rgb_vec(hue, float(saturation))
+
+
+def cell_color(rhpindex: str, saturation: float = 0.5, cfg: EngineConfig = WGS84_003):
+    """Scalar ``Cell.color`` workalike (reference cell.py:1489-1504)."""
+    if not rhp_is_valid(rhpindex, cfg):
+        return None
+    r, g, b = cell_color_u64(su.from_string([rhpindex]), saturation, cfg)
+    return (float(r[0]), float(g[0]), float(b[0]))
+
+
 def cell_ring(rhpindex: str, k: int = 1, cfg: EngineConfig = WGS84_003):
     """rhp_wrappers.py:371-468."""
     if not rhp_is_valid(rhpindex, cfg) or k < 0:

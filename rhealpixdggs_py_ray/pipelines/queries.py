@@ -303,6 +303,75 @@ def sql_tile_counts() -> str:
     )
 
 
+def q_cell_color(sf_dir: str):
+    """``Cell.color`` (reference cell.py:1489-1504) over the distinct
+    res-2 event tiles: a unique HSV-derived RGB per cell (hue from the
+    SUID digits, colorsys.hsv_to_rgb(hue, 0.5, 1)), vectorized in
+    core/wrappers.py:cell_color_u64 and replayed bit-exactly in SQL
+    from the SUID string digits; rgb quantized at 1e6 for the
+    value-hash."""
+    from rhealpixdggs_py_ray.core import wrappers as W
+
+    tiles = aggregate_tiles(indexed_events(sf_dir), TILE_RES, salt_col=None)
+
+    def colorize(batch: pa.Table) -> pa.Table:
+        u = su.from_string(batch["tile_id"].to_pylist())
+        r, g, b = W.cell_color_u64(u, 0.5, CFG)
+        return pa.table({
+            "tile_id": batch["tile_id"],
+            "r_q6": pa.array(np.floor(r * 1000000.0).astype(np.int64)),
+            "g_q6": pa.array(np.floor(g * 1000000.0).astype(np.int64)),
+            "b_q6": pa.array(np.floor(b * 1000000.0).astype(np.int64)),
+        })
+
+    return tiles.map_batches(colorize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_cell_color() -> str:
+    """Replays cell_color_u64's float chain exactly: left-associated
+    digit sum with repr-embedded N^(-2i) constants, the two /6.0
+    divisions kept separate, colorsys's expression order."""
+    L = oracle._lit
+    inner = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), RES, CFG, id_cols=("event_id",)
+    )
+    six = L(6.0)
+    acc = " + ".join(
+        f"CAST(substr(tile_id, {1 + i + 1}, 1) AS DOUBLE) * {L(CFG.N_side ** (-2 * (i + 1)))}"
+        for i in range(TILE_RES)
+    )
+    s, v = L(0.5), L(1.0)
+    return f"""
+WITH tiles AS MATERIALIZED (
+  SELECT DISTINCT substr(cell_id, 1, {1 + TILE_RES}) AS tile_id FROM {inner} t
+), hue AS MATERIALIZED (
+  SELECT tile_id,
+    CAST(strpos('NOPQRS', substr(tile_id, 1, 1)) - 1 AS DOUBLE) / {six}
+      + ({acc}) / {six} AS h
+  FROM tiles
+), hsv AS MATERIALIZED (
+  SELECT tile_id, h,
+    CAST(floor(h * {six}) AS BIGINT) % 6 AS i,
+    (h * {six}) - CAST(floor(h * {six}) AS BIGINT) AS f
+  FROM hue
+), pqt AS MATERIALIZED (
+  SELECT tile_id, i,
+    {v} * ({L(1.0)} - {s}) AS p,
+    {v} * ({L(1.0)} - {s} * f) AS q,
+    {v} * ({L(1.0)} - {s} * ({L(1.0)} - f)) AS t
+  FROM hsv
+)
+SELECT tile_id,
+  CAST(floor((CASE i WHEN 0 THEN {v} WHEN 1 THEN q WHEN 2 THEN p
+              WHEN 3 THEN p WHEN 4 THEN t ELSE {v} END) * {L(1e6)}) AS BIGINT) AS r_q6,
+  CAST(floor((CASE i WHEN 0 THEN t WHEN 1 THEN {v} WHEN 2 THEN {v}
+              WHEN 3 THEN q WHEN 4 THEN p ELSE p END) * {L(1e6)}) AS BIGINT) AS g_q6,
+  CAST(floor((CASE i WHEN 0 THEN p WHEN 1 THEN p WHEN 2 THEN t
+              WHEN 3 THEN {v} WHEN 4 THEN {v} ELSE q END) * {L(1e6)}) AS BIGINT) AS b_q6
+FROM pqt
+"""
+
+
 # ---------------------------------------------------------------------------
 # Spatial join: cover semi-join (pruning) + exact refine + per-face counts
 # ---------------------------------------------------------------------------

@@ -402,3 +402,34 @@ def test_radians_cell_from_point_differential(reference):
         for a, b in zip(lon, lat)
     ]
     assert ours == theirs
+
+
+def test_cell_color_differential(ref):
+    """Cell.color (cell.py:1489-1504): bit-identical RGB tuples, default
+    and non-default saturation, all resolutions 0-9."""
+    from rhealpixdggs_py_ray.core import wrappers as W
+
+    for c in _rand_cells(29, 80):
+        s = "".join(str(x) for x in c)
+        assert W.cell_color(s) == ref.cell(list(c)).color()
+        assert W.cell_color(s, saturation=0.8) == ref.cell(list(c)).color(
+            saturation=0.8
+        )
+    assert W.cell_color("X9") is None  # invalid index -> None, wrapper style
+
+
+def test_my_round_differential(reference):
+    """my_round (utils.py:24-44): scalar/tuple/list recursion parity,
+    plus the vectorized ndarray path against element-wise reference."""
+    from rhealpixdggs.utils import my_round as ref_round
+
+    from rhealpixdggs_py_ray.core.utils import my_round
+
+    cases = [1 / 7, (1 / 3, 1 / 7), [2.675, 0.5, -1.5], 123.456789,
+             (1.5, (2.5, 3.5))]
+    for v in cases:
+        for d in (0, 2, 6):
+            assert my_round(v, d) == ref_round(v, d)
+    arr = np.random.default_rng(5).uniform(-1e6, 1e6, 200)
+    got = my_round(arr, 3)
+    assert got.tolist() == [ref_round(float(x), 3) for x in arr]
