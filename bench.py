@@ -201,12 +201,16 @@ def run_payload(num_cpus: int, n_rows: int = 20_000) -> dict:
     write_images_table(out_dir, n_rows)  # cached across runs
 
     t0 = time.time()
-    ds = ray.data.read_parquet(out_dir, override_num_blocks=num_cpus * 2)
-    # Pool sizes must sum below num_cpus or downstream stages starve
-    # (see BASELINE.md operator-starvation note).
+    # Decode is memory-bandwidth-bound on this box: 8 actors measured
+    # 2.3 s vs 21 actors at 5.3 s on identical input (more concurrent
+    # decoders saturate bandwidth AND pay more actor startup); on a
+    # multi-node cluster each node adds bandwidth, so the pool should
+    # scale with nodes, not local cores (sizing.py rationale).
+    verify_pool = min(8, max(1, num_cpus // 2))
+    ds = ray.data.read_parquet(out_dir, override_num_blocks=verify_pool * 4)
     ds = ds.map_batches(
-        PayloadVerifier, batch_format="pyarrow", batch_size=256,
-        zero_copy_batch=True, concurrency=max(1, num_cpus * 2 // 3),
+        PayloadVerifier, batch_format="pyarrow", batch_size=512,
+        zero_copy_batch=True, concurrency=verify_pool,
     )
     ds = ds.map_batches(
         CellIndexer, fn_constructor_kwargs={"resolution": 9},

@@ -88,6 +88,24 @@ class PayloadVerifier:
 
     def __init__(self, psnr_min: float = 40.0):
         self.psnr_min = psnr_min
+        # Per-actor cache of the phash-independent base pattern
+        # (x*3 + y*5 + c*7) & 255 per (w, h): the fixture pixel rule is
+        # base + per-channel phash byte (mod 256), so the expensive
+        # (h, w, 3) lattice is built once per shape per actor and each
+        # row only pays one int16 add + mask.  Rebuilding it per row
+        # (gen_pixels' meshgrid) measured ~0.15 ms/row of pure memory
+        # traffic — the stage is bandwidth-bound, not compute-bound.
+        self._base: dict[tuple[int, int], np.ndarray] = {}
+
+    def _base_for(self, w: int, h: int) -> np.ndarray:
+        b = self._base.get((w, h))
+        if b is None:
+            x = np.arange(w, dtype=np.int16) * 3
+            y = np.arange(h, dtype=np.int16) * 5
+            c = np.arange(3, dtype=np.int16) * 7
+            b = (y[:, None, None] + x[None, :, None] + c[None, None, :]) & 255
+            self._base[(w, h)] = b
+        return b
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         blobs = batch["bytes"].to_pylist()
@@ -101,11 +119,20 @@ class PayloadVerifier:
         ok = np.zeros(n, dtype=bool)
         psnr = np.full(n, -np.inf)
         for k in range(n):
-            expect = gen_pixels(int(ws[k]), int(hs[k]), int(phashes[k]))
+            ph = int(phashes[k]) & 0xFFFFFFFFFFFFFFFF
+            chan = np.array(
+                [(ph >> (8 * j)) & 0xFF for j in range(3)], dtype=np.int16
+            )
+            expect = (self._base_for(int(ws[k]), int(hs[k])) + chan) & 255
             got = decode_image(blobs[k], fmts[k], int(ws[k]), int(hs[k]))
             if got.shape != expect.shape:
                 continue
-            mse = float(np.mean((got.astype(np.float64) - expect.astype(np.float64)) ** 2))
+            # exact integer SSE (values bounded by 255^2 * h*w*3 << 2^53,
+            # so the float64 division reproduces the old float-path mse
+            # bit-for-bit)
+            d = got.astype(np.int16) - expect
+            sse = int(np.sum((d.astype(np.int32)) ** 2, dtype=np.int64))
+            mse = sse / d.size
             psnr[k] = np.inf if mse == 0 else 10 * np.log10(255.0**2 / mse)
             cap_ok = caps[k] == f"caption {int(ids[k][3:])}: cell of {ids[k]}"
             ok[k] = cap_ok and (
