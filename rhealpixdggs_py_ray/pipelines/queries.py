@@ -8378,6 +8378,164 @@ WHERE prow IS NOT NULL AND row >= 0 AND prow >= 0
 """
 
 
+GRIDPATH_MAX = 16  # pairs farther than this many cells are dropped
+
+
+def q_grid_path(sf_dir: str):
+    """Lattice line between consecutive events of each user — the
+    h3 grid_path_cells workalike: integer DDA on the global equatorial
+    lattice (row, wrapped global column) at res 4.  For a pair at
+    Chebyshev distance n, step k=0..n lands on
+    (r0 + round(k*dr/n), (c0 + round(k*dc/n)) mod W) with round-half-up
+    done in exact integer arithmetic ((2*k*d + n) // (2n)), dc taken
+    the short way around the seam; pairs farther than GRIDPATH_MAX
+    drop (corridor queries are short hops).  One h(user) exchange, then
+    a bounded constant fan-out per pair — same scale shape as
+    trajectory_segments + line_buffer."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    n_buckets = sizing.exchange_buckets(16)
+    res = GRIDDIST_RES
+    nrow = CFG.N_side**res
+    W = 4 * nrow
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"], blocks=4)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = (
+            batch["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        lon, lat = oracle.lonlat_from_id(eid)
+        u = idx.cell_from_point(CFG, res, lon, lat, plane=False)
+        face = su.face_of(u)
+        _, digits, _ = su.unpack(u)
+        N = CFG.N_side
+        row = np.zeros(len(u), dtype=np.int64)
+        col = np.zeros(len(u), dtype=np.int64)
+        for i in range(res):
+            row = row * N + digits[:, i] // N
+            col = col * N + digits[:, i] % N
+        gcol = (face.astype(np.int64) - 1) * nrow + col
+        eq = (face >= 1) & (face <= 4)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(uid, n_buckets)),
+            "user_id": pa.array(uid.astype(np.int64)),
+            "t": pa.array(ts),
+            "event_id": pa.array(eid.astype(np.int64)),
+            "row": pa.array(np.where(eq, row, -1)),
+            "gcol": pa.array(gcol),
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, t, uid))
+        uid, eid = uid[order], eid[order]
+        row = g["row"].to_numpy(zero_copy_only=False)[order]
+        gcol = g["gcol"].to_numpy(zero_copy_only=False)[order]
+        same = uid[1:] == uid[:-1]
+        both_eq = (row[1:] >= 0) & (row[:-1] >= 0)
+        dr = row[1:] - row[:-1]
+        # signed shortest east-west step: nonneg residue, then recenter
+        dcn = ((gcol[1:] - gcol[:-1]) % W + W) % W
+        dc = np.where(dcn >= W // 2, dcn - W, dcn)
+        n = np.maximum(np.abs(dr), np.abs(dc))
+        m = same & both_eq & (n <= GRIDPATH_MAX)
+        eid2, uid2 = eid[1:][m], uid[1:][m]
+        r0, c0 = row[:-1][m], gcol[:-1][m]
+        dr, dc, n = dr[m], dc[m], n[m]
+        # explode: one row per step k = 0..n (bounded fan-out)
+        reps = n + 1
+        j = np.repeat(np.arange(len(n)), reps)
+        k = np.arange(len(j)) - np.repeat(np.cumsum(reps) - reps, reps)
+        nn = np.maximum(n[j], 1)  # n==0 pairs only emit k=0 (k*d==0)
+        rk = r0[j] + (2 * k * dr[j] + nn) // (2 * nn)
+        ck = (c0[j] + (2 * k * dc[j] + nn) // (2 * nn)) % W
+        return pa.table({
+            "event_id": pa.array(eid2[j]),
+            "user_id": pa.array(uid2[j]),
+            "seq": pa.array(k.astype(np.int64)),
+            "cell_id": pa.array(
+                _cell_string_array_from_lattice(rk, ck, res), type=pa.string()),
+        })
+
+    b = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return b.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def sql_grid_path() -> str:
+    res, N = GRIDDIST_RES, CFG.N_side
+    nrow = N**res
+    W = 4 * nrow
+    inner = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), res, CFG, id_cols=("event_id",)
+    )
+    dig = lambda i: f"CAST(substr(cell_id, {i + 2}, 1) AS BIGINT)"
+    row = "(" + " + ".join(
+        f"({dig(i)} // {N}) * {N ** (res - 1 - i)}" for i in range(res)
+    ) + ")"
+    colf = "(" + " + ".join(
+        f"({dig(i)} % {N}) * {N ** (res - 1 - i)}" for i in range(res)
+    ) + ")"
+    fidx = (
+        "(CASE substr(cell_id, 1, 1) "
+        + " ".join(f"WHEN '{c}' THEN {i}" for i, c in enumerate(CELLS0))
+        + " END)"
+    )
+    # rebuild the cell string from (rk, ck): face letter from the global
+    # column, then res interleaved digits (row-digit*3 + col-digit)
+    digits_sql = " || ".join(
+        f"CAST((rk // {N ** (res - 1 - i)}) % {N} * {N} +"
+        f" (ck % {nrow}) // {N ** (res - 1 - i)} % {N} AS VARCHAR)"
+        for i in range(res)
+    )
+    return f"""
+WITH cells AS MATERIALIZED (
+  SELECT event_id,
+    CASE WHEN substr(cell_id, 1, 1) IN ('O','P','Q','R')
+      THEN {row} ELSE -1 END AS row,
+    ({fidx} - 1) * {nrow} + {colf} AS gcol
+  FROM {inner} t
+),
+ev AS MATERIALIZED (
+  SELECT e.event_id, e.user_id, e.ts, c.row, c.gcol
+  FROM events e JOIN cells c ON c.event_id = e.event_id
+),
+lagged AS MATERIALIZED (
+  SELECT event_id, user_id, row, gcol,
+    lag(row) OVER w AS prow, lag(gcol) OVER w AS pgcol
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+pairs AS MATERIALIZED (
+  SELECT event_id, user_id, prow AS r0, pgcol AS c0,
+    row - prow AS dr,
+    CASE WHEN (((gcol - pgcol) % {W}) + {W}) % {W} >= {W // 2}
+      THEN (((gcol - pgcol) % {W}) + {W}) % {W} - {W}
+      ELSE (((gcol - pgcol) % {W}) + {W}) % {W} END AS dc
+  FROM lagged
+  WHERE prow IS NOT NULL AND row >= 0 AND prow >= 0
+),
+bounded AS MATERIALIZED (
+  SELECT *, greatest(abs(dr), abs(dc)) AS n FROM pairs
+  WHERE greatest(abs(dr), abs(dc)) <= {GRIDPATH_MAX}
+),
+steps AS MATERIALIZED (
+  SELECT event_id, user_id, k AS seq,
+    r0 + CAST(floor((2.0 * k * dr + greatest(n, 1))
+      / (2 * greatest(n, 1))) AS BIGINT) AS rk,
+    ((c0 + CAST(floor((2.0 * k * dc + greatest(n, 1))
+      / (2 * greatest(n, 1))) AS BIGINT)) % {W} + {W}) % {W} AS ck
+  FROM bounded, unnest(generate_series(0, n)) AS t(k)
+)
+SELECT event_id, user_id, seq,
+  substr('OPQR', CAST(ck // {nrow} AS INTEGER) + 1, 1) || {digits_sql} AS cell_id
+FROM steps
+"""
+
+
 # ---------------------------------------------------------------------------
 # Round 2e: snapshot diff (CDC-style table compare)
 # ---------------------------------------------------------------------------
