@@ -5459,6 +5459,93 @@ def sql_image_features() -> str:
     )
 
 
+PATCH_PX = 16
+
+
+def q_image_patches(sf_dir: str):
+    """ViT-style patchification: decode -> non-overlapping 16x16 patch
+    grid -> per-patch per-channel integer pixel sums (the patch-
+    embedding precursor; one row per (image, patch_y, patch_x, chan)).
+    Actor-pool decode; payload bytes never leave the decode stage —
+    only the small (id, py, px, c, s) rows do.  The oracle replays the
+    closed-form fixture pixel rule over every patch lattice with
+    chained lateral generate_series (~10M pixel terms in DuckDB)."""
+    from rhealpixdggs_py_ray.fixtures import write_images_table
+
+    write_images_table(IMG_DIR, IMG_N)
+    ds = ray.data.read_parquet(
+        IMG_DIR, override_num_blocks=sizing.read_blocks(IMG_DIR, profile=8)
+    )
+
+    class Patchify:
+        def __init__(self, patch: int = PATCH_PX):
+            self.patch = patch
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from rhealpixdggs_py_ray.fixtures import decode_image
+
+            blobs = batch["bytes"].to_pylist()
+            fmts = batch["fmt"].to_pylist()
+            ws = batch["w"].to_numpy()
+            hs = batch["h"].to_numpy()
+            ids = batch["image_id"].to_pylist()
+            P = self.patch
+            cid, cpy, cpx, cc, cs = [], [], [], [], []
+            for k in range(len(blobs)):
+                w, h = int(ws[k]), int(hs[k])
+                pix = decode_image(blobs[k], fmts[k], w, h)
+                gy, gx = h // P, w // P
+                v = (
+                    pix[: gy * P, : gx * P, :]
+                    .reshape(gy, P, gx, P, 3)
+                    .sum(axis=(1, 3), dtype=np.int64)
+                )  # (gy, gx, 3)
+                py, px, c = np.indices((gy, gx, 3))
+                cid.append(np.repeat(ids[k], v.size))
+                cpy.append(py.ravel())
+                cpx.append(px.ravel())
+                cc.append(c.ravel())
+                cs.append(v.ravel())
+            return pa.table({
+                "image_id": pa.array(np.concatenate(cid), type=pa.string()),
+                "py": pa.array(np.concatenate(cpy).astype(np.int64)),
+                "px": pa.array(np.concatenate(cpx).astype(np.int64)),
+                "c": pa.array(np.concatenate(cc).astype(np.int64)),
+                "s": pa.array(np.concatenate(cs)),
+            })
+
+    return ds.map_batches(
+        Patchify, batch_format="pyarrow", batch_size=256,
+        zero_copy_batch=True, concurrency=sizing.pool(),
+    )
+
+
+def sql_image_patches() -> str:
+    src = _image_src_sql()
+    P = PATCH_PX
+    return f"""
+WITH src AS MATERIALIZED (SELECT image_id, w, h, u FROM {src} q2),
+p1 AS MATERIALIZED (
+  SELECT image_id, w, u, t.py FROM src,
+    unnest(generate_series(0, h // {P} - 1)) AS t(py)),
+p2 AS MATERIALIZED (
+  SELECT image_id, u, py, t.px FROM p1,
+    unnest(generate_series(0, w // {P} - 1)) AS t(px)),
+p3 AS MATERIALIZED (
+  SELECT image_id, py, px, t.c,
+    CAST((u >> CAST(8 * t.c AS INTEGER)) & 255 AS BIGINT) AS chan
+  FROM p2, unnest(generate_series(0, 2)) AS t(c)),
+p4 AS MATERIALIZED (
+  SELECT image_id, py, px, c, chan, t.dy FROM p3,
+    unnest(generate_series(0, {P - 1})) AS t(dy))
+SELECT image_id, py, px, c,
+  CAST(SUM(((px * {P} + t.dx) * 3 + (py * {P} + dy) * 5 + c * 7 + chan)
+       % 256) AS BIGINT) AS s
+FROM p4, unnest(generate_series(0, {P - 1})) AS t(dx)
+GROUP BY image_id, py, px, c
+"""
+
+
 NEARDUP_MAX_HAMMING = 6
 _IMG_NEARDUP_PAIRS: dict[str, "ray.data.Dataset"] = {}
 
