@@ -375,11 +375,13 @@ def ann_topk_ivf(emb_ds, n_queries: int = 10, k: int = 5, n_lists: int = 16,
     return partials.groupby("qid").map_groups(_final_topk(k), batch_format="pyarrow")
 
 
-def ann_topk_ivf_sql(n_queries: int = 10, k: int = 5, n_lists: int = 16,
-                     nprobe: int = 6) -> str:
-    """Oracle mirroring ann_topk_ivf: splitmix64 seed selection (HUGEINT
-    modular arithmetic), fold-ordered squared distances, nearest-list
-    assignment with (d2, cid) tie-break, nprobe probing, cosine rank."""
+def ivf_prefix_sql(n_lists: int = 16, n_queries: int = 10,
+                   nprobe: int = 6) -> str:
+    """Shared CTE chain for the IVF-family oracles: splitmix64 seed
+    selection (HUGEINT modular arithmetic), fold-ordered squared
+    distances, nearest-list ``assign`` with (d2, cid) tie-break, and
+    per-query ``qprobe`` probing.  Returns the text from ``h0``
+    through ``qprobe`` (no leading WITH)."""
     M = "18446744073709551616"
 
     def modmul(a: str, const: int) -> str:
@@ -398,13 +400,7 @@ def ann_topk_ivf_sql(n_queries: int = 10, k: int = 5, n_lists: int = 16,
         " i -> (CAST({x}.embedding[i] AS DOUBLE) - CAST({c}.embedding[i] AS DOUBLE))"
         " * (CAST({x}.embedding[i] AS DOUBLE) - CAST({c}.embedding[i] AS DOUBLE))))"
     )
-    dotab = (
-        "list_sum(list_transform(generate_series(1, len(a.embedding)),"
-        " i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))"
-    )
-    nrm = "sqrt(list_sum(list_transform({t}.embedding, x -> CAST(x AS DOUBLE) * x)))"
-    return f"""
-WITH h0 AS MATERIALIZED (
+    return f"""h0 AS MATERIALIZED (
   SELECT vec_id,
     CAST((CAST(CAST(vec_id AS UBIGINT) AS HUGEINT) + 11400714819323198485) % {M} AS UBIGINT) AS z1
   FROM embeddings
@@ -438,7 +434,20 @@ qprobe AS MATERIALIZED (
                          ORDER BY {d2.format(x='x', c='c')}, c.cid) AS rn
     FROM embeddings x CROSS JOIN cents c WHERE x.vec_id < {n_queries}
   ) WHERE rn <= {nprobe}
-),
+)"""
+
+
+def ann_topk_ivf_sql(n_queries: int = 10, k: int = 5, n_lists: int = 16,
+                     nprobe: int = 6) -> str:
+    """Oracle mirroring ann_topk_ivf: the shared IVF prefix (seed
+    selection, assignment, probing) plus cosine ranking."""
+    dotab = (
+        "list_sum(list_transform(generate_series(1, len(a.embedding)),"
+        " i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))"
+    )
+    nrm = "sqrt(list_sum(list_transform({t}.embedding, x -> CAST(x AS DOUBLE) * x)))"
+    return f"""
+WITH {ivf_prefix_sql(n_lists, n_queries, nprobe)},
 d AS MATERIALIZED (
   SELECT a.vec_id AS qid, b.vec_id AS vec_id,
     {dotab} / ({nrm.format(t='a')} * {nrm.format(t='b')}) AS cos
@@ -664,4 +673,159 @@ SELECT qid, vec_id,
   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank,
   CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_micros
 FROM d QUALIFY rank <= {k}
+"""
+
+
+def ann_topk_ivfpq(emb_ds, n_queries: int = 10, k: int = 5, n_lists: int = 16,
+                   nprobe: int = 6):
+    """IVF-PQ (Jégou et al. 2011, the FAISS IVFPQ shape): the IVF
+    coarse quantizer prunes lists exactly as ``ann_topk_ivf``; within
+    probed lists each database vector is scored by ASYMMETRIC DISTANCE
+    — the query precomputes an integer lookup table lut[s, k] =
+    sum_j floor((q_j - c_skj)^2 * 1e12) per subspace/code (driver-side,
+    n_queries x M x K ints, broadcast once), and a vector's distance is
+    the order-free integer sum of its 4 PQ codes' lut entries.  Codes
+    are computed in-batch from the deterministic lattice codebook
+    (pipelines.queries._pq_codebook), so the whole chain — pruning,
+    encoding, ADC ranking — replays exactly in SQL.  Output (qid,
+    vec_id, rank, adc)."""
+    from rhealpixdggs_py_ray.pipelines.queries import (
+        PQ_D, PQ_K, PQ_M, _pq_codebook)
+
+    _, C = _ivf_seed_centroids(emb_ds, n_lists)
+    qids, Q = _gather_queries(emb_ds, n_queries)
+    qd2 = _seq_d2(Q, C)
+    probe_lists = np.empty((len(qids), nprobe), dtype=np.int64)
+    for j in range(len(qids)):
+        probe_lists[j] = np.lexsort((np.arange(C.shape[0]), qd2[j]))[:nprobe]
+    Cpq = _pq_codebook()  # (M, K, D)
+    # per-query integer ADC tables: lut[q, s, k]
+    Xq = Q.reshape(len(qids), PQ_M, 1, PQ_D)
+    dq = Xq - Cpq[None, :, :, :]
+    lut = np.floor((dq * dq) * 1e12).astype(np.int64).sum(axis=3)
+    ref = ray.put((qids, C, probe_lists, Cpq, lut))
+
+    class IvfPqTopK:
+        def __init__(self):
+            (self.qids, self.C, self.probes, self.Cpq, self.lut) = ray.get(ref)
+            self.k = k
+            self.allowed = np.unique(self.probes.ravel())
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            empty = pa.table({"qid": pa.array([], type=pa.int64()),
+                              "vec_id": pa.array([], type=pa.int64()),
+                              "adc": pa.array([], type=pa.int64())})
+            vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+            B = _emb_matrix(batch)
+            if B.shape[0] == 0:
+                return empty
+            d2 = _seq_d2(B, self.C)
+            assign = d2.argmin(axis=1)  # first min == smallest cid tie-break
+            keep = np.isin(assign, self.allowed)
+            if not keep.any():
+                return empty
+            B, vid, assign = B[keep], vid[keep], assign[keep]
+            n = B.shape[0]
+            X = B.reshape(n, PQ_M, 1, PQ_D)
+            d = X - self.Cpq[None, :, :, :]
+            D = np.floor((d * d) * 1e12).astype(np.int64).sum(axis=3)
+            code = D.argmin(axis=2)                      # (n, M)
+            # adc[i, q] = sum_s lut[q, s, code[i, s]]
+            adc = np.zeros((n, len(self.qids)), dtype=np.int64)
+            for s in range(PQ_M):
+                adc += self.lut[:, s, :][:, code[:, s]].T
+            INF = np.int64(1 << 62)
+            adc[vid[:, None] == self.qids[None, :]] = INF
+            for j in range(adc.shape[1]):
+                adc[~np.isin(assign, self.probes[j]), j] = INF
+            kk = min(self.k, n)
+            outs_q, outs_v, outs_a = [], [], []
+            for j in range(adc.shape[1]):
+                col = adc[:, j]
+                thr = col[np.argpartition(col, kk - 1)[:kk]].max()
+                cand = np.flatnonzero(col <= thr)
+                sel = cand[np.lexsort((vid[cand], col[cand]))[:kk]]
+                sel = sel[col[sel] < INF]
+                outs_q.append(np.full(len(sel), self.qids[j], dtype=np.int64))
+                outs_v.append(vid[sel])
+                outs_a.append(col[sel])
+            return pa.table({
+                "qid": pa.array(np.concatenate(outs_q)),
+                "vec_id": pa.array(np.concatenate(outs_v)),
+                "adc": pa.array(np.concatenate(outs_a)),
+            })
+
+    def final(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "qid" not in g.column_names:
+            return pa.table({"qid": pa.array([], type=pa.int64()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "rank": pa.array([], type=pa.int64()),
+                             "adc": pa.array([], type=pa.int64())})
+        vid = g["vec_id"].to_numpy(zero_copy_only=False)
+        adc = g["adc"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vid, adc))[:k]
+        return pa.table({
+            "qid": g["qid"].take(pa.array(order)),
+            "vec_id": pa.array(vid[order]),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            "adc": pa.array(adc[order]),
+        })
+
+    partials = emb_ds.map_batches(
+        IvfPqTopK, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=sizing.pool())
+    return partials.groupby("qid").map_groups(final, batch_format="pyarrow")
+
+
+def ann_topk_ivfpq_sql(n_queries: int = 10, k: int = 5, n_lists: int = 16,
+                       nprobe: int = 6) -> str:
+    """Oracle mirroring ann_topk_ivfpq: shared IVF prefix, PQ codes
+    from the closed-form lattice codebook with integer-quantized
+    distances, per-query integer ADC tables, (adc, vec_id) rank."""
+    from rhealpixdggs_py_ray.oracle import _lit
+    from rhealpixdggs_py_ray.pipelines.queries import PQ_D, PQ_K, PQ_M
+
+    c_expr = ("(CAST((kk * 37 + j * 11 + s * 5) % 16 AS DOUBLE)"
+              f" - {_lit(7.5)}) / {_lit(32.0)}")
+    xv = f"CAST(v.embedding[s * {PQ_D} + j + 1] AS DOUBLE)"
+    xq = f"CAST(q.embedding[s * {PQ_D} + j + 1] AS DOUBLE)"
+    return f"""
+WITH {ivf_prefix_sql(n_lists, n_queries, nprobe)},
+pt AS MATERIALIZED (
+  SELECT v.vec_id, s, kk,
+    CAST(SUM(CAST(floor((({xv} - {c_expr}) * ({xv} - {c_expr}))
+      * {_lit(1e12)}) AS BIGINT)) AS BIGINT) AS d
+  FROM embeddings v
+  CROSS JOIN generate_series(0, {PQ_M - 1}) su(s)
+  CROSS JOIN generate_series(0, {PQ_K - 1}) ku(kk)
+  CROSS JOIN generate_series(0, {PQ_D - 1}) ju(j)
+  GROUP BY v.vec_id, s, kk
+), pm AS MATERIALIZED (
+  SELECT vec_id, s, MIN(d) AS dmin FROM pt GROUP BY vec_id, s
+), pcodes AS MATERIALIZED (
+  SELECT pt.vec_id, pt.s, CAST(MIN(pt.kk) AS BIGINT) AS code
+  FROM pt JOIN pm ON pt.vec_id = pm.vec_id AND pt.s = pm.s AND pt.d = pm.dmin
+  GROUP BY pt.vec_id, pt.s
+), lut AS MATERIALIZED (
+  SELECT q.vec_id AS qid, s, kk,
+    CAST(SUM(CAST(floor((({xq} - {c_expr}) * ({xq} - {c_expr}))
+      * {_lit(1e12)}) AS BIGINT)) AS BIGINT) AS dq
+  FROM embeddings q
+  CROSS JOIN generate_series(0, {PQ_M - 1}) su(s)
+  CROSS JOIN generate_series(0, {PQ_K - 1}) ku(kk)
+  CROSS JOIN generate_series(0, {PQ_D - 1}) ju(j)
+  WHERE q.vec_id < {n_queries}
+  GROUP BY q.vec_id, s, kk
+), adc AS MATERIALIZED (
+  SELECT p.qid, v.vec_id, CAST(SUM(l.dq) AS BIGINT) AS adc
+  FROM qprobe p
+  JOIN assign v ON v.cid = p.cid
+  JOIN pcodes pc ON pc.vec_id = v.vec_id
+  JOIN lut l ON l.qid = p.qid AND l.s = pc.s AND l.kk = pc.code
+  WHERE v.vec_id <> p.qid
+  GROUP BY p.qid, v.vec_id
+)
+SELECT qid, vec_id,
+  row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rank, adc
+FROM adc QUALIFY rank <= {k}
 """

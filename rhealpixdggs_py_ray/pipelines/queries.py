@@ -16246,3 +16246,19 @@ cbest AS MATERIALIZED (
 )
 SELECT {rebuild} AS cell_id, CAST(cost AS BIGINT) AS cost FROM cbest
 """
+
+
+def q_ann_topk_ivfpq(sf_dir: str):
+    """IVF-PQ ANN (coarse-quantizer pruning + integer asymmetric-
+    distance PQ scan — the FAISS IVFPQ shape); see ops/ann.py
+    ann_topk_ivfpq."""
+    from rhealpixdggs_py_ray.ops import ann
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann.ann_topk_ivfpq(emb)
+
+
+def sql_ann_topk_ivfpq() -> str:
+    from rhealpixdggs_py_ray.ops import ann
+
+    return ann.ann_topk_ivfpq_sql()

@@ -155,3 +155,26 @@ def test_cost_distance_invariants(ray_session):
     assert (c.loc[shared] <= f.loc[shared] * COSTD_WMOD).all()
     assert (c.loc[shared] >= f.loc[shared] * 0).all()
     assert (c.loc[shared][f.loc[shared] == 0] == 0).all()
+
+
+def test_ann_topk_ivfpq_invariants(ray_session):
+    """Ranks are 1..k per query; adc is nonnegative and nondecreasing
+    in rank; self-matches excluded; PQ-ADC neighbors overlap the exact
+    brute-force top-k (sanity recall > 0 overall)."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.01"
+    t = Q.q_ann_topk_ivfpq(sf).to_pandas()
+    assert len(t) > 0
+    assert (t["adc"] >= 0).all()
+    assert (t["qid"] != t["vec_id"]).all()
+    for qid, g in t.groupby("qid"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert (np.diff(g["adc"].to_numpy()) >= 0).all()
+    exact = Q.q_ann_topk(sf).to_pandas()
+    hits = 0
+    for qid, g in t.groupby("qid"):
+        e = set(exact[exact["qid"] == qid]["vec_id"])
+        hits += len(set(g["vec_id"]) & e)
+    assert hits > 0
