@@ -16262,3 +16262,158 @@ def sql_ann_topk_ivfpq() -> str:
     from rhealpixdggs_py_ray.ops import ann
 
     return ann.ann_topk_ivfpq_sql()
+
+
+MMR_NQ = 5      # queries (vec_id < MMR_NQ)
+MMR_C = 8       # ANN candidate pool per query
+MMR_S = 4       # diversified picks per query
+MMR_WR, MMR_WD = 7, 3   # lambda = 0.7 scaled to integers
+
+
+def q_mmr_rerank(sf_dir: str):
+    """Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998,
+    the search-result diversification stage): the exact cosine top-C
+    pool per query comes from the distributed ann_topk scan; the
+    greedy MMR selection then runs over integer-quantized scores —
+    rel_q = floor(cos(q, v) * 1e6), sim_q = floor(cos(v, w) * 1e6),
+    step score = 7*rel_q - 3*max(sim_q to picked) — so every pick
+    (ties -> smaller vec_id) replays exactly in SQL.  The rerank pool
+    is n_queries x C rows BY CONSTRUCTION (the bounded output of the
+    ANN stage), so candidate embeddings are a bounded gather; at
+    100 TB only the ann_topk scan touches the corpus.  Output (qid,
+    vec_id, step, score)."""
+    from rhealpixdggs_py_ray.ops import ann
+    from rhealpixdggs_py_ray.ops.ann import _seq_dots, _seq_norm
+    from rhealpixdggs_py_ray.ops.dedup import _emb_matrix
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cands = ann.ann_topk(emb, n_queries=MMR_NQ, k=MMR_C).to_pandas()
+    cand_ids = np.unique(cands["vec_id"].to_numpy())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(vid, cand_ids)))
+
+    # bounded: <= MMR_NQ * MMR_C distinct candidate rows
+    rows = emb.map_batches(keep, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    nrm = _seq_norm(M)
+    S = _seq_dots(M, M) / (nrm[:, None] * nrm[None, :])
+    simq = np.floor(S * 1e6).astype(np.int64)
+    pos = {int(v): i for i, v in enumerate(ids)}
+
+    out_q, out_v, out_s, out_sc = [], [], [], []
+    for qid, g in cands.groupby("qid"):
+        vids = g["vec_id"].to_numpy()
+        rel = g["cos_micros"].to_numpy().astype(np.int64)
+        order = np.argsort(vids)
+        vids, rel = vids[order], rel[order]
+        picked: list[int] = []
+        remaining = list(range(len(vids)))
+        for step in range(1, MMR_S + 1):
+            best_i, best_score = None, None
+            for i in remaining:
+                if picked:
+                    pen = max(simq[pos[int(vids[i])], pos[int(vids[p])]]
+                              for p in picked)
+                    sc = MMR_WR * rel[i] - MMR_WD * pen
+                else:
+                    sc = MMR_WR * rel[i]
+                # argmax, ties -> smaller vec_id (remaining is vid-asc)
+                if best_score is None or sc > best_score:
+                    best_i, best_score = i, sc
+            picked.append(best_i)
+            remaining.remove(best_i)
+            out_q.append(int(qid))
+            out_v.append(int(vids[best_i]))
+            out_s.append(step)
+            out_sc.append(int(best_score))
+    return pa.table({
+        "qid": pa.array(out_q, type=pa.int64()),
+        "vec_id": pa.array(out_v, type=pa.int64()),
+        "step": pa.array(out_s, type=pa.int64()),
+        "score": pa.array(out_sc, type=pa.int64()),
+    })
+
+
+def sql_mmr_rerank() -> str:
+    dot = (
+        "list_sum(list_transform(generate_series(1, len(a.embedding)),"
+        " i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))"
+    )
+    nrm = "sqrt(list_sum(list_transform({t}.embedding, x -> CAST(x AS DOUBLE) * x)))"
+    # greedy steps unrolled: pick1..pick4, each argmax over the
+    # remaining candidates with the integer MMR score
+    steps = []
+    for s in range(2, MMR_S + 1):
+        prev = ", ".join(f"p{j}" for j in range(1, s))
+        prev_cte = f"picked{s - 1}"
+        steps.append(f"""
+rem{s} AS MATERIALIZED (
+  SELECT c.qid, c.vec_id, c.rel_q,
+    {MMR_WR} * c.rel_q - {MMR_WD} * (
+      SELECT MAX(sq.sim_q) FROM simq sq
+      JOIN {prev_cte} pk ON pk.qid = c.qid
+      WHERE sq.a_id = c.vec_id AND sq.b_id IN ({prev.replace('p', 'pk.pick')})
+    ) AS score
+  FROM cand c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM {prev_cte} pk WHERE pk.qid = c.qid
+      AND c.vec_id IN ({prev.replace('p', 'pk.pick')})
+  )
+),
+sel{s} AS MATERIALIZED (
+  SELECT qid, vec_id, score FROM (
+    SELECT qid, vec_id, score,
+      row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+    FROM rem{s}
+  ) WHERE rn = 1
+),
+picked{s} AS MATERIALIZED (
+  SELECT p.qid, {", ".join(f"p.pick{j}" for j in range(1, s))}, s.vec_id AS pick{s}
+  FROM picked{s - 1} p JOIN sel{s} s ON s.qid = p.qid
+)""")
+    return f"""
+WITH b AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+a AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {MMR_NQ}
+),
+d AS MATERIALIZED (
+  SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+    {dot} / ({nrm.format(t='a')} * {nrm.format(t='b')}) AS cos
+  FROM a CROSS JOIN b WHERE a.vec_id <> b.vec_id
+),
+cand AS MATERIALIZED (
+  SELECT qid, vec_id, CAST(floor(cos * 1000000.0) AS BIGINT) AS rel_q
+  FROM (
+    SELECT qid, vec_id, cos,
+      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+    FROM d
+  ) WHERE rank <= {MMR_C}
+),
+cids AS MATERIALIZED (SELECT DISTINCT vec_id FROM cand),
+simq AS MATERIALIZED (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+    CAST(floor(({dot} / ({nrm.format(t='a')} * {nrm.format(t='b')}))
+      * 1000000.0) AS BIGINT) AS sim_q
+  FROM (SELECT e.* FROM embeddings e JOIN cids ON cids.vec_id = e.vec_id) a
+  CROSS JOIN (SELECT e.* FROM embeddings e JOIN cids ON cids.vec_id = e.vec_id) b
+),
+sel1 AS MATERIALIZED (
+  SELECT qid, vec_id, {MMR_WR} * rel_q AS score FROM (
+    SELECT qid, vec_id, rel_q,
+      row_number() OVER (PARTITION BY qid ORDER BY rel_q DESC, vec_id) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+picked1 AS MATERIALIZED (SELECT qid, vec_id AS pick1 FROM sel1),
+{",".join(steps)}
+SELECT qid, vec_id, CAST(step AS BIGINT) AS step, score FROM (
+  SELECT qid, vec_id, 1 AS step, score FROM sel1
+  {" ".join(f"UNION ALL SELECT qid, vec_id, {s}, score FROM sel{s}"
+             for s in range(2, MMR_S + 1))}
+) ORDER BY qid, step
+"""

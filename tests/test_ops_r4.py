@@ -178,3 +178,26 @@ def test_ann_topk_ivfpq_invariants(ray_session):
         e = set(exact[exact["qid"] == qid]["vec_id"])
         hits += len(set(g["vec_id"]) & e)
     assert hits > 0
+
+
+def test_mmr_rerank_invariants(ray_session):
+    """Each query yields MMR_S distinct picks drawn from its ANN
+    candidate pool; step-1 pick is the relevance argmax; scores are
+    the documented integer combination."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import (
+        MMR_C, MMR_NQ, MMR_S, MMR_WR)
+
+    sf = "/root/testdata/sf0.01"
+    t = Q.q_mmr_rerank(sf).to_pandas()
+    assert len(t) == MMR_NQ * MMR_S
+    from rhealpixdggs_py_ray.ops import ann
+    emb = Q._read(sf, "embeddings", columns=["vec_id", "embedding"])
+    pool = ann.ann_topk(emb, n_queries=MMR_NQ, k=MMR_C).to_pandas()
+    for qid, g in t.groupby("qid"):
+        assert g["vec_id"].is_unique
+        p = pool[pool["qid"] == qid]
+        assert set(g["vec_id"]) <= set(p["vec_id"])
+        first = g.sort_values("step").iloc[0]
+        top_rel = p["cos_micros"].max()
+        assert first["score"] == MMR_WR * top_rel
