@@ -16417,3 +16417,128 @@ SELECT qid, vec_id, CAST(step AS BIGINT) AS step, score FROM (
              for s in range(2, MMR_S + 1))}
 ) ORDER BY qid, step
 """
+
+
+ZORD_SHIFT = 8   # 2^8 morton positions per layout block
+
+
+def _morton_interleave(gx: np.ndarray, gy: np.ndarray) -> np.ndarray:
+    """Bit-interleaved Morton key (gx even bits, gy odd bits), loop
+    over 9 static bit positions — mirrored term-for-term in SQL."""
+    m = np.zeros(len(gx), dtype=np.int64)
+    for b in range(9):
+        m += ((gx >> b) & 1) * (4 ** b) + ((gy >> b) & 1) * (2 * 4 ** b)
+    return m
+
+
+def q_zorder_layout(sf_dir: str):
+    """Z-order data-layout statistics (the OPTIMIZE ZORDER /
+    clustering-for-pruning shape): events map to the res-4 equatorial
+    lattice, cells get a bit-interleaved Morton key, and Morton-prefix
+    blocks (key >> 8) are the target file layout.  Per block: event
+    and distinct-cell counts plus the gx/gy bounding box — the min/max
+    column stats a scan planner would prune files with.  Per-batch
+    partials collapse to distinct (block, cell) rows before ONE
+    h(block)-bucket exchange.  Output (block, n_events, n_cells,
+    gx_min, gx_max, gy_min, gy_max)."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    k = DISSOLVE_RES
+    side = 3 ** k
+    nb = 8
+    ds = indexed_events(sf_dir, resolution=k)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        u = batch["cell_u64"].to_numpy(zero_copy_only=False)
+        m = np.abs(lat) <= DISSOLVE_LAT
+        u = u[m].astype(np.uint64)
+        face, digits, _res = su.unpack(u)
+        d = digits[:, :k].astype(np.int64)
+        pw = (3 ** np.arange(k - 1, -1, -1)).astype(np.int64)
+        gy = (d // 3) @ pw
+        gx = (face.astype(np.int64) - 1) * side + (d % 3) @ pw
+        cell = gy * (4 * side) + gx
+        uq, inv = np.unique(cell, return_inverse=True)
+        n = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(n, inv, 1)
+        ugy, ugx = uq // (4 * side), uq % (4 * side)
+        block = _morton_interleave(ugx, ugy) >> ZORD_SHIFT
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(
+                block.astype(np.uint64), nb)),
+            "block": pa.array(block),
+            "cell": pa.array(uq),
+            "n": pa.array(n),
+        })
+
+    def resolve(g: pa.Table) -> pa.Table:
+        cols = ["block", "n_events", "n_cells",
+                "gx_min", "gx_max", "gy_min", "gy_max"]
+        if g.num_rows == 0 or "block" not in g.column_names:
+            return pa.table({c: pa.array([], type=pa.int64()) for c in cols})
+        blk = g["block"].to_numpy(zero_copy_only=False)
+        cell = g["cell"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        # same cell may arrive from several batches: collapse first
+        cu, cinv = np.unique(cell, return_inverse=True)
+        cn = np.zeros(len(cu), dtype=np.int64)
+        np.add.at(cn, cinv, n)
+        cgy, cgx = cu // (4 * side), cu % (4 * side)
+        cblk = np.zeros(len(cu), dtype=np.int64)
+        cblk[cinv] = blk  # block is a function of cell
+        bu, binv = np.unique(cblk, return_inverse=True)
+        ne = np.zeros(len(bu), dtype=np.int64)
+        np.add.at(ne, binv, cn)
+        nc = np.zeros(len(bu), dtype=np.int64)
+        np.add.at(nc, binv, 1)
+        gx_min = np.full(len(bu), np.iinfo(np.int64).max)
+        gx_max = np.full(len(bu), np.iinfo(np.int64).min)
+        gy_min = np.full(len(bu), np.iinfo(np.int64).max)
+        gy_max = np.full(len(bu), np.iinfo(np.int64).min)
+        np.minimum.at(gx_min, binv, cgx)
+        np.maximum.at(gx_max, binv, cgx)
+        np.minimum.at(gy_min, binv, cgy)
+        np.maximum.at(gy_max, binv, cgy)
+        return pa.table({
+            "block": pa.array(bu), "n_events": pa.array(ne),
+            "n_cells": pa.array(nc),
+            "gx_min": pa.array(gx_min), "gx_max": pa.array(gx_max),
+            "gy_min": pa.array(gy_min), "gy_max": pa.array(gy_max),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pyarrow")
+    )
+
+
+def sql_zorder_layout() -> str:
+    k = DISSOLVE_RES
+    side = 3 ** k
+    W = 4 * side
+    pts = (
+        f"SELECT event_id, lon, lat FROM ({_points_sql('events', 'event_id')}) p"
+        f" WHERE abs(lat) <= {DISSOLVE_LAT!r}"
+    )
+    idx_sql = oracle.cell_from_point_sql(pts, k, CFG, id_cols=("event_id",))
+    gy, gx = _dissolve_rowcol_sql(k)
+    morton = " + ".join(
+        f"((gx // {1 << b}) % 2) * {4 ** b} + ((gy // {1 << b}) % 2) * {2 * 4 ** b}"
+        for b in range(9))
+    return f"""
+WITH zidx AS MATERIALIZED (
+  SELECT event_id, cell_id FROM {idx_sql} t
+), zg AS MATERIALIZED (
+  SELECT {gy} AS gy, {gx} AS gx FROM zidx
+), zb AS MATERIALIZED (
+  SELECT gy, gx, ({morton}) // {1 << ZORD_SHIFT} AS block FROM zg
+)
+SELECT CAST(block AS BIGINT) AS block,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COUNT(DISTINCT gy * {W} + gx) AS BIGINT) AS n_cells,
+  CAST(MIN(gx) AS BIGINT) AS gx_min, CAST(MAX(gx) AS BIGINT) AS gx_max,
+  CAST(MIN(gy) AS BIGINT) AS gy_min, CAST(MAX(gy) AS BIGINT) AS gy_max
+FROM zb GROUP BY block
+"""

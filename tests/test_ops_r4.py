@@ -201,3 +201,23 @@ def test_mmr_rerank_invariants(ray_session):
         first = g.sort_values("step").iloc[0]
         top_rel = p["cos_micros"].max()
         assert first["score"] == MMR_WR * top_rel
+
+
+def test_zorder_layout_invariants(ray_session):
+    """Block bounding boxes are consistent (min<=max), cells per block
+    bounded by the morton block capacity, and the morton prefix really
+    clusters: each block's bbox spans at most 2^ceil(SHIFT/2) cells
+    per axis."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import ZORD_SHIFT
+
+    t = Q.q_zorder_layout("/root/testdata/sf0.01").to_pandas()
+    assert len(t) > 0
+    assert (t["gx_min"] <= t["gx_max"]).all()
+    assert (t["gy_min"] <= t["gy_max"]).all()
+    assert (t["n_cells"] <= 1 << ZORD_SHIFT).all()
+    assert (t["n_events"] >= t["n_cells"]).all()
+    span = 1 << -(-ZORD_SHIFT // 2)  # 2^ceil(8/2) = 16
+    assert (t["gx_max"] - t["gx_min"] < span).all()
+    assert (t["gy_max"] - t["gy_min"] < span).all()
+    assert t["block"].is_unique
