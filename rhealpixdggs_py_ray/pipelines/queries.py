@@ -16542,3 +16542,121 @@ SELECT CAST(block AS BIGINT) AS block,
   CAST(MIN(gy) AS BIGINT) AS gy_min, CAST(MAX(gy) AS BIGINT) AS gy_max
 FROM zb GROUP BY block
 """
+
+
+PRIOSAMPLE_K = 50
+
+
+def q_priority_sample(sf_dir: str):
+    """Weighted sample without replacement via integer priority order
+    statistics (the bottom-k flavor of Efraimidis-Spirakis / priority
+    sampling): priority(doc) = md5_u64(doc_id) // max(n_chars, 1) —
+    heavier docs draw proportionally smaller priorities — and the
+    global sample is the K smallest (priority, doc_id).  Mergeable
+    (bottom-k of per-batch bottom-ks), one tiny exchange of <= K rows
+    per batch.  Output (rnk, doc_id, n_chars)."""
+    from rhealpixdggs_py_ray.ops.dedup import md5_u64_many
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False)
+        h = md5_u64_many([str(int(i)) for i in ids])
+        prio = (h // np.maximum(nch, 1).astype(np.uint64)).astype(np.uint64)
+        sel = np.lexsort((ids, prio))[:PRIOSAMPLE_K]
+        return pa.table({
+            "prio": pa.array(prio[sel]),
+            "doc_id": pa.array(ids[sel]),
+            "n_chars": pa.array(nch[sel]),
+            "one": pa.array(np.zeros(len(sel), dtype=np.int64)),
+        })
+
+    def resolve(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "prio" not in g.column_names:
+            return pa.table({"rnk": pa.array([], type=pa.int64()),
+                             "doc_id": pa.array([], type=pa.int64()),
+                             "n_chars": pa.array([], type=pa.int64())})
+        prio = g["prio"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        nch = g["n_chars"].to_numpy(zero_copy_only=False)
+        sel = np.lexsort((ids, prio))[:PRIOSAMPLE_K]
+        return pa.table({
+            "rnk": pa.array(np.arange(1, len(sel) + 1, dtype=np.int64)),
+            "doc_id": pa.array(ids[sel]),
+            "n_chars": pa.array(nch[sel]),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("one")
+        .map_groups(resolve, batch_format="pyarrow")
+    )
+
+
+def sql_priority_sample() -> str:
+    return (
+        "SELECT CAST(row_number() OVER (ORDER BY"
+        "   md5_number_lower(CAST(doc_id AS VARCHAR))"
+        "     // greatest(CAST(n_chars AS UBIGINT), 1), doc_id)"
+        " AS BIGINT) AS rnk, doc_id, n_chars"
+        f" FROM documents QUALIFY rnk <= {PRIOSAMPLE_K}"
+    )
+
+
+def q_char_diversity(sf_dir: str):
+    """Per-doc character diversity (the gibberish / low-entropy text
+    filter, with Gini impurity instead of Shannon entropy so the
+    number is a RATIONAL of exact integers — log2 differs by ulps
+    between numpy and DuckDB and can flip a floor boundary): distinct
+    char count, top char frequency, and gini_e9 = (n^2 - sum cnt^2)
+    * 1e9 // n^2.  Pure map.  Output (doc_id, n_distinct, top_cnt,
+    gini_e9)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def div(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        nd = np.zeros(len(texts), dtype=np.int64)
+        top = np.zeros(len(texts), dtype=np.int64)
+        gini = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            _u, cnt = np.unique(codes, return_counts=True)
+            n = np.int64(len(codes))
+            nd[i] = len(cnt)
+            top[i] = cnt.max()
+            s2 = np.int64((cnt.astype(np.int64) ** 2).sum())
+            gini[i] = ((n * n - s2) * 1_000_000_000) // (n * n)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_distinct": pa.array(nd),
+            "top_cnt": pa.array(top),
+            "gini_e9": pa.array(gini),
+        })
+
+    return ds.map_batches(div, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_char_diversity() -> str:
+    return """
+WITH chd AS MATERIALIZED (
+  SELECT doc_id,
+    unnest([substr(text, i, 1) for i in generate_series(1, length(text))]) AS c
+  FROM documents WHERE length(text) > 0
+), ccd AS MATERIALIZED (
+  SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM chd GROUP BY doc_id, c
+), agd AS MATERIALIZED (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+    CAST(MAX(cnt) AS BIGINT) AS top_cnt,
+    CAST(SUM(cnt * cnt) AS BIGINT) AS s2, CAST(SUM(cnt) AS BIGINT) AS n
+  FROM ccd GROUP BY doc_id
+)
+SELECT d.doc_id,
+  COALESCE(a.n_distinct, 0) AS n_distinct,
+  COALESCE(a.top_cnt, 0) AS top_cnt,
+  COALESCE(((a.n * a.n - a.s2) * 1000000000) // (a.n * a.n), 0) AS gini_e9
+FROM documents d LEFT JOIN agd a ON a.doc_id = d.doc_id
+"""

@@ -221,3 +221,34 @@ def test_zorder_layout_invariants(ray_session):
     assert (t["gx_max"] - t["gx_min"] < span).all()
     assert (t["gy_max"] - t["gy_min"] < span).all()
     assert t["block"].is_unique
+
+
+def test_priority_sample_and_char_diversity(ray_session):
+    """priority_sample: exactly K rows, weighted priorities replayed
+    by hand; char_diversity: gini bounds and a scalar replay."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import PRIOSAMPLE_K
+    from rhealpixdggs_py_ray.ops.dedup import md5_u64
+    import pyarrow.parquet as pq
+
+    t = Q.q_priority_sample(SF).to_pandas()
+    assert len(t) == PRIOSAMPLE_K
+    assert list(t["rnk"]) == list(range(1, PRIOSAMPLE_K + 1))
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    prio = {int(r["doc_id"]): md5_u64(str(int(r["doc_id"]))) // max(int(r["n_chars"]), 1)
+            for _, r in docs.iterrows()}
+    expect = sorted(prio, key=lambda d: (prio[d], d))[:PRIOSAMPLE_K]
+    assert list(t["doc_id"]) == expect
+
+    cd = Q.q_char_diversity(SF).to_pandas().set_index("doc_id")
+    assert (cd["gini_e9"] >= 0).all() and (cd["gini_e9"] < 10**9).all()
+    row = docs.iloc[0]
+    txt = row["text"]
+    from collections import Counter
+    cnt = Counter(txt)
+    n = len(txt)
+    s2 = sum(v * v for v in cnt.values())
+    got = cd.loc[row["doc_id"]]
+    assert got["n_distinct"] == len(cnt)
+    assert got["top_cnt"] == max(cnt.values())
+    assert got["gini_e9"] == ((n * n - s2) * 10**9) // (n * n)
