@@ -16660,3 +16660,98 @@ SELECT d.doc_id,
   COALESCE(((a.n * a.n - a.s2) * 1000000000) // (a.n * a.n), 0) AS gini_e9
 FROM documents d LEFT JOIN agd a ON a.doc_id = d.doc_id
 """
+
+
+def q_inverted_index(sf_dir: str):
+    """Inverted-index build (the search-engine indexing shape): per
+    term — document frequency, total term frequency, and an ORDER-FREE
+    posting-list fingerprint (uint64-wraparound sum of
+    md5_u64('term:doc:tf') over its postings, split hi/lo), so two
+    index replicas compare per-term without shipping postings.
+    Per-batch partials collapse each batch's (term, doc, tf) postings
+    to one row per term before the single term-bucket exchange — the
+    posting table itself never shuffles.  Output (term, df, tf,
+    chk_hi, chk_lo)."""
+    from rhealpixdggs_py_ray.ops.dedup import md5_u64
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        df: dict[str, int] = {}
+        tf: dict[str, int] = {}
+        chk: dict[str, int] = {}
+        for did, t in zip(ids, batch["text"].to_pylist()):
+            toks = t.split()
+            if not toks:
+                continue
+            uq, cnt = np.unique(np.asarray(toks, dtype=object),
+                                return_counts=True)
+            for w, c in zip(uq, cnt):
+                df[w] = df.get(w, 0) + 1
+                tf[w] = tf.get(w, 0) + int(c)
+                h = md5_u64(f"{w}:{int(did)}:{int(c)}")
+                chk[w] = (chk.get(w, 0) + h) & 0xFFFFFFFFFFFFFFFF
+        terms = np.array(sorted(df.keys()), dtype=object)
+        bucket = (pd.util.hash_array(terms) % VOCAB_BUCKETS).astype(np.int64) \
+            if len(terms) else np.array([], dtype=np.int64)
+        return pa.table({
+            "bucket": pa.array(bucket),
+            "term": pa.array(terms, type=pa.string()),
+            "df": pa.array(np.array([df[w] for w in terms], dtype=np.int64)),
+            "tf": pa.array(np.array([tf[w] for w in terms], dtype=np.int64)),
+            "chk": pa.array(np.array([chk[w] for w in terms],
+                                     dtype=np.uint64)),
+        })
+
+    def resolve(g: pa.Table) -> pa.Table:
+        cols = {"term": pa.string(), "df": pa.int64(), "tf": pa.int64(),
+                "chk_hi": pa.int64(), "chk_lo": pa.int64()}
+        if g.num_rows == 0 or "term" not in g.column_names:
+            return pa.table({c: pa.array([], type=t) for c, t in cols.items()})
+        terms = g["term"].to_numpy(zero_copy_only=False)
+        uq, inv = np.unique(terms, return_inverse=True)
+        df = np.zeros(len(uq), dtype=np.int64)
+        tf = np.zeros(len(uq), dtype=np.int64)
+        chk = np.zeros(len(uq), dtype=np.uint64)
+        np.add.at(df, inv, g["df"].to_numpy(zero_copy_only=False))
+        np.add.at(tf, inv, g["tf"].to_numpy(zero_copy_only=False))
+        np.add.at(chk, inv,
+                  g["chk"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        return pa.table({
+            "term": pa.array(uq, type=pa.string()),
+            "df": pa.array(df), "tf": pa.array(tf),
+            "chk_hi": pa.array((chk >> np.uint64(32)).astype(np.int64)),
+            "chk_lo": pa.array((chk & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pyarrow")
+    )
+
+
+def sql_inverted_index() -> str:
+    m = str(1 << 64)
+    return f"""
+WITH iitok AS MATERIALIZED (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+), iipost AS MATERIALIZED (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM iitok GROUP BY term, doc_id
+), iih AS MATERIALIZED (
+  SELECT term, doc_id, tf,
+    md5_number_lower(term || ':' || CAST(doc_id AS VARCHAR)
+      || ':' || CAST(tf AS VARCHAR)) AS h
+  FROM iipost
+)
+SELECT term,
+  CAST(COUNT(*) AS BIGINT) AS df,
+  CAST(SUM(tf) AS BIGINT) AS tf,
+  CAST((SUM(CAST(h AS HUGEINT)) % {m}) // 4294967296 AS BIGINT) AS chk_hi,
+  CAST((SUM(CAST(h AS HUGEINT)) % {m}) % 4294967296 AS BIGINT) AS chk_lo
+FROM iih GROUP BY term
+"""

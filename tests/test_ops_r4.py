@@ -252,3 +252,28 @@ def test_priority_sample_and_char_diversity(ray_session):
     assert got["n_distinct"] == len(cnt)
     assert got["top_cnt"] == max(cnt.values())
     assert got["gini_e9"] == ((n * n - s2) * 10**9) // (n * n)
+
+
+def test_inverted_index_invariants(ray_session):
+    """df/tf consistency with a pure-python replay on the fixture; the
+    posting checksum matches an independent recomputation."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.ops.dedup import md5_u64
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    t = Q.q_inverted_index(SF).to_pandas().set_index("term")
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    df, tf, chk = Counter(), Counter(), Counter()
+    for _, r in docs.iterrows():
+        c = Counter(r["text"].split())
+        for w, n in c.items():
+            df[w] += 1
+            tf[w] += n
+            chk[w] = (chk[w] + md5_u64(f"{w}:{int(r['doc_id'])}:{n}")) % (1 << 64)
+    assert set(t.index) == set(df)
+    for w in df:
+        row = t.loc[w]
+        assert row["df"] == df[w] and row["tf"] == tf[w]
+        assert (int(row["chk_hi"]) << 32) + int(row["chk_lo"]) == chk[w]
+    assert (t["df"] <= len(docs)).all()
