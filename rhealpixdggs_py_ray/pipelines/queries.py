@@ -16755,3 +16755,152 @@ SELECT term,
   CAST((SUM(CAST(h AS HUGEINT)) % {m}) % 4294967296 AS BIGINT) AS chk_lo
 FROM iih GROUP BY term
 """
+
+
+def _split_of(ids: np.ndarray) -> np.ndarray:
+    """md5(doc_id) % 100 -> train/val/test (the q_split_assign rule)."""
+    from rhealpixdggs_py_ray.ops.dedup import md5_u64
+
+    h = np.fromiter((md5_u64(str(int(d))) for d in ids), dtype=np.uint64,
+                    count=len(ids)) % np.uint64(100)
+    return np.where(h < 90, "train", np.where(h < 95, "val", "test"))
+
+
+def q_split_leakage(sf_dir: str):
+    """Train/test contamination audit (the leakage check an eval
+    pipeline must run after splitting): verified minhash near-dup
+    pairs whose two documents landed in DIFFERENT splits under the
+    q_split_assign hash rule.  Reuses the materialized shared pair
+    intermediate (_minhash_pairs) — zero extra corpus passes; the
+    pair set is tiny, the split rule is a pure map over it.  Output
+    (a, b, split_a, split_b, jac_micros)."""
+    pairs = _minhash_pairs(sf_dir)
+
+    def leak(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        sa, sb = _split_of(a), _split_of(b)
+        m = sa != sb
+        return pa.table({
+            "a": pa.array(a[m]),
+            "b": pa.array(b[m]),
+            "split_a": pa.array(sa[m], type=pa.string()),
+            "split_b": pa.array(sb[m], type=pa.string()),
+            "jac_micros": batch["jac_micros"].filter(pa.array(m)),
+        })
+
+    return pairs.map_batches(leak, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+def sql_split_leakage() -> str:
+    from rhealpixdggs_py_ray.ops import dedup
+
+    def split(col: str) -> str:
+        h = f"CAST(md5_number_lower(CAST({col} AS VARCHAR)) AS HUGEINT) % 100"
+        return (f"CASE WHEN {h} < 90 THEN 'train'"
+                f" WHEN {h} < 95 THEN 'val' ELSE 'test' END")
+
+    return f"""
+WITH lk_pairs AS MATERIALIZED (
+  SELECT * FROM ({dedup.minhash_lsh_sql()}) t
+)
+SELECT a, b, {split('a')} AS split_a, {split('b')} AS split_b, jac_micros
+FROM lk_pairs WHERE {split('a')} <> {split('b')}
+"""
+
+
+def q_dedup_keep_best(sf_dir: str):
+    """Dedup with representative selection (what a curation pipeline
+    actually ships): per near-dup cluster keep the LONGEST member
+    (max n_chars, ties -> smaller doc_id) and report cluster size.
+    Composition: shared minhash pairs -> connected components (tiny)
+    -> broadcast membership -> one pass over documents emitting only
+    member rows -> mergeable per-cluster argmax partials -> one
+    h(cluster) bucket exchange.  Output (cluster_id, keep_doc,
+    n_chars, n_members)."""
+    from rhealpixdggs_py_ray.ops import cc
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    clusters = cc.connected_components(_minhash_pairs(sf_dir))
+    # bounded: one row per doc that appears in a verified near-dup pair
+    memb = {int(r["doc_id"]): int(r["cluster_id"])
+            for r in clusters.take_all()}
+    memb_ref = ray.put(memb)
+    nb = 8
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mm = ray.get(memb_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False)
+        sel = np.array([i for i, d in enumerate(ids) if int(d) in mm],
+                       dtype=np.int64)
+        if not len(sel):
+            return pa.table({
+                "bucket": pa.array([], type=pa.int64()),
+                "cluster_id": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_chars": pa.array([], type=pa.int64()),
+                "n_members": pa.array([], type=pa.int64()),
+            })
+        cl = np.array([mm[int(ids[i])] for i in sel], dtype=np.int64)
+        ids, nch = ids[sel], nch[sel]
+        # per-batch argmax per cluster: (n_chars DESC, doc_id ASC)
+        order = np.lexsort((ids, -nch, cl))
+        clo = cl[order]
+        first = np.r_[True, clo[1:] != clo[:-1]]
+        cnt = np.diff(np.r_[np.flatnonzero(first), len(clo)])
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(
+                clo[first].astype(np.uint64), nb)),
+            "cluster_id": pa.array(clo[first]),
+            "doc_id": pa.array(ids[order][first]),
+            "n_chars": pa.array(nch[order][first]),
+            "n_members": pa.array(cnt.astype(np.int64)),
+        })
+
+    def resolve(g: pa.Table) -> pa.Table:
+        cols = ["cluster_id", "keep_doc", "n_chars", "n_members"]
+        if g.num_rows == 0 or "cluster_id" not in g.column_names:
+            return pa.table({c: pa.array([], type=pa.int64()) for c in cols})
+        cl = g["cluster_id"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        nch = g["n_chars"].to_numpy(zero_copy_only=False)
+        nm = g["n_members"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -nch, cl))
+        clo = cl[order]
+        first = np.r_[True, clo[1:] != clo[:-1]]
+        uq, inv = np.unique(cl, return_inverse=True)
+        tot = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(tot, inv, nm)
+        return pa.table({
+            "cluster_id": pa.array(clo[first]),
+            "keep_doc": pa.array(ids[order][first]),
+            "n_chars": pa.array(nch[order][first]),
+            "n_members": pa.array(tot),  # uq order == clo[first] order
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pyarrow")
+    )
+
+
+def sql_dedup_keep_best() -> str:
+    return f"""
+WITH kb_clusters AS MATERIALIZED (
+  SELECT * FROM ({sql_dedup_clusters()}) t
+), kb_rank AS MATERIALIZED (
+  SELECT c.cluster_id, d.doc_id, d.n_chars,
+    row_number() OVER (PARTITION BY c.cluster_id
+                       ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+    COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+  FROM kb_clusters c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id, doc_id AS keep_doc,
+  CAST(n_chars AS BIGINT) AS n_chars, CAST(n_members AS BIGINT) AS n_members
+FROM kb_rank WHERE rn = 1
+"""

@@ -277,3 +277,31 @@ def test_inverted_index_invariants(ray_session):
         assert row["df"] == df[w] and row["tf"] == tf[w]
         assert (int(row["chk_hi"]) << 32) + int(row["chk_lo"]) == chk[w]
     assert (t["df"] <= len(docs)).all()
+
+
+def test_split_leakage_and_keep_best(ray_session):
+    """Leakage rows really cross splits under the split_assign rule;
+    keep_best picks the longest member per cluster and n_members
+    matches the cluster table."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import _split_of
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.01"
+    lk = Q.q_split_leakage(sf).to_pandas()
+    for _, r in lk.iterrows():
+        assert r["split_a"] != r["split_b"]
+        assert _split_of(np.array([r["a"]]))[0] == r["split_a"]
+
+    kb = Q.q_dedup_keep_best(sf).to_pandas()
+    cl = Q.q_dedup_clusters(sf).to_pandas()
+    docs = pq.read_table(f"{sf}/documents.parquet").to_pandas() \
+        .set_index("doc_id")["n_chars"]
+    sizes = cl.groupby("cluster_id").size()
+    assert len(kb) == len(sizes)
+    for _, r in kb.iterrows():
+        members = cl[cl["cluster_id"] == r["cluster_id"]]["doc_id"]
+        assert r["n_members"] == len(members)
+        best = sorted(members, key=lambda d: (-docs.loc[d], d))[0]
+        assert r["keep_doc"] == best
+        assert r["n_chars"] == docs.loc[best]
