@@ -16904,3 +16904,58 @@ SELECT CAST(cluster_id AS BIGINT) AS cluster_id, doc_id AS keep_doc,
   CAST(n_chars AS BIGINT) AS n_chars, CAST(n_members AS BIGINT) AS n_members
 FROM kb_rank WHERE rn = 1
 """
+
+
+def q_ann_recall_pq(sf_dir: str):
+    """Recall@k of the IVF-PQ index against exact brute-force cosine —
+    the compression-loss eval a vector store runs before switching an
+    index to PQ codes.  Same shape as q_ann_recall: both distributed
+    pipelines execute concurrently, outputs are Q x k-bounded, the
+    compare is a driver-side set intersection."""
+    from rhealpixdggs_py_ray.ops import ann
+
+    import concurrent.futures as cf
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    emb2 = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    with cf.ThreadPoolExecutor(2) as ex:
+        fb = ex.submit(lambda: ann.ann_topk(emb).take_all())
+        fa = ex.submit(lambda: ann.ann_topk_ivfpq(emb2).take_all())
+        brute, approx = fb.result(), fa.result()
+    b_by_q: dict[int, set[int]] = {}
+    for r in brute:
+        b_by_q.setdefault(int(r["qid"]), set()).add(int(r["vec_id"]))
+    a_by_q: dict[int, set[int]] = {}
+    for r in approx:
+        a_by_q.setdefault(int(r["qid"]), set()).add(int(r["vec_id"]))
+    qids = sorted(b_by_q)
+    n_brute = np.array([len(b_by_q[q]) for q in qids], dtype=np.int64)
+    n_hit = np.array(
+        [len(b_by_q[q] & a_by_q.get(q, set())) for q in qids], dtype=np.int64
+    )
+    return ray.data.from_arrow(pa.table({
+        "qid": pa.array(np.array(qids, dtype=np.int64)),
+        "n_brute": pa.array(n_brute),
+        "n_hit": pa.array(n_hit),
+        "recall_micros": pa.array(n_hit * 1_000_000 // n_brute),
+    }))
+
+
+def sql_ann_recall_pq() -> str:
+    from rhealpixdggs_py_ray.ops import ann
+
+    return f"""
+WITH rb AS MATERIALIZED ({ann.ann_topk_sql()}),
+rp AS MATERIALIZED ({ann.ann_topk_ivfpq_sql()}),
+rhit AS MATERIALIZED (
+  SELECT rb.qid, CAST(COUNT(rp.vec_id) AS BIGINT) AS n_hit
+  FROM rb LEFT JOIN rp ON rp.qid = rb.qid AND rp.vec_id = rb.vec_id
+  GROUP BY rb.qid
+),
+rnb AS MATERIALIZED (
+  SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_brute FROM rb GROUP BY qid
+)
+SELECT rnb.qid, rnb.n_brute, rhit.n_hit,
+  rhit.n_hit * 1000000 // rnb.n_brute AS recall_micros
+FROM rnb JOIN rhit ON rhit.qid = rnb.qid
+"""
