@@ -16959,3 +16959,66 @@ SELECT rnb.qid, rnb.n_brute, rhit.n_hit,
   rhit.n_hit * 1000000 // rnb.n_brute AS recall_micros
 FROM rnb JOIN rhit ON rhit.qid = rnb.qid
 """
+
+
+def q_local_ij(sf_dir: str):
+    """cellToLocalIj workalike (h3's experimental local integer
+    coordinates): every distinct equatorial-band res-4 cell touched by
+    an event maps to its global lattice coordinates (gy = row digits,
+    gx = face offset + col digits, wrapping at the antimeridian seam)
+    and back — the roundtrip rebuild is the output cell_id, so the
+    compare itself proves ij -> cell inverts exactly.  Map + one
+    distinct-cell exchange.  Output (cell_id, gi, gj)."""
+    from rhealpixdggs_py_ray.ops.agg import sum_by_u64_key
+
+    k = DISSOLVE_RES
+    side = 3 ** k
+    ds = indexed_events(sf_dir, resolution=k)
+
+    def cells(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        u = batch["cell_u64"].to_numpy(zero_copy_only=False)
+        m = np.abs(lat) <= DISSOLVE_LAT
+        return pa.table({
+            "cell_u64": pa.array(u[m], type=pa.uint64()),
+            "one": pa.array(np.ones(int(m.sum()), dtype=np.int64)),
+        })
+
+    dist = sum_by_u64_key(
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True),
+        "cell_u64", "one", "n",
+    )
+
+    def ij(batch: pa.Table) -> pa.Table:
+        u = batch["cell_u64"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        face, digits, _res = su.unpack(u)
+        d = digits[:, :k].astype(np.int64)
+        pw = (3 ** np.arange(k - 1, -1, -1)).astype(np.int64)
+        gy = (d // 3) @ pw
+        gx = (face.astype(np.int64) - 1) * side + (d % 3) @ pw
+        return pa.table({
+            "cell_id": pa.array(
+                _cell_string_array_from_lattice(gy, gx, k), type=pa.string()),
+            "gi": pa.array(gy),
+            "gj": pa.array(gx),
+        })
+
+    return dist.map_batches(ij, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_local_ij() -> str:
+    k = DISSOLVE_RES
+    side = 3 ** k
+    pts = (
+        f"SELECT event_id, lon, lat FROM ({_points_sql('events', 'event_id')}) p"
+        f" WHERE abs(lat) <= {DISSOLVE_LAT!r}"
+    )
+    idx_sql = oracle.cell_from_point_sql(pts, k, CFG, id_cols=("event_id",))
+    gy, gx = _dissolve_rowcol_sql(k)
+    return f"""
+WITH ijx AS MATERIALIZED (
+  SELECT DISTINCT cell_id FROM {idx_sql} t
+)
+SELECT cell_id, CAST({gy} AS BIGINT) AS gi, CAST({gx} AS BIGINT) AS gj
+FROM ijx
+"""
