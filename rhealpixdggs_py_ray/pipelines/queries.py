@@ -96,13 +96,22 @@ class DeriveAndIndex:
 
 def indexed_events(sf_dir: str, resolution: int = RES, batch_size: int = 65536):
     ds = _read(sf_dir, "events", columns=["event_id"])
+    if sizing.use_actor_pool(f"{sf_dir}/events.parquet"):
+        return ds.map_batches(
+            DeriveAndIndex,
+            fn_constructor_kwargs={"resolution": resolution},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            zero_copy_batch=True,
+            concurrency=sizing.pool(),
+        )
+    # small input: the same callable as a task map — the actor pool's
+    # ~0.8 s launch latency never amortizes here (sizing.use_actor_pool)
     return ds.map_batches(
-        DeriveAndIndex,
-        fn_constructor_kwargs={"resolution": resolution},
+        DeriveAndIndex(resolution=resolution),
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
-        concurrency=sizing.pool(),
     )
 
 

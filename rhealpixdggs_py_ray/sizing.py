@@ -121,3 +121,23 @@ def pool_max(divisor: int = 4, cpus: int | None = None) -> int:
 def pool(divisor: int = 4, cpus: int | None = None) -> tuple[int, int]:
     """``concurrency=`` tuple for an autoscaling actor pool."""
     return (1, pool_max(divisor, cpus))
+
+
+ACTOR_POOL_MIN_BYTES = 256 << 20  # below this, task maps beat pools
+
+
+def compute_use_actor_pool(total_bytes: int, min_bytes: int | None = None) -> bool:
+    """Stateful-stage dispatch rule: an actor pool pays ~0.8 s of
+    launch latency per query on this box (measured warm A/B at sf0.1:
+    1.03 s actor-pool vs 0.23 s task map for the identical indexing
+    stage), which only amortizes when the input is big enough to keep
+    the pool busy.  Small inputs run the SAME callable as a task map
+    (its per-actor state is trivially cheap to rebuild — DGGS tables
+    build in 0.2 ms); at-scale inputs (>= 256 MiB) keep the pool, the
+    correct 100 TB shape."""
+    return total_bytes >= (ACTOR_POOL_MIN_BYTES if min_bytes is None else min_bytes)
+
+
+def use_actor_pool(path: str, min_bytes: int | None = None) -> bool:
+    total_bytes, _ = _stat_input(path)
+    return compute_use_actor_pool(total_bytes, min_bytes)

@@ -118,3 +118,13 @@ def test_multi_fragment_read_rehearsal(ray_session, tmp_path):
     assert got[["image_id", "cell_id", "face"]].equals(
         want[["image_id", "cell_id", "face"]]
     )
+
+
+def test_use_actor_pool_rule():
+    from rhealpixdggs_py_ray import sizing
+
+    # sandbox sf tables are far below the amortization bound
+    assert not sizing.compute_use_actor_pool(10 << 20)
+    # the 100 TB shard is far above it
+    assert sizing.compute_use_actor_pool(1 << 40)
+    assert sizing.compute_use_actor_pool(sizing.ACTOR_POOL_MIN_BYTES)
