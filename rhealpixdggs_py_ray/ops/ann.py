@@ -166,8 +166,8 @@ def ann_topk(emb_ds, n_queries: int = 10, k: int = 5):
             S[vid[:, None] == self.qids[None, :]] = -np.inf  # self-match
             return _partial_topk_table(self.qids, vid, S, self.k)
 
-    partials = emb_ds.map_batches(
-        PartialTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=sizing.pool()
+    partials = sizing.stateful_map(
+        emb_ds, PartialTopK, batch_format="pyarrow", zero_copy_batch=True
     )
     return partials.groupby("qid").map_groups(_final_topk(k), batch_format="pyarrow")
 
@@ -254,8 +254,8 @@ def ann_topk_lsh(emb_ds, n_queries: int = 10, k: int = 5, n_planes: int = 8):
             t = _partial_topk_table(self.qids, vid, S, self.k)
             return t.filter(pa.array(np.isfinite(t["cos"].to_numpy(zero_copy_only=False))))
 
-    partials = emb_ds.map_batches(
-        BucketTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=sizing.pool()
+    partials = sizing.stateful_map(
+        emb_ds, BucketTopK, batch_format="pyarrow", zero_copy_batch=True
     )
     return partials.groupby("qid").map_groups(_final_topk(k), batch_format="pyarrow")
 
@@ -369,8 +369,8 @@ def ann_topk_ivf(emb_ds, n_queries: int = 10, k: int = 5, n_lists: int = 16,
             t = _partial_topk_table(self.qids, vid, S, self.k)
             return t.filter(pa.array(np.isfinite(t["cos"].to_numpy(zero_copy_only=False))))
 
-    partials = emb_ds.map_batches(
-        IvfTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=sizing.pool()
+    partials = sizing.stateful_map(
+        emb_ds, IvfTopK, batch_format="pyarrow", zero_copy_batch=True
     )
     return partials.groupby("qid").map_groups(_final_topk(k), batch_format="pyarrow")
 
@@ -490,9 +490,9 @@ def ann_topk_filtered(emb_ds, n_queries: int = 10, k: int = 5):
             S[(lab[:, None] % 3) != (self.qids[None, :] % 3)] = -np.inf
             return _partial_topk_table(self.qids, vid, S, self.k)
 
-    partials = emb_ds.map_batches(
-        PartialTopKFiltered, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=sizing.pool(),
+    partials = sizing.stateful_map(
+        emb_ds, PartialTopKFiltered, batch_format="pyarrow",
+        zero_copy_batch=True,
     )
     return partials.groupby("qid").map_groups(_final_topk(k), batch_format="pyarrow")
 
@@ -771,9 +771,8 @@ def ann_topk_ivfpq(emb_ds, n_queries: int = 10, k: int = 5, n_lists: int = 16,
             "adc": pa.array(adc[order]),
         })
 
-    partials = emb_ds.map_batches(
-        IvfPqTopK, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=sizing.pool())
+    partials = sizing.stateful_map(
+        emb_ds, IvfPqTopK, batch_format="pyarrow", zero_copy_batch=True)
     return partials.groupby("qid").map_groups(final, batch_format="pyarrow")
 
 

@@ -697,8 +697,8 @@ def minhash_lsh_pairs(docs_ds, jaccard_min: float = 0.5):
     (a, b, jac_micros int64).  Structure: minhash map -> band-bucket
     groupby -> in-bucket pair expansion -> distinct -> exact-jaccard
     verification join."""
-    sig = docs_ds.map_batches(
-        MinHasher, batch_format="pyarrow", zero_copy_batch=True, concurrency=sizing.pool()
+    sig = sizing.stateful_map(
+        docs_ds, MinHasher, batch_format="pyarrow", zero_copy_batch=True
     )
 
     npb = sizing.exchange_buckets(N_PAIR_BUCKETS)
@@ -930,8 +930,8 @@ def ngram_jaccard_pairs(docs_ds, jaccard_min: float = 0.2):
     explode -> groupby(shingle) pair expansion -> per-pair shared-count
     -> size join -> threshold.  (a, b, jac_micros)."""
     # two consumers (inter + sizes): materialize the explode once
-    sh = docs_ds.map_batches(
-        ShingleExploder, batch_format="pyarrow", zero_copy_batch=True, concurrency=sizing.pool()
+    sh = sizing.stateful_map(
+        docs_ds, ShingleExploder, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
     npb = sizing.exchange_buckets(N_PAIR_BUCKETS)
@@ -1204,8 +1204,10 @@ def embedding_dedup_lsh_pairs(emb_ds, tau: float = 0.4, dim: int = 64):
                 }
             )
 
-    sig = emb_ds.select_columns(["vec_id", "embedding"]).map_batches(
-        BandRows, batch_format="pyarrow", zero_copy_batch=True, concurrency=sizing.pool()
+    sig = sizing.stateful_map(
+        emb_ds.select_columns(["vec_id", "embedding"]), BandRows,
+        pool_hint=sizing.use_actor_pool_ds(emb_ds),
+        batch_format="pyarrow", zero_copy_batch=True
     )
 
     def bucket_pairs(g: pa.Table) -> pa.Table:
@@ -1398,8 +1400,8 @@ def editdist_pairs(docs_ds):
     edit_dist).  The O(|a|*|b|) DP runs only on candidate pairs —
     never corpus-quadratic — and texts reach the pair via the same
     fused one-exchange attach."""
-    sig = docs_ds.map_batches(
-        MinHasher, batch_format="pyarrow", zero_copy_batch=True, concurrency=sizing.pool()
+    sig = sizing.stateful_map(
+        docs_ds, MinHasher, batch_format="pyarrow", zero_copy_batch=True
     )
 
     npb = sizing.exchange_buckets(N_PAIR_BUCKETS)

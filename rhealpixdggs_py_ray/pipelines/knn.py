@@ -110,14 +110,22 @@ def knn_brute(
     "lon": f64[], "lat": f64[]}.  Returns Dataset(qid, neighbor_id,
     dist, rank); ties broken by neighbor_id for determinism."""
     qref = ray.put(queries)
-    partials = ds.map_batches(
-        _PartialKnn,
-        fn_constructor_args=(cfg, qref, k, id_col, lon_col, lat_col),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        zero_copy_batch=True,
-        concurrency=sizing.pool(),
-    )
+    if sizing.use_actor_pool_ds(ds):
+        partials = ds.map_batches(
+            _PartialKnn,
+            fn_constructor_args=(cfg, qref, k, id_col, lon_col, lat_col),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            zero_copy_batch=True,
+            concurrency=sizing.pool(),
+        )
+    else:
+        partials = ds.map_batches(
+            _PartialKnn(cfg, qref, k, id_col, lon_col, lat_col),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            zero_copy_batch=True,
+        )
     return partials.groupby("qid").map_groups(_final_topk(k), batch_format="pyarrow")
 
 
@@ -158,9 +166,9 @@ def knn_rings(
             pos = np.minimum(np.searchsorted(self.keys, anc), len(self.keys) - 1)
             return batch.filter(pa.array(self.keys[pos] == anc))
 
-    pruned = ds.map_batches(
-        RingFilter, batch_format="pyarrow", batch_size=batch_size,
-        zero_copy_batch=True, concurrency=sizing.pool(),
+    pruned = sizing.stateful_map(
+        ds, RingFilter, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
     )
     return knn_brute(
         pruned, queries, k=k, cfg=cfg, id_col=id_col, lon_col=lon_col,

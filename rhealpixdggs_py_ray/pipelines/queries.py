@@ -1784,8 +1784,8 @@ def sql_dedup_clusters() -> str:
 def q_simhash(sf_dir: str):
     from rhealpixdggs_py_ray.ops.dedup import SimHasher
 
-    return _docs(sf_dir).map_batches(
-        SimHasher, batch_format="pyarrow", zero_copy_batch=True, concurrency=sizing.pool()
+    return sizing.stateful_map(
+        _docs(sf_dir), SimHasher, batch_format="pyarrow", zero_copy_batch=True
     )
 
 
@@ -2137,8 +2137,8 @@ def sql_kmeans_step() -> str:
 def q_lang_id(sf_dir: str):
     from rhealpixdggs_py_ray.ops.text import LangId
 
-    return _docs(sf_dir).map_batches(
-        LangId, batch_format="pyarrow", zero_copy_batch=True, concurrency=sizing.pool()
+    return sizing.stateful_map(
+        _docs(sf_dir), LangId, batch_format="pyarrow", zero_copy_batch=True
     )
 
 
@@ -2151,8 +2151,8 @@ def sql_lang_id() -> str:
 def q_quality(sf_dir: str):
     from rhealpixdggs_py_ray.ops.text import QualityScorer
 
-    return _docs(sf_dir).map_batches(
-        QualityScorer, batch_format="pyarrow", zero_copy_batch=True, concurrency=sizing.pool()
+    return sizing.stateful_map(
+        _docs(sf_dir), QualityScorer, batch_format="pyarrow", zero_copy_batch=True
     )
 
 
@@ -2165,8 +2165,8 @@ def sql_quality() -> str:
 def q_fingerprint(sf_dir: str):
     from rhealpixdggs_py_ray.ops.text import Fingerprinter
 
-    return _docs(sf_dir).map_batches(
-        Fingerprinter, batch_format="pyarrow", zero_copy_batch=True, concurrency=sizing.pool()
+    return sizing.stateful_map(
+        _docs(sf_dir), Fingerprinter, batch_format="pyarrow", zero_copy_batch=True
     )
 
 
@@ -15489,9 +15489,9 @@ def q_simhash_clusters(sf_dir: str):
     from rhealpixdggs_py_ray.ops.dedup import SimHasher
 
     nb = 8
-    sigs = _docs(sf_dir).map_batches(
-        SimHasher, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=sizing.pool())
+    sigs = sizing.stateful_map(
+        _docs(sf_dir), SimHasher, batch_format="pyarrow",
+        zero_copy_batch=True)
 
     def bands(batch: pa.Table) -> pa.Table:
         d = batch["doc_id"].to_numpy(zero_copy_only=False)
