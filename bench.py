@@ -249,6 +249,12 @@ def run_queries(sf_dir: str) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as E
 
+    # warm the Ray Data subsystems once so the alphabetically-first
+    # query does not absorb the ~2 s session cold-start
+    import ray.data
+
+    ray.data.range(100).map_batches(lambda b: b).count()
+
     timings = {}
     for name, fn in E.queries().items():
         t0 = time.time()
