@@ -163,3 +163,64 @@ def test_interval_contiguous_and_bounded(lon, lat, res, span):
     idxs = su.level_order_index(cells, CFG)
     assert np.all(np.diff(idxs) == 1)
     assert idxs[0] == ia
+
+
+def test_morton_interleave_roundtrip_property():
+    """Morton key decodes back to (gx, gy) for every lattice coord."""
+    from hypothesis import given, strategies as st
+    from rhealpixdggs_py_ray.pipelines.queries import _morton_interleave
+    import numpy as np
+
+    @given(st.lists(st.tuples(st.integers(0, 323), st.integers(0, 80)),
+                    min_size=1, max_size=50))
+    def check(pairs):
+        gx = np.array([p[0] for p in pairs], dtype=np.int64)
+        gy = np.array([p[1] for p in pairs], dtype=np.int64)
+        m = _morton_interleave(gx, gy)
+        dx = np.zeros_like(gx)
+        dy = np.zeros_like(gy)
+        for b in range(9):
+            dx += ((m >> (2 * b)) & 1) << b
+            dy += ((m >> (2 * b + 1)) & 1) << b
+        assert (dx == gx).all() and (dy == gy).all()
+        # z-order locality: equal high bits -> nearby cells
+        assert (m >= 0).all()
+
+    check()
+
+
+def test_bigram_pairs_property():
+    """_bigram_pairs emits exactly len(t)-1 pairs per doc in order,
+    and packing is injective for BMP text."""
+    from hypothesis import given, strategies as st
+    from rhealpixdggs_py_ray.pipelines.queries import BG_PACK, _bigram_pairs
+
+    # surrogates excluded: parquet text is UTF-8, lone surrogates
+    # cannot reach the engine
+    @given(st.lists(st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0xFFFF,
+                               exclude_categories=("Cs",)),
+        max_size=30), min_size=1, max_size=10))
+    def check(texts):
+        di, bg = _bigram_pairs(texts)
+        expect = sum(max(len(t) - 1, 0) for t in texts)
+        assert len(di) == expect == len(bg)
+        k = 0
+        for i, t in enumerate(texts):
+            for a, b in zip(t, t[1:]):
+                assert di[k] == i
+                assert bg[k] == ord(a) * BG_PACK + ord(b)
+                k += 1
+
+    check()
+
+
+def test_pq_codebook_exact_binary():
+    """Every codebook coordinate is a multiple of 1/64 — exact in
+    binary, so the SQL closed form reproduces it bit-identically."""
+    from rhealpixdggs_py_ray.pipelines.queries import _pq_codebook
+    import numpy as np
+
+    C = _pq_codebook()
+    assert np.all(C * 64 == np.round(C * 64))
+    assert C.min() >= -1.0 and C.max() <= 1.0
