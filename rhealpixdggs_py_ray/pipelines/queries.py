@@ -17031,3 +17031,51 @@ WITH ijx AS MATERIALIZED (
 SELECT cell_id, CAST({gy} AS BIGINT) AS gi, CAST({gx} AS BIGINT) AS gj
 FROM ijx
 """
+
+
+INGEST_MOD, INGEST_RES = 10, 7   # doc_id % 10 == 7 -> "new ingest batch"
+
+
+def q_dedup_incremental(sf_dir: str):
+    """Incremental ingest dedup (the daily-crawl shape: probe the NEW
+    batch against the EXISTING corpus index, keep only cross-side
+    collisions): verified minhash near-dup pairs with exactly one
+    endpoint in the ingest batch (doc_id % 10 == 7).  Composition over
+    the shared materialized pair intermediate — zero extra corpus
+    passes here; at 100 TB the refinement is a side-aware in-bucket
+    pair expansion (index x new only, never index x index), same
+    exchanges.  Output (new_doc, index_doc, jac_micros)."""
+    pairs = _minhash_pairs(sf_dir)
+
+    def cross(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        na = (a % INGEST_MOD) == INGEST_RES
+        nb = (b % INGEST_MOD) == INGEST_RES
+        m = na != nb
+        new = np.where(na[m], a[m], b[m])
+        idx_side = np.where(na[m], b[m], a[m])
+        return pa.table({
+            "new_doc": pa.array(new),
+            "index_doc": pa.array(idx_side),
+            "jac_micros": batch["jac_micros"].filter(pa.array(m)),
+        })
+
+    return pairs.map_batches(cross, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+def sql_dedup_incremental() -> str:
+    from rhealpixdggs_py_ray.ops import dedup
+
+    new = f"(a % {INGEST_MOD} = {INGEST_RES})"
+    newb = f"(b % {INGEST_MOD} = {INGEST_RES})"
+    return f"""
+WITH inc_pairs AS MATERIALIZED (
+  SELECT * FROM ({dedup.minhash_lsh_sql()}) t
+)
+SELECT CASE WHEN {new} THEN a ELSE b END AS new_doc,
+  CASE WHEN {new} THEN b ELSE a END AS index_doc,
+  jac_micros
+FROM inc_pairs WHERE {new} <> {newb}
+"""
