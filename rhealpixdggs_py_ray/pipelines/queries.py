@@ -14329,7 +14329,11 @@ def q_clip_filter(sf_dir: str):
     )
 
 
-def sql_clip_filter() -> str:
+def _clip_sql_parts():
+    """Shared oracle pieces for the two-tower CLIP-style ops: the CTE
+    chain from the images source through per-image (cimg) and
+    per-caption (ctxt) embeddings, plus the fold-ordered cosine
+    expression fragments.  Returns (prefix, num, inrm, tnrm)."""
     from rhealpixdggs_py_ray.fixtures import splitmix64, write_images_table
 
     write_images_table(IMG_DIR, IMG_N)
@@ -14371,8 +14375,7 @@ def sql_clip_filter() -> str:
     tnrm = " + ".join(f"t{d} * t{d}" for d in range(CLIP_D))
     img_cols = ", ".join(f"{e} AS i{d}" for d, e in enumerate(img_d))
     txt_cols = ", ".join(f"{e} AS t{d}" for d, e in enumerate(txt_d))
-    return f"""
-WITH csrc AS MATERIALIZED (
+    prefix = f"""csrc AS MATERIALIZED (
   SELECT CAST(substr(image_id, 4) AS BIGINT) AS idx, caption,
     CAST(w AS BIGINT) AS iw, CAST(h AS BIGINT) AS ih, {u} AS u
   FROM read_parquet('{IMG_DIR}/*.parquet')
@@ -14409,7 +14412,16 @@ cimg AS MATERIALIZED (
 ),
 ctxt AS MATERIALIZED (
   SELECT idx, {txt_cols} FROM cvotes
-),
+)"""
+    return prefix, num, inrm, tnrm
+
+
+def sql_clip_filter() -> str:
+    from rhealpixdggs_py_ray.oracle import _lit
+
+    prefix, num, inrm, tnrm = _clip_sql_parts()
+    return f"""
+WITH {prefix},
 cs AS MATERIALIZED (
   SELECT cimg.idx,
     ({num}) / (sqrt({inrm}) * sqrt({tnrm})) AS s
@@ -17078,4 +17090,109 @@ SELECT CASE WHEN {new} THEN a ELSE b END AS new_doc,
   CASE WHEN {new} THEN b ELSE a END AS index_doc,
   jac_micros
 FROM inc_pairs WHERE {new} <> {newb}
+"""
+
+
+CLIP_NQ, CLIP_K = 8, 5   # retrieval: 8 query captions, top-5 images
+
+
+def q_clip_retrieval(sf_dir: str):
+    """Text-to-image retrieval over the two-tower features (the CLIP
+    retrieval shape): the first CLIP_NQ captions are queries; their
+    64-dim token-vote embeddings project through P_txt on the driver
+    (bounded: CLIP_NQ rows) and broadcast; every image batch decodes,
+    pools and projects through P_img in the actor pool, scores all
+    queries with the fold-ordered cosine, and keeps its per-batch
+    top-CLIP_K — only ~K rows per (query, batch) reach the per-qid
+    resolve.  Output (qid, vec_id, rank, cos_micros)."""
+    from rhealpixdggs_py_ray.fixtures import splitmix64, write_images_table
+    from rhealpixdggs_py_ray.ops.ann import (
+        _final_topk, _partial_topk_table, _seq_dots, _seq_norm)
+    from rhealpixdggs_py_ray.ops.dedup import md5_u64_many
+    import pyarrow.parquet as pq_
+
+    write_images_table(IMG_DIR, IMG_N)
+    j = np.arange(64 * CLIP_D, dtype=np.uint64)
+    P_txt = (2.0 * ((splitmix64(j + np.uint64(515151)) >> np.uint64(11)
+                     ).astype(np.float64) / float(1 << 53)) - 1.0
+             ).reshape(64, CLIP_D)
+    # bounded driver read: only the CLIP_NQ query captions
+    cap_t = pq_.read_table(IMG_DIR, columns=["image_id", "caption"])
+    ids = np.array([int(x[3:]) for x in cap_t["image_id"].to_pylist()],
+                   dtype=np.int64)
+    sel = np.flatnonzero(ids < CLIP_NQ)
+    order = np.argsort(ids[sel])
+    qids = ids[sel][order]
+    caps = np.array(cap_t["caption"].to_pylist(), dtype=object)[sel][order]
+    T = np.zeros((len(qids), 64), dtype=np.float64)
+    for i, c in enumerate(caps):
+        tk = c.split()
+        if tk:
+            h = md5_u64_many(tk)
+            np.add.at(T, (np.full(len(tk), i), (h % np.uint64(64)).astype(np.int64)), 1.0)
+    txt = _seq_dots(T, P_txt.T)
+    tn = _seq_norm(txt)
+    ref = ray.put((qids, txt, tn))
+
+    ds = ray.data.read_parquet(
+        IMG_DIR, columns=["image_id", "bytes", "fmt", "w", "h"],
+        override_num_blocks=sizing.read_blocks(IMG_DIR, profile=8),
+    )
+
+    class RetrScorer:
+        def __init__(self):
+            i = np.arange(48 * CLIP_D, dtype=np.uint64)
+            f = (splitmix64(i + np.uint64(424242)) >> np.uint64(11)
+                 ).astype(np.float64) / float(1 << 53)
+            self.P_img = (2.0 * f - 1.0).reshape(48, CLIP_D)
+            self.qids, self.txt, self.tn = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from rhealpixdggs_py_ray.fixtures import decode_image
+            from rhealpixdggs_py_ray.ops.multimodal import resize_nearest
+
+            blobs = batch["bytes"].to_pylist()
+            fmts = batch["fmt"].to_pylist()
+            ws = batch["w"].to_numpy(zero_copy_only=False)
+            hs = batch["h"].to_numpy(zero_copy_only=False)
+            n = len(blobs)
+            B = np.empty((n, 48), dtype=np.float64)
+            for k in range(n):
+                pix = decode_image(blobs[k], fmts[k], int(ws[k]), int(hs[k]))
+                small = resize_nearest(pix, 16, 16).astype(np.int64)
+                B[k] = small.sum(axis=1).reshape(48).astype(np.float64)
+            img = _seq_dots(B, self.P_img.T)          # (n, D)
+            S = np.zeros((n, len(self.qids)), dtype=np.float64)
+            for d in range(CLIP_D):                   # fold order == SQL
+                S = S + img[:, d, None] * self.txt[None, :, d]
+            S = S / (_seq_norm(img)[:, None] * self.tn[None, :])
+            idx = np.array([int(i[3:]) for i in
+                            batch["image_id"].to_pylist()], dtype=np.int64)
+            return _partial_topk_table(self.qids, idx, S, CLIP_K)
+
+    # bandwidth-bound decode stage: keep the capped actor pool
+    partials = ds.map_batches(
+        RetrScorer, batch_format="pyarrow", batch_size=512,
+        zero_copy_batch=True, concurrency=sizing.pool(),
+    )
+    return partials.groupby("qid").map_groups(
+        _final_topk(CLIP_K), batch_format="pyarrow")
+
+
+def sql_clip_retrieval() -> str:
+    prefix, num, inrm, tnrm = _clip_sql_parts()
+    return f"""
+WITH {prefix},
+rq AS MATERIALIZED (
+  SELECT * FROM ctxt WHERE idx < {CLIP_NQ}
+),
+rs AS MATERIALIZED (
+  SELECT rq.idx AS qid, cimg.idx AS vec_id,
+    ({num}) / (sqrt({inrm}) * sqrt({tnrm})) AS s
+  FROM cimg CROSS JOIN rq
+)
+SELECT qid, vec_id,
+  row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rank,
+  CAST(floor(s * 1000000.0) AS BIGINT) AS cos_micros
+FROM rs QUALIFY rank <= {CLIP_K}
 """
