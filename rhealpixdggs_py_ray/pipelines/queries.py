@@ -17400,3 +17400,110 @@ SELECT {rebuild} AS cell_id, gi, ki,
     ELSE {oracle._lit(0.0)} END * {oracle._lit(1e6)}) AS BIGINT) AS z_micros
 FROM hz
 """
+
+
+SNAP_LINE = [(-58.37, -17.23), (-21.64, 6.91), (12.58, -4.47),
+             (41.19, 13.77), (58.83, 1.29)]   # equatorial band, non-integer
+SNAP_R2 = 4.0e12   # snap radius^2 in m^2 (2,000 km)
+
+
+def _snap_segments():
+    """Driver-side projected polyline segments as exact float64
+    constants: (ax, ay, dxab, dyab, len2) per segment.  The SQL embeds
+    these via repr literals (shortest-round-trip parse is bit-exact),
+    so both sides snap against the IDENTICAL planar geometry."""
+    from rhealpixdggs_py_ray.core import projection as proj
+
+    lon = np.array([p[0] for p in SNAP_LINE], dtype=np.float64)
+    lat = np.array([p[1] for p in SNAP_LINE], dtype=np.float64)
+    vx, vy = proj.forward(CFG, lon, lat)
+    segs = []
+    for i in range(len(SNAP_LINE) - 1):
+        ax, ay = float(vx[i]), float(vy[i])
+        dxab, dyab = float(vx[i + 1] - vx[i]), float(vy[i + 1] - vy[i])
+        segs.append((ax, ay, dxab, dyab, float(dxab * dxab + dyab * dyab)))
+    return segs
+
+
+def q_snap_to_line(sf_dir: str):
+    """Map-matching-lite: snap every event within SNAP_R2 of the fixed
+    polyline to its nearest segment point in planar rHEALPix meters —
+    nearest (d2, seg) wins, t clamped to [0, 1].  Pure map over events
+    (the full forward projection runs in-batch); every float op
+    mirrors the SQL expression shape exactly, so t/d2 quantizations
+    are bit-identical.  Output (event_id, seg, t_e6, d2_sc)."""
+    from rhealpixdggs_py_ray.core import projection as proj
+
+    segs = _snap_segments()
+    ds = _read(sf_dir, "events", columns=["event_id"])
+
+    def snap(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = oracle.lonlat_from_id(ids)
+        px, py = proj.forward(CFG, lon, lat)
+        n = len(ids)
+        D2 = np.empty((n, len(segs)), dtype=np.float64)
+        T = np.empty((n, len(segs)), dtype=np.float64)
+        for i, (ax, ay, dxab, dyab, len2) in enumerate(segs):
+            t = ((px - ax) * dxab + (py - ay) * dyab) / len2
+            t = np.minimum(np.maximum(t, 0.0), 1.0)
+            ddx = px - (ax + t * dxab)
+            ddy = py - (ay + t * dyab)
+            D2[:, i] = ddx * ddx + ddy * ddy
+            T[:, i] = t
+        seg = np.argmin(D2, axis=1)       # first min == smallest seg
+        rows = np.arange(n)
+        d2 = D2[rows, seg]
+        t = T[rows, seg]
+        m = d2 <= SNAP_R2
+        return pa.table({
+            "event_id": pa.array(ids[m]),
+            "seg": pa.array(seg[m].astype(np.int64)),
+            "t_e6": pa.array(np.floor(t[m] * 1e6).astype(np.int64)),
+            "d2_sc": pa.array(np.floor(d2[m] * 1e-6).astype(np.int64)),
+        })
+
+    return ds.map_batches(snap, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_snap_to_line() -> str:
+    segs = _snap_segments()
+    L = oracle._lit
+    proj_sql = oracle.projection_sql(
+        _points_sql("events", "event_id"), CFG, id_cols=("event_id",))
+    t_cols, d_cols = [], []
+    for i, (ax, ay, dxab, dyab, len2) in enumerate(segs):
+        t = (f"least(greatest(((xm - {L(ax)}) * {L(dxab)}"
+             f" + (ym - {L(ay)}) * {L(dyab)}) / {L(len2)},"
+             f" {L(0.0)}), {L(1.0)})")
+        t_cols.append(f"{t} AS t{i}")
+        d_cols.append(
+            f"(xm - ({L(ax)} + t{i} * {L(dxab)}))"
+            f" * (xm - ({L(ax)} + t{i} * {L(dxab)}))"
+            f" + (ym - ({L(ay)} + t{i} * {L(dyab)}))"
+            f" * (ym - ({L(ay)} + t{i} * {L(dyab)})) AS d{i}")
+    ns = len(segs)
+    seg_rows = " UNION ALL ".join(
+        f"SELECT event_id, {i} AS seg, t{i} AS t, d{i} AS d2 FROM sd"
+        for i in range(ns))
+    return f"""
+WITH sp AS MATERIALIZED (
+  SELECT event_id, xm, ym FROM {proj_sql} q
+), st AS MATERIALIZED (
+  SELECT event_id, xm, ym, {", ".join(t_cols)} FROM sp
+), sd AS MATERIALIZED (
+  SELECT event_id, {", ".join(f"t{i}" for i in range(ns))},
+    {", ".join(d_cols)} FROM st
+), su AS MATERIALIZED ({seg_rows}),
+sbest AS MATERIALIZED (
+  SELECT event_id, seg, t, d2 FROM (
+    SELECT event_id, seg, t, d2,
+      row_number() OVER (PARTITION BY event_id ORDER BY d2, seg) AS rn
+    FROM su
+  ) WHERE rn = 1
+)
+SELECT event_id, CAST(seg AS BIGINT) AS seg,
+  CAST(floor(t * {L(1e6)}) AS BIGINT) AS t_e6,
+  CAST(floor(d2 * {L(1e-6)}) AS BIGINT) AS d2_sc
+FROM sbest WHERE d2 <= {L(SNAP_R2)}
+"""

@@ -336,3 +336,42 @@ def test_hotspot_gi_invariants(ray_session):
     num = t["gi"].to_numpy() - t["ki"].to_numpy() * xbar
     z = t["z_micros"].to_numpy()
     assert ((num > 0) == (z >= 0)).all() or (np.sign(num) == np.sign(z / 1e6)).mean() > 0.99
+
+
+def test_snap_to_line_invariants(ray_session):
+    """t clamped to [0,1]; d2 within radius; endpoints of the polyline
+    snap to themselves with d2 = 0; nearest-segment choice verified by
+    replay on a sample."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import (
+        SNAP_R2, _snap_segments, oracle)
+    from rhealpixdggs_py_ray.core import projection as proj
+
+    sf = "/root/testdata/sf0.01"
+    t = Q.q_snap_to_line(sf).to_pandas()
+    assert len(t) > 0
+    assert (t["t_e6"] >= 0).all() and (t["t_e6"] <= 10**6).all()
+    assert (t["d2_sc"] >= 0).all()
+    assert (t["d2_sc"] <= SNAP_R2 * 1e-6).all()
+    segs = _snap_segments()
+    import pyarrow.parquet as pq
+    ids = pq.read_table(f"{sf}/events.parquet",
+                        columns=["event_id"])["event_id"].to_numpy()[:200]
+    lon, lat = oracle.lonlat_from_id(ids)
+    px, py = proj.forward(Q.CFG, lon, lat)
+    got = t.set_index("event_id")
+    for j, eid in enumerate(ids):
+        best = None
+        for i, (ax, ay, dxab, dyab, len2) in enumerate(segs):
+            tt = min(max(((px[j] - ax) * dxab + (py[j] - ay) * dyab) / len2,
+                         0.0), 1.0)
+            ddx, ddy = px[j] - (ax + tt * dxab), py[j] - (ay + tt * dyab)
+            d2 = ddx * ddx + ddy * ddy
+            if best is None or d2 < best[0]:
+                best = (d2, i, tt)
+        if best[0] <= SNAP_R2:
+            row = got.loc[eid]
+            assert row["seg"] == best[1]
+            assert row["t_e6"] == int(np.floor(best[2] * 1e6))
+        else:
+            assert eid not in got.index
