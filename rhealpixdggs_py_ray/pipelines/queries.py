@@ -17507,3 +17507,71 @@ SELECT event_id, CAST(seg AS BIGINT) AS seg,
   CAST(floor(d2 * {L(1e-6)}) AS BIGINT) AS d2_sc
 FROM sbest WHERE d2 <= {L(SNAP_R2)}
 """
+
+
+WDIST_W = 7   # rolling window: distinct users over the trailing 7 days
+
+
+def q_window_distinct(sf_dir: str):
+    """Rolling 7-day EXACT distinct users per day (the DAU/WAU
+    overlap metric, where sketches are the usual compromise): each
+    distinct (user, day) pair replicates into the 7 windows it ends
+    in; windows hash to buckets so one exchange carries only distinct
+    pairs and each window's dedup is local to its bucket.  Output
+    (day, n_users)."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"], blocks=4)
+    nb = 8
+
+    def part(batch: pa.Table) -> pa.Table:
+        t = batch["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[D]").astype(np.int64)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        assert uid.max(initial=0) < (1 << 32), "user id packing overflow"
+        pair = np.unique(t * (1 << 32) + uid)
+        d = pair >> 32
+        u = pair & ((1 << 32) - 1)
+        w = (d[:, None] + np.arange(WDIST_W)[None, :]).ravel()
+        uu = np.repeat(u, WDIST_W)
+        key = np.unique(w * (1 << 32) + uu)
+        wk = (key >> 32).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(wk.astype(np.uint64), nb)),
+            "key": pa.array(key.astype(np.uint64)),
+            "w": pa.array(wk),
+        })
+
+    def resolve(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "key" not in g.column_names:
+            return pa.table({"day": pa.array([], type=pa.int64()),
+                             "n_users": pa.array([], type=pa.int64())})
+        key = np.unique(g["key"].to_numpy(zero_copy_only=False)
+                        .astype(np.uint64))
+        wk = (key >> np.uint64(32)).astype(np.int64)
+        uq, cnt = np.unique(wk, return_counts=True)
+        return pa.table({"day": pa.array(uq),
+                         "n_users": pa.array(cnt.astype(np.int64))})
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pyarrow")
+    )
+
+
+def sql_window_distinct() -> str:
+    return f"""
+WITH wdp AS MATERIALIZED (
+  SELECT DISTINCT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+    user_id
+  FROM events
+), wdw AS MATERIALIZED (
+  SELECT user_id,
+    unnest([d + i for i in generate_series(0, {WDIST_W - 1})]) AS w
+  FROM wdp
+)
+SELECT CAST(w AS BIGINT) AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+  AS n_users
+FROM wdw GROUP BY w
+"""
