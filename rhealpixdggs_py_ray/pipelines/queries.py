@@ -16845,19 +16845,22 @@ def q_dedup_keep_best(sf_dir: str):
 
     clusters = cc.connected_components(_minhash_pairs(sf_dir))
     # bounded: one row per doc that appears in a verified near-dup pair
-    memb = {int(r["doc_id"]): int(r["cluster_id"])
-            for r in clusters.take_all()}
-    memb_ref = ray.put(memb)
+    rows = clusters.take_all()
+    m_ids = np.array([int(r["doc_id"]) for r in rows], dtype=np.int64)
+    m_cl = np.array([int(r["cluster_id"]) for r in rows], dtype=np.int64)
+    order = np.argsort(m_ids)
+    memb_ref = ray.put((m_ids[order], m_cl[order]))
     nb = 8
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        mm = ray.get(memb_ref)
+        mk, mv = ray.get(memb_ref)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         nch = batch["n_chars"].to_numpy(zero_copy_only=False)
-        sel = np.array([i for i, d in enumerate(ids) if int(d) in mm],
-                       dtype=np.int64)
+        pos = np.searchsorted(mk, ids)
+        pos = np.minimum(pos, max(len(mk) - 1, 0))
+        sel = np.flatnonzero((len(mk) > 0) & (mk[pos] == ids))
         if not len(sel):
             return pa.table({
                 "bucket": pa.array([], type=pa.int64()),
@@ -16866,7 +16869,7 @@ def q_dedup_keep_best(sf_dir: str):
                 "n_chars": pa.array([], type=pa.int64()),
                 "n_members": pa.array([], type=pa.int64()),
             })
-        cl = np.array([mm[int(ids[i])] for i in sel], dtype=np.int64)
+        cl = mv[pos[sel]]
         ids, nch = ids[sel], nch[sel]
         # per-batch argmax per cluster: (n_chars DESC, doc_id ASC)
         order = np.lexsort((ids, -nch, cl))
