@@ -17578,3 +17578,97 @@ SELECT CAST(w AS BIGINT) AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT)
   AS n_users
 FROM wdw GROUP BY w
 """
+
+
+def q_dataset_profile(sf_dir: str):
+    """One-pass dataset card (the profiling block at the top of a
+    dataset README): doc count, total/min/max chars, exact median
+    length (rank rule k = (n+1)//2 over merged per-batch length
+    histograms), language count and per-language doc counts — all
+    from ONE scan emitting tiny mergeable partials.  Output tall
+    (metric, value) rows."""
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False)
+        lang = batch["lang"].to_numpy(zero_copy_only=False)
+        lu, lc = np.unique(lang, return_counts=True)
+        hu, hc = np.unique(nch, return_counts=True)
+        keys = (["n_docs", "sum_chars"]
+                + [f"lang_{x}" for x in lu]
+                + [f"hist_{int(x)}" for x in hu])
+        vals = ([len(nch), int(nch.sum())]
+                + lc.astype(np.int64).tolist()
+                + hc.astype(np.int64).tolist())
+        return pa.table({
+            "one": pa.array(np.zeros(len(keys), dtype=np.int64)),
+            "metric": pa.array(keys, type=pa.string()),
+            "value": pa.array(np.array(vals, dtype=np.int64)),
+        })
+
+    def resolve(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "metric" not in g.column_names:
+            return pa.table({"metric": pa.array([], type=pa.string()),
+                             "value": pa.array([], type=pa.int64())})
+        mk = g["metric"].to_numpy(zero_copy_only=False)
+        mv = g["value"].to_numpy(zero_copy_only=False)
+        uq, inv = np.unique(mk, return_inverse=True)
+        tot = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(tot, inv, mv)
+        agg = dict(zip(uq.tolist(), tot.tolist()))
+        hist = sorted((int(k[5:]), v) for k, v in agg.items()
+                      if k.startswith("hist_"))
+        lens = np.array([h[0] for h in hist], dtype=np.int64)
+        cnts = np.array([h[1] for h in hist], dtype=np.int64)
+        n = int(cnts.sum())
+        csum = np.cumsum(cnts)
+        p50 = int(lens[np.searchsorted(csum, (n + 1) // 2)]) if n else 0
+        out = {
+            "n_docs": agg.get("n_docs", 0),
+            "sum_chars": agg.get("sum_chars", 0),
+            "min_chars": int(lens[0]) if n else 0,
+            "max_chars": int(lens[-1]) if n else 0,
+            "p50_chars": p50,
+            "n_langs": sum(1 for k in agg if k.startswith("lang_")),
+        }
+        for k in sorted(agg):
+            if k.startswith("lang_"):
+                out[k] = agg[k]
+        return pa.table({
+            "metric": pa.array(list(out.keys()), type=pa.string()),
+            "value": pa.array(np.array(list(out.values()), dtype=np.int64)),
+        })
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("one")
+        .map_groups(resolve, batch_format="pyarrow")
+    )
+
+
+def sql_dataset_profile() -> str:
+    return """
+WITH dpm AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+    CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+    CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+  FROM documents
+), dpr AS MATERIALIZED (
+  SELECT CAST(n_chars AS BIGINT) AS v,
+    row_number() OVER (ORDER BY n_chars) AS rn,
+    COUNT(*) OVER () AS n
+  FROM documents
+), dp50 AS MATERIALIZED (
+  SELECT v AS p50 FROM dpr WHERE rn = (n + 1) // 2
+)
+SELECT 'n_docs' AS metric, n_docs AS value FROM dpm
+UNION ALL SELECT 'sum_chars', sum_chars FROM dpm
+UNION ALL SELECT 'min_chars', min_chars FROM dpm
+UNION ALL SELECT 'max_chars', max_chars FROM dpm
+UNION ALL SELECT 'p50_chars', p50 FROM dp50
+UNION ALL SELECT 'n_langs', n_langs FROM dpm
+UNION ALL SELECT 'lang_' || lang, CAST(COUNT(*) AS BIGINT)
+  FROM documents GROUP BY lang
+"""
