@@ -29,7 +29,6 @@ row (round-1 ADVICE).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray
 
