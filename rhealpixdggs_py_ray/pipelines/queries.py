@@ -17112,21 +17112,28 @@ def q_clip_retrieval(sf_dir: str):
     from rhealpixdggs_py_ray.ops.ann import (
         _final_topk, _partial_topk_table, _seq_dots, _seq_norm)
     from rhealpixdggs_py_ray.ops.dedup import md5_u64_many
-    import pyarrow.parquet as pq_
 
     write_images_table(IMG_DIR, IMG_N)
     j = np.arange(64 * CLIP_D, dtype=np.uint64)
     P_txt = (2.0 * ((splitmix64(j + np.uint64(515151)) >> np.uint64(11)
                      ).astype(np.float64) / float(1 << 53)) - 1.0
              ).reshape(64, CLIP_D)
-    # bounded driver read: only the CLIP_NQ query captions
-    cap_t = pq_.read_table(IMG_DIR, columns=["image_id", "caption"])
-    ids = np.array([int(x[3:]) for x in cap_t["image_id"].to_pylist()],
-                   dtype=np.int64)
-    sel = np.flatnonzero(ids < CLIP_NQ)
-    order = np.argsort(ids[sel])
-    qids = ids[sel][order]
-    caps = np.array(cap_t["caption"].to_pylist(), dtype=object)[sel][order]
+    # query captions via a streaming masked scan (bounded result:
+    # CLIP_NQ rows — never a whole-table driver read)
+    def qmask(batch: pa.Table) -> pa.Table:
+        ids_b = np.array([int(x[3:]) for x in
+                          batch["image_id"].to_pylist()], dtype=np.int64)
+        return batch.filter(pa.array(ids_b < CLIP_NQ))
+
+    cap_rows = (
+        ray.data.read_parquet(IMG_DIR, columns=["image_id", "caption"])
+        .map_batches(qmask, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    cap_rows.sort(key=lambda r: int(r["image_id"][3:]))
+    qids = np.array([int(r["image_id"][3:]) for r in cap_rows],
+                    dtype=np.int64)
+    caps = [r["caption"] for r in cap_rows]
     T = np.zeros((len(qids), 64), dtype=np.float64)
     for i, c in enumerate(caps):
         tk = c.split()
