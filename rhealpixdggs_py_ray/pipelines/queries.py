@@ -17679,3 +17679,103 @@ UNION ALL SELECT 'n_langs', n_langs FROM dpm
 UNION ALL SELECT 'lang_' || lang, CAST(COUNT(*) AS BIGINT)
   FROM documents GROUP BY lang
 """
+
+
+def q_image_keep_best(sf_dir: str):
+    """Image-dedup representative selection (the multimodal sibling of
+    q_dedup_keep_best): per near-dup image cluster keep the
+    largest-area member (w*h DESC, ties -> smaller idx) with cluster
+    size.  Same shape: bounded cluster membership broadcast ->
+    one metadata-only pass over the images table (payload bytes never
+    read) -> mergeable per-cluster argmax partials -> one bucket
+    exchange.  Output (cluster_id, keep_idx, area, n_members)."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    clusters = q_image_clusters(sf_dir)
+    # bounded: one row per image in a verified near-dup pair
+    rows = clusters.take_all()
+    m_ids = np.array([int(r["doc_id"]) for r in rows], dtype=np.int64)
+    m_cl = np.array([int(r["cluster_id"]) for r in rows], dtype=np.int64)
+    order = np.argsort(m_ids)
+    memb_ref = ray.put((m_ids[order], m_cl[order]))
+    nb = 8
+
+    ds = ray.data.read_parquet(
+        IMG_DIR, columns=["image_id", "w", "h"],
+        override_num_blocks=sizing.read_blocks(IMG_DIR, profile=8))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mk, mv = ray.get(memb_ref)
+        ids = np.array([int(x[3:]) for x in batch["image_id"].to_pylist()],
+                       dtype=np.int64)
+        area = (batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+                * batch["h"].to_numpy(zero_copy_only=False))
+        pos = np.searchsorted(mk, ids)
+        pos = np.minimum(pos, max(len(mk) - 1, 0))
+        sel = np.flatnonzero((len(mk) > 0) & (mk[pos] == ids))
+        cols = ["bucket", "cluster_id", "idx", "area", "n_members"]
+        if not len(sel):
+            return pa.table({c: pa.array([], type=pa.int64()) for c in cols})
+        cl = mv[pos[sel]]
+        ids, area = ids[sel], area[sel]
+        order2 = np.lexsort((ids, -area, cl))
+        clo = cl[order2]
+        first = np.r_[True, clo[1:] != clo[:-1]]
+        cnt = np.diff(np.r_[np.flatnonzero(first), len(clo)])
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(
+                clo[first].astype(np.uint64), nb)),
+            "cluster_id": pa.array(clo[first]),
+            "idx": pa.array(ids[order2][first]),
+            "area": pa.array(area[order2][first]),
+            "n_members": pa.array(cnt.astype(np.int64)),
+        })
+
+    def resolve(g: pa.Table) -> pa.Table:
+        cols = ["cluster_id", "keep_idx", "area", "n_members"]
+        if g.num_rows == 0 or "cluster_id" not in g.column_names:
+            return pa.table({c: pa.array([], type=pa.int64()) for c in cols})
+        cl = g["cluster_id"].to_numpy(zero_copy_only=False)
+        ids = g["idx"].to_numpy(zero_copy_only=False)
+        area = g["area"].to_numpy(zero_copy_only=False)
+        nm = g["n_members"].to_numpy(zero_copy_only=False)
+        order2 = np.lexsort((ids, -area, cl))
+        clo = cl[order2]
+        first = np.r_[True, clo[1:] != clo[:-1]]
+        uq, inv = np.unique(cl, return_inverse=True)
+        tot = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(tot, inv, nm)
+        return pa.table({
+            "cluster_id": pa.array(clo[first]),
+            "keep_idx": pa.array(ids[order2][first]),
+            "area": pa.array(area[order2][first]),
+            "n_members": pa.array(tot),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pyarrow")
+    )
+
+
+def sql_image_keep_best() -> str:
+    src = _image_src_sql()
+    return f"""
+WITH ikc AS MATERIALIZED (
+  SELECT * FROM ({sql_image_clusters()}) t
+), iks AS MATERIALIZED (
+  SELECT CAST(substr(image_id, 4) AS BIGINT) AS idx,
+    CAST(w AS BIGINT) * CAST(h AS BIGINT) AS area
+  FROM {src} q3
+), ikr AS MATERIALIZED (
+  SELECT c.cluster_id, s.idx, s.area,
+    row_number() OVER (PARTITION BY c.cluster_id
+                       ORDER BY s.area DESC, s.idx) AS rn,
+    COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+  FROM ikc c JOIN iks s ON s.idx = c.doc_id
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id, idx AS keep_idx, area,
+  CAST(n_members AS BIGINT) AS n_members
+FROM ikr WHERE rn = 1
+"""
