@@ -219,3 +219,36 @@ def test_radians_oracle_sql_parity():
             f" ({oracle.cell_geometry_sql(2, RCFG)}) t").fetchall()
     )
     assert [(a, int(x), int(y)) for a, x, y in eng2] == got2
+
+
+def test_projection_dispatch_wrapper():
+    """core.projection_dispatch.Projection: named dispatch matches the
+    kernels; roundtrip closes; unknown names raise an ImportError that
+    names pyproj (absent in this sandbox)."""
+    import numpy as np
+    import pytest
+
+    from rhealpixdggs_py_ray.core import projection as proj
+    from rhealpixdggs_py_ray.core.config import WGS84_003
+    from rhealpixdggs_py_ray.core.projection_dispatch import Projection
+
+    lon = np.array([-123.4, 0.37, 71.2])
+    lat = np.array([22.1, -45.6, 3.3])
+    p = Projection(WGS84_003, "rhealpix")
+    x, y = p(lon, lat)
+    xe, ye = proj.forward(WGS84_003, lon, lat)
+    assert np.array_equal(x, xe) and np.array_equal(y, ye)
+    lon2, lat2 = p(x, y, inverse=True)
+    assert np.allclose(lon2, lon, atol=1e-9)
+    assert np.allclose(lat2, lat, atol=1e-9)
+    # scalar in -> scalar out (the reference accepts scalars)
+    xs, ys = p(-123.4, 22.1)
+    assert xs == x[0] and ys == y[0]
+    # healpix dispatch
+    ph = Projection(WGS84_003, "healpix")
+    xh, yh = ph(lon, lat)
+    xhe, yhe = proj.forward(WGS84_003, lon, lat, proj="healpix")
+    assert np.array_equal(xh, xhe) and np.array_equal(yh, yhe)
+    # non-homemade projection needs pyproj, which this sandbox lacks
+    with pytest.raises(ImportError, match="pyproj"):
+        Projection(WGS84_003, "utm")
