@@ -48,4 +48,6 @@ from rhealpixdggs_py_ray.core.wrappers import (  # noqa: F401
     rhp_to_parent,
 )
 
+from rhealpixdggs_py_ray.core.projection_dispatch import Projection
+
 __version__ = "0.1.0"
