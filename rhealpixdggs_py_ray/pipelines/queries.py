@@ -17779,3 +17779,102 @@ SELECT CAST(cluster_id AS BIGINT) AS cluster_id, idx AS keep_idx, area,
   CAST(n_members AS BIGINT) AS n_members
 FROM ikr WHERE rn = 1
 """
+
+
+def q_tile_modality_balance(sf_dir: str):
+    """Cross-modal spatial coverage audit (do we have imagery where we
+    have activity?): per res-2 tile, image count (from the images
+    table's phash-derived coordinates) vs event count, and the image
+    share as an exact integer permille-of-million.  Both modalities
+    emit per-batch (tile, side) count partials; ONE union bucket
+    exchange resolves.  Payload bytes are never read — metadata-only
+    on the image side.  Output (tile_id, n_images, n_events,
+    img_share_e6)."""
+    from rhealpixdggs_py_ray.fixtures import write_images_table
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+    from rhealpixdggs_py_ray.stages.indexer import CellIndexer
+
+    write_images_table(IMG_DIR, IMG_N)
+    nb = 8
+
+    def part_of(cell_u64: np.ndarray, side: int) -> pa.Table:
+        uq, cnt = np.unique(cell_u64.astype(np.uint64), return_counts=True)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(uq, nb)),
+            "tile_u64": pa.array(uq, type=pa.uint64()),
+            "n_img": pa.array(cnt.astype(np.int64) * (1 if side else 0)),
+            "n_evt": pa.array(cnt.astype(np.int64) * (0 if side else 1)),
+        })
+
+    img_idx = CellIndexer(resolution=TILE_RES, emit_cell_id=False)
+
+    def img_part(batch: pa.Table) -> pa.Table:
+        out = img_idx(batch)
+        return part_of(out["cell_u64"].to_numpy(zero_copy_only=False), 1)
+
+    from rhealpixdggs_py_ray.core import index as cidx
+
+    def evt_part(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = oracle.lonlat_from_id(ids)
+        u = cidx.cell_from_point(CFG, TILE_RES, lon, lat, plane=False)
+        return part_of(u, 0)
+
+    imgs = ray.data.read_parquet(
+        IMG_DIR, columns=["phash"],
+        override_num_blocks=sizing.read_blocks(IMG_DIR, profile=8),
+    ).map_batches(img_part, batch_format="pyarrow", zero_copy_batch=True)
+    evts = _read(sf_dir, "events", columns=["event_id"], blocks=4).map_batches(
+        evt_part, batch_format="pyarrow", zero_copy_batch=True)
+
+    def resolve(g: pa.Table) -> pa.Table:
+        cols = {"tile_id": pa.string(), "n_images": pa.int64(),
+                "n_events": pa.int64(), "img_share_e6": pa.int64()}
+        if g.num_rows == 0 or "tile_u64" not in g.column_names:
+            return pa.table({c: pa.array([], type=t) for c, t in cols.items()})
+        u = g["tile_u64"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ni = g["n_img"].to_numpy(zero_copy_only=False)
+        ne = g["n_evt"].to_numpy(zero_copy_only=False)
+        uq, inv = np.unique(u, return_inverse=True)
+        si = np.zeros(len(uq), dtype=np.int64)
+        se = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(si, inv, ni)
+        np.add.at(se, inv, ne)
+        return pa.table({
+            "tile_id": pa.array(su.to_string_fixed(uq, TILE_RES),
+                                type=pa.string()),
+            "n_images": pa.array(si),
+            "n_events": pa.array(se),
+            "img_share_e6": pa.array((si * 1_000_000) // (si + se)),
+        })
+
+    return (
+        imgs.union(evts)
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pyarrow")
+    )
+
+
+def sql_tile_modality_balance() -> str:
+    src = _image_src_sql()
+    img_pts = (f"SELECT image_id, lon, lat FROM {src} q4")
+    img_idx = oracle.cell_from_point_sql(
+        img_pts, TILE_RES, CFG, id_cols=("image_id",))
+    evt_idx = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), TILE_RES, CFG,
+        id_cols=("event_id",))
+    return f"""
+WITH tmi AS MATERIALIZED (
+  SELECT cell_id AS tile_id, CAST(COUNT(*) AS BIGINT) AS n_images
+  FROM {img_idx} a GROUP BY cell_id
+), tme AS MATERIALIZED (
+  SELECT cell_id AS tile_id, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM {evt_idx} b GROUP BY cell_id
+)
+SELECT COALESCE(i.tile_id, e.tile_id) AS tile_id,
+  COALESCE(i.n_images, 0) AS n_images,
+  COALESCE(e.n_events, 0) AS n_events,
+  (COALESCE(i.n_images, 0) * 1000000)
+    // (COALESCE(i.n_images, 0) + COALESCE(e.n_events, 0)) AS img_share_e6
+FROM tmi i FULL OUTER JOIN tme e ON e.tile_id = i.tile_id
+"""
