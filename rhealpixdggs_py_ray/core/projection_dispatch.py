@@ -34,19 +34,24 @@ class Projection:
         if proj in HOMEMADE_PROJECTIONS:
             self._pyproj = None
         else:
+            # a WORKING pyproj is required: the differential tests stub
+            # an import-only pyproj into sys.modules for the reference,
+            # so failure at Proj-construction must degrade the same way
+            # as a missing package
             try:
                 import pyproj
-            except ImportError as e:  # pragma: no cover - pyproj absent here
+
+                self._pyproj = pyproj.Proj(
+                    proj=proj, a=cfg.a, f=1 - np.sqrt(1 - cfg.e**2),
+                    lon_0=cfg.lon_0, lat_0=cfg.lat_0,
+                )  # pragma: no cover - pyproj absent here
+            except Exception as e:
                 raise ImportError(
                     f"projection {proj!r} is not one of the homemade kernels "
-                    f"{HOMEMADE_PROJECTIONS} and requires pyproj "
+                    f"{HOMEMADE_PROJECTIONS} and requires a working pyproj "
                     "(reference projection_wrapper.py:105-108), which is not "
-                    "installed"
+                    "available"
                 ) from e
-            self._pyproj = pyproj.Proj(
-                proj=proj, a=cfg.a, f=1 - np.sqrt(1 - cfg.e**2),
-                lon_0=cfg.lon_0, lat_0=cfg.lat_0,
-            )  # pragma: no cover - pyproj absent here
 
     def __call__(self, u, v, inverse: bool = False):
         scalar = np.isscalar(u) and np.isscalar(v)
