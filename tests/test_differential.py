@@ -433,3 +433,28 @@ def test_my_round_differential(reference):
     arr = np.random.default_rng(5).uniform(-1e6, 1e6, 200)
     got = my_round(arr, 3)
     assert got.tolist() == [ref_round(float(x), 3) for x in arr]
+
+
+def test_cell_from_point_hypothesis_differential(ref):
+    """Hypothesis-driven randomized conformance: engine == reference
+    for arbitrary coordinates and resolutions (the fixed-seed test
+    above plus a shrinking fuzzer for the digit-chain edges)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.floats(min_value=-179.999, max_value=179.999,
+                  allow_nan=False, allow_infinity=False),
+        st.floats(min_value=-89.0, max_value=89.0,
+                  allow_nan=False, allow_infinity=False),
+        st.integers(min_value=0, max_value=10),
+    )
+    def check(lon, lat, res):
+        ours = su.to_string(
+            idx.cell_from_point(WGS84_003, res,
+                                np.array([lon]), np.array([lat]),
+                                plane=False))[0]
+        theirs = str(ref.cell_from_point(res, (lon, lat), plane=False))
+        assert ours == theirs
+
+    check()
