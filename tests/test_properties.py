@@ -224,3 +224,33 @@ def test_pq_codebook_exact_binary():
     C = _pq_codebook()
     assert np.all(C * 64 == np.round(C * 64))
     assert C.min() >= -1.0 and C.max() <= 1.0
+
+
+def test_suid_roundtrip_properties():
+    """Hypothesis: level-order index <-> SUID and string <-> packed
+    roundtrips close for arbitrary (resolution, index); successor and
+    predecessor invert each other away from the ends."""
+    from hypothesis import given, settings, strategies as st
+    import numpy as np
+    from rhealpixdggs_py_ray.core import suid as su
+    from rhealpixdggs_py_ray.core.config import WGS84_003
+    from rhealpixdggs_py_ray.core.wrappers import num_cells
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.integers(0, 8), st.integers(0, 10**9))
+    def check(res, raw):
+        # cells at EXACTLY resolution res (level-order tail segment)
+        n_upto = int(num_cells(0, res, cfg=WGS84_003))
+        n_prev = int(num_cells(0, res - 1, cfg=WGS84_003)) if res else 0
+        i = n_prev + (raw % (n_upto - n_prev))
+        u = su.suid_from_level_order_index(
+            np.array([i], dtype=np.int64), WGS84_003)
+        assert int(su.level_order_index(u, WGS84_003)[0]) == i
+        s = su.to_string(u)[0]
+        assert int(su.from_string([s])[0]) == int(u[0])
+        assert int(su.resolution_of(u)[0]) == res
+        if i + 1 < n_upto:
+            nxt = su.successor(u, WGS84_003)
+            assert int(su.predecessor(nxt, WGS84_003)[0]) == int(u[0])
+
+    check()
