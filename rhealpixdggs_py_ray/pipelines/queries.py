@@ -17878,3 +17878,110 @@ SELECT COALESCE(i.tile_id, e.tile_id) AS tile_id,
     // (COALESCE(i.n_images, 0) + COALESCE(e.n_events, 0)) AS img_share_e6
 FROM tmi i FULL OUTER JOIN tme e ON e.tile_id = i.tile_id
 """
+
+
+def q_cell_edges(sf_dir: str):
+    """Directed-edge API workalike (h3's cellsToDirectedEdge /
+    originToDirectedEdges family) on the res-4 equatorial lattice:
+    every distinct occupied cell emits its 4 directed edges — edge_id
+    packs (gy, gx, dir), the neighbor is the lattice step with
+    antimeridian wrap; steps off the band's gy range drop (the polar
+    crossings belong to the topology kernel, not the integer lattice).
+    Map + one distinct-cell exchange.  Output (cell_id, dir, edge_id,
+    nbr_cell_id)."""
+    from rhealpixdggs_py_ray.ops.agg import sum_by_u64_key
+
+    k = DISSOLVE_RES
+    side = 3 ** k
+    W = 4 * side
+    ds = indexed_events(sf_dir, resolution=k)
+
+    def cells(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        u = batch["cell_u64"].to_numpy(zero_copy_only=False)
+        m = np.abs(lat) <= DISSOLVE_LAT
+        return pa.table({
+            "cell_u64": pa.array(u[m], type=pa.uint64()),
+            "one": pa.array(np.ones(int(m.sum()), dtype=np.int64)),
+        })
+
+    dist = sum_by_u64_key(
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True),
+        "cell_u64", "one", "n",
+    )
+
+    # dir 0=E, 1=W, 2=N (gy-1), 3=S (gy+1)
+    DX = np.array([1, -1, 0, 0], dtype=np.int64)
+    DY = np.array([0, 0, -1, 1], dtype=np.int64)
+
+    def edges(batch: pa.Table) -> pa.Table:
+        u = batch["cell_u64"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        face, digits, _res = su.unpack(u)
+        d = digits[:, :k].astype(np.int64)
+        pw = (3 ** np.arange(k - 1, -1, -1)).astype(np.int64)
+        gy = (d // 3) @ pw
+        gx = (face.astype(np.int64) - 1) * side + (d % 3) @ pw
+        n = len(u)
+        gy4 = np.repeat(gy, 4)
+        gx4 = np.repeat(gx, 4)
+        dir4 = np.tile(np.arange(4, dtype=np.int64), n)
+        ny = gy4 + DY[dir4]
+        nx = (gx4 + DX[dir4]) % W
+        ok = (ny >= 0) & (ny < side)
+        gy4, gx4, dir4, ny, nx = gy4[ok], gx4[ok], dir4[ok], ny[ok], nx[ok]
+        return pa.table({
+            "cell_id": pa.array(
+                _cell_string_array_from_lattice(gy4, gx4, k),
+                type=pa.string()),
+            "dir": pa.array(dir4),
+            "edge_id": pa.array((gy4 * W + gx4) * 4 + dir4),
+            "nbr_cell_id": pa.array(
+                _cell_string_array_from_lattice(ny, nx, k),
+                type=pa.string()),
+        })
+
+    return dist.map_batches(edges, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def sql_cell_edges() -> str:
+    k = DISSOLVE_RES
+    side = 3 ** k
+    W = 4 * side
+    pts = (
+        f"SELECT event_id, lon, lat FROM ({_points_sql('events', 'event_id')}) p"
+        f" WHERE abs(lat) <= {DISSOLVE_LAT!r}"
+    )
+    idx_sql = oracle.cell_from_point_sql(pts, k, CFG, id_cols=("event_id",))
+    gy, gx = _dissolve_rowcol_sql(k)
+
+    def rebuild(gy_e: str, gx_e: str) -> str:
+        return (
+            f"CASE ({gx_e}) // {side} WHEN 0 THEN 'O' WHEN 1 THEN 'P'"
+            " WHEN 2 THEN 'Q' ELSE 'R' END || "
+            + " || ".join(
+                f"CAST(((({gy_e}) // {3 ** (k - 1 - i)}) % 3) * 3"
+                f" + (((({gx_e}) % {side}) // {3 ** (k - 1 - i)}) % 3) AS VARCHAR)"
+                for i in range(k)
+            )
+        )
+
+    return f"""
+WITH ceidx AS MATERIALIZED (
+  SELECT event_id, cell_id FROM {idx_sql} t
+),
+cec AS MATERIALIZED (
+  SELECT DISTINCT {gy} AS gy, {gx} AS gx FROM ceidx
+),
+ced AS MATERIALIZED (
+  SELECT gy, gx, dir,
+    gy + CASE dir WHEN 2 THEN -1 WHEN 3 THEN 1 ELSE 0 END AS ny,
+    ((gx + CASE dir WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END) % {W} + {W})
+      % {W} AS nx
+  FROM cec CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS dir) dd
+)
+SELECT {rebuild('gy', 'gx')} AS cell_id, CAST(dir AS BIGINT) AS dir,
+  CAST((gy * {W} + gx) * 4 + dir AS BIGINT) AS edge_id,
+  {rebuild('ny', 'nx')} AS nbr_cell_id
+FROM ced WHERE ny >= 0 AND ny < {side}
+"""

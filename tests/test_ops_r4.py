@@ -375,3 +375,29 @@ def test_snap_to_line_invariants(ray_session):
             assert row["t_e6"] == int(np.floor(best[2] * 1e6))
         else:
             assert eid not in got.index
+
+
+def test_cell_edges_invariants(ray_session):
+    """Each occupied interior cell emits 4 edges; E/W neighbors are
+    lattice-adjacent with seam wrap; reverse edges pair up when both
+    endpoints are occupied."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import (
+        DISSOLVE_RES, _lattice_from_cell_strings)
+
+    t = Q.q_cell_edges("/root/testdata/sf0.01").to_pandas()
+    assert len(t) > 0
+    W = 4 * 3 ** DISSOLVE_RES
+    gy, gx = _lattice_from_cell_strings(t["cell_id"].to_numpy(), DISSOLVE_RES)
+    ny, nx = _lattice_from_cell_strings(
+        t["nbr_cell_id"].to_numpy(), DISSOLVE_RES)
+    dxr = np.abs(gx - nx)
+    dx = np.minimum(dxr, W - dxr)
+    assert (np.abs(gy - ny) + dx == 1).all()  # exactly one lattice step
+    # E edge of cell c and W edge of its east neighbor reference each
+    # other (the h3 directed-edge pairing)
+    ecells = dict(zip(zip(t["cell_id"], t["dir"]), t["nbr_cell_id"]))
+    for (c, d), n in list(ecells.items())[:500]:
+        rev = {0: 1, 1: 0, 2: 3, 3: 2}[d]
+        if (n, rev) in ecells:
+            assert ecells[(n, rev)] == c
