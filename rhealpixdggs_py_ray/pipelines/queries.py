@@ -17985,3 +17985,112 @@ SELECT {rebuild('gy', 'gx')} AS cell_id, CAST(dir AS BIGINT) AS dir,
   {rebuild('ny', 'nx')} AS nbr_cell_id
 FROM ced WHERE ny >= 0 AND ny < {side}
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4c: geofence enter/exit transitions
+# ---------------------------------------------------------------------------
+
+FENCE_RES = 1
+FENCE_CELLS = ("N4", "S4")
+
+
+def q_geofence_transitions(sf_dir: str):
+    """Geofence monitoring: each user's events ordered by (ts,
+    event_id) form a track; the fence is the union of two res-1 cells
+    (N4, S4), membership decided by the full cell_from_point chain.
+    Per user: events inside, enters (outside->inside steps; an inside
+    FIRST event counts as an entry), exits, and the final state.  ONE
+    h(user) bucket exchange; inside a bucket one lexsort + vectorized
+    flag diff over the whole bucket (user boundaries masked) — the
+    trajectory_segments scale shape."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    n_buckets = sizing.exchange_buckets(16)
+    fence = su.from_string(list(FENCE_CELLS)).astype(np.uint64)
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"],
+               blocks=4)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = (
+            batch["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        lon, lat = oracle.lonlat_from_id(eid)
+        u = idx.cell_from_point(CFG, FENCE_RES, lon, lat, plane=False)
+        ins = np.isin(u.astype(np.uint64), fence).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(uid, n_buckets)),
+            "user_id": pa.array(uid.astype(np.int64)),
+            "t": pa.array(ts),
+            "event_id": pa.array(eid.astype(np.int64)),
+            "ins": pa.array(ins),
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        ins = g["ins"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, t, uid))
+        uid, ins = uid[order], ins[order]
+        new_seg = np.r_[True, uid[1:] != uid[:-1]]
+        prev = np.r_[0, ins[:-1]]
+        enter = (ins == 1) & (new_seg | (prev == 0))
+        exit_ = (ins == 0) & ~new_seg & (prev == 1)
+        uu, inv = np.unique(uid, return_inverse=True)
+        n_ev = np.bincount(inv, minlength=len(uu)).astype(np.int64)
+        n_in = np.zeros(len(uu), dtype=np.int64)
+        np.add.at(n_in, inv, ins)
+        n_ent = np.zeros(len(uu), dtype=np.int64)
+        np.add.at(n_ent, inv, enter.astype(np.int64))
+        n_ex = np.zeros(len(uu), dtype=np.int64)
+        np.add.at(n_ex, inv, exit_.astype(np.int64))
+        ends = np.r_[np.flatnonzero(new_seg)[1:] - 1, len(uid) - 1]
+        return pa.table({
+            "user_id": pa.array(uu),
+            "n_events": pa.array(n_ev),
+            "n_inside": pa.array(n_in),
+            "n_enter": pa.array(n_ent),
+            "n_exit": pa.array(n_ex),
+            "last_inside": pa.array(ins[ends].astype(np.int64)),
+        })
+
+    b = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return b.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def sql_geofence_transitions() -> str:
+    inner = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), FENCE_RES, CFG,
+        id_cols=("event_id",),
+    )
+    fence = ", ".join(f"'{c}'" for c in FENCE_CELLS)
+    return f"""
+WITH gfidx AS MATERIALIZED (
+  SELECT event_id,
+    CASE WHEN cell_id IN ({fence}) THEN 1 ELSE 0 END AS ins
+  FROM {inner} t
+),
+gfe AS MATERIALIZED (
+  SELECT e.user_id, e.ts, e.event_id, c.ins
+  FROM events e JOIN gfidx c USING (event_id)
+),
+gfl AS MATERIALIZED (
+  SELECT user_id, ins,
+    lag(ins) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pins,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC,
+      event_id DESC) AS rn_last
+  FROM gfe
+)
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COUNT(*) FILTER (WHERE ins = 1) AS BIGINT) AS n_inside,
+  CAST(COUNT(*) FILTER (WHERE ins = 1 AND (pins IS NULL OR pins = 0))
+    AS BIGINT) AS n_enter,
+  CAST(COUNT(*) FILTER (WHERE ins = 0 AND pins = 1) AS BIGINT) AS n_exit,
+  CAST(MAX(CASE WHEN rn_last = 1 THEN ins END) AS BIGINT) AS last_inside
+FROM gfl GROUP BY user_id
+"""

@@ -401,3 +401,38 @@ def test_cell_edges_invariants(ray_session):
         rev = {0: 1, 1: 0, 2: 3, 3: 2}[d]
         if (n, rev) in ecells:
             assert ecells[(n, rev)] == c
+
+
+def test_geofence_transitions_invariants(ray_session):
+    """Flow conservation: n_enter - n_exit == last_inside for every
+    user; enters bounded by inside events; a scalar per-user replay of
+    the flag sequence agrees exactly."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import (
+        CFG, FENCE_CELLS, FENCE_RES, oracle)
+    from rhealpixdggs_py_ray.core import index as cidx
+    from rhealpixdggs_py_ray.core import suid as su
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    t = Q.q_geofence_transitions(SF).to_pandas().set_index("user_id")
+    assert len(t) > 0
+    assert (t["n_enter"] - t["n_exit"] == t["last_inside"]).all()
+    assert (t["n_enter"] <= t["n_inside"]).all()
+    assert (t["n_inside"] <= t["n_events"]).all()
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "user_id", "ts"]).to_pandas()
+    lon, lat = oracle.lonlat_from_id(ev["event_id"].to_numpy())
+    u = cidx.cell_from_point(CFG, FENCE_RES, lon, lat, plane=False)
+    ev["ins"] = np.isin(su.to_string_fixed(u, FENCE_RES),
+                        list(FENCE_CELLS)).astype(int)
+    assert int(t["n_events"].sum()) == len(ev)
+    for uid, g in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+        f = g["ins"].to_numpy()
+        ent = int(f[0] == 1) + int(((f[1:] == 1) & (f[:-1] == 0)).sum())
+        ext = int(((f[1:] == 0) & (f[:-1] == 1)).sum())
+        row = t.loc[uid]
+        assert (row["n_events"], row["n_inside"], row["n_enter"],
+                row["n_exit"], row["last_inside"]) == (
+            len(f), int(f.sum()), ent, ext, int(f[-1]))
