@@ -18094,3 +18094,116 @@ SELECT user_id,
   CAST(MAX(CASE WHEN rn_last = 1 THEN ins END) AS BIGINT) AS last_inside
 FROM gfl GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4c: symmetric Hausdorff distance (user point set vs reference set)
+# ---------------------------------------------------------------------------
+
+HAUS_PTS = [(-97.43, 31.17), (-58.37, -17.23), (-3.82, 42.61),
+            (12.58, -4.47), (77.21, 23.93), (139.67, -33.41)]
+
+
+def _haus_xy():
+    """Driver-side projected reference points as exact float64
+    constants (repr literals cross to SQL bit-identically — the
+    snap_to_line pattern)."""
+    from rhealpixdggs_py_ray.core import projection as proj
+
+    lon = np.array([p[0] for p in HAUS_PTS], dtype=np.float64)
+    lat = np.array([p[1] for p in HAUS_PTS], dtype=np.float64)
+    vx, vy = proj.forward(CFG, lon, lat)
+    return [(float(x), float(y)) for x, y in zip(vx, vy)]
+
+
+def q_hausdorff(sf_dir: str):
+    """Symmetric Hausdorff distance between every user's event point
+    set and a fixed reference point set, in planar rHEALPix meters —
+    the trajectory-vs-route similarity primitive.  Distances are
+    integer-quantized PER PAIR (floor(d2 * 1e-6)) before any min/max,
+    so every reduction is an order-free integer fold: per batch one
+    wide partial row per user (max of per-event min, and per-ref-point
+    min); ONE h(user) exchange folds partials.  The corpus never
+    shuffles raw points.  Output (user_id, h_ab = max_a min_b,
+    h_ba = max_b min_a, hausdorff = max of the two)."""
+    from rhealpixdggs_py_ray.core import projection as proj
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    pts = _haus_xy()
+    J = len(pts)
+    n_buckets = sizing.exchange_buckets(8)
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"], blocks=4)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        lon, lat = oracle.lonlat_from_id(ids)
+        px, py = proj.forward(CFG, lon, lat)
+        n = len(ids)
+        Q = np.empty((n, J), dtype=np.int64)
+        for j, (ax, ay) in enumerate(pts):
+            ddx = px - ax
+            ddy = py - ay
+            Q[:, j] = np.floor((ddx * ddx + ddy * ddy) * 1e-6).astype(np.int64)
+        emin = Q.min(axis=1)
+        uu, inv = np.unique(uid, return_inverse=True)
+        amax = np.full(len(uu), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(amax, inv, emin)
+        cols = {
+            "bucket": pa.array(hash_bucket_u64(uu, n_buckets)),
+            "user_id": pa.array(uu.astype(np.int64)),
+            "amax": pa.array(amax),
+        }
+        for j in range(J):
+            mj = np.full(len(uu), np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(mj, inv, Q[:, j])
+            cols[f"m{j}"] = pa.array(mj)
+        return pa.table(cols)
+
+    def resolve(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        uu, inv = np.unique(uid, return_inverse=True)
+        h_ab = np.full(len(uu), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(h_ab, inv, g["amax"].to_numpy(zero_copy_only=False))
+        h_ba = np.full(len(uu), np.iinfo(np.int64).min, dtype=np.int64)
+        for j in range(J):
+            mj = np.full(len(uu), np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(mj, inv, g[f"m{j}"].to_numpy(zero_copy_only=False))
+            h_ba = np.maximum(h_ba, mj)
+        return pa.table({
+            "user_id": pa.array(uu),
+            "h_ab": pa.array(h_ab),
+            "h_ba": pa.array(h_ba),
+            "hausdorff": pa.array(np.maximum(h_ab, h_ba)),
+        })
+
+    b = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return b.groupby("bucket").map_groups(resolve, batch_format="pyarrow")
+
+
+def sql_hausdorff() -> str:
+    pts = _haus_xy()
+    L = oracle._lit
+    proj_sql = oracle.projection_sql(
+        _points_sql("events", "event_id"), CFG, id_cols=("event_id",))
+    q_cols = ", ".join(
+        f"CAST(floor(((xm - {L(ax)}) * (xm - {L(ax)})"
+        f" + (ym - {L(ay)}) * (ym - {L(ay)})) * {L(1e-6)}) AS BIGINT) AS q{j}"
+        for j, (ax, ay) in enumerate(pts))
+    J = len(pts)
+    qs = ", ".join(f"q{j}" for j in range(J))
+    mins = ", ".join(f"MIN(q{j})" for j in range(J))
+    return f"""
+WITH hsp AS MATERIALIZED (
+  SELECT event_id, xm, ym FROM {proj_sql} q
+),
+hsd AS MATERIALIZED (
+  SELECT e.user_id, {q_cols}
+  FROM hsp p JOIN events e USING (event_id)
+),
+hsr AS MATERIALIZED (
+  SELECT user_id, MAX(least({qs})) AS h_ab, greatest({mins}) AS h_ba
+  FROM hsd GROUP BY user_id
+)
+SELECT user_id, h_ab, h_ba, greatest(h_ab, h_ba) AS hausdorff FROM hsr
+"""

@@ -436,3 +436,32 @@ def test_geofence_transitions_invariants(ray_session):
         assert (row["n_events"], row["n_inside"], row["n_enter"],
                 row["n_exit"], row["last_inside"]) == (
             len(f), int(f.sum()), ent, ext, int(f[-1]))
+
+
+def test_hausdorff_invariants(ray_session):
+    """hausdorff == max(h_ab, h_ba); a full scalar replay (per-pair
+    integer quantization then min/max) agrees exactly."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import _haus_xy, CFG, oracle
+    from rhealpixdggs_py_ray.core import projection as proj
+    import pyarrow.parquet as pq
+
+    t = Q.q_hausdorff(SF).to_pandas().set_index("user_id")
+    assert len(t) > 0
+    assert (t["hausdorff"] == np.maximum(t["h_ab"], t["h_ba"])).all()
+    assert (t["hausdorff"] >= t["h_ab"]).all()
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "user_id"]).to_pandas()
+    lon, lat = oracle.lonlat_from_id(ev["event_id"].to_numpy())
+    px, py = proj.forward(CFG, lon, lat)
+    pts = _haus_xy()
+    Qm = np.stack([
+        np.floor(((px - ax) ** 2 + (py - ay) ** 2) * 1e-6).astype(np.int64)
+        for ax, ay in pts], axis=1)
+    for uid in ev["user_id"].unique():
+        m = (ev["user_id"] == uid).to_numpy()
+        h_ab = int(Qm[m].min(axis=1).max())
+        h_ba = int(Qm[m].min(axis=0).max())
+        assert t.loc[uid, "h_ab"] == h_ab
+        assert t.loc[uid, "h_ba"] == h_ba
