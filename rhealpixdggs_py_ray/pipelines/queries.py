@@ -18207,3 +18207,151 @@ hsr AS MATERIALIZED (
 )
 SELECT user_id, h_ab, h_ba, greatest(h_ab, h_ba) AS hausdorff FROM hsr
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4c: viewshed (line-of-sight raster over the res-4 lattice)
+# ---------------------------------------------------------------------------
+
+VIEW_R = 16       # Chebyshev visibility radius (cells)
+VIEW_OBS = (40, 162)   # observer (gy, gx) — mid-band, mid-seam-free
+VIEW_OBS_H = 50   # observer mast height above terrain (m)
+
+
+def _view_elev(gy, gx):
+    """Deterministic integer terrain: elev(gy, gx) = (11*gy + 17*gx)
+    % 997 — trivially mirrored in SQL (the cost_distance weight
+    pattern)."""
+    return (11 * gy + 17 * gx) % 997
+
+
+def q_viewshed(sf_dir: str):
+    """Viewshed: which occupied res-4 lattice cells within Chebyshev
+    radius VIEW_R of a fixed observer are VISIBLE over deterministic
+    integer terrain.  The sightline to a target at distance n is
+    sampled on the grid_path DDA (round-half-up in exact integer
+    arithmetic); step k blocks iff elev_k * n > h0*(n-k) + ht*k — an
+    integer cross-multiplication, so visibility is bit-exact with no
+    float slope anywhere.  Distinct occupied cells come from ONE
+    u64-keyed exchange; the DDA loop is vectorized across all targets
+    (k = 1..R-1 sweeps, each a masked numpy step).  Output (cell_id,
+    dist, elev, visible)."""
+    from rhealpixdggs_py_ray.ops.agg import sum_by_u64_key
+
+    k = DISSOLVE_RES
+    side = 3 ** k
+    W = 4 * side
+    oy, ox = VIEW_OBS
+    h0 = _view_elev(oy, ox) + VIEW_OBS_H
+
+    ds = indexed_events(sf_dir, resolution=k)
+
+    def cells(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        u = batch["cell_u64"].to_numpy(zero_copy_only=False)
+        m = np.abs(lat) <= DISSOLVE_LAT
+        return pa.table({
+            "cell_u64": pa.array(u[m], type=pa.uint64()),
+            "one": pa.array(np.ones(int(m.sum()), dtype=np.int64)),
+        })
+
+    occ = sum_by_u64_key(
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True),
+        "cell_u64", "one", "n",
+    )
+
+    def los(batch: pa.Table) -> pa.Table:
+        u = batch["cell_u64"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        face, digits, _res = su.unpack(u)
+        d = digits[:, :k].astype(np.int64)
+        pw = (3 ** np.arange(k - 1, -1, -1)).astype(np.int64)
+        gy = (d // 3) @ pw
+        gx = (face.astype(np.int64) - 1) * side + (d % 3) @ pw
+        dr = gy - oy
+        dcn = ((gx - ox) % W + W) % W
+        dc = np.where(dcn >= W // 2, dcn - W, dcn)
+        n = np.maximum(np.abs(dr), np.abs(dc))
+        m = (n >= 1) & (n <= VIEW_R)
+        gy, gx, dr, dc, n = gy[m], gx[m], dr[m], dc[m], n[m]
+        ht = _view_elev(gy, gx)
+        blocked = np.zeros(len(n), dtype=bool)
+        for kk in range(1, VIEW_R):
+            live = kk < n
+            if not live.any():
+                break
+            rk = oy + (2 * kk * dr + n) // (2 * n)
+            ck = (ox + (2 * kk * dc + n) // (2 * n)) % W
+            ek = _view_elev(rk, ck)
+            blocked |= live & (ek * n > h0 * (n - kk) + ht * kk)
+        return pa.table({
+            "cell_id": pa.array(
+                _cell_string_array_from_lattice(gy, gx, k), type=pa.string()),
+            "dist": pa.array(n),
+            "elev": pa.array(ht),
+            "visible": pa.array((~blocked).astype(np.int64)),
+        })
+
+    return occ.map_batches(los, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_viewshed() -> str:
+    k = DISSOLVE_RES
+    side = 3 ** k
+    W = 4 * side
+    oy, ox = VIEW_OBS
+    h0 = _view_elev(oy, ox) + VIEW_OBS_H
+    pts = (
+        f"SELECT event_id, lon, lat FROM ({_points_sql('events', 'event_id')}) p"
+        f" WHERE abs(lat) <= {DISSOLVE_LAT!r}"
+    )
+    idx_sql = oracle.cell_from_point_sql(pts, k, CFG, id_cols=("event_id",))
+    gy, gx = _dissolve_rowcol_sql(k)
+    rebuild = (
+        f"CASE gx // {side} WHEN 0 THEN 'O' WHEN 1 THEN 'P'"
+        " WHEN 2 THEN 'Q' ELSE 'R' END || "
+        + " || ".join(
+            f"CAST(((gy // {3 ** (k - 1 - i)}) % 3) * 3"
+            f" + (((gx % {side}) // {3 ** (k - 1 - i)}) % 3) AS VARCHAR)"
+            for i in range(k)
+        )
+    )
+    return f"""
+WITH vsi AS MATERIALIZED (
+  SELECT event_id, cell_id FROM {idx_sql} t
+),
+vsc AS MATERIALIZED (
+  SELECT DISTINCT {gy} AS gy, {gx} AS gx FROM vsi
+),
+vsb AS MATERIALIZED (
+  SELECT gy, gx, dr,
+    CASE WHEN dcn >= {W // 2} THEN dcn - {W} ELSE dcn END AS dc,
+    greatest(abs(dr), abs(CASE WHEN dcn >= {W // 2} THEN dcn - {W}
+      ELSE dcn END)) AS n,
+    (11 * gy + 17 * gx) % 997 AS ht
+  FROM (
+    SELECT gy, gx, gy - {oy} AS dr,
+      (((gx - {ox}) % {W}) + {W}) % {W} AS dcn
+    FROM vsc
+  )
+  WHERE greatest(abs(dr), abs(CASE WHEN dcn >= {W // 2} THEN dcn - {W}
+    ELSE dcn END)) BETWEEN 1 AND {VIEW_R}
+),
+vss AS MATERIALIZED (
+  SELECT gy, gx,
+    ({oy} + CAST(floor((2.0 * kk * dr + n) / (2 * n)) AS BIGINT)) AS rk,
+    (({ox} + CAST(floor((2.0 * kk * dc + n) / (2 * n)) AS BIGINT)) % {W}
+      + {W}) % {W} AS ck,
+    n, ht, kk
+  FROM vsb, unnest(generate_series(1, n - 1)) AS t(kk)
+),
+vsk AS MATERIALIZED (
+  SELECT gy, gx, CAST(COUNT(*) FILTER (
+    WHERE (11 * rk + 17 * ck) % 997 * n > {h0} * (n - kk) + ht * kk
+  ) AS BIGINT) AS nb
+  FROM vss GROUP BY gy, gx
+)
+SELECT {rebuild} AS cell_id, CAST(n AS BIGINT) AS dist,
+  CAST(ht AS BIGINT) AS elev,
+  CAST(CASE WHEN COALESCE(nb, 0) = 0 THEN 1 ELSE 0 END AS BIGINT) AS visible
+FROM vsb LEFT JOIN vsk USING (gy, gx)
+"""

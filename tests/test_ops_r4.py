@@ -465,3 +465,39 @@ def test_hausdorff_invariants(ray_session):
         h_ba = int(Qm[m].min(axis=0).max())
         assert t.loc[uid, "h_ab"] == h_ab
         assert t.loc[uid, "h_ba"] == h_ba
+
+
+def test_viewshed_invariants(ray_session):
+    """Both classes occur at sf0.01; a scalar DDA line-of-sight replay
+    of every output row agrees exactly."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import (
+        DISSOLVE_RES, VIEW_OBS, VIEW_OBS_H, VIEW_R, _view_elev,
+        _lattice_from_cell_strings)
+
+    t = Q.q_viewshed("/root/testdata/sf0.01").to_pandas()
+    assert len(t) > 0
+    assert set(t["visible"].unique()) == {0, 1}
+    assert (t["dist"] >= 1).all() and (t["dist"] <= VIEW_R).all()
+
+    k = DISSOLVE_RES
+    side, W = 3 ** k, 4 * 3 ** k
+    oy, ox = VIEW_OBS
+    h0 = _view_elev(oy, ox) + VIEW_OBS_H
+    gy, gx = _lattice_from_cell_strings(t["cell_id"].to_numpy(), k)
+    for i in range(len(t)):
+        dr = int(gy[i] - oy)
+        dcn = (int(gx[i] - ox) % W + W) % W
+        dc = dcn - W if dcn >= W // 2 else dcn
+        n = max(abs(dr), abs(dc))
+        assert n == t["dist"].iloc[i]
+        ht = _view_elev(int(gy[i]), int(gx[i]))
+        assert ht == t["elev"].iloc[i]
+        blocked = False
+        for kk in range(1, n):
+            rk = oy + (2 * kk * dr + n) // (2 * n)
+            ck = (ox + (2 * kk * dc + n) // (2 * n)) % W
+            if _view_elev(rk, ck) * n > h0 * (n - kk) + ht * kk:
+                blocked = True
+                break
+        assert int(not blocked) == t["visible"].iloc[i]
