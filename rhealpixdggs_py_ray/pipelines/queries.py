@@ -18355,3 +18355,156 @@ SELECT {rebuild} AS cell_id, CAST(n AS BIGINT) AS dist,
   CAST(CASE WHEN COALESCE(nb, 0) = 0 THEN 1 ELSE 0 END AS BIGINT) AS visible
 FROM vsb LEFT JOIN vsk USING (gy, gx)
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4c: discrete Frechet distance (capped trajectory vs reference route)
+# ---------------------------------------------------------------------------
+
+FRECHET_P = 6   # per-user trajectory cap (first P points by ts, event_id)
+
+
+def _frechet_ref():
+    """SNAP_LINE vertices projected once on the driver (exact float64
+    constants, repr-crossable)."""
+    from rhealpixdggs_py_ray.core import projection as proj
+
+    lon = np.array([p[0] for p in SNAP_LINE], dtype=np.float64)
+    lat = np.array([p[1] for p in SNAP_LINE], dtype=np.float64)
+    vx, vy = proj.forward(CFG, lon, lat)
+    return [(float(x), float(y)) for x, y in zip(vx, vy)]
+
+
+def q_frechet(sf_dir: str):
+    """Discrete Frechet distance (the leash metric for route
+    similarity) between each user's first FRECHET_P events (ordered by
+    ts, event_id) and the fixed reference route, in planar rHEALPix
+    meters.  Per-pair costs are integer-quantized (floor(d2 * 1e-6))
+    BEFORE the DP, so every max/min in the recurrence is an order-free
+    integer fold and SQL replays it as 30 unrolled lateral-alias
+    columns.  ONE h(user) exchange; the DP is vectorized ACROSS users
+    (P x M sweeps of whole-bucket numpy ops, no per-user loop).
+    Output (user_id, n_pts, frechet)."""
+    from rhealpixdggs_py_ray.core import projection as proj
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    ref = _frechet_ref()
+    M = len(ref)
+    P = FRECHET_P
+    n_buckets = sizing.exchange_buckets(8)
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"],
+               blocks=4)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = (
+            batch["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        px, py = proj.forward(CFG, *oracle.lonlat_from_id(ids))
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(uid, n_buckets)),
+            "user_id": pa.array(uid.astype(np.int64)),
+            "t": pa.array(ts),
+            "event_id": pa.array(ids.astype(np.int64)),
+            "px": pa.array(px), "py": pa.array(py),
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, t, uid))
+        uid = uid[order]
+        px = g["px"].to_numpy(zero_copy_only=False)[order]
+        py = g["py"].to_numpy(zero_copy_only=False)[order]
+        new_seg = np.r_[True, uid[1:] != uid[:-1]]
+        starts = np.flatnonzero(new_seg)
+        rank = np.arange(len(uid)) - np.repeat(
+            starts, np.diff(np.append(starts, len(uid))))
+        keep = rank < P
+        uid, px, py, rank = uid[keep], px[keep], py[keep], rank[keep]
+        uu, inv = np.unique(uid, return_inverse=True)
+        nu = len(uu)
+        n_pts = np.bincount(inv, minlength=nu).astype(np.int64)
+        # cost cube C[u, i, j]; slots beyond n_pts stay at sentinel and
+        # are never read (the answer indexes row n_pts-1)
+        C = np.full((nu, P, M), np.int64(1 << 60), dtype=np.int64)
+        for j, (ax, ay) in enumerate(ref):
+            ddx = px - ax
+            ddy = py - ay
+            C[inv, rank, j] = np.floor(
+                (ddx * ddx + ddy * ddy) * 1e-6).astype(np.int64)
+        D = np.empty_like(C)
+        for i in range(P):
+            for j in range(M):
+                if i == 0 and j == 0:
+                    best = C[:, 0, 0]
+                elif i == 0:
+                    best = np.maximum(C[:, 0, j], D[:, 0, j - 1])
+                elif j == 0:
+                    best = np.maximum(C[:, i, 0], D[:, i - 1, 0])
+                else:
+                    best = np.maximum(C[:, i, j], np.minimum(
+                        np.minimum(D[:, i - 1, j], D[:, i, j - 1]),
+                        D[:, i - 1, j - 1]))
+                D[:, i, j] = best
+        return pa.table({
+            "user_id": pa.array(uu),
+            "n_pts": pa.array(n_pts),
+            "frechet": pa.array(D[np.arange(nu), n_pts - 1, M - 1]),
+        })
+
+    b = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return b.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def sql_frechet() -> str:
+    ref = _frechet_ref()
+    M = len(ref)
+    P = FRECHET_P
+    L = oracle._lit
+    proj_sql = oracle.projection_sql(
+        _points_sql("events", "event_id"), CFG, id_cols=("event_id",))
+    cost_cols = ", ".join(
+        f"CAST(floor(((xm - {L(ax)}) * (xm - {L(ax)})"
+        f" + (ym - {L(ay)}) * (ym - {L(ay)})) * {L(1e-6)}) AS BIGINT) AS c{j}"
+        for j, (ax, ay) in enumerate(ref))
+    pivot = ", ".join(
+        f"MAX(CASE WHEN rn = {i + 1} THEN c{j} END) AS c{i}{j}"
+        for i in range(P) for j in range(M))
+    dp = []
+    for i in range(P):
+        for j in range(M):
+            if i == 0 and j == 0:
+                dp.append("c00 AS d00")
+            elif i == 0:
+                dp.append(f"greatest(c0{j}, d0{j - 1}) AS d0{j}")
+            elif j == 0:
+                dp.append(f"greatest(c{i}0, d{i - 1}0) AS d{i}0")
+            else:
+                dp.append(
+                    f"greatest(c{i}{j}, least(d{i - 1}{j}, d{i}{j - 1},"
+                    f" d{i - 1}{j - 1})) AS d{i}{j}")
+    final = " ".join(
+        f"WHEN {i + 1} THEN d{i}{M - 1}" for i in range(P))
+    return f"""
+WITH frp AS MATERIALIZED (
+  SELECT event_id, xm, ym FROM {proj_sql} q
+),
+fre AS MATERIALIZED (
+  SELECT e.user_id, {cost_cols},
+    row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id)
+      AS rn
+  FROM frp p JOIN events e USING (event_id)
+),
+frw AS MATERIALIZED (
+  SELECT user_id, CAST(least(COUNT(*), {P}) AS BIGINT) AS n_pts, {pivot}
+  FROM fre WHERE rn <= {P} GROUP BY user_id
+),
+frd AS MATERIALIZED (
+  SELECT user_id, n_pts, {", ".join(dp)} FROM frw
+)
+SELECT user_id, n_pts, CASE n_pts {final} END AS frechet FROM frd
+"""

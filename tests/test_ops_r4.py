@@ -501,3 +501,44 @@ def test_viewshed_invariants(ray_session):
                 blocked = True
                 break
         assert int(not blocked) == t["visible"].iloc[i]
+
+
+def test_frechet_invariants(ray_session):
+    """Frechet >= max(first-point, last-point pair costs) lower bound;
+    a scalar DP replay per user agrees exactly."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import (
+        CFG, FRECHET_P, _frechet_ref, oracle)
+    from rhealpixdggs_py_ray.core import projection as proj
+    import pyarrow.parquet as pq
+
+    t = Q.q_frechet(SF).to_pandas().set_index("user_id")
+    assert len(t) > 0
+    assert (t["n_pts"] >= 1).all() and (t["n_pts"] <= FRECHET_P).all()
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "user_id", "ts"]).to_pandas()
+    ref = _frechet_ref()
+    for uid, g in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+        ids = g["event_id"].to_numpy()[:FRECHET_P]
+        px, py = proj.forward(CFG, *oracle.lonlat_from_id(ids))
+        n = len(ids)
+        C = np.array([[int(np.floor(((px[i] - ax) * (px[i] - ax)
+                                     + (py[i] - ay) * (py[i] - ay)) * 1e-6))
+                       for ax, ay in ref] for i in range(n)], dtype=np.int64)
+        D = np.zeros_like(C)
+        for i in range(n):
+            for j in range(len(ref)):
+                if i == 0 and j == 0:
+                    D[i, j] = C[0, 0]
+                elif i == 0:
+                    D[i, j] = max(C[0, j], D[0, j - 1])
+                elif j == 0:
+                    D[i, j] = max(C[i, 0], D[i - 1, 0])
+                else:
+                    D[i, j] = max(C[i, j], min(D[i - 1, j], D[i, j - 1],
+                                               D[i - 1, j - 1]))
+        assert t.loc[uid, "n_pts"] == n
+        assert t.loc[uid, "frechet"] == D[n - 1, len(ref) - 1]
+        # leash lower bound: endpoints must pair up
+        assert t.loc[uid, "frechet"] >= max(C[0, 0], C[n - 1, len(ref) - 1])
