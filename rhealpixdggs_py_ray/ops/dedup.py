@@ -925,10 +925,17 @@ class ShingleExploder:
         )
 
 
-def ngram_jaccard_pairs(docs_ds, jaccard_min: float = 0.2):
+def ngram_jaccard_pairs(docs_ds, jaccard_min: float = 0.2,
+                        metric: str = "jaccard"):
     """Exact jaccard near-dup pairs via shingle inverted index:
     explode -> groupby(shingle) pair expansion -> per-pair shared-count
-    -> size join -> threshold.  (a, b, jac_micros)."""
+    -> size join -> threshold.  (a, b, jac_micros).
+
+    metric="containment" scores ni / min(na, nb) instead (the
+    asymmetric superset/quotation detector: a doc whose shingles are
+    ENTIRELY inside a larger doc scores 1.0 regardless of the size
+    gap) and returns (a, b, cont_micros, small_side: 0 if a is the
+    smaller set else 1)."""
     # two consumers (inter + sizes): materialize the explode once
     sh = sizing.stateful_map(
         docs_ds, ShingleExploder, batch_format="pyarrow", zero_copy_batch=True
@@ -977,6 +984,18 @@ def ngram_jaccard_pairs(docs_ds, jaccard_min: float = 0.2):
         ni = m["ni_a"].to_numpy().astype(np.int64)
         za = m["n_a"].to_numpy().astype(np.int64)
         zb = m["n_b"].to_numpy().astype(np.int64)
+        if metric == "containment":
+            c = ni.astype(np.float64) / np.minimum(za, zb).astype(np.float64)
+            keep = c >= jaccard_min
+            return pd.DataFrame(
+                {
+                    "a": m["a"].to_numpy()[keep],
+                    "b": m["b"].to_numpy()[keep],
+                    "cont_micros": np.floor(
+                        c[keep] * 1000000.0).astype(np.int64),
+                    "small_side": (zb[keep] < za[keep]).astype(np.int64),
+                }
+            )
         j = ni.astype(np.float64) / (za + zb - ni).astype(np.float64)
         keep = j >= jaccard_min
         return pd.DataFrame(
@@ -988,6 +1007,30 @@ def ngram_jaccard_pairs(docs_ds, jaccard_min: float = 0.2):
         )
 
     return _pair_sides_pivot(att, fin, ["ni", "n"])
+
+
+def ngram_containment_sql(cont_min: float = 0.4) -> str:
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, array_to_string(w[i : i + {SHINGLE_W - 1}], ' ') AS s
+  FROM toks, unnest(generate_series(1, len(w) - {SHINGLE_W - 1})) AS t(i)
+),
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS MATERIALIZED (
+  SELECT sa.doc_id AS a, sb.doc_id AS b, COUNT(*) AS ni
+  FROM sh sa JOIN sh sb ON sa.s = sb.s AND sa.doc_id < sb.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b,
+  CAST(floor(CAST(ni AS DOUBLE) / least(za.n, zb.n) * 1000000.0) AS BIGINT)
+    AS cont_micros,
+  CAST(CASE WHEN zb.n < za.n THEN 1 ELSE 0 END AS BIGINT) AS small_side
+FROM inter i JOIN sizes za ON za.doc_id = i.a JOIN sizes zb ON zb.doc_id = i.b
+WHERE CAST(ni AS DOUBLE) / least(za.n, zb.n) >= {cont_min!r}
+"""
 
 
 def ngram_jaccard_sql(jaccard_min: float = 0.2) -> str:

@@ -18508,3 +18508,24 @@ frd AS MATERIALIZED (
 )
 SELECT user_id, n_pts, CASE n_pts {final} END AS frechet FROM frd
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4c: n-gram containment (asymmetric near-dup / quotation detector)
+# ---------------------------------------------------------------------------
+
+def q_dedup_containment(sf_dir: str):
+    """Shingle containment ni / min(na, nb): catches a short doc fully
+    quoted inside a long one, which symmetric Jaccard dilutes away.
+    Same fused 3-exchange inverted-index plumbing as ngram_jaccard
+    (ops/dedup.py:928) — only the resolve formula differs."""
+    from rhealpixdggs_py_ray.ops import dedup
+
+    return dedup.ngram_jaccard_pairs(_docs(sf_dir), jaccard_min=0.4,
+                                     metric="containment")
+
+
+def sql_dedup_containment() -> str:
+    from rhealpixdggs_py_ray.ops import dedup
+
+    return dedup.ngram_containment_sql(0.4)

@@ -542,3 +542,19 @@ def test_frechet_invariants(ray_session):
         assert t.loc[uid, "frechet"] == D[n - 1, len(ref) - 1]
         # leash lower bound: endpoints must pair up
         assert t.loc[uid, "frechet"] >= max(C[0, 0], C[n - 1, len(ref) - 1])
+
+
+def test_dedup_containment_invariants(ray_session):
+    """containment >= jaccard on any common pair; scores in
+    [threshold, 1]; a < b ordering holds."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    c = Q.q_dedup_containment(SF).to_pandas()
+    assert len(c) > 0
+    assert (c["a"] < c["b"]).all()
+    assert (c["cont_micros"] >= 400000).all()
+    assert (c["cont_micros"] <= 1000000).all()
+    assert set(c["small_side"].unique()) <= {0, 1}
+    j = Q.q_ngram_jaccard(SF).to_pandas()
+    m = c.merge(j, on=["a", "b"])
+    assert (m["cont_micros"] >= m["jac_micros"]).all()
