@@ -12826,12 +12826,15 @@ def q_tile_hll(sf_dir: str):
     """Per-tile HyperLogLog registers over distinct user_ids (the
     distinct-visitors-per-zone monitoring sketch): md5 register/rho
     exactly as q_hll_registers, keyed by the res-2 cell of the event
-    location.  Registers are mergeable maxima — per-batch partials,
-    one (tile, reg) exchange."""
+    location.  Registers are mergeable maxima — per-batch partials on
+    a PACKED u64 key (tile top-bits << 8 | reg; a two-column aggregate
+    with a string key is the measured 70 s anti-pattern, CLAUDE.md),
+    one integer bucket exchange, strings rebuilt only at the end."""
     from rhealpixdggs_py_ray.core import index as cidx
+    from rhealpixdggs_py_ray.ops.agg import max_by_u64_key
     from rhealpixdggs_py_ray.ops.dedup import md5_u64
 
-    ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"], blocks=4)
     mask56 = np.uint64((1 << 56) - 1)
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -12839,30 +12842,38 @@ def q_tile_hll(sf_dir: str):
         uid = batch["user_id"].to_numpy(zero_copy_only=False)
         lon, lat = oracle.lonlat_from_id(ids)
         u = cidx.cell_from_point(CFG, TILE_RES, lon, lat, plane=False)
-        tile = su.to_string_fixed(u, TILE_RES)
-        t_uniq, t_inv = np.unique(tile, return_inverse=True)
         uu, ui = np.unique(uid, return_inverse=True)
         h = np.fromiter(
             (md5_u64(str(int(x))) for x in uu), dtype=np.uint64, count=len(uu)
         )[ui]
-        reg = (h >> np.uint64(56)).astype(np.int64)
+        reg = h >> np.uint64(56)
         suf = h & mask56
         bl = np.zeros(len(suf), dtype=np.int64)
         for kk in range(56):
             bl += (suf >= np.uint64(1 << kk)).astype(np.int64)
         rho = 57 - bl
-        key = t_inv * 256 + reg
-        ku, ki = np.unique(key, return_inverse=True)
-        mx = np.zeros(len(ku), dtype=np.int64)
-        np.maximum.at(mx, ki, rho)
+        # a res-2 cell is face+2 digits in bits 63..52 of the u64
+        key = ((u.astype(np.uint64) >> np.uint64(52)) << np.uint64(8)) | reg
         return pa.table({
-            "tile_id": pa.array(t_uniq[ku // 256], type=pa.string()),
-            "reg": pa.array((ku % 256).astype(np.int64)),
-            "rho": pa.array(mx),
+            "key": pa.array(key, type=pa.uint64()),
+            "rho": pa.array(rho),
         })
 
     part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    return part.groupby(["tile_id", "reg"]).aggregate(Max("rho", alias_name="rho"))
+    folded = max_by_u64_key(part, "key", "rho", "rho", n_buckets=8)
+
+    def stringify(batch: pa.Table) -> pa.Table:
+        key = batch["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        t_u64 = ((key >> np.uint64(8)) << np.uint64(52)) | np.uint64(TILE_RES)
+        return pa.table({
+            "tile_id": pa.array(
+                su.to_string_fixed(t_u64, TILE_RES), type=pa.string()),
+            "reg": pa.array((key & np.uint64(0xFF)).astype(np.int64)),
+            "rho": pa.array(batch["rho"]),
+        })
+
+    return folded.map_batches(stringify, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
 
 def sql_tile_hll() -> str:
