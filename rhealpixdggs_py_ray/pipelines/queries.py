@@ -5589,10 +5589,13 @@ def q_image_neardup(sf_dir: str):
             return batch.append_column("img_idx", ii)
 
         ds = ds.map_batches(add_idx, batch_format="pyarrow", zero_copy_batch=True)
+        # carry (w, h) through the verify exchange so image_retention
+        # (loser = fewer pixels) reads the SAME cached pair set instead
+        # of paying a second decode->phash->LSH pass
         _IMG_NEARDUP_PAIRS[IMG_DIR] = image_near_dup_pairs(
-            ds, max_hamming=NEARDUP_MAX_HAMMING
+            ds, max_hamming=NEARDUP_MAX_HAMMING, extra_val_cols=("w", "h")
         ).materialize()
-    return _IMG_NEARDUP_PAIRS[IMG_DIR]
+    return _IMG_NEARDUP_PAIRS[IMG_DIR].select_columns(["a", "b", "hamming"])
 
 
 def sql_image_neardup() -> str:
@@ -9999,25 +10002,13 @@ def q_image_retention(sf_dir: str):
     broadcast array (round 2 built an O(#images) dense driver lookup
     here; at 10^12 images that is a multi-TB driver array — VERDICT r2
     item 2)."""
-    import pyarrow.compute as pc
-
-    from rhealpixdggs_py_ray.fixtures import write_images_table
     from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
-    from rhealpixdggs_py_ray.ops.multimodal import image_near_dup_pairs
 
-    write_images_table(IMG_DIR, IMG_N)
-    ds = ray.data.read_parquet(
-        IMG_DIR, override_num_blocks=sizing.read_blocks(IMG_DIR, profile=8)
-    )
-
-    def add_idx(batch: pa.Table) -> pa.Table:
-        ii = pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 3, 15), pa.int64())
-        return batch.append_column("img_idx", ii)
-
-    ds = ds.map_batches(add_idx, batch_format="pyarrow", zero_copy_batch=True)
-    pairs = image_near_dup_pairs(
-        ds, max_hamming=NEARDUP_MAX_HAMMING, extra_val_cols=("w", "h")
-    )
+    # verified pairs with dims come from the process-wide cached pair
+    # set (q_image_neardup) — one decode->phash->LSH->verify pass
+    # feeds all five near-dup consumers
+    q_image_neardup(sf_dir)
+    pairs = _IMG_NEARDUP_PAIRS[IMG_DIR]
 
     def pick_losers(batch: pa.Table) -> pa.Table:
         a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
