@@ -18531,3 +18531,169 @@ def sql_dedup_containment() -> str:
     from rhealpixdggs_py_ray.ops import dedup
 
     return dedup.ngram_containment_sql(0.4)
+
+
+# ---------------------------------------------------------------------------
+# Round 4c: Imai-Iri polyline simplification (min-vertex track within eps)
+# ---------------------------------------------------------------------------
+
+SIMP_P = 8           # per-user track cap (first P points by ts, event_id)
+SIMP_EPS2 = 9.0e12   # corridor half-width^2 in planar m^2 (3,000 km)
+
+
+def q_simplify_track(sf_dir: str):
+    """Imai-Iri polyline simplification (the optimal counterpart of
+    Douglas-Peucker): per user, the MINIMUM number of vertices of a
+    subsequence chain whose every shortcut (i, j) keeps all skipped
+    points within sqrt(SIMP_EPS2) of the segment, over the first
+    SIMP_P track points.  Shortcut tests reuse the snap_to_line
+    clamp-projection float shape (bit-identical in SQL); the DAG
+    shortest path is ONE ascending Bellman sweep vectorized across all
+    users in a bucket.  ONE h(user) exchange.  Output (user_id, n_pts,
+    n_kept, direct_ok)."""
+    from rhealpixdggs_py_ray.core import projection as proj
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    P = SIMP_P
+    n_buckets = sizing.exchange_buckets(8)
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"],
+               blocks=4)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = (
+            batch["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        px, py = proj.forward(CFG, *oracle.lonlat_from_id(ids))
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(uid, n_buckets)),
+            "user_id": pa.array(uid.astype(np.int64)),
+            "t": pa.array(ts),
+            "event_id": pa.array(ids.astype(np.int64)),
+            "px": pa.array(px), "py": pa.array(py),
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, t, uid))
+        uid = uid[order]
+        px = g["px"].to_numpy(zero_copy_only=False)[order]
+        py = g["py"].to_numpy(zero_copy_only=False)[order]
+        new_seg = np.r_[True, uid[1:] != uid[:-1]]
+        starts = np.flatnonzero(new_seg)
+        rank = np.arange(len(uid)) - np.repeat(
+            starts, np.diff(np.append(starts, len(uid))))
+        keep = rank < P
+        uid, px, py, rank = uid[keep], px[keep], py[keep], rank[keep]
+        uu, inv = np.unique(uid, return_inverse=True)
+        nu = len(uu)
+        n_pts = np.bincount(inv, minlength=nu).astype(np.int64)
+        X = np.zeros((nu, P), dtype=np.float64)
+        Y = np.zeros((nu, P), dtype=np.float64)
+        X[inv, rank] = px
+        Y[inv, rank] = py
+        # shortcut admissibility: E[:, i, j] (slots past n_pts unused)
+        E = np.zeros((nu, P, P), dtype=bool)
+        for i in range(P - 1):
+            for j in range(i + 1, P):
+                dx = X[:, j] - X[:, i]
+                dy = Y[:, j] - Y[:, i]
+                len2 = dx * dx + dy * dy
+                ok = np.ones(nu, dtype=bool)
+                for k in range(i + 1, j):
+                    tt = ((X[:, k] - X[:, i]) * dx
+                          + (Y[:, k] - Y[:, i]) * dy) / len2
+                    tt = np.minimum(np.maximum(tt, 0.0), 1.0)
+                    ddx = X[:, k] - (X[:, i] + tt * dx)
+                    ddy = Y[:, k] - (Y[:, i] + tt * dy)
+                    ok &= (ddx * ddx + ddy * ddy) <= SIMP_EPS2
+                E[:, i, j] = ok
+        # DAG min-hop: one ascending sweep (edges only go forward)
+        INF = np.int64(1 << 40)
+        dist = np.full((nu, P), INF, dtype=np.int64)
+        dist[:, 0] = 0
+        for j in range(1, P):
+            for i in range(j):
+                cand = np.where(E[:, i, j], dist[:, i] + 1, INF)
+                dist[:, j] = np.minimum(dist[:, j], cand)
+        n_kept = np.where(
+            n_pts == 1, 1, dist[np.arange(nu), n_pts - 1] + 1)
+        direct = E[np.arange(nu), 0, np.maximum(n_pts - 1, 1)]
+        direct = np.where(n_pts <= 2, 1, direct.astype(np.int64))
+        return pa.table({
+            "user_id": pa.array(uu),
+            "n_pts": pa.array(n_pts),
+            "n_kept": pa.array(n_kept.astype(np.int64)),
+            "direct_ok": pa.array(direct.astype(np.int64)),
+        })
+
+    b = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return b.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def sql_simplify_track() -> str:
+    P = SIMP_P
+    L = oracle._lit
+    proj_sql = oracle.projection_sql(
+        _points_sql("events", "event_id"), CFG, id_cols=("event_id",))
+    # chained min-hop CTEs: std1 = nodes reachable in 1 hop from rn=1,
+    # std_h extends by one edge, MIN-merged; P-1 hops always suffice
+    chain = []
+    prev = "std1"
+    chain.append(
+        "std1 AS MATERIALIZED (SELECT user_id, j AS node, 1 AS d"
+        " FROM ste WHERE i = 1)")
+    for h in range(2, P):
+        cur = f"std{h}"
+        chain.append(
+            f"{cur} AS MATERIALIZED (SELECT user_id, node, MIN(d) AS d FROM ("
+            f" SELECT user_id, node, d FROM {prev}"
+            f" UNION ALL"
+            f" SELECT e.user_id, e.j AS node, p.d + 1 AS d"
+            f" FROM {prev} p JOIN ste e ON e.user_id = p.user_id"
+            f" AND e.i = p.node"
+            f") GROUP BY user_id, node)")
+        prev = cur
+    tt = (f"least(greatest(((k.xm - a.xm) * (b.xm - a.xm)"
+          f" + (k.ym - a.ym) * (b.ym - a.ym))"
+          f" / ((b.xm - a.xm) * (b.xm - a.xm)"
+          f" + (b.ym - a.ym) * (b.ym - a.ym)), {L(0.0)}), {L(1.0)})")
+    d2 = (f"(k.xm - (a.xm + {tt} * (b.xm - a.xm)))"
+          f" * (k.xm - (a.xm + {tt} * (b.xm - a.xm)))"
+          f" + (k.ym - (a.ym + {tt} * (b.ym - a.ym)))"
+          f" * (k.ym - (a.ym + {tt} * (b.ym - a.ym)))")
+    return f"""
+WITH stpp AS MATERIALIZED (
+  SELECT event_id, xm, ym FROM {proj_sql} q
+),
+stp AS MATERIALIZED (
+  SELECT user_id, xm, ym, rn FROM (
+    SELECT e.user_id, p.xm, p.ym,
+      row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id)
+        AS rn
+    FROM stpp p JOIN events e USING (event_id)
+  ) WHERE rn <= {P}
+),
+stn AS MATERIALIZED (
+  SELECT user_id, CAST(MAX(rn) AS BIGINT) AS n FROM stp GROUP BY user_id
+),
+ste AS MATERIALIZED (
+  SELECT a.user_id, a.rn AS i, b.rn AS j
+  FROM stp a
+  JOIN stp b ON b.user_id = a.user_id AND b.rn > a.rn
+  LEFT JOIN stp k ON k.user_id = a.user_id AND k.rn > a.rn AND k.rn < b.rn
+  GROUP BY a.user_id, a.rn, b.rn
+  HAVING bool_and(k.rn IS NULL OR {d2} <= {L(SIMP_EPS2)})
+),
+{", ".join(chain)}
+SELECT s.user_id, s.n AS n_pts,
+  CAST(CASE WHEN s.n = 1 THEN 1 ELSE d.d + 1 END AS BIGINT) AS n_kept,
+  CAST(CASE WHEN s.n <= 2 THEN 1
+    WHEN EXISTS (SELECT 1 FROM ste e WHERE e.user_id = s.user_id
+      AND e.i = 1 AND e.j = s.n) THEN 1 ELSE 0 END AS BIGINT) AS direct_ok
+FROM stn s LEFT JOIN std{P - 1} d ON d.user_id = s.user_id AND d.node = s.n
+"""

@@ -558,3 +558,50 @@ def test_dedup_containment_invariants(ray_session):
     j = Q.q_ngram_jaccard(SF).to_pandas()
     m = c.merge(j, on=["a", "b"])
     assert (m["cont_micros"] >= m["jac_micros"]).all()
+
+
+def test_simplify_track_invariants(ray_session):
+    """2 <= n_kept <= n_pts (n_pts >= 2 users); a scalar Imai-Iri
+    replay (clamp-projection corridor + DAG min-hop) agrees exactly."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import (
+        CFG, SIMP_EPS2, SIMP_P, oracle)
+    from rhealpixdggs_py_ray.core import projection as proj
+    import pyarrow.parquet as pq
+
+    t = Q.q_simplify_track(SF).to_pandas().set_index("user_id")
+    assert len(t) > 0
+    assert (t["n_kept"] <= t["n_pts"]).all()
+    assert (t["n_kept"] >= np.minimum(t["n_pts"], 2)).all()
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "user_id", "ts"]).to_pandas()
+    for uid, g in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+        ids = g["event_id"].to_numpy()[:SIMP_P]
+        px, py = proj.forward(CFG, *oracle.lonlat_from_id(ids))
+        n = len(ids)
+        INF = 1 << 40
+        dist = [0] + [INF] * (n - 1)
+        direct = None
+        for j in range(1, n):
+            for i in range(j):
+                dx, dy = px[j] - px[i], py[j] - py[i]
+                len2 = dx * dx + dy * dy
+                ok = True
+                for k in range(i + 1, j):
+                    tt = ((px[k] - px[i]) * dx + (py[k] - py[i]) * dy) / len2
+                    tt = min(max(tt, 0.0), 1.0)
+                    ddx = px[k] - (px[i] + tt * dx)
+                    ddy = py[k] - (py[i] + tt * dy)
+                    if ddx * ddx + ddy * ddy > SIMP_EPS2:
+                        ok = False
+                        break
+                if ok:
+                    dist[j] = min(dist[j], dist[i] + 1)
+                    if i == 0 and j == n - 1:
+                        direct = True
+        n_kept = 1 if n == 1 else dist[n - 1] + 1
+        assert t.loc[uid, "n_pts"] == n
+        assert t.loc[uid, "n_kept"] == n_kept
+        want_direct = 1 if (n <= 2 or direct) else 0
+        assert t.loc[uid, "direct_ok"] == want_direct
