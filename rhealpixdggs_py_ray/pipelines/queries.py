@@ -18697,3 +18697,153 @@ SELECT s.user_id, s.n AS n_pts,
       AND e.i = 1 AND e.j = s.n) THEN 1 ELSE 0 END AS BIGINT) AS direct_ok
 FROM stn s LEFT JOIN std{P - 1} d ON d.user_id = s.user_id AND d.node = s.n
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4c: Viterbi map-matching (HMM over the reference route segments)
+# ---------------------------------------------------------------------------
+
+MM_T = 6                 # per-user observation cap
+MM_PEN = 2_000_000       # transition penalty per segment of jump (d2-micros)
+
+
+def q_map_match(sf_dir: str):
+    """HMM map-matching (the Viterbi core of every GPS-to-road-network
+    matcher): states = the 4 reference route segments, emissions =
+    integer-quantized clamp-projection distances (the snap_to_line
+    float shape, floor(d2 * 1e-6) BEFORE the DP), transitions =
+    MM_PEN * |segment jump|.  All-integer Viterbi -> order-free
+    min/adds that SQL replays as 24 unrolled lateral-alias columns.
+    ONE h(user) exchange; the DP is vectorized across users (T x S
+    sweeps).  Output (user_id, n_pts, cost, end_seg)."""
+    from rhealpixdggs_py_ray.core import projection as proj
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    segs = _snap_segments()
+    S = len(segs)
+    T = MM_T
+    n_buckets = sizing.exchange_buckets(8)
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"],
+               blocks=4)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = (
+            batch["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        px, py = proj.forward(CFG, *oracle.lonlat_from_id(ids))
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(uid, n_buckets)),
+            "user_id": pa.array(uid.astype(np.int64)),
+            "t": pa.array(ts),
+            "event_id": pa.array(ids.astype(np.int64)),
+            "px": pa.array(px), "py": pa.array(py),
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        tt_ = g["t"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, tt_, uid))
+        uid = uid[order]
+        px = g["px"].to_numpy(zero_copy_only=False)[order]
+        py = g["py"].to_numpy(zero_copy_only=False)[order]
+        new_seg = np.r_[True, uid[1:] != uid[:-1]]
+        starts = np.flatnonzero(new_seg)
+        rank = np.arange(len(uid)) - np.repeat(
+            starts, np.diff(np.append(starts, len(uid))))
+        keep = rank < T
+        uid, px, py, rank = uid[keep], px[keep], py[keep], rank[keep]
+        uu, inv = np.unique(uid, return_inverse=True)
+        nu = len(uu)
+        n_pts = np.bincount(inv, minlength=nu).astype(np.int64)
+        E = np.full((nu, T, S), np.int64(1 << 50), dtype=np.int64)
+        for s, (ax, ay, dxab, dyab, len2) in enumerate(segs):
+            tcl = ((px - ax) * dxab + (py - ay) * dyab) / len2
+            tcl = np.minimum(np.maximum(tcl, 0.0), 1.0)
+            ddx = px - (ax + tcl * dxab)
+            ddy = py - (ay + tcl * dyab)
+            E[inv, rank, s] = np.floor(
+                (ddx * ddx + ddy * ddy) * 1e-6).astype(np.int64)
+        V = np.empty_like(E)
+        V[:, 0, :] = E[:, 0, :]
+        for t in range(1, T):
+            for s in range(S):
+                best = V[:, t - 1, 0] + MM_PEN * abs(s - 0)
+                for sp in range(1, S):
+                    best = np.minimum(
+                        best, V[:, t - 1, sp] + MM_PEN * abs(s - sp))
+                V[:, t, s] = E[:, t, s] + best
+        rows = np.arange(nu)
+        fin = V[rows, n_pts - 1, :]
+        cost = fin.min(axis=1)
+        end_seg = fin.argmin(axis=1)
+        return pa.table({
+            "user_id": pa.array(uu),
+            "n_pts": pa.array(n_pts),
+            "cost": pa.array(cost),
+            "end_seg": pa.array(end_seg.astype(np.int64)),
+        })
+
+    b = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return b.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def sql_map_match() -> str:
+    segs = _snap_segments()
+    S = len(segs)
+    T = MM_T
+    L = oracle._lit
+    proj_sql = oracle.projection_sql(
+        _points_sql("events", "event_id"), CFG, id_cols=("event_id",))
+    e_cols = []
+    for s, (ax, ay, dxab, dyab, len2) in enumerate(segs):
+        tcl = (f"least(greatest(((xm - {L(ax)}) * {L(dxab)}"
+               f" + (ym - {L(ay)}) * {L(dyab)}) / {L(len2)},"
+               f" {L(0.0)}), {L(1.0)})")
+        e_cols.append(
+            f"CAST(floor(((xm - ({L(ax)} + {tcl} * {L(dxab)}))"
+            f" * (xm - ({L(ax)} + {tcl} * {L(dxab)}))"
+            f" + (ym - ({L(ay)} + {tcl} * {L(dyab)}))"
+            f" * (ym - ({L(ay)} + {tcl} * {L(dyab)}))) * {L(1e-6)})"
+            f" AS BIGINT) AS e{s}")
+    pivot = ", ".join(
+        f"MAX(CASE WHEN rn = {t + 1} THEN e{s} END) AS e{t}{s}"
+        for t in range(T) for s in range(S))
+    dp = [f"e0{s} AS v0{s}" for s in range(S)]
+    for t in range(1, T):
+        for s in range(S):
+            terms = ", ".join(
+                f"v{t - 1}{sp} + {MM_PEN * abs(s - sp)}" for sp in range(S))
+            dp.append(f"e{t}{s} + least({terms}) AS v{t}{s}")
+    fin_cost, fin_seg = [], []
+    for n in range(1, T + 1):
+        vs = ", ".join(f"v{n - 1}{s}" for s in range(S))
+        fin_cost.append(f"WHEN {n} THEN least({vs})")
+        seg_case = " ".join(
+            f"WHEN v{n - 1}{s} = least({vs}) THEN {s}" for s in range(S))
+        fin_seg.append(f"WHEN {n} THEN (CASE {seg_case} END)")
+    return f"""
+WITH mmp AS MATERIALIZED (
+  SELECT event_id, xm, ym FROM {proj_sql} q
+),
+mme AS MATERIALIZED (
+  SELECT e.user_id, {", ".join(e_cols)},
+    row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id)
+      AS rn
+  FROM mmp p JOIN events e USING (event_id)
+),
+mmw AS MATERIALIZED (
+  SELECT user_id, CAST(least(COUNT(*), {T}) AS BIGINT) AS n_pts, {pivot}
+  FROM mme WHERE rn <= {T} GROUP BY user_id
+),
+mmd AS MATERIALIZED (
+  SELECT user_id, n_pts, {", ".join(dp)} FROM mmw
+)
+SELECT user_id, n_pts,
+  CASE n_pts {" ".join(fin_cost)} END AS cost,
+  CAST(CASE n_pts {" ".join(fin_seg)} END AS BIGINT) AS end_seg
+FROM mmd
+"""

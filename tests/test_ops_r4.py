@@ -605,3 +605,41 @@ def test_simplify_track_invariants(ray_session):
         assert t.loc[uid, "n_kept"] == n_kept
         want_direct = 1 if (n <= 2 or direct) else 0
         assert t.loc[uid, "direct_ok"] == want_direct
+
+
+def test_map_match_invariants(ray_session):
+    """end_seg in range; a scalar Viterbi replay (quantized emissions,
+    |jump| transition penalty) agrees exactly; end-state diversity."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import (
+        CFG, MM_PEN, MM_T, _snap_segments, oracle)
+    from rhealpixdggs_py_ray.core import projection as proj
+    import pyarrow.parquet as pq
+
+    t = Q.q_map_match(SF).to_pandas().set_index("user_id")
+    segs = _snap_segments()
+    assert len(t) > 0
+    assert t["end_seg"].between(0, len(segs) - 1).all()
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "user_id", "ts"]).to_pandas()
+    for uid, g in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+        ids = g["event_id"].to_numpy()[:MM_T]
+        px, py = proj.forward(CFG, *oracle.lonlat_from_id(ids))
+        n = len(ids)
+        E = np.empty((n, len(segs)), dtype=np.int64)
+        for s, (ax, ay, dxab, dyab, len2) in enumerate(segs):
+            for i in range(n):
+                tc = ((px[i] - ax) * dxab + (py[i] - ay) * dyab) / len2
+                tc = min(max(tc, 0.0), 1.0)
+                ddx = px[i] - (ax + tc * dxab)
+                ddy = py[i] - (ay + tc * dyab)
+                E[i, s] = int(np.floor((ddx * ddx + ddy * ddy) * 1e-6))
+        V = E[0].copy()
+        for i in range(1, n):
+            V = E[i] + np.array([
+                min(V[sp] + MM_PEN * abs(s - sp) for sp in range(len(segs)))
+                for s in range(len(segs))])
+        assert t.loc[uid, "n_pts"] == n
+        assert t.loc[uid, "cost"] == int(V.min())
+        assert t.loc[uid, "end_seg"] == int(V.argmin())
