@@ -18847,3 +18847,110 @@ SELECT user_id, n_pts,
   CAST(CASE n_pts {" ".join(fin_seg)} END AS BIGINT) AS end_seg
 FROM mmd
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4c: per-user trip statistics (integer-quantized chord legs)
+# ---------------------------------------------------------------------------
+
+def q_trip_stats(sf_dir: str):
+    """Trip-level mobility stats: each user's events ordered by (ts,
+    event_id) form one trip; per-leg ECEF chord length is quantized to
+    integer millimeters BEFORE summation (sqrt is IEEE exact-rounded,
+    so floor(sqrt(d2) * 1e3) is bit-identical both sides and the SUM
+    is an order-free integer fold).  Output per user: n_legs, total
+    path length, longest leg, and mean leg length (integer division).
+    ONE h(user) bucket exchange — the trajectory_segments shape."""
+    from rhealpixdggs_py_ray.core import projection as proj
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    n_buckets = sizing.exchange_buckets(16)
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"],
+               blocks=4)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = (
+            batch["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        lon, lat = oracle.lonlat_from_id(eid)
+        x, y, z = proj.xyz(CFG, lon, lat)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(uid, n_buckets)),
+            "user_id": pa.array(uid.astype(np.int64)),
+            "t": pa.array(ts),
+            "event_id": pa.array(eid.astype(np.int64)),
+            "x": pa.array(x), "y": pa.array(y), "z": pa.array(z),
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, t, uid))
+        uid = uid[order]
+        x = g["x"].to_numpy(zero_copy_only=False)[order]
+        y = g["y"].to_numpy(zero_copy_only=False)[order]
+        z = g["z"].to_numpy(zero_copy_only=False)[order]
+        dx = x[1:] - x[:-1]
+        dy = y[1:] - y[:-1]
+        dz = z[1:] - z[:-1]
+        d2 = dx * dx + dy * dy + dz * dz
+        leg_mm = np.floor(np.sqrt(d2) * 1e3).astype(np.int64)
+        same = uid[1:] == uid[:-1]
+        uu, inv = np.unique(uid, return_inverse=True)
+        n_legs = np.zeros(len(uu), dtype=np.int64)
+        np.add.at(n_legs, inv[1:][same], 1)
+        tot = np.zeros(len(uu), dtype=np.int64)
+        np.add.at(tot, inv[1:][same], leg_mm[same])
+        mx = np.zeros(len(uu), dtype=np.int64)
+        np.maximum.at(mx, inv[1:][same], leg_mm[same])
+        mean = np.where(n_legs > 0, tot // np.maximum(n_legs, 1), 0)
+        return pa.table({
+            "user_id": pa.array(uu),
+            "n_legs": pa.array(n_legs),
+            "total_mm": pa.array(tot),
+            "max_leg_mm": pa.array(mx),
+            "mean_leg_mm": pa.array(mean),
+        })
+
+    b = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return b.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def sql_trip_stats() -> str:
+    a = repr(CFG.a)
+    e2 = repr(CFG.e**2)
+    lon, lat = oracle.lonlat_from_id_sql("event_id")
+    nn = f"{a}/sqrt(1 - {e2}*sin(radians(lat))*sin(radians(lat)))"
+    return f"""
+WITH tsp AS MATERIALIZED (
+  SELECT user_id, ts, event_id,
+    {nn}*cos(radians(lon))*cos(radians(lat)) AS x,
+    {nn}*sin(radians(lon))*cos(radians(lat)) AS y,
+    {nn}*(1 - {e2})*sin(radians(lat)) AS z
+  FROM (SELECT user_id, ts, event_id, {lon} AS lon, {lat} AS lat FROM events)
+),
+tsl AS MATERIALIZED (
+  SELECT user_id,
+    lag(x) OVER w AS px, lag(y) OVER w AS py, lag(z) OVER w AS pz, x, y, z
+  FROM tsp WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+tsm AS MATERIALIZED (
+  SELECT user_id,
+    CASE WHEN px IS NULL THEN NULL
+      ELSE CAST(floor(sqrt((x-px)*(x-px) + (y-py)*(y-py) + (z-pz)*(z-pz))
+        * 1000.0) AS BIGINT) END AS leg_mm
+  FROM tsl
+)
+SELECT user_id,
+  CAST(COUNT(leg_mm) AS BIGINT) AS n_legs,
+  CAST(COALESCE(SUM(leg_mm), 0) AS BIGINT) AS total_mm,
+  CAST(COALESCE(MAX(leg_mm), 0) AS BIGINT) AS max_leg_mm,
+  CAST(CASE WHEN COUNT(leg_mm) > 0
+    THEN COALESCE(SUM(leg_mm), 0) // COUNT(leg_mm) ELSE 0 END AS BIGINT)
+    AS mean_leg_mm
+FROM tsm GROUP BY user_id
+"""

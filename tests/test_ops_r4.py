@@ -643,3 +643,32 @@ def test_map_match_invariants(ray_session):
         assert t.loc[uid, "n_pts"] == n
         assert t.loc[uid, "cost"] == int(V.min())
         assert t.loc[uid, "end_seg"] == int(V.argmin())
+
+
+def test_trip_stats_invariants(ray_session):
+    """max <= total; mean = total // n_legs; n_legs = n_events - 1;
+    scalar replay of one user agrees."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import CFG, oracle
+    from rhealpixdggs_py_ray.core import projection as proj
+    import pyarrow.parquet as pq
+
+    t = Q.q_trip_stats(SF).to_pandas().set_index("user_id")
+    assert len(t) > 0
+    assert (t["max_leg_mm"] <= t["total_mm"]).all()
+    m = t["n_legs"] > 0
+    assert (t.loc[m, "mean_leg_mm"]
+            == t.loc[m, "total_mm"] // t.loc[m, "n_legs"]).all()
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "user_id", "ts"]).to_pandas()
+    counts = ev.groupby("user_id").size()
+    assert (t["n_legs"] == counts.reindex(t.index) - 1).all()
+    uid = t.index[0]
+    g = ev[ev["user_id"] == uid].sort_values(["ts", "event_id"])
+    lon, lat = oracle.lonlat_from_id(g["event_id"].to_numpy())
+    x, y, z = proj.xyz(CFG, lon, lat)
+    legs = np.floor(np.sqrt(np.diff(x)**2 + np.diff(y)**2 + np.diff(z)**2)
+                    * 1e3).astype(np.int64)
+    assert t.loc[uid, "total_mm"] == int(legs.sum())
+    assert t.loc[uid, "max_leg_mm"] == int(legs.max())
