@@ -18954,3 +18954,86 @@ SELECT user_id,
     AS mean_leg_mm
 FROM tsm GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4c: Web-Mercator XYZ tile export (slippy-map interop)
+# ---------------------------------------------------------------------------
+
+WEBT_Z = 6
+
+
+def q_web_tiles(sf_dir: str):
+    """Slippy-map interop: count events per Web-Mercator XYZ tile at
+    zoom WEBT_Z and emit the Bing-style quadkey for each occupied tile
+    — the export shape every web-map ingestion expects.  The Mercator
+    y uses the OSM formula (ln/tan/cos are the same libm on both
+    sides; event lats stay within +/-84 so no clamp branch).  Tile
+    keys pack to u64 -> ONE integer bucket exchange; quadkeys are
+    built only on the folded (<= 4096-row) result.  Output (z, xt, yt,
+    quadkey, n)."""
+    from rhealpixdggs_py_ray.ops.agg import sum_by_u64_key
+
+    Z = WEBT_Z
+    n_side = 1 << Z
+    ds = _read(sf_dir, "events", columns=["event_id"], blocks=4)
+
+    def tiles(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = oracle.lonlat_from_id(ids)
+        xt = np.floor((lon + 180.0) / 360.0 * n_side).astype(np.int64)
+        rad = np.radians(lat)
+        yt = np.floor(
+            (1.0 - np.log(np.tan(rad) + 1.0 / np.cos(rad)) / np.pi)
+            / 2.0 * n_side).astype(np.int64)
+        key = (yt * n_side + xt).astype(np.uint64)
+        return pa.table({
+            "key": pa.array(key, type=pa.uint64()),
+            "one": pa.array(np.ones(len(key), dtype=np.int64)),
+        })
+
+    folded = sum_by_u64_key(
+        ds.map_batches(tiles, batch_format="pyarrow", zero_copy_batch=True),
+        "key", "one", "n", n_buckets=8,
+    )
+
+    def stringify(batch: pa.Table) -> pa.Table:
+        key = batch["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        yt = key // n_side
+        xt = key % n_side
+        digs = []
+        for b in range(Z - 1, -1, -1):
+            digs.append((((xt >> b) & 1) + 2 * ((yt >> b) & 1)).astype(np.int64))
+        qk = np.array([''.join(str(d[i]) for d in digs)
+                       for i in range(len(key))], dtype=object)
+        return pa.table({
+            "z": pa.array(np.full(len(key), Z, dtype=np.int64)),
+            "xt": pa.array(xt),
+            "yt": pa.array(yt),
+            "quadkey": pa.array(qk, type=pa.string()),
+            "n": pa.array(batch["n"]),
+        })
+
+    return folded.map_batches(stringify, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def sql_web_tiles() -> str:
+    Z = WEBT_Z
+    n_side = 1 << Z
+    lon, lat = oracle.lonlat_from_id_sql("event_id")
+    qk = " || ".join(
+        f"CAST(((xt >> {b}) & 1) + 2 * ((yt >> {b}) & 1) AS VARCHAR)"
+        for b in range(Z - 1, -1, -1))
+    return f"""
+WITH wtt AS MATERIALIZED (
+  SELECT
+    CAST(floor((lon + 180.0) / 360.0 * {n_side}) AS BIGINT) AS xt,
+    CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi())
+      / 2.0 * {n_side}) AS BIGINT) AS yt
+  FROM (SELECT {lon} AS lon, {lat} AS lat FROM events)
+)
+SELECT CAST({Z} AS BIGINT) AS z, xt, yt, {qk} AS quadkey,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM wtt GROUP BY xt, yt
+"""

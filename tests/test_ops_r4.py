@@ -672,3 +672,27 @@ def test_trip_stats_invariants(ray_session):
                     * 1e3).astype(np.int64)
     assert t.loc[uid, "total_mm"] == int(legs.sum())
     assert t.loc[uid, "max_leg_mm"] == int(legs.max())
+
+
+def test_web_tiles_invariants(ray_session):
+    """Tile coords in range at zoom Z; quadkey decodes back to
+    (xt, yt); counts sum to the event count."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import WEBT_Z
+    import pyarrow.parquet as pq
+
+    t = Q.q_web_tiles(SF).to_pandas()
+    n_side = 1 << WEBT_Z
+    assert len(t) > 0
+    assert t["xt"].between(0, n_side - 1).all()
+    assert t["yt"].between(0, n_side - 1).all()
+    assert (t["quadkey"].str.len() == WEBT_Z).all()
+    for _, r in t.head(50).iterrows():
+        x = y = 0
+        for ch in r["quadkey"]:
+            d = int(ch)
+            x = 2 * x + (d & 1)
+            y = 2 * y + (d >> 1)
+        assert (x, y) == (r["xt"], r["yt"])
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["event_id"])
+    assert int(t["n"].sum()) == ev.num_rows
