@@ -19037,3 +19037,75 @@ SELECT CAST({Z} AS BIGINT) AS z, xt, yt, {qk} AS quadkey,
   CAST(COUNT(*) AS BIGINT) AS n
 FROM wtt GROUP BY xt, yt
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4c: near-dup source matrix (where does duplication come from?)
+# ---------------------------------------------------------------------------
+
+def q_dup_source_matrix(sf_dir: str):
+    """Curation analytics: the symmetric source-pair matrix of verified
+    minhash near-dup pairs — which corpus sources duplicate each other
+    (mirror sites, cross-posts) vs self-duplicate.  Reuses the cached
+    pair set (_minhash_pairs) and attaches each endpoint's source code
+    through the ONE fused attach exchange (ops/dedup.py
+    _attach_pair_sides_fused, kv_mode=direct); per-bucket partial
+    counts fold through one integer-key exchange.  Output (src_lo,
+    src_hi, n_pairs)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from rhealpixdggs_py_ray.ops.agg import sum_by_u64_key
+    from rhealpixdggs_py_ray.ops.dedup import (
+        _attach_pair_sides_fused, _pair_sides_pivot)
+
+    pairs = _minhash_pairs(sf_dir)
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"], blocks=4)
+
+    def kv(batch: pa.Table) -> pa.Table:
+        src = pc.cast(pc.utf8_slice_codeunits(batch["source"], 3, 10),
+                      pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "src": src})
+
+    kv_ds = docs.map_batches(kv, batch_format="pyarrow", zero_copy_batch=True)
+    att = _attach_pair_sides_fused(
+        pairs, kv_ds, pair_sums=[], val_cols=[("src", pa.int64())],
+        kv_mode="direct",
+    )
+
+    def fin(m: pd.DataFrame) -> pd.DataFrame:
+        sa = m["src_a"].to_numpy().astype(np.int64)
+        sb = m["src_b"].to_numpy().astype(np.int64)
+        key = np.minimum(sa, sb) * 1024 + np.maximum(sa, sb)
+        ku, cnt = np.unique(key, return_counts=True)
+        return pd.DataFrame({"key": ku.astype(np.uint64),
+                             "n": cnt.astype(np.int64)})
+
+    part = _pair_sides_pivot(att, fin, ["src"])
+    folded = sum_by_u64_key(part, "key", "n", "n_pairs", n_buckets=8)
+
+    def stringify(batch: pa.Table) -> pa.Table:
+        key = batch["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "src_lo": pa.array(key // 1024),
+            "src_hi": pa.array(key % 1024),
+            "n_pairs": pa.array(batch["n_pairs"]),
+        })
+
+    return folded.map_batches(stringify, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def sql_dup_source_matrix() -> str:
+    from rhealpixdggs_py_ray.ops import dedup
+
+    return f"""
+WITH dsmp AS MATERIALIZED ({dedup.minhash_lsh_sql()}),
+dsms AS MATERIALIZED (
+  SELECT doc_id, CAST(substr(source, 4) AS BIGINT) AS src FROM documents
+)
+SELECT least(sa.src, sb.src) AS src_lo, greatest(sa.src, sb.src) AS src_hi,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM dsmp p JOIN dsms sa ON sa.doc_id = p.a JOIN dsms sb ON sb.doc_id = p.b
+GROUP BY 1, 2
+"""

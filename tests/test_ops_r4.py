@@ -696,3 +696,24 @@ def test_web_tiles_invariants(ray_session):
         assert (x, y) == (r["xt"], r["yt"])
     ev = pq.read_table(f"{SF}/events.parquet", columns=["event_id"])
     assert int(t["n"].sum()) == ev.num_rows
+
+
+def test_dup_source_matrix_invariants(ray_session):
+    """Totals match the pair count; keys ordered lo <= hi; a pandas
+    replay over the pair set agrees."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    t = Q.q_dup_source_matrix(SF).to_pandas()
+    p = Q.q_minhash_lsh(SF).to_pandas()
+    assert (t["src_lo"] <= t["src_hi"]).all()
+    assert int(t["n_pairs"].sum()) == len(p)
+    import pyarrow.parquet as pq
+    d = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "source"]).to_pandas()
+    src = d.set_index("doc_id")["source"].str[3:].astype(int)
+    lo = np.minimum(src[p["a"]].to_numpy(), src[p["b"]].to_numpy())
+    hi = np.maximum(src[p["a"]].to_numpy(), src[p["b"]].to_numpy())
+    import collections
+    want = collections.Counter(zip(lo.tolist(), hi.tolist()))
+    got = {(r.src_lo, r.src_hi): r.n_pairs for r in t.itertuples()}
+    assert got == dict(want)
