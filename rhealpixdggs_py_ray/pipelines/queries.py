@@ -19109,3 +19109,92 @@ SELECT least(sa.src, sb.src) AS src_lo, greatest(sa.src, sb.src) AS src_hi,
 FROM dsmp p JOIN dsms sa ON sa.doc_id = p.a JOIN dsms sb ON sb.doc_id = p.b
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4c: embedding norm outliers (embedding-table quality control)
+# ---------------------------------------------------------------------------
+
+def q_embedding_norm_outliers(sf_dir: str):
+    """Embedding QC: exact quartiles of the (micro-quantized) L2 norm
+    distribution and the count of vectors outside the 1.5-IQR Tukey
+    fences — the standard screen for broken/degenerate vectors before
+    ANN indexing.  One streaming pass emits per-batch (norm, count)
+    histogram partials; the driver folds the bounded histogram
+    (<= #distinct micro-norms rows) and reads quartiles + outlier
+    counts straight off the cumulative counts — no second corpus pass,
+    nothing large on the driver.  Output one row (n, q1_micros,
+    q3_micros, fence_lo, fence_hi, n_lo, n_hi)."""
+    from rhealpixdggs_py_ray.ops.ann import _seq_norm
+    from rhealpixdggs_py_ray.ops.dedup import _emb_matrix
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding"], blocks=4)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        M = _emb_matrix(batch)
+        nm = np.floor(_seq_norm(M) * 1e6).astype(np.int64)
+        uq, cnt = np.unique(nm, return_counts=True)
+        return pa.table({"nm": pa.array(uq),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    hist: dict[int, int] = {}
+    for bt in ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        if bt.num_rows == 0:
+            continue
+        for v, c in zip(bt["nm"].to_numpy(zero_copy_only=False),
+                        bt["c"].to_numpy(zero_copy_only=False)):
+            hist[int(v)] = hist.get(int(v), 0) + int(c)
+    vals = np.array(sorted(hist), dtype=np.int64)
+    cnts = np.array([hist[int(v)] for v in vals], dtype=np.int64)
+    n = int(cnts.sum())
+    csum = np.cumsum(cnts)
+    k1 = max((n + 1) // 4, 1)
+    k3 = min((3 * (n + 1)) // 4, n)
+    q1 = int(vals[np.searchsorted(csum, k1)])
+    q3 = int(vals[np.searchsorted(csum, k3)])
+    span = (3 * (q3 - q1)) // 2
+    flo, fhi = q1 - span, q3 + span
+    n_lo = int(cnts[vals < flo].sum())
+    n_hi = int(cnts[vals > fhi].sum())
+    return pa.table({
+        "n": pa.array([n], type=pa.int64()),
+        "q1_micros": pa.array([q1], type=pa.int64()),
+        "q3_micros": pa.array([q3], type=pa.int64()),
+        "fence_lo": pa.array([flo], type=pa.int64()),
+        "fence_hi": pa.array([fhi], type=pa.int64()),
+        "n_lo": pa.array([n_lo], type=pa.int64()),
+        "n_hi": pa.array([n_hi], type=pa.int64()),
+    })
+
+
+def sql_embedding_norm_outliers() -> str:
+    return """
+WITH eno AS MATERIALIZED (
+  SELECT CAST(floor(sqrt(list_sum(list_transform(embedding,
+    x -> CAST(x AS DOUBLE) * x))) * 1000000.0) AS BIGINT) AS nm
+  FROM embeddings
+),
+enr AS MATERIALIZED (
+  SELECT nm, row_number() OVER (ORDER BY nm) AS r,
+    COUNT(*) OVER () AS n
+  FROM eno
+),
+enq AS MATERIALIZED (
+  SELECT CAST(MAX(n) AS BIGINT) AS n,
+    MAX(CASE WHEN r = greatest((n + 1) // 4, 1) THEN nm END) AS q1_micros,
+    MAX(CASE WHEN r = least((3 * (n + 1)) // 4, n) THEN nm END) AS q3_micros
+  FROM enr
+),
+enf AS MATERIALIZED (
+  SELECT n, q1_micros, q3_micros,
+    q1_micros - (3 * (q3_micros - q1_micros)) // 2 AS fence_lo,
+    q3_micros + (3 * (q3_micros - q1_micros)) // 2 AS fence_hi
+  FROM enq
+)
+SELECT f.n, f.q1_micros, f.q3_micros, f.fence_lo, f.fence_hi,
+  CAST((SELECT COUNT(*) FROM eno WHERE nm < f.fence_lo) AS BIGINT) AS n_lo,
+  CAST((SELECT COUNT(*) FROM eno WHERE nm > f.fence_hi) AS BIGINT) AS n_hi
+FROM enf f
+"""

@@ -717,3 +717,26 @@ def test_dup_source_matrix_invariants(ray_session):
     want = collections.Counter(zip(lo.tolist(), hi.tolist()))
     got = {(r.src_lo, r.src_hi): r.n_pairs for r in t.itertuples()}
     assert got == dict(want)
+
+
+def test_embedding_norm_outliers_invariants(ray_session):
+    """q1 <= q3; fences symmetric around the quartiles; counts match a
+    full in-memory replay."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.ops.ann import _seq_norm
+    from rhealpixdggs_py_ray.ops.dedup import _emb_matrix
+    import pyarrow.parquet as pq
+
+    t = Q.q_embedding_norm_outliers(SF).to_pandas().iloc[0]
+    e = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+    nm = np.sort(np.floor(_seq_norm(_emb_matrix(e)) * 1e6).astype(np.int64))
+    n = len(nm)
+    q1 = int(nm[max((n + 1) // 4, 1) - 1])
+    q3 = int(nm[min((3 * (n + 1)) // 4, n) - 1])
+    span = (3 * (q3 - q1)) // 2
+    assert t["n"] == n
+    assert (t["q1_micros"], t["q3_micros"]) == (q1, q3)
+    assert t["fence_lo"] == q1 - span and t["fence_hi"] == q3 + span
+    assert t["n_lo"] == int((nm < q1 - span).sum())
+    assert t["n_hi"] == int((nm > q3 + span).sum())
+    assert q1 <= q3
