@@ -19198,3 +19198,204 @@ SELECT f.n, f.q1_micros, f.q3_micros, f.fence_lo, f.fence_hi,
   CAST((SELECT COUNT(*) FROM eno WHERE nm > f.fence_hi) AS BIGINT) AS n_hi
 FROM enf f
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4c: user lifetime survival curve (retention analytics)
+# ---------------------------------------------------------------------------
+
+def q_survival_curve(sf_dir: str):
+    """Retention survival: per user the observed lifetime in whole
+    days (last event day - first event day), then the survival curve
+    S(d) = #users with lifetime >= d for every observed lifetime d —
+    all integers.  Per-batch (user -> min/max day) partials fold
+    through ONE h(user) exchange; the tiny per-lifetime histogram
+    resolves driver-side via cumulative counts (bounded by #distinct
+    lifetimes).  Output (d, n_surviving, n_total)."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    n_buckets = sizing.exchange_buckets(8)
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"], blocks=4)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        day = (
+            batch["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64) // 86_400_000_000
+        )
+        uu, inv = np.unique(uid, return_inverse=True)
+        lo = np.full(len(uu), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(lo, inv, day)
+        hi = np.full(len(uu), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(hi, inv, day)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(uu, n_buckets)),
+            "user_id": pa.array(uu.astype(np.int64)),
+            "lo": pa.array(lo), "hi": pa.array(hi),
+        })
+
+    def resolve(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        uu, inv = np.unique(uid, return_inverse=True)
+        lo = np.full(len(uu), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(lo, inv, g["lo"].to_numpy(zero_copy_only=False))
+        hi = np.full(len(uu), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(hi, inv, g["hi"].to_numpy(zero_copy_only=False))
+        life = hi - lo
+        lu, lc = np.unique(life, return_counts=True)
+        return pa.table({"d": pa.array(lu),
+                         "c": pa.array(lc.astype(np.int64))})
+
+    hist: dict[int, int] = {}
+    part = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    for bt in (
+        part.groupby("bucket").map_groups(resolve, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        if bt.num_rows == 0 or "d" not in bt.column_names:
+            continue
+        for v, c in zip(bt["d"].to_numpy(zero_copy_only=False),
+                        bt["c"].to_numpy(zero_copy_only=False)):
+            hist[int(v)] = hist.get(int(v), 0) + int(c)
+    ds_ = np.array(sorted(hist), dtype=np.int64)
+    cs = np.array([hist[int(v)] for v in ds_], dtype=np.int64)
+    n = int(cs.sum())
+    # survivors at d = users with lifetime >= d (suffix sums)
+    surv = (n - np.r_[0, np.cumsum(cs)[:-1]]).astype(np.int64)
+    return pa.table({
+        "d": pa.array(ds_),
+        "n_surviving": pa.array(surv),
+        "n_total": pa.array(np.full(len(ds_), n, dtype=np.int64)),
+    })
+
+
+def sql_survival_curve() -> str:
+    return """
+WITH svl AS MATERIALIZED (
+  SELECT user_id,
+    CAST(CAST(MAX(ts) AS DATE) - CAST(MIN(ts) AS DATE) AS BIGINT) AS life
+  FROM events GROUP BY user_id
+),
+svh AS MATERIALIZED (
+  SELECT life AS d, CAST(COUNT(*) AS BIGINT) AS c FROM svl GROUP BY life
+)
+SELECT d,
+  CAST(SUM(c) OVER (ORDER BY d DESC) AS BIGINT) AS n_surviving,
+  CAST(SUM(c) OVER () AS BIGINT) AS n_total
+FROM svh ORDER BY d
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 4c: per-doc n-gram novelty (corpus contribution accounting)
+# ---------------------------------------------------------------------------
+
+def q_ngram_novelty(sf_dir: str):
+    """Novelty accounting (the dedup-report metric RefinedWeb-style
+    pipelines publish): attribute every distinct shingle to its
+    minimum doc_id OWNER; a doc's novelty is the share of its shingles
+    it owns (1.0 = contributes only new text, ~0 = re-states earlier
+    docs).  Exchange 1: hash(shingle) buckets -> per-bucket min-doc ->
+    (owner, novel-count) partials; exchange 2: ONE h(doc) union
+    exchange folds novel partials with map-side per-doc totals.
+    Output (doc_id, n_grams, n_novel)."""
+    import pandas as pd
+
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+    from rhealpixdggs_py_ray.ops.dedup import N_PAIR_BUCKETS, ShingleExploder
+
+    sh = sizing.stateful_map(
+        _docs(sf_dir), ShingleExploder, batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()  # two consumers (owners + totals): explode once
+
+    npb = sizing.exchange_buckets(N_PAIR_BUCKETS)
+    ndb = sizing.exchange_buckets(8)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        s = batch["s"].to_numpy(zero_copy_only=False)
+        bucket = (pd.util.hash_array(s) % np.uint64(npb)).astype(np.int64)
+        return batch.append_column("bucket", pa.array(bucket))
+
+    def owners(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "s" not in g.column_names:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "kind": pa.array([], type=pa.int64()),
+                             "v": pa.array([], type=pa.int64())})
+        s = g["s"].to_numpy(zero_copy_only=False)
+        d = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        su_, inv = np.unique(s, return_inverse=True)
+        own = np.full(len(su_), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(own, inv, d)
+        ou, oc = np.unique(own, return_counts=True)
+        return pa.table({"doc_id": pa.array(ou),
+                         "kind": pa.array(np.zeros(len(ou), dtype=np.int64)),
+                         "v": pa.array(oc.astype(np.int64))})
+
+    novel = (
+        sh.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(owners, batch_format="pyarrow")
+    )
+
+    def totals(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        du, dc = np.unique(d, return_counts=True)
+        return pa.table({"doc_id": pa.array(du),
+                         "kind": pa.array(np.ones(len(du), dtype=np.int64)),
+                         "v": pa.array(dc.astype(np.int64))})
+
+    tot = sh.map_batches(totals, batch_format="pyarrow", zero_copy_batch=True)
+
+    def key2(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket2", pa.array(hash_bucket_u64(d, ndb)))
+
+    def resolve(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "doc_id" not in g.column_names:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "n_grams": pa.array([], type=pa.int64()),
+                             "n_novel": pa.array([], type=pa.int64())})
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        du, inv = np.unique(d, return_inverse=True)
+        ng = np.zeros(len(du), dtype=np.int64)
+        np.add.at(ng, inv[kind == 1], v[kind == 1])
+        nv = np.zeros(len(du), dtype=np.int64)
+        np.add.at(nv, inv[kind == 0], v[kind == 0])
+        return pa.table({"doc_id": pa.array(du),
+                         "n_grams": pa.array(ng),
+                         "n_novel": pa.array(nv)})
+
+    both = novel.map_batches(
+        key2, batch_format="pyarrow", zero_copy_batch=True
+    ).union(tot.map_batches(key2, batch_format="pyarrow", zero_copy_batch=True))
+    return both.groupby("bucket2").map_groups(resolve, batch_format="pyarrow")
+
+
+def sql_ngram_novelty() -> str:
+    from rhealpixdggs_py_ray.ops.dedup import SHINGLE_W
+
+    return f"""
+WITH nvt AS MATERIALIZED (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+),
+nvs AS MATERIALIZED (
+  SELECT DISTINCT doc_id, array_to_string(w[i : i + {SHINGLE_W - 1}], ' ') AS s
+  FROM nvt, unnest(generate_series(1, len(w) - {SHINGLE_W - 1})) AS t(i)
+),
+nvo AS MATERIALIZED (
+  SELECT s, MIN(doc_id) AS owner FROM nvs GROUP BY s
+),
+nvn AS MATERIALIZED (
+  SELECT owner AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+  FROM nvo GROUP BY owner
+)
+SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+  COALESCE(MAX(n.n_novel), 0) AS n_novel
+FROM nvs t LEFT JOIN nvn n ON n.doc_id = t.doc_id
+GROUP BY t.doc_id
+"""

@@ -740,3 +740,43 @@ def test_embedding_norm_outliers_invariants(ray_session):
     assert t["n_lo"] == int((nm < q1 - span).sum())
     assert t["n_hi"] == int((nm > q3 + span).sum())
     assert q1 <= q3
+
+
+def test_survival_curve_invariants(ray_session):
+    """Monotone nonincreasing survivors; S(min d) == n_total; totals
+    match the distinct user count."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    import pyarrow.parquet as pq
+
+    t = Q.q_survival_curve(SF).to_pandas().sort_values("d")
+    assert len(t) > 0
+    assert (np.diff(t["n_surviving"].to_numpy()) <= 0).all()
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id"])
+    n_users = len(set(ev["user_id"].to_pylist()))
+    assert (t["n_total"] == n_users).all()
+    assert t["n_surviving"].iloc[0] == n_users
+
+
+def test_ngram_novelty_invariants(ray_session):
+    """n_novel <= n_grams; the minimum doc_id owns all its grams; sum
+    of novel counts == total distinct shingles in the corpus."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.ops.dedup import shingles
+    import pyarrow.parquet as pq
+
+    t = Q.q_ngram_novelty(SF).to_pandas().set_index("doc_id")
+    assert len(t) > 0
+    assert (t["n_novel"] <= t["n_grams"]).all()
+    d = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    first = d["doc_id"].min()
+    assert t.loc[first, "n_novel"] == t.loc[first, "n_grams"]
+    all_sh = set()
+    per_doc = {}
+    for r in d.itertuples():
+        s = set(shingles(r.text))
+        per_doc[r.doc_id] = s
+        all_sh |= s
+    assert int(t["n_novel"].sum()) == len(all_sh)
+    assert (t["n_grams"] == d.set_index("doc_id")["text"].map(
+        lambda x: len(set(shingles(x)))).reindex(t.index)).all()
