@@ -19399,3 +19399,107 @@ SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
 FROM nvs t LEFT JOIN nvn n ON n.doc_id = t.doc_id
 GROUP BY t.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4c: per-tile event-type diversity (Gini impurity, exact integers)
+# ---------------------------------------------------------------------------
+
+EVT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_tile_gini(sf_dir: str):
+    """Spatial behavioral diversity: Gini impurity of the event-type
+    mix per res-2 tile (the land-use-mix / audience-mix analytic) as a
+    RATIONAL of exact integers — gini_e9 = (n^2 - sum cnt^2) * 1e9 //
+    n^2 (char_diversity's ulp-safe rule).  Per-batch counts pack
+    (tile top-bits << 3 | type code) into ONE u64-keyed exchange; the
+    folded (<= tiles x 5 row) table resolves per tile in a second tiny
+    integer exchange.  Output (tile_id, n_events, n_types, top_cnt,
+    gini_e9)."""
+    from rhealpixdggs_py_ray.core import index as cidx
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64, sum_by_u64_key
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"],
+               blocks=4)
+    codes = {t: i for i, t in enumerate(EVT_TYPES)}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        lon, lat = oracle.lonlat_from_id(ids)
+        u = cidx.cell_from_point(CFG, TILE_RES, lon, lat, plane=False)
+        code = np.array([codes[x] for x in et], dtype=np.uint64)
+        key = ((u.astype(np.uint64) >> np.uint64(52)) << np.uint64(3)) | code
+        return pa.table({
+            "key": pa.array(key, type=pa.uint64()),
+            "one": pa.array(np.ones(len(key), dtype=np.int64)),
+        })
+
+    folded = sum_by_u64_key(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "key", "one", "cnt", n_buckets=8,
+    )
+
+    def key2(batch: pa.Table) -> pa.Table:
+        tile = (batch["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                >> np.uint64(3))
+        return batch.append_column("bucket2",
+                                   pa.array(hash_bucket_u64(tile, 8)))
+
+    def resolve(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "key" not in g.column_names:
+            return pa.table({"tile_id": pa.array([], type=pa.string()),
+                             "n_events": pa.array([], type=pa.int64()),
+                             "n_types": pa.array([], type=pa.int64()),
+                             "top_cnt": pa.array([], type=pa.int64()),
+                             "gini_e9": pa.array([], type=pa.int64())})
+        key = g["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
+        tile = key >> np.uint64(3)
+        tu, inv = np.unique(tile, return_inverse=True)
+        n = np.zeros(len(tu), dtype=np.int64)
+        np.add.at(n, inv, cnt)
+        s2 = np.zeros(len(tu), dtype=np.int64)
+        np.add.at(s2, inv, cnt * cnt)
+        nt = np.zeros(len(tu), dtype=np.int64)
+        np.add.at(nt, inv, 1)
+        top = np.zeros(len(tu), dtype=np.int64)
+        np.maximum.at(top, inv, cnt)
+        t_u64 = (tu << np.uint64(52)) | np.uint64(TILE_RES)
+        return pa.table({
+            "tile_id": pa.array(su.to_string_fixed(t_u64, TILE_RES),
+                                type=pa.string()),
+            "n_events": pa.array(n),
+            "n_types": pa.array(nt),
+            "top_cnt": pa.array(top),
+            "gini_e9": pa.array(((n * n - s2) * 1_000_000_000) // (n * n)),
+        })
+
+    return (
+        folded.map_batches(key2, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket2").map_groups(resolve, batch_format="pyarrow")
+    )
+
+
+def sql_tile_gini() -> str:
+    idx_sql = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), TILE_RES, CFG, id_cols=("event_id",)
+    )
+    return f"""
+WITH tgi AS MATERIALIZED (
+  SELECT event_id, cell_id FROM {idx_sql} t
+),
+tgc AS MATERIALIZED (
+  SELECT tl.cell_id AS tile_id, e.event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events e JOIN tgi tl ON e.event_id = tl.event_id
+  GROUP BY 1, 2
+)
+SELECT tile_id,
+  CAST(SUM(cnt) AS BIGINT) AS n_events,
+  CAST(COUNT(*) AS BIGINT) AS n_types,
+  CAST(MAX(cnt) AS BIGINT) AS top_cnt,
+  CAST((SUM(cnt) * SUM(cnt) - SUM(cnt * cnt)) * 1000000000
+    // (SUM(cnt) * SUM(cnt)) AS BIGINT) AS gini_e9
+FROM tgc GROUP BY tile_id
+"""

@@ -780,3 +780,32 @@ def test_ngram_novelty_invariants(ray_session):
     assert int(t["n_novel"].sum()) == len(all_sh)
     assert (t["n_grams"] == d.set_index("doc_id")["text"].map(
         lambda x: len(set(shingles(x)))).reindex(t.index)).all()
+
+
+def test_tile_gini_invariants(ray_session):
+    """gini in [0, 1e9); single-type tiles have gini 0; totals match
+    the event count; scalar replay of one tile agrees."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import CFG, TILE_RES, oracle
+    from rhealpixdggs_py_ray.core import index as cidx
+    from rhealpixdggs_py_ray.core import suid as su
+    import pyarrow.parquet as pq
+
+    t = Q.q_tile_gini(SF).to_pandas()
+    assert len(t) > 0
+    assert (t["gini_e9"] >= 0).all() and (t["gini_e9"] < 10**9).all()
+    one = t[t["n_types"] == 1]
+    assert (one["gini_e9"] == 0).all()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "event_type"]).to_pandas()
+    assert int(t["n_events"].sum()) == len(ev)
+    lon, lat = oracle.lonlat_from_id(ev["event_id"].to_numpy())
+    u = cidx.cell_from_point(CFG, TILE_RES, lon, lat, plane=False)
+    ev["tile"] = su.to_string_fixed(u, TILE_RES)
+    tile = t["tile_id"].iloc[0]
+    cnt = ev[ev["tile"] == tile]["event_type"].value_counts()
+    n, s2 = int(cnt.sum()), int((cnt**2).sum())
+    row = t.set_index("tile_id").loc[tile]
+    assert (row["n_events"], row["n_types"], row["top_cnt"]) == (
+        n, len(cnt), int(cnt.max()))
+    assert row["gini_e9"] == (n * n - s2) * 10**9 // (n * n)
