@@ -19503,3 +19503,323 @@ SELECT tile_id,
     // (SUM(cnt) * SUM(cnt)) AS BIGINT) AS gini_e9
 FROM tgc GROUP BY tile_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: movement-heading histogram (integer octants, one exchange)
+# ---------------------------------------------------------------------------
+
+
+def q_heading_histogram(sf_dir: str):
+    """Per-user movement-direction histogram: consecutive events (by
+    ts, event_id) give a (dlon, dlat) step in integer microdegrees;
+    the step buckets into one of 8 octants by SIGN and |dx| vs |dy|
+    comparisons only — no atan2, so the bucket is an exact integer
+    decision that replays bit-identically in SQL.  Octant code =
+    4*(dy<0) + 2*(dx<0) + (|dy|>|dx|); 8 = zero step.  ONE h(user)
+    bucket exchange (the trip_stats shape).  Output (user_id, octant,
+    n) for occupied octants."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    n_buckets = sizing.exchange_buckets(16)
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"],
+               blocks=4)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = (batch["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        lon, lat = oracle.lonlat_from_id(eid)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(uid, n_buckets)),
+            "user_id": pa.array(uid.astype(np.int64)),
+            "t": pa.array(ts),
+            "event_id": pa.array(eid.astype(np.int64)),
+            "xi": pa.array(np.floor(lon * 1e6).astype(np.int64)),
+            "yi": pa.array(np.floor(lat * 1e6).astype(np.int64)),
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, t, uid))
+        uid = uid[order]
+        xi = g["xi"].to_numpy(zero_copy_only=False)[order]
+        yi = g["yi"].to_numpy(zero_copy_only=False)[order]
+        same = uid[1:] == uid[:-1]
+        dx = (xi[1:] - xi[:-1])[same]
+        dy = (yi[1:] - yi[:-1])[same]
+        u = uid[1:][same]
+        octant = (4 * (dy < 0) + 2 * (dx < 0)
+                  + (np.abs(dy) > np.abs(dx))).astype(np.int64)
+        octant[(dx == 0) & (dy == 0)] = 8
+        key, cnt = np.unique(u * 16 + octant, return_counts=True)
+        return pa.table({
+            "user_id": pa.array(key // 16),
+            "octant": pa.array(key % 16),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    b = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return b.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def sql_heading_histogram() -> str:
+    lon, lat = oracle.lonlat_from_id_sql("event_id")
+    return f"""
+WITH hhp AS MATERIALIZED (
+  SELECT user_id, ts, event_id,
+    CAST(floor({lon} * 1000000.0) AS BIGINT) AS xi,
+    CAST(floor({lat} * 1000000.0) AS BIGINT) AS yi
+  FROM events
+),
+hhd AS MATERIALIZED (
+  SELECT user_id,
+    xi - lag(xi) OVER w AS dx, yi - lag(yi) OVER w AS dy
+  FROM hhp WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+  CAST(CASE WHEN dx = 0 AND dy = 0 THEN 8
+    ELSE 4 * CASE WHEN dy < 0 THEN 1 ELSE 0 END
+       + 2 * CASE WHEN dx < 0 THEN 1 ELSE 0 END
+       + CASE WHEN abs(dy) > abs(dx) THEN 1 ELSE 0 END
+  END AS BIGINT) AS octant,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM hhd WHERE dx IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: per-user autocorrelation of hourly activity (exact integers)
+# ---------------------------------------------------------------------------
+
+ACF_LAGS = (1, 2, 3)
+
+
+def q_acf_lag(sf_dir: str):
+    """Activity-rhythm autocorrelation: per-user hourly event counts
+    c[h] (missing hours are implicit zeros), raw autocorrelation at
+    lags 1..3 as exact integers — num = sum c[h]*c[h+L] (zero terms
+    vanish, so only matching hour pairs contribute), den = sum c[h]^2,
+    acf_e9 = num*1e9 // den.  Per-batch (user,hour) partial counts
+    fold through ONE u64-keyed exchange; lags resolve per user bucket
+    with sorted-key searchsorted matching.  Output (user_id, lag,
+    num, den, acf_e9)."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64, sum_by_u64_key
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"], blocks=4)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = (batch["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        hour = (ts // 3_600_000_000).astype(np.uint64)
+        if len(uid) and int(uid.max()) >= (1 << 31):
+            raise AssertionError("acf_lag packing needs user_id < 2^31")
+        key = uid.astype(np.uint64) * np.uint64(1 << 32) + hour
+        return pa.table({
+            "key": pa.array(key, type=pa.uint64()),
+            "one": pa.array(np.ones(len(key), dtype=np.int64)),
+        })
+
+    folded = sum_by_u64_key(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "key", "one", "c", n_buckets=8,
+    )
+
+    def key2(batch: pa.Table) -> pa.Table:
+        uid = (batch["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+               >> np.uint64(32))
+        return batch.append_column(
+            "bucket2", pa.array(hash_bucket_u64(uid, 8)))
+
+    def resolve(g: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], type=pa.int64()),
+                          "lag": pa.array([], type=pa.int64()),
+                          "num": pa.array([], type=pa.int64()),
+                          "den": pa.array([], type=pa.int64()),
+                          "acf_e9": pa.array([], type=pa.int64())})
+        if g.num_rows == 0 or "key" not in g.column_names:
+            return empty
+        key = g["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        order = np.argsort(key)
+        key, c = key[order], c[order]
+        uid = (key >> np.uint64(32)).astype(np.int64)
+        uu, inv = np.unique(uid, return_inverse=True)
+        den = np.zeros(len(uu), dtype=np.int64)
+        np.add.at(den, inv, c * c)
+        out_u, out_l, out_n, out_d = [], [], [], []
+        for L in ACF_LAGS:
+            tgt = key + np.uint64(L)
+            pos = np.searchsorted(key, tgt)
+            pos_c = np.minimum(pos, len(key) - 1)
+            hit = (key[pos_c] == tgt) & (pos < len(key))
+            num = np.zeros(len(uu), dtype=np.int64)
+            np.add.at(num, inv[hit], c[hit] * c[pos_c[hit]])
+            out_u.append(uu)
+            out_l.append(np.full(len(uu), L, dtype=np.int64))
+            out_n.append(num)
+            out_d.append(den)
+        return pa.table({
+            "user_id": pa.array(np.concatenate(out_u)),
+            "lag": pa.array(np.concatenate(out_l)),
+            "num": pa.array(np.concatenate(out_n)),
+            "den": pa.array(np.concatenate(out_d)),
+            "acf_e9": pa.array(np.concatenate(out_n) * 1_000_000_000
+                               // np.concatenate(out_d)),
+        })
+
+    return (
+        folded.map_batches(key2, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket2").map_groups(resolve, batch_format="pyarrow")
+    )
+
+
+def sql_acf_lag() -> str:
+    lags = ", ".join(str(x) for x in ACF_LAGS)
+    return f"""
+WITH afc AS MATERIALIZED (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS hour,
+    CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+afd AS MATERIALIZED (
+  SELECT user_id, CAST(SUM(c * c) AS BIGINT) AS den FROM afc GROUP BY 1
+),
+afl AS (SELECT unnest([{lags}]) AS lag),
+afn AS MATERIALIZED (
+  SELECT a.user_id, l.lag, CAST(COALESCE(SUM(a.c * b.c), 0) AS BIGINT) AS num
+  FROM afc a CROSS JOIN afl l
+  LEFT JOIN afc b ON b.user_id = a.user_id AND b.hour = a.hour + l.lag
+  GROUP BY 1, 2
+)
+SELECT n.user_id, CAST(n.lag AS BIGINT) AS lag, n.num, d.den,
+  CAST(n.num * 1000000000 // d.den AS BIGINT) AS acf_e9
+FROM afn n JOIN afd d ON d.user_id = n.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: CUSUM changepoint over per-user daily activity (exact integers)
+# ---------------------------------------------------------------------------
+
+
+def q_cusum_changepoint(sf_dir: str):
+    """Changepoint detection: per user, daily event counts over the
+    user's own [first_day, last_day] span (missing days = 0); the
+    CUSUM statistic at split k (1 <= k < n_days) is |n*P_k - k*T|
+    where P_k is the k-day prefix sum and T the total — the mean-shift
+    score scaled by n so everything stays integer.  The reported
+    changepoint is the argmax split (ties -> earliest day).  Users
+    with a single active day have no valid split and are excluded —
+    mirrored in SQL.  ONE h(user) bucket exchange on per-batch
+    (user, day) partials.  Output (user_id, n_days, total,
+    change_day, score)."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64, sum_by_u64_key
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"], blocks=4)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = (batch["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        day = (ts // 86_400_000_000).astype(np.uint64)
+        if len(uid) and int(uid.max()) >= (1 << 31):
+            raise AssertionError("cusum packing needs user_id < 2^31")
+        key = uid.astype(np.uint64) * np.uint64(1 << 32) + day
+        return pa.table({
+            "key": pa.array(key, type=pa.uint64()),
+            "one": pa.array(np.ones(len(key), dtype=np.int64)),
+        })
+
+    folded = sum_by_u64_key(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "key", "one", "c", n_buckets=8,
+    )
+
+    def key2(batch: pa.Table) -> pa.Table:
+        uid = (batch["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+               >> np.uint64(32))
+        return batch.append_column(
+            "bucket2", pa.array(hash_bucket_u64(uid, 8)))
+
+    def resolve(g: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], type=pa.int64()),
+                          "n_days": pa.array([], type=pa.int64()),
+                          "total": pa.array([], type=pa.int64()),
+                          "change_day": pa.array([], type=pa.int64()),
+                          "score": pa.array([], type=pa.int64())})
+        if g.num_rows == 0 or "key" not in g.column_names:
+            return empty
+        key = g["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        uid = (key >> np.uint64(32)).astype(np.int64)
+        day = (key & np.uint64((1 << 32) - 1)).astype(np.int64)
+        out = {k: [] for k in ("user_id", "n_days", "total",
+                               "change_day", "score")}
+        for u in np.unique(uid):
+            m = uid == u
+            d, cc = day[m], c[m]
+            d0, d1 = int(d.min()), int(d.max())
+            n = d1 - d0 + 1
+            if n < 2:
+                continue
+            dense = np.zeros(n, dtype=np.int64)
+            dense[d - d0] = cc
+            pref = np.cumsum(dense)[:-1]          # P_1 .. P_{n-1}
+            k = np.arange(1, n, dtype=np.int64)
+            score = np.abs(n * pref - k * int(pref[-1] + dense[-1]))
+            best = int(np.argmax(score))          # first max = earliest day
+            out["user_id"].append(u)
+            out["n_days"].append(n)
+            out["total"].append(int(dense.sum()))
+            out["change_day"].append(d0 + best + 1)
+            out["score"].append(int(score[best]))
+        return pa.table({k: pa.array(np.array(v, dtype=np.int64))
+                         for k, v in out.items()})
+
+    return (
+        folded.map_batches(key2, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket2").map_groups(resolve, batch_format="pyarrow")
+    )
+
+
+def sql_cusum_changepoint() -> str:
+    return """
+WITH cuc AS MATERIALIZED (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+    CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+cur AS MATERIALIZED (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1,
+    CAST(SUM(c) AS BIGINT) AS total
+  FROM cuc GROUP BY 1 HAVING MAX(day) > MIN(day)
+),
+cud AS MATERIALIZED (
+  SELECT r.user_id, r.d0, r.d1, r.total,
+    unnest(generate_series(r.d0, r.d1)) AS day
+  FROM cur r
+),
+cup AS MATERIALIZED (
+  SELECT d.user_id, d.day, d.d0, d.d1, d.total,
+    SUM(COALESCE(c.c, 0)) OVER (
+      PARTITION BY d.user_id ORDER BY d.day
+      ROWS UNBOUNDED PRECEDING) AS pref
+  FROM cud d LEFT JOIN cuc c ON c.user_id = d.user_id AND c.day = d.day
+),
+cus AS (
+  SELECT user_id, d1 - d0 + 1 AS n_days, total, day + 1 AS change_day,
+    abs((d1 - d0 + 1) * pref - (day - d0 + 1) * total) AS score
+  FROM cup WHERE day < d1
+)
+SELECT user_id, CAST(n_days AS BIGINT) AS n_days, total,
+  CAST(change_day AS BIGINT) AS change_day, CAST(score AS BIGINT) AS score
+FROM cus
+QUALIFY row_number() OVER (
+  PARTITION BY user_id ORDER BY score DESC, change_day ASC) = 1
+"""
