@@ -19823,3 +19823,221 @@ FROM cus
 QUALIFY row_number() OVER (
   PARTITION BY user_id ORDER BY score DESC, change_day ASC) = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: geohash export (base32 interop, exact integer interleave)
+# ---------------------------------------------------------------------------
+
+GH_ALPHA = "0123456789bcdefghjkmnpqrstuvwxyz"
+GH_PREC = 5  # 25 bits: 13 lon + 12 lat, lon leads (standard geohash)
+
+
+def q_geohash_encode(sf_dir: str):
+    """Geohash interop export: count events per precision-5 geohash
+    (the join key for the external geohash ecosystems, like web_tiles
+    is for slippy maps).  xi = floor((lon+180)/360 * 2^13) and yi =
+    floor((lat+90)/180 * 2^12) are single exact-rounded IEEE ops, so
+    both sides derive identical integers; the 25-bit interleave
+    (lon on even bit positions from the LSB, per the standard) and the
+    base32 digits are pure integer/bit arithmetic.  ONE u64 exchange;
+    strings built only on the folded result.  Output (geohash, n)."""
+    from rhealpixdggs_py_ray.ops.agg import sum_by_u64_key
+
+    ds = _read(sf_dir, "events", columns=["event_id"], blocks=4)
+
+    def code(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = oracle.lonlat_from_id(ids)
+        xi = np.floor((lon + 180.0) / 360.0 * 8192.0).astype(np.int64)
+        yi = np.floor((lat + 90.0) / 180.0 * 4096.0).astype(np.int64)
+        g = np.zeros(len(xi), dtype=np.int64)
+        for j in range(13):
+            g |= ((xi >> j) & 1) << (2 * j)
+        for j in range(12):
+            g |= ((yi >> j) & 1) << (2 * j + 1)
+        return pa.table({
+            "key": pa.array(g.astype(np.uint64), type=pa.uint64()),
+            "one": pa.array(np.ones(len(g), dtype=np.int64)),
+        })
+
+    folded = sum_by_u64_key(
+        ds.map_batches(code, batch_format="pyarrow", zero_copy_batch=True),
+        "key", "one", "n", n_buckets=8,
+    )
+
+    alpha = np.frombuffer(GH_ALPHA.encode(), dtype=np.uint8)
+
+    def stringify(batch: pa.Table) -> pa.Table:
+        g = batch["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        chars = np.empty((len(g), GH_PREC), dtype=np.uint8)
+        for i in range(GH_PREC):
+            chars[:, i] = alpha[(g >> (5 * (GH_PREC - 1 - i))) & 31]
+        gh = chars.tobytes()
+        out = [gh[i * GH_PREC:(i + 1) * GH_PREC].decode() for i in
+               range(len(g))]
+        return pa.table({"geohash": pa.array(out, type=pa.string()),
+                         "n": batch["n"]})
+
+    return folded.map_batches(stringify, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def sql_geohash_encode() -> str:
+    lon, lat = oracle.lonlat_from_id_sql("event_id")
+    inter = " + ".join(
+        [f"((xi // {1 << j}) % 2) * {1 << (2 * j)}" for j in range(13)]
+        + [f"((yi // {1 << j}) % 2) * {1 << (2 * j + 1)}" for j in range(12)]
+    )
+    digits = " || ".join(
+        f"substr('{GH_ALPHA}', CAST((g // {1 << (5 * (GH_PREC - 1 - i))})"
+        f" % 32 AS INTEGER) + 1, 1)"
+        for i in range(GH_PREC)
+    )
+    return f"""
+WITH ghq AS MATERIALIZED (
+  SELECT CAST(floor(({lon} + 180.0) / 360.0 * 8192.0) AS BIGINT) AS xi,
+    CAST(floor(({lat} + 90.0) / 180.0 * 4096.0) AS BIGINT) AS yi
+  FROM events
+),
+ghg AS MATERIALIZED (
+  SELECT {inter} AS g, CAST(COUNT(*) AS BIGINT) AS n FROM ghq GROUP BY 1
+)
+SELECT {digits} AS geohash, n FROM ghg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: tile-to-tile audience similarity (Jaccard over user sets)
+# ---------------------------------------------------------------------------
+
+
+def q_tile_similarity(sf_dir: str):
+    """Audience overlap between spatial tiles: for every pair of res-2
+    tiles sharing at least one visitor, the Jaccard similarity of
+    their DISTINCT user sets (the place-similarity analytic behind
+    "people who visit A also visit B").  Distinct (user, tile) visits
+    fold through one u64 exchange; within-user tile pairs (bounded by
+    each user's distinct-tile count) fold through a second; per-tile
+    user counts are a <= 486-row table (res-2 cell count) gathered on
+    the driver and closed over the final map.  Output (tile_a, tile_b,
+    n_common, n_a, n_b, jacc_e9)."""
+    from rhealpixdggs_py_ray.core import index as cidx
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64, sum_by_u64_key
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"], blocks=4)
+
+    def visits(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        if len(uid) and int(uid.max()) >= (1 << 31):
+            raise AssertionError("tile_similarity needs user_id < 2^31")
+        lon, lat = oracle.lonlat_from_id(ids)
+        u = cidx.cell_from_point(CFG, TILE_RES, lon, lat, plane=False)
+        tile = (u.astype(np.uint64) >> np.uint64(52)).astype(np.uint64)
+        key = np.unique((uid.astype(np.uint64) << np.uint64(12)) | tile)
+        return pa.table({
+            "key": pa.array(key, type=pa.uint64()),
+            "one": pa.array(np.ones(len(key), dtype=np.int64)),
+        })
+
+    dvis = sum_by_u64_key(
+        ds.map_batches(visits, batch_format="pyarrow", zero_copy_batch=True),
+        "key", "one", "m", n_buckets=8,
+    ).materialize()  # bounded: <= n_users x 486 distinct visit rows
+
+    # per-tile distinct-user counts: <= 486 rows, combined on the driver
+    tile_users: dict[int, int] = {}
+    for b in dvis.iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
+        t = (b["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+             & np.uint64((1 << 12) - 1))
+        tu, tc = np.unique(t, return_counts=True)
+        for k, c in zip(tu.tolist(), tc.tolist()):
+            tile_users[k] = tile_users.get(k, 0) + c
+
+    def by_user(batch: pa.Table) -> pa.Table:
+        uid = (batch["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+               >> np.uint64(12))
+        return batch.append_column(
+            "bucket2", pa.array(hash_bucket_u64(uid, 8)))
+
+    def pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "key" not in g.column_names:
+            return pa.table({"pkey": pa.array([], type=pa.uint64()),
+                             "one": pa.array([], type=pa.int64())})
+        key = np.sort(g["key"].to_numpy(zero_copy_only=False)
+                      .astype(np.uint64))
+        uid = key >> np.uint64(12)
+        tile = key & np.uint64((1 << 12) - 1)
+        # within-user (ta < tb) pairs; sorted key => tiles sorted per user
+        uu, start = np.unique(uid, return_index=True)
+        cnt = np.diff(np.append(start, len(uid)))
+        out = []
+        for s, c in zip(start.tolist(), cnt.tolist()):
+            t = tile[s:s + c]
+            ia, ib = np.triu_indices(c, k=1)
+            out.append((t[ia] << np.uint64(12)) | t[ib])
+        pk = np.concatenate(out) if out else np.array([], dtype=np.uint64)
+        return pa.table({
+            "pkey": pa.array(pk, type=pa.uint64()),
+            "one": pa.array(np.ones(len(pk), dtype=np.int64)),
+        })
+
+    folded = sum_by_u64_key(
+        dvis.map_batches(by_user, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .groupby("bucket2").map_groups(pairs, batch_format="pyarrow"),
+        "pkey", "one", "n_common", n_buckets=8,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        pk = batch["pkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        nc = batch["n_common"].to_numpy(zero_copy_only=False)
+        ta = (pk >> np.uint64(12)).astype(np.uint64)
+        tb = (pk & np.uint64((1 << 12) - 1)).astype(np.uint64)
+        na = np.array([tile_users[int(x)] for x in ta], dtype=np.int64)
+        nb_ = np.array([tile_users[int(x)] for x in tb], dtype=np.int64)
+        res = np.uint64(TILE_RES)
+        return pa.table({
+            "tile_a": pa.array(su.to_string_fixed(
+                (ta << np.uint64(52)) | res, TILE_RES), type=pa.string()),
+            "tile_b": pa.array(su.to_string_fixed(
+                (tb << np.uint64(52)) | res, TILE_RES), type=pa.string()),
+            "n_common": pa.array(nc),
+            "n_a": pa.array(na),
+            "n_b": pa.array(nb_),
+            "jacc_e9": pa.array(nc * 1_000_000_000 // (na + nb_ - nc)),
+        })
+
+    return folded.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def sql_tile_similarity() -> str:
+    idx_sql = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), TILE_RES, CFG, id_cols=("event_id",)
+    )
+    return f"""
+WITH tsv AS MATERIALIZED (
+  SELECT DISTINCT e.user_id, t.cell_id AS tile
+  FROM events e JOIN (SELECT event_id, cell_id FROM {idx_sql} q) t
+    ON t.event_id = e.event_id
+),
+tsn AS MATERIALIZED (
+  SELECT tile, CAST(COUNT(*) AS BIGINT) AS nu FROM tsv GROUP BY 1
+),
+tsp AS MATERIALIZED (
+  SELECT a.tile AS tile_a, b.tile AS tile_b,
+    CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM tsv a JOIN tsv b ON a.user_id = b.user_id AND a.tile < b.tile
+  GROUP BY 1, 2
+)
+SELECT p.tile_a, p.tile_b, p.n_common, na.nu AS n_a, nb.nu AS n_b,
+  CAST(p.n_common * 1000000000 // (na.nu + nb.nu - p.n_common) AS BIGINT)
+    AS jacc_e9
+FROM tsp p
+JOIN tsn na ON na.tile = p.tile_a
+JOIN tsn nb ON nb.tile = p.tile_b
+"""

