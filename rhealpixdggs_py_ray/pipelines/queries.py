@@ -20041,3 +20041,286 @@ FROM tsp p
 JOIN tsn na ON na.tile = p.tile_a
 JOIN tsn nb ON nb.tile = p.tile_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: co-presence user graph (shared res-2 tile-day) + graph analytics
+# ---------------------------------------------------------------------------
+
+CN_DEG = 32   # per-middle neighbor cap for wedge generation (deterministic:
+              # the CN_DEG smallest neighbor ids; row_number mirror in SQL)
+KCORE_K = 3
+KCORE_ITERS = 8
+
+_copresence_cache: dict[str, "ray.data.Dataset"] = {}
+
+
+def _copresence_edges(sf_dir: str):
+    """Undirected user-user edges (ua < ub): the two users share at
+    least one distinct (res-2 tile, epoch day) visit.  Distinct visits
+    fold through one u64 exchange; per-(tile,day) groups emit pair
+    partials (group size bounded by concurrent visitors of one tile on
+    one day); a second fold dedups edges.  Cached per sf_dir and
+    MATERIALIZED (one process = one Ray session in every entry path)
+    because common_neighbors and k_core both consume it."""
+    hit = _copresence_cache.get(sf_dir)
+    if hit is not None:
+        return hit
+    from rhealpixdggs_py_ray.core import index as cidx
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64, sum_by_u64_key
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"],
+               blocks=4)
+
+    def visits(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = (batch["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        day = (ts // 86_400_000_000).astype(np.uint64)
+        if len(uid) and (int(uid.max()) >= (1 << 31)
+                         or int(day.max()) >= (1 << 15)):
+            raise AssertionError(
+                "copresence packing needs user_id < 2^31, epoch day < 2^15"
+                " (valid until 2059; repack if fixtures move)")
+        lon, lat = oracle.lonlat_from_id(ids)
+        u = cidx.cell_from_point(CFG, TILE_RES, lon, lat, plane=False)
+        tile = u.astype(np.uint64) >> np.uint64(52)
+        key = np.unique(((tile << np.uint64(15)) | day) << np.uint64(32)
+                        | uid.astype(np.uint64))
+        return pa.table({
+            "key": pa.array(key, type=pa.uint64()),
+            "one": pa.array(np.ones(len(key), dtype=np.int64)),
+        })
+
+    dvis = sum_by_u64_key(
+        ds.map_batches(visits, batch_format="pyarrow", zero_copy_batch=True),
+        "key", "one", "m", n_buckets=8,
+    )
+
+    def by_td(batch: pa.Table) -> pa.Table:
+        td = (batch["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+              >> np.uint64(32))
+        return batch.append_column(
+            "bucket2", pa.array(hash_bucket_u64(td, 8)))
+
+    def pair_partials(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "key" not in g.column_names:
+            return pa.table({"key": pa.array([], type=pa.uint64()),
+                             "one": pa.array([], type=pa.int64())})
+        key = np.sort(g["key"].to_numpy(zero_copy_only=False)
+                      .astype(np.uint64))
+        td = key >> np.uint64(32)
+        uid = key & np.uint64((1 << 32) - 1)
+        _, start = np.unique(td, return_index=True)
+        cnt = np.diff(np.append(start, len(td)))
+        out = []
+        for s, c in zip(start.tolist(), cnt.tolist()):
+            u = uid[s:s + c]  # sorted (key sorted within equal td prefix)
+            ia, ib = np.triu_indices(c, k=1)
+            out.append((u[ia] << np.uint64(32)) | u[ib])
+        ek = np.concatenate(out) if out else np.array([], dtype=np.uint64)
+        ek = np.unique(ek)
+        return pa.table({
+            "key": pa.array(ek, type=pa.uint64()),
+            "one": pa.array(np.ones(len(ek), dtype=np.int64)),
+        })
+
+    edges = sum_by_u64_key(
+        dvis.map_batches(by_td, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket2").map_groups(pair_partials, batch_format="pyarrow"),
+        "key", "one", "w", n_buckets=8,
+    ).materialize()
+    _copresence_cache[sf_dir] = edges
+    return edges
+
+
+def _copresence_sql_ctes() -> str:
+    """Shared cnv/cne CTE text: distinct visits + deduped edges."""
+    idx_sql = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), TILE_RES, CFG, id_cols=("event_id",)
+    )
+    return f"""
+cnv AS MATERIALIZED (
+  SELECT DISTINCT e.user_id, t.cell_id AS tile,
+    epoch_us(e.ts) // 86400000000 AS day
+  FROM events e JOIN (SELECT event_id, cell_id FROM {idx_sql} q) t
+    ON t.event_id = e.event_id
+),
+cne AS MATERIALIZED (
+  SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
+  FROM cnv a JOIN cnv b
+    ON a.tile = b.tile AND a.day = b.day AND a.user_id < b.user_id
+)"""
+
+
+def q_common_neighbors(sf_dir: str):
+    """Link prediction by common-neighbor count: for every NON-adjacent
+    user pair of the co-presence graph, the number of shared neighbors
+    (friend-of-friend recommendation).  Wedges are generated from each
+    middle node's CN_DEG smallest-id neighbors (the deterministic
+    degree cap that bounds wedge fan-out at scale; SQL mirrors it with
+    row_number).  Adjacency is eliminated IN the same fold: edge rows
+    enter the wedge exchange carrying -2^40, so any folded sum < 0
+    means the pair is already an edge — no join operator, no broadcast.
+    Output (user_a, user_b, n_common)."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64, sum_by_u64_key
+
+    edges = _copresence_edges(sf_dir)
+    EDGE_MARK = np.int64(-(1 << 40))
+
+    def directed(batch: pa.Table) -> pa.Table:
+        ek = batch["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ua = ek >> np.uint64(32)
+        ub = ek & np.uint64((1 << 32) - 1)
+        m = np.concatenate([ua, ub])
+        x = np.concatenate([ub, ua])
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(m, 8)),
+            "m": pa.array(m, type=pa.uint64()),
+            "x": pa.array(x, type=pa.uint64()),
+        })
+
+    def wedges(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "m" not in g.column_names:
+            return pa.table({"pkey": pa.array([], type=pa.uint64()),
+                             "v": pa.array([], type=pa.int64())})
+        m = g["m"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x = g["x"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((x, m))
+        m, x = m[order], x[order]
+        _, start = np.unique(m, return_index=True)
+        cnt = np.diff(np.append(start, len(m)))
+        out = []
+        for s, c in zip(start.tolist(), cnt.tolist()):
+            nb_ = x[s:s + min(c, CN_DEG)]  # CN_DEG smallest ids (sorted)
+            ia, ib = np.triu_indices(len(nb_), k=1)
+            out.append((nb_[ia] << np.uint64(32)) | nb_[ib])
+        pk = np.concatenate(out) if out else np.array([], dtype=np.uint64)
+        return pa.table({
+            "pkey": pa.array(pk, type=pa.uint64()),
+            "v": pa.array(np.ones(len(pk), dtype=np.int64)),
+        })
+
+    def edge_marks(batch: pa.Table) -> pa.Table:
+        ek = batch["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table({
+            "pkey": pa.array(ek, type=pa.uint64()),
+            "v": pa.array(np.full(len(ek), EDGE_MARK)),
+        })
+
+    wedge_partials = (
+        edges.map_batches(directed, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby("bucket").map_groups(wedges, batch_format="pyarrow")
+    )
+    marks = edges.map_batches(edge_marks, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    folded = sum_by_u64_key(wedge_partials.union(marks), "pkey", "v",
+                            "n_common", n_buckets=8)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        pk = batch["pkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = batch["n_common"].to_numpy(zero_copy_only=False)
+        keep = v > 0
+        pk, v = pk[keep], v[keep]
+        return pa.table({
+            "user_a": pa.array((pk >> np.uint64(32)).astype(np.int64)),
+            "user_b": pa.array((pk & np.uint64((1 << 32) - 1))
+                               .astype(np.int64)),
+            "n_common": pa.array(v),
+        })
+
+    return folded.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def sql_common_neighbors() -> str:
+    return f"""
+WITH {_copresence_sql_ctes()},
+cnd AS MATERIALIZED (
+  SELECT ua AS m, ub AS x FROM cne UNION ALL SELECT ub AS m, ua AS x FROM cne
+),
+cnn AS MATERIALIZED (
+  SELECT m, x FROM (
+    SELECT m, x, row_number() OVER (PARTITION BY m ORDER BY x) AS rn FROM cnd
+  ) WHERE rn <= {CN_DEG}
+),
+cnw AS MATERIALIZED (
+  SELECT n1.x AS ua, n2.x AS ub, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM cnn n1 JOIN cnn n2 ON n1.m = n2.m AND n1.x < n2.x
+  GROUP BY 1, 2
+)
+SELECT CAST(w.ua AS BIGINT) AS user_a, CAST(w.ub AS BIGINT) AS user_b,
+  w.n_common
+FROM cnw w
+WHERE NOT EXISTS (SELECT 1 FROM cne e WHERE e.ua = w.ua AND e.ub = w.ub)
+"""
+
+
+def q_k_core(sf_dir: str):
+    """K-core decomposition (KCORE_K, KCORE_ITERS unrolled peel
+    rounds): repeatedly drop users whose degree within the surviving
+    edge set is < K, then drop edges touching a dropped user; report
+    the endpoints of the final edge set with their within-core degree.
+    The edge list is the cached co-presence graph; peeling runs on the
+    driver over the gathered edge array (bounded: asserts <= 8M edges,
+    the ops/cc.py driver-union-find cap — beyond it the peel becomes
+    the 2-exchange/iteration distributed degree-filter loop).  Output
+    (user_id, deg)."""
+    edges = _copresence_edges(sf_dir)
+    parts = []
+    for b in edges.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            parts.append(b["key"].to_numpy(zero_copy_only=False)
+                         .astype(np.uint64))
+    ek = (np.concatenate(parts) if parts
+          else np.array([], dtype=np.uint64))
+    assert len(ek) <= 8_000_000, "k_core driver peel cap (see ops/cc.py)"
+    ua = (ek >> np.uint64(32)).astype(np.int64)
+    ub = (ek & np.uint64((1 << 32) - 1)).astype(np.int64)
+    for _ in range(KCORE_ITERS):
+        if not len(ua):
+            break
+        u, c = np.unique(np.concatenate([ua, ub]), return_counts=True)
+        alive = u[c >= KCORE_K]
+        m = np.isin(ua, alive) & np.isin(ub, alive)
+        if m.all():
+            break  # fixpoint: later rounds are identity
+        ua, ub = ua[m], ub[m]
+    u, c = (np.unique(np.concatenate([ua, ub]), return_counts=True)
+            if len(ua) else (np.array([], dtype=np.int64),
+                             np.array([], dtype=np.int64)))
+    return pa.table({
+        "user_id": pa.array(u.astype(np.int64)),
+        "deg": pa.array(c.astype(np.int64)),
+    })
+
+
+def sql_k_core() -> str:
+    steps = []
+    prev = "cne"
+    prev_nodes = ("(SELECT ua AS u FROM cne UNION "
+                  "SELECT ub AS u FROM cne)")
+    for i in range(KCORE_ITERS):
+        steps.append(f"""
+kdeg{i} AS MATERIALIZED (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT ua AS u FROM {prev} UNION ALL SELECT ub AS u FROM {prev}
+  ) GROUP BY 1
+),
+kal{i} AS MATERIALIZED (
+  SELECT u FROM kdeg{i} WHERE deg >= {KCORE_K}
+),
+ked{i} AS MATERIALIZED (
+  SELECT e.ua, e.ub FROM {prev} e
+  JOIN kal{i} x ON x.u = e.ua JOIN kal{i} y ON y.u = e.ub
+)""")
+        prev = f"ked{i}"
+    body = ",".join(steps)
+    return f"""
+WITH {_copresence_sql_ctes()},{body}
+SELECT u AS user_id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+  SELECT ua AS u FROM {prev} UNION ALL SELECT ub AS u FROM {prev}
+) GROUP BY 1
+"""

@@ -926,3 +926,61 @@ def test_tile_similarity_invariants(ray_session):
     assert t["jacc_e9"].between(0, 10**9).all()
     assert (t["jacc_e9"] == t["n_common"] * 10**9
             // (t["n_a"] + t["n_b"] - t["n_common"])).all()
+
+
+def test_common_neighbors_invariants(ray_session):
+    """No output pair is a direct edge; counts >= 1; one pair's count
+    recomputes from the capped neighbor lists."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import (
+        CN_DEG, _copresence_edges)
+
+    t = Q.q_common_neighbors(SF).to_pandas()
+    assert len(t) > 0
+    assert (t["user_a"] < t["user_b"]).all()
+    assert (t["n_common"] >= 1).all()
+    ek = np.concatenate([
+        b["key"].to_numpy(zero_copy_only=False)
+        for b in _copresence_edges(SF).iter_batches(batch_format="pyarrow")
+        if b.num_rows])
+    ua, ub = (ek >> np.uint64(32)).astype(int), (
+        ek & np.uint64((1 << 32) - 1)).astype(int)
+    edge_set = set(zip(ua.tolist(), ub.tolist()))
+    assert not any((a, b) in edge_set
+                   for a, b in zip(t["user_a"], t["user_b"]))
+    nbr: dict[int, list[int]] = {}
+    for a, b in edge_set:
+        nbr.setdefault(a, []).append(b)
+        nbr.setdefault(b, []).append(a)
+    capped = {m: sorted(xs)[:CN_DEG] for m, xs in nbr.items()}
+    row = t.iloc[0]
+    cn = sum(1 for m, xs in capped.items()
+             if row["user_a"] in xs and row["user_b"] in xs)
+    assert cn == row["n_common"]
+
+
+def test_k_core_invariants(ray_session):
+    """Every reported node has deg >= K OR the peel hit the iteration
+    cap; degrees recompute from the peeled edge set."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import (
+        KCORE_ITERS, KCORE_K, _copresence_edges)
+
+    t = Q.q_k_core(SF).to_pandas()
+    assert len(t) > 0
+    ek = np.concatenate([
+        b["key"].to_numpy(zero_copy_only=False)
+        for b in _copresence_edges(SF).iter_batches(batch_format="pyarrow")
+        if b.num_rows])
+    ua = (ek >> np.uint64(32)).astype(np.int64)
+    ub = (ek & np.uint64((1 << 32) - 1)).astype(np.int64)
+    for _ in range(KCORE_ITERS):
+        u, c = np.unique(np.concatenate([ua, ub]), return_counts=True)
+        alive = u[c >= KCORE_K]
+        m = np.isin(ua, alive) & np.isin(ub, alive)
+        if m.all():
+            break
+        ua, ub = ua[m], ub[m]
+    u, c = np.unique(np.concatenate([ua, ub]), return_counts=True)
+    ref = dict(zip(u.tolist(), c.tolist()))
+    assert dict(zip(t["user_id"], t["deg"])) == ref
