@@ -20324,3 +20324,347 @@ SELECT u AS user_id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
   SELECT ua AS u FROM {prev} UNION ALL SELECT ub AS u FROM {prev}
 ) GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: first-order Markov transitions over event types
+# ---------------------------------------------------------------------------
+
+
+def q_markov_transitions(sf_dir: str):
+    """Behavioral Markov chain: global transition counts between
+    consecutive event types per user (ordered by ts, event_id) and the
+    row-normalized transition probability as an exact integer ratio
+    p_e9 = n * 1e9 // row_total.  ONE h(user) bucket exchange emits
+    packed (prev*8 | next) partial counts; the folded table is <= 25
+    rows (5 event types), combined on the driver (resumable_tiling
+    precedent for tiny final merges).  Output (prev_type, next_type,
+    n, p_e9)."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64, sum_by_u64_key
+
+    codes = {t: i for i, t in enumerate(EVT_TYPES)}
+    n_buckets = sizing.exchange_buckets(16)
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"], blocks=4)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        ts = (batch["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        code = np.array([codes[x] for x in et], dtype=np.int64)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(uid, n_buckets)),
+            "uid": pa.array(uid.astype(np.int64)),
+            "t": pa.array(ts),
+            "eid": pa.array(eid.astype(np.int64)),
+            "code": pa.array(code),
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "uid" not in g.column_names:
+            return pa.table({"key": pa.array([], type=pa.uint64()),
+                             "one": pa.array([], type=pa.int64())})
+        uid = g["uid"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        eid = g["eid"].to_numpy(zero_copy_only=False)
+        code = g["code"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, t, uid))
+        uid, code = uid[order], code[order]
+        same = uid[1:] == uid[:-1]
+        key = (code[:-1][same] * 8 + code[1:][same]).astype(np.uint64)
+        uq, cnt = np.unique(key, return_counts=True)
+        return pa.table({"key": pa.array(uq, type=pa.uint64()),
+                         "one": pa.array(cnt.astype(np.int64))})
+
+    folded = sum_by_u64_key(
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket").map_groups(per_bucket, batch_format="pyarrow"),
+        "key", "one", "n", n_buckets=4,
+    )
+    # <= 25 rows: combine on the driver
+    keys, ns = [], []
+    for b in folded.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            keys.append(b["key"].to_numpy(zero_copy_only=False))
+            ns.append(b["n"].to_numpy(zero_copy_only=False))
+    key = np.concatenate(keys).astype(np.int64)
+    n = np.concatenate(ns)
+    prev, nxt = key // 8, key % 8
+    row_tot = np.zeros(len(EVT_TYPES), dtype=np.int64)
+    np.add.at(row_tot, prev, n)
+    types = np.array(EVT_TYPES, dtype=object)
+    return pa.table({
+        "prev_type": pa.array(types[prev], type=pa.string()),
+        "next_type": pa.array(types[nxt], type=pa.string()),
+        "n": pa.array(n),
+        "p_e9": pa.array(n * 1_000_000_000 // row_tot[prev]),
+    })
+
+
+def sql_markov_transitions() -> str:
+    return """
+WITH mkp AS MATERIALIZED (
+  SELECT event_type,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev
+  FROM events
+),
+mkc AS MATERIALIZED (
+  SELECT prev AS prev_type, event_type AS next_type,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM mkp WHERE prev IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+  CAST(n * 1000000000 // SUM(n) OVER (PARTITION BY prev_type) AS BIGINT)
+    AS p_e9
+FROM mkc
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: Zipf rank-frequency slope over word bigrams
+# ---------------------------------------------------------------------------
+
+ZIPF_K = 256
+
+
+def q_zipf_slope(sf_dir: str):
+    """Corpus naturalness check: least-squares slope of ln(freq) vs
+    ln(rank) over the top-ZIPF_K word bigrams (count DESC, gram ASC) —
+    natural text sits near -1.  ln is bit-identical libm both sides;
+    each term quantizes to integer micros BEFORE the sums, and the
+    bignum regression (driver Python ints / SQL HUGEINT — the sums
+    overflow int64 by design) is exact on both sides.  Distributed
+    shape: vocab-style disjoint-bucket exact top-K, tiny driver
+    finish.  Output one row (k, slope_e6, intercept_e6)."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        grams: list[str] = []
+        for t in batch["text"].to_pylist():
+            toks = t.split()
+            grams.extend(" ".join(toks[i:i + 2])
+                         for i in range(len(toks) - 1))
+        if not grams:
+            return pa.table({"s": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64()),
+                             "bucket": pa.array([], type=pa.int64())})
+        uq, cnt = np.unique(np.asarray(grams, dtype=object),
+                            return_counts=True)
+        bucket = (pd.util.hash_array(uq) % 8).astype(np.int64)
+        return pa.table({"s": pa.array(uq, type=pa.string()),
+                         "n": pa.array(cnt.astype(np.int64)),
+                         "bucket": pa.array(bucket)})
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "s" not in g.column_names:
+            return pa.table({"s": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        uq, inv = np.unique(g["s"].to_numpy(zero_copy_only=False),
+                            return_inverse=True)
+        tot = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(tot, inv, g["n"].to_numpy(zero_copy_only=False))
+        order = np.lexsort((uq, -tot))[:ZIPF_K]
+        return pa.table({"s": pa.array(uq[order], type=pa.string()),
+                         "n": pa.array(tot[order])})
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
+    )
+    s_all, n_all = [], []
+    for b in folded.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            s_all.extend(b["s"].to_pylist())
+            n_all.extend(b["n"].to_pylist())
+    order = sorted(range(len(s_all)), key=lambda i: (-n_all[i], s_all[i]))
+    order = order[:ZIPF_K]
+    k = len(order)
+    # exact bignum regression over quantized ln terms
+    import math
+    Sx = Sy = Sxx = Sxy = 0
+    for rank, i in enumerate(order, start=1):
+        x = math.floor(math.log(float(rank)) * 1_000_000)
+        y = math.floor(math.log(float(n_all[i])) * 1_000_000)
+        Sx += x
+        Sy += y
+        Sxx += x * x
+        Sxy += x * y
+    den = k * Sxx - Sx * Sx
+    num = k * Sxy - Sx * Sy
+
+    def tdiv(a: int, b: int) -> int:
+        # DuckDB integer // truncates toward zero; Python floors —
+        # mirror DuckDB (the CLAUDE.md negative-mod rule, division form)
+        q = abs(a) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
+
+    slope_e6 = tdiv(num * 1_000_000, den) if den else 0
+    intercept_e6 = tdiv(Sy - tdiv(slope_e6 * Sx, 1_000_000), k)
+    return pa.table({
+        "k": pa.array([k], type=pa.int64()),
+        "slope_e6": pa.array([slope_e6], type=pa.int64()),
+        "intercept_e6": pa.array([intercept_e6], type=pa.int64()),
+    })
+
+
+def sql_zipf_slope() -> str:
+    return f"""
+WITH zpt AS MATERIALIZED (
+  SELECT string_split(text, ' ') AS toks FROM documents
+),
+zpg AS MATERIALIZED (
+  SELECT toks[i] || ' ' || toks[i + 1] AS s
+  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM zpt)
+),
+zpc AS MATERIALIZED (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS n FROM zpg GROUP BY 1
+),
+zpr AS MATERIALIZED (
+  SELECT s, n, row_number() OVER (ORDER BY n DESC, s ASC) AS rank
+  FROM zpc QUALIFY rank <= {ZIPF_K}
+),
+zpq AS MATERIALIZED (
+  SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000.0) AS HUGEINT) AS x,
+    CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000.0) AS HUGEINT) AS y
+  FROM zpr
+),
+zps AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS k, SUM(x) AS sx, SUM(y) AS sy,
+    SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM zpq
+)
+SELECT CAST(k AS BIGINT) AS k,
+  CAST((k * sxy - sx * sy) * 1000000 // (k * sxx - sx * sx) AS BIGINT)
+    AS slope_e6,
+  CAST((sy - ((k * sxy - sx * sy) * 1000000 // (k * sxx - sx * sx))
+    * sx // 1000000) // k AS BIGINT) AS intercept_e6
+FROM zps
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: per-user convex hull (exact integer hull edges)
+# ---------------------------------------------------------------------------
+
+HULL_CAP = 32
+
+
+def q_convex_hull(sf_dir: str):
+    """Per-user convex hull of visited locations: over each user's
+    HULL_CAP smallest event_ids, quantize (lon, lat) to integer
+    microdegrees, dedupe, and emit every directed hull edge (a, b) —
+    defined declaratively so degeneracies replay exactly: all other
+    points have cross((b-a), (c-a)) >= 0 and none is collinear strictly
+    inside the segment's bbox.  The engine evaluates the same rule as
+    one vectorized n^3 integer tensor per user (n <= 32 -> 33k ops;
+    the at-scale path for bigger n is a monotone-chain per group).
+    Cross products stay < 1.2e17 << 2^63.  Output (user_id, x1, y1,
+    x2, y2) directed CCW edges."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    n_buckets = sizing.exchange_buckets(16)
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"], blocks=4)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(uid, n_buckets)),
+            "uid": pa.array(uid.astype(np.int64)),
+            "eid": pa.array(eid.astype(np.int64)),
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], type=pa.int64()),
+                          "x1": pa.array([], type=pa.int64()),
+                          "y1": pa.array([], type=pa.int64()),
+                          "x2": pa.array([], type=pa.int64()),
+                          "y2": pa.array([], type=pa.int64())})
+        if g.num_rows == 0 or "uid" not in g.column_names:
+            return empty
+        uid = g["uid"].to_numpy(zero_copy_only=False)
+        eid = g["eid"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, uid))
+        uid, eid = uid[order], eid[order]
+        uu, start = np.unique(uid, return_index=True)
+        cnt = np.diff(np.append(start, len(uid)))
+        out_u, out = [], []
+        for u, s, c in zip(uu.tolist(), start.tolist(), cnt.tolist()):
+            ids = eid[s:s + min(c, HULL_CAP)]
+            lon, lat = oracle.lonlat_from_id(ids)
+            x = np.floor(lon * 1e6).astype(np.int64)
+            y = np.floor(lat * 1e6).astype(np.int64)
+            pts = np.unique(np.stack([x, y], axis=1), axis=0)
+            n = len(pts)
+            if n < 2:
+                continue
+            X, Y = pts[:, 0], pts[:, 1]
+            # cross[i,j,k] = (xj-xi)*(yk-yi) - (yj-yi)*(xk-xi)
+            dxj = X[None, :, None] - X[:, None, None]
+            dyj = Y[None, :, None] - Y[:, None, None]
+            dxk = X[None, None, :] - X[:, None, None]
+            dyk = Y[None, None, :] - Y[:, None, None]
+            cross = dxj * dyk - dyj * dxk
+            left_ok = (cross >= 0).all(axis=2)
+            lox = np.minimum(X[:, None], X[None, :])[:, :, None]
+            hix = np.maximum(X[:, None], X[None, :])[:, :, None]
+            loy = np.minimum(Y[:, None], Y[None, :])[:, :, None]
+            hiy = np.maximum(Y[:, None], Y[None, :])[:, :, None]
+            inbox = ((X[None, None, :] >= lox) & (X[None, None, :] <= hix)
+                     & (Y[None, None, :] >= loy) & (Y[None, None, :] <= hiy))
+            is_a = np.zeros((n, n, n), dtype=bool)
+            idx_n = np.arange(n)
+            is_a[idx_n, :, idx_n] = True
+            is_b = np.zeros((n, n, n), dtype=bool)
+            is_b[:, idx_n, idx_n] = True
+            bad = ((cross == 0) & inbox & ~is_a & ~is_b).any(axis=2)
+            edge = left_ok & ~bad & ~np.eye(n, dtype=bool)
+            ii, jj = np.nonzero(edge)
+            if len(ii):
+                out_u.append(np.full(len(ii), u, dtype=np.int64))
+                out.append(np.stack([X[ii], Y[ii], X[jj], Y[jj]], axis=1))
+        if not out:
+            return empty
+        e = np.concatenate(out)
+        return pa.table({
+            "user_id": pa.array(np.concatenate(out_u)),
+            "x1": pa.array(e[:, 0]), "y1": pa.array(e[:, 1]),
+            "x2": pa.array(e[:, 2]), "y2": pa.array(e[:, 3]),
+        })
+
+    b = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return b.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def sql_convex_hull() -> str:
+    lon, lat = oracle.lonlat_from_id_sql("event_id")
+    return f"""
+WITH chp AS MATERIALIZED (
+  SELECT user_id, event_id FROM (
+    SELECT user_id, event_id,
+      row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+    FROM events
+  ) WHERE rn <= {HULL_CAP}
+),
+chq AS MATERIALIZED (
+  SELECT DISTINCT user_id,
+    CAST(floor({lon} * 1000000.0) AS BIGINT) AS x,
+    CAST(floor({lat} * 1000000.0) AS BIGINT) AS y
+  FROM chp
+)
+SELECT a.user_id, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+FROM chq a JOIN chq b
+  ON a.user_id = b.user_id AND (a.x <> b.x OR a.y <> b.y)
+WHERE NOT EXISTS (
+    SELECT 1 FROM chq c WHERE c.user_id = a.user_id
+      AND (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) < 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM chq c WHERE c.user_id = a.user_id
+      AND NOT (c.x = a.x AND c.y = a.y) AND NOT (c.x = b.x AND c.y = b.y)
+      AND (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) = 0
+      AND c.x BETWEEN least(a.x, b.x) AND greatest(a.x, b.x)
+      AND c.y BETWEEN least(a.y, b.y) AND greatest(a.y, b.y))
+"""

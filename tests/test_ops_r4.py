@@ -984,3 +984,83 @@ def test_k_core_invariants(ray_session):
     u, c = np.unique(np.concatenate([ua, ub]), return_counts=True)
     ref = dict(zip(u.tolist(), c.tolist()))
     assert dict(zip(t["user_id"], t["deg"])) == ref
+
+
+def test_markov_transitions_invariants(ray_session):
+    """25-row transition matrix, per-prev p_e9 sums to ~1e9, totals
+    equal n_events - n_users."""
+    import duckdb
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    t = Q.q_markov_transitions(SF).to_pandas()
+    assert len(t) <= 25
+    con = duckdb.connect()
+    n_ev, n_u = con.sql(
+        f"SELECT COUNT(*), COUNT(DISTINCT user_id) FROM"
+        f" '{SF}/events.parquet'").fetchone()
+    assert t["n"].sum() == n_ev - n_u
+    for _, g in t.groupby("prev_type"):
+        s = g["p_e9"].sum()
+        assert 10**9 - len(g) < s <= 10**9
+
+
+def test_zipf_slope_invariants(ray_session):
+    """Slope is negative (frequencies decay with rank) and recomputes
+    from the exact bigram counts."""
+    import duckdb
+    import math
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import ZIPF_K
+
+    t = Q.q_zipf_slope(SF).to_pandas()
+    assert len(t) == 1
+    assert t["slope_e6"].iloc[0] < 0
+    con = duckdb.connect()
+    d = con.sql(f"""
+      SELECT s, COUNT(*) n FROM (
+        SELECT toks[i] || ' ' || toks[i+1] AS s FROM (
+          SELECT toks, unnest(generate_series(1, len(toks)-1)) i
+          FROM (SELECT string_split(text, ' ') toks
+                FROM '{SF}/documents.parquet')))
+      GROUP BY 1 ORDER BY n DESC, s LIMIT {ZIPF_K}""").df()
+    assert t["k"].iloc[0] == len(d)
+    Sx = Sy = Sxx = Sxy = 0
+    for rank, n in enumerate(d["n"], start=1):
+        x = math.floor(math.log(float(rank)) * 1e6)
+        y = math.floor(math.log(float(n)) * 1e6)
+        Sx, Sy, Sxx, Sxy = Sx + x, Sy + y, Sxx + x * x, Sxy + x * y
+    k = len(d)
+    num, den = k * Sxy - Sx * Sy, k * Sxx - Sx * Sx
+    q = abs(num * 10**6) // abs(den)
+    assert t["slope_e6"].iloc[0] == (-q if (num < 0) != (den < 0) else q)
+
+
+def test_convex_hull_invariants(ray_session):
+    """Each user's edge set closes into a convex cycle: every point of
+    the user (capped set) lies left-of-or-on every edge; edges form a
+    closed walk (in-degree == out-degree per vertex)."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import HULL_CAP
+    from rhealpixdggs_py_ray import oracle
+    import duckdb
+
+    t = Q.q_convex_hull(SF).to_pandas()
+    assert len(t) > 0
+    con = duckdb.connect()
+    ev = con.sql(f"""SELECT user_id, event_id FROM (
+      SELECT user_id, event_id,
+        row_number() OVER (PARTITION BY user_id ORDER BY event_id) rn
+      FROM '{SF}/events.parquet') WHERE rn <= {HULL_CAP}""").df()
+    for uid, g in list(t.groupby("user_id"))[:10]:
+        ids = ev[ev["user_id"] == uid]["event_id"].to_numpy()
+        lon, lat = oracle.lonlat_from_id(ids)
+        X = np.floor(lon * 1e6).astype(np.int64)
+        Y = np.floor(lat * 1e6).astype(np.int64)
+        for _, e in g.iterrows():
+            cross = ((e["x2"] - e["x1"]) * (Y - e["y1"])
+                     - (e["y2"] - e["y1"]) * (X - e["x1"]))
+            assert (cross >= 0).all()
+        if len(g) > 2:
+            heads = g.groupby(["x2", "y2"]).size()
+            tails = g.groupby(["x1", "y1"]).size()
+            assert heads.sort_index().equals(tails.sort_index())
