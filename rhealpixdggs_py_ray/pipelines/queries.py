@@ -20668,3 +20668,132 @@ WHERE NOT EXISTS (
       AND c.x BETWEEN least(a.x, b.x) AND greatest(a.x, b.x)
       AND c.y BETWEEN least(a.y, b.y) AND greatest(a.y, b.y))
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: hybrid retrieval — reciprocal-rank fusion of text + vector lists
+# ---------------------------------------------------------------------------
+
+RRF_K = 20   # depth of each input ranking
+RRF_N = 10   # fused results returned
+RRF_C = 60   # classic RRF constant
+
+
+def q_hybrid_rank(sf_dir: str):
+    """Hybrid retrieval for doc/vec 0: fuse a lexical ranking (distinct-
+    term overlap with doc 0, overlap DESC / doc_id ASC, depth RRF_K)
+    and the cosine ANN ranking (ops/ann.py ann_topk, one query) with
+    reciprocal-rank fusion — score = sum of 1e9 // (RRF_C + rank) over
+    the lists containing the doc, an exact integer.  Both rankings are
+    bit-identical to their SQL mirrors (cosine via the _seq_ fold
+    parity), so the fused top-RRF_N is too.  Lexical side: broadcast
+    doc-0 term set, per-batch partial top-K, one tiny merge.  Output
+    (doc_id, rrf_e9)."""
+    from rhealpixdggs_py_ray.ops import ann
+    from rhealpixdggs_py_ray.ops.agg import sum_by_u64_key
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    q0 = docs.filter(lambda r: r["doc_id"] == 0).take_all()  # bounded: 1 row
+    qset = frozenset(q0[0]["text"].split())
+    q_ref = ray.put(qset)
+
+    def overlap_partial(batch: pa.Table) -> pa.Table:
+        qs = ray.get(q_ref)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        ov = np.array(
+            [len(set(t.split()) & qs) for t in batch["text"].to_pylist()],
+            dtype=np.int64)
+        m = (ov > 0) & (did != 0)
+        did, ov = did[m], ov[m]
+        order = np.lexsort((did, -ov))[:RRF_K]
+        return pa.table({
+            "doc_id": pa.array(did[order].astype(np.int64)),
+            "ov": pa.array(ov[order]),
+            "g": pa.array(np.zeros(len(order), dtype=np.int64)),
+        })
+
+    def text_rank(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "doc_id" not in g.column_names:
+            return pa.table({"key": pa.array([], type=pa.uint64()),
+                             "v": pa.array([], type=pa.int64())})
+        did = g["doc_id"].to_numpy(zero_copy_only=False)
+        ov = g["ov"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, -ov))[:RRF_K]
+        rank = np.arange(1, len(order) + 1, dtype=np.int64)
+        return pa.table({
+            "key": pa.array(did[order].astype(np.uint64), type=pa.uint64()),
+            "v": pa.array(1_000_000_000 // (RRF_C + rank)),
+        })
+
+    textl = (
+        docs.map_batches(overlap_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .groupby("g").map_groups(text_rank, batch_format="pyarrow")
+    )
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    vec = ann.ann_topk(emb, n_queries=1, k=RRF_K)
+
+    def vec_rank(batch: pa.Table) -> pa.Table:
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        rank = batch["rank"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "key": pa.array(vid.astype(np.uint64), type=pa.uint64()),
+            "v": pa.array(1_000_000_000 // (RRF_C + rank)),
+        })
+
+    vecl = vec.map_batches(vec_rank, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    fused = sum_by_u64_key(textl.union(vecl), "key", "v", "rrf_e9",
+                           n_buckets=4)
+
+    def topn(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "key" not in g.column_names:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "rrf_e9": pa.array([], type=pa.int64())})
+        did = g["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = g["rrf_e9"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, -v))[:RRF_N]
+        return pa.table({"doc_id": pa.array(did[order]),
+                         "rrf_e9": pa.array(v[order])})
+
+    def const(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "g", pa.array(np.zeros(batch.num_rows, dtype=np.int64)))
+
+    # fused candidate set is <= 2*RRF_K rows: one tiny final group
+    return (fused.map_batches(const, batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .groupby("g").map_groups(topn, batch_format="pyarrow"))
+
+
+def sql_hybrid_rank() -> str:
+    from rhealpixdggs_py_ray.ops import ann
+
+    vec_sql = ann.ann_topk_sql(n_queries=1, k=RRF_K)
+    return f"""
+WITH hyq AS MATERIALIZED (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE doc_id = 0
+),
+hyo AS MATERIALIZED (
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS ov FROM (
+    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+    FROM documents WHERE doc_id <> 0
+  ) t JOIN hyq q ON q.w = t.w
+  GROUP BY 1
+),
+hyt AS MATERIALIZED (
+  SELECT doc_id, row_number() OVER (ORDER BY ov DESC, doc_id ASC) AS rn
+  FROM hyo QUALIFY rn <= {RRF_K}
+),
+hyv AS MATERIALIZED ({vec_sql}),
+hyr AS MATERIALIZED (
+  SELECT doc_id, 1000000000 // ({RRF_C} + rn) AS v FROM hyt
+  UNION ALL
+  SELECT vec_id AS doc_id, 1000000000 // ({RRF_C} + rank) AS v FROM hyv
+)
+SELECT doc_id, CAST(SUM(v) AS BIGINT) AS rrf_e9
+FROM hyr GROUP BY 1
+ORDER BY rrf_e9 DESC, doc_id ASC LIMIT {RRF_N}
+"""

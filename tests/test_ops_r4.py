@@ -1064,3 +1064,19 @@ def test_convex_hull_invariants(ray_session):
             heads = g.groupby(["x2", "y2"]).size()
             tails = g.groupby(["x1", "y1"]).size()
             assert heads.sort_index().equals(tails.sort_index())
+
+
+def test_hybrid_rank_invariants(ray_session):
+    """Top doc carries contributions bounded by the two best ranks;
+    every score decomposes into at most two RRF terms from depth-K
+    lists."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import RRF_C, RRF_K, RRF_N
+
+    t = Q.q_hybrid_rank(SF).to_pandas()
+    assert 0 < len(t) <= RRF_N
+    assert (t["doc_id"] != 0).all()
+    one = [10**9 // (RRF_C + r) for r in range(1, RRF_K + 1)]
+    valid = set(one) | {a + b for a in one for b in one}
+    assert set(t["rrf_e9"]).issubset(valid)
+    assert t["rrf_e9"].max() <= 2 * one[0]
