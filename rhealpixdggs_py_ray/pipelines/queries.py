@@ -21014,3 +21014,161 @@ QUALIFY row_number() OVER (
   PARTITION BY c.tile_id
   ORDER BY t.span * c.c - t.n_events DESC, c.day ASC) = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: kernel-density raster over the equatorial lattice
+# ---------------------------------------------------------------------------
+
+KDE_R = 3  # triangular Chebyshev kernel: w(d) = KDE_R - d for d < KDE_R
+
+
+def q_kde_raster(sf_dir: str):
+    """Kernel-density surface: density(c) = sum over event cells o of
+    count(o) * (R - cheb(c, o)) for Chebyshev distance < R on the
+    res-4 equatorial lattice (antimeridian wrap) — the hotspot raster
+    behind every density map, exact because the kernel weights are
+    integers.  Distributed shape = the grid_flood halo exchange: exact
+    per-cell counts route to home tile + (R-1)-halo neighbors, each
+    tile runs a dense 25-shift integer convolution locally and emits
+    only its home window.  Two exchanges total.  Output (cell_id,
+    density) for density > 0 cells."""
+    from rhealpixdggs_py_ray.ops.agg import sum_by_u64_key
+
+    k = DISSOLVE_RES
+    side = 3 ** k
+    W = 4 * side
+    D = KDE_R - 1
+    T = FLOOD_T
+    n_tx = W // T
+    n_ty = side // T
+    L = T + 2 * D
+
+    ds = indexed_events(sf_dir, resolution=k)
+
+    def cells(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        u = batch["cell_u64"].to_numpy(zero_copy_only=False)
+        m = np.abs(lat) <= DISSOLVE_LAT
+        u = u[m]
+        return pa.table({
+            "cell_u64": pa.array(u, type=pa.uint64()),
+            "one": pa.array(np.ones(len(u), dtype=np.int64)),
+        })
+
+    occ = sum_by_u64_key(
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True),
+        "cell_u64", "one", "cnt",
+    )
+
+    def halo(batch: pa.Table) -> pa.Table:
+        u = batch["cell_u64"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        cnt = batch["cnt"].to_numpy(zero_copy_only=False)
+        face, digits, _res = su.unpack(u)
+        d = digits[:, :k].astype(np.int64)
+        pw = (3 ** np.arange(k - 1, -1, -1)).astype(np.int64)
+        gy = (d // 3) @ pw
+        gx = (face.astype(np.int64) - 1) * side + (d % 3) @ pw
+        home_ty = gy // T
+        home_tx = gx // T
+        tiles, lys, lxs, cs = [], [], [], []
+        for dty in (-1, 0, 1):
+            for dtx in (-1, 0, 1):
+                ty = home_ty + dty
+                tx = (home_tx + dtx) % n_tx
+                ok = (ty >= 0) & (ty < n_ty)
+                off = ((gx - tx * T + W // 2) % W) - W // 2
+                ly = gy - ty * T + D
+                lx = off + D
+                ok &= (ly >= 0) & (ly < L) & (lx >= 0) & (lx < L)
+                tiles.append((ty * n_tx + tx)[ok])
+                lys.append(ly[ok])
+                lxs.append(lx[ok])
+                cs.append(cnt[ok])
+        return pa.table({
+            "tile": pa.array(np.concatenate(tiles)),
+            "ly": pa.array(np.concatenate(lys)),
+            "lx": pa.array(np.concatenate(lxs)),
+            "cnt": pa.array(np.concatenate(cs)),
+        })
+
+    def conv(g: pa.Table) -> pa.Table:
+        empty = pa.table({"cell_id": pa.array([], type=pa.string()),
+                          "density": pa.array([], type=pa.int64())})
+        if g.num_rows == 0 or "tile" not in g.column_names:
+            return empty
+        tile = int(g["tile"][0].as_py())
+        ty, tx = tile // n_tx, tile % n_tx
+        cg = np.zeros((L, L), dtype=np.int64)
+        np.add.at(cg, (g["ly"].to_numpy(zero_copy_only=False),
+                       g["lx"].to_numpy(zero_copy_only=False)),
+                  g["cnt"].to_numpy(zero_copy_only=False))
+        dens = np.zeros((L, L), dtype=np.int64)
+        for dy in range(-D, D + 1):
+            for dx in range(-D, D + 1):
+                w = KDE_R - max(abs(dy), abs(dx))
+                sy0, sy1 = max(0, -dy), L - max(0, dy)
+                sx0, sx1 = max(0, -dx), L - max(0, dx)
+                dens[sy0 + dy:sy1 + dy, sx0 + dx:sx1 + dx] += \
+                    w * cg[sy0:sy1, sx0:sx1]
+        win = dens[D:D + T, D:D + T]
+        yy, xx = np.nonzero(win)
+        if not len(yy):
+            return empty
+        gy = ty * T + yy
+        gx = (tx * T + xx) % W
+        return pa.table({
+            "cell_id": pa.array(
+                _cell_string_array_from_lattice(gy, gx, k),
+                type=pa.string()),
+            "density": pa.array(win[yy, xx]),
+        })
+
+    return (
+        occ.map_batches(halo, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tile").map_groups(conv, batch_format="pyarrow")
+    )
+
+
+def sql_kde_raster() -> str:
+    k = DISSOLVE_RES
+    side = 3 ** k
+    W = 4 * side
+    D = KDE_R - 1
+    pts = (
+        f"SELECT event_id, lon, lat FROM ({_points_sql('events', 'event_id')}) p"
+        f" WHERE abs(lat) <= {DISSOLVE_LAT!r}"
+    )
+    idx_sql = oracle.cell_from_point_sql(pts, k, CFG, id_cols=("event_id",))
+    gy, gx = _dissolve_rowcol_sql(k)
+    rebuild = (
+        f"CASE gx // {side} WHEN 0 THEN 'O' WHEN 1 THEN 'P'"
+        " WHEN 2 THEN 'Q' ELSE 'R' END || "
+        + " || ".join(
+            f"CAST(((gy // {3 ** (k - 1 - i)}) % 3) * 3"
+            f" + (((gx % {side}) // {3 ** (k - 1 - i)}) % 3) AS VARCHAR)"
+            for i in range(k)
+        )
+    )
+    offs = ", ".join(
+        f"({dy}, {dx}, {KDE_R - max(abs(dy), abs(dx))})"
+        for dy in range(-D, D + 1) for dx in range(-D, D + 1)
+    )
+    return f"""
+WITH kidx AS MATERIALIZED (
+  SELECT event_id, cell_id FROM {idx_sql} t
+),
+kcnt AS MATERIALIZED (
+  SELECT {gy} AS gy, {gx} AS gx, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM kidx GROUP BY 1, 2
+),
+koff(dy, dx, w) AS (VALUES {offs}),
+kde AS MATERIALIZED (
+  SELECT c.gy + o.dy AS gy, ((c.gx + o.dx) % {W} + {W}) % {W} AS gx,
+    CAST(SUM(c.cnt * o.w) AS BIGINT) AS density
+  FROM kcnt c CROSS JOIN koff o
+  WHERE c.gy + o.dy BETWEEN 0 AND {side - 1}
+  GROUP BY 1, 2
+)
+SELECT {rebuild} AS cell_id, density FROM kde
+"""

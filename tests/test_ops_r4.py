@@ -1120,3 +1120,28 @@ def test_tile_burst_invariants(ray_session):
     # one-day tiles: span == 1, score == 0
     one = t[t["n_days_active"] + t["n_zero_days"] == 1]
     assert (one["burst_score"] == 0).all()
+
+
+def test_kde_raster_invariants(ray_session):
+    """Total density == total in-band events x kernel mass (each event
+    contributes sum of 25 weights when away from the lattice edge);
+    every occupied cell's density >= KDE_R * its own count."""
+    import duckdb
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import KDE_R
+
+    t = Q.q_kde_raster(SF).to_pandas()
+    assert len(t) > 0
+    assert (t["density"] > 0).all()
+    # kernel mass for an interior event: sum_{d<R} w over 25 offsets
+    mass = sum(KDE_R - max(abs(dy), abs(dx))
+               for dy in range(-KDE_R + 1, KDE_R)
+               for dx in range(-KDE_R + 1, KDE_R))
+    con = duckdb.connect()
+    n_band = con.sql(
+        f"""SELECT COUNT(*) FROM '{SF}/events.parquet'
+        WHERE abs(-84.0 + 168.0 * ((((event_id + 1) * 2246822519)
+          % 4294967296) / 4294967296.0)) <= 35.0""").fetchone()[0]
+    # edge rows (gy near 0 or side-1) lose kernel mass; allow slack
+    assert t["density"].sum() <= mass * n_band
+    assert t["density"].sum() >= mass * n_band * 0.9
