@@ -21172,3 +21172,99 @@ kde AS MATERIALIZED (
 )
 SELECT {rebuild} AS cell_id, density FROM kde
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: NDCG@10 of the IVF index vs exact cosine top-5
+# ---------------------------------------------------------------------------
+
+NDCG_Q = 10   # queries (vec_id < NDCG_Q)
+NDCG_REL = 5  # exact top-REL defines the relevant set
+NDCG_AT = 10  # IVF list depth scored
+
+
+def q_ndcg_eval(sf_dir: str):
+    """Graded ANN quality eval: NDCG@10 of the IVF ranking against the
+    exact cosine top-5 (binary relevance) — the positional metric a
+    retrieval deployment tracks next to recall (q_ann_recall).  Both
+    rankings are the existing distributed pipelines, run concurrently;
+    their outputs are Q x k bounded, so the metric itself is a driver
+    fold.  Discount weights quantize BEFORE summation —
+    w(i) = floor(1e9 * ln(2) / ln(i+1)) — so DCG/IDCG are exact
+    integer sums and ndcg_e9 an exact integer ratio.  Output (qid,
+    n_rel_found, dcg, idcg, ndcg_e9)."""
+    import concurrent.futures as cf
+
+    from rhealpixdggs_py_ray.ops import ann
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    emb2 = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    with cf.ThreadPoolExecutor(2) as ex:
+        f_exact = ex.submit(lambda: ann.ann_topk(
+            emb, n_queries=NDCG_Q, k=NDCG_REL).take_all())
+        f_ivf = ex.submit(lambda: ann.ann_topk_ivf(
+            emb2, n_queries=NDCG_Q, k=NDCG_AT).take_all())
+        exact, ivf = f_exact.result(), f_ivf.result()  # bounded: Q*k rows
+
+    rel = {(int(r["qid"]), int(r["vec_id"])) for r in exact}
+    n_exact: dict[int, int] = {}
+    for r in exact:
+        n_exact[int(r["qid"])] = n_exact.get(int(r["qid"]), 0) + 1
+
+    def w(i: int) -> int:
+        return int(np.floor(1000000000.0 * np.log(2.0) / np.log(i + 1.0)))
+
+    dcg: dict[int, int] = {q: 0 for q in n_exact}
+    hits: dict[int, int] = {q: 0 for q in n_exact}
+    for r in ivf:
+        q, v, rank = int(r["qid"]), int(r["vec_id"]), int(r["rank"])
+        if (q, v) in rel:
+            dcg[q] += w(rank)
+            hits[q] += 1
+    rows = []
+    for q in sorted(n_exact):
+        idcg = sum(w(i) for i in range(1, n_exact[q] + 1))
+        rows.append((q, hits[q], dcg[q], idcg,
+                     dcg[q] * 1_000_000_000 // idcg))
+    a = np.array(rows, dtype=np.int64).reshape(-1, 5)
+    return pa.table({
+        "qid": pa.array(a[:, 0]),
+        "n_rel_found": pa.array(a[:, 1]),
+        "dcg": pa.array(a[:, 2]),
+        "idcg": pa.array(a[:, 3]),
+        "ndcg_e9": pa.array(a[:, 4]),
+    })
+
+
+def sql_ndcg_eval() -> str:
+    from rhealpixdggs_py_ray.ops import ann
+
+    wexpr = ("CAST(floor(1000000000.0 * ln(2.0)"
+             " / ln(CAST({i} + 1 AS DOUBLE))) AS BIGINT)")
+    return f"""
+WITH nde AS MATERIALIZED ({ann.ann_topk_sql(NDCG_Q, NDCG_REL)}),
+ndi AS MATERIALIZED ({ann.ann_topk_ivf_sql(NDCG_Q, NDCG_AT)}),
+ndh AS MATERIALIZED (
+  SELECT i.qid, i.rank FROM ndi i
+  JOIN nde e ON e.qid = i.qid AND e.vec_id = i.vec_id
+),
+ndd AS MATERIALIZED (
+  SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_rel_found,
+    CAST(SUM({wexpr.format(i='rank')}) AS BIGINT) AS dcg
+  FROM ndh GROUP BY 1
+),
+ndq AS MATERIALIZED (
+  SELECT qid, CAST(COUNT(*) AS BIGINT) AS ne FROM nde GROUP BY 1
+),
+ndic AS MATERIALIZED (
+  SELECT qid, CAST(SUM({wexpr.format(i='i')}) AS BIGINT) AS idcg
+  FROM (SELECT qid, unnest(generate_series(1, ne)) AS i FROM ndq)
+  GROUP BY 1
+)
+SELECT q.qid, COALESCE(d.n_rel_found, 0) AS n_rel_found,
+  COALESCE(d.dcg, 0) AS dcg, c.idcg,
+  CAST(COALESCE(d.dcg, 0) * 1000000000 // c.idcg AS BIGINT) AS ndcg_e9
+FROM ndq q
+JOIN ndic c ON c.qid = q.qid
+LEFT JOIN ndd d ON d.qid = q.qid
+"""

@@ -1145,3 +1145,18 @@ def test_kde_raster_invariants(ray_session):
     # edge rows (gy near 0 or side-1) lose kernel mass; allow slack
     assert t["density"].sum() <= mass * n_band
     assert t["density"].sum() >= mass * n_band * 0.9
+
+
+def test_ndcg_eval_invariants(ray_session):
+    """ndcg in [0, 1e9]; dcg <= idcg; n_rel_found <= NDCG_REL; a query
+    whose exact top-5 all appear at IVF ranks 1-5 scores exactly 1e9."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import NDCG_Q, NDCG_REL
+
+    t = Q.q_ndcg_eval(SF).to_pandas()
+    assert len(t) == NDCG_Q
+    assert (t["n_rel_found"] <= NDCG_REL).all()
+    assert (t["dcg"] <= t["idcg"]).all()
+    assert t["ndcg_e9"].between(0, 10**9).all()
+    perfect = t[t["dcg"] == t["idcg"]]
+    assert (perfect["ndcg_e9"] == 10**9).all()
