@@ -21268,3 +21268,124 @@ FROM ndq q
 JOIN ndic c ON c.qid = q.qid
 LEFT JOIN ndd d ON d.qid = q.qid
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: distributed PCA top component (integer power iteration)
+# ---------------------------------------------------------------------------
+
+PCA_ITERS = 96  # tight eigengap on isotropic fixtures (0.93-0.98): 96
+# rescaled integer iterations measured cos>=0.994 / lam err<=3e-4 vs eigh
+PCA_SCALE = 1 << 20
+
+
+def q_pca_power(sf_dir: str):
+    """Top principal direction of the embedding second moment: the
+    distributed integer gram matrix (q_embedding_gram's reduction —
+    embedding rows never shuffle, 2080 upper-triangle partials per
+    batch) followed by PCA_ITERS exact-integer power iterations on the
+    driver's 64x64 copy.  Each iteration rescales by w * 2^20 //
+    max|w| with DuckDB-style TRUNCATED division (bignum Python ints
+    mirror SQL HUGEINT, nothing ever rounds), so the direction and its
+    Rayleigh quotient replay bit-exactly.  Output 64 rows (i, v_q20,
+    lam) — the quantized eigenvector and the shared eigenvalue
+    estimate."""
+    from rhealpixdggs_py_ray.ops.dedup import _emb_matrix
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        M = _emb_matrix(batch)
+        Q = np.floor(M.astype(np.float64) * 1000.0)
+        G = Q.T @ Q  # exact: |q| < 2^24, n < 2^17 per batch
+        d = Q.shape[1]
+        iu, ju = np.triu_indices(d)
+        return pa.table({
+            "i": pa.array(iu.astype(np.int64)),
+            "j": pa.array(ju.astype(np.int64)),
+            "g": pa.array(G[iu, ju].astype(np.int64)),
+        })
+
+    part = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    folded = part.groupby(["i", "j"]).aggregate(Sum("g", alias_name="g"))
+
+    # 2080-row bounded gather; the heavy reduction already happened
+    G = [[0] * EMB_D for _ in range(EMB_D)]
+    for b in folded.iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
+        for i, j, g in zip(b["i"].to_pylist(), b["j"].to_pylist(),
+                           b["g"].to_pylist()):
+            G[i][j] = g
+            G[j][i] = g
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
+
+    v = [1] * EMB_D
+    for _ in range(PCA_ITERS):
+        w = [sum(G[i][j] * v[j] for j in range(EMB_D))
+             for i in range(EMB_D)]
+        m = max(abs(x) for x in w)
+        v = [tdiv(x * PCA_SCALE, m) for x in w]
+    w2 = [sum(G[i][j] * v[j] for j in range(EMB_D)) for i in range(EMB_D)]
+    num = sum(v[i] * w2[i] for i in range(EMB_D))
+    den = sum(x * x for x in v)
+    lam = tdiv(num, den)
+    return pa.table({
+        "i": pa.array(np.arange(EMB_D, dtype=np.int64)),
+        "v_q20": pa.array(np.array(v, dtype=np.int64)),
+        "lam": pa.array(np.full(EMB_D, lam, dtype=np.int64)),
+    })
+
+
+def sql_pca_power() -> str:
+    steps = []
+    prev = "pcv0"
+    for t in range(1, PCA_ITERS + 1):
+        steps.append(f"""
+pcw{t} AS MATERIALIZED (
+  SELECT s.i AS i, CAST(SUM(s.g * v.val) AS HUGEINT) AS val
+  FROM pcsym s JOIN {prev} v ON v.i = s.j GROUP BY 1
+),
+pcm{t} AS MATERIALIZED (SELECT MAX(abs(val)) AS m FROM pcw{t}),
+pcv{t} AS MATERIALIZED (
+  SELECT i, CAST(val * {PCA_SCALE} // (SELECT m FROM pcm{t}) AS HUGEINT)
+    AS val
+  FROM pcw{t}
+)""")
+        prev = f"pcv{t}"
+    body = ",".join(steps)
+    return f"""
+WITH pce AS MATERIALIZED (
+  SELECT vec_id, d.i - 1 AS i,
+    CAST(floor(CAST(embedding[d.i] AS DOUBLE) * 1000.0) AS BIGINT) AS m
+  FROM embeddings, (SELECT unnest(generate_series(1, {EMB_D})) AS i) d
+),
+pcg AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, CAST(SUM(a.m * b.m) AS HUGEINT) AS g
+  FROM pce a JOIN pce b ON a.vec_id = b.vec_id AND b.i >= a.i
+  GROUP BY a.i, b.i
+),
+pcsym AS MATERIALIZED (
+  SELECT i, j, g FROM pcg
+  UNION ALL SELECT j AS i, i AS j, g FROM pcg WHERE i <> j
+),
+pcv0 AS MATERIALIZED (
+  SELECT unnest(generate_series(0, {EMB_D - 1})) AS i,
+    CAST(1 AS HUGEINT) AS val
+),{body},
+pcw AS MATERIALIZED (
+  SELECT s.i AS i, CAST(SUM(s.g * v.val) AS HUGEINT) AS val
+  FROM pcsym s JOIN {prev} v ON v.i = s.j GROUP BY 1
+),
+pcr AS MATERIALIZED (
+  SELECT SUM(v.val * w.val) AS num, SUM(v.val * v.val) AS den
+  FROM {prev} v JOIN pcw w ON w.i = v.i
+)
+SELECT CAST(v.i AS BIGINT) AS i, CAST(v.val AS BIGINT) AS v_q20,
+  CAST((SELECT num // den FROM pcr) AS BIGINT) AS lam
+FROM {prev} v
+"""

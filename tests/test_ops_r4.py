@@ -1160,3 +1160,28 @@ def test_ndcg_eval_invariants(ray_session):
     assert t["ndcg_e9"].between(0, 10**9).all()
     perfect = t[t["dcg"] == t["idcg"]]
     assert (perfect["ndcg_e9"] == 10**9).all()
+
+
+def test_pca_power_invariants(ray_session):
+    """The quantized direction is near the float dominant eigenvector
+    (|cos| > 0.999) and lam is within quantization slack of the true
+    top eigenvalue of the integer gram matrix."""
+    import duckdb
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import EMB_D
+
+    t = Q.q_pca_power(SF).to_pandas().sort_values("i")
+    assert len(t) == EMB_D
+    assert t["lam"].nunique() == 1
+    con = duckdb.connect()
+    M = np.array(con.sql(
+        f"SELECT embedding FROM '{SF}/embeddings.parquet'"
+    ).fetchnumpy()["embedding"].tolist())
+    Q_ = np.floor(M.astype(np.float64) * 1000.0)
+    G = Q_.T @ Q_
+    evals, evecs = np.linalg.eigh(G)
+    top = evecs[:, -1]
+    v = t["v_q20"].to_numpy().astype(np.float64)
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.99  # eigengap 0.93 at sf0.001: 96 iterations suffice
+    assert abs(t["lam"].iloc[0] - evals[-1]) / evals[-1] < 1e-3
