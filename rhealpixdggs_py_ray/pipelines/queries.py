@@ -21637,3 +21637,151 @@ SELECT user_id,
     AS h_cond_e9
 FROM mes GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: per-tile seasonal-naive forecast backtest
+# ---------------------------------------------------------------------------
+
+
+def q_tile_forecast(sf_dir: str):
+    """Forecast backtesting: for each res-2 tile, predict every active
+    day's count as the TRUNCATED mean of the tile's PRIOR same-weekday
+    counts (seasonal-naive baseline; zero-filled days inside the
+    tile's own span) and score the total absolute error — the
+    walk-forward eval a forecasting deployment runs.  All integers:
+    pred_d = sum_prior // n_prior; days with no prior same-weekday
+    observation are skipped.  One packed (tile, day) exchange, dense
+    per-tile replay (span <= fixture month).  Output (tile_id,
+    n_scored, total_abs_err, mae_milli)."""
+    from rhealpixdggs_py_ray.core import index as cidx
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64, sum_by_u64_key
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"], blocks=4)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        ts = (batch["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        day = (ts // 86_400_000_000).astype(np.uint64)
+        lon, lat = oracle.lonlat_from_id(ids)
+        u = cidx.cell_from_point(CFG, TILE_RES, lon, lat, plane=False)
+        tile = u.astype(np.uint64) >> np.uint64(52)
+        key = (tile << np.uint64(15)) | day
+        return pa.table({
+            "key": pa.array(key, type=pa.uint64()),
+            "one": pa.array(np.ones(len(key), dtype=np.int64)),
+        })
+
+    folded = sum_by_u64_key(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "key", "one", "c", n_buckets=8,
+    )
+
+    def key2(batch: pa.Table) -> pa.Table:
+        tile = (batch["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                >> np.uint64(15))
+        return batch.append_column("bucket2",
+                                   pa.array(hash_bucket_u64(tile, 8)))
+
+    def resolve(g: pa.Table) -> pa.Table:
+        empty = pa.table({"tile_id": pa.array([], type=pa.string()),
+                          "n_scored": pa.array([], type=pa.int64()),
+                          "total_abs_err": pa.array([], type=pa.int64()),
+                          "mae_milli": pa.array([], type=pa.int64())})
+        if g.num_rows == 0 or "key" not in g.column_names:
+            return empty
+        key = g["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        order = np.argsort(key)
+        key, c = key[order], c[order]
+        tile = key >> np.uint64(15)
+        day = (key & np.uint64((1 << 15) - 1)).astype(np.int64)
+        tu, start = np.unique(tile, return_index=True)
+        cnt = np.diff(np.append(start, len(tile)))
+        rows = {k: [] for k in ("tile", "ns", "err")}
+        for t, s, m in zip(tu.tolist(), start.tolist(), cnt.tolist()):
+            d, cc = day[s:s + m], c[s:s + m]
+            d0, d1 = int(d[0]), int(d[-1])
+            dense = np.zeros(d1 - d0 + 1, dtype=np.int64)
+            dense[d - d0] = cc
+            n_sc = 0
+            err = 0
+            # prior same-weekday running sums (span <= ~31 days here;
+            # at scale the span bound is the retention window)
+            for wd in range(7):
+                seq = dense[wd::7] if wd < len(dense) else None
+                if seq is None or len(seq) < 2:
+                    continue
+                csum = np.cumsum(seq)
+                n_prior = np.arange(1, len(seq), dtype=np.int64)
+                pred = csum[:-1] // n_prior
+                err += int(np.abs(seq[1:] - pred).sum())
+                n_sc += len(seq) - 1
+            if n_sc == 0:
+                continue
+            rows["tile"].append(t)
+            rows["ns"].append(n_sc)
+            rows["err"].append(err)
+        if not rows["tile"]:
+            return empty
+        t_u64 = (np.array(rows["tile"], dtype=np.uint64) << np.uint64(52)) \
+            | np.uint64(TILE_RES)
+        ns = np.array(rows["ns"], dtype=np.int64)
+        err = np.array(rows["err"], dtype=np.int64)
+        return pa.table({
+            "tile_id": pa.array(su.to_string_fixed(t_u64, TILE_RES),
+                                type=pa.string()),
+            "n_scored": pa.array(ns),
+            "total_abs_err": pa.array(err),
+            "mae_milli": pa.array(err * 1000 // ns),
+        })
+
+    return (
+        folded.map_batches(key2, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket2").map_groups(resolve, batch_format="pyarrow")
+    )
+
+
+def sql_tile_forecast() -> str:
+    idx_sql = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), TILE_RES, CFG, id_cols=("event_id",)
+    )
+    return f"""
+WITH tfi AS MATERIALIZED (
+  SELECT event_id, cell_id FROM {idx_sql} t
+),
+tfc AS MATERIALIZED (
+  SELECT i.cell_id AS tile_id, epoch_us(e.ts) // 86400000000 AS day,
+    CAST(COUNT(*) AS BIGINT) AS c
+  FROM events e JOIN tfi i ON i.event_id = e.event_id
+  GROUP BY 1, 2
+),
+tfr AS MATERIALIZED (
+  SELECT tile_id, MIN(day) AS d0, MAX(day) AS d1 FROM tfc GROUP BY 1
+),
+tfd AS MATERIALIZED (
+  SELECT r.tile_id, unnest(generate_series(r.d0, r.d1)) AS day, r.d0
+  FROM tfr r
+),
+tfz AS MATERIALIZED (
+  SELECT d.tile_id, d.day, (d.day - d.d0) % 7 AS wd,
+    COALESCE(c.c, 0) AS c
+  FROM tfd d LEFT JOIN tfc c ON c.tile_id = d.tile_id AND c.day = d.day
+),
+tfp AS MATERIALIZED (
+  SELECT tile_id, day, c,
+    SUM(c) OVER w AS prior_sum, COUNT(*) OVER w AS n_prior
+  FROM tfz
+  WINDOW w AS (PARTITION BY tile_id, wd ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+tfe AS MATERIALIZED (
+  SELECT tile_id, abs(c - prior_sum // n_prior) AS ae
+  FROM tfp WHERE n_prior >= 1
+)
+SELECT tile_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
+  CAST(SUM(ae) AS BIGINT) AS total_abs_err,
+  CAST(SUM(ae) * 1000 // COUNT(*) AS BIGINT) AS mae_milli
+FROM tfe GROUP BY tile_id
+"""

@@ -1239,3 +1239,15 @@ def test_mobility_entropy_invariants(ray_session):
     # fully-deterministic case (one state, one destination) is zero —
     # check the bound instead
     assert (single["h_cond_e9"] >= -1).all()
+
+
+def test_tile_forecast_invariants(ray_session):
+    """mae recomputes from err/n; scored day count bounded by span;
+    single-active-day tiles are absent (nothing scoreable)."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    t = Q.q_tile_forecast(SF).to_pandas()
+    assert len(t) > 0
+    assert (t["n_scored"] >= 1).all()
+    assert (t["mae_milli"] == t["total_abs_err"] * 1000 // t["n_scored"]).all()
+    assert (t["total_abs_err"] >= 0).all()
