@@ -21785,3 +21785,158 @@ SELECT tile_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
   CAST(SUM(ae) * 1000 // COUNT(*) AS BIGINT) AS mae_milli
 FROM tfe GROUP BY tile_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: decision-stump feature importance over embedding dims
+# ---------------------------------------------------------------------------
+
+
+def q_decision_stump(sf_dir: str):
+    """Per-feature best Gini split against the label (the feature-
+    importance table a tree trainer derives): for every embedding
+    dimension, the threshold (on milli-quantized values) maximizing
+    sum(cL^2)*nR + sum(cR^2)*nL over nL*nR — the integer-cleared form
+    of minimizing weighted Gini impurity.  score_e6 floor-quantizes
+    the rational identically on both sides; ties break by smaller
+    threshold.  Distributed shape: per-batch (dim, value, label)
+    partial counts -> one packed u64 fold (bounded by 64 dims x value
+    grid x 10 labels, NOT by rows) -> per-dim prefix-sum resolve.
+    int64 bound: A*1e6 <= 2*N^3*1e6 needs N <= ~16k rows (asserted;
+    beyond that the resolve switches to Python bignums).  Output one
+    row per dim (dim, thr_milli, score_e6, n_left, n_right)."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64, sum_by_u64_key
+    from rhealpixdggs_py_ray.ops.dedup import _emb_matrix
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding", "label"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        M = _emb_matrix(batch)
+        vq = np.floor(M.astype(np.float64) * 1000.0).astype(np.int64)
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n, d = vq.shape
+        assert np.abs(vq).max() < 2048 and lab.max() < 16
+        dim = np.repeat(np.arange(d, dtype=np.int64), n)
+        v = vq.T.ravel()
+        lb = np.tile(lab, d)
+        key = ((dim.astype(np.uint64) << np.uint64(16))
+               | ((v + 2048).astype(np.uint64) << np.uint64(4))
+               | lb.astype(np.uint64))
+        uq, cnt = np.unique(key, return_counts=True)
+        return pa.table({"key": pa.array(uq, type=pa.uint64()),
+                         "one": pa.array(cnt.astype(np.int64))})
+
+    folded = sum_by_u64_key(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "key", "one", "c", n_buckets=8,
+    )
+
+    def key2(batch: pa.Table) -> pa.Table:
+        dim = (batch["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+               >> np.uint64(16))
+        return batch.append_column("bucket2",
+                                   pa.array(hash_bucket_u64(dim, 8)))
+
+    def resolve(g: pa.Table) -> pa.Table:
+        empty = pa.table({"dim": pa.array([], type=pa.int64()),
+                          "thr_milli": pa.array([], type=pa.int64()),
+                          "score_e6": pa.array([], type=pa.int64()),
+                          "n_left": pa.array([], type=pa.int64()),
+                          "n_right": pa.array([], type=pa.int64())})
+        if g.num_rows == 0 or "key" not in g.column_names:
+            return empty
+        key = g["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        order = np.argsort(key)
+        key, c = key[order], c[order]
+        dim = (key >> np.uint64(16)).astype(np.int64)
+        v = ((key >> np.uint64(4)) & np.uint64(4095)).astype(np.int64) - 2048
+        lab = (key & np.uint64(15)).astype(np.int64)
+        out = {k: [] for k in ("dim", "thr", "sc", "nl", "nr")}
+        for dm in np.unique(dim):
+            m = dim == dm
+            vd, ld, cd = v[m], lab[m], c[m]
+            vals = np.unique(vd)
+            N = int(cd.sum())
+            assert N <= 16_000, "decision_stump int64 score bound"
+            # label-count matrix over the value grid
+            vidx = np.searchsorted(vals, vd)
+            cm = np.zeros((len(vals), 16), dtype=np.int64)
+            np.add.at(cm, (vidx, ld), cd)
+            pref = np.cumsum(cm, axis=0)          # cL at thr = vals[i]
+            nL = pref.sum(axis=1)
+            if len(vals) < 2:
+                continue
+            pref, nL = pref[:-1], nL[:-1]         # thr = max is degenerate
+            nR = N - nL
+            sL2 = (pref * pref).sum(axis=1)
+            tot = cm.sum(axis=0)
+            cR = tot[None, :] - pref
+            sR2 = (cR * cR).sum(axis=1)
+            A = sL2 * nR + sR2 * nL
+            score = A * 1_000_000 // (nL * nR)
+            best = int(np.argmax(score))          # ties -> smaller thr
+            out["dim"].append(int(dm))
+            out["thr"].append(int(vals[best]))
+            out["sc"].append(int(score[best]))
+            out["nl"].append(int(nL[best]))
+            out["nr"].append(int(nR[best]))
+        if not out["dim"]:
+            return empty
+        return pa.table({
+            "dim": pa.array(np.array(out["dim"], dtype=np.int64)),
+            "thr_milli": pa.array(np.array(out["thr"], dtype=np.int64)),
+            "score_e6": pa.array(np.array(out["sc"], dtype=np.int64)),
+            "n_left": pa.array(np.array(out["nl"], dtype=np.int64)),
+            "n_right": pa.array(np.array(out["nr"], dtype=np.int64)),
+        })
+
+    return (
+        folded.map_batches(key2, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket2").map_groups(resolve, batch_format="pyarrow")
+    )
+
+
+def sql_decision_stump() -> str:
+    return f"""
+WITH dse AS MATERIALIZED (
+  SELECT d.i - 1 AS dim,
+    CAST(floor(CAST(embedding[d.i] AS DOUBLE) * 1000.0) AS BIGINT) AS v,
+    label
+  FROM embeddings, (SELECT unnest(generate_series(1, {EMB_D})) AS i) d
+),
+dsc AS MATERIALIZED (
+  SELECT dim, v, label, CAST(COUNT(*) AS BIGINT) AS c
+  FROM dse GROUP BY 1, 2, 3
+),
+dsg AS MATERIALIZED (
+  SELECT g.dim, g.v, l.label, COALESCE(c.c, 0) AS c
+  FROM (SELECT DISTINCT dim, v FROM dsc) g
+  CROSS JOIN (SELECT DISTINCT label FROM dsc) l
+  LEFT JOIN dsc c ON c.dim = g.dim AND c.v = g.v AND c.label = l.label
+),
+dsp AS MATERIALIZED (
+  SELECT dim, v, label,
+    SUM(c) OVER (PARTITION BY dim, label ORDER BY v
+                 ROWS UNBOUNDED PRECEDING) AS cl,
+    SUM(c) OVER (PARTITION BY dim, label) AS ct
+  FROM dsg
+),
+dst AS MATERIALIZED (
+  SELECT dim, v AS thr,
+    CAST(SUM(cl * cl) AS BIGINT) AS sl2,
+    CAST(SUM((ct - cl) * (ct - cl)) AS BIGINT) AS sr2,
+    CAST(SUM(cl) AS BIGINT) AS nl, CAST(SUM(ct - cl) AS BIGINT) AS nr
+  FROM dsp GROUP BY 1, 2
+),
+dss AS MATERIALIZED (
+  SELECT dim, thr, nl, nr,
+    CAST((sl2 * nr + sr2 * nl) * 1000000 // (nl * nr) AS BIGINT) AS score
+  FROM dst WHERE nl > 0 AND nr > 0
+)
+SELECT CAST(dim AS BIGINT) AS dim, thr AS thr_milli, score AS score_e6,
+  nl AS n_left, nr AS n_right
+FROM dss
+QUALIFY row_number() OVER (
+  PARTITION BY dim ORDER BY score DESC, thr ASC) = 1
+"""

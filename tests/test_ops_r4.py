@@ -1251,3 +1251,30 @@ def test_tile_forecast_invariants(ray_session):
     assert (t["n_scored"] >= 1).all()
     assert (t["mae_milli"] == t["total_abs_err"] * 1000 // t["n_scored"]).all()
     assert (t["total_abs_err"] >= 0).all()
+
+
+def test_decision_stump_invariants(ray_session):
+    """64 rows; n_left + n_right == N; best dim recomputes via sklearn-
+    free numpy reference on the raw table."""
+    import duckdb
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    t = Q.q_decision_stump(SF).to_pandas().sort_values("dim")
+    assert len(t) == 64
+    con = duckdb.connect()
+    d = con.sql(f"SELECT embedding, label FROM"
+                f" '{SF}/embeddings.parquet'").df()
+    N = len(d)
+    assert ((t["n_left"] + t["n_right"]) == N).all()
+    M = np.floor(np.array(d["embedding"].tolist(), dtype=np.float64)
+                 * 1000.0).astype(np.int64)
+    lab = d["label"].to_numpy()
+    row = t.iloc[0]
+    dm, thr = int(row["dim"]), int(row["thr_milli"])
+    left = M[:, dm] <= thr
+    cl = np.bincount(lab[left], minlength=16).astype(np.int64)
+    cr = np.bincount(lab[~left], minlength=16).astype(np.int64)
+    nl, nr = int(left.sum()), int(N - left.sum())
+    a = int((cl ** 2).sum()) * nr + int((cr ** 2).sum()) * nl
+    assert row["n_left"] == nl and row["n_right"] == nr
+    assert row["score_e6"] == a * 10**6 // (nl * nr)
