@@ -21940,3 +21940,109 @@ FROM dss
 QUALIFY row_number() OVER (
   PARTITION BY dim ORDER BY score DESC, thr ASC) = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: A/B experiment readout (two-proportion z per event type)
+# ---------------------------------------------------------------------------
+
+
+def q_ab_test(sf_dir: str):
+    """Experimentation readout: users split into arms by user_id % 2;
+    per event type, the share of users with >= 1 such event is
+    compared between arms with a two-proportion z-score.  The float
+    chain (pA-pB) / sqrt(p*(1-p)*(1/nA+1/nB)) uses one exact-rounded
+    op per node in the SAME order both sides, then floor-quantizes to
+    z_e6 — micro-level parity without integerizing the statistics.
+    Distinct (user, type) pairs fold through one u64 exchange; the
+    readout itself is a <= (5 types x 2 arms + 2)-row driver fold.
+    Output (event_type, x_a, n_a, x_b, n_b, z_e6)."""
+    from rhealpixdggs_py_ray.ops.agg import sum_by_u64_key
+
+    codes = {t: i for i, t in enumerate(EVT_TYPES)}
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"], blocks=4)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        code = np.array([codes[x] for x in et], dtype=np.uint64)
+        key = np.unique((uid.astype(np.uint64) << np.uint64(3)) | code)
+        # sentinel code 7 marks "user exists" rows for the arm sizes
+        ukey = (np.unique(uid).astype(np.uint64) << np.uint64(3)) \
+            | np.uint64(7)
+        allk = np.concatenate([key, ukey])
+        return pa.table({
+            "key": pa.array(allk, type=pa.uint64()),
+            "one": pa.array(np.ones(len(allk), dtype=np.int64)),
+        })
+
+    folded = sum_by_u64_key(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "key", "one", "m", n_buckets=8,
+    )
+    # bounded driver fold: 12 counters (5 types + sentinel, 2 arms)
+    x = np.zeros((8, 2), dtype=np.int64)
+    for b in folded.iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
+        key = b["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        code = (key & np.uint64(7)).astype(np.int64)
+        arm = ((key >> np.uint64(3)) % np.uint64(2)).astype(np.int64)
+        np.add.at(x, (code, arm), 1)
+    n_a, n_b = int(x[7, 0]), int(x[7, 1])
+    rows = []
+    for t, i in codes.items():
+        xa, xb = int(x[i, 0]), int(x[i, 1])
+        if xa + xb == 0 or xa + xb == n_a + n_b:
+            z_e6 = 0
+        else:
+            pa_ = xa / n_a
+            pb_ = xb / n_b
+            p = (xa + xb) / (n_a + n_b)
+            inv = 1.0 / n_a + 1.0 / n_b
+            se = np.sqrt(p * (1.0 - p) * inv)
+            z_e6 = int(np.floor((pa_ - pb_) / se * 1000000.0))
+        rows.append((t, xa, n_a, xb, n_b, z_e6))
+    rows.sort()
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], type=pa.string()),
+        "x_a": pa.array(np.array([r[1] for r in rows], dtype=np.int64)),
+        "n_a": pa.array(np.array([r[2] for r in rows], dtype=np.int64)),
+        "x_b": pa.array(np.array([r[3] for r in rows], dtype=np.int64)),
+        "n_b": pa.array(np.array([r[4] for r in rows], dtype=np.int64)),
+        "z_e6": pa.array(np.array([r[5] for r in rows], dtype=np.int64)),
+    })
+
+
+def sql_ab_test() -> str:
+    return """
+WITH abu AS MATERIALIZED (
+  SELECT DISTINCT user_id, event_type FROM events
+),
+abn AS MATERIALIZED (
+  SELECT
+    CAST(COUNT(DISTINCT CASE WHEN user_id % 2 = 0 THEN user_id END)
+      AS BIGINT) AS n_a,
+    CAST(COUNT(DISTINCT CASE WHEN user_id % 2 = 1 THEN user_id END)
+      AS BIGINT) AS n_b
+  FROM events
+),
+abx AS MATERIALIZED (
+  SELECT event_type,
+    CAST(COUNT(CASE WHEN user_id % 2 = 0 THEN 1 END) AS BIGINT) AS x_a,
+    CAST(COUNT(CASE WHEN user_id % 2 = 1 THEN 1 END) AS BIGINT) AS x_b
+  FROM abu GROUP BY 1
+)
+SELECT x.event_type, x.x_a, n.n_a, x.x_b, n.n_b,
+  CAST(CASE
+    WHEN x.x_a + x.x_b = 0 OR x.x_a + x.x_b = n.n_a + n.n_b THEN 0
+    ELSE floor(
+      (CAST(x.x_a AS DOUBLE) / n.n_a - CAST(x.x_b AS DOUBLE) / n.n_b)
+      / sqrt(
+          (CAST(x.x_a + x.x_b AS DOUBLE) / (n.n_a + n.n_b))
+          * (1.0 - CAST(x.x_a + x.x_b AS DOUBLE) / (n.n_a + n.n_b))
+          * (1.0 / n.n_a + 1.0 / n.n_b))
+      * 1000000.0)
+  END AS BIGINT) AS z_e6
+FROM abx x CROSS JOIN abn n
+"""

@@ -1278,3 +1278,26 @@ def test_decision_stump_invariants(ray_session):
     a = int((cl ** 2).sum()) * nr + int((cr ** 2).sum()) * nl
     assert row["n_left"] == nl and row["n_right"] == nr
     assert row["score_e6"] == a * 10**6 // (nl * nr)
+
+
+def test_ab_test_invariants(ray_session):
+    """Arm sizes sum to the distinct-user count; x bounded by n; z
+    recomputes for one row."""
+    import duckdb
+    import math
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    t = Q.q_ab_test(SF).to_pandas()
+    assert len(t) == 5
+    con = duckdb.connect()
+    n_users = con.sql(f"SELECT COUNT(DISTINCT user_id) FROM"
+                      f" '{SF}/events.parquet'").fetchone()[0]
+    assert (t["n_a"] + t["n_b"] == n_users).all()
+    assert (t["x_a"] <= t["n_a"]).all() and (t["x_b"] <= t["n_b"]).all()
+    r = t.iloc[0]
+    xa, na, xb, nb = (int(r["x_a"]), int(r["n_a"]),
+                      int(r["x_b"]), int(r["n_b"]))
+    if 0 < xa + xb < na + nb:
+        p = (xa + xb) / (na + nb)
+        se = math.sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb))
+        assert r["z_e6"] == math.floor((xa / na - xb / nb) / se * 1e6)
