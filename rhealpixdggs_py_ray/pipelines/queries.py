@@ -22046,3 +22046,178 @@ SELECT x.event_type, x.x_a, n.n_a, x.x_b, n.n_b,
   END AS BIGINT) AS z_e6
 FROM abx x CROSS JOIN abn n
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: gravity-model distance decay over OD tile flows
+# ---------------------------------------------------------------------------
+
+DECAY_RES = 2
+
+
+def q_distance_decay(sf_dir: str):
+    """Spatial-interaction fit: the distance-decay exponent of
+    origin-destination flows — least-squares slope of ln(flow) on
+    ln(chebyshev tile distance) over consecutive same-user moves whose
+    endpoints BOTH sit in the equatorial band and in different res-2
+    tiles.  Distances are exact integers on the global res-2 lattice
+    (seam wrap); ln terms quantize to micro-nats and the regression is
+    the zipf_slope bignum/tdiv pattern.  One user-bucket exchange for
+    transitions, one u64 flow fold, bounded (<= eq-lattice^2 = 104k
+    pair rows) driver finish.  Output one row (n_pairs, n_moves,
+    slope_e6, intercept_e6)."""
+    import math
+
+    from rhealpixdggs_py_ray.core import index as cidx
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64, sum_by_u64_key
+
+    k = DECAY_RES
+    side = 3 ** k
+    W = 4 * side
+    n_buckets = sizing.exchange_buckets(16)
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"],
+               blocks=4)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = (batch["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        lon, lat = oracle.lonlat_from_id(eid)
+        inband = np.abs(lat) <= DISSOLVE_LAT
+        u = cidx.cell_from_point(CFG, k, lon, lat, plane=False)
+        face, digits, _res = su.unpack(u)
+        d = digits[:, :k].astype(np.int64)
+        pw = (3 ** np.arange(k - 1, -1, -1)).astype(np.int64)
+        gy = (d // 3) @ pw
+        gx = (face.astype(np.int64) - 1) * side + (d % 3) @ pw
+        # polar faces produce face ids outside O..R; inband mask hides
+        # them before any lattice use
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(uid, n_buckets)),
+            "uid": pa.array(uid.astype(np.int64)),
+            "t": pa.array(ts),
+            "eid": pa.array(eid.astype(np.int64)),
+            "gy": pa.array(np.where(inband, gy, -1)),
+            "gx": pa.array(np.where(inband, gx, -1)),
+        })
+
+    def moves(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "uid" not in g.column_names:
+            return pa.table({"key": pa.array([], type=pa.uint64()),
+                             "one": pa.array([], type=pa.int64())})
+        uid = g["uid"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        eid = g["eid"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, t, uid))
+        uid = uid[order]
+        gy = g["gy"].to_numpy(zero_copy_only=False)[order]
+        gx = g["gx"].to_numpy(zero_copy_only=False)[order]
+        ok = ((uid[1:] == uid[:-1]) & (gy[1:] >= 0) & (gy[:-1] >= 0)
+              & ((gy[1:] != gy[:-1]) | (gx[1:] != gx[:-1])))
+        a = (gy[:-1][ok] * W + gx[:-1][ok]).astype(np.uint64)
+        b = (gy[1:][ok] * W + gx[1:][ok]).astype(np.uint64)
+        key = (a << np.uint64(16)) | b
+        uq, cnt = np.unique(key, return_counts=True)
+        return pa.table({"key": pa.array(uq, type=pa.uint64()),
+                         "one": pa.array(cnt.astype(np.int64))})
+
+    folded = sum_by_u64_key(
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket").map_groups(moves, batch_format="pyarrow"),
+        "key", "one", "n", n_buckets=8,
+    )
+    Sx = Sy = Sxx = Sxy = 0
+    K = 0
+    n_moves = 0
+    for bt in folded.iter_batches(batch_format="pyarrow"):
+        if bt.num_rows == 0:
+            continue
+        key = bt["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = bt["n"].to_numpy(zero_copy_only=False)
+        a = (key >> np.uint64(16)).astype(np.int64)
+        b = (key & np.uint64((1 << 16) - 1)).astype(np.int64)
+        dy = np.abs(a // W - b // W)
+        dxr = np.abs(a % W - b % W)
+        cheb = np.maximum(dy, np.minimum(dxr, W - dxr))
+        x = np.floor(np.log(cheb.astype(np.float64)) * 1e6).astype(np.int64)
+        y = np.floor(np.log(n.astype(np.float64)) * 1e6).astype(np.int64)
+        K += len(x)
+        n_moves += int(n.sum())
+        Sx += int(x.sum())
+        Sy += int(y.sum())
+        Sxx += int((x * x).sum())
+        Sxy += int((x * y).sum())
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
+
+    den = K * Sxx - Sx * Sx
+    num = K * Sxy - Sx * Sy
+    slope_e6 = tdiv(num * 1_000_000, den) if den else 0
+    intercept_e6 = tdiv(Sy - tdiv(slope_e6 * Sx, 1_000_000), K) if K else 0
+    return pa.table({
+        "n_pairs": pa.array([K], type=pa.int64()),
+        "n_moves": pa.array([n_moves], type=pa.int64()),
+        "slope_e6": pa.array([slope_e6], type=pa.int64()),
+        "intercept_e6": pa.array([intercept_e6], type=pa.int64()),
+    })
+
+
+def sql_distance_decay() -> str:
+    k = DECAY_RES
+    W = 4 * 3 ** k
+    pts = _points_sql("events", "event_id")
+    idx_sql = oracle.cell_from_point_sql(
+        f"SELECT event_id, lon, lat FROM ({pts}) p"
+        f" WHERE abs(lat) <= {DISSOLVE_LAT!r}",
+        k, CFG, id_cols=("event_id",))
+    gy, gx = _dissolve_rowcol_sql(k)
+    return f"""
+WITH ddi AS MATERIALIZED (
+  SELECT event_id, {gy} AS gy, {gx} AS gx
+  FROM (SELECT event_id, cell_id FROM {idx_sql} t)
+),
+ddm AS MATERIALIZED (
+  SELECT e.user_id, e.ts, e.event_id, i.gy, i.gx
+  FROM events e LEFT JOIN ddi i ON i.event_id = e.event_id
+),
+ddp AS MATERIALIZED (
+  SELECT gy AS by_, gx AS bx,
+    lag(gy) OVER w AS ay, lag(gx) OVER w AS ax,
+    lag(user_id) OVER w AS pu, user_id
+  FROM ddm WINDOW w AS (ORDER BY user_id, ts, event_id)
+),
+ddf AS MATERIALIZED (
+  SELECT ay * {W} + ax AS a, by_ * {W} + bx AS b,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM ddp
+  WHERE pu = user_id AND ay IS NOT NULL AND by_ IS NOT NULL
+    AND (ay <> by_ OR ax <> bx)
+  GROUP BY 1, 2
+),
+ddq AS MATERIALIZED (
+  SELECT n,
+    greatest(abs(a // {W} - b // {W}),
+             least(abs(a % {W} - b % {W}),
+                   {W} - abs(a % {W} - b % {W}))) AS cheb
+  FROM ddf
+),
+dds AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS k, CAST(SUM(n) AS BIGINT) AS nm,
+    SUM(CAST(floor(ln(CAST(cheb AS DOUBLE)) * 1000000.0) AS HUGEINT)) AS sx,
+    SUM(CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000.0) AS HUGEINT)) AS sy,
+    SUM(CAST(floor(ln(CAST(cheb AS DOUBLE)) * 1000000.0) AS HUGEINT)
+      * CAST(floor(ln(CAST(cheb AS DOUBLE)) * 1000000.0) AS HUGEINT)) AS sxx,
+    SUM(CAST(floor(ln(CAST(cheb AS DOUBLE)) * 1000000.0) AS HUGEINT)
+      * CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000.0) AS HUGEINT)) AS sxy
+  FROM ddq
+)
+SELECT CAST(k AS BIGINT) AS n_pairs, nm AS n_moves,
+  CAST((k * sxy - sx * sy) * 1000000 // (k * sxx - sx * sx) AS BIGINT)
+    AS slope_e6,
+  CAST((sy - ((k * sxy - sx * sy) * 1000000 // (k * sxx - sx * sx))
+    * sx // 1000000) // k AS BIGINT) AS intercept_e6
+FROM dds
+"""

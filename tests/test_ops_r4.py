@@ -1301,3 +1301,17 @@ def test_ab_test_invariants(ray_session):
         p = (xa + xb) / (na + nb)
         se = math.sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb))
         assert r["z_e6"] == math.floor((xa / na - xb / nb) / se * 1e6)
+
+
+def test_distance_decay_invariants(ray_session):
+    """Distance decay: slope negative (near moves dominate the
+    synthetic uniform field only weakly, but flows at cheb=1 still
+    outnumber far pairs per-pair: just assert the regression is
+    well-formed and n accounting holds)."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    t = Q.q_distance_decay(SF).to_pandas()
+    assert len(t) == 1
+    r = t.iloc[0]
+    assert r["n_pairs"] >= 1
+    assert r["n_moves"] >= r["n_pairs"]
