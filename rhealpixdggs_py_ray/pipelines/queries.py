@@ -22221,3 +22221,107 @@ SELECT CAST(k AS BIGINT) AS n_pairs, nm AS n_moves,
     * sx // 1000000) // k AS BIGINT) AS intercept_e6
 FROM dds
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: deterministic bootstrap CI of the daily event-count mean
+# ---------------------------------------------------------------------------
+
+BOOT_B = 64
+
+
+def q_bootstrap_ci(sf_dir: str):
+    """Uncertainty quantification: a seeded bootstrap CI for the mean
+    daily event count — BOOT_B resamples of the (zero-filled) day
+    series, resample b drawing day index splitmix64(b*n + i) % n,
+    means truncated to integers, CI = order statistics [B//40] and
+    [B - 1 - B//40] of the sorted means (~2.5/97.5%).  splitmix64 is
+    the engine's seeded-RNG primitive (fixtures.py:38), already SQL-
+    mirrored; everything downstream is exact integers.  The day table
+    is a bounded (span-length) fold; resampling is a driver finish.
+    Output one row (n_days, mean_milli, lo_milli, hi_milli)."""
+    from rhealpixdggs_py_ray.fixtures import splitmix64
+    from rhealpixdggs_py_ray.ops.agg import sum_by_u64_key
+
+    ds = _read(sf_dir, "events", columns=["ts"], blocks=4)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = (batch["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        day = (ts // 86_400_000_000).astype(np.uint64)
+        return pa.table({
+            "key": pa.array(day, type=pa.uint64()),
+            "one": pa.array(np.ones(len(day), dtype=np.int64)),
+        })
+
+    folded = sum_by_u64_key(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "key", "one", "c", n_buckets=4,
+    )
+    days, cnts = [], []
+    for b in folded.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            days.append(b["key"].to_numpy(zero_copy_only=False)
+                        .astype(np.int64))
+            cnts.append(b["c"].to_numpy(zero_copy_only=False))
+    day = np.concatenate(days)
+    c = np.concatenate(cnts)
+    d0, d1 = int(day.min()), int(day.max())
+    n = d1 - d0 + 1
+    dense = np.zeros(n, dtype=np.int64)
+    dense[day - d0] = c
+    b_i = np.arange(BOOT_B, dtype=np.uint64)[:, None] * np.uint64(n) \
+        + np.arange(n, dtype=np.uint64)[None, :]
+    idx = (splitmix64(b_i.ravel()) % np.uint64(n)).astype(np.int64)
+    means = dense[idx].reshape(BOOT_B, n).sum(axis=1) * 1000 // n
+    means.sort()
+    lo_i = BOOT_B // 40
+    return pa.table({
+        "n_days": pa.array([n], type=pa.int64()),
+        "mean_milli": pa.array([int(dense.sum()) * 1000 // n],
+                               type=pa.int64()),
+        "lo_milli": pa.array([int(means[lo_i])], type=pa.int64()),
+        "hi_milli": pa.array([int(means[BOOT_B - 1 - lo_i])],
+                             type=pa.int64()),
+    })
+
+
+def sql_bootstrap_ci() -> str:
+    n_expr = "(SELECT d1 - d0 + 1 FROM bcr)"
+    sm = oracle.splitmix64_sql_ctes(
+        f"SELECT b, i, b * {n_expr} + i AS s FROM bcb", "b, i", "s", "h",
+        prefix="bcs")
+    return f"""
+WITH bcc AS MATERIALIZED (
+  SELECT epoch_us(ts) // 86400000000 AS day, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+bcr AS MATERIALIZED (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM bcc),
+bcz AS MATERIALIZED (
+  SELECT d.day - r.d0 AS i, COALESCE(c.c, 0) AS c
+  FROM (SELECT unnest(generate_series(r2.d0, r2.d1)) AS day FROM bcr r2) d
+  CROSS JOIN bcr r LEFT JOIN bcc c ON c.day = d.day
+),
+bcb AS MATERIALIZED (
+  SELECT b.b, i.i FROM
+    (SELECT unnest(generate_series(0, {BOOT_B - 1})) AS b) b
+  CROSS JOIN (SELECT i FROM bcz) i
+),
+bch AS MATERIALIZED (
+  SELECT b, i, h FROM {sm} q
+),
+bcm AS MATERIALIZED (
+  SELECT h.b,
+    CAST(SUM(z.c) * 1000 // {n_expr} AS BIGINT) AS mean_m
+  FROM bch h JOIN bcz z ON z.i = CAST(h.h % CAST({n_expr} AS UBIGINT)
+    AS BIGINT)
+  GROUP BY 1
+),
+bco AS MATERIALIZED (
+  SELECT mean_m, row_number() OVER (ORDER BY mean_m, b) AS rk FROM bcm
+)
+SELECT CAST({n_expr} AS BIGINT) AS n_days,
+  CAST((SELECT SUM(c) FROM bcz) * 1000 // {n_expr} AS BIGINT) AS mean_milli,
+  (SELECT mean_m FROM bco WHERE rk = {BOOT_B // 40 + 1}) AS lo_milli,
+  (SELECT mean_m FROM bco WHERE rk = {BOOT_B - BOOT_B // 40}) AS hi_milli
+"""

@@ -1315,3 +1315,31 @@ def test_distance_decay_invariants(ray_session):
     r = t.iloc[0]
     assert r["n_pairs"] >= 1
     assert r["n_moves"] >= r["n_pairs"]
+
+
+def test_bootstrap_ci_invariants(ray_session):
+    """lo <= mean-ish <= hi and the CI brackets the daily-count scale;
+    resample means recompute from the raw day table."""
+    import duckdb
+    from rhealpixdggs_py_ray.fixtures import splitmix64
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import BOOT_B
+
+    t = Q.q_bootstrap_ci(SF).to_pandas()
+    r = t.iloc[0]
+    assert r["lo_milli"] <= r["hi_milli"]
+    con = duckdb.connect()
+    d = con.sql(f"""SELECT epoch_us(ts) // 86400000000 day, COUNT(*) c
+      FROM '{SF}/events.parquet' GROUP BY 1""").df()
+    d0, d1 = int(d["day"].min()), int(d["day"].max())
+    n = d1 - d0 + 1
+    assert r["n_days"] == n
+    dense = np.zeros(n, dtype=np.int64)
+    dense[d["day"].to_numpy() - d0] = d["c"].to_numpy()
+    assert r["mean_milli"] == dense.sum() * 1000 // n
+    b_i = (np.arange(BOOT_B, dtype=np.uint64)[:, None] * np.uint64(n)
+           + np.arange(n, dtype=np.uint64)[None, :])
+    idx = (splitmix64(b_i.ravel()) % np.uint64(n)).astype(np.int64)
+    means = np.sort(dense[idx].reshape(BOOT_B, n).sum(axis=1) * 1000 // n)
+    assert r["lo_milli"] == means[BOOT_B // 40]
+    assert r["hi_milli"] == means[BOOT_B - 1 - BOOT_B // 40]
