@@ -1329,7 +1329,7 @@ def test_bootstrap_ci_invariants(ray_session):
     r = t.iloc[0]
     assert r["lo_milli"] <= r["hi_milli"]
     con = duckdb.connect()
-    d = con.sql(f"""SELECT epoch_us(ts) // 86400000000 day, COUNT(*) c
+    d = con.sql(f"""SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) c
       FROM '{SF}/events.parquet' GROUP BY 1""").df()
     d0, d1 = int(d["day"].min()), int(d["day"].max())
     n = d1 - d0 + 1
