@@ -22325,3 +22325,154 @@ SELECT CAST({n_expr} AS BIGINT) AS n_days,
   (SELECT mean_m FROM bco WHERE rk = {BOOT_B // 40 + 1}) AS lo_milli,
   (SELECT mean_m FROM bco WHERE rk = {BOOT_B - BOOT_B // 40}) AS hi_milli
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: Cohen's kappa of the nearest-centroid classifier
+# ---------------------------------------------------------------------------
+
+
+def q_cohens_kappa(sf_dir: str):
+    """Chance-corrected agreement of the nearest-centroid classifier
+    with the true labels: kappa = (po - pe) / (1 - pe) cleared to the
+    exact integer rational (N*trace - sum_i row_i*col_i) * 1e9 //
+    (N^2 - sum_i row_i*col_i) over the confusion matrix that
+    q_nearest_centroid already computes distributed (<= 100 bounded
+    rows).  DuckDB-truncated division mirrored.  Output one row
+    (n, trace, pe_num, kappa_e9)."""
+    conf = q_nearest_centroid(sf_dir).to_pandas()  # bounded: <=10x10 rows
+    N = int(conf["n"].sum())
+    trace = int(conf[conf["label"] == conf["nearest"]]["n"].sum())
+    row = conf.groupby("label")["n"].sum()
+    col = conf.groupby("nearest")["n"].sum()
+    labels = sorted(set(row.index) | set(col.index))
+    pe_num = sum(int(row.get(l, 0)) * int(col.get(l, 0)) for l in labels)
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
+
+    kappa_e9 = tdiv((N * trace - pe_num) * 1_000_000_000, N * N - pe_num)
+    return pa.table({
+        "n": pa.array([N], type=pa.int64()),
+        "trace": pa.array([trace], type=pa.int64()),
+        "pe_num": pa.array([pe_num], type=pa.int64()),
+        "kappa_e9": pa.array([kappa_e9], type=pa.int64()),
+    })
+
+
+def sql_cohens_kappa() -> str:
+    return f"""
+WITH ckc AS MATERIALIZED ({sql_nearest_centroid()}),
+ckr AS MATERIALIZED (
+  SELECT label AS l, CAST(SUM(n) AS BIGINT) AS r FROM ckc GROUP BY 1
+),
+ckl AS MATERIALIZED (
+  SELECT nearest AS l, CAST(SUM(n) AS BIGINT) AS c FROM ckc GROUP BY 1
+),
+ckp AS MATERIALIZED (
+  SELECT CAST(SUM(COALESCE(r.r, 0) * COALESCE(l.c, 0)) AS BIGINT) AS pe_num
+  FROM (SELECT l FROM ckr UNION SELECT l FROM ckl) u
+  LEFT JOIN ckr r ON r.l = u.l LEFT JOIN ckl l ON l.l = u.l
+),
+cks AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+    CAST(SUM(CASE WHEN label = nearest THEN n ELSE 0 END) AS BIGINT)
+      AS trace
+  FROM ckc
+)
+SELECT s.nn AS n, s.trace, p.pe_num,
+  CAST((s.nn * s.trace - p.pe_num) * 1000000000
+    // (s.nn * s.nn - p.pe_num) AS BIGINT) AS kappa_e9
+FROM cks s CROSS JOIN ckp p
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: last-touch click attribution
+# ---------------------------------------------------------------------------
+
+ATTR_T_S = 3600
+
+
+def q_attribution(sf_dir: str):
+    """Marketing attribution: each purchase is credited to the same
+    user's most recent PRIOR click within ATTR_T_S seconds (order by
+    ts, event_id; the strictly-earlier rule of colocation_pairs).
+    ONE h(user) bucket exchange; inside each group a vectorized
+    running-last-click scan (np.maximum.accumulate over click
+    positions) attributes every purchase in O(n).  Output
+    (event_id, click_event_id, dt_us) for attributed purchases."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    T_us = ATTR_T_S * 1_000_000
+    n_buckets = sizing.exchange_buckets(16)
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"], blocks=4)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == "click") | (et == "purchase")
+        b = batch.filter(pa.array(keep))
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        ts = (b["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(uid, n_buckets)),
+            "uid": pa.array(uid.astype(np.int64)),
+            "t": pa.array(ts),
+            "eid": pa.array(b["event_id"].to_numpy(zero_copy_only=False)
+                            .astype(np.int64)),
+            "is_click": pa.array(
+                (b["event_type"].to_numpy(zero_copy_only=False)
+                 == "click").astype(np.int64)),
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table({"event_id": pa.array([], type=pa.int64()),
+                          "click_event_id": pa.array([], type=pa.int64()),
+                          "dt_us": pa.array([], type=pa.int64())})
+        if g.num_rows == 0 or "uid" not in g.column_names:
+            return empty
+        uid = g["uid"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        eid = g["eid"].to_numpy(zero_copy_only=False)
+        ic = g["is_click"].to_numpy(zero_copy_only=False).astype(bool)
+        order = np.lexsort((eid, t, uid))
+        uid, t, eid, ic = uid[order], t[order], eid[order], ic[order]
+        idx = np.arange(len(uid))
+        last_click = np.maximum.accumulate(np.where(ic, idx, -1))
+        isp = ~ic
+        j = last_click[isp]
+        ok = j >= 0
+        pi = idx[isp][ok]
+        j = j[ok]
+        ok2 = (uid[j] == uid[pi]) & (t[pi] - t[j] <= T_us)
+        pi, j = pi[ok2], j[ok2]
+        return pa.table({
+            "event_id": pa.array(eid[pi]),
+            "click_event_id": pa.array(eid[j]),
+            "dt_us": pa.array(t[pi] - t[j]),
+        })
+
+    b = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return b.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def sql_attribution() -> str:
+    T_us = ATTR_T_S * 1_000_000
+    return f"""
+WITH ate AS MATERIALIZED (
+  SELECT event_id, user_id, ts, event_type FROM events
+  WHERE event_type IN ('click', 'purchase')
+)
+SELECT p.event_id, c.event_id AS click_event_id,
+  epoch_us(p.ts) - epoch_us(c.ts) AS dt_us
+FROM ate p JOIN ate c
+  ON c.user_id = p.user_id AND c.event_type = 'click'
+  AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+  AND epoch_us(p.ts) - epoch_us(c.ts) <= {T_us}
+WHERE p.event_type = 'purchase'
+QUALIFY row_number() OVER (
+  PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC) = 1
+"""

@@ -1343,3 +1343,51 @@ def test_bootstrap_ci_invariants(ray_session):
     means = np.sort(dense[idx].reshape(BOOT_B, n).sum(axis=1) * 1000 // n)
     assert r["lo_milli"] == means[BOOT_B // 40]
     assert r["hi_milli"] == means[BOOT_B - 1 - BOOT_B // 40]
+
+
+def test_cohens_kappa_invariants(ray_session):
+    """kappa in [-1e9, 1e9]; recomputes from the confusion matrix."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    t = Q.q_cohens_kappa(SF).to_pandas()
+    r = t.iloc[0]
+    assert -10**9 <= r["kappa_e9"] <= 10**9
+    conf = Q.q_nearest_centroid(SF).to_pandas()
+    N = conf["n"].sum()
+    trace = conf[conf["label"] == conf["nearest"]]["n"].sum()
+    assert r["n"] == N and r["trace"] == trace
+    num = int(N) * int(trace) - int(r["pe_num"])
+    den = int(N) ** 2 - int(r["pe_num"])
+    q = abs(num * 10**9) // den
+    assert r["kappa_e9"] == (-q if num < 0 else q)
+
+
+def test_attribution_invariants(ray_session):
+    """Every attribution: dt within the window, click precedes
+    purchase, click is truly the user's latest prior click."""
+    import duckdb
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import ATTR_T_S
+
+    t = Q.q_attribution(SF).to_pandas()
+    assert len(t) > 0
+    assert t["dt_us"].between(0, ATTR_T_S * 10**6).all()
+    con = duckdb.connect()
+    ev = con.sql(f"""SELECT event_id, user_id, epoch_us(ts) AS t, event_type
+      FROM '{SF}/events.parquet'
+      WHERE event_type IN ('click', 'purchase')""").df()
+    by_id = ev.set_index("event_id")
+    clicks = ev[ev["event_type"] == "click"]
+    for _, r in t.head(15).iterrows():
+        p = by_id.loc[r["event_id"]]
+        c = by_id.loc[r["click_event_id"]]
+        assert c["user_id"] == p["user_id"]
+        assert r["dt_us"] == p["t"] - c["t"]
+        better = clicks[(clicks["user_id"] == p["user_id"])
+                        & ((clicks["t"] > c["t"])
+                           | ((clicks["t"] == c["t"])
+                              & (clicks["event_id"] > r["click_event_id"])))
+                        & ((clicks["t"] < p["t"])
+                           | ((clicks["t"] == p["t"])
+                              & (clicks["event_id"] < r["event_id"])))]
+        assert len(better) == 0
