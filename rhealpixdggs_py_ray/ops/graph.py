@@ -152,3 +152,112 @@ def pagerank_distributed(
 
     return ranks.map_batches(rename, batch_format="pyarrow",
                              zero_copy_batch=True)
+
+
+def k_core_distributed(edges_ds, k: int, iters: int):
+    """Beyond-driver-cap k-core peel: ``edges_ds`` holds packed u64
+    edges (``key`` = ua<<32 | ub, ua < ub).  Each round costs TWO
+    exchanges — (1) an exact degree fold over edge endpoints, (2) an
+    alive-filter of the edge list by both endpoints (edges and the
+    <= |V|-row alive set union into ONE bucketed groupby; no join
+    operator) — and the edge set only shrinks, so iteration i streams
+    less than iteration i-1.  Mirrors pipelines/queries.q_k_core's
+    driver peel exactly (same early fixpoint exit).  Returns a Dataset
+    (user_id, deg) of the surviving endpoints with their within-core
+    degree."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64, sum_by_u64_key
+
+    LOW32 = np.uint64((1 << 32) - 1)
+    edges = edges_ds
+
+    def degree_partials(batch: pa.Table) -> pa.Table:
+        ek = batch["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        node = np.concatenate([ek >> np.uint64(32), ek & LOW32])
+        uq, cnt = np.unique(node, return_counts=True)
+        return pa.table({"node": pa.array(uq, type=pa.uint64()),
+                         "one": pa.array(cnt.astype(np.int64))})
+
+    for _ in range(iters):
+        deg = sum_by_u64_key(
+            edges.map_batches(degree_partials, batch_format="pyarrow",
+                              zero_copy_batch=True),
+            "node", "one", "deg", n_buckets=8,
+        )
+        alive = deg.filter(expr=f"deg >= {k}").materialize()
+        n_alive = alive.count()
+
+        # route each edge to BOTH endpoint buckets; alive nodes to
+        # their bucket; an edge survives a bucket check if its routed
+        # endpoint is alive there — edges surviving BOTH checks (count
+        # == 2 in the fold) stay.
+        def edge_sides(batch: pa.Table) -> pa.Table:
+            ek = batch["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            a = ek >> np.uint64(32)
+            b = ek & LOW32
+            node = np.concatenate([a, b])
+            return pa.table({
+                "bucket": pa.array(hash_bucket_u64(node, 8)),
+                "node": pa.array(node, type=pa.uint64()),
+                "key": pa.array(np.concatenate([ek, ek]), type=pa.uint64()),
+                "is_edge": pa.array(np.ones(2 * len(ek), dtype=np.int64)),
+            })
+
+        def alive_rows(batch: pa.Table) -> pa.Table:
+            node = batch["node"].to_numpy(zero_copy_only=False).astype(
+                np.uint64)
+            return pa.table({
+                "bucket": pa.array(hash_bucket_u64(node, 8)),
+                "node": pa.array(node, type=pa.uint64()),
+                "key": pa.array(np.zeros(len(node), dtype=np.uint64),
+                                type=pa.uint64()),
+                "is_edge": pa.array(np.zeros(len(node), dtype=np.int64)),
+            })
+
+        def check(g: pa.Table) -> pa.Table:
+            if g.num_rows == 0 or "node" not in g.column_names:
+                return pa.table({"key": pa.array([], type=pa.uint64()),
+                                 "one": pa.array([], type=pa.int64())})
+            node = g["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            key = g["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            is_edge = g["is_edge"].to_numpy(zero_copy_only=False).astype(bool)
+            ok_nodes = np.unique(node[~is_edge])
+            hit = np.isin(node[is_edge], ok_nodes)
+            return pa.table({
+                "key": pa.array(key[is_edge][hit], type=pa.uint64()),
+                "one": pa.array(np.ones(int(hit.sum()), dtype=np.int64)),
+            })
+
+        sides = edges.map_batches(edge_sides, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        amarks = alive.map_batches(alive_rows, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+        checked = (
+            sides.union(amarks).groupby("bucket")
+            .map_groups(check, batch_format="pyarrow")
+        )
+        folded = sum_by_u64_key(checked, "key", "one", "hits", n_buckets=8)
+        new_edges = folded.filter(expr="hits == 2").select_columns(["key"])
+        new_edges = new_edges.materialize()
+        n_new = new_edges.count()
+        n_old = edges.count()
+        edges = new_edges
+        if n_new == n_old:
+            break  # fixpoint
+        if n_new == 0:
+            break
+
+    final_deg = sum_by_u64_key(
+        edges.map_batches(degree_partials, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        "node", "one", "deg", n_buckets=8,
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pa.array(batch["node"].to_numpy(zero_copy_only=False)
+                                .astype(np.int64)),
+            "deg": batch["deg"],
+        })
+
+    return final_deg.map_batches(rename, batch_format="pyarrow",
+                                 zero_copy_batch=True)

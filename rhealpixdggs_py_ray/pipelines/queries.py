@@ -20265,10 +20265,14 @@ def q_k_core(sf_dir: str):
     the endpoints of the final edge set with their within-core degree.
     The edge list is the cached co-presence graph; peeling runs on the
     driver over the gathered edge array (bounded: asserts <= 8M edges,
-    the ops/cc.py driver-union-find cap — beyond it the peel becomes
-    the 2-exchange/iteration distributed degree-filter loop).  Output
+    the ops/cc.py driver-union-find cap — beyond it the peel IS the
+    2-exchange/iteration distributed degree-filter loop,
+    ops/graph.k_core_distributed, parity-pinned in tests).  Output
     (user_id, deg)."""
     edges = _copresence_edges(sf_dir)
+    if edges.count() > 8_000_000:  # driver peel cap (see ops/cc.py)
+        from rhealpixdggs_py_ray.ops.graph import k_core_distributed
+        return k_core_distributed(edges, KCORE_K, KCORE_ITERS)
     parts = []
     for b in edges.iter_batches(batch_format="pyarrow"):
         if b.num_rows:
@@ -20276,7 +20280,6 @@ def q_k_core(sf_dir: str):
                          .astype(np.uint64))
     ek = (np.concatenate(parts) if parts
           else np.array([], dtype=np.uint64))
-    assert len(ek) <= 8_000_000, "k_core driver peel cap (see ops/cc.py)"
     ua = (ek >> np.uint64(32)).astype(np.int64)
     ub = (ek & np.uint64((1 << 32) - 1)).astype(np.int64)
     for _ in range(KCORE_ITERS):

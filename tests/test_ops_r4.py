@@ -1391,3 +1391,17 @@ def test_attribution_invariants(ray_session):
                            | ((clicks["t"] == p["t"])
                               & (clicks["event_id"] < r["event_id"])))]
         assert len(better) == 0
+
+
+def test_k_core_distributed_parity(ray_session):
+    """The beyond-cap distributed peel (2 exchanges/iteration) returns
+    exactly the driver peel's answer on the fixture graph."""
+    from rhealpixdggs_py_ray.ops.graph import k_core_distributed
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    drv = (Q.q_k_core(SF).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    dist = (k_core_distributed(Q._copresence_edges(SF), Q.KCORE_K,
+                               Q.KCORE_ITERS).to_pandas()
+            .sort_values("user_id").reset_index(drop=True))
+    assert drv.equals(dist)
