@@ -827,3 +827,89 @@ SELECT qid, vec_id,
   row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rank, adc
 FROM adc QUALIFY rank <= {k}
 """
+
+
+def ann_topk_ivf_persisted(emb_ds, emb_ds2, n_queries: int = 10, k: int = 5,
+                           n_lists: int = 16, nprobe: int = 6,
+                           scratch_dir: str | None = None):
+    """The IVF index LIFECYCLE: build (assign every vector to its
+    inverted list, write parquet partitioned by ``list``), then query
+    by reading ONLY the union of probed list partitions — the
+    partition-pruned read is the point: at 100 TB a query touches
+    nprobe/n_lists of the index bytes, never the corpus.  Same seeds /
+    assignment / probing as ann_topk_ivf, so results (and the SQL
+    oracle) are identical; parity with the transient path is pinned in
+    tests.  Owns and removes its /tmp scratch unless scratch_dir is
+    passed (knn_graph precedent)."""
+    import os
+    import shutil
+    import tempfile
+
+    from rhealpixdggs_py_ray.ops.dedup import _emb_matrix
+
+    own = scratch_dir is None
+    scratch = scratch_dir or tempfile.mkdtemp(prefix="ivf_index_", dir="/tmp")
+
+    _, C = _ivf_seed_centroids(emb_ds, n_lists)
+    cref = ray.put(C)
+
+    class Assign:
+        def __init__(self):
+            self.C = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            B = _emb_matrix(batch)
+            a = _seq_d2(B, self.C).argmin(axis=1)  # ties -> smaller cid
+            # "list" drives hive partitioning (consumed by the writer);
+            # "lst" rides in the data so pruned file reads keep it
+            t = batch.append_column("list", pa.array(a.astype(np.int64)))
+            return t.append_column("lst", pa.array(a.astype(np.int64)))
+
+    sizing.stateful_map(
+        emb_ds, Assign, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(scratch, partition_cols=["list"])
+
+    qids, Q = _gather_queries(emb_ds2, n_queries)
+    qn = _seq_norm(Q)
+    qd2 = _seq_d2(Q, C)
+    probe_lists = np.empty((len(qids), nprobe), dtype=np.int64)
+    for j in range(len(qids)):
+        probe_lists[j] = np.lexsort((np.arange(C.shape[0]), qd2[j]))[:nprobe]
+    allowed = np.unique(probe_lists.ravel())
+    qref = ray.put((qids, Q, qn, probe_lists))
+
+    # partition-pruned read: only probed list dirs leave storage
+    import glob as _glob
+    paths = []
+    for c in allowed.tolist():
+        paths.extend(sorted(_glob.glob(
+            os.path.join(scratch, f"list={c}", "*.parquet"))))
+    idx = ray.data.read_parquet(paths)
+
+    class ScoreProbed:
+        def __init__(self):
+            self.qids, self.Q, self.qn, self.probes = ray.get(qref)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+            assign = batch["lst"].to_numpy(zero_copy_only=False)
+            B = _emb_matrix(batch)
+            bn = _seq_norm(B)
+            S = _seq_dots(B, self.Q) / (bn[:, None] * self.qn[None, :])
+            S[vid[:, None] == self.qids[None, :]] = -np.inf
+            for j in range(S.shape[1]):
+                S[~np.isin(assign, self.probes[j]), j] = -np.inf
+            t = _partial_topk_table(self.qids, vid, S, self.k)
+            return t.filter(pa.array(np.isfinite(
+                t["cos"].to_numpy(zero_copy_only=False))))
+
+    out = (
+        sizing.stateful_map(idx, ScoreProbed, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        .groupby("qid").map_groups(_final_topk(k), batch_format="pyarrow")
+    )
+    if own:
+        out = out.materialize()  # bounded: n_queries * k rows
+        shutil.rmtree(scratch, ignore_errors=True)
+    return out

@@ -22479,3 +22479,29 @@ WHERE p.event_type = 'purchase'
 QUALIFY row_number() OVER (
   PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC) = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: persisted IVF index lifecycle (build -> pruned query)
+# ---------------------------------------------------------------------------
+
+
+def q_ann_ivf_persisted(sf_dir: str):
+    """Index lifecycle as a first-class pipeline: build the IVF index
+    (assignments written as parquet PARTITIONED BY inverted list),
+    then answer the standard query set by reading ONLY the probed
+    list partitions — at scale a query touches nprobe/n_lists of the
+    index bytes and never the corpus.  Same seeds/assignment/probing
+    as ann_topk_ivf, so the transient path's oracle verifies the
+    persisted one (parity also pinned in tests)."""
+    from rhealpixdggs_py_ray.ops import ann
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    emb2 = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann.ann_topk_ivf_persisted(emb, emb2)
+
+
+def sql_ann_ivf_persisted() -> str:
+    from rhealpixdggs_py_ray.ops import ann
+
+    return ann.ann_topk_ivf_sql()

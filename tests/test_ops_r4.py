@@ -1405,3 +1405,18 @@ def test_k_core_distributed_parity(ray_session):
                                Q.KCORE_ITERS).to_pandas()
             .sort_values("user_id").reset_index(drop=True))
     assert drv.equals(dist)
+
+
+def test_ann_ivf_persisted_parity(ray_session):
+    """Persisted-index query results == transient IVF results, and the
+    scratch index directory is cleaned up."""
+    import glob
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    before = set(glob.glob("/tmp/ivf_index_*"))
+    a = (Q.q_ann_topk_ivf(SF).to_pandas()
+         .sort_values(["qid", "rank"]).reset_index(drop=True))
+    b = (Q.q_ann_ivf_persisted(SF).to_pandas()
+         .sort_values(["qid", "rank"]).reset_index(drop=True))
+    assert a.equals(b)
+    assert set(glob.glob("/tmp/ivf_index_*")) == before
