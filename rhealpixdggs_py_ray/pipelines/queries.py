@@ -22505,3 +22505,79 @@ def sql_ann_ivf_persisted() -> str:
     from rhealpixdggs_py_ray.ops import ann
 
     return ann.ann_topk_ivf_sql()
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: image row-projection profiles (document-layout analysis shape)
+# ---------------------------------------------------------------------------
+
+
+def q_image_row_profile(sf_dir: str):
+    """Projection profiling over REAL payload bytes: decode each image
+    (actor pool, per-(w,h) base-lattice cache), sum channel 0 per
+    pixel row, report the peak row (ties -> smallest y) and the total
+    — the horizontal-projection primitive of document layout analysis.
+    The oracle replays the generative pixel formula over a w x h
+    series, so the decode path is value-hash verified end-to-end.
+    Output (image_id, w, h, peak_y, peak_sum, total)."""
+    from rhealpixdggs_py_ray.fixtures import decode_image, write_images_table
+
+    write_images_table(IMG_DIR, IMG_N)
+    ds = ray.data.read_parquet(
+        IMG_DIR, override_num_blocks=sizing.read_blocks(IMG_DIR, profile=8))
+
+    class RowProfile:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            blobs = batch["bytes"].to_pylist()
+            fmts = batch["fmt"].to_pylist()
+            ws = batch["w"].to_numpy()
+            hs = batch["h"].to_numpy()
+            ids = batch["image_id"].to_pylist()
+            out = {k: [] for k in ("id", "w", "h", "py", "ps", "tot")}
+            for k in range(len(blobs)):
+                img = decode_image(blobs[k], fmts[k], int(ws[k]), int(hs[k]))
+                rs = img[:, :, 0].astype(np.int64).sum(axis=1)
+                py = int(np.argmax(rs))
+                out["id"].append(ids[k])
+                out["w"].append(int(ws[k]))
+                out["h"].append(int(hs[k]))
+                out["py"].append(py)
+                out["ps"].append(int(rs[py]))
+                out["tot"].append(int(rs.sum()))
+            return pa.table({
+                "image_id": pa.array(out["id"], type=pa.string()),
+                "w": pa.array(np.array(out["w"], dtype=np.int64)),
+                "h": pa.array(np.array(out["h"], dtype=np.int64)),
+                "peak_y": pa.array(np.array(out["py"], dtype=np.int64)),
+                "peak_sum": pa.array(np.array(out["ps"], dtype=np.int64)),
+                "total": pa.array(np.array(out["tot"], dtype=np.int64)),
+            })
+
+    return ds.map_batches(RowProfile, batch_format="pyarrow",
+                          batch_size=256, zero_copy_batch=True,
+                          concurrency=sizing.pool())
+
+
+def sql_image_row_profile() -> str:
+    src = _image_src_sql()
+    val = "(x * 3 + y * 5 + CAST(u & 255 AS BIGINT)) % 256"
+    return f"""
+WITH irp AS MATERIALIZED (
+  SELECT image_id, w, h, u FROM {src} t
+),
+irr AS MATERIALIZED (
+  SELECT i.image_id, i.w, i.h, y.y, CAST(SUM({val}) AS BIGINT) AS rowsum
+  FROM irp i,
+    LATERAL (SELECT unnest(generate_series(0, i.h - 1)) AS y) y,
+    LATERAL (SELECT unnest(generate_series(0, i.w - 1)) AS x) x
+  GROUP BY 1, 2, 3, 4
+),
+irt AS MATERIALIZED (
+  SELECT image_id, CAST(SUM(rowsum) AS BIGINT) AS total FROM irr GROUP BY 1
+)
+SELECT r.image_id, CAST(r.w AS BIGINT) AS w, CAST(r.h AS BIGINT) AS h,
+  CAST(r.y AS BIGINT) AS peak_y, r.rowsum AS peak_sum, t.total
+FROM irr r JOIN irt t ON t.image_id = r.image_id
+QUALIFY row_number() OVER (
+  PARTITION BY r.image_id ORDER BY r.rowsum DESC, r.y ASC) = 1
+"""

@@ -1420,3 +1420,26 @@ def test_ann_ivf_persisted_parity(ray_session):
          .sort_values(["qid", "rank"]).reset_index(drop=True))
     assert a.equals(b)
     assert set(glob.glob("/tmp/ivf_index_*")) == before
+
+
+def test_image_row_profile_invariants(ray_session):
+    """Profiles recompute from the generative formula; peak row is the
+    argmax with smallest-y ties; totals == whole-channel sums."""
+    from rhealpixdggs_py_ray.fixtures import gen_pixels
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    t = Q.q_image_row_profile(SF).to_pandas()
+    assert len(t) == Q.IMG_N
+    assert (t["peak_y"] < t["h"]).all()
+    import duckdb
+    con = duckdb.connect()
+    d = con.sql(f"SELECT image_id, w, h, phash FROM '{Q.IMG_DIR}'"
+                " ORDER BY image_id LIMIT 5").df()
+    m = t.set_index("image_id")
+    for _, r in d.iterrows():
+        img = gen_pixels(int(r["w"]), int(r["h"]), int(r["phash"]))
+        rs = img[:, :, 0].astype(np.int64).sum(axis=1)
+        row = m.loc[r["image_id"]]
+        assert row["peak_y"] == int(np.argmax(rs))
+        assert row["peak_sum"] == int(rs.max())
+        assert row["total"] == int(rs.sum())
