@@ -1433,7 +1433,8 @@ def test_image_row_profile_invariants(ray_session):
     assert (t["peak_y"] < t["h"]).all()
     import duckdb
     con = duckdb.connect()
-    d = con.sql(f"SELECT image_id, w, h, phash FROM '{Q.IMG_DIR}'"
+    d = con.sql(f"SELECT image_id, w, h, phash FROM"
+                f" '{Q.IMG_DIR}/*.parquet'"
                 " ORDER BY image_id LIMIT 5").df()
     m = t.set_index("image_id")
     for _, r in d.iterrows():
