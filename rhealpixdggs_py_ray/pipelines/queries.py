@@ -22581,3 +22581,88 @@ FROM irr r JOIN irt t ON t.image_id = r.image_id
 QUALIFY row_number() OVER (
   PARTITION BY r.image_id ORDER BY r.rowsum DESC, r.y ASC) = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: hive-partitioned source with partition pruning
+# ---------------------------------------------------------------------------
+
+HIVE_TYPES = ("click", "purchase")
+
+
+def q_hive_partitioned_source(sf_dir: str):
+    """Source-side partition pruning: the events table is laid out
+    once as hive-partitioned parquet (partition key = event_type,
+    idempotent per sf_dir fingerprint) and the query reads ONLY the
+    click/purchase partition directories — the other three event
+    types never leave storage (the layout+pruning contract a lakehouse
+    source relies on at 100 TB).  Per-partition daily counts prove the
+    read.  Output (event_type, day, n)."""
+    import glob
+    import os
+
+    from rhealpixdggs_py_ray.ops.agg import sum_by_u64_key
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/graft_hive_events_{tag}"
+    marker = os.path.join(root, "_DONE")
+    if not os.path.exists(marker):
+        ds = _read(sf_dir, "events", columns=["event_id", "ts", "event_type"],
+                   blocks=4)
+
+        def addcols(batch: pa.Table) -> pa.Table:
+            et = batch["event_type"].to_numpy(zero_copy_only=False)
+            # partition col consumed by the writer; "etype" rides in data
+            t = batch.append_column("ptype", pa.array(et, type=pa.string()))
+            return t
+        ds.map_batches(addcols, batch_format="pyarrow",
+                       zero_copy_batch=True).write_parquet(
+            root, partition_cols=["ptype"])
+        open(marker, "w").write("ok")
+
+    paths = []
+    for t in HIVE_TYPES:
+        paths.extend(sorted(glob.glob(os.path.join(root, f"ptype={t}",
+                                                   "*.parquet"))))
+    pruned = ray.data.read_parquet(paths, columns=["ts", "event_type"])
+    codes = {t: i for i, t in enumerate(EVT_TYPES)}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        ts = (batch["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        day = (ts // 86_400_000_000).astype(np.uint64)
+        code = np.array([codes[x] for x in et], dtype=np.uint64)
+        key = (day << np.uint64(3)) | code
+        return pa.table({
+            "key": pa.array(key, type=pa.uint64()),
+            "one": pa.array(np.ones(len(key), dtype=np.int64)),
+        })
+
+    folded = sum_by_u64_key(pruned.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True),
+        "key", "one", "n", n_buckets=4)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        key = batch["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        types = np.array(EVT_TYPES, dtype=object)
+        return pa.table({
+            "event_type": pa.array(
+                types[(key & np.uint64(7)).astype(np.int64)],
+                type=pa.string()),
+            "day": pa.array((key >> np.uint64(3)).astype(np.int64)),
+            "n": batch["n"],
+        })
+
+    return folded.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def sql_hive_partitioned_source() -> str:
+    types = ", ".join(f"'{t}'" for t in HIVE_TYPES)
+    return f"""
+SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM events WHERE event_type IN ({types})
+GROUP BY 1, 2
+"""

@@ -1444,3 +1444,22 @@ def test_image_row_profile_invariants(ray_session):
         assert row["peak_y"] == int(np.argmax(rs))
         assert row["peak_sum"] == int(rs.max())
         assert row["total"] == int(rs.sum())
+
+
+def test_hive_partitioned_source_invariants(ray_session):
+    """Only the pruned partitions appear; counts match a direct scan;
+    the layout is reused on the second call (marker present)."""
+    import os
+    import duckdb
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import HIVE_TYPES
+
+    t = Q.q_hive_partitioned_source(SF).to_pandas()
+    assert set(t["event_type"]) <= set(HIVE_TYPES)
+    con = duckdb.connect()
+    n = con.sql(f"""SELECT COUNT(*) FROM '{SF}/events.parquet'
+      WHERE event_type IN ('click', 'purchase')""").fetchone()[0]
+    assert t["n"].sum() == n
+    import hashlib
+    tag = hashlib.md5(SF.encode()).hexdigest()[:8]
+    assert os.path.exists(f"/tmp/graft_hive_events_{tag}/_DONE")
