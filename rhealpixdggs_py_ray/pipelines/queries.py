@@ -22666,3 +22666,89 @@ SELECT event_type, epoch_us(ts) // 86400000000 AS day,
 FROM events WHERE event_type IN ({types})
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: two-sample Kolmogorov-Smirnov test between A/B arms
+# ---------------------------------------------------------------------------
+
+
+def q_ks_test(sf_dir: str):
+    """Distribution-shift detection: the exact two-sample KS statistic
+    between the event-value distributions of the user_id%2 arms.
+    D = max_x |F_A(x) - F_B(x)| cleared to integers — D_num =
+    max |cumA*nB - cumB*nA| over the ordered distinct values, d_e9 =
+    D_num * 1e9 // (nA*nB).  Values are positive doubles, so their
+    IEEE bit patterns order numerically and serve as the fold key;
+    both arms' counts pack into ONE summed value (cntA<<32 | cntB) so
+    a single u64 exchange carries the joint histogram.  The ordered
+    cumsum runs over the folded DISTINCT-value table (bounded by the
+    value grid, not rows).  Output one row (n_a, n_b, d_num, d_e9)."""
+    from rhealpixdggs_py_ray.ops.agg import sum_by_u64_key
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"], blocks=4)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        assert (v > 0).all(), "bit-order key needs positive values"
+        bits = v.view(np.uint64)
+        arm = (uid % 2).astype(np.int64)
+        packed = np.where(arm == 0, np.int64(1) << np.int64(32), np.int64(1))
+        return pa.table({
+            "key": pa.array(bits, type=pa.uint64()),
+            "one": pa.array(packed),
+        })
+
+    folded = sum_by_u64_key(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "key", "one", "pc", n_buckets=8,
+    )
+    keys, pcs = [], []
+    for b in folded.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            keys.append(b["key"].to_numpy(zero_copy_only=False)
+                        .astype(np.uint64))
+            pcs.append(b["pc"].to_numpy(zero_copy_only=False))
+    key = np.concatenate(keys)
+    pc = np.concatenate(pcs)
+    order = np.argsort(key)  # positive doubles: bit order == value order
+    pc = pc[order]
+    ca = pc >> np.int64(32)
+    cb = pc & np.int64((1 << 32) - 1)
+    na, nb_ = int(ca.sum()), int(cb.sum())
+    cumA = np.cumsum(ca)
+    cumB = np.cumsum(cb)
+    d_num = int(np.abs(cumA * nb_ - cumB * na).max())
+    return pa.table({
+        "n_a": pa.array([na], type=pa.int64()),
+        "n_b": pa.array([nb_], type=pa.int64()),
+        "d_num": pa.array([d_num], type=pa.int64()),
+        "d_e9": pa.array([d_num * 1_000_000_000 // (na * nb_)],
+                         type=pa.int64()),
+    })
+
+
+def sql_ks_test() -> str:
+    return """
+WITH ksc AS MATERIALIZED (
+  SELECT value,
+    CAST(COUNT(CASE WHEN user_id % 2 = 0 THEN 1 END) AS BIGINT) AS ca,
+    CAST(COUNT(CASE WHEN user_id % 2 = 1 THEN 1 END) AS BIGINT) AS cb
+  FROM events GROUP BY 1
+),
+ksn AS MATERIALIZED (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+  FROM ksc
+),
+ksw AS MATERIALIZED (
+  SELECT SUM(ca) OVER w AS cuma, SUM(cb) OVER w AS cumb
+  FROM ksc WINDOW w AS (ORDER BY value ROWS UNBOUNDED PRECEDING)
+)
+SELECT n.na AS n_a, n.nb AS n_b,
+  CAST(MAX(abs(w.cuma * n.nb - w.cumb * n.na)) AS BIGINT) AS d_num,
+  CAST(MAX(abs(w.cuma * n.nb - w.cumb * n.na)) * 1000000000
+    // (n.na * n.nb) AS BIGINT) AS d_e9
+FROM ksw w CROSS JOIN ksn n
+GROUP BY n.na, n.nb
+"""

@@ -1463,3 +1463,27 @@ def test_hive_partitioned_source_invariants(ray_session):
     import hashlib
     tag = hashlib.md5(SF.encode()).hexdigest()[:8]
     assert os.path.exists(f"/tmp/graft_hive_events_{tag}/_DONE")
+
+
+def test_ks_test_invariants(ray_session):
+    """D recomputes from a scipy-free reference; arms partition all
+    events; d_e9 in [0, 1e9]."""
+    import duckdb
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    t = Q.q_ks_test(SF).to_pandas()
+    r = t.iloc[0]
+    con = duckdb.connect()
+    d = con.sql(f"""SELECT value, user_id % 2 AS arm
+      FROM '{SF}/events.parquet'""").df()
+    na = int((d["arm"] == 0).sum())
+    nb = int((d["arm"] == 1).sum())
+    assert r["n_a"] == na and r["n_b"] == nb
+    vals = np.sort(d["value"].unique())
+    a = np.sort(d[d["arm"] == 0]["value"].to_numpy())
+    b = np.sort(d[d["arm"] == 1]["value"].to_numpy())
+    cuma = np.searchsorted(a, vals, side="right")
+    cumb = np.searchsorted(b, vals, side="right")
+    d_num = int(np.abs(cuma * nb - cumb * na).max())
+    assert r["d_num"] == d_num
+    assert 0 <= r["d_e9"] <= 10**9
