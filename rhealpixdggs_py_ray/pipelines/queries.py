@@ -22691,7 +22691,9 @@ def q_ks_test(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         uid = batch["user_id"].to_numpy(zero_copy_only=False)
         v = batch["value"].to_numpy(zero_copy_only=False)
-        assert (v > 0).all(), "bit-order key needs positive values"
+        # +0.0 has bit pattern 0 and sorts first: bit order ==
+        # numeric order for all NON-NEGATIVE doubles
+        assert (v >= 0).all(), "bit-order key needs non-negative values"
         bits = v.view(np.uint64)
         arm = (uid % 2).astype(np.int64)
         packed = np.where(arm == 0, np.int64(1) << np.int64(32), np.int64(1))
