@@ -22754,3 +22754,120 @@ SELECT n.na AS n_a, n.nb AS n_b,
 FROM ksw w CROSS JOIN ksn n
 GROUP BY n.na, n.nb
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: seeded random walks over the co-presence graph (DeepWalk stage 1)
+# ---------------------------------------------------------------------------
+
+RW_LEN = 4
+RW_WALKS = 2
+
+
+def q_random_walks(sf_dir: str):
+    """Graph-embedding corpus generation: RW_WALKS deterministic
+    random walks of length RW_LEN from every node of the co-presence
+    graph — step t from node cur picks neighbor rank
+    splitmix64(cur*64 + w*8 + t) % deg(cur) over the CN_DEG-capped
+    ascending neighbor list (the DeepWalk sampling stage, made
+    replayable by the engine's seeded-RNG primitive).  Reported as
+    per-node visit counts (starts included).  Driver-vectorized under
+    the 8M-edge cap (k_core precedent); SQL unrolls the fixed-length
+    walk as chained CTE joins against a precomputed hash table.
+    Output (user_id, visits)."""
+    from rhealpixdggs_py_ray.fixtures import splitmix64
+
+    edges = _copresence_edges(sf_dir)
+    parts = []
+    for b in edges.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            parts.append(b["key"].to_numpy(zero_copy_only=False)
+                         .astype(np.uint64))
+    ek = (np.concatenate(parts) if parts else np.array([], dtype=np.uint64))
+    assert len(ek) <= 8_000_000, "random_walks driver cap (see ops/cc.py)"
+    ua = (ek >> np.uint64(32)).astype(np.int64)
+    ub = (ek & np.uint64((1 << 32) - 1)).astype(np.int64)
+    # capped ascending neighbor lists (common_neighbors' CN_DEG rule)
+    m = np.concatenate([ua, ub])
+    x = np.concatenate([ub, ua])
+    order = np.lexsort((x, m))
+    m, x = m[order], x[order]
+    nodes, start = np.unique(m, return_index=True)
+    cnt = np.minimum(np.diff(np.append(start, len(m))), CN_DEG)
+    nid = {int(n): i for i, n in enumerate(nodes)}
+    nbr_start = np.zeros(len(nodes) + 1, dtype=np.int64)
+    nbr_start[1:] = np.cumsum(cnt)
+    nbr_flat = np.concatenate([x[s:s + c] for s, c in
+                               zip(start.tolist(), cnt.tolist())]) \
+        if len(nodes) else np.array([], dtype=np.int64)
+    visits = np.zeros(len(nodes), dtype=np.int64)
+    # walk state: one row per (start node, walk id)
+    cur = np.repeat(nodes, RW_WALKS)
+    w = np.tile(np.arange(RW_WALKS, dtype=np.int64), len(nodes))
+    idx_of = np.vectorize(nid.get, otypes=[np.int64]) if len(nodes) else None
+    visits += np.bincount(idx_of(cur), minlength=len(nodes)) \
+        if len(cur) else 0
+    for t in range(1, RW_LEN + 1):
+        ci = idx_of(cur)
+        deg = cnt[ci]
+        h = splitmix64((cur * 64 + w * 8 + t).astype(np.uint64))
+        pick = (h % deg.astype(np.uint64)).astype(np.int64)
+        cur = nbr_flat[nbr_start[ci] + pick]
+        # walked-to nodes may only appear as neighbors; all neighbors
+        # are nodes of the graph (undirected edge set) so idx_of holds
+        visits += np.bincount(idx_of(cur), minlength=len(nodes))
+    return pa.table({
+        "user_id": pa.array(nodes),
+        "visits": pa.array(visits),
+    })
+
+
+def sql_random_walks() -> str:
+    sm = oracle.splitmix64_sql_ctes(
+        "SELECT node, w, t, CAST(node * 64 + w * 8 + t AS BIGINT) AS s"
+        " FROM rwd", "node, w, t", "s", "h", prefix="rws")
+    steps = []
+    prev = "rw0"
+    for t in range(1, RW_LEN + 1):
+        steps.append(f"""
+rw{t} AS MATERIALIZED (
+  SELECT p.node0, p.w, n.x AS cur
+  FROM {prev} p
+  JOIN rwg g ON g.node = p.cur
+  JOIN rwh h ON h.node = p.cur AND h.w = p.w AND h.t = {t}
+  JOIN rwn n ON n.m = p.cur AND n.rn = CAST(h.h % CAST(g.deg AS UBIGINT)
+    AS BIGINT)
+)""")
+        prev = f"rw{t}"
+    body = ",".join(steps)
+    visits_union = " UNION ALL ".join(
+        f"SELECT cur AS node FROM rw{t}" for t in range(0, RW_LEN + 1))
+    return f"""
+WITH {_copresence_sql_ctes()},
+rwdir AS MATERIALIZED (
+  SELECT ua AS m, ub AS x FROM cne UNION ALL SELECT ub AS m, ua AS x FROM cne
+),
+rwn AS MATERIALIZED (
+  SELECT m, x, rn FROM (
+    SELECT m, x, row_number() OVER (PARTITION BY m ORDER BY x) - 1 AS rn
+    FROM rwdir
+  ) WHERE rn < {CN_DEG}
+),
+rwg AS MATERIALIZED (
+  SELECT m AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM rwn GROUP BY 1
+),
+rwd AS MATERIALIZED (
+  SELECT g.node, w.w, t.t FROM rwg g,
+    (SELECT unnest(generate_series(0, {RW_WALKS - 1})) AS w) w,
+    (SELECT unnest(generate_series(1, {RW_LEN})) AS t) t
+),
+rwh AS MATERIALIZED (
+  SELECT node, w, t, h FROM {sm} q
+),
+rw0 AS MATERIALIZED (
+  SELECT node AS node0, w.w, node AS cur FROM rwg,
+    (SELECT unnest(generate_series(0, {RW_WALKS - 1})) AS w) w
+),{body}
+SELECT node AS user_id, CAST(COUNT(*) AS BIGINT) AS visits
+FROM ({visits_union}) GROUP BY 1
+"""

@@ -1487,3 +1487,23 @@ def test_ks_test_invariants(ray_session):
     d_num = int(np.abs(cuma * nb - cumb * na).max())
     assert r["d_num"] == d_num
     assert 0 <= r["d_e9"] <= 10**9
+
+
+def test_random_walks_invariants(ray_session):
+    """Total visits == n_nodes * walks * (len+1); every visited node
+    is a graph node; starts contribute >= RW_WALKS per node."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import RW_LEN, RW_WALKS
+
+    t = Q.q_random_walks(SF).to_pandas()
+    ek = np.concatenate([
+        b["key"].to_numpy(zero_copy_only=False)
+        for b in Q._copresence_edges(SF).iter_batches(
+            batch_format="pyarrow") if b.num_rows])
+    nodes = np.unique(np.concatenate([
+        (ek >> np.uint64(32)).astype(np.int64),
+        (ek & np.uint64((1 << 32) - 1)).astype(np.int64)]))
+    assert t["visits"].sum() == len(nodes) * RW_WALKS * (RW_LEN + 1)
+    assert set(t["user_id"]).issubset(set(nodes.tolist()))
+    assert (t.set_index("user_id").reindex(nodes)["visits"].fillna(0)
+            >= 0).all()
