@@ -23163,3 +23163,159 @@ hw0 AS MATERIALIZED (
 SELECT tile_id, CAST(level AS BIGINT) AS level, energy
 FROM ({" UNION ALL ".join(energies)})
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: per-source embedding centroid drift (domain QC)
+# ---------------------------------------------------------------------------
+
+
+def q_source_centroid_shift(sf_dir: str):
+    """Training-data domain QC: squared distance between the embedding
+    centroids of every source pair — the drift score that flags a
+    corpus slice living in its own region of embedding space.  Exact:
+    embeddings quantize to integer millis; per-(source, dim) sums fold
+    via the union-attach exchange (doc->source tag rows and embedding
+    rows meet in ONE bucketed groupby — no join operator; embeddings
+    cross a shuffle once, as integer lists); the pairwise readout is a
+    bounded (n_sources x 64)-row driver fold with bignum-exact
+    rationals: d2 = sum_dim (sa*nb - sb*na)^2 // (na*nb)^2 (in milli^2
+    units, SQL HUGEINT mirror).  Output (source_a, source_b, n_a, n_b,
+    d2_milli2)."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64, sum_by_u64_key
+    from rhealpixdggs_py_ray.ops.dedup import _emb_matrix
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    # bounded: the distinct source list (20 here; ≤ thousands at scale)
+    srcs = sorted({r["source"] for r in
+                   docs.groupby("source").count().take_all()})
+    scode = {s: i for i, s in enumerate(srcs)}
+    sref = ray.put(scode)
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        sc = ray.get(sref)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        codes = np.array([sc[s] for s in
+                          batch["source"].to_pylist()], dtype=np.int64)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(did.astype(np.uint64), 8)),
+            "id": pa.array(did.astype(np.int64)),
+            "scode": pa.array(codes),
+            "q": pa.array([None] * len(did),
+                          type=pa.list_(pa.int64())),
+        })
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def tag_emb(batch: pa.Table) -> pa.Table:
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        Q_ = np.floor(_emb_matrix(batch).astype(np.float64)
+                      * 1000.0).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(vid.astype(np.uint64), 8)),
+            "id": pa.array(vid.astype(np.int64)),
+            "scode": pa.array(np.full(len(vid), -1, dtype=np.int64)),
+            "q": pa.array(list(Q_), type=pa.list_(pa.int64())),
+        })
+
+    def attach(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "id" not in g.column_names:
+            return pa.table({"key": pa.array([], type=pa.uint64()),
+                             "v": pa.array([], type=pa.int64())})
+        ids = g["id"].to_numpy(zero_copy_only=False)
+        sc = g["scode"].to_numpy(zero_copy_only=False)
+        tag_m = sc >= 0
+        id2s = dict(zip(ids[tag_m].tolist(), sc[tag_m].tolist()))
+        emb_m = ~tag_m
+        if not emb_m.any():
+            return pa.table({"key": pa.array([], type=pa.uint64()),
+                             "v": pa.array([], type=pa.int64())})
+        eid = ids[emb_m]
+        Q_ = np.array(g.filter(pa.array(emb_m))["q"].to_pylist(),
+                      dtype=np.int64)
+        codes = np.array([id2s[i] for i in eid.tolist()], dtype=np.int64)
+        d = Q_.shape[1]
+        cu, cinv = np.unique(codes, return_inverse=True)
+        sums = np.zeros((len(cu), d), dtype=np.int64)
+        np.add.at(sums, cinv, Q_)
+        cnts = np.bincount(cinv)
+        keys, vals = [], []
+        for i, code in enumerate(cu.tolist()):
+            keys.append(code * 64 + np.arange(d, dtype=np.int64))
+            vals.append(sums[i])
+            keys.append(np.array([(1 << 20) | code], dtype=np.int64))
+            vals.append(np.array([cnts[i]], dtype=np.int64))
+        return pa.table({
+            "key": pa.array(np.concatenate(keys).astype(np.uint64),
+                            type=pa.uint64()),
+            "v": pa.array(np.concatenate(vals)),
+        })
+
+    folded = sum_by_u64_key(
+        docs.map_batches(tag_docs, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .union(emb.map_batches(tag_emb, batch_format="pyarrow",
+                               zero_copy_batch=True))
+        .groupby("bucket").map_groups(attach, batch_format="pyarrow"),
+        "key", "v", "s", n_buckets=4,
+    )
+    S: dict[int, int] = {}
+    for b in folded.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            for k, v in zip(b["key"].to_pylist(), b["s"].to_pylist()):
+                S[int(k)] = S.get(int(k), 0) + int(v)
+    rows = []
+    for a in range(len(srcs)):
+        na = S.get((1 << 20) | a, 0)
+        for bb in range(a + 1, len(srcs)):
+            nb_ = S.get((1 << 20) | bb, 0)
+            if na == 0 or nb_ == 0:
+                continue
+            num = sum((S.get(a * 64 + d_, 0) * nb_
+                       - S.get(bb * 64 + d_, 0) * na) ** 2
+                      for d_ in range(EMB_D))
+            rows.append((srcs[a], srcs[bb], na, nb_,
+                         num // (na * nb_) ** 2))
+    return pa.table({
+        "source_a": pa.array([r[0] for r in rows], type=pa.string()),
+        "source_b": pa.array([r[1] for r in rows], type=pa.string()),
+        "n_a": pa.array(np.array([r[2] for r in rows], dtype=np.int64)),
+        "n_b": pa.array(np.array([r[3] for r in rows], dtype=np.int64)),
+        "d2_milli2": pa.array(np.array([r[4] for r in rows],
+                                       dtype=np.int64)),
+    })
+
+
+def sql_source_centroid_shift() -> str:
+    return f"""
+WITH sce AS MATERIALIZED (
+  SELECT d.source, dim.i - 1 AS dim,
+    CAST(floor(CAST(e.embedding[dim.i] AS DOUBLE) * 1000.0) AS BIGINT) AS q
+  FROM documents d
+  JOIN embeddings e ON e.vec_id = d.doc_id,
+    (SELECT unnest(generate_series(1, {EMB_D})) AS i) dim
+),
+scs AS MATERIALIZED (
+  SELECT source, dim, CAST(SUM(q) AS HUGEINT) AS s
+  FROM sce GROUP BY 1, 2
+),
+scn AS MATERIALIZED (
+  SELECT d.source, CAST(COUNT(*) AS HUGEINT) AS n
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+  GROUP BY 1
+),
+scp AS MATERIALIZED (
+  SELECT a.source AS source_a, b.source AS source_b, na.n AS na, nb.n AS nb,
+    CAST(SUM((a.s * nb.n - b.s * na.n) * (a.s * nb.n - b.s * na.n))
+      AS HUGEINT) AS num
+  FROM scs a
+  JOIN scs b ON b.dim = a.dim AND a.source < b.source
+  JOIN scn na ON na.source = a.source
+  JOIN scn nb ON nb.source = b.source
+  GROUP BY 1, 2, 3, 4
+)
+SELECT source_a, source_b, CAST(na AS BIGINT) AS n_a,
+  CAST(nb AS BIGINT) AS n_b,
+  CAST(num // ((na * nb) * (na * nb)) AS BIGINT) AS d2_milli2
+FROM scp
+"""

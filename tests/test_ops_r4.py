@@ -1535,3 +1535,30 @@ def test_haar_energy_invariants(ray_session):
     per_tile = t.groupby("tile_id")["level"].count()
     assert (per_tile == 5).all()
     assert (t["energy"] >= 0).all()
+
+
+def test_source_centroid_shift_invariants(ray_session):
+    """All source pairs present; one pair recomputes from raw data."""
+    import duckdb
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    t = Q.q_source_centroid_shift(SF).to_pandas()
+    n_src = t["source_a"].nunique() + 1
+    assert len(t) == n_src * (n_src - 1) // 2
+    con = duckdb.connect()
+    d = con.sql(f"""SELECT d.source, e.embedding
+      FROM '{SF}/documents.parquet' d
+      JOIN '{SF}/embeddings.parquet' e ON e.vec_id = d.doc_id""").df()
+    r = t.iloc[0]
+    A = np.floor(np.array(
+        d[d["source"] == r["source_a"]]["embedding"].tolist(),
+        dtype=np.float64) * 1000.0).astype(np.int64)
+    B = np.floor(np.array(
+        d[d["source"] == r["source_b"]]["embedding"].tolist(),
+        dtype=np.float64) * 1000.0).astype(np.int64)
+    na, nb = len(A), len(B)
+    assert r["n_a"] == na and r["n_b"] == nb
+    num = sum(int(sa) ** 2 for sa in
+              (A.sum(axis=0).astype(object) * nb
+               - B.sum(axis=0).astype(object) * na))
+    assert r["d2_milli2"] == num // (na * nb) ** 2
