@@ -23319,3 +23319,159 @@ SELECT source_a, source_b, CAST(na AS BIGINT) AS n_a,
   CAST(num // ((na * nb) * (na * nb)) AS BIGINT) AS d2_milli2
 FROM scp
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: V-optimal histogram binning of the daily series
+# ---------------------------------------------------------------------------
+
+VOPT_K = 4
+
+
+def q_vopt_bins(sf_dir: str):
+    """Optimal histogram construction: partition the zero-filled
+    global daily count series into VOPT_K contiguous bins minimizing
+    total within-bin SSE — the V-optimal binning query optimizers
+    build.  Segment cost clears to integers as (L*S2 - S1^2) * 1e6
+    // L (Python bignums mirror SQL HUGEINT); the DP tie-breaks on
+    the smaller split.  The day table is one bounded fold; the DP is
+    a driver finish over n<=span days.  Output VOPT_K rows (bin,
+    start_day, end_day, cost_q)."""
+    from rhealpixdggs_py_ray.ops.agg import sum_by_u64_key
+
+    ds = _read(sf_dir, "events", columns=["ts"], blocks=4)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = (batch["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        day = (ts // 86_400_000_000).astype(np.uint64)
+        return pa.table({
+            "key": pa.array(day, type=pa.uint64()),
+            "one": pa.array(np.ones(len(day), dtype=np.int64)),
+        })
+
+    folded = sum_by_u64_key(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "key", "one", "c", n_buckets=4,
+    )
+    days, cnts = [], []
+    for b in folded.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            days.append(b["key"].to_numpy(zero_copy_only=False)
+                        .astype(np.int64))
+            cnts.append(b["c"].to_numpy(zero_copy_only=False))
+    day = np.concatenate(days)
+    c = np.concatenate(cnts)
+    d0 = int(day.min())
+    n = int(day.max()) - d0 + 1
+    v = [0] * n
+    for dd, cc in zip(day.tolist(), c.tolist()):
+        v[dd - d0] = int(cc)
+    assert n >= VOPT_K
+    ps1 = [0] * (n + 1)
+    ps2 = [0] * (n + 1)
+    for i in range(n):
+        ps1[i + 1] = ps1[i] + v[i]
+        ps2[i + 1] = ps2[i] + v[i] * v[i]
+
+    def cost(j: int, i: int) -> int:  # inclusive 0-based segment [j, i]
+        L = i - j + 1
+        s1 = ps1[i + 1] - ps1[j]
+        s2 = ps2[i + 1] - ps2[j]
+        return (L * s2 - s1 * s1) * 1_000_000 // L
+
+    NEG = -1
+    INF = float("inf")
+    dp = [[INF] * n for _ in range(VOPT_K + 1)]
+    arg = [[NEG] * n for _ in range(VOPT_K + 1)]
+    for i in range(n):
+        dp[1][i] = cost(0, i)
+        arg[1][i] = 0
+    for k in range(2, VOPT_K + 1):
+        for i in range(k - 1, n):
+            best, bj = INF, NEG
+            for j in range(k - 1, i + 1):  # bin k starts at j
+                val = dp[k - 1][j - 1] + cost(j, i)
+                if val < best:  # strict: ties keep the SMALLER j
+                    best, bj = val, j
+            dp[k][i] = best
+            arg[k][i] = bj
+    bins = []
+    i = n - 1
+    for k in range(VOPT_K, 0, -1):
+        j = arg[k][i]
+        bins.append((k, d0 + j, d0 + i, cost(j, i)))
+        i = j - 1
+    bins.sort()
+    return pa.table({
+        "bin": pa.array(np.array([b[0] for b in bins], dtype=np.int64)),
+        "start_day": pa.array(np.array([b[1] for b in bins],
+                                       dtype=np.int64)),
+        "end_day": pa.array(np.array([b[2] for b in bins], dtype=np.int64)),
+        "cost_q": pa.array(np.array([b[3] for b in bins], dtype=np.int64)),
+    })
+
+
+def sql_vopt_bins() -> str:
+    # dp CTEs per k: dpk{k}(i, val, j) with argmin tie-break smaller j
+    steps = []
+    for k in range(2, VOPT_K + 1):
+        steps.append(f"""
+dpk{k} AS MATERIALIZED (
+  SELECT i, val, j FROM (
+    SELECT s.i, p.val + s.cost AS val, s.j,
+      row_number() OVER (PARTITION BY s.i ORDER BY p.val + s.cost, s.j)
+        AS rn
+    FROM vseg s JOIN dpk{k - 1} p ON p.i = s.j - 1
+    WHERE s.i >= {k - 1} AND s.j >= {k - 1}
+  ) WHERE rn = 1
+)""")
+    bt = ["""
+bt{K} AS MATERIALIZED (
+  SELECT {K} AS bin, d.j AS s, d.i AS e FROM dpk{K} d
+  WHERE d.i = (SELECT n - 1 FROM vn)
+)""".replace("{K}", str(VOPT_K))]
+    for k in range(VOPT_K - 1, 0, -1):
+        bt.append(f"""
+bt{k} AS MATERIALIZED (
+  SELECT {k} AS bin, d.j AS s, d.i AS e
+  FROM dpk{k} d JOIN bt{k + 1} b ON d.i = b.s - 1
+)""")
+    union = " UNION ALL ".join(
+        f"SELECT bin, s, e FROM bt{k}" for k in range(1, VOPT_K + 1))
+    return f"""
+WITH vdc AS MATERIALIZED (
+  SELECT epoch_us(ts) // 86400000000 AS day, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+vr AS MATERIALIZED (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM vdc),
+vz AS MATERIALIZED (
+  SELECT d.day - r.d0 AS i, CAST(COALESCE(c.c, 0) AS HUGEINT) AS v
+  FROM (SELECT unnest(generate_series(r2.d0, r2.d1)) AS day FROM vr r2) d
+  CROSS JOIN vr r LEFT JOIN vdc c ON c.day = d.day
+),
+vn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vz),
+vps AS MATERIALIZED (
+  SELECT i, SUM(v) OVER w AS s1, SUM(v * v) OVER w AS s2
+  FROM vz WINDOW w AS (ORDER BY i ROWS UNBOUNDED PRECEDING)
+),
+vseg AS MATERIALIZED (
+  SELECT j.i AS j, i.i AS i,
+    CAST((CAST(i.i - j.i + 1 AS HUGEINT)
+        * (i.s2 - COALESCE(jp.s2, 0))
+      - (i.s1 - COALESCE(jp.s1, 0)) * (i.s1 - COALESCE(jp.s1, 0)))
+      * 1000000 // CAST(i.i - j.i + 1 AS HUGEINT) AS HUGEINT) AS cost
+  FROM vps i JOIN vps j ON j.i <= i.i
+  LEFT JOIN vps jp ON jp.i = j.i - 1
+),
+dpk1 AS MATERIALIZED (
+  SELECT i, cost AS val, j FROM vseg WHERE j = 0
+),{",".join(steps)},{",".join(bt)}
+SELECT CAST(u.bin AS BIGINT) AS bin,
+  CAST(u.s + r.d0 AS BIGINT) AS start_day,
+  CAST(u.e + r.d0 AS BIGINT) AS end_day,
+  CAST(g.cost AS BIGINT) AS cost_q
+FROM ({union}) u
+JOIN vseg g ON g.j = u.s AND g.i = u.e
+CROSS JOIN vr r
+"""

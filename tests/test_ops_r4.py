@@ -1562,3 +1562,41 @@ def test_source_centroid_shift_invariants(ray_session):
               (A.sum(axis=0).astype(object) * nb
                - B.sum(axis=0).astype(object) * na))
     assert r["d2_milli2"] == num // (na * nb) ** 2
+
+
+def test_vopt_bins_invariants(ray_session):
+    """Bins tile the day span contiguously; total cost equals an
+    exhaustive search over all 3-split placements."""
+    import itertools
+    import duckdb
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import VOPT_K
+
+    t = Q.q_vopt_bins(SF).to_pandas().sort_values("bin")
+    assert len(t) == VOPT_K
+    assert (t["start_day"].iloc[1:].to_numpy()
+            == t["end_day"].iloc[:-1].to_numpy() + 1).all()
+    con = duckdb.connect()
+    d = con.sql(f"""SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) c
+      FROM '{SF}/events.parquet' GROUP BY 1""").df()
+    d0, d1 = int(d["day"].min()), int(d["day"].max())
+    n = d1 - d0 + 1
+    v = np.zeros(n, dtype=np.int64)
+    v[d["day"].to_numpy() - d0] = d["c"].to_numpy()
+
+    def cost(j, i):
+        seg = v[j:i + 1].astype(object)
+        L = i - j + 1
+        return (L * int((seg * seg).sum()) - int(seg.sum()) ** 2) \
+            * 10**6 // L
+
+    best = None
+    for splits in itertools.combinations(range(1, n), VOPT_K - 1):
+        bounds = [0, *splits, n]
+        tot = sum(cost(bounds[k], bounds[k + 1] - 1)
+                  for k in range(VOPT_K))
+        if best is None or tot < best:
+            best = tot
+    got = sum(cost(int(r["start_day"]) - d0, int(r["end_day"]) - d0)
+              for _, r in t.iterrows())
+    assert got == best
