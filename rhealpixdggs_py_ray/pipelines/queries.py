@@ -23475,3 +23475,155 @@ FROM ({union}) u
 JOIN vseg g ON g.j = u.s AND g.i = u.e
 CROSS JOIN vr r
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: density-based embedding outliers (LOF-lite on the kNN graph)
+# ---------------------------------------------------------------------------
+
+LOF_K = 5
+
+
+def q_lof_outliers(sf_dir: str):
+    """Density-based outlier scoring over the exact kNN graph
+    (complements the distributional q_embedding_norm_outliers): each
+    vector's k-distance mass dsum = sum over its k neighbors of
+    (1e6 - cos_micros); the LOF-style score compares the neighbors'
+    average mass to one's own — lof_e6 = (sum_{o in N(p)} dsum_o) *
+    1e6 // (k * dsum_p), all integers.  Neighbor masses attach through
+    ONE bucketed union exchange (dsum rows + edge rows meet per
+    vec_id; no join operator).  Output (qid, dsum, nb_sum, lof_e6)."""
+    from rhealpixdggs_py_ray.ops import ann
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64, sum_by_u64_key
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    g = ann.knn_graph(emb, k=LOF_K).materialize()  # consumed twice
+
+    def dsum_partial(batch: pa.Table) -> pa.Table:
+        qid = batch["qid"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        dist = (1_000_000
+                - batch["cos_micros"].to_numpy(zero_copy_only=False))
+        return pa.table({"key": pa.array(qid, type=pa.uint64()),
+                         "one": pa.array(dist.astype(np.int64))})
+
+    dsum = sum_by_u64_key(
+        g.map_batches(dsum_partial, batch_format="pyarrow",
+                      zero_copy_batch=True),
+        "key", "one", "dsum", n_buckets=8,
+    ).materialize()  # n vectors rows; consumed twice below
+
+    # attach neighbor masses: edge rows bucket by NEIGHBOR id, dsum
+    # rows by their own id; resolve emits (qid, dsum_neighbor) partials
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        nb_ = batch["vec_id"].to_numpy(zero_copy_only=False).astype(
+            np.uint64)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(nb_, 8)),
+            "node": pa.array(nb_, type=pa.uint64()),
+            "qid": pa.array(batch["qid"].to_numpy(zero_copy_only=False)
+                            .astype(np.int64)),
+            "dsum": pa.array(np.full(batch.num_rows, -1, dtype=np.int64)),
+        })
+
+    def dsum_rows(batch: pa.Table) -> pa.Table:
+        node = batch["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(node, 8)),
+            "node": pa.array(node, type=pa.uint64()),
+            "qid": pa.array(np.full(batch.num_rows, -1, dtype=np.int64)),
+            "dsum": pa.array(batch["dsum"].to_numpy(zero_copy_only=False)),
+        })
+
+    def attach(gr: pa.Table) -> pa.Table:
+        if gr.num_rows == 0 or "node" not in gr.column_names:
+            return pa.table({"key": pa.array([], type=pa.uint64()),
+                             "one": pa.array([], type=pa.int64())})
+        node = gr["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        qid = gr["qid"].to_numpy(zero_copy_only=False)
+        ds_ = gr["dsum"].to_numpy(zero_copy_only=False)
+        own = qid < 0
+        mass = dict(zip(node[own].tolist(), ds_[own].tolist()))
+        em = ~own
+        nb_mass = np.array([mass[n] for n in node[em].tolist()],
+                           dtype=np.int64)
+        return pa.table({
+            "key": pa.array(qid[em].astype(np.uint64), type=pa.uint64()),
+            "one": pa.array(nb_mass),
+        })
+
+    nb_sum = sum_by_u64_key(
+        g.map_batches(edge_rows, batch_format="pyarrow",
+                      zero_copy_batch=True)
+        .union(dsum.map_batches(dsum_rows, batch_format="pyarrow",
+                                zero_copy_batch=True))
+        .groupby("bucket").map_groups(attach, batch_format="pyarrow"),
+        "key", "one", "nb_sum", n_buckets=8,
+    )
+
+    # final attach: own dsum + neighbor sums meet per qid
+    def own_rows(batch: pa.Table) -> pa.Table:
+        node = batch["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(node, 8)),
+            "node": pa.array(node, type=pa.uint64()),
+            "v": pa.array(batch["dsum"].to_numpy(zero_copy_only=False)),
+            "kind": pa.array(np.zeros(batch.num_rows, dtype=np.int64)),
+        })
+
+    def nbs_rows(batch: pa.Table) -> pa.Table:
+        node = batch["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(node, 8)),
+            "node": pa.array(node, type=pa.uint64()),
+            "v": pa.array(batch["nb_sum"].to_numpy(zero_copy_only=False)),
+            "kind": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+        })
+
+    def finish(gr: pa.Table) -> pa.Table:
+        if gr.num_rows == 0 or "node" not in gr.column_names:
+            return pa.table({"qid": pa.array([], type=pa.int64()),
+                             "dsum": pa.array([], type=pa.int64()),
+                             "nb_sum": pa.array([], type=pa.int64()),
+                             "lof_e6": pa.array([], type=pa.int64())})
+        node = gr["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = gr["v"].to_numpy(zero_copy_only=False)
+        kind = gr["kind"].to_numpy(zero_copy_only=False)
+        uq, inv = np.unique(node, return_inverse=True)
+        own = np.zeros(len(uq), dtype=np.int64)
+        nbs = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(own, inv[kind == 0], v[kind == 0])
+        np.add.at(nbs, inv[kind == 1], v[kind == 1])
+        return pa.table({
+            "qid": pa.array(uq),
+            "dsum": pa.array(own),
+            "nb_sum": pa.array(nbs),
+            "lof_e6": pa.array(nbs * 1_000_000 // (LOF_K * own)),
+        })
+
+    return (
+        dsum.map_batches(own_rows, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .union(nb_sum.map_batches(nbs_rows, batch_format="pyarrow",
+                                  zero_copy_batch=True))
+        .groupby("bucket").map_groups(finish, batch_format="pyarrow")
+    )
+
+
+def sql_lof_outliers() -> str:
+    from rhealpixdggs_py_ray.ops import ann
+
+    return f"""
+WITH lkg AS MATERIALIZED ({ann.knn_graph_sql(LOF_K)}),
+lds AS MATERIALIZED (
+  SELECT qid, CAST(SUM(1000000 - cos_micros) AS BIGINT) AS dsum
+  FROM lkg GROUP BY 1
+),
+lnb AS MATERIALIZED (
+  SELECT g.qid, CAST(SUM(d.dsum) AS BIGINT) AS nb_sum
+  FROM lkg g JOIN lds d ON d.qid = g.vec_id
+  GROUP BY 1
+)
+SELECT o.qid, o.dsum, n.nb_sum,
+  CAST(n.nb_sum * 1000000 // ({LOF_K} * o.dsum) AS BIGINT) AS lof_e6
+FROM lds o JOIN lnb n ON n.qid = o.qid
+"""

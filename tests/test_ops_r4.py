@@ -1600,3 +1600,23 @@ def test_vopt_bins_invariants(ray_session):
     got = sum(cost(int(r["start_day"]) - d0, int(r["end_day"]) - d0)
               for _, r in t.iterrows())
     assert got == best
+
+
+def test_lof_outliers_invariants(ray_session):
+    """Every vector scored; lof recomputes from the knn graph."""
+    from rhealpixdggs_py_ray.ops import ann
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import LOF_K, _read
+
+    t = Q.q_lof_outliers(SF).to_pandas().set_index("qid")
+    g = ann.knn_graph(
+        _read(SF, "embeddings", columns=["vec_id", "embedding"]),
+        k=LOF_K).to_pandas()
+    dsum = (10**6 - g.groupby("qid")["cos_micros"].sum()
+            + 0 * g.groupby("qid")["cos_micros"].count())
+    dsum = g.assign(d=10**6 - g["cos_micros"]).groupby("qid")["d"].sum()
+    assert len(t) == len(dsum)
+    assert (t["dsum"].sort_index() == dsum.sort_index()).all()
+    nb = g.assign(nd=g["vec_id"].map(dsum)).groupby("qid")["nd"].sum()
+    assert (t["nb_sum"].sort_index() == nb.sort_index()).all()
+    assert (t["lof_e6"] == t["nb_sum"] * 10**6 // (LOF_K * t["dsum"])).all()
