@@ -23627,3 +23627,119 @@ SELECT o.qid, o.dsum, n.nb_sum,
   CAST(n.nb_sum * 1000000 // ({LOF_K} * o.dsum) AS BIGINT) AS lof_e6
 FROM lds o JOIN lnb n ON n.qid = o.qid
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: spectral bisection of the co-presence graph (Fiedler-lite)
+# ---------------------------------------------------------------------------
+
+SPEC_ITERS = 32  # sign pattern stabilizes early; 64 doubled oracle bind time
+SPEC_SCALE = 1 << 20
+
+
+def q_spectral_partition(sf_dir: str):
+    """Community structure via spectral bisection: SPEC_ITERS exact-
+    integer power iterations of (cI - L) (c = max degree + 1) on the
+    co-presence graph, deflating the trivial eigenvector by truncated-
+    mean subtraction each round and rescaling by x*2^20 // max|x| —
+    the procedure converges toward the Fiedler vector and every step
+    is integer, so Python and SQL HUGEINT replay it bit-exactly.
+    Start vector is seeded per node (splitmix64 % 2001 - 1000).
+    Driver iteration under the 8M-edge cap (k_core precedent); the
+    oracle unrolls the same iterations as chained CTEs joining the
+    edge table.  Output (user_id, v_q20, side)."""
+    from rhealpixdggs_py_ray.fixtures import splitmix64
+
+    edges = _copresence_edges(sf_dir)
+    parts = []
+    for b in edges.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            parts.append(b["key"].to_numpy(zero_copy_only=False)
+                         .astype(np.uint64))
+    ek = (np.concatenate(parts) if parts else np.array([], dtype=np.uint64))
+    assert len(ek) <= 8_000_000, "spectral driver cap (see ops/cc.py)"
+    ua = (ek >> np.uint64(32)).astype(np.int64)
+    ub = (ek & np.uint64((1 << 32) - 1)).astype(np.int64)
+    nodes = np.unique(np.concatenate([ua, ub]))
+    nid = {int(n): i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    ai = np.array([nid[int(v)] for v in ua], dtype=np.int64)
+    bi = np.array([nid[int(v)] for v in ub], dtype=np.int64)
+    deg = np.bincount(np.concatenate([ai, bi]), minlength=n)
+    c = int(deg.max()) + 1
+
+    def tdiv_vec(a: np.ndarray, b: int) -> np.ndarray:
+        q = np.abs(a) // abs(b)
+        return np.where((a < 0) != (b < 0), -q, q)
+
+    x = (splitmix64(nodes.astype(np.uint64))
+         % np.uint64(2001)).astype(np.int64) - 1000
+    for _ in range(SPEC_ITERS):
+        y = (c - deg) * x
+        np.add.at(y, ai, x[bi])
+        np.add.at(y, bi, x[ai])
+        m = int(y.sum())
+        mm = tdiv_vec(np.array([m], dtype=np.int64), n)[0]
+        y = y - mm
+        mx = int(np.abs(y).max())
+        assert mx > 0, "degenerate spectral iterate"
+        x = tdiv_vec(y * SPEC_SCALE, mx)
+    return pa.table({
+        "user_id": pa.array(nodes),
+        "v_q20": pa.array(x),
+        "side": pa.array((x >= 0).astype(np.int64)),
+    })
+
+
+def sql_spectral_partition() -> str:
+    sm = oracle.splitmix64_sql_ctes(
+        "SELECT node, CAST(node AS BIGINT) AS s FROM spn",
+        "node", "s", "h", prefix="sps")
+    steps = []
+    prev = "spx0"
+    for t in range(1, SPEC_ITERS + 1):
+        steps.append(f"""
+spa{t} AS MATERIALIZED (
+  SELECT e.a AS node, CAST(SUM(x2.val) AS HUGEINT) AS s
+  FROM spe e JOIN {prev} x2 ON x2.node = e.b GROUP BY 1
+),
+spy{t} AS MATERIALIZED (
+  SELECT d.node,
+    CAST((SELECT c FROM spc) - d.deg AS HUGEINT) * x.val
+      + COALESCE(a.s, 0) AS val
+  FROM spd d JOIN {prev} x ON x.node = d.node
+  LEFT JOIN spa{t} a ON a.node = d.node
+),
+spm{t} AS MATERIALIZED (
+  SELECT CAST(SUM(val) AS HUGEINT) AS s,
+    CAST(COUNT(*) AS HUGEINT) AS n FROM spy{t}
+),
+spz{t} AS MATERIALIZED (
+  SELECT node, val - (SELECT s // n FROM spm{t}) AS val FROM spy{t}
+),
+spq{t} AS MATERIALIZED (SELECT MAX(abs(val)) AS m FROM spz{t}),
+spx{t} AS MATERIALIZED (
+  SELECT node, CAST(val * {SPEC_SCALE} // (SELECT m FROM spq{t})
+    AS HUGEINT) AS val
+  FROM spz{t}
+)""")
+        prev = f"spx{t}"
+    return f"""
+WITH {_copresence_sql_ctes()},
+spe AS MATERIALIZED (
+  SELECT ua AS a, ub AS b FROM cne UNION ALL SELECT ub AS a, ua AS b FROM cne
+),
+spd AS MATERIALIZED (
+  SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM spe GROUP BY 1
+),
+spc AS MATERIALIZED (SELECT MAX(deg) + 1 AS c FROM spd),
+spn AS MATERIALIZED (SELECT node FROM spd),
+sph AS MATERIALIZED (SELECT node, h FROM {sm} q),
+spx0 AS MATERIALIZED (
+  SELECT node, CAST(CAST(h % 2001 AS BIGINT) - 1000 AS HUGEINT) AS val
+  FROM sph
+),{",".join(steps)}
+SELECT CAST(node AS BIGINT) AS user_id, CAST(val AS BIGINT) AS v_q20,
+  CAST(CASE WHEN val >= 0 THEN 1 ELSE 0 END AS BIGINT) AS side
+FROM {prev}
+"""

