@@ -23743,3 +23743,183 @@ SELECT CAST(node AS BIGINT) AS user_id, CAST(val AS BIGINT) AS v_q20,
   CAST(CASE WHEN val >= 0 THEN 1 ELSE 0 END AS BIGINT) AS side
 FROM {prev}
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: empirical-Bayes shrinkage of per-tile purchase rates
+# ---------------------------------------------------------------------------
+
+EB_ALPHA = 20
+
+
+def q_eb_shrinkage(sf_dir: str):
+    """Small-area estimation: each res-2 tile's purchase rate shrunk
+    toward the global rate with prior strength EB_ALPHA — shrunk_e9 =
+    (x*1e9*(n_g) + alpha*x_g*1e9) // ((n + alpha) * n_g) ... kept as
+    the exact integer rational (x + alpha*x_g/n_g) / (n + alpha)
+    cleared to (x*n_g + alpha*x_g) * 1e9 // ((n + alpha) * n_g).
+    The sparse-tile stabilizer every geospatial risk map needs.  One
+    packed (tile, is_purchase) exchange + a global fold.  Output
+    (tile_id, x, n, raw_e9, shrunk_e9)."""
+    from rhealpixdggs_py_ray.core import index as cidx
+    from rhealpixdggs_py_ray.ops.agg import sum_by_u64_key
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"],
+               blocks=4)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        lon, lat = oracle.lonlat_from_id(ids)
+        u = cidx.cell_from_point(CFG, TILE_RES, lon, lat, plane=False)
+        tile = u.astype(np.uint64) >> np.uint64(52)
+        # value packs (purchase << 32) | 1 so one fold carries x and n
+        isp = (et == "purchase").astype(np.int64)
+        return pa.table({
+            "key": pa.array(tile, type=pa.uint64()),
+            "one": pa.array((isp << np.int64(32)) | np.int64(1)),
+        })
+
+    folded = sum_by_u64_key(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "key", "one", "pc", n_buckets=8,
+    ).materialize()  # <= 486 rows
+
+    xg = ng = 0
+    rows = []
+    for b in folded.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            for k, v in zip(b["key"].to_pylist(), b["pc"].to_pylist()):
+                x, n = int(v) >> 32, int(v) & ((1 << 32) - 1)
+                xg += x
+                ng += n
+                rows.append((int(k), x, n))
+    out = []
+    for tile, x, n in rows:
+        raw = x * 10**9 // n
+        shr = (x * ng + EB_ALPHA * xg) * 10**9 // ((n + EB_ALPHA) * ng)
+        out.append((tile, x, n, raw, shr))
+    t_u64 = (np.array([o[0] for o in out], dtype=np.uint64)
+             << np.uint64(52)) | np.uint64(TILE_RES)
+    return pa.table({
+        "tile_id": pa.array(su.to_string_fixed(t_u64, TILE_RES),
+                            type=pa.string()),
+        "x": pa.array(np.array([o[1] for o in out], dtype=np.int64)),
+        "n": pa.array(np.array([o[2] for o in out], dtype=np.int64)),
+        "raw_e9": pa.array(np.array([o[3] for o in out], dtype=np.int64)),
+        "shrunk_e9": pa.array(np.array([o[4] for o in out],
+                                       dtype=np.int64)),
+    })
+
+
+def sql_eb_shrinkage() -> str:
+    idx_sql = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), TILE_RES, CFG, id_cols=("event_id",)
+    )
+    return f"""
+WITH ebi AS MATERIALIZED (
+  SELECT event_id, cell_id FROM {idx_sql} t
+),
+ebc AS MATERIALIZED (
+  SELECT i.cell_id AS tile_id,
+    CAST(COUNT(CASE WHEN e.event_type = 'purchase' THEN 1 END) AS BIGINT)
+      AS x,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM events e JOIN ebi i ON i.event_id = e.event_id
+  GROUP BY 1
+),
+ebg AS (
+  SELECT CAST(SUM(x) AS BIGINT) AS xg, CAST(SUM(n) AS BIGINT) AS ng
+  FROM ebc
+)
+SELECT c.tile_id, c.x, c.n,
+  CAST(c.x * 1000000000 // c.n AS BIGINT) AS raw_e9,
+  CAST((c.x * g.ng + {EB_ALPHA} * g.xg) * 1000000000
+    // ((c.n + {EB_ALPHA}) * g.ng) AS BIGINT) AS shrunk_e9
+FROM ebc c CROSS JOIN ebg g
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: leave-one-out target encoding of event_type
+# ---------------------------------------------------------------------------
+
+
+def q_target_encoding(sf_dir: str):
+    """Feature engineering: leave-one-out target encoding of
+    event_type against the value column — enc = (S_type - v) //
+    (n_type - 1) over micro-quantized integer values, the leakage-free
+    categorical encoder.  Values quantize BEFORE the sums (order-free
+    ints); per-type sums are one tiny fold broadcast into a pure map.
+    Output (event_id, event_type, v_micro, enc_micro)."""
+    from rhealpixdggs_py_ray.ops.agg import sum_by_u64_key
+
+    codes = {t: i for i, t in enumerate(EVT_TYPES)}
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "value"], blocks=4)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        v = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                     * 1e6).astype(np.int64)
+        code = np.array([codes[x] for x in et], dtype=np.uint64)
+        # two key namespaces (code*2 = value sum, code*2+1 = count) so
+        # neither can overflow into the other at any scale
+        return pa.table({
+            "key": pa.array(np.concatenate([code * 2, code * 2 + 1]),
+                            type=pa.uint64()),
+            "one": pa.array(np.concatenate(
+                [v, np.ones(len(v), dtype=np.int64)])),
+        })
+
+    folded = sum_by_u64_key(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "key", "one", "pc", n_buckets=4,
+    )
+    raw = {}
+    for b in folded.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            for k, v in zip(b["key"].to_pylist(), b["pc"].to_pylist()):
+                raw[int(k)] = raw.get(int(k), 0) + int(v)
+    stats = {c: (raw.get(c * 2, 0), raw.get(c * 2 + 1, 0))
+             for c in range(len(EVT_TYPES))}
+    sref = ray.put(stats)
+
+    def tdiv(a, b):
+        q = np.abs(a) // np.abs(b)
+        return np.where((a < 0) != (b < 0), -q, q)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        st = ray.get(sref)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        v = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                     * 1e6).astype(np.int64)
+        code = np.array([codes[x] for x in et], dtype=np.int64)
+        S = np.array([st[c][0] for c in code.tolist()], dtype=np.int64)
+        n = np.array([st[c][1] for c in code.tolist()], dtype=np.int64)
+        enc = tdiv(S - v, np.maximum(n - 1, 1))
+        return pa.table({
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+            "v_micro": pa.array(v),
+            "enc_micro": pa.array(enc),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def sql_target_encoding() -> str:
+    return """
+WITH tec AS MATERIALIZED (
+  SELECT event_type,
+    CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS s,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type,
+  CAST(floor(e.value * 1000000.0) AS BIGINT) AS v_micro,
+  CAST((t.s - CAST(floor(e.value * 1000000.0) AS BIGINT))
+    // greatest(t.n - 1, 1) AS BIGINT) AS enc_micro
+FROM events e JOIN tec t ON t.event_type = e.event_type
+"""

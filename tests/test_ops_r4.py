@@ -1661,3 +1661,35 @@ def test_spectral_partition_invariants(ray_session):
         y = y - tdiv_vec(np.array([int(y.sum())]), len(nodes))[0]
         x = tdiv_vec(y * SPEC_SCALE, int(np.abs(y).max()))
     assert (t.sort_values("user_id")["v_q20"].to_numpy() == x).all()
+
+
+def test_eb_shrinkage_invariants(ray_session):
+    """Shrunk rates sit between raw rate and global rate; x <= n."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    t = Q.q_eb_shrinkage(SF).to_pandas()
+    assert (t["x"] <= t["n"]).all()
+    xg, ng = t["x"].sum(), t["n"].sum()
+    g_e9 = xg * 10**9 // ng
+    lo = np.minimum(t["raw_e9"], g_e9) - 1
+    hi = np.maximum(t["raw_e9"], g_e9) + 1
+    assert (t["shrunk_e9"].between(lo, hi)).all()
+
+
+def test_target_encoding_invariants(ray_session):
+    """Encoding excludes the row's own value: for a type with n rows,
+    n*enc ~ (S - v); verify exact for a sample."""
+    import duckdb
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    t = Q.q_target_encoding(SF).to_pandas()
+    con = duckdb.connect()
+    n_ev = con.sql(f"SELECT COUNT(*) FROM '{SF}/events.parquet'"
+                   ).fetchone()[0]
+    assert len(t) == n_ev
+    g = t.groupby("event_type")
+    S = g["v_micro"].sum()
+    n = g["v_micro"].count()
+    for et, grp in g:
+        expect = (S[et] - grp["v_micro"]) // max(n[et] - 1, 1)
+        assert (grp["enc_micro"] == expect).all()
