@@ -23923,3 +23923,121 @@ SELECT e.event_id, e.event_type,
     // greatest(t.n - 1, 1) AS BIGINT) AS enc_micro
 FROM events e JOIN tec t ON t.event_type = e.event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: greedy maximum-coverage facility placement over tiles
+# ---------------------------------------------------------------------------
+
+FAC_K = 5
+
+
+def q_facility_placement(sf_dir: str):
+    """Operations research on the grid: pick FAC_K res-2 tiles
+    greedily maximizing newly covered distinct visitors (the classic
+    (1 - 1/e) max-coverage heuristic behind store/antenna placement).
+    Ties break on the smaller tile id.  Distinct visits fold through
+    one u64 exchange; the greedy runs on the driver over the bounded
+    (n_users x occupied-tiles) visit set; the oracle unrolls the
+    selection as chained CTEs (mmr_rerank pattern).  Output (rank,
+    tile_id, gain, covered_total)."""
+    from rhealpixdggs_py_ray.core import index as cidx
+    from rhealpixdggs_py_ray.ops.agg import sum_by_u64_key
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"], blocks=4)
+
+    def visits(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        lon, lat = oracle.lonlat_from_id(ids)
+        u = cidx.cell_from_point(CFG, TILE_RES, lon, lat, plane=False)
+        tile = u.astype(np.uint64) >> np.uint64(52)
+        key = np.unique((uid.astype(np.uint64) << np.uint64(12)) | tile)
+        return pa.table({
+            "key": pa.array(key, type=pa.uint64()),
+            "one": pa.array(np.ones(len(key), dtype=np.int64)),
+        })
+
+    dvis = sum_by_u64_key(
+        ds.map_batches(visits, batch_format="pyarrow", zero_copy_batch=True),
+        "key", "one", "m", n_buckets=8,
+    )
+    ks = []
+    for b in dvis.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            ks.append(b["key"].to_numpy(zero_copy_only=False)
+                      .astype(np.uint64))
+    key = np.concatenate(ks)
+    uid = (key >> np.uint64(12)).astype(np.int64)
+    tile = (key & np.uint64((1 << 12) - 1)).astype(np.int64)
+    uu = np.unique(uid)
+    uidx = {int(u_): i for i, u_ in enumerate(uu)}
+    ui = np.array([uidx[int(u_)] for u_ in uid], dtype=np.int64)
+    covered = np.zeros(len(uu), dtype=bool)
+    out = []
+    tot = 0
+    for r in range(1, FAC_K + 1):
+        # gain per tile over uncovered users
+        live = ~covered[ui]
+        tl, gain = np.unique(tile[live], return_counts=True) \
+            if live.any() else (np.array([], dtype=np.int64),
+                                np.array([], dtype=np.int64))
+        if not len(tl):
+            break
+        best = int(np.argmax(gain))  # first max -> smallest tile (sorted)
+        bt = int(tl[best])
+        g = int(gain[best])
+        covered[ui[(tile == bt)]] = True
+        tot += g
+        out.append((r, bt, g, tot))
+    t_u64 = (np.array([o[1] for o in out], dtype=np.uint64)
+             << np.uint64(52)) | np.uint64(TILE_RES)
+    return pa.table({
+        "rank": pa.array(np.array([o[0] for o in out], dtype=np.int64)),
+        "tile_id": pa.array(su.to_string_fixed(t_u64, TILE_RES),
+                            type=pa.string()),
+        "gain": pa.array(np.array([o[2] for o in out], dtype=np.int64)),
+        "covered_total": pa.array(np.array([o[3] for o in out],
+                                           dtype=np.int64)),
+    })
+
+
+def sql_facility_placement() -> str:
+    idx_sql = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), TILE_RES, CFG, id_cols=("event_id",)
+    )
+    steps = []
+    for r in range(1, FAC_K + 1):
+        cov_pred = (f"AND NOT EXISTS (SELECT 1 FROM cov{r - 1} c"
+                    f" WHERE c.user_id = v.user_id)") if r > 1 else ""
+        picked = " UNION ".join(f"SELECT tile FROM pick{i}"
+                                for i in range(1, r + 1))
+        steps.append(f"""
+gain{r} AS MATERIALIZED (
+  SELECT v.tile, CAST(COUNT(*) AS BIGINT) AS g
+  FROM fpv v WHERE 1=1 {cov_pred}
+  GROUP BY 1
+),
+pick{r} AS MATERIALIZED (
+  SELECT {r} AS rank, tile, g FROM gain{r}
+  ORDER BY g DESC, tile ASC LIMIT 1
+),
+cov{r} AS MATERIALIZED (
+  SELECT DISTINCT v.user_id FROM fpv v
+  WHERE v.tile IN ({picked})
+)""")
+    picks_union = " UNION ALL ".join(
+        f"SELECT rank, tile, g FROM pick{r}" for r in range(1, FAC_K + 1))
+    return f"""
+WITH fpi AS MATERIALIZED (
+  SELECT event_id, cell_id FROM {idx_sql} t
+),
+fpv AS MATERIALIZED (
+  SELECT DISTINCT e.user_id, i.cell_id AS tile
+  FROM events e JOIN fpi i ON i.event_id = e.event_id
+),{",".join(steps)}
+SELECT CAST(p.rank AS BIGINT) AS rank, p.tile AS tile_id, p.g AS gain,
+  CAST(SUM(p.g) OVER (ORDER BY p.rank ROWS UNBOUNDED PRECEDING)
+    AS BIGINT) AS covered_total
+FROM ({picks_union}) p
+"""

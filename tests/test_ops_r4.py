@@ -1693,3 +1693,18 @@ def test_target_encoding_invariants(ray_session):
     for et, grp in g:
         expect = (S[et] - grp["v_micro"]) // max(n[et] - 1, 1)
         assert (grp["enc_micro"] == expect).all()
+
+
+def test_facility_placement_invariants(ray_session):
+    """Gains are non-increasing; covered_total cumulative; first pick
+    is the max-visitor tile."""
+    import duckdb
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    t = Q.q_facility_placement(SF).to_pandas().sort_values("rank")
+    assert (np.diff(t["gain"].to_numpy()) <= 0).all()
+    assert (t["covered_total"] == t["gain"].cumsum()).all()
+    sim = Q.q_tile_similarity(SF).to_pandas()
+    # first pick covers max distinct users: compare against n_a/n_b
+    best_seen = max(sim["n_a"].max(), sim["n_b"].max())
+    assert t["gain"].iloc[0] >= best_seen - 1  # sim misses single-tile users
