@@ -24041,3 +24041,182 @@ SELECT CAST(p.rank AS BIGINT) AS rank, p.tile AS tile_id, p.g AS gain,
     AS BIGINT) AS covered_total
 FROM ({picks_union}) p
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: 1-D earth-mover distance between A/B arms
+# ---------------------------------------------------------------------------
+
+
+def q_emd_1d(sf_dir: str):
+    """Total distribution shift (companion to ks_test's max): the 1-D
+    Wasserstein/EMD between the arms' value distributions clears to
+    W_num = sum over the ordered value grid of |cumA*nB - cumB*nA| *
+    gap, where gap is the micro-quantized step to the next distinct
+    value — all integers (same single-exchange bit-order fold as
+    ks_test).  Output one row (n_a, n_b, w_num, emd_micro)."""
+    from rhealpixdggs_py_ray.ops.agg import sum_by_u64_key
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"], blocks=4)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        assert (v >= 0).all()
+        bits = v.view(np.uint64)
+        arm = (uid % 2).astype(np.int64)
+        packed = np.where(arm == 0, np.int64(1) << np.int64(32), np.int64(1))
+        return pa.table({
+            "key": pa.array(bits, type=pa.uint64()),
+            "one": pa.array(packed),
+        })
+
+    folded = sum_by_u64_key(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "key", "one", "pc", n_buckets=8,
+    )
+    keys, pcs = [], []
+    for b in folded.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            keys.append(b["key"].to_numpy(zero_copy_only=False)
+                        .astype(np.uint64))
+            pcs.append(b["pc"].to_numpy(zero_copy_only=False))
+    key = np.concatenate(keys)
+    pc_ = np.concatenate(pcs)
+    order = np.argsort(key)
+    key, pc_ = key[order], pc_[order]
+    vq = np.floor(key.view(np.float64) * 1e6).astype(np.int64)
+    ca = pc_ >> np.int64(32)
+    cb = pc_ & np.int64((1 << 32) - 1)
+    na, nb_ = int(ca.sum()), int(cb.sum())
+    cumA = np.cumsum(ca)[:-1]
+    cumB = np.cumsum(cb)[:-1]
+    gap = np.diff(vq)
+    w_num = int((np.abs(cumA * nb_ - cumB * na) * gap).sum())
+    return pa.table({
+        "n_a": pa.array([na], type=pa.int64()),
+        "n_b": pa.array([nb_], type=pa.int64()),
+        "w_num": pa.array([w_num], type=pa.int64()),
+        "emd_micro": pa.array([w_num // (na * nb_)], type=pa.int64()),
+    })
+
+
+def sql_emd_1d() -> str:
+    return """
+WITH emc AS MATERIALIZED (
+  SELECT value, CAST(floor(value * 1000000.0) AS BIGINT) AS vq,
+    CAST(COUNT(CASE WHEN user_id % 2 = 0 THEN 1 END) AS BIGINT) AS ca,
+    CAST(COUNT(CASE WHEN user_id % 2 = 1 THEN 1 END) AS BIGINT) AS cb
+  FROM events GROUP BY 1
+),
+emn AS MATERIALIZED (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+  FROM emc
+),
+emw AS MATERIALIZED (
+  SELECT vq, SUM(ca) OVER w AS cuma, SUM(cb) OVER w AS cumb,
+    lead(vq) OVER (ORDER BY value) AS vnext
+  FROM emc WINDOW w AS (ORDER BY value ROWS UNBOUNDED PRECEDING)
+)
+SELECT n.na AS n_a, n.nb AS n_b,
+  CAST(SUM(abs(w.cuma * n.nb - w.cumb * n.na) * (w.vnext - w.vq))
+    AS BIGINT) AS w_num,
+  CAST(SUM(abs(w.cuma * n.nb - w.cumb * n.na) * (w.vnext - w.vq))
+    // (n.na * n.nb) AS BIGINT) AS emd_micro
+FROM emw w CROSS JOIN emn n
+WHERE w.vnext IS NOT NULL
+GROUP BY n.na, n.nb
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: dead-letter quarantine sink
+# ---------------------------------------------------------------------------
+
+
+def q_quarantine_sink(sf_dir: str):
+    """Poison-row handling: a validation map splits the stream — rows
+    whose props key is divisible by 97 ('suspect_k', checked first) or
+    whose micro-quantized value is zero ('zero_value') are WRITTEN to
+    a quarantine parquet sink from inside the tasks (the dead-letter
+    queue every ingestion pipeline needs), good rows flow on.  The
+    summary counts re-read the sink, proving the side-channel: good
+    from the main stream, quarantined per reason from the quarantine
+    directory.  Output (bucket, n)."""
+    import os
+    import shutil
+    import uuid
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from rhealpixdggs_py_ray.ops.agg import sum_by_u64_key
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    qdir = f"/tmp/graft_quarantine_{tag}"
+    shutil.rmtree(qdir, ignore_errors=True)
+    os.makedirs(qdir, exist_ok=True)
+
+    ds = _read(sf_dir, "events", columns=["event_id", "props", "value"],
+               blocks=4)
+
+    def split(batch: pa.Table) -> pa.Table:
+        ks = pc.extract_regex(batch["props"], r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(ks, "k"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        vq = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                      * 1e6).astype(np.int64)
+        suspect = (k % 97) == 0
+        zero = (vq == 0) & ~suspect
+        bad = suspect | zero
+        if bad.any():
+            reasons = np.where(suspect, "suspect_k", "zero_value")[bad]
+            qt = pa.table({
+                "event_id": pa.array(
+                    batch["event_id"].to_numpy(zero_copy_only=False)[bad]),
+                "reason": pa.array(reasons.astype(str), type=pa.string()),
+            })
+            pq.write_table(qt, os.path.join(qdir, f"{uuid.uuid4()}.parquet"))
+        return pa.table({
+            "key": pa.array(np.zeros(int((~bad).sum()), dtype=np.uint64),
+                            type=pa.uint64()),
+            "one": pa.array(np.ones(int((~bad).sum()), dtype=np.int64)),
+        })
+
+    good = sum_by_u64_key(
+        ds.map_batches(split, batch_format="pyarrow", zero_copy_batch=True),
+        "key", "one", "n", n_buckets=2,
+    ).materialize()  # barrier: quarantine files are all written now
+    n_good = 0
+    for b in good.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            n_good += int(b["n"].to_numpy(zero_copy_only=False).sum())
+    counts = {"good": n_good, "suspect_k": 0, "zero_value": 0}
+    files = [os.path.join(qdir, f) for f in os.listdir(qdir)]
+    if files:
+        qds = ray.data.read_parquet(files)
+        for b in qds.iter_batches(batch_format="pyarrow"):
+            if b.num_rows:
+                uq, cnt = np.unique(
+                    b["reason"].to_numpy(zero_copy_only=False),
+                    return_counts=True)
+                for r, c in zip(uq.tolist(), cnt.tolist()):
+                    counts[r] += int(c)
+    buckets = sorted(b for b in counts if counts[b] > 0)  # GROUP BY
+    return pa.table({
+        "bucket": pa.array(buckets, type=pa.string()),
+        "n": pa.array(np.array([counts[b] for b in buckets],
+                               dtype=np.int64)),
+    })
+
+
+def sql_quarantine_sink() -> str:
+    return """
+SELECT CASE
+    WHEN CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) % 97 = 0
+      THEN 'suspect_k'
+    WHEN CAST(floor(value * 1000000.0) AS BIGINT) = 0 THEN 'zero_value'
+    ELSE 'good' END AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1
+"""

@@ -1708,3 +1708,33 @@ def test_facility_placement_invariants(ray_session):
     # first pick covers max distinct users: compare against n_a/n_b
     best_seen = max(sim["n_a"].max(), sim["n_b"].max())
     assert t["gain"].iloc[0] >= best_seen - 1  # sim misses single-tile users
+
+
+def test_emd_1d_invariants(ray_session):
+    """W >= 0 and the emd_micro normalization recomputes; EMD bounds
+    KS: W <= max|diff| * total span."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    t = Q.q_emd_1d(SF).to_pandas().iloc[0]
+    assert t["w_num"] >= 0
+    assert t["emd_micro"] == t["w_num"] // (t["n_a"] * t["n_b"])
+
+
+def test_quarantine_sink_invariants(ray_session):
+    """Counts partition all events; quarantine files actually exist
+    with the claimed rows."""
+    import hashlib
+    import os
+    import duckdb
+    import pyarrow.parquet as pq
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    t = Q.q_quarantine_sink(SF).to_pandas()
+    con = duckdb.connect()
+    n = con.sql(f"SELECT COUNT(*) FROM '{SF}/events.parquet'").fetchone()[0]
+    assert t["n"].sum() == n
+    tag = hashlib.md5(SF.encode()).hexdigest()[:8]
+    qdir = f"/tmp/graft_quarantine_{tag}"
+    rows = sum(pq.read_table(os.path.join(qdir, f)).num_rows
+               for f in os.listdir(qdir))
+    assert rows == t[t["bucket"] != "good"]["n"].sum()
