@@ -24220,3 +24220,190 @@ SELECT CASE
   CAST(COUNT(*) AS BIGINT) AS n
 FROM events GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: geographically weighted mean surface (GWR-lite)
+# ---------------------------------------------------------------------------
+
+
+def q_gw_mean(sf_dir: str):
+    """Locally weighted value surface: at every res-4 cell within
+    KDE_R-1 of data, the kernel-weighted mean of event values —
+    wmean = (sum_o w(c,o)*sv_o) // (sum_o w(c,o)*n_o) with the
+    triangular Chebyshev kernel and micro-quantized values; the
+    spatial smoother behind price/risk heatmaps, exact end-to-end.
+    Same grid_flood halo shape as kde_raster with TWO integer
+    accumulators riding one exchange (key namespaces cell*2 /
+    cell*2+1).  Output (cell_id, wsum, wcnt, wmean_micro)."""
+    from rhealpixdggs_py_ray.ops.agg import sum_by_u64_key
+
+    k = DISSOLVE_RES
+    side = 3 ** k
+    W = 4 * side
+    D = KDE_R - 1
+    T = FLOOD_T
+    n_tx = W // T
+    n_ty = side // T
+    L = T + 2 * D
+
+    from rhealpixdggs_py_ray.core import index as cidx
+
+    raw = _read(sf_dir, "events", columns=["event_id", "value"], blocks=4)
+
+    def cells2(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        v = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                     * 1e6).astype(np.int64)
+        lon, lat = oracle.lonlat_from_id(ids)
+        m = np.abs(lat) <= DISSOLVE_LAT
+        ids, v = ids[m], v[m]
+        u = cidx.cell_from_point(CFG, k, lon[m], lat[m], plane=False)
+        cu = u.astype(np.uint64)
+        return pa.table({
+            "key": pa.array(np.concatenate([cu * np.uint64(2),
+                                            cu * np.uint64(2) + np.uint64(1)]),
+                            type=pa.uint64()),
+            "one": pa.array(np.concatenate(
+                [np.ones(len(cu), dtype=np.int64), v])),
+        })
+
+    occ = sum_by_u64_key(
+        raw.map_batches(cells2, batch_format="pyarrow", zero_copy_batch=True),
+        "key", "one", "s",
+    )
+
+    def halo(batch: pa.Table) -> pa.Table:
+        key = batch["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        s = batch["s"].to_numpy(zero_copy_only=False)
+        u = key >> np.uint64(1)
+        is_sv = (key & np.uint64(1)).astype(np.int64)
+        face, digits, _res = su.unpack(u)
+        d = digits[:, :k].astype(np.int64)
+        pw = (3 ** np.arange(k - 1, -1, -1)).astype(np.int64)
+        gy = (d // 3) @ pw
+        gx = (face.astype(np.int64) - 1) * side + (d % 3) @ pw
+        home_ty = gy // T
+        home_tx = gx // T
+        tiles, lys, lxs, ss, kinds = [], [], [], [], []
+        for dty in (-1, 0, 1):
+            for dtx in (-1, 0, 1):
+                ty = home_ty + dty
+                tx = (home_tx + dtx) % n_tx
+                ok = (ty >= 0) & (ty < n_ty)
+                off = ((gx - tx * T + W // 2) % W) - W // 2
+                ly = gy - ty * T + D
+                lx = off + D
+                ok &= (ly >= 0) & (ly < L) & (lx >= 0) & (lx < L)
+                tiles.append((ty * n_tx + tx)[ok])
+                lys.append(ly[ok])
+                lxs.append(lx[ok])
+                ss.append(s[ok])
+                kinds.append(is_sv[ok])
+        return pa.table({
+            "tile": pa.array(np.concatenate(tiles)),
+            "ly": pa.array(np.concatenate(lys)),
+            "lx": pa.array(np.concatenate(lxs)),
+            "s": pa.array(np.concatenate(ss)),
+            "kind": pa.array(np.concatenate(kinds)),
+        })
+
+    def conv(g: pa.Table) -> pa.Table:
+        empty = pa.table({"cell_id": pa.array([], type=pa.string()),
+                          "wsum": pa.array([], type=pa.int64()),
+                          "wcnt": pa.array([], type=pa.int64()),
+                          "wmean_micro": pa.array([], type=pa.int64())})
+        if g.num_rows == 0 or "tile" not in g.column_names:
+            return empty
+        tile = int(g["tile"][0].as_py())
+        ty, tx = tile // n_tx, tile % n_tx
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        cg = np.zeros((2, L, L), dtype=np.int64)
+        np.add.at(cg, (kind,
+                       g["ly"].to_numpy(zero_copy_only=False),
+                       g["lx"].to_numpy(zero_copy_only=False)),
+                  g["s"].to_numpy(zero_copy_only=False))
+        acc = np.zeros((2, L, L), dtype=np.int64)
+        for dy in range(-D, D + 1):
+            for dx in range(-D, D + 1):
+                w = KDE_R - max(abs(dy), abs(dx))
+                sy0, sy1 = max(0, -dy), L - max(0, dy)
+                sx0, sx1 = max(0, -dx), L - max(0, dx)
+                acc[:, sy0 + dy:sy1 + dy, sx0 + dx:sx1 + dx] += \
+                    w * cg[:, sy0:sy1, sx0:sx1]
+        den = acc[0, D:D + T, D:D + T]
+        num = acc[1, D:D + T, D:D + T]
+        yy, xx = np.nonzero(den)
+        if not len(yy):
+            return empty
+        gy = ty * T + yy
+        gx = (tx * T + xx) % W
+        wsum = num[yy, xx]
+        wcnt = den[yy, xx]
+
+        def tdiv_vec(a, b):
+            q = np.abs(a) // np.abs(b)
+            return np.where((a < 0) != (b < 0), -q, q)
+
+        return pa.table({
+            "cell_id": pa.array(
+                _cell_string_array_from_lattice(gy, gx, k),
+                type=pa.string()),
+            "wsum": pa.array(wsum),
+            "wcnt": pa.array(wcnt),
+            "wmean_micro": pa.array(tdiv_vec(wsum, wcnt)),
+        })
+
+    return (
+        occ.map_batches(halo, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tile").map_groups(conv, batch_format="pyarrow")
+    )
+
+
+def sql_gw_mean() -> str:
+    k = DISSOLVE_RES
+    side = 3 ** k
+    W = 4 * side
+    D = KDE_R - 1
+    pts = (
+        f"SELECT event_id, lon, lat FROM ({_points_sql('events', 'event_id')}) p"
+        f" WHERE abs(lat) <= {DISSOLVE_LAT!r}"
+    )
+    idx_sql = oracle.cell_from_point_sql(pts, k, CFG, id_cols=("event_id",))
+    gy, gx = _dissolve_rowcol_sql(k)
+    rebuild = (
+        f"CASE gx // {side} WHEN 0 THEN 'O' WHEN 1 THEN 'P'"
+        " WHEN 2 THEN 'Q' ELSE 'R' END || "
+        + " || ".join(
+            f"CAST(((gy // {3 ** (k - 1 - i)}) % 3) * 3"
+            f" + (((gx % {side}) // {3 ** (k - 1 - i)}) % 3) AS VARCHAR)"
+            for i in range(k)
+        )
+    )
+    offs = ", ".join(
+        f"({dy}, {dx}, {KDE_R - max(abs(dy), abs(dx))})"
+        for dy in range(-D, D + 1) for dx in range(-D, D + 1)
+    )
+    return f"""
+WITH gwi AS MATERIALIZED (
+  SELECT event_id, cell_id FROM {idx_sql} t
+),
+gwc AS MATERIALIZED (
+  SELECT {gy} AS gy, {gx} AS gx, CAST(COUNT(*) AS BIGINT) AS cnt,
+    CAST(SUM(CAST(floor(e.value * 1000000.0) AS BIGINT)) AS BIGINT) AS sv
+  FROM gwi i JOIN events e ON e.event_id = i.event_id
+  GROUP BY 1, 2
+),
+gwo(dy, dx, w) AS (VALUES {offs}),
+gws AS MATERIALIZED (
+  SELECT c.gy + o.dy AS gy, ((c.gx + o.dx) % {W} + {W}) % {W} AS gx,
+    CAST(SUM(c.cnt * o.w) AS BIGINT) AS wcnt,
+    CAST(SUM(c.sv * o.w) AS BIGINT) AS wsum
+  FROM gwc c CROSS JOIN gwo o
+  WHERE c.gy + o.dy BETWEEN 0 AND {side - 1}
+  GROUP BY 1, 2
+)
+SELECT {rebuild} AS cell_id, wsum, wcnt,
+  CAST(wsum // wcnt AS BIGINT) AS wmean_micro
+FROM gws
+"""

@@ -1738,3 +1738,15 @@ def test_quarantine_sink_invariants(ray_session):
     rows = sum(pq.read_table(os.path.join(qdir, f)).num_rows
                for f in os.listdir(qdir))
     assert rows == t[t["bucket"] != "good"]["n"].sum()
+
+
+def test_gw_mean_invariants(ray_session):
+    """Same support as kde_raster (kernel footprint); weighted means
+    sit inside the global value range; wmean recomputes from parts."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    t = Q.q_gw_mean(SF).to_pandas()
+    kde = Q.q_kde_raster(SF).to_pandas()
+    assert set(t["cell_id"]) == set(kde["cell_id"])
+    assert (t["wmean_micro"] == t["wsum"] // t["wcnt"]).all()
+    assert (t["wmean_micro"] >= 0).all()
