@@ -24407,3 +24407,88 @@ SELECT {rebuild} AS cell_id, wsum, wcnt,
   CAST(wsum // wcnt AS BIGINT) AS wmean_micro
 FROM gws
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: chi-square independence test (event_type x arm)
+# ---------------------------------------------------------------------------
+
+
+def q_chi_square(sf_dir: str):
+    """Categorical independence check: the chi-square statistic of the
+    event_type x user-parity-arm contingency table, each cell cleared
+    to integers — term_e6 = (O*N - r*c)^2 * 1e6 // (r*c*N) summed over
+    cells (bignum/HUGEINT; N*O etc exceed int64 by design).  One
+    packed (type, arm) fold; 10-cell driver readout.  Output one row
+    (n, dof, chi2_e6)."""
+    from rhealpixdggs_py_ray.ops.agg import sum_by_u64_key
+
+    codes = {t: i for i, t in enumerate(EVT_TYPES)}
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"], blocks=4)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        code = np.array([codes[x] for x in et], dtype=np.uint64)
+        key = code * np.uint64(2) + (uid % 2).astype(np.uint64)
+        return pa.table({
+            "key": pa.array(key, type=pa.uint64()),
+            "one": pa.array(np.ones(len(key), dtype=np.int64)),
+        })
+
+    folded = sum_by_u64_key(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "key", "one", "n", n_buckets=2,
+    )
+    O = {}
+    for b in folded.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            for k, v in zip(b["key"].to_pylist(), b["n"].to_pylist()):
+                O[int(k)] = O.get(int(k), 0) + int(v)
+    types = [c for c in range(len(EVT_TYPES))
+             if O.get(c * 2, 0) + O.get(c * 2 + 1, 0) > 0]
+    arms = [a for a in (0, 1)
+            if sum(O.get(c * 2 + a, 0) for c in types) > 0]
+    N = sum(O.values())
+    chi2 = 0
+    for c in types:
+        r = O.get(c * 2, 0) + O.get(c * 2 + 1, 0)
+        for a in arms:
+            col = sum(O.get(c2 * 2 + a, 0) for c2 in types)
+            o = O.get(c * 2 + a, 0)
+            chi2 += (o * N - r * col) ** 2 * 1_000_000 // (r * col * N)
+    dof = (len(types) - 1) * (len(arms) - 1)
+    return pa.table({
+        "n": pa.array([N], type=pa.int64()),
+        "dof": pa.array([dof], type=pa.int64()),
+        "chi2_e6": pa.array([chi2], type=pa.int64()),
+    })
+
+
+def sql_chi_square() -> str:
+    return """
+WITH chc AS MATERIALIZED (
+  SELECT event_type, user_id % 2 AS arm, CAST(COUNT(*) AS HUGEINT) AS o
+  FROM events GROUP BY 1, 2
+),
+chr_ AS MATERIALIZED (
+  SELECT event_type, CAST(SUM(o) AS HUGEINT) AS r FROM chc GROUP BY 1
+),
+chl AS MATERIALIZED (
+  SELECT arm, CAST(SUM(o) AS HUGEINT) AS c FROM chc GROUP BY 1
+),
+chn AS (SELECT CAST(SUM(o) AS HUGEINT) AS n FROM chc),
+chg AS MATERIALIZED (
+  SELECT r.event_type, l.arm, r.r, l.c,
+    COALESCE(x.o, 0) AS o
+  FROM chr_ r CROSS JOIN chl l
+  LEFT JOIN chc x ON x.event_type = r.event_type AND x.arm = l.arm
+)
+SELECT CAST((SELECT n FROM chn) AS BIGINT) AS n,
+  CAST((COUNT(DISTINCT g.event_type) - 1)
+    * (COUNT(DISTINCT g.arm) - 1) AS BIGINT) AS dof,
+  CAST(SUM((g.o * (SELECT n FROM chn) - g.r * g.c)
+    * (g.o * (SELECT n FROM chn) - g.r * g.c) * 1000000
+    // (g.r * g.c * (SELECT n FROM chn))) AS BIGINT) AS chi2_e6
+FROM chg g
+"""

@@ -1750,3 +1750,30 @@ def test_gw_mean_invariants(ray_session):
     assert set(t["cell_id"]) == set(kde["cell_id"])
     assert (t["wmean_micro"] == t["wsum"] // t["wcnt"]).all()
     assert (t["wmean_micro"] >= 0).all()
+
+
+def test_chi_square_invariants(ray_session):
+    """chi2 matches a scipy-free recompute within the per-cell floor
+    quantization (exact equality on the same integer formula)."""
+    import duckdb
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    t = Q.q_chi_square(SF).to_pandas().iloc[0]
+    con = duckdb.connect()
+    d = con.sql(f"""SELECT event_type, user_id % 2 arm, COUNT(*) o
+      FROM '{SF}/events.parquet' GROUP BY 1, 2""").df()
+    N = int(d["o"].sum())
+    assert t["n"] == N
+    types = sorted(d["event_type"].unique())
+    arms = sorted(d["arm"].unique())
+    assert t["dof"] == (len(types) - 1) * (len(arms) - 1)
+    piv = d.pivot_table(index="event_type", columns="arm", values="o",
+                        fill_value=0)
+    chi2 = 0
+    for ty in types:
+        r = int(piv.loc[ty].sum())
+        for a in arms:
+            c = int(piv[a].sum())
+            o = int(piv.loc[ty, a])
+            chi2 += (o * N - r * c) ** 2 * 10**6 // (r * c * N)
+    assert t["chi2_e6"] == chi2
