@@ -20696,7 +20696,7 @@ def q_hybrid_rank(sf_dir: str):
     from rhealpixdggs_py_ray.ops.agg import sum_by_u64_key
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    q0 = docs.filter(lambda r: r["doc_id"] == 0).take_all()  # bounded: 1 row
+    q0 = docs.filter(expr="doc_id == 0").take_all()  # bounded: 1 row
     qset = frozenset(q0[0]["text"].split())
     q_ref = ray.put(qset)
 
