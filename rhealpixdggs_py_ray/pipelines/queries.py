@@ -24492,3 +24492,101 @@ SELECT CAST((SELECT n FROM chn) AS BIGINT) AS n,
     // (g.r * g.c * (SELECT n FROM chn))) AS BIGINT) AS chi2_e6
 FROM chg g
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: time-respecting influence spread (SIR-lite over tile-days)
+# ---------------------------------------------------------------------------
+
+SPREAD_SEED_MOD = 97
+
+
+def q_influence_spread(sf_dir: str):
+    """Temporal-graph reachability: seeds (user_id % SPREAD_SEED_MOD
+    == 0) are infected on the global first day; on every later day d,
+    any user sharing a (res-2 tile, day d) visit with a user infected
+    STRICTLY BEFORE d becomes infected on d — the time-respecting
+    cascade a same-day rule would ill-define.  Distinct visits fold
+    once; the day loop runs on the driver over the bounded visit set
+    (<= users x 486 rows; the distributed fallback is one exchange per
+    day).  Output (user_id, inf_day) for reached users."""
+    from rhealpixdggs_py_ray.core import index as cidx
+    from rhealpixdggs_py_ray.ops.agg import sum_by_u64_key
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"],
+               blocks=4)
+
+    def visits(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = (batch["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        day = (ts // 86_400_000_000).astype(np.uint64)
+        lon, lat = oracle.lonlat_from_id(ids)
+        u = cidx.cell_from_point(CFG, TILE_RES, lon, lat, plane=False)
+        tile = u.astype(np.uint64) >> np.uint64(52)
+        key = np.unique((uid.astype(np.uint64) << np.uint64(32))
+                        | (tile << np.uint64(15)) | day)
+        return pa.table({
+            "key": pa.array(key, type=pa.uint64()),
+            "one": pa.array(np.ones(len(key), dtype=np.int64)),
+        })
+
+    dvis = sum_by_u64_key(
+        ds.map_batches(visits, batch_format="pyarrow", zero_copy_batch=True),
+        "key", "one", "m", n_buckets=8,
+    )
+    ks = []
+    for b in dvis.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            ks.append(b["key"].to_numpy(zero_copy_only=False)
+                      .astype(np.uint64))
+    key = np.concatenate(ks)
+    uid = (key >> np.uint64(32)).astype(np.int64)
+    td = (key & np.uint64((1 << 32) - 1)).astype(np.int64)  # tile<<15|day
+    day = td & ((1 << 15) - 1)
+    d0, d1 = int(day.min()), int(day.max())
+    users = np.unique(uid)
+    uidx = {int(u_): i for i, u_ in enumerate(users)}
+    ui = np.array([uidx[int(u_)] for u_ in uid], dtype=np.int64)
+    inf_day = np.full(len(users), -1, dtype=np.int64)
+    inf_day[users % SPREAD_SEED_MOD == 0] = d0
+    for d in range(d0 + 1, d1 + 1):
+        m = day == d
+        if not m.any():
+            continue
+        infected_before = (inf_day[ui[m]] >= 0) & (inf_day[ui[m]] < d)
+        hot_tiles = np.unique(td[m][infected_before])
+        newly = np.isin(td[m], hot_tiles) & (inf_day[ui[m]] < 0)
+        inf_day[ui[m][newly]] = d
+    reached = inf_day >= 0
+    return pa.table({
+        "user_id": pa.array(users[reached]),
+        "inf_day": pa.array(inf_day[reached]),
+    })
+
+
+def sql_influence_spread() -> str:
+    idx_sql = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), TILE_RES, CFG, id_cols=("event_id",)
+    )
+    return f"""
+WITH RECURSIVE isv AS MATERIALIZED (
+  SELECT DISTINCT e.user_id, t.cell_id AS tile,
+    epoch_us(e.ts) // 86400000000 AS day
+  FROM events e JOIN (SELECT event_id, cell_id FROM {idx_sql} q) t
+    ON t.event_id = e.event_id
+),
+isr AS MATERIALIZED (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM isv),
+walk(user_id, inf_day) AS (
+  SELECT DISTINCT user_id, (SELECT d0 FROM isr) AS inf_day FROM isv
+  WHERE user_id % {SPREAD_SEED_MOD} = 0
+  UNION
+  SELECT v2.user_id, v1.day AS inf_day
+  FROM walk w
+  JOIN isv v1 ON v1.user_id = w.user_id AND v1.day > w.inf_day
+  JOIN isv v2 ON v2.tile = v1.tile AND v2.day = v1.day
+)
+SELECT user_id, CAST(MIN(inf_day) AS BIGINT) AS inf_day
+FROM walk GROUP BY user_id
+"""

