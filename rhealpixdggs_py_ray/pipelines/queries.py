@@ -24590,3 +24590,151 @@ walk(user_id, inf_day) AS (
 SELECT user_id, CAST(MIN(inf_day) AS BIGINT) AS inf_day
 FROM walk GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: Hilbert-curve storage layout over the res-4 lattice
+# ---------------------------------------------------------------------------
+
+HILB_BITS = 9   # 512x512 square covers the 324x81 equatorial lattice
+HILB_SHARDS = 16
+
+
+def q_hilbert_layout(sf_dir: str):
+    """Locality-preserving storage layout (the z-order alternative):
+    each in-band event's res-4 lattice cell maps to its Hilbert-curve
+    index (classic xy2d — per-bit rotate/reflect, exact integers, the
+    loop unrolls to HILB_BITS chained steps in SQL), indexes shard into
+    HILB_SHARDS equal key ranges, and the layout quality report is
+    per-shard row count + index span (tight spans = good clustering).
+    One u64 fold; per-shard readout.  Output (shard, n, d_min,
+    d_max)."""
+    from rhealpixdggs_py_ray.core import index as cidx
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64, sum_by_u64_key
+
+    k = DISSOLVE_RES
+    side = 3 ** k
+    W = 4 * side
+    n_sq = 1 << HILB_BITS
+    shard_w = (n_sq * n_sq) // HILB_SHARDS
+
+    ds = _read(sf_dir, "events", columns=["event_id"], blocks=4)
+
+    def hilbert_d(gx: np.ndarray, gy: np.ndarray) -> np.ndarray:
+        x = gx.copy()
+        y = gy.copy()
+        d = np.zeros(len(x), dtype=np.int64)
+        s = n_sq // 2
+        while s > 0:
+            rx = ((x & s) > 0).astype(np.int64)
+            ry = ((y & s) > 0).astype(np.int64)
+            d += s * s * ((3 * rx) ^ ry)
+            # rotate/reflect quadrant
+            swap = ry == 0
+            flip = rx[swap] == 1
+            xf, yf = x[swap], y[swap]
+            nx = np.where(flip, s - 1 - yf, yf)
+            ny = np.where(flip, s - 1 - xf, xf)
+            x[swap] = nx
+            y[swap] = ny
+            s //= 2
+        return d
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = oracle.lonlat_from_id(ids)
+        m = np.abs(lat) <= DISSOLVE_LAT
+        u = cidx.cell_from_point(CFG, k, lon[m], lat[m], plane=False)
+        face, digits, _res = su.unpack(u)
+        dg = digits[:, :k].astype(np.int64)
+        pw = (3 ** np.arange(k - 1, -1, -1)).astype(np.int64)
+        gy = (dg // 3) @ pw
+        gx = (face.astype(np.int64) - 1) * side + (dg % 3) @ pw
+        d = hilbert_d(gx, gy)
+        return pa.table({
+            "key": pa.array(d.astype(np.uint64), type=pa.uint64()),
+            "one": pa.array(np.ones(len(d), dtype=np.int64)),
+        })
+
+    folded = sum_by_u64_key(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "key", "one", "n", n_buckets=8,
+    )
+
+    def key2(batch: pa.Table) -> pa.Table:
+        d = batch["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        shard = (d // np.uint64(shard_w)).astype(np.uint64)
+        return batch.append_column(
+            "bucket2", pa.array(hash_bucket_u64(shard, 8)))
+
+    def resolve(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "key" not in g.column_names:
+            return pa.table({"shard": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64()),
+                             "d_min": pa.array([], type=pa.int64()),
+                             "d_max": pa.array([], type=pa.int64())})
+        d = g["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        shard = d // shard_w
+        uq, inv = np.unique(shard, return_inverse=True)
+        cnt = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(cnt, inv, n)
+        dmin = np.full(len(uq), np.iinfo(np.int64).max)
+        np.minimum.at(dmin, inv, d)
+        dmax = np.zeros(len(uq), dtype=np.int64)
+        np.maximum.at(dmax, inv, d)
+        return pa.table({
+            "shard": pa.array(uq),
+            "n": pa.array(cnt),
+            "d_min": pa.array(dmin),
+            "d_max": pa.array(dmax),
+        })
+
+    return (
+        folded.map_batches(key2, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket2").map_groups(resolve, batch_format="pyarrow")
+    )
+
+
+def sql_hilbert_layout() -> str:
+    k = DISSOLVE_RES
+    side = 3 ** k
+    n_sq = 1 << HILB_BITS
+    shard_w = (n_sq * n_sq) // HILB_SHARDS
+    pts = (
+        f"SELECT event_id, lon, lat FROM ({_points_sql('events', 'event_id')}) p"
+        f" WHERE abs(lat) <= {DISSOLVE_LAT!r}"
+    )
+    idx_sql = oracle.cell_from_point_sql(pts, k, CFG, id_cols=("event_id",))
+    gy, gx = _dissolve_rowcol_sql(k)
+    steps = []
+    prev = "hl0"
+    s = n_sq // 2
+    t = 1
+    while s > 0:
+        steps.append(f"""
+hl{t} AS MATERIALIZED (
+  SELECT event_id,
+    d + {s * s} * xor(CASE WHEN (x & {s}) > 0 THEN 3 ELSE 0 END,
+      CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END) AS d,
+    CASE WHEN (y & {s}) > 0 THEN x
+         WHEN (x & {s}) > 0 THEN {s} - 1 - y ELSE y END AS x,
+    CASE WHEN (y & {s}) > 0 THEN y
+         WHEN (x & {s}) > 0 THEN {s} - 1 - x ELSE x END AS y
+  FROM {prev}
+)""")
+        prev = f"hl{t}"
+        s //= 2
+        t += 1
+    return f"""
+WITH hli AS MATERIALIZED (
+  SELECT event_id, cell_id FROM {idx_sql} t
+),
+hl0 AS MATERIALIZED (
+  SELECT event_id, {gx} AS x, {gy} AS y, CAST(0 AS BIGINT) AS d FROM hli
+),{",".join(steps)}
+SELECT CAST(d // {shard_w} AS BIGINT) AS shard,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(MIN(d) AS BIGINT) AS d_min, CAST(MAX(d) AS BIGINT) AS d_max
+FROM {prev} GROUP BY 1
+"""

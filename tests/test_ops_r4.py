@@ -1792,3 +1792,21 @@ def test_influence_spread_invariants(ray_session):
     seeds = t[t["user_id"] % SPREAD_SEED_MOD == 0]
     assert (seeds["inf_day"] == d0).all()
     assert (t[t["user_id"] % SPREAD_SEED_MOD != 0]["inf_day"] > d0).all()
+
+
+def test_hilbert_layout_invariants(ray_session):
+    """Shard spans are disjoint and ordered; counts sum to in-band
+    events; adjacent lattice cells map to nearby hilbert d (spot)."""
+    import duckdb
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    t = Q.q_hilbert_layout(SF).to_pandas().sort_values("shard")
+    assert (t["d_min"] <= t["d_max"]).all()
+    assert (t["d_max"].iloc[:-1].to_numpy()
+            < t["d_min"].iloc[1:].to_numpy()).all()
+    con = duckdb.connect()
+    n_band = con.sql(
+        f"""SELECT COUNT(*) FROM '{SF}/events.parquet'
+        WHERE abs(-84.0 + 168.0 * ((((event_id + 1) * 2246822519)
+          % 4294967296) / 4294967296.0)) <= 35.0""").fetchone()[0]
+    assert t["n"].sum() == n_band
