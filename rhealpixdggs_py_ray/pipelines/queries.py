@@ -24738,3 +24738,121 @@ SELECT CAST(d // {shard_w} AS BIGINT) AS shard,
   CAST(MIN(d) AS BIGINT) AS d_min, CAST(MAX(d) AS BIGINT) AS d_max
 FROM {prev} GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: RFM customer segmentation over orders
+# ---------------------------------------------------------------------------
+
+
+def q_rfm_segments(sf_dir: str):
+    """Classic RFM segmentation: per customer the Recency (last order
+    epoch-day), Frequency (order count) and Monetary (total cents)
+    metrics, each quintiled by exact rank — q = (rank-1)*5 // n with
+    (metric ASC, custkey ASC) rank order — and the 0..124 segment code
+    r_q*25 + f_q*5 + m_q.  Sums/max fold through namespaced u64
+    exchanges; ranking runs on the gathered per-customer table
+    (asserted under the 8M driver cap; beyond it the rank is a
+    distributed sort).  Output (custkey, r_day, f, m_cents, r_q, f_q,
+    m_q, segment)."""
+    from rhealpixdggs_py_ray.ops.agg import max_by_u64_key, sum_by_u64_key
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_totalprice"],
+               blocks=4)
+
+    def sums(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        cents = np.floor(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({
+            "key": pa.array(np.concatenate([ck * 2, ck * 2 + 1]),
+                            type=pa.uint64()),
+            "one": pa.array(np.concatenate(
+                [np.ones(len(ck), dtype=np.int64), cents])),
+        })
+
+    def lastday(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        day = (batch["o_orderdate"].to_numpy(zero_copy_only=False)
+               .astype("datetime64[us]").astype(np.int64)
+               // 86_400_000_000)
+        return pa.table({"key": pa.array(ck, type=pa.uint64()),
+                         "v": pa.array(day)})
+
+    fm = sum_by_u64_key(
+        ds.map_batches(sums, batch_format="pyarrow", zero_copy_batch=True),
+        "key", "one", "s", n_buckets=8,
+    )
+    rd = max_by_u64_key(
+        ds.map_batches(lastday, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "key", "v", "r", n_buckets=8,
+    )
+    f_map: dict[int, int] = {}
+    m_map: dict[int, int] = {}
+    r_map: dict[int, int] = {}
+    for b in fm.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            for k, v in zip(b["key"].to_pylist(), b["s"].to_pylist()):
+                (f_map if int(k) % 2 == 0 else m_map)[int(k) // 2] = \
+                    (f_map if int(k) % 2 == 0 else m_map).get(
+                        int(k) // 2, 0) + int(v)
+    for b in rd.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            for k, v in zip(b["key"].to_pylist(), b["r"].to_pylist()):
+                r_map[int(k)] = max(r_map.get(int(k), -1), int(v))
+    cks = np.array(sorted(f_map), dtype=np.int64)
+    assert len(cks) <= 8_000_000, "rfm driver rank cap"
+    f = np.array([f_map[c] for c in cks.tolist()], dtype=np.int64)
+    m = np.array([m_map[c] for c in cks.tolist()], dtype=np.int64)
+    r = np.array([r_map[c] for c in cks.tolist()], dtype=np.int64)
+    n = len(cks)
+
+    def quintile(metric: np.ndarray) -> np.ndarray:
+        order = np.lexsort((cks, metric))
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = np.arange(1, n + 1)
+        return (rank - 1) * 5 // n
+
+    rq, fq, mq = quintile(r), quintile(f), quintile(m)
+    return pa.table({
+        "custkey": pa.array(cks),
+        "r_day": pa.array(r),
+        "f": pa.array(f),
+        "m_cents": pa.array(m),
+        "r_q": pa.array(rq),
+        "f_q": pa.array(fq),
+        "m_q": pa.array(mq),
+        "segment": pa.array(rq * 25 + fq * 5 + mq),
+    })
+
+
+def sql_rfm_segments() -> str:
+    return """
+WITH rfa AS MATERIALIZED (
+  SELECT o_custkey AS custkey,
+    CAST(MAX(epoch_us(o_orderdate) // 86400000000) AS BIGINT) AS r_day,
+    CAST(COUNT(*) AS BIGINT) AS f,
+    CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+      AS m_cents
+  FROM orders GROUP BY 1
+),
+rfq AS MATERIALIZED (
+  SELECT custkey, r_day, f, m_cents,
+    (row_number() OVER (ORDER BY r_day, custkey) - 1) * 5
+      // (SELECT COUNT(*) FROM rfa) AS r_q,
+    (row_number() OVER (ORDER BY f, custkey) - 1) * 5
+      // (SELECT COUNT(*) FROM rfa) AS f_q,
+    (row_number() OVER (ORDER BY m_cents, custkey) - 1) * 5
+      // (SELECT COUNT(*) FROM rfa) AS m_q
+  FROM rfa
+)
+SELECT custkey, r_day, f, m_cents,
+  CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+  CAST(m_q AS BIGINT) AS m_q,
+  CAST(r_q * 25 + f_q * 5 + m_q AS BIGINT) AS segment
+FROM rfq
+"""

@@ -1810,3 +1810,25 @@ def test_hilbert_layout_invariants(ray_session):
         WHERE abs(-84.0 + 168.0 * ((((event_id + 1) * 2246822519)
           % 4294967296) / 4294967296.0)) <= 35.0""").fetchone()[0]
     assert t["n"].sum() == n_band
+
+
+def test_rfm_segments_invariants(ray_session):
+    """Quintiles are balanced (each ~n/5); metrics recompute; segment
+    decomposes."""
+    import duckdb
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    t = Q.q_rfm_segments(SF).to_pandas()
+    n = len(t)
+    for col in ("r_q", "f_q", "m_q"):
+        counts = t[col].value_counts()
+        assert counts.max() - counts.min() <= 1
+    assert (t["segment"] == t["r_q"] * 25 + t["f_q"] * 5 + t["m_q"]).all()
+    con = duckdb.connect()
+    d = con.sql(f"""SELECT o_custkey custkey, COUNT(*) f,
+      SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) m
+      FROM '{SF}/orders.parquet' GROUP BY 1""").df().set_index("custkey")
+    assert (t.set_index("custkey")["f"].sort_index()
+            == d["f"].sort_index()).all()
+    assert (t.set_index("custkey")["m_cents"].sort_index()
+            == d["m"].sort_index()).all()
