@@ -24856,3 +24856,97 @@ SELECT custkey, r_day, f, m_cents,
   CAST(r_q * 25 + f_q * 5 + m_q AS BIGINT) AS segment
 FROM rfq
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: degree assortativity of the co-presence graph
+# ---------------------------------------------------------------------------
+
+
+def q_degree_assortativity(sf_dir: str):
+    """Mixing-pattern diagnostic: the Pearson correlation of endpoint
+    degrees over directed edges (Newman's assortativity).  Everything
+    clears to integers; the final denominator sqrt uses EXACT integer
+    isqrt — Python math.isqrt vs SQL floor(sqrt(double)) CORRECTED by
+    +-1 integer comparisons, so both sides land on the same floor
+    square root no matter what the double rounding did.  r_e6 =
+    (M*Sxy - Sx*Sy) * 1e6 // isqrt((M*Sxx - Sx^2) * (M*Syy - Sy^2)).
+    Output one row (m2, sx, sxy, sxx, r_e6)."""
+    import math
+
+    edges = _copresence_edges(sf_dir)
+    parts = []
+    for b in edges.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            parts.append(b["key"].to_numpy(zero_copy_only=False)
+                         .astype(np.uint64))
+    ek = (np.concatenate(parts) if parts else np.array([], dtype=np.uint64))
+    assert len(ek) <= 8_000_000
+    ua = (ek >> np.uint64(32)).astype(np.int64)
+    ub = (ek & np.uint64((1 << 32) - 1)).astype(np.int64)
+    nodes, deg = np.unique(np.concatenate([ua, ub]), return_counts=True)
+    dmap = dict(zip(nodes.tolist(), deg.tolist()))
+    da = np.array([dmap[u] for u in ua.tolist()], dtype=np.int64)
+    db = np.array([dmap[u] for u in ub.tolist()], dtype=np.int64)
+    # directed: each edge contributes both (da, db) and (db, da)
+    x = np.concatenate([da, db]).astype(object)
+    y = np.concatenate([db, da]).astype(object)
+    M = len(x)
+    Sx = int(x.sum())
+    Sxy = int((x * y).sum())
+    Sxx = int((x * x).sum())
+    num = M * Sxy - Sx * Sx  # Sy == Sx, Syy == Sxx by symmetry
+    den2 = (M * Sxx - Sx * Sx) ** 2
+    den = math.isqrt(den2)
+    r_e6 = (abs(num) * 10**6 // den) * (1 if num >= 0 else -1) \
+        if den else 0
+    return pa.table({
+        "m2": pa.array([M], type=pa.int64()),
+        "sx": pa.array([Sx], type=pa.int64()),
+        "sxy": pa.array([Sxy], type=pa.int64()),
+        "sxx": pa.array([Sxx], type=pa.int64()),
+        "r_e6": pa.array([r_e6], type=pa.int64()),
+    })
+
+
+def sql_degree_assortativity() -> str:
+    # exact integer sqrt: float candidate corrected by +-1 integer tests
+    cand = "CAST(floor(sqrt(CAST(den2 AS DOUBLE))) AS HUGEINT)"
+    isq = (f"(CASE WHEN ({cand} + 1) * ({cand} + 1) <= den2"
+           f" THEN {cand} + 1"
+           f" WHEN {cand} * {cand} > den2 THEN {cand} - 1"
+           f" ELSE {cand} END)")
+    return f"""
+WITH {_copresence_sql_ctes()},
+dad AS MATERIALIZED (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT ua AS node FROM cne UNION ALL SELECT ub FROM cne
+  ) GROUP BY 1
+),
+dae AS MATERIALIZED (
+  SELECT x.deg AS dx, y.deg AS dy FROM cne e
+  JOIN dad x ON x.node = e.ua JOIN dad y ON y.node = e.ub
+  UNION ALL
+  SELECT y.deg, x.deg FROM cne e
+  JOIN dad x ON x.node = e.ua JOIN dad y ON y.node = e.ub
+),
+das AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+    CAST(SUM(CAST(dx AS HUGEINT)) AS HUGEINT) AS sx,
+    CAST(SUM(CAST(dx AS HUGEINT) * dy) AS HUGEINT) AS sxy,
+    CAST(SUM(CAST(dx AS HUGEINT) * dx) AS HUGEINT) AS sxx
+  FROM dae
+),
+dar AS MATERIALIZED (
+  SELECT m, sx, sxy, sxx,
+    m * sxy - sx * sx AS num,
+    (m * sxx - sx * sx) * (m * sxx - sx * sx) AS den2
+  FROM das
+)
+SELECT CAST(m AS BIGINT) AS m2, CAST(sx AS BIGINT) AS sx,
+  CAST(sxy AS BIGINT) AS sxy, CAST(sxx AS BIGINT) AS sxx,
+  CAST(CASE WHEN den2 = 0 THEN 0
+    ELSE (abs(num) * 1000000 // {isq})
+      * (CASE WHEN num >= 0 THEN 1 ELSE -1 END) END AS BIGINT) AS r_e6
+FROM dar
+"""

@@ -1832,3 +1832,25 @@ def test_rfm_segments_invariants(ray_session):
             == d["f"].sort_index()).all()
     assert (t.set_index("custkey")["m_cents"].sort_index()
             == d["m"].sort_index()).all()
+
+
+def test_degree_assortativity_invariants(ray_session):
+    """r in [-1e6, 1e6]; matches numpy corrcoef within quantization."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    t = Q.q_degree_assortativity(SF).to_pandas().iloc[0]
+    assert -10**6 <= t["r_e6"] <= 10**6
+    ek = np.concatenate([
+        b["key"].to_numpy(zero_copy_only=False)
+        for b in Q._copresence_edges(SF).iter_batches(
+            batch_format="pyarrow") if b.num_rows])
+    ua = (ek >> np.uint64(32)).astype(np.int64)
+    ub = (ek & np.uint64((1 << 32) - 1)).astype(np.int64)
+    nodes, deg = np.unique(np.concatenate([ua, ub]), return_counts=True)
+    dm = dict(zip(nodes.tolist(), deg.tolist()))
+    da = np.array([dm[u] for u in ua.tolist()], dtype=np.float64)
+    db = np.array([dm[u] for u in ub.tolist()], dtype=np.float64)
+    x = np.concatenate([da, db])
+    y = np.concatenate([db, da])
+    r = np.corrcoef(x, y)[0, 1]
+    assert abs(t["r_e6"] / 1e6 - r) < 1e-4
