@@ -1854,3 +1854,27 @@ def test_degree_assortativity_invariants(ray_session):
     y = np.concatenate([db, da])
     r = np.corrcoef(x, y)[0, 1]
     assert abs(t["r_e6"] / 1e6 - r) < 1e-4
+
+
+def test_negative_samples_invariants(ray_session):
+    """No sampled pair is an edge or a self-pair; at most
+    NEG_PER_NODE per node; probe indexes ascend per node."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import NEG_PER_NODE
+
+    t = Q.q_negative_samples(SF).to_pandas()
+    assert len(t) > 0
+    assert (t["user_id"] != t["neg_id"]).all()
+    ek = np.concatenate([
+        b["key"].to_numpy(zero_copy_only=False)
+        for b in Q._copresence_edges(SF).iter_batches(
+            batch_format="pyarrow") if b.num_rows])
+    es = set(zip(((ek >> np.uint64(32)).astype(int)).tolist(),
+                 ((ek & np.uint64((1 << 32) - 1)).astype(int)).tolist()))
+    for _, r in t.iterrows():
+        a, b = sorted((int(r["user_id"]), int(r["neg_id"])))
+        assert (a, b) not in es
+    per = t.groupby("user_id").size()
+    assert (per <= NEG_PER_NODE).all()
+    assert (t.groupby("user_id")["probe"].apply(
+        lambda s: s.is_monotonic_increasing)).all()
