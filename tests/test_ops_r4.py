@@ -1878,3 +1878,37 @@ def test_negative_samples_invariants(ray_session):
     assert (per <= NEG_PER_NODE).all()
     assert (t.groupby("user_id")["probe"].apply(
         lambda s: s.is_monotonic_increasing)).all()
+
+
+def test_holt_lite_invariants(ray_session):
+    """State recomputes from the zero-filled day series with truncated
+    fixed-point arithmetic."""
+    import duckdb
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import (
+        HOLT_ALPHA, HOLT_BETA, HOLT_SHIFT)
+
+    t = Q.q_holt_lite(SF).to_pandas().iloc[0]
+    con = duckdb.connect()
+    d = con.sql(f"""SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) c
+      FROM '{SF}/events.parquet' GROUP BY 1""").df()
+    d0 = int(d["day"].min())
+    n = int(d["day"].max()) - d0 + 1
+    v = [0] * n
+    for dd, cc in zip(d["day"], d["c"]):
+        v[int(dd) - d0] = int(cc) << HOLT_SHIFT
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
+
+    level, trend, err = v[0], (v[1] - v[0] if n > 1 else 0), 0
+    for i in range(1, n):
+        f = level + trend
+        err += abs(v[i] - f)
+        nl = f + tdiv(v[i] - f, HOLT_ALPHA)
+        trend = trend + tdiv(nl - level - trend, HOLT_BETA)
+        level = nl
+    assert t["n_days"] == n
+    assert t["level_q20"] == level and t["trend_q20"] == trend
+    assert t["total_abs_err_q20"] == err
