@@ -1912,3 +1912,27 @@ def test_holt_lite_invariants(ray_session):
     assert t["n_days"] == n
     assert t["level_q20"] == level and t["trend_q20"] == trend
     assert t["total_abs_err_q20"] == err
+
+
+def test_trend_tests_invariants(ray_session):
+    """Mann-Kendall S recomputes by brute force; Theil-Sen median is
+    the lower-median order statistic of pairwise slopes."""
+    import duckdb
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import THEIL_Q
+
+    mk = Q.q_mann_kendall(SF).to_pandas().iloc[0]
+    ts_ = Q.q_theil_sen(SF).to_pandas().iloc[0]
+    con = duckdb.connect()
+    d = con.sql(f"""SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) c
+      FROM '{SF}/events.parquet' GROUP BY 1""").df()
+    d0 = int(d["day"].min())
+    n = int(d["day"].max()) - d0 + 1
+    v = np.zeros(n, dtype=np.int64)
+    v[d["day"].to_numpy() - d0] = d["c"].to_numpy()
+    i, j = np.triu_indices(n, k=1)
+    assert mk["n"] == n
+    assert mk["s"] == int(np.sign(v[j] - v[i]).sum())
+    slopes = np.sort((v[j] - v[i]) * THEIL_Q // (j - i))
+    assert ts_["n_pairs"] == len(slopes)
+    assert ts_["slope_micro"] == slopes[(len(slopes) - 1) // 2]
