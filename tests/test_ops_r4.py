@@ -1936,3 +1936,23 @@ def test_trend_tests_invariants(ray_session):
     slopes = np.sort((v[j] - v[i]) * THEIL_Q // (j - i))
     assert ts_["n_pairs"] == len(slopes)
     assert ts_["slope_micro"] == slopes[(len(slopes) - 1) // 2]
+
+
+def test_tile_pmi_invariants(ray_session):
+    """PMI recomputes from tile_similarity counts with scalar libm."""
+    import duckdb
+    import math
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    t = Q.q_tile_pmi(SF).to_pandas()
+    s = Q.q_tile_similarity(SF).to_pandas()
+    assert len(t) == len(s)
+    con = duckdb.connect()
+    N = con.sql(f"SELECT COUNT(DISTINCT user_id) FROM"
+                f" '{SF}/events.parquet'").fetchone()[0]
+    m = s.set_index(["tile_a", "tile_b"])
+    for _, r in t.head(50).iterrows():
+        row = m.loc[(r["tile_a"], r["tile_b"])]
+        val = (((math.log(row["n_common"]) + math.log(N))
+                - math.log(row["n_a"])) - math.log(row["n_b"])) * 1e6
+        assert r["pmi_e6"] == math.floor(val)
