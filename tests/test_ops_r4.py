@@ -1956,3 +1956,27 @@ def test_tile_pmi_invariants(ray_session):
         val = (((math.log(row["n_common"]) + math.log(N))
                 - math.log(row["n_a"])) - math.log(row["n_b"])) * 1e6
         assert r["pmi_e6"] == math.floor(val)
+
+
+def test_clustering_coeff_invariants(ray_session):
+    """gcc in [0, 1e9]; 3*T <= W always; recomputes via networkx-free
+    brute force."""
+    from itertools import combinations
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    t = Q.q_clustering_coeff(SF).to_pandas().iloc[0]
+    assert 0 <= t["gcc_e9"] <= 10**9
+    assert 3 * t["n_triangles"] <= t["n_wedges"]
+    ek = np.concatenate([
+        b["key"].to_numpy(zero_copy_only=False)
+        for b in Q._copresence_edges(SF).iter_batches(
+            batch_format="pyarrow") if b.num_rows])
+    ua = (ek >> np.uint64(32)).astype(int)
+    ub = (ek & np.uint64((1 << 32) - 1)).astype(int)
+    es = set(zip(ua.tolist(), ub.tolist()))
+    nodes = sorted(set(ua.tolist()) | set(ub.tolist()))
+    tri = sum(1 for a, b, c in combinations(nodes, 3)
+              if (a, b) in es and (b, c) in es and (a, c) in es) \
+        if len(nodes) <= 200 else None
+    if tri is not None:
+        assert t["n_triangles"] == tri
