@@ -1980,3 +1980,18 @@ def test_clustering_coeff_invariants(ray_session):
         if len(nodes) <= 200 else None
     if tri is not None:
         assert t["n_triangles"] == tri
+
+
+def test_odds_ratio_invariants(ray_session):
+    """OR recomputes; consistency with ab_test counts."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    t = Q.q_odds_ratio(SF).to_pandas()
+    ab = Q.q_ab_test(SF).to_pandas()
+    m = ab.set_index("event_type")
+    for _, r in t.iterrows():
+        row = m.loc[r["event_type"]]
+        assert r["x_a"] == row["x_a"] and r["x_b"] == row["x_b"]
+        expect = ((r["x_a"] + 1) * (r["n_b"] - r["x_b"] + 1)) * 10**6 \
+            // ((r["x_b"] + 1) * (r["n_a"] - r["x_a"] + 1))
+        assert r["or_e6"] == expect
