@@ -1995,3 +1995,38 @@ def test_odds_ratio_invariants(ray_session):
         expect = ((r["x_a"] + 1) * (r["n_b"] - r["x_b"] + 1)) * 10**6 \
             // ((r["x_b"] + 1) * (r["n_a"] - r["x_a"] + 1))
         assert r["or_e6"] == expect
+
+
+def test_tpi_tri_invariants(ray_session):
+    """tri >= |tpi8| and tri >= |lap4| (triangle inequality over the
+    window), elevation bounds cap tri, and a brute recompute from the
+    closed-form terrain matches on every row."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import (
+        DISSOLVE_RES, _lattice_from_cell_strings)
+
+    t = Q.q_tpi_tri(SF).to_pandas()
+    assert len(t) > 0
+    assert (t["tri"] >= t["tpi8"].abs()).all()
+    assert (t["tri"] >= t["lap4"].abs()).all()
+    assert t["tri"].max() <= 8 * 996
+    side = 3 ** DISSOLVE_RES
+    W = 4 * side
+    gy, gx = _lattice_from_cell_strings(t["cell_id"].to_numpy(), DISSOLVE_RES)
+    assert ((gy >= 1) & (gy <= side - 2)).all()
+
+    def e(yy, xx):
+        return (11 * yy + 17 * (xx % W)) % 997
+
+    e0 = e(gy, gx)
+    nsum = np.zeros(len(gy), dtype=np.int64)
+    tri = np.zeros(len(gy), dtype=np.int64)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            ei = e(gy + dy, gx + dx)
+            nsum += ei
+            tri += np.abs(e0 - ei)
+    assert (t["tpi8"].to_numpy() == 8 * e0 - nsum).all()
+    assert (t["tri"].to_numpy() == tri).all()
