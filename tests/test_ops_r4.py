@@ -2030,3 +2030,55 @@ def test_tpi_tri_invariants(ray_session):
             tri += np.abs(e0 - ei)
     assert (t["tpi8"].to_numpy() == 8 * e0 - nsum).all()
     assert (t["tri"].to_numpy() == tri).all()
+
+
+def test_strahler_order_invariants(ray_session):
+    """Row set == occupied band cells; a pure-python replay of the
+    D-round Strahler fixed-point over the same D8 flow graph matches
+    every cell exactly."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import (
+        DISSOLVE_RES, STRAHLER_D, _lattice_from_cell_strings)
+
+    t = Q.q_strahler_order(SF).to_pandas()
+    assert len(t) > 0
+    assert t["strahler"].min() >= 1
+    side = 3 ** DISSOLVE_RES
+    W = 4 * side
+    gy, gx = _lattice_from_cell_strings(t["cell_id"].to_numpy(), DISSOLVE_RES)
+    occ = set(zip(gy.tolist(), gx.tolist()))
+    assert len(occ) == len(t)
+    offs = [(-1, -1), (-1, 0), (-1, 1), (0, -1),
+            (0, 1), (1, -1), (1, 0), (1, 1)]
+
+    def e(yy, xx):
+        return (11 * yy + 17 * (xx % W)) % 997
+
+    tgt = {}
+    for (cy, cx) in occ:
+        best, bi = None, None
+        for (dy, dx) in offs:
+            ny, nx = cy + dy, (cx + dx) % W
+            if ny < 0 or ny > side - 1:
+                continue
+            ev = e(ny, nx)
+            if best is None or ev < best:
+                best, bi = ev, (ny, nx)
+        if best is not None and best < e(cy, cx) and bi in occ:
+            tgt[(cy, cx)] = bi
+    ordm = {c: 1 for c in occ}
+    for _r in range(STRAHLER_D):
+        incoming = {}
+        for s, d in tgt.items():
+            incoming.setdefault(d, []).append(ordm[s])
+        nxt = {}
+        for c in occ:
+            inc = incoming.get(c)
+            if not inc:
+                nxt[c] = 1
+            else:
+                mx = max(inc)
+                nxt[c] = mx + 1 if inc.count(mx) >= 2 else mx
+        ordm = nxt
+    got = dict(zip(zip(gy.tolist(), gx.tolist()), t["strahler"].tolist()))
+    assert got == ordm
