@@ -2082,3 +2082,38 @@ def test_strahler_order_invariants(ray_session):
         ordm = nxt
     got = dict(zip(zip(gy.tolist(), gx.tolist()), t["strahler"].tolist()))
     assert got == ordm
+
+
+def test_corr_matrix_invariants(ray_session):
+    """6 pairs, corr^2 in [0, 1e6], and a float recompute from raw
+    parquet agrees within quantization."""
+    import duckdb
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    t = Q.q_corr_matrix(SF).to_pandas()
+    assert len(t) == 6
+    assert (t["corr2_e6"] >= 0).all() and (t["corr2_e6"] <= 10 ** 6).all()
+    con = duckdb.connect()
+    df = con.sql(
+        f"SELECT floor(l_quantity) AS a, floor(l_extendedprice / 1000.0) AS b"
+        f" FROM '{SF}/lineitem.parquet'").fetchdf()
+    r = np.corrcoef(df["a"], df["b"])[0, 1]
+    row = t[(t["col_a"] == "l_quantity")
+            & (t["col_b"] == "l_extendedprice")].iloc[0]
+    assert abs(row["corr2_e6"] / 1e6 - r * r) < 1e-4
+    assert row["sign_num"] == (1 if r > 0 else (-1 if r < 0 else 0))
+
+
+def test_benford_test_invariants(ray_session):
+    """Digits 1..9, obs sums to order count, expectations sum to ~n,
+    dev nonnegative."""
+    import duckdb
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    t = Q.q_benford_test(SF).to_pandas()
+    assert set(t["digit"]) <= set(range(1, 10))
+    con = duckdb.connect()
+    n = con.sql(f"SELECT COUNT(*) FROM '{SF}/orders.parquet'").fetchone()[0]
+    assert t["obs"].sum() == n
+    assert abs(t["exp_e6"].sum() / 1e6 - n) < 1.0
+    assert (t["dev_e6"] >= 0).all()
