@@ -2117,3 +2117,48 @@ def test_benford_test_invariants(ray_session):
     assert t["obs"].sum() == n
     assert abs(t["exp_e6"].sum() / 1e6 - n) < 1.0
     assert (t["dev_e6"] >= 0).all()
+
+
+def test_readability_invariants(ray_session):
+    """One row per non-empty doc; vowel groups <= words impossible to
+    assert in general, but syllables >= 1 per word of this corpus and
+    a direct regex recompute matches."""
+    import re
+    import duckdb
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    t = Q.q_readability(SF).to_pandas()
+    con = duckdb.connect()
+    n = con.sql(
+        f"SELECT COUNT(*) FROM '{SF}/documents.parquet'"
+        " WHERE length(regexp_extract_all(text, '\\S+')) > 0").fetchone()[0]
+    assert len(t) == n
+    docs = con.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet' LIMIT 20").fetchdf()
+    m = t.set_index("doc_id")
+    for _, r in docs.iterrows():
+        words = len(re.findall(r"\S+", r["text"]))
+        syl = len(re.findall(r"[aeiou]+", r["text"]))
+        if words:
+            assert m.loc[r["doc_id"], "n_words"] == words
+            assert m.loc[r["doc_id"], "n_syll"] == syl
+
+
+def test_naive_bayes_invariants(ray_session):
+    """One prediction per doc, predictions drawn from the training
+    label set, and train-set accuracy beats the majority-class
+    baseline (the model must have learned something)."""
+    import duckdb
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    t = Q.q_naive_bayes(SF).to_pandas()
+    con = duckdb.connect()
+    langs = {r[0] for r in con.sql(
+        f"SELECT DISTINCT lang FROM '{SF}/documents.parquet'").fetchall()}
+    n = con.sql(f"SELECT COUNT(*) FROM '{SF}/documents.parquet'").fetchone()[0]
+    maj = con.sql(
+        f"SELECT MAX(c) FROM (SELECT COUNT(*) c FROM"
+        f" '{SF}/documents.parquet' GROUP BY lang)").fetchone()[0]
+    assert len(t) == n
+    assert set(t["pred_lang"]) <= langs
+    assert t["is_correct"].sum() >= maj
