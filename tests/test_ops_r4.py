@@ -2162,3 +2162,49 @@ def test_naive_bayes_invariants(ray_session):
     assert len(t) == n
     assert set(t["pred_lang"]) <= langs
     assert t["is_correct"].sum() >= maj
+
+
+def test_mad_outliers_invariants(ray_session):
+    """Every event_type appears once; mad <= max deviation; outlier
+    count strictly below n; pandas recompute of the lower medians
+    matches."""
+    import duckdb
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    t = Q.q_mad_outliers(SF).to_pandas().set_index("event_type")
+    con = duckdb.connect()
+    df = con.sql(
+        f"SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v"
+        f" FROM '{SF}/events.parquet'").fetchdf()
+    for et, grp in df.groupby("event_type"):
+        v = np.sort(grp["v"].to_numpy())
+        med = v[(len(v) - 1) // 2]
+        dev = np.sort(np.abs(grp["v"].to_numpy() - med))
+        mad = dev[(len(dev) - 1) // 2]
+        assert t.loc[et, "median_cents"] == med
+        assert t.loc[et, "mad_cents"] == mad
+        assert t.loc[et, "n"] == len(v)
+        assert 0 <= t.loc[et, "n_outliers"] < len(v)
+
+
+def test_npy_source_roundtrip(ray_session):
+    """The .npy fixture holds exactly the parquet embeddings (ids and
+    float64-exact values), and the query norms match a direct numpy
+    recompute."""
+    import pyarrow.parquet as pq
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import _write_npy_fixture
+
+    t = Q.q_npy_source(SF).to_pandas().set_index("vec_id")
+    src = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    ids = src["vec_id"].to_numpy(zero_copy_only=False)
+    M = np.stack(src["embedding"].to_pylist()).astype(np.float64)
+    q = np.floor(M * 1e6).astype(np.int64)
+    want = (q * q).sum(axis=1)
+    assert len(t) == len(ids)
+    assert (t.loc[ids, "norm2_q"].to_numpy() == want).all()
+    assert (t["dim"] == M.shape[1]).all()
+    import os
+    d = _write_npy_fixture(SF)
+    assert os.path.exists(os.path.join(d, ".complete"))
