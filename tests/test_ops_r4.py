@@ -2208,3 +2208,16 @@ def test_npy_source_roundtrip(ray_session):
     import os
     d = _write_npy_fixture(SF)
     assert os.path.exists(os.path.join(d, ".complete"))
+
+
+def test_nb_confusion_invariants(ray_session):
+    """Confusion counts total the corpus; diagonal equals the
+    is_correct sum from the per-doc view."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    c = Q.q_nb_confusion(SF).to_pandas()
+    nb = Q.q_naive_bayes(SF).to_pandas()
+    assert c["n"].sum() == len(nb)
+    diag = c[c["true_lang"] == c["pred_lang"]]["n"].sum()
+    assert diag == nb["is_correct"].sum()
+    assert (c["n"] > 0).all()
