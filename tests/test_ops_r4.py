@@ -2221,3 +2221,15 @@ def test_nb_confusion_invariants(ray_session):
     diag = c[c["true_lang"] == c["pred_lang"]]["n"].sum()
     assert diag == nb["is_correct"].sum()
     assert (c["n"] > 0).all()
+
+
+def test_circular_stats_invariants(ray_session):
+    """r in [0, 1000]; |sums| bounded by n * 1e6; unit quantization
+    keeps ux^2 + uy^2 within 1e12 of the circle."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    t = Q.q_circular_stats(SF).to_pandas()
+    assert len(t) > 0
+    assert (t["r_permille"] >= 0).all() and (t["r_permille"] <= 1000).all()
+    assert (t["sux_e6"].abs() <= t["n_steps"] * 10 ** 6).all()
+    assert (t["suy_e6"].abs() <= t["n_steps"] * 10 ** 6).all()
