@@ -2282,3 +2282,25 @@ def test_binseg_extreme_invariants(ray_session):
     e = Q.q_extreme_values(SF).to_pandas()
     assert (e["k_blocks"] >= 2).all()
     assert (e["beta_e3"] >= 0).all()
+
+
+def test_giant_fano_invariants(ray_session):
+    """Giant component bounds; Fano recomputes from a duckdb daily
+    count table exactly."""
+    import duckdb
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    g = Q.q_giant_component(SF).to_pandas().iloc[0]
+    assert 1 <= g["giant_size"] <= g["n_nodes"]
+    assert g["n_components"] >= 1
+    assert g["frac_e6"] == g["giant_size"] * 10 ** 6 // g["n_nodes"]
+    f = Q.q_fano_factor(SF).to_pandas()
+    con = duckdb.connect()
+    d = con.sql(
+        f"SELECT event_type, epoch_us(ts) // 86400000000 AS day,"
+        f" COUNT(*) AS x FROM '{SF}/events.parquet' GROUP BY 1, 2").fetchdf()
+    for _, r in f.iterrows():
+        x = [int(v) for v in d[d["event_type"] == r["event_type"]]["x"]]
+        k, sx, sxx = len(x), sum(x), sum(v * v for v in x)
+        assert r["k_days"] == k and r["n_events"] == sx
+        assert r["fano_e6"] == (k * sxx - sx * sx) * 10 ** 6 // ((k - 1) * sx)
