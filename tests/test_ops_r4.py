@@ -2304,3 +2304,25 @@ def test_giant_fano_invariants(ray_session):
         k, sx, sxx = len(x), sum(x), sum(v * v for v in x)
         assert r["k_days"] == k and r["n_events"] == sx
         assert r["fano_e6"] == (k * sxx - sx * sx) * 10 ** 6 // ((k - 1) * sx)
+
+
+def test_sprt_graph_bfs_invariants(ray_session):
+    """SPRT emits one row per arm with consistent decision/boundary
+    signs; BFS histogram covers every edge endpoint and dist 0 has
+    exactly one node."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import _sprt_consts
+
+    t = Q.q_sprt_monitor(SF).to_pandas()
+    a, b, up, dn = _sprt_consts()
+    assert sorted(t["arm"]) == [0, 1]
+    for _, r in t.iterrows():
+        if r["decision"] == 1:
+            assert r["llr_q"] >= up
+        elif r["decision"] == -1:
+            assert r["llr_q"] <= dn
+        else:
+            assert dn < r["llr_q"] < up and r["decision_day"] == -1
+    g = Q.q_graph_bfs(SF).to_pandas()
+    assert g[g["dist"] == 0]["n_nodes"].iloc[0] == 1
+    assert (g["n_nodes"] > 0).all()
