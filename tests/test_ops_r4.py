@@ -2326,3 +2326,47 @@ def test_sprt_graph_bfs_invariants(ray_session):
     g = Q.q_graph_bfs(SF).to_pandas()
     assert g[g["dist"] == 0]["n_nodes"].iloc[0] == 1
     assert (g["n_nodes"] > 0).all()
+
+
+def test_did_elbow_hill_invariants(ray_session):
+    """DiD recomputes from duckdb cell means within quantization;
+    elbow is a valid rank with the max chord distance; Hill alpha
+    positive with x_min the k-th largest count."""
+    import duckdb
+    import math
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import DID_SPLIT_DAY, HILL_K
+
+    d = Q.q_diff_in_diff(SF).to_pandas().iloc[0]
+    con = duckdb.connect()
+    cells = con.sql(
+        f"SELECT (user_id % 2) * 2 + CASE WHEN epoch_us(ts) // 86400000000"
+        f" >= {DID_SPLIT_DAY} THEN 1 ELSE 0 END AS cell, COUNT(*) n,"
+        f" SUM(CAST(floor(value * 100) AS BIGINT)) s"
+        f" FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1").fetchdf()
+    m = {int(r["cell"]): (int(r["n"]), int(r["s"]))
+         for _, r in cells.iterrows()}
+    want = ((m[3][1] / m[3][0] - m[2][1] / m[2][0])
+            - (m[1][1] / m[1][0] - m[0][1] / m[0][0]))
+    assert abs(d["did_e6"] / 1e6 - want) < 2e-6
+    assert d["n_a_pre"] == m[0][0] and d["n_b_post"] == m[3][0]
+
+    e = Q.q_elbow_point(SF).to_pandas().iloc[0]
+    assert 1 <= e["elbow_rank"] <= e["n_users"]
+    cnt = con.sql(
+        f"SELECT COUNT(*) c FROM '{SF}/events.parquet' GROUP BY user_id"
+    ).fetchdf()["c"].to_numpy()
+    c = np.sort(cnt)[::-1].astype(np.int64)
+    k = len(c)
+    i = np.arange(1, k + 1, dtype=np.int64)
+    score = np.abs((k - 1) * (c - c[0]) - (i - 1) * (c[-1] - c[0]))
+    assert e["score"] == score.max()
+
+    h = Q.q_hill_tail(SF).to_pandas().iloc[0]
+    assert h["k"] == min(HILL_K, k)
+    assert h["x_min"] == c[h["k"] - 1]
+    if h["sum_ln_q"] > 0:
+        assert h["alpha_e6"] > 0
+        approx = (h["k"] - 1) / sum(
+            math.log(int(x) / int(c[h["k"] - 1])) for x in c[:h["k"] - 1])
+        assert abs(h["alpha_e6"] / 1e6 - approx) < 1e-3
