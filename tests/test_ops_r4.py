@@ -2370,3 +2370,38 @@ def test_did_elbow_hill_invariants(ray_session):
         approx = (h["k"] - 1) / sum(
             math.log(int(x) / int(c[h["k"] - 1])) for x in c[:h["k"] - 1])
         assert abs(h["alpha_e6"] / 1e6 - approx) < 1e-3
+
+
+def test_hurst_permutation_invariants(ray_session):
+    """Hurst in a sane band for a ~30-point series and R/S recomputes
+    from duckdb; permutation p in (0, 1000] with n_ge <= K."""
+    import duckdb
+    import math
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import PERM_K
+
+    t = Q.q_hurst_exponent(SF).to_pandas()
+    assert len(t) > 0
+    con = duckdb.connect()
+    d = con.sql(
+        f"SELECT event_type, epoch_us(ts) // 86400000000 AS day,"
+        f" SUM(CAST(floor(value * 100) AS BIGINT)) // 100 AS x"
+        f" FROM '{SF}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2").fetchdf()
+    for _, r in t.iterrows():
+        x = [int(v) for v in d[d["event_type"] == r["event_type"]]["x"]]
+        D, S = len(x), sum(x)
+        dev = [v * D - S for v in x]
+        cum, c = [], 0
+        for dd in dev:
+            c += dd
+            cum.append(c)
+        assert r["r_num"] == max(cum) - min(cum)
+        assert r["ssq"] == sum(v * v for v in dev)
+        rs = r["r_num"] / math.sqrt(r["ssq"] / D)
+        assert r["hurst_e6"] == math.floor(
+            math.log(rs) / math.log(float(D)) * 1e6)
+
+    p = Q.q_permutation_test(SF).to_pandas().iloc[0]
+    assert p["n_perms"] == PERM_K
+    assert 0 <= p["n_ge"] <= PERM_K
+    assert 0 < p["p_permille"] <= 1000
