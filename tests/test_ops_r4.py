@@ -2405,3 +2405,27 @@ def test_hurst_permutation_invariants(ray_session):
     assert p["n_perms"] == PERM_K
     assert 0 <= p["n_ge"] <= PERM_K
     assert 0 < p["p_permille"] <= 1000
+
+
+def test_gamma_rowgroup_matryoshka_invariants(ray_session):
+    """Gamma LUT is monotone so g_lo/g_hi bound chk contributions;
+    rowgroup manifest covers all events exactly once with disjoint
+    id ranges; matryoshka cos^2 in [0, 1e6]."""
+    import duckdb
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    g = Q.q_image_gamma(SF).to_pandas()
+    assert len(g) > 0
+    assert (g["g_lo"] <= g["g_hi"]).all()
+    assert (g["g_hi"] <= 255).all() and (g["g_lo"] >= 0).all()
+
+    r = Q.q_rowgroup_stats(SF).to_pandas().sort_values("fragment")
+    con = duckdb.connect()
+    n = con.sql(f"SELECT COUNT(*) FROM '{SF}/events.parquet'").fetchone()[0]
+    assert r["n_rows"].sum() == n
+    assert (r["min_id"] <= r["max_id"]).all()
+    assert (r["max_id"].to_numpy()[:-1] < r["min_id"].to_numpy()[1:]).all()
+    assert (r["n_rows"] == r["max_id"] - r["min_id"] + 1).all()
+
+    m = Q.q_matryoshka_quality(SF).to_pandas()
+    assert (m["cos2_e6"] >= 0).all() and (m["cos2_e6"] <= 10 ** 6).all()
