@@ -2429,3 +2429,23 @@ def test_gamma_rowgroup_matryoshka_invariants(ray_session):
 
     m = Q.q_matryoshka_quality(SF).to_pandas()
     assert (m["cos2_e6"] >= 0).all() and (m["cos2_e6"] <= 10 ** 6).all()
+
+
+def test_entropy_coverage_staypoints_invariants(ray_session):
+    """Entropy rate in [0, ln|types|]; coverage curve monotone in pct;
+    staypoint counts bounded by stay steps // M."""
+    import math
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import EVT_TYPES, STAY_M
+
+    e = Q.q_entropy_rate(SF).to_pandas().iloc[0]
+    assert 0 <= e["h_e9"] <= math.ceil(math.log(len(EVT_TYPES)) * 1e9)
+
+    c = Q.q_coverage_curve(SF).to_pandas().sort_values("pct")
+    assert list(c["pct"]) == list(range(10, 100, 10))
+    assert (np.diff(c["k_tiles"].to_numpy()) >= 0).all()
+    assert (np.diff(c["cum_events"].to_numpy()) >= 0).all()
+
+    s = Q.q_staypoints(SF).to_pandas()
+    assert (s["n_stay_steps"] <= s["n_steps"]).all()
+    assert (s["n_staypoints"] <= s["n_stay_steps"] // STAY_M).all()
