@@ -2449,3 +2449,26 @@ def test_entropy_coverage_staypoints_invariants(ray_session):
     s = Q.q_staypoints(SF).to_pandas()
     assert (s["n_stay_steps"] <= s["n_steps"]).all()
     assert (s["n_staypoints"] <= s["n_stay_steps"] // STAY_M).all()
+
+
+def test_dow_uplift_kmv_invariants(ray_session):
+    """Seasonality strength in [0, 1e6]; uplift consistent with raw
+    rates; KMV estimate within 3x of the exact intersection at K=256
+    on this corpus."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    d = Q.q_dow_seasonality(SF).to_pandas()
+    assert (d["strength_e6"] >= 0).all() and (d["strength_e6"] <= 10**6).all()
+    assert (d["ssb_q"] <= d["sst_q"]).all()
+
+    u = Q.q_uplift_by_bucket(SF).to_pandas()
+    for _, r in u.iterrows():
+        want = r["conv_b"] / r["n_b"] - r["conv_a"] / r["n_a"]
+        assert abs(r["uplift_e6"] / 1e6 - want) < 2e-6
+
+    k = Q.q_kmv_join_estimate(SF).to_pandas().iloc[0]
+    assert k["exact_inter"] >= 0
+    if k["exact_inter"] > 50:
+        assert k["inter_est"] > 0
+        ratio = k["inter_est"] / k["exact_inter"]
+        assert 1 / 3 < ratio < 3
