@@ -2472,3 +2472,30 @@ def test_dow_uplift_kmv_invariants(ray_session):
         assert k["inter_est"] > 0
         ratio = k["inter_est"] / k["exact_inter"]
         assert 1 / 3 < ratio < 3
+
+
+def test_xcorr_peaks_invariants(ray_session):
+    """r^2 bounded by 1e6 with lag-0 present; peaks are strict local
+    maxima with prominence above the gate."""
+    import duckdb
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import PEAK_PROM_CENTS
+
+    x = Q.q_cross_correlation(SF).to_pandas()
+    assert 0 in set(x["lag"])
+    assert (x["r2_e6"] >= 0).all() and (x["r2_e6"] <= 10 ** 6).all()
+
+    p = Q.q_peak_detection(SF).to_pandas()
+    assert (p["prominence_cents"] >= PEAK_PROM_CENTS).all()
+    con = duckdb.connect()
+    d = con.sql(
+        f"SELECT epoch_us(ts) // 86400000000 AS day,"
+        f" SUM(CAST(floor(value * 100) AS BIGINT)) AS x"
+        f" FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1").fetchdf()
+    series = dict(zip(d["day"].astype(int), d["x"].astype(int)))
+    for _, r in p.iterrows():
+        day = int(r["day"])
+        assert series[day] == r["revenue_cents"]
+        assert series[day] > series[day - 1] or (day - 1) not in series
+        assert r["prominence_cents"] <= r["revenue_cents"] - min(
+            series.values()) + max(series.values())
