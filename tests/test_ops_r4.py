@@ -2499,3 +2499,15 @@ def test_xcorr_peaks_invariants(ray_session):
         assert series[day] > series[day - 1] or (day - 1) not in series
         assert r["prominence_cents"] <= r["revenue_cents"] - min(
             series.values()) + max(series.values())
+
+
+def test_eigencentrality_invariants(ray_session):
+    """Scores in (0, 2^20]; the max score is exactly 2^20; higher
+    degree correlates positively with score on this graph."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import EIGC_SCALE
+
+    t = Q.q_eigencentrality(SF).to_pandas()
+    assert len(t) > 0
+    assert t["score_q"].max() == EIGC_SCALE
+    assert (t["score_q"] >= 0).all()
