@@ -2511,3 +2511,14 @@ def test_eigencentrality_invariants(ray_session):
     assert len(t) > 0
     assert t["score_q"].max() == EIGC_SCALE
     assert (t["score_q"] >= 0).all()
+
+
+def test_unigram_ppl_invariants(ray_session):
+    """nll positive, ppl_proxy = nll // n_tokens, rarer-token docs
+    score no lower than the global min bound -ln(1/(T+V))."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    t = Q.q_unigram_ppl(SF).to_pandas()
+    assert len(t) > 0
+    assert (t["nll_q"] > 0).all()
+    assert (t["ppl_proxy_q"] == t["nll_q"] // t["n_tokens"]).all()
