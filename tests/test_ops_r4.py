@@ -2522,3 +2522,23 @@ def test_unigram_ppl_invariants(ray_session):
     assert len(t) > 0
     assert (t["nll_q"] > 0).all()
     assert (t["ppl_proxy_q"] == t["nll_q"] // t["n_tokens"]).all()
+
+
+def test_burstiness_heaps_invariants(ray_session):
+    """B in [-1e6, 1e6]; Heaps curve is nondecreasing and ends at the
+    full vocab."""
+    import duckdb
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    b = Q.q_interevent_burstiness(SF).to_pandas()
+    assert (b["b_e6"] >= -10**6).all() and (b["b_e6"] <= 10**6).all()
+    assert (b["n_gaps"] >= 2).all()
+
+    h = Q.q_heaps_law(SF).to_pandas().sort_values("n_docs")
+    assert (np.diff(h["vocab"].to_numpy()) >= 0).all()
+    con = duckdb.connect()
+    v = con.sql(
+        f"SELECT COUNT(DISTINCT t) FROM (SELECT unnest(string_split(text,"
+        f" ' ')) t FROM '{SF}/documents.parquet') WHERE trim(t) <> ''"
+    ).fetchone()[0]
+    assert h["vocab"].iloc[-1] == v
