@@ -2542,3 +2542,16 @@ def test_burstiness_heaps_invariants(ray_session):
         f" ' ')) t FROM '{SF}/documents.parquet') WHERE trim(t) <> ''"
     ).fetchone()[0]
     assert h["vocab"].iloc[-1] == v
+
+
+def test_gearys_c_invariants(ray_session):
+    """C positive; consistent with Moran sufficient stats universe
+    (same lattice, same W)."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    g = Q.q_gearys_c(SF).to_pandas().iloc[0]
+    assert g["c_e6"] > 0
+    assert g["num2"] > 0 and g["den"] > 0
+    m = Q.q_morans_i(SF).to_pandas().iloc[0]
+    assert g["n_cells"] == m["n_cells"]
+    assert g["w_pairs"] == m["w_pairs"]
