@@ -2555,3 +2555,23 @@ def test_gearys_c_invariants(ray_session):
     m = Q.q_morans_i(SF).to_pandas().iloc[0]
     assert g["n_cells"] == m["n_cells"]
     assert g["w_pairs"] == m["w_pairs"]
+
+
+def test_adamic_adar_invariants(ray_session):
+    """Scores positive, pairs are NON-edges, at most topk rows,
+    descending order."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import AA_TOPK
+
+    t = Q.q_adamic_adar(SF).to_pandas()
+    assert 0 < len(t) <= AA_TOPK
+    assert (t["aa_q"] > 0).all()
+    assert (t["user_a"] < t["user_b"]).all()
+    ek = np.concatenate([
+        b["key"].to_numpy(zero_copy_only=False)
+        for b in Q._copresence_edges(SF).iter_batches(
+            batch_format="pyarrow") if b.num_rows])
+    edges = set(zip(((ek >> np.uint64(32)).astype(int)).tolist(),
+                    ((ek & np.uint64((1 << 32) - 1)).astype(int)).tolist()))
+    for _, r in t.iterrows():
+        assert (r["user_a"], r["user_b"]) not in edges
