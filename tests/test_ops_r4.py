@@ -2575,3 +2575,17 @@ def test_adamic_adar_invariants(ray_session):
                     ((ek & np.uint64((1 << 32) - 1)).astype(int)).tolist()))
     for _, r in t.iterrows():
         assert (r["user_a"], r["user_b"]) not in edges
+
+
+def test_image_sharpness_invariants(ray_session):
+    """Variance numerator nonnegative; interior size = (w-2)(h-2)*...;
+    sharp flag consistent with the gate."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import SHARP_MIN
+
+    t = Q.q_image_sharpness(SF).to_pandas()
+    assert len(t) > 0
+    var_num = t["n_lap"] * t["lap_ss"] - t["lap_sum"] ** 2
+    assert (var_num >= 0).all()
+    want = (var_num >= SHARP_MIN * t["n_lap"] ** 2).astype(int)
+    assert (t["sharp"] == want).all()
