@@ -2589,3 +2589,17 @@ def test_image_sharpness_invariants(ray_session):
     assert (var_num >= 0).all()
     want = (var_num >= SHARP_MIN * t["n_lap"] ** 2).astype(int)
     assert (t["sharp"] == want).all()
+
+
+def test_shuffle_cluster_invariants(ray_session):
+    """Shuffle collisions near expectation (well under 5x); purity in
+    (0, 1e6] with maj <= size."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    s = Q.q_shuffle_mix(SF).to_pandas().iloc[0]
+    exp = s["exp_num"] / s["exp_den"]
+    assert s["adj_same"] <= max(10, 5 * exp)
+    c = Q.q_cluster_purity(SF).to_pandas()
+    if len(c):
+        assert (c["maj_n"] <= c["size"]).all()
+        assert (c["purity_e6"] > 0).all() and (c["purity_e6"] <= 10**6).all()
