@@ -2603,3 +2603,19 @@ def test_shuffle_cluster_invariants(ray_session):
     if len(c):
         assert (c["maj_n"] <= c["size"]).all()
         assert (c["purity_e6"] > 0).all() and (c["purity_e6"] <= 10**6).all()
+
+
+def test_conformal_kanon_invariants(ray_session):
+    """Conformal coverage >= 90% of m by construction; k-anonymity
+    rows all below the gate with users <= n."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import KANON_K
+
+    c = Q.q_conformal_interval(SF).to_pandas()
+    assert len(c) > 0
+    assert (10 * c["n_cover"] >= 9 * c["m"]).all()
+    assert (c["qhat_cents"] >= 0).all()
+
+    k = Q.q_k_anonymity(SF).to_pandas()
+    assert (k["n"] < KANON_K).all()
+    assert (k["n_users"] <= k["n"]).all()
