@@ -2619,3 +2619,18 @@ def test_conformal_kanon_invariants(ray_session):
     k = Q.q_k_anonymity(SF).to_pandas()
     assert (k["n"] < KANON_K).all()
     assert (k["n_users"] <= k["n"]).all()
+
+
+def test_modularity_cvm_invariants(ray_session):
+    """Q in [-1e9, 1e9]; CvM statistic reassembles from hi/lo and is
+    nonnegative."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    g = Q.q_graph_modularity(SF).to_pandas().iloc[0]
+    assert -10**9 <= g["q_e9"] <= 10**9
+    assert g["n_communities"] >= 1
+
+    c = Q.q_cvm_test(SF).to_pandas().iloc[0]
+    t = (int(c["t_num_hi"]) << 62) + int(c["t_num_lo"])
+    assert t >= 0
+    assert c["n_a"] > 0 and c["n_b"] > 0
