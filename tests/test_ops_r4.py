@@ -2634,3 +2634,19 @@ def test_modularity_cvm_invariants(ray_session):
     t = (int(c["t_num_hi"]) << 62) + int(c["t_num_lo"])
     assert t >= 0
     assert c["n_a"] > 0 and c["n_b"] > 0
+
+
+def test_rolling_slope_invariants(ray_session):
+    """One row per full window; slope magnitudes bounded by the value
+    range over one day step."""
+    import duckdb
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.pipelines.queries import ROLL_W
+
+    t = Q.q_rolling_slope(SF).to_pandas()
+    con = duckdb.connect()
+    d = con.sql(
+        f"SELECT event_type, COUNT(DISTINCT epoch_us(ts) // 86400000000)"
+        f" AS nd FROM '{SF}/events.parquet' GROUP BY 1").fetchdf()
+    want = int((d["nd"] - ROLL_W + 1).clip(lower=0).sum())
+    assert len(t) == want
