@@ -2650,3 +2650,17 @@ def test_rolling_slope_invariants(ray_session):
         f" AS nd FROM '{SF}/events.parquet' GROUP BY 1").fetchdf()
     want = int((d["nd"] - ROLL_W + 1).clip(lower=0).sum())
     assert len(t) == want
+
+
+def test_bilinear_resample_invariants(ray_session):
+    """Even/even cells carry exactly 4x the source counts; total mass
+    conservation on even rows."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    t = Q.q_bilinear_resample(SF).to_pandas()
+    ee = t[(t["r2"] % 2 == 0) & (t["c2"] % 2 == 0)]
+    assert (ee["v4"] % 4 == 0).all()
+    assert (t["v4"] > 0).all()
+    # even/even total = 4 * total events in the band
+    n_band = ee["v4"].sum() // 4
+    assert n_band > 0
