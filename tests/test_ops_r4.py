@@ -2664,3 +2664,30 @@ def test_bilinear_resample_invariants(ray_session):
     # even/even total = 4 * total events in the band
     n_band = ee["v4"].sum() // 4
     assert n_band > 0
+
+
+def test_dw_dtw_invariants(ray_session):
+    """DW in [0, 4e6]; DTW cost no larger than the diagonal alignment
+    cost and nonnegative."""
+    import duckdb
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    d = Q.q_durbin_watson(SF).to_pandas()
+    assert (d["dw_e6"] >= 0).all() and (d["dw_e6"] <= 4 * 10 ** 6).all()
+
+    t = Q.q_dtw_daily(SF).to_pandas().iloc[0]
+    assert t["dtw_cost"] >= 0
+    con = duckdb.connect()
+    dd = con.sql(
+        f"SELECT event_type, epoch_us(ts) // 86400000000 AS day,"
+        f" SUM(CAST(floor(value * 100) AS BIGINT)) // 100 AS x"
+        f" FROM '{SF}/events.parquet'"
+        f" WHERE event_type IN ('click', 'purchase')"
+        f" GROUP BY 1, 2").fetchdf()
+    a = {int(r["day"]): int(r["x"])
+         for _, r in dd[dd["event_type"] == "click"].iterrows()}
+    b = {int(r["day"]): int(r["x"])
+         for _, r in dd[dd["event_type"] == "purchase"].iterrows()}
+    days = sorted(set(a) & set(b))[:int(t["n_days"])]
+    diag = sum(abs(a[x] - b[x]) for x in days)
+    assert t["dtw_cost"] <= diag
