@@ -2691,3 +2691,19 @@ def test_dw_dtw_invariants(ray_session):
     days = sorted(set(a) & set(b))[:int(t["n_days"])]
     diag = sum(abs(a[x] - b[x]) for x in days)
     assert t["dtw_cost"] <= diag
+
+
+def test_pentropy_kl_invariants(ray_session):
+    """Permutation entropy within [0, ln 6]; KL >= 0 by Gibbs up to
+    quantization slack."""
+    import math
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    t = Q.q_permutation_entropy(SF).to_pandas()
+    assert len(t) > 0
+    assert (t["h_e9"] >= 0).all()
+    assert (t["h_e9"] <= math.ceil(math.log(6) * 1e9)).all()
+
+    k = Q.q_arm_kl(SF).to_pandas().iloc[0]
+    assert k["kl_e9"] >= -1   # quantization slack on a tiny true KL
+    assert k["n_buckets"] >= 1
