@@ -2707,3 +2707,17 @@ def test_pentropy_kl_invariants(ray_session):
     k = Q.q_arm_kl(SF).to_pandas().iloc[0]
     assert k["kl_e9"] >= -1   # quantization slack on a tiny true KL
     assert k["n_buckets"] >= 1
+
+
+def test_spearman_theil_invariants(ray_session):
+    """rho^2 <= 1e6; Theil decomposition: total = between + within
+    with between <= total and all parts plausible."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    s = Q.q_spearman_rho(SF).to_pandas().iloc[0]
+    assert 0 <= s["rho2_e6"] <= 10 ** 6
+    assert s["sign_num"] in (-1, 0, 1)
+
+    t = Q.q_theil_decomposition(SF).to_pandas().iloc[0]
+    assert t["t_total_e9"] == t["t_between_e9"] + t["t_within_e9"]
+    assert t["t_total_e9"] >= 0
