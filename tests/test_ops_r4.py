@@ -2721,3 +2721,20 @@ def test_spearman_theil_invariants(ray_session):
     t = Q.q_theil_decomposition(SF).to_pandas().iloc[0]
     assert t["t_total_e9"] == t["t_between_e9"] + t["t_within_e9"]
     assert t["t_total_e9"] >= 0
+
+
+def test_mcc_revisit_invariants(ray_session):
+    """MCC cells sum to the corpus per class; revisit runs bounded by
+    away events."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    m = Q.q_nb_mcc(SF).to_pandas()
+    assert len(m) >= 2
+    tot = m.iloc[0][["tp", "fp", "fn", "tn"]].sum()
+    assert (m[["tp", "fp", "fn", "tn"]].sum(axis=1) == tot).all()
+    assert (m["mcc2_e6"] <= 10 ** 6).all()
+
+    r = Q.q_revisit_rate(SF).to_pandas()
+    away = r["n_events"] - r["n_home"]
+    assert (r["n_excursions"] + r["n_oneway"] <= away).all()
+    assert (r["n_home"] >= 1).all()   # home cell is the modal cell
