@@ -2738,3 +2738,21 @@ def test_mcc_revisit_invariants(ray_session):
     away = r["n_events"] - r["n_home"]
     assert (r["n_excursions"] + r["n_oneway"] <= away).all()
     assert (r["n_home"] >= 1).all()   # home cell is the modal cell
+
+
+def test_pqusage_banddepth_invariants(ray_session):
+    """PQ usage totals = 4x vector count; band depth bounded by
+    days * pairs."""
+    import duckdb
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    u = Q.q_pq_codebook_usage(SF).to_pandas()
+    con = duckdb.connect()
+    nv = con.sql(
+        f"SELECT COUNT(*) FROM '{SF}/embeddings.parquet'").fetchone()[0]
+    assert u["n"].sum() == 4 * nv
+    assert set(u["subspace"]) <= set(range(4))
+
+    b = Q.q_band_depth(SF).to_pandas()
+    assert (b["depth"] <= b["n_days"] * b["n_pairs"]).all()
+    assert (b["depth"] >= 0).all()
