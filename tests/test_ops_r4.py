@@ -2756,3 +2756,20 @@ def test_pqusage_banddepth_invariants(ray_session):
     b = Q.q_band_depth(SF).to_pandas()
     assert (b["depth"] <= b["n_days"] * b["n_pairs"]).all()
     assert (b["depth"] >= 0).all()
+
+
+def test_grubbs_runs_invariants(ray_session):
+    """Grubbs G positive and bounded by (D-1)/sqrt(D); runs within
+    [1, n1+n2]."""
+    import math
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    g = Q.q_grubbs_test(SF).to_pandas()
+    assert len(g) > 0
+    for _, r in g.iterrows():
+        bound = (r["d_days"] - 1) / math.sqrt(r["d_days"])
+        assert 0 <= r["g_e6"] / 1e6 <= bound + 1e-9
+
+    t = Q.q_runs_test(SF).to_pandas()
+    assert (t["n_runs"] >= 1).all()
+    assert (t["n_runs"] <= t["n_above"] + t["n_below"]).all()
