@@ -2773,3 +2773,16 @@ def test_grubbs_runs_invariants(ray_session):
     t = Q.q_runs_test(SF).to_pandas()
     assert (t["n_runs"] >= 1).all()
     assert (t["n_runs"] <= t["n_above"] + t["n_below"]).all()
+
+
+def test_ccc_ktruss_invariants(ray_session):
+    """CCC magnitude bounded by 1e6 and by |pearson|; truss trace is
+    monotone nonincreasing."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    c = Q.q_lin_ccc(SF).to_pandas().iloc[0]
+    assert abs(c["ccc_e6"]) <= 10 ** 6
+
+    t = Q.q_k_truss(SF).to_pandas().sort_values("round")
+    assert (np.diff(t["n_edges"].to_numpy()) <= 0).all()
+    assert (t["n_nodes"] <= 2 * t["n_edges"].clip(lower=1)).all()
