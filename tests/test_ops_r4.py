@@ -2786,3 +2786,15 @@ def test_ccc_ktruss_invariants(ray_session):
     t = Q.q_k_truss(SF).to_pandas().sort_values("round")
     assert (np.diff(t["n_edges"].to_numpy()) <= 0).all()
     assert (t["n_nodes"] <= 2 * t["n_edges"].clip(lower=1)).all()
+
+
+def test_qq_wilcoxon_invariants(ray_session):
+    """Nine QQ points; U within [0, na*nb]."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    q = Q.q_qq_slope(SF).to_pandas().iloc[0]
+    assert q["n_points"] == 9
+    assert q["slope_e6"] > 0   # both arms share a distribution family
+
+    w = Q.q_wilcoxon_u(SF).to_pandas().iloc[0]
+    assert 0 <= w["u_stat"] <= w["n_a"] * w["n_b"]
