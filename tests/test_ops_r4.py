@@ -2798,3 +2798,19 @@ def test_qq_wilcoxon_invariants(ray_session):
 
     w = Q.q_wilcoxon_u(SF).to_pandas().iloc[0]
     assert 0 <= w["u_stat"] <= w["n_a"] * w["n_b"]
+
+
+def test_lmoments_friedman_invariants(ray_session):
+    """L-scale positive; |t3| <= 1 -> t3^2 <= 1e6.  Friedman Q within
+    its algebraic max 12/(nk(k+1)) * n^2 * sum j^2 bound."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    t = Q.q_l_moments(SF).to_pandas()
+    assert len(t) > 0
+    assert (t["l2_q"] > 0).all()
+    assert (t["t3_2_e6"] <= 10 ** 6).all()
+
+    f = Q.q_friedman_test(SF).to_pandas().iloc[0]
+    k = f["k_types"]
+    assert f["q_e6"] >= -1
+    assert f["q_e6"] / 1e6 <= f["n_days"] * (k - 1) + 1e-6
