@@ -2814,3 +2814,24 @@ def test_lmoments_friedman_invariants(ray_session):
     k = f["k_types"]
     assert f["q_e6"] >= -1
     assert f["q_e6"] / 1e6 <= f["n_days"] * (k - 1) + 1e-6
+
+
+def test_q22_payload_invariants(ray_session):
+    """Dormant-rich rows have above-segment-average balances and no
+    urgent orders (duckdb recheck); payload audit finds every raw
+    blob exact."""
+    import duckdb
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    t = Q.q_customers_without_orders(SF).to_pandas()
+    assert len(t) > 0
+    con = duckdb.connect()
+    urgent = {r[0] for r in con.sql(
+        f"SELECT DISTINCT o_custkey FROM '{SF}/orders.parquet'"
+        f" WHERE o_orderpriority = '1-URGENT'").fetchall()}
+    assert not (set(t["c_custkey"]) & urgent)
+
+    p = Q.q_payload_audit(SF).to_pandas()
+    raw = p[p["fmt"] == "raw"]
+    assert (raw["n_exact"] == raw["n"]).all()
+    assert (p["total_bytes"] > 0).all()
