@@ -2835,3 +2835,17 @@ def test_q22_payload_invariants(ray_session):
     raw = p[p["fmt"] == "raw"]
     assert (raw["n_exact"] == raw["n"]).all()
     assert (p["total_bytes"] > 0).all()
+
+
+def test_richclub_diurnal_invariants(ray_session):
+    """phi within [0, 1e6]; diurnal r bounded and peak hour valid."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    r = Q.q_rich_club(SF).to_pandas().iloc[0]
+    assert 0 <= r["phi_e6"] <= 10 ** 6
+    assert r["e_rich"] <= r["n_rich"] * (r["n_rich"] - 1) // 2 \
+        or r["n_rich"] < 2
+
+    d = Q.q_diurnal_vector(SF).to_pandas()
+    assert (d["r_permille"] >= 0).all() and (d["r_permille"] <= 1001).all()
+    assert (d["peak_hour"] >= 0).all() and (d["peak_hour"] <= 23).all()
