@@ -2849,3 +2849,17 @@ def test_richclub_diurnal_invariants(ray_session):
     d = Q.q_diurnal_vector(SF).to_pandas()
     assert (d["r_permille"] >= 0).all() and (d["r_permille"] <= 1001).all()
     assert (d["peak_hour"] >= 0).all() and (d["peak_hour"] <= 23).all()
+
+
+def test_price_cramers_invariants(ray_session):
+    """Index near 1e6 for a stationary price process; Cramér V^2 in
+    [0, 1e6] with sane category counts."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    p = Q.q_price_index(SF).to_pandas().iloc[0]
+    assert p["n_parts"] > 0
+    assert 0.5e6 < p["index_e6"] < 2e6
+
+    c = Q.q_cramers_v(SF).to_pandas().iloc[0]
+    assert 0 <= c["v2_e6"] <= 10 ** 6 + 1
+    assert c["n_rows_cat"] > 1 and c["n_cols_cat"] > 1
