@@ -2863,3 +2863,16 @@ def test_price_cramers_invariants(ray_session):
     c = Q.q_cramers_v(SF).to_pandas().iloc[0]
     assert 0 <= c["v2_e6"] <= 10 ** 6 + 1
     assert c["n_rows_cat"] > 1 and c["n_cols_cat"] > 1
+
+
+def test_taildep_coint_invariants(ray_session):
+    """Tail counts consistent (both <= each side, sides ~ n/10); DW
+    in [0, 4e6]."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    t = Q.q_tail_dependence(SF).to_pandas().iloc[0]
+    assert t["n_both"] <= min(t["n_a_hi"], t["n_b_hi"])
+    assert t["n_a_hi"] <= t["n_days"] // 10 + 1
+
+    c = Q.q_cointegration_dw(SF).to_pandas().iloc[0]
+    assert 0 <= c["dw_e6"] <= 4 * 10 ** 6
