@@ -2876,3 +2876,17 @@ def test_taildep_coint_invariants(ray_session):
 
     c = Q.q_cointegration_dw(SF).to_pandas().iloc[0]
     assert 0 <= c["dw_e6"] <= 4 * 10 ** 6
+
+
+def test_te_jaccard_invariants(ray_session):
+    """TE >= 0 up to quantization slack (conditioning cannot hurt);
+    Jaccard within [0, 1e6] over all 10 type pairs."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    t = Q.q_transfer_entropy(SF).to_pandas().iloc[0]
+    assert t["te_e9"] >= -1
+
+    j = Q.q_active_day_jaccard(SF).to_pandas()
+    assert len(j) == 10
+    assert (j["jac_e6"] >= 0).all() and (j["jac_e6"] <= 10 ** 6).all()
+    assert (j["n_inter"] <= j["n_union"]).all()
