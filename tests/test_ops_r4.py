@@ -2890,3 +2890,18 @@ def test_te_jaccard_invariants(ray_session):
     assert len(j) == 10
     assert (j["jac_e6"] >= 0).all() and (j["jac_e6"] <= 10 ** 6).all()
     assert (j["n_inter"] <= j["n_union"]).all()
+
+
+def test_imgentropy_caption_invariants(ray_session):
+    """Entropy within [0, ln 256]; every fixture caption aligned."""
+    import math
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    e = Q.q_image_entropy(SF).to_pandas()
+    assert len(e) > 0
+    assert (e["h_e9"] >= 0).all()
+    assert (e["h_e9"] <= math.ceil(math.log(256) * 1e9)).all()
+
+    c = Q.q_caption_alignment(SF).to_pandas()
+    assert (c["n_aligned"] == c["n"]).all()
+    assert (c["caption_chars"] > 0).all()
