@@ -2905,3 +2905,18 @@ def test_imgentropy_caption_invariants(ray_session):
     c = Q.q_caption_alignment(SF).to_pandas()
     assert (c["n_aligned"] == c["n"]).all()
     assert (c["caption_chars"] > 0).all()
+
+
+def test_coverage_isotropy_invariants(ray_session):
+    """Coverage fractions in [0, 1e6] per family; isotropy near 0 for
+    random embeddings (r2 ~ n * dim-scale, far below n^2)."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    c = Q.q_dedup_coverage(SF).to_pandas()
+    assert set(c["family"]) == {"minhash", "ngram", "containment"}
+    assert (c["frac_e6"] >= 0).all() and (c["frac_e6"] <= 10 ** 6).all()
+    assert (c["n_docs_in_pairs"] <= c["n_docs"]).all()
+
+    i = Q.q_embedding_isotropy(SF).to_pandas().iloc[0]
+    assert i["n_vecs"] > 0 and i["dim"] == 64
+    assert 0 <= i["iso_e6"] < 10 ** 6 // 2   # random cloud: tiny resultant
