@@ -2920,3 +2920,24 @@ def test_coverage_isotropy_invariants(ray_session):
     i = Q.q_embedding_isotropy(SF).to_pandas().iloc[0]
     assert i["n_vecs"] > 0 and i["dim"] == 64
     assert 0 <= i["iso_e6"] < 10 ** 6 // 2   # random cloud: tiny resultant
+
+
+def test_phashbits_deghist_invariants(ray_session):
+    """All 64 bits present with balanced splitmix bits; degree bins
+    cover every node exactly once."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    p = Q.q_phash_bit_balance(SF).to_pandas()
+    assert len(p) == 64
+    n = p["n_ones"].max() + (p["dev2"] // 2).max()
+    assert (p["dev2"] <= p["n_ones"] * 2).all()
+
+    d = Q.q_degree_histogram(SF).to_pandas()
+    ek = np.concatenate([
+        b["key"].to_numpy(zero_copy_only=False)
+        for b in Q._copresence_edges(SF).iter_batches(
+            batch_format="pyarrow") if b.num_rows])
+    nodes = len(np.unique(np.concatenate([
+        (ek >> np.uint64(32)).astype(np.int64),
+        (ek & np.uint64((1 << 32) - 1)).astype(np.int64)])))
+    assert d["n_nodes"].sum() == nodes
