@@ -2958,3 +2958,19 @@ def test_boxdim_drawdown_contour_invariants(ray_session):
     c = Q.q_contour_crossings(SF).to_pandas()
     assert len(c) == 3
     assert (c["n_crossings"] >= 0).all()
+
+
+def test_jsd_funnel_invariants(ray_session):
+    """JSD within [0, ln2] in e9 units; funnel depths consistent with
+    conversion flags."""
+    import math
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    j = Q.q_tile_jsd(SF).to_pandas().iloc[0]
+    assert -1 <= j["jsd_e9"] <= math.ceil(math.log(2) * 1e9) + 1
+
+    e = Q.q_events_to_convert(SF).to_pandas()
+    conv = e[e["converted"] == 1]
+    assert (conv["n_before"] >= 0).all()
+    assert (conv["n_before"] < conv["n_events"]).all()
+    assert (e[e["converted"] == 0]["n_before"] == -1).all()
