@@ -2974,3 +2974,17 @@ def test_jsd_funnel_invariants(ray_session):
     assert (conv["n_before"] >= 0).all()
     assert (conv["n_before"] < conv["n_events"]).all()
     assert (e[e["converted"] == 0]["n_before"] == -1).all()
+
+
+def test_chratio_dauwau_invariants(ray_session):
+    """Ratio within [-1e6, 1e6]; stickiness within (0, 1e6]."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    c = Q.q_channel_ratio(SF).to_pandas()
+    assert (c["ratio_e6"].abs() <= 10 ** 6).all()
+    assert (c["s0"] > 0).all() and (c["s2"] > 0).all()
+
+    d = Q.q_dau_wau(SF).to_pandas()
+    assert (d["stickiness_e6"] > 0).all()
+    assert (d["stickiness_e6"] <= 10 ** 6).all()
+    assert (d["dau_sum"] >= d["wau"]).all()
