@@ -2988,3 +2988,20 @@ def test_chratio_dauwau_invariants(ray_session):
     assert (d["stickiness_e6"] > 0).all()
     assert (d["stickiness_e6"] <= 10 ** 6).all()
     assert (d["dau_sum"] >= d["wau"]).all()
+
+
+def test_recency_weekend_latency_invariants(ray_session):
+    """Staleness nonnegative with at least one zero; lift positive;
+    latency quartiles ordered."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    r = Q.q_tile_recency(SF).to_pandas()
+    assert (r["staleness_days"] >= 0).all()
+    assert (r["staleness_days"] == 0).any()
+
+    w = Q.q_weekend_lift(SF).to_pandas()
+    assert (w["lift_e6"] > 0).all()
+
+    c = Q.q_conversion_latency(SF).to_pandas().iloc[0]
+    assert c["q1_s"] <= c["median_s"] <= c["q3_s"]
+    assert c["n_converted"] > 0
