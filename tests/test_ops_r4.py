@@ -3005,3 +3005,20 @@ def test_recency_weekend_latency_invariants(ray_session):
     c = Q.q_conversion_latency(SF).to_pandas().iloc[0]
     assert c["q1_s"] <= c["median_s"] <= c["q3_s"]
     assert c["n_converted"] > 0
+
+
+def test_mde_reorder_shiplag_invariants(ray_session):
+    """MDE positive and below 1; gap/lag quartiles ordered and
+    nonnegative."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    m = Q.q_mde_estimate(SF).to_pandas().iloc[0]
+    assert 0 < m["mde_e6"] < 10 ** 6
+
+    r = Q.q_reorder_gaps(SF).to_pandas().iloc[0]
+    assert 0 <= r["q1_days"] <= r["median_days"] <= r["q3_days"]
+
+    s = Q.q_ship_lag(SF).to_pandas()
+    assert len(s) == 5
+    assert (s["q1_days"] <= s["median_days"]).all()
+    assert (s["median_days"] <= s["q3_days"]).all()
