@@ -3022,3 +3022,21 @@ def test_mde_reorder_shiplag_invariants(ray_session):
     assert len(s) == 5
     assert (s["q1_days"] <= s["median_days"]).all()
     assert (s["median_days"] <= s["q3_days"]).all()
+
+
+def test_abc_newret_hhi_invariants(ray_session):
+    """ABC revenue shares ordered A > B-ish; new+returning covers all
+    (user, day) pairs; HHI within [1e6/n, 1e6]."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    a = Q.q_abc_analysis(SF).to_pandas().set_index("cls")
+    total = a["revenue_cents"].sum()
+    assert a.loc["A", "revenue_cents"] * 5 >= total * 4 * 0.95
+    assert a["n_parts"].sum() > 0
+
+    n = Q.q_new_vs_returning(SF).to_pandas()
+    assert n.iloc[0]["n_returning"] == 0   # first day: everyone is new
+    assert (n["n_new"] + n["n_returning"] > 0).all()
+
+    h = Q.q_brand_hhi(SF).to_pandas().iloc[0]
+    assert 10 ** 6 // h["n_brands"] <= h["hhi_e6"] <= 10 ** 6
