@@ -3040,3 +3040,16 @@ def test_abc_newret_hhi_invariants(ray_session):
 
     h = Q.q_brand_hhi(SF).to_pandas().iloc[0]
     assert 10 ** 6 // h["n_brands"] <= h["hhi_e6"] <= 10 ** 6
+
+
+def test_repeatcorr_zerosupport_invariants(ray_session):
+    """r^2 bounded; zero-support count bounded by edge count."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    r = Q.q_repeat_spend_corr(SF).to_pandas().iloc[0]
+    assert 0 <= r["r2_e6"] <= 10 ** 6
+    assert r["n_pairs"] > 0
+
+    z = Q.q_zero_support_edges(SF).to_pandas().iloc[0]
+    assert 0 <= z["n_zero_support"] <= z["n_edges"]
+    assert 0 <= z["frac_e6"] <= 10 ** 6
