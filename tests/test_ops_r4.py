@@ -3053,3 +3053,18 @@ def test_repeatcorr_zerosupport_invariants(ray_session):
     z = Q.q_zero_support_edges(SF).to_pandas().iloc[0]
     assert 0 <= z["n_zero_support"] <= z["n_edges"]
     assert 0 <= z["frac_e6"] <= 10 ** 6
+
+
+def test_palma_laglead_invariants(ray_session):
+    """Palma positive; lag matrix covers all 20 ordered pairs with
+    lag-0 symmetry in r2 between (a,b) and (b,a)."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    p = Q.q_palma_ratio(SF).to_pandas().iloc[0]
+    assert p["palma_e6"] > 0
+    assert p["s_top"] > 0 and p["s_bottom"] > 0
+
+    m = Q.q_lag_lead_matrix(SF).to_pandas()
+    assert len(m) == 20
+    assert set(m["best_lag"]) <= set(range(-3, 4))
+    assert (m["r2_e6"] <= 10 ** 6).all()
