@@ -261,3 +261,220 @@ def k_core_distributed(edges_ds, k: int, iters: int):
 
     return final_deg.map_batches(rename, batch_format="pyarrow",
                                  zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Beyond-cap triangle machinery (k-truss peel, global clustering
+# coefficient).  The driver-bounded bitset paths in pipelines/queries.py
+# (q_k_truss, q_clustering_coeff) gather the edge array under
+# DRIVER_EDGE_CAP / DRIVER_NODE_CAP; past either cap they route HERE
+# instead of asserting.  The shape is q_common_neighbors' in-fold
+# edge-mark exchange (wedges +1 per middle node, edge rows +2^40, one
+# u64 sum fold) — per-edge triangle support falls out as fold - 2^40
+# with NO join operator and no driver state.  Reference parity target:
+# the same co-presence graph statistics the driver paths compute
+# (rhealpixdggs reference has no graph ops; these are engine-side
+# training-data analytics).
+# ---------------------------------------------------------------------------
+
+DRIVER_EDGE_CAP = 8_000_000   # gathered-edge bound (ops/cc.py budget)
+DRIVER_NODE_CAP = 20_000      # bitset row bound (N x N/64 u64 matrix)
+SUPPORT_MARK = 1 << 40        # in-fold edge marker; support < 2^40 always
+
+
+def edge_support_fold(edges_ds, n_buckets: int = 8):
+    """ONE wedge+mark exchange over a packed-u64 edge Dataset
+    (``key`` = ua<<32 | ub, ua < ub, deduped): returns a folded
+    Dataset (key, v) where rows with v >= SUPPORT_MARK are edges and
+    their exact triangle support is v - SUPPORT_MARK.  Rows with
+    v < SUPPORT_MARK are non-adjacent wedge pairs (callers filter).
+    Wedges are exact (no degree cap — unlike q_common_neighbors'
+    CN_DEG link-prediction heuristic, truss support must be exact);
+    per-middle fan-out is deg^2, the documented cost of distributed
+    triangle counting on an un-oriented fold."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64, sum_by_u64_key
+
+    LOW32 = np.uint64((1 << 32) - 1)
+
+    def directed(batch: pa.Table) -> pa.Table:
+        ek = batch["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        a = ek >> np.uint64(32)
+        b = ek & LOW32
+        m = np.concatenate([a, b])
+        x = np.concatenate([b, a])
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(m, n_buckets)),
+            "m": pa.array(m, type=pa.uint64()),
+            "x": pa.array(x, type=pa.uint64()),
+        })
+
+    def wedges(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "m" not in g.column_names:
+            return pa.table({"pkey": pa.array([], type=pa.uint64()),
+                             "v": pa.array([], type=pa.int64())})
+        m = g["m"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x = g["x"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((x, m))
+        m, x = m[order], x[order]
+        _, start = np.unique(m, return_index=True)
+        cnt = np.diff(np.append(start, len(m)))
+        out = []
+        for s, c in zip(start.tolist(), cnt.tolist()):
+            nb = x[s:s + c]  # sorted ascending, deduped edge set
+            ia, ib = np.triu_indices(c, k=1)
+            out.append((nb[ia] << np.uint64(32)) | nb[ib])
+        pk = np.concatenate(out) if out else np.array([], dtype=np.uint64)
+        return pa.table({
+            "pkey": pa.array(pk, type=pa.uint64()),
+            "v": pa.array(np.ones(len(pk), dtype=np.int64)),
+        })
+
+    def marks(batch: pa.Table) -> pa.Table:
+        ek = batch["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table({
+            "pkey": pa.array(ek, type=pa.uint64()),
+            "v": pa.array(np.full(len(ek), SUPPORT_MARK, dtype=np.int64)),
+        })
+
+    wedge_partials = (
+        edges_ds.map_batches(directed, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .groupby("bucket").map_groups(wedges, batch_format="pyarrow")
+    )
+    mark_rows = edges_ds.map_batches(marks, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    return sum_by_u64_key(wedge_partials.union(mark_rows), "pkey", "v",
+                          "v", n_buckets=n_buckets)
+
+
+def _endpoint_count(edges_ds, n_buckets: int = 8) -> int:
+    """Distinct-endpoint count of a packed-u64 edge Dataset (one small
+    fold; no driver gather of the node set)."""
+    from rhealpixdggs_py_ray.ops.agg import sum_by_u64_key
+
+    LOW32 = np.uint64((1 << 32) - 1)
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        ek = batch["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        uq = np.unique(np.concatenate([ek >> np.uint64(32), ek & LOW32]))
+        return pa.table({"node": pa.array(uq, type=pa.uint64()),
+                         "one": pa.array(np.ones(len(uq), dtype=np.int64))})
+
+    return sum_by_u64_key(
+        edges_ds.map_batches(endpoints, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        "node", "one", "n", n_buckets=n_buckets,
+    ).count()
+
+
+def k_truss_distributed(edges_ds, k: int, rounds: int,
+                        n_buckets: int = 8):
+    """Beyond-cap k-truss peel: each round is one wedge+mark support
+    fold (edge_support_fold) + an expression-pushdown filter keeping
+    edges with support >= k-2, mirroring q_k_truss's driver bitset
+    peel round-for-round (fixed-round hop-capped semantics, counts
+    recorded AFTER each round's drop).  The edge set only shrinks;
+    a fixpoint round short-circuits the remaining rounds (identical
+    by induction — same edges in, same support out).  Returns the
+    same (round, n_edges, n_nodes) convergence-trace table."""
+    need = k - 2
+    thresh = SUPPORT_MARK + need
+    edges = edges_ds
+    out_r, out_e, out_n = [], [], []
+    prev_ne = edges.count()
+    rnd = 1
+    while rnd <= rounds:
+        folded = edge_support_fold(edges, n_buckets=n_buckets)
+
+        def rekey(batch: pa.Table) -> pa.Table:
+            return pa.table({"key": batch["pkey"]})
+
+        edges = (folded.filter(expr=f"v >= {thresh}")
+                 .map_batches(rekey, batch_format="pyarrow",
+                              zero_copy_batch=True)
+                 .materialize())
+        ne = edges.count()
+        nn = _endpoint_count(edges, n_buckets=n_buckets) if ne else 0
+        out_r.append(rnd)
+        out_e.append(ne)
+        out_n.append(nn)
+        rnd += 1
+        if ne == prev_ne or ne == 0:
+            while rnd <= rounds:  # fixpoint: later rounds are identity
+                out_r.append(rnd)
+                out_e.append(ne)
+                out_n.append(nn)
+                rnd += 1
+            break
+        prev_ne = ne
+    return pa.table({
+        "round": pa.array(out_r, type=pa.int64()),
+        "n_edges": pa.array(out_e, type=pa.int64()),
+        "n_nodes": pa.array(out_n, type=pa.int64()),
+    })
+
+
+def triangle_stats_distributed(edges_ds, n_buckets: int = 8):
+    """Beyond-cap global clustering coefficient: one support fold
+    gives per-edge triangle counts (sum over edges = 3T); one degree
+    fold gives n_nodes and the exact wedge total via per-batch
+    partial sums (driver holds only #blocks partial rows, never the
+    node set).  Returns q_clustering_coeff's one-row
+    (n_nodes, n_edges, n_triangles, n_wedges, gcc_e9) table."""
+    from rhealpixdggs_py_ray.ops.agg import sum_by_u64_key
+
+    LOW32 = np.uint64((1 << 32) - 1)
+    folded = edge_support_fold(edges_ds, n_buckets=n_buckets)
+    sup_rows = folded.filter(expr=f"v >= {SUPPORT_MARK}")
+
+    def sup_partial(batch: pa.Table) -> pa.Table:
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "s": pa.array([int((v - SUPPORT_MARK).sum())], type=pa.int64()),
+            "n": pa.array([len(v)], type=pa.int64()),
+        })
+
+    sup3 = 0
+    n_edges = 0
+    for b in sup_rows.map_batches(sup_partial, batch_format="pyarrow",
+                                  zero_copy_batch=True) \
+                     .iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            sup3 += int(b["s"].to_numpy(zero_copy_only=False).sum())
+            n_edges += int(b["n"].to_numpy(zero_copy_only=False).sum())
+    tri = sup3 // 3
+
+    def degree_partials(batch: pa.Table) -> pa.Table:
+        ek = batch["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        node = np.concatenate([ek >> np.uint64(32), ek & LOW32])
+        uq, cnt = np.unique(node, return_counts=True)
+        return pa.table({"node": pa.array(uq, type=pa.uint64()),
+                         "one": pa.array(cnt.astype(np.int64))})
+
+    deg = sum_by_u64_key(
+        edges_ds.map_batches(degree_partials, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        "node", "one", "deg", n_buckets=n_buckets,
+    ).materialize()
+    n_nodes = deg.count()
+
+    def wedge_partial(batch: pa.Table) -> pa.Table:
+        d = batch["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"w": pa.array([int((d * (d - 1) // 2).sum())],
+                                       type=pa.int64())})
+
+    wedges = 0
+    for b in deg.map_batches(wedge_partial, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+                .iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            wedges += int(b["w"].to_numpy(zero_copy_only=False).sum())
+
+    gcc = 3 * tri * 10**9 // wedges if wedges else 0
+    return pa.table({
+        "n_nodes": pa.array([n_nodes], type=pa.int64()),
+        "n_edges": pa.array([n_edges], type=pa.int64()),
+        "n_triangles": pa.array([tri], type=pa.int64()),
+        "n_wedges": pa.array([wedges], type=pa.int64()),
+        "gcc_e9": pa.array([gcc], type=pa.int64()),
+    })

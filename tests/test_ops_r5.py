@@ -1,0 +1,80 @@
+"""Round-5 tests: beyond-cap distributed fallbacks for the
+driver-bounded bitset-graph family (k_truss, clustering_coeff) —
+lowering the caps forces the distributed wedge+mark fold path, which
+must return EXACTLY the driver peel's answer (VERDICT r4 item 1)."""
+
+import numpy as np
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_k_truss_distributed_parity(ray_session, monkeypatch):
+    """Force the beyond-cap route (edge cap -> 0) and compare the
+    convergence trace to the driver bitset peel row-for-row."""
+    from rhealpixdggs_py_ray.ops import graph
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    drv = Q.q_k_truss(SF).to_pandas()
+    monkeypatch.setattr(graph, "DRIVER_EDGE_CAP", 0)
+    dist = Q.q_k_truss(SF).to_pandas()
+    assert drv.equals(dist)
+
+
+def test_k_truss_node_cap_routes_distributed(ray_session, monkeypatch):
+    """The node cap alone (edge cap untouched) also routes to the
+    distributed peel, and parity still holds."""
+    from rhealpixdggs_py_ray.ops import graph
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    drv = Q.q_k_truss(SF).to_pandas()
+    monkeypatch.setattr(graph, "DRIVER_NODE_CAP", 1)
+    dist = Q.q_k_truss(SF).to_pandas()
+    assert drv.equals(dist)
+
+
+def test_clustering_coeff_distributed_parity(ray_session, monkeypatch):
+    """triangle_stats_distributed returns the driver bitset path's
+    one-row statistics exactly (3T fold // 3, exact wedge sums)."""
+    from rhealpixdggs_py_ray.ops import graph
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    drv = Q.q_clustering_coeff(SF).to_pandas()
+    monkeypatch.setattr(graph, "DRIVER_EDGE_CAP", 0)
+    dist = Q.q_clustering_coeff(SF).to_pandas()
+    assert drv.equals(dist)
+
+
+def test_edge_support_fold_exact(ray_session):
+    """The wedge+mark fold's per-edge supports equal a brute-force
+    numpy triangle count on the gathered fixture graph."""
+    from rhealpixdggs_py_ray.ops import graph
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    edges = Q._copresence_edges(SF)
+    parts = []
+    for b in edges.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            parts.append(b["key"].to_numpy(zero_copy_only=False)
+                         .astype(np.uint64))
+    ek = np.sort(np.concatenate(parts))
+    ua = (ek >> np.uint64(32)).astype(np.int64)
+    ub = (ek & np.uint64((1 << 32) - 1)).astype(np.int64)
+    # brute: adjacency sets, |N(a) & N(b)| per edge
+    adj: dict = {}
+    for a, b in zip(ua.tolist(), ub.tolist()):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {int(k): len(adj[a] & adj[b])
+            for k, a, b in zip(ek.tolist(), ua.tolist(), ub.tolist())}
+
+    folded = graph.edge_support_fold(edges)
+    got = {}
+    for b in folded.iter_batches(batch_format="pyarrow"):
+        if not b.num_rows:
+            continue
+        pk = b["pkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        m = v >= graph.SUPPORT_MARK
+        for k, s in zip(pk[m].tolist(), (v[m] - graph.SUPPORT_MARK).tolist()):
+            got[int(k)] = int(s)
+    assert got == want
