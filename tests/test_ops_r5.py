@@ -78,3 +78,57 @@ def test_edge_support_fold_exact(ray_session):
         for k, s in zip(pk[m].tolist(), (v[m] - graph.SUPPORT_MARK).tolist()):
             got[int(k)] = int(s)
     assert got == want
+
+
+def test_pair_cache_lru_eviction(ray_session):
+    """MaterializedCache evicts least-recently-used entries past the
+    byte budget, never the entry just inserted, and serves warm hits
+    without rebuilding."""
+    import ray.data
+    from rhealpixdggs_py_ray.state.dscache import MaterializedCache
+
+    def mk(n):
+        return lambda: ray.data.from_items(
+            [{"x": i} for i in range(n)]).materialize()
+
+    a = mk(1000)()
+    per = int(a.size_bytes())
+    c = MaterializedCache(max_bytes=int(per * 2.5))  # fits 2 entries
+    c.get_or_build("a", mk(1000))
+    c.get_or_build("b", mk(1000))
+    assert c.builds == 2 and len(c) == 2
+    # warm hit: no rebuild, touches "a" to MRU
+    c.get_or_build("a", mk(1000))
+    assert c.builds == 2
+    # third insert evicts LRU ("b", since "a" was just touched)
+    c.get_or_build("d", mk(1000))
+    assert c.evictions == 1 and len(c) == 2
+    assert "b" not in c and "a" in c and "d" in c
+    # rebuilding the evicted key is a miss again
+    c.get_or_build("b", mk(1000))
+    assert c.builds == 4
+
+
+def test_pair_cache_keeps_oversized_insert(ray_session):
+    """An entry larger than the whole budget is still returned and
+    kept (callers rely on getting their dataset back)."""
+    import ray.data
+    from rhealpixdggs_py_ray.state.dscache import MaterializedCache
+
+    c = MaterializedCache(max_bytes=1)
+    ds = c.get_or_build("big", lambda: ray.data.from_items(
+        [{"x": i} for i in range(100)]).materialize())
+    assert ds.count() == 100 and len(c) == 1
+
+
+def test_query_pair_caches_warm(ray_session):
+    """The query-side memoized pair sets (copresence, minhash) route
+    through the shared PAIR_CACHE: second call is a warm hit."""
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+    from rhealpixdggs_py_ray.state.dscache import PAIR_CACHE
+
+    Q._copresence_edges(SF)
+    b0 = PAIR_CACHE.builds
+    Q._copresence_edges(SF)
+    assert PAIR_CACHE.builds == b0
+    assert f"copresence:{SF}" in PAIR_CACHE
