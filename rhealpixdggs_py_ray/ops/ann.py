@@ -869,6 +869,25 @@ def ann_topk_ivf_persisted(emb_ds, emb_ds2, n_queries: int = 10, k: int = 5,
         emb_ds, Assign, batch_format="pyarrow", zero_copy_batch=True
     ).write_parquet(scratch, partition_cols=["list"])
 
+    out = _ivf_query_pruned(
+        lambda c: os.path.join(scratch, f"list={c}", "*.parquet"),
+        emb_ds2, C, n_queries, k, nprobe)
+    if own:
+        out = out.materialize()  # bounded: n_queries * k rows
+        shutil.rmtree(scratch, ignore_errors=True)
+    return out
+
+
+def _ivf_query_pruned(glob_for_list, emb_ds2, C, n_queries: int, k: int,
+                      nprobe: int):
+    """Shared IVF query step over a persisted, list-partitioned index:
+    pick each query's nprobe nearest centroids, read ONLY those list
+    partitions (``glob_for_list(c)`` -> glob pattern for inverted list
+    ``c`` — works for both flat and checkpoint-partitioned layouts),
+    score, per-query top-k.  Single-sourced so the transient oracle
+    verifies every persisted variant."""
+    import glob as _glob
+
     qids, Q = _gather_queries(emb_ds2, n_queries)
     qn = _seq_norm(Q)
     qd2 = _seq_d2(Q, C)
@@ -879,11 +898,9 @@ def ann_topk_ivf_persisted(emb_ds, emb_ds2, n_queries: int = 10, k: int = 5,
     qref = ray.put((qids, Q, qn, probe_lists))
 
     # partition-pruned read: only probed list dirs leave storage
-    import glob as _glob
     paths = []
     for c in allowed.tolist():
-        paths.extend(sorted(_glob.glob(
-            os.path.join(scratch, f"list={c}", "*.parquet"))))
+        paths.extend(sorted(_glob.glob(glob_for_list(c))))
     idx = ray.data.read_parquet(paths)
 
     class ScoreProbed:
@@ -904,12 +921,87 @@ def ann_topk_ivf_persisted(emb_ds, emb_ds2, n_queries: int = 10, k: int = 5,
             return t.filter(pa.array(np.isfinite(
                 t["cos"].to_numpy(zero_copy_only=False))))
 
-    out = (
+    return (
         sizing.stateful_map(idx, ScoreProbed, batch_format="pyarrow",
                             zero_copy_batch=True)
         .groupby("qid").map_groups(_final_topk(k), batch_format="pyarrow")
     )
-    if own:
-        out = out.materialize()  # bounded: n_queries * k rows
-        shutil.rmtree(scratch, ignore_errors=True)
-    return out
+
+
+def ivf_partition_specs(emb_path: str, n_parts: int = 2):
+    """Key-range partitions of the embeddings table for the
+    checkpointed index build (vec_id is the layout key; at cluster
+    scale these would be file subsets — here one file, N ranges)."""
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(emb_path).metadata.num_rows
+    bounds = [n * i // n_parts for i in range(n_parts + 1)]
+    return [[emb_path, bounds[i], bounds[i + 1]] for i in range(n_parts)]
+
+
+def ivf_partition_builder(cref, n_lists: int):
+    """``pipeline_fn`` for state/checkpoint.CheckpointedRun: read one
+    vec_id key range (predicate pushdown), assign each vector to its
+    inverted list against the broadcast centroids, write parquet
+    partitioned by ``list`` under the partition's tmp dir.  Returns
+    rows_out from the written files' metadata (re-counting the
+    Dataset would re-execute the lineage)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    def pipeline_fn(spec, part_out):
+        f, lo, hi = spec
+        ds = ray.data.read_parquet(
+            f, columns=["vec_id", "embedding"],
+            filter=(pc.field("vec_id") >= lo) & (pc.field("vec_id") < hi))
+
+        class Assign:
+            def __init__(self):
+                self.C = ray.get(cref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                B = _emb_matrix(batch)
+                a = _seq_d2(B, self.C).argmin(axis=1)  # ties -> smaller cid
+                t = batch.append_column(
+                    "list", pa.array(a.astype(np.int64)))
+                return t.append_column("lst", pa.array(a.astype(np.int64)))
+
+        sizing.stateful_map(
+            ds, Assign, batch_format="pyarrow", zero_copy_batch=True
+        ).write_parquet(part_out, partition_cols=["list"])
+        return {"rows_out":
+                pads.dataset(part_out, format="parquet").count_rows()}
+
+    return pipeline_fn
+
+
+def ann_topk_ivf_checkpointed(emb_path: str, emb_ds, emb_ds2,
+                              out_root: str, n_queries: int = 10,
+                              k: int = 5, n_lists: int = 16,
+                              nprobe: int = 6, n_parts: int = 2):
+    """The RESUMABLE index lifecycle: the IVF build runs as a
+    checkpointed per-partition pipeline (state/checkpoint.py manifests
+    with lineage + metrics, atomic per-partition publish) — a killed
+    build re-invoked skips completed partitions and reproduces
+    byte-identical index files (pinned in tests/test_ops_r5.py).  The
+    query step reads only probed list dirs ACROSS partition dirs
+    (part=*/list=c/), so pruning survives the partitioned layout.
+    Same seeds/assignment/probing as ann_topk_ivf -> same oracle."""
+    import hashlib
+    import os
+
+    from rhealpixdggs_py_ray.state.checkpoint import CheckpointedRun
+
+    _, C = _ivf_seed_centroids(emb_ds, n_lists)
+    cref = ray.put(C)
+    run = CheckpointedRun(out_root=out_root, config_payload={
+        "n_lists": n_lists, "n_parts": n_parts,
+        "centroids": hashlib.sha256(
+            np.ascontiguousarray(C).tobytes()).hexdigest()[:16],
+    })
+    specs = ivf_partition_specs(emb_path, n_parts)
+    run.run(specs, ivf_partition_builder(cref, n_lists))
+    return _ivf_query_pruned(
+        lambda c: os.path.join(out_root, "part=*", f"list={c}",
+                               "*.parquet"),
+        emb_ds2, C, n_queries, k, nprobe)
