@@ -61,6 +61,15 @@ class MaterializedCache:
             self.evictions += 1
         return ds
 
+    def get(self, key: str):
+        """Warm-hit lookup (touches LRU) or None — for callers whose
+        build step is not a single closure."""
+        hit = self._entries.get(key)
+        if hit is None:
+            return None
+        self._entries.move_to_end(key)
+        return hit[0]
+
     def invalidate(self, key: str | None = None) -> None:
         if key is None:
             self._entries.clear()
