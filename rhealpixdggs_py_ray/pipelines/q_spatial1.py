@@ -4536,15 +4536,17 @@ def q_dbscan_cells(sf_dir: str):
             "kind": pa.array(np.zeros(len(kk), dtype=np.int64)),
         })
 
-    return (
+    return _schema_anchor(
         core_labeled.map_batches(core_label_rows, batch_format="pyarrow",
                                  zero_copy_batch=True)
         .union(core_labeled.map_batches(border_emit, batch_format="pyarrow",
                                         zero_copy_batch=True))
         .union(cellstats.map_batches(stat_rows, batch_format="pyarrow",
                                      zero_copy_batch=True))
-        .groupby("bucket").map_groups(final_resolve, batch_format="pyarrow")
-    )
+        .groupby("bucket").map_groups(final_resolve, batch_format="pyarrow"),
+        pa.table({"cell_id": pa.array([], type=pa.string()),
+                  "cluster": pa.array([], type=pa.int64()),
+                  "kind": pa.array([], type=pa.int64())}))
 
 
 def sql_dbscan_cells() -> str:
@@ -4722,8 +4724,12 @@ def q_colocation_pairs(sf_dir: str):
             "n_contacts": batch["n_contacts"],
         })
 
-    return summed.map_batches(decode, batch_format="pyarrow",
-                              zero_copy_batch=True)
+    return _schema_anchor(
+        summed.map_batches(decode, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        pa.table({"user_a": pa.array([], type=pa.int64()),
+                  "user_b": pa.array([], type=pa.int64()),
+                  "n_contacts": pa.array([], type=pa.int64())}))
 
 __all__ = [
     "q_cell_from_point",

@@ -2396,7 +2396,17 @@ MDE_Z_BETA = 0.8416212335729143   # z_{0.80}
 
 LAGM_LAGS = (-3, -2, -1, 0, 1, 2, 3)
 
+
+def _schema_anchor(ds, table):
+    """Union a zero-row arrow table carrying the output schema: a
+    pipeline whose every shuffle partition is empty at tiny scale
+    otherwise surfaces schemaless blocks (CLAUDE.md), and the driver
+    contract promises a stable schema at >= 0 rows."""
+    return ds.union(ray.data.from_arrow(table))
+
+
 __all__ = [
+    "_schema_anchor",
     "annotations",
     "hashlib",
     "np",

@@ -29,7 +29,16 @@ def to_pandas(result) -> pd.DataFrame:
     import ray.data
 
     if isinstance(result, ray.data.Dataset):
-        return result.to_pandas()
+        df = result.to_pandas()
+        if not len(df) and not len(df.columns):
+            # all-empty pipelines: Dataset.to_pandas drops the schema
+            # even when result.schema() knows it — rebuild the empty
+            # frame from the schema so the compare sees real columns
+            sch = result.schema()
+            if sch is not None and sch.names:
+                df = pa.table({n: pa.array([], type=t) for n, t in
+                               zip(sch.names, sch.types)}).to_pandas()
+        return df
     if isinstance(result, pa.Table):
         return result.to_pandas()
     return result
