@@ -172,6 +172,110 @@ def sql_minhash_lsh() -> str:
     return dedup.minhash_lsh_sql()
 
 
+def q_minhash_calibration(sf_dir: str):
+    """Estimator-quality audit of the MinHash detector: for every
+    VERIFIED near-dup pair, the count of matching signature positions
+    (N_PERM = 8 permutations) next to the exact shingle Jaccard — the
+    bias readout of the E[matches/8] = J estimator that tells you
+    whether 8 permutations / 4 bands is enough at your threshold.
+    Pairs come from the cached verified set (tiny by construction);
+    signatures recompute ONLY for pair endpoints (broadcast id set,
+    map-side filter — never a second corpus pass at scale).  Output
+    (a, b, match_sigs, jac_micros, est_err_micros)."""
+    from rhealpixdggs_py_ray.ops import dedup
+
+    pairs = _minhash_pairs(sf_dir).to_pandas()  # bounded: verified pairs
+    if not len(pairs):
+        return pa.table({"a": pa.array([], type=pa.int64()),
+                         "b": pa.array([], type=pa.int64()),
+                         "match_sigs": pa.array([], type=pa.int64()),
+                         "jac_micros": pa.array([], type=pa.int64()),
+                         "est_err_micros": pa.array([], type=pa.int64())})
+    pa_ids = pairs["a"].to_numpy().astype(np.int64)
+    pb_ids = pairs["b"].to_numpy().astype(np.int64)
+    need = np.unique(np.concatenate([pa_ids, pb_ids]))
+    nref = ray.put(need)
+
+    class SigForNeeded(dedup.MinHasher):
+        """MinHasher restricted to the pair-endpoint id set."""
+
+        def __init__(self):
+            super().__init__()
+            self.need = ray.get(nref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            m = np.isin(ids.astype(np.int64), self.need)
+            return super().__call__(batch.filter(pa.array(m)))
+
+    sig = {}  # doc_id -> uint64[8]
+    rows = sizing.stateful_map(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), SigForNeeded,
+        batch_format="pyarrow", zero_copy_batch=True)
+    for b in rows.iter_batches(batch_format="pyarrow"):
+        if not b.num_rows:
+            continue
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        band = b["band"].to_numpy(zero_copy_only=False)
+        k1 = b["k1"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        k2 = b["k2"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        for i in range(len(did)):
+            s = sig.setdefault(int(did[i]), np.zeros(8, dtype=np.uint64))
+            s[2 * band[i]] = k1[i]
+            s[2 * band[i] + 1] = k2[i]
+    A = np.stack([sig[int(x)] for x in pa_ids])
+    B = np.stack([sig[int(x)] for x in pb_ids])
+    match = (A == B).sum(axis=1).astype(np.int64)
+    jac = pairs["jac_micros"].to_numpy().astype(np.int64)
+    est = match * 1_000_000 // 8
+    order = np.lexsort((pb_ids, pa_ids))
+    return pa.table({
+        "a": pa.array(pa_ids[order]),
+        "b": pa.array(pb_ids[order]),
+        "match_sigs": pa.array(match[order]),
+        "jac_micros": pa.array(jac[order]),
+        "est_err_micros": pa.array(np.abs(est - jac)[order]),
+    })
+
+
+def sql_minhash_calibration() -> str:
+    from rhealpixdggs_py_ray.ops import dedup
+
+    return dedup._mh_cand_cte_prefix() + """,
+sizes AS MATERIALIZED (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+),
+inter AS MATERIALIZED (
+  SELECT c.a, c.b, COUNT(*) AS ni
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s
+  GROUP BY c.a, c.b
+),
+vp AS MATERIALIZED (
+  SELECT i.a, i.b,
+    CAST(floor(CAST(ni AS DOUBLE) / (za.n + zb.n - ni) * 1000000.0)
+      AS BIGINT) AS jac_micros
+  FROM inter i JOIN sizes za ON za.doc_id = i.a
+  JOIN sizes zb ON zb.doc_id = i.b
+  WHERE CAST(ni AS DOUBLE) / (za.n + zb.n - ni) >= 0.5
+),
+sm AS MATERIALIZED (
+  SELECT p.a, p.b,
+    CAST(SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS BIGINT)
+      AS match_sigs
+  FROM vp p
+  JOIN mh ma ON ma.doc_id = p.a
+  JOIN mh mb ON mb.doc_id = p.b AND mb.s = ma.s
+  GROUP BY p.a, p.b
+)
+SELECT p.a, p.b, s.match_sigs, p.jac_micros,
+  CAST(abs(s.match_sigs * 1000000 // 8 - p.jac_micros) AS BIGINT)
+    AS est_err_micros
+FROM vp p JOIN sm s ON s.a = p.a AND s.b = p.b
+"""
+
+
 def q_dedup_clusters(sf_dir: str):
     """Near-dup cluster assignment: minhash pair graph -> connected
     components (distributed hash-min over bucket exchanges, ops/cc.py)
@@ -1369,6 +1473,8 @@ __all__ = [
     "q_decontaminate",
     "sql_decontaminate",
     "q_minhash_lsh",
+    "q_minhash_calibration",
+    "sql_minhash_calibration",
     "sql_minhash_lsh",
     "q_dedup_clusters",
     "sql_dedup_clusters",

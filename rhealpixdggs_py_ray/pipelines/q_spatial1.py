@@ -4731,7 +4731,128 @@ def q_colocation_pairs(sf_dir: str):
                   "user_b": pa.array([], type=pa.int64()),
                   "n_contacts": pa.array([], type=pa.int64())}))
 
+
+def q_join_counts(sf_dir: str):
+    """Join-count statistics of the occupied res-4 equatorial lattice
+    (the classic binary spatial-autocorrelation test that complements
+    morans_i): BB = rook-adjacent pairs BOTH occupied, BW = occupied
+    cell bordering an empty one, plus the occupied count and the
+    total directed adjacency slots.  ONE undirected-edge fold: every
+    occupied cell emits its <= 4 valid rook neighbors keyed by the
+    canonical pair key; folded count 2 = BB, 1 = BW.  Exact integers
+    end-to-end.  Output one row (n_occupied, bb_joins, bw_joins,
+    adjacency_slots)."""
+    from rhealpixdggs_py_ray.core import index as cidx
+    from rhealpixdggs_py_ray.ops.agg import sum_by_u64_key
+
+    k = DISSOLVE_RES
+    side = 3 ** k
+    W = 4 * side
+    M = side * W
+    ds = _read(sf_dir, "events", columns=["event_id"], blocks=4)
+
+    def cells(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = oracle.lonlat_from_id(ids)
+        m = np.abs(lat) <= DISSOLVE_LAT
+        u = cidx.cell_from_point(CFG, k, lon[m], lat[m], plane=False)
+        face, digits, _res = su.unpack(u)
+        d = digits[:, :k].astype(np.int64)
+        pw = (3 ** np.arange(k - 1, -1, -1)).astype(np.int64)
+        key = ((d // 3) @ pw) * W + (
+            (face.astype(np.int64) - 1) * side + (d % 3) @ pw)
+        return pa.table({"key": pa.array(key.astype(np.uint64)),
+                         "one": pa.array(np.ones(len(key), dtype=np.int64))})
+
+    occ = sum_by_u64_key(
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True),
+        "key", "one", "n").materialize()
+    n_occ = occ.count()
+
+    def emit(batch: pa.Table) -> pa.Table:
+        key = batch["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gy, gx = key // W, key % W
+        us, vs = [], []
+        for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            ty = gy + dy
+            ok = (ty >= 0) & (ty < side)
+            us.append(key[ok])
+            vs.append(ty[ok] * W + (gx[ok] + dx + W) % W)
+        u = np.concatenate(us)
+        v = np.concatenate(vs)
+        pk = (np.minimum(u, v) * M + np.maximum(u, v)).astype(np.uint64)
+        return pa.table({"pk": pa.array(pk),
+                         "one": pa.array(np.ones(len(pk), dtype=np.int64))})
+
+    folded = sum_by_u64_key(
+        occ.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True),
+        "pk", "one", "c", n_buckets=8)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = batch["c"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bb": pa.array([int((c == 2).sum())], type=pa.int64()),
+            "bw": pa.array([int((c == 1).sum())], type=pa.int64()),
+            "slots": pa.array([int(c.sum())], type=pa.int64()),
+        })
+
+    bb = bw = slots = 0
+    for b in folded.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+                   .iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            bb += int(b["bb"].to_numpy(zero_copy_only=False).sum())
+            bw += int(b["bw"].to_numpy(zero_copy_only=False).sum())
+            slots += int(b["slots"].to_numpy(zero_copy_only=False).sum())
+    return pa.table({
+        "n_occupied": pa.array([n_occ], type=pa.int64()),
+        "bb_joins": pa.array([bb], type=pa.int64()),
+        "bw_joins": pa.array([bw], type=pa.int64()),
+        "adjacency_slots": pa.array([slots], type=pa.int64()),
+    })
+
+
+def sql_join_counts() -> str:
+    k = DISSOLVE_RES
+    side = 3 ** k
+    W = 4 * side
+    M = side * W
+    pts = (
+        f"SELECT event_id, lon, lat FROM ({_points_sql('events', 'event_id')}) p"
+        f" WHERE abs(lat) <= {DISSOLVE_LAT!r}"
+    )
+    idx_sql = oracle.cell_from_point_sql(pts, k, CFG, id_cols=("event_id",))
+    gy, gx = _dissolve_rowcol_sql(k)
+    return f"""
+WITH jcc AS MATERIALIZED (
+  SELECT DISTINCT cell_id FROM {idx_sql} t
+),
+jco AS MATERIALIZED (
+  SELECT {gy} AS gy, {gx} AS gx FROM jcc
+),
+jcd(dy, dx) AS (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)),
+jce AS MATERIALIZED (
+  SELECT (o.gy * {W} + o.gx) AS u,
+    ((o.gy + d.dy) * {W} + ((o.gx + d.dx + {W}) % {W})) AS v
+  FROM jco o, jcd d
+  WHERE o.gy + d.dy >= 0 AND o.gy + d.dy < {side}
+),
+jcp AS MATERIALIZED (
+  SELECT least(u, v) * {M} + greatest(u, v) AS pk,
+    CAST(COUNT(*) AS BIGINT) AS c
+  FROM jce GROUP BY 1
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM jco) AS n_occupied,
+  CAST(COUNT(*) FILTER (WHERE c = 2) AS BIGINT) AS bb_joins,
+  CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS bw_joins,
+  CAST(SUM(c) AS BIGINT) AS adjacency_slots
+FROM jcp
+"""
+
+
 __all__ = [
+    "q_join_counts",
+    "sql_join_counts",
     "q_cell_from_point",
     "sql_cell_from_point",
     "q_cell_from_point_lon0",
