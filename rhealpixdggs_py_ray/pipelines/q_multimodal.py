@@ -1615,7 +1615,106 @@ SELECT bit, n_ones, CAST(abs(2 * n_ones - n) AS BIGINT) AS dev2
 FROM pbb
 """
 
+
+def q_image_tile_locality(sf_dir: str):
+    """Geo-locality of image near-duplicates — the two graft axes in
+    one statistic: every verified phash near-dup pair is labeled
+    same-tile / cross-tile by the endpoints' res-TILE_RES rHEALPix
+    cells (phash-derived coordinates, the headline indexing rule),
+    with the pair count and Hamming range per label.  Pairs come from
+    the cached verified set; tile assignment recomputes only for pair
+    endpoints (broadcast id set, map-side filter).  Empty labels are
+    omitted (GROUP BY parity).  Output (same_tile, n_pairs,
+    min_hamming, max_hamming)."""
+    import pyarrow.compute as pc
+
+    from rhealpixdggs_py_ray.core import index as cidx
+    from rhealpixdggs_py_ray.fixtures import phash_to_lonlat
+
+    pairs = (_image_neardup_pairs()
+             .select_columns(["a", "b", "hamming"]).to_pandas())
+    a = pairs["a"].to_numpy().astype(np.int64)
+    b = pairs["b"].to_numpy().astype(np.int64)
+    hm = pairs["hamming"].to_numpy().astype(np.int64)
+    need = np.unique(np.concatenate([a, b]))
+    nref = ray.put(need)
+
+    ds = ray.data.read_parquet(
+        IMG_DIR, columns=["image_id", "phash"],
+        override_num_blocks=sizing.read_blocks(IMG_DIR, profile=8))
+
+    def tiles(batch: pa.Table) -> pa.Table:
+        ii = pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 3, 15),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        m = np.isin(ii, ray.get(nref))
+        ii = ii[m]
+        ph = batch["phash"].to_numpy(zero_copy_only=False)[m]
+        lon, lat = phash_to_lonlat(ph)
+        u = cidx.cell_from_point(CFG, TILE_RES, lon, lat, plane=False)
+        return pa.table({
+            "img_idx": pa.array(ii),
+            "tile": pa.array(u.astype(np.uint64) >> np.uint64(52)),
+        })
+
+    idx_l, tile_l = [], []
+    for bt in ds.map_batches(tiles, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+                .iter_batches(batch_format="pyarrow"):
+        if bt.num_rows:
+            idx_l.append(bt["img_idx"].to_numpy(zero_copy_only=False))
+            tile_l.append(bt["tile"].to_numpy(zero_copy_only=False))
+    ii = np.concatenate(idx_l) if idx_l else np.array([], dtype=np.int64)
+    tt = np.concatenate(tile_l) if tile_l else np.array([], dtype=np.uint64)
+    order = np.argsort(ii)
+    ii, tt = ii[order], tt[order]
+    ta = tt[np.searchsorted(ii, a)]
+    tb = tt[np.searchsorted(ii, b)]
+    same = (ta == tb).astype(np.int64)
+    out = {k: [] for k in ("same_tile", "n_pairs", "min_h", "max_h")}
+    for s in (0, 1):
+        m = same == s
+        if not m.any():
+            continue  # GROUP BY never emits empty groups
+        out["same_tile"].append(s)
+        out["n_pairs"].append(int(m.sum()))
+        out["min_h"].append(int(hm[m].min()))
+        out["max_h"].append(int(hm[m].max()))
+    return pa.table({
+        "same_tile": pa.array(out["same_tile"], type=pa.int64()),
+        "n_pairs": pa.array(out["n_pairs"], type=pa.int64()),
+        "min_hamming": pa.array(out["min_h"], type=pa.int64()),
+        "max_hamming": pa.array(out["max_h"], type=pa.int64()),
+    })
+
+
+def sql_image_tile_locality() -> str:
+    src_sql = _image_src_sql()
+    tiled = oracle.cell_from_point_sql(
+        f"SELECT CAST(substr(image_id, 4, 12) AS BIGINT) AS img_idx,"
+        f" lon, lat FROM {src_sql} t",
+        TILE_RES, CFG, id_cols=("img_idx",))
+    return f"""
+WITH itp AS MATERIALIZED (
+  SELECT * FROM ({sql_image_neardup()}) q
+),
+itt AS MATERIALIZED (
+  SELECT img_idx, cell_id FROM {tiled} t
+)
+SELECT CAST(CASE WHEN ta.cell_id = tb.cell_id THEN 1 ELSE 0 END
+    AS BIGINT) AS same_tile,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(MIN(p.hamming) AS BIGINT) AS min_hamming,
+  CAST(MAX(p.hamming) AS BIGINT) AS max_hamming
+FROM itp p
+JOIN itt ta ON ta.img_idx = p.a
+JOIN itt tb ON tb.img_idx = p.b
+GROUP BY 1
+"""
+
+
 __all__ = [
+    "q_image_tile_locality",
+    "sql_image_tile_locality",
     "q_image_pipeline",
     "q_image_features",
     "sql_image_pipeline",
