@@ -207,3 +207,28 @@ def test_ann_ivf_ckpt_matches_transient(ray_session):
     b = (Q.q_ann_ivf_ckpt(SF).to_pandas()
          .sort_values(["qid", "rank"]).reset_index(drop=True))
     assert a.equals(b)
+
+
+def test_registry_complete_and_consistent():
+    """Every queries() entry has a non-empty oracle_sql() string and
+    the facade exposes the full pre-split surface (421+ pairs)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+
+    qs, sqls = E.queries(), E.oracle_sql()
+    assert len(qs) >= 424
+    assert set(qs) == set(sqls)
+    assert all(callable(f) for f in qs.values())
+    assert all(isinstance(s, str) and s.strip() for s in sqls.values())
+
+
+def test_family_modules_under_size_limit():
+    """No pipelines module exceeds the 8k-line split budget
+    (VERDICT r4 item 4)."""
+    import glob
+
+    for f in glob.glob("/root/repo/rhealpixdggs_py_ray/pipelines/*.py"):
+        n = sum(1 for _ in open(f))
+        assert n < 8000, f"{f}: {n} lines"
