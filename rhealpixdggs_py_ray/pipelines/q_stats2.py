@@ -4955,7 +4955,14 @@ def q_repeat_spend_corr(sf_dir: str):
     num = n * sxy - sx * sy
     d1 = n * sxx - sx * sx
     d2 = n * syy - sy * sy
-    r2 = (num * num * 10 ** 6) // (d1 * d2) if d1 > 0 and d2 > 0 else 0
+    # num^2 * 1e6 overflows INT128 at sf0.1 magnitudes, so the ratio
+    # goes through doubles with a mirrored expression tree (identical
+    # IEEE trees give identical doubles; CLAUDE.md float-chain parity)
+    import math
+
+    r2 = (math.floor(float(num) * float(num)
+                     / (float(d1) * float(d2)) * 1000000.0)
+          if d1 > 0 and d2 > 0 else 0)
     return pa.table({
         "n_pairs": pa.array([n], type=pa.int64()),
         "sign_num": pa.array(
@@ -4987,8 +4994,10 @@ SELECT CAST(n AS BIGINT) AS n_pairs,
             WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS BIGINT)
     AS sign_num,
   CAST(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
-    THEN (n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000
-      // ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    THEN floor(CAST(n * sxy - sx * sy AS DOUBLE)
+      * CAST(n * sxy - sx * sy AS DOUBLE)
+      / (CAST(n * sxx - sx * sx AS DOUBLE)
+         * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000)
     ELSE 0 END AS BIGINT) AS r2_e6
 FROM rsa
 """

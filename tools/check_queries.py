@@ -97,6 +97,10 @@ def main():
     import __ray_entry__ as E
 
     con = duckdb.connect()
+    # heavy oracles (k_truss wedge joins at sf0.1) need disk spill;
+    # an in-memory connection has no temp dir and dies OOM instead
+    con.execute("SET temp_directory='/tmp/duck_spill'")
+    con.execute("SET memory_limit='48GiB'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
