@@ -1418,6 +1418,14 @@ def q_k_truss(sf_dir: str):
         out_r.append(rnd)
         out_e.append(ne)
         out_n.append(nn)
+        if keep.all() or ne == 0:
+            # fixpoint: identical edge set -> identical support next
+            # round, so the remaining rounds repeat these counts
+            for r2 in range(rnd + 1, TRUSS_ROUNDS + 1):
+                out_r.append(r2)
+                out_e.append(ne)
+                out_n.append(nn)
+            break
     return pa.table({
         "round": pa.array(out_r, type=pa.int64()),
         "n_edges": pa.array(out_e, type=pa.int64()),

@@ -4548,9 +4548,11 @@ def q_ship_lag(sf_dir: str):
                            zero_copy_batch=True))
 
     def resolve(g: pa.Table) -> pa.Table:
+        empty = pa.table({"pri": pa.array([], type=pa.string()),
+                          "lag": pa.array([], type=pa.int64()),
+                          "cnt": pa.array([], type=pa.int64())})
         if g.num_rows == 0 or "key" not in g.column_names:
-            return pa.table({"pri": pa.array([], type=pa.string()),
-                             "lag": pa.array([], type=pa.int64())})
+            return empty
         key = g["key"].to_numpy(zero_copy_only=False)
         day = g["day"].to_numpy(zero_copy_only=False)
         side = g["side"].to_numpy(zero_copy_only=False)
@@ -4560,8 +4562,7 @@ def q_ship_lag(sf_dir: str):
         ks = key[lm]
         ds_ = day[lm]
         if not om.any() or not lm.any():
-            return pa.table({"pri": pa.array([], type=pa.string()),
-                             "lag": pa.array([], type=pa.int64())})
+            return empty
         # vectorized order lookup (order keys unique per bucket):
         # searchsorted membership + fancy-index the day/pri arrays
         order = np.argsort(key[om])
@@ -4571,28 +4572,42 @@ def q_ship_lag(sf_dir: str):
         pos = np.searchsorted(o_keys, ks)
         pos_c = np.minimum(pos, len(o_keys) - 1)
         ok2 = o_keys[pos_c] == ks
-        lag = ds_[ok2] - o_day[pos_c[ok2]]
-        pr = o_pri[pos_c[ok2]].tolist()
-        return pa.table({"pri": pa.array(pr, type=pa.string()),
-                         "lag": pa.array(lag.astype(np.int64))})
+        lag = (ds_[ok2] - o_day[pos_c[ok2]]).astype(np.int64)
+        pr = o_pri[pos_c[ok2]]
+        # histogram partials: lag-days span ~0..130, so (pri, lag, n)
+        # rows are bounded by #priorities x #lag values — the driver
+        # combines tiny histograms instead of looping per pair row
+        pu, pinv = np.unique(pr.astype(str), return_inverse=True)
+        assert len(lag) == 0 or (np.abs(lag) < 500_000).all()
+        comb = pinv.astype(np.int64) * 1_000_000 + (lag + 500_000)
+        uq, cnt = np.unique(comb, return_counts=True)
+        return pa.table({
+            "pri": pa.array(pu[(uq // 1_000_000)], type=pa.string()),
+            "lag": pa.array(uq % 1_000_000 - 500_000),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
 
-    per_pri: dict = {}
+    hist: dict = {}
     for b in (u.groupby("bucket")
               .map_groups(resolve, batch_format="pyarrow")
               .iter_batches(batch_format="pyarrow")):
         if b.num_rows == 0 or "pri" not in b.column_names:
             continue
-        for p, l in zip(b["pri"].to_pylist(), b["lag"].to_pylist()):
-            per_pri.setdefault(p, []).append(int(l))
+        for p, l, c in zip(b["pri"].to_pylist(), b["lag"].to_pylist(),
+                           b["cnt"].to_pylist()):
+            hist[(p, int(l))] = hist.get((p, int(l)), 0) + int(c)
     out = {c: [] for c in ("priority", "n", "q1_days", "median_days",
                            "q3_days")}
-    for p in sorted(per_pri):
-        lags = sorted(per_pri[p])
-        n = len(lags)
+    for p in sorted({k[0] for k in hist}):
+        lags = np.array(sorted(l for (pp, l) in hist if pp == p),
+                        dtype=np.int64)
+        cts = np.array([hist[(p, int(l))] for l in lags], dtype=np.int64)
+        csum = np.cumsum(cts)
+        n = int(csum[-1])
 
         def qtl(k: int) -> int:
             r = min(max((k * (n + 1) + 3) // 4, 1), n)
-            return lags[r - 1]
+            return int(lags[np.searchsorted(csum, r)])
 
         out["priority"].append(p)
         out["n"].append(n)
