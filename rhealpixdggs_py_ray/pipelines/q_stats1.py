@@ -5262,7 +5262,75 @@ def q_haar_energy(sf_dir: str):
         .groupby("bucket2").map_groups(resolve, batch_format="pyarrow")
     )
 
+
+SCAN_TOP = 5
+
+
+def q_tile_scan_stat(sf_dir: str):
+    """Kulldorff-style spatial scan statistic over the res-TILE_RES
+    tiles (hotspot detection stronger than a raw count ranking): per
+    tile the Poisson log-likelihood ratio against the uniform null
+    e = n_tot / T, llr = o*ln(o/e) + (n-o)*ln((n-o)/(n-e)) for o > e
+    else 0, floor-quantized to 1e-6 BEFORE ranking so ordering is
+    order-free.  The distributed tile fold is q_tile_counts' exchange;
+    the LLR loop runs over the <= 4*9^TILE_RES surviving tiles on the
+    driver with scalar math.log (libm == DuckDB ln bit-for-bit;
+    CLAUDE.md).  Output top SCAN_TOP (tile_id, n, llr_e6) by
+    (llr_e6 DESC, tile_id)."""
+    import math
+
+    t = q_tile_counts(sf_dir).to_pandas()  # bounded: tile cardinality
+    tiles = t["tile_id"].to_numpy()
+    o = t["n"].to_numpy().astype(np.int64)
+    n_tot = int(o.sum())
+    T = len(o)
+    e = n_tot / T
+    llr = np.zeros(len(o), dtype=np.int64)
+    for i in range(len(o)):
+        oi = int(o[i])
+        if oi > e and oi < n_tot:
+            v = (oi * math.log(oi / e)
+                 + (n_tot - oi) * math.log((n_tot - oi) / (n_tot - e)))
+            llr[i] = math.floor(v * 1_000_000.0)
+    order = np.lexsort((tiles, -llr))[:SCAN_TOP]
+    return pa.table({
+        "tile_id": pa.array(tiles[order], type=pa.string()),
+        "n": pa.array(o[order]),
+        "llr_e6": pa.array(llr[order]),
+    })
+
+
+def sql_tile_scan_stat() -> str:
+    inner = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), RES, CFG, id_cols=("event_id",)
+    )
+    return f"""
+WITH tsc AS MATERIALIZED (
+  SELECT substr(cell_id, 1, {1 + TILE_RES}) AS tile_id,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM {inner} t GROUP BY 1
+),
+tst AS MATERIALIZED (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+    CAST(COUNT(*) AS BIGINT) AS t FROM tsc
+)
+SELECT tile_id, n,
+  CAST(CASE WHEN CAST(n AS DOUBLE) > CAST(n_tot AS DOUBLE) / t
+              AND n < n_tot
+    THEN floor((n * ln(n / (CAST(n_tot AS DOUBLE) / t))
+      + (n_tot - n) * ln((n_tot - n)
+        / (n_tot - CAST(n_tot AS DOUBLE) / t))) * 1000000)
+    ELSE 0 END AS BIGINT) AS llr_e6
+FROM tsc, tst
+ORDER BY llr_e6 DESC, tile_id
+LIMIT {SCAN_TOP}
+"""
+
+
 __all__ = [
+    "q_tile_scan_stat",
+    "sql_tile_scan_stat",
+    "SCAN_TOP",
     "q_tile_counts",
     "sql_tile_counts",
     "q_agg_lineitem",
