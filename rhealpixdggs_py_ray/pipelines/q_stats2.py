@@ -5050,6 +5050,7 @@ def q_palma_ratio(sf_dir: str):
                                 batch_format="pyarrow"):
         for u, s in zip(b["user_id"].to_pylist(), b["s"].to_pylist()):
             acc[u] = acc.get(u, 0) + int(s)
+    assert len(acc) <= 8_000_000, "palma driver rank cap (see ops/cc.py)"
     ranked = sorted(acc.items(), key=lambda kv: (kv[1], kv[0]))
     n = len(ranked)
     k_bot = (4 * n + 9) // 10      # ceil(0.4 n)
