@@ -179,3 +179,49 @@ def write_images_table(
         paths.append(p)
     open(marker, "w").close()
     return paths
+
+
+# ---------------------------------------------------------------------------
+# Raw-PCM audio fixture (codec-free: int16 little-endian samples, so the
+# decode path is REAL numpy frombuffer work — no soundfile/librosa needed)
+# ---------------------------------------------------------------------------
+
+
+def audio_samples(i: int, n: int) -> np.ndarray:
+    """Deterministic int16 sample train for audio row ``i``:
+    s(t) = ((t*t*7 + t*13 + i*31) mod 4096) - 2048 — pure integer, so
+    the DuckDB oracle replays it exactly via generate_series."""
+    t = np.arange(n, dtype=np.int64)
+    return (((t * t * 7 + t * 13 + i * 31) % 4096) - 2048).astype(np.int16)
+
+
+def write_audio_table(out_dir: str, n_rows: int) -> list[str]:
+    """Materialize the raw-PCM audio table (audio_id, bytes, fmt, sr,
+    n_samples); idempotent like write_images_table."""
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, f".complete-{n_rows}")
+    files = sorted(
+        os.path.join(out_dir, f) for f in os.listdir(out_dir)
+        if f.endswith(".parquet")
+    )
+    if os.path.exists(marker) and files:
+        return files
+    for f in files:
+        os.remove(f)
+    ids, blobs, ns = [], [], []
+    for i in range(n_rows):
+        n = 1500 + (i % 5) * 250
+        ids.append(f"aud{i:08d}")
+        blobs.append(audio_samples(i, n).astype("<i2").tobytes())
+        ns.append(n)
+    t = pa.table({
+        "audio_id": pa.array(ids, type=pa.string()),
+        "bytes": pa.array(blobs, type=pa.binary()),
+        "fmt": pa.array(["pcm_s16le"] * n_rows, type=pa.string()),
+        "sr": pa.array([8000] * n_rows, type=pa.int32()),
+        "n_samples": pa.array(ns, type=pa.int32()),
+    })
+    p = os.path.join(out_dir, "part-00000.parquet")
+    pq.write_table(t, p)
+    open(marker, "w").close()
+    return [p]

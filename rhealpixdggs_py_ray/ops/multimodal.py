@@ -267,3 +267,45 @@ def image_near_dup_pairs(ds, id_col: str = "img_idx", max_hamming: int = 6,
         return pd.DataFrame(cols)
 
     return _pair_sides_pivot(att, verify, ["phash64", *extra_val_cols])
+
+
+class PcmFeatures:
+    """REAL audio feature stage over raw-PCM payloads — no codec
+    needed: int16 little-endian samples decode with one numpy
+    frombuffer, so unlike FrameSampler/AudioFeatureStub (codec-blocked
+    in this container) this path runs the actual bytes.  Per row:
+    sample count, energy (sum of squares), zero crossings
+    (sign-product < 0 over adjacent samples), peak |amplitude|, and
+    the integer sample sum — all exact integers, so the DuckDB oracle
+    replays the generative sample formula through generate_series and
+    value-hash-verifies the whole decode chain.  Payload bytes never
+    leave the stage (features only).
+
+    Contract: (audio_id, bytes, fmt, sr, n_samples) ->
+    (audio_id, n_samples, energy, zero_cross, peak_abs, sample_sum)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["audio_id"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        out = {k: [] for k in ("id", "n", "e", "z", "p", "s")}
+        for aid, blob, fmt in zip(ids, blobs, fmts):
+            if fmt != "pcm_s16le":
+                raise NotImplementedError(
+                    f"compressed audio ({fmt}) needs soundfile/librosa, "
+                    "unavailable here; raw pcm_s16le is the real path")
+            v = np.frombuffer(blob, dtype="<i2").astype(np.int64)
+            out["id"].append(aid)
+            out["n"].append(len(v))
+            out["e"].append(int((v * v).sum()))
+            out["z"].append(int((v[:-1] * v[1:] < 0).sum()))
+            out["p"].append(int(np.abs(v).max()) if len(v) else 0)
+            out["s"].append(int(v.sum()))
+        return pa.table({
+            "audio_id": pa.array(out["id"], type=pa.string()),
+            "n_samples": pa.array(out["n"], type=pa.int64()),
+            "energy": pa.array(out["e"], type=pa.int64()),
+            "zero_cross": pa.array(out["z"], type=pa.int64()),
+            "peak_abs": pa.array(out["p"], type=pa.int64()),
+            "sample_sum": pa.array(out["s"], type=pa.int64()),
+        })

@@ -1712,7 +1712,66 @@ GROUP BY 1
 """
 
 
+
+AUDIO_DIR = "/tmp/graft_audio_400"
+AUDIO_N = 400
+
+
+def q_audio_features(sf_dir: str):
+    """REAL audio pipeline over raw-PCM payload bytes (codec-free —
+    the one multimodal axis previously stub-only): decode int16
+    little-endian samples with numpy frombuffer in an actor-pool
+    map_batches stage, emit exact integer features (energy, zero
+    crossings, peak, sum).  The oracle replays the generative sample
+    formula s(t) = ((t*t*7 + t*13 + i*31) mod 4096) - 2048 through
+    generate_series, so the byte decode chain is value-hash verified
+    end-to-end (the image generative-codec pattern).  Payload bytes
+    never enter a shuffle.  Output (audio_id, n_samples, energy,
+    zero_cross, peak_abs, sample_sum)."""
+    from rhealpixdggs_py_ray.fixtures import write_audio_table
+    from rhealpixdggs_py_ray.ops.multimodal import PcmFeatures
+
+    write_audio_table(AUDIO_DIR, AUDIO_N)
+    ds = ray.data.read_parquet(
+        AUDIO_DIR, columns=["audio_id", "bytes", "fmt"],
+        override_num_blocks=sizing.read_blocks(AUDIO_DIR, profile=8))
+    return sizing.stateful_map(ds, PcmFeatures, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
+def sql_audio_features() -> str:
+    from rhealpixdggs_py_ray.fixtures import write_audio_table
+
+    write_audio_table(AUDIO_DIR, AUDIO_N)  # driver may run SQL first
+    return f"""
+WITH aud AS MATERIALIZED (
+  SELECT audio_id, CAST(substr(audio_id, 4, 8) AS BIGINT) AS i,
+    CAST(n_samples AS BIGINT) AS n
+  FROM read_parquet('{AUDIO_DIR}/*.parquet')
+),
+smp AS MATERIALIZED (
+  SELECT audio_id, t, ((t * t * 7 + t * 13 + i * 31) % 4096) - 2048 AS v
+  FROM aud, unnest(generate_series(0, n - 1)) AS g(t)
+),
+lagd AS MATERIALIZED (
+  SELECT audio_id, v,
+    lag(v) OVER (PARTITION BY audio_id ORDER BY t) AS vp
+  FROM smp
+)
+SELECT audio_id,
+  CAST(COUNT(*) AS BIGINT) AS n_samples,
+  CAST(SUM(v * v) AS BIGINT) AS energy,
+  CAST(COUNT(*) FILTER (WHERE vp IS NOT NULL AND v * vp < 0) AS BIGINT)
+    AS zero_cross,
+  CAST(MAX(abs(v)) AS BIGINT) AS peak_abs,
+  CAST(SUM(v) AS BIGINT) AS sample_sum
+FROM lagd GROUP BY audio_id
+"""
+
+
 __all__ = [
+    "q_audio_features",
+    "sql_audio_features",
     "q_image_tile_locality",
     "sql_image_tile_locality",
     "q_image_pipeline",

@@ -232,3 +232,30 @@ def test_family_modules_under_size_limit():
     for f in glob.glob("/root/repo/rhealpixdggs_py_ray/pipelines/*.py"):
         n = sum(1 for _ in open(f))
         assert n < 8000, f"{f}: {n} lines"
+
+
+def test_pcm_features_real_decode(ray_session):
+    """PcmFeatures decodes REAL raw-PCM bytes (no codec): features
+    match a direct numpy computation, and a compressed fmt raises."""
+    import pyarrow as pa
+    import pytest
+    from rhealpixdggs_py_ray.fixtures import audio_samples
+    from rhealpixdggs_py_ray.ops.multimodal import PcmFeatures
+
+    v = audio_samples(7, 100).astype(np.int64)
+    batch = pa.table({
+        "audio_id": pa.array(["aud00000007"]),
+        "bytes": pa.array([audio_samples(7, 100).astype("<i2").tobytes()],
+                          type=pa.binary()),
+        "fmt": pa.array(["pcm_s16le"]),
+    })
+    t = PcmFeatures()(batch)
+    assert t["n_samples"][0].as_py() == 100
+    assert t["energy"][0].as_py() == int((v * v).sum())
+    assert t["zero_cross"][0].as_py() == int((v[:-1] * v[1:] < 0).sum())
+    assert t["peak_abs"][0].as_py() == int(np.abs(v).max())
+    assert t["sample_sum"][0].as_py() == int(v.sum())
+
+    bad = batch.set_column(2, "fmt", pa.array(["mp3"]))
+    with pytest.raises(NotImplementedError):
+        PcmFeatures()(bad)
