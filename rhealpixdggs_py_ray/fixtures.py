@@ -225,3 +225,47 @@ def write_audio_table(out_dir: str, n_rows: int) -> list[str]:
     pq.write_table(t, p)
     open(marker, "w").close()
     return [p]
+
+
+def video_frame(i: int, f: int, w: int, h: int) -> np.ndarray:
+    """Deterministic uint8 RGB frame for video ``i``, frame ``f``:
+    pix(y, x, c) = (x*3 + y*5 + c*7 + f*11 + i*17) mod 256."""
+    x = np.arange(w, dtype=np.int32)[None, :, None]
+    y = np.arange(h, dtype=np.int32)[:, None, None]
+    c = np.arange(3, dtype=np.int32)[None, None, :]
+    return ((x * 3 + y * 5 + c * 7 + f * 11 + i * 17) % 256).astype(np.uint8)
+
+
+def write_video_table(out_dir: str, n_rows: int, w: int = 16,
+                      h: int = 12) -> list[str]:
+    """Materialize the raw-video table (video_id, bytes = concatenated
+    rawvideo RGB frames, w, h, fmt, n_frames); idempotent."""
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, f".complete-{n_rows}")
+    files = sorted(
+        os.path.join(out_dir, f) for f in os.listdir(out_dir)
+        if f.endswith(".parquet")
+    )
+    if os.path.exists(marker) and files:
+        return files
+    for f in files:
+        os.remove(f)
+    ids, blobs, nf = [], [], []
+    for i in range(n_rows):
+        frames = 8 + (i % 5)
+        ids.append(f"vid{i:08d}")
+        blobs.append(b"".join(
+            video_frame(i, f, w, h).tobytes() for f in range(frames)))
+        nf.append(frames)
+    t = pa.table({
+        "video_id": pa.array(ids, type=pa.string()),
+        "bytes": pa.array(blobs, type=pa.binary()),
+        "w": pa.array([w] * n_rows, type=pa.int32()),
+        "h": pa.array([h] * n_rows, type=pa.int32()),
+        "fmt": pa.array(["rawvideo"] * n_rows, type=pa.string()),
+        "n_frames": pa.array(nf, type=pa.int32()),
+    })
+    p = os.path.join(out_dir, "part-00000.parquet")
+    pq.write_table(t, p)
+    open(marker, "w").close()
+    return [p]

@@ -309,3 +309,49 @@ class PcmFeatures:
             "peak_abs": pa.array(out["p"], type=pa.int64()),
             "sample_sum": pa.array(out["s"], type=pa.int64()),
         })
+
+
+class RawVideoFrameStats:
+    """REAL video frame-sampling stage over rawvideo payloads — no
+    codec needed: frames are fixed-stride w*h*3 byte windows, so the
+    decode is a numpy frombuffer + reshape per sampled frame (unlike
+    FrameSampler's compressed path, which stays codec-blocked).
+    Samples every ``every_n_frames``-th frame and emits exact integer
+    per-frame statistics (sum, min, max over uint8 values) — features
+    only, payload bytes never leave the stage.
+
+    Contract: (video_id, bytes, w, h, fmt, n_frames) ->
+    (video_id, frame_idx, px_sum, px_min, px_max)."""
+
+    def __init__(self, every_n_frames: int = 2):
+        self.every = every_n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["video_id"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        fmts = batch["fmt"].to_pylist()
+        nfs = batch["n_frames"].to_numpy(zero_copy_only=False)
+        out = {k: [] for k in ("id", "f", "s", "lo", "hi")}
+        for k in range(len(ids)):
+            if fmts[k] != "rawvideo":
+                raise NotImplementedError(
+                    f"compressed video ({fmts[k]}) needs ffmpeg/PyAV, "
+                    "unavailable here; rawvideo is the real path")
+            stride = int(ws[k]) * int(hs[k]) * 3
+            v = np.frombuffer(blobs[k], dtype=np.uint8)
+            for f in range(0, int(nfs[k]), self.every):
+                fr = v[f * stride:(f + 1) * stride].astype(np.int64)
+                out["id"].append(ids[k])
+                out["f"].append(f)
+                out["s"].append(int(fr.sum()))
+                out["lo"].append(int(fr.min()))
+                out["hi"].append(int(fr.max()))
+        return pa.table({
+            "video_id": pa.array(out["id"], type=pa.string()),
+            "frame_idx": pa.array(out["f"], type=pa.int64()),
+            "px_sum": pa.array(out["s"], type=pa.int64()),
+            "px_min": pa.array(out["lo"], type=pa.int64()),
+            "px_max": pa.array(out["hi"], type=pa.int64()),
+        })

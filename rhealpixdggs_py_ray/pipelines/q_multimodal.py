@@ -1769,7 +1769,70 @@ FROM lagd GROUP BY audio_id
 """
 
 
+
+VIDEO_DIR = "/tmp/graft_video_200"
+VIDEO_N = 200
+VIDEO_EVERY = 2
+
+
+def q_video_frame_stats(sf_dir: str):
+    """REAL video pipeline over rawvideo payload bytes (codec-free —
+    closes the second stub-only multimodal axis): sample every
+    VIDEO_EVERY-th fixed-stride RGB frame via numpy frombuffer in an
+    actor-pool stage, emit exact integer per-frame statistics.  The
+    oracle replays the generative pixel formula pix = (x*3 + y*5 +
+    c*7 + f*11 + i*17) mod 256 through a generate_series cross join,
+    value-hash-verifying the frame-slicing decode end-to-end.
+    Output (video_id, frame_idx, px_sum, px_min, px_max)."""
+    from rhealpixdggs_py_ray.fixtures import write_video_table
+    from rhealpixdggs_py_ray.ops.multimodal import RawVideoFrameStats
+
+    write_video_table(VIDEO_DIR, VIDEO_N)
+    ds = ray.data.read_parquet(
+        VIDEO_DIR,
+        columns=["video_id", "bytes", "w", "h", "fmt", "n_frames"],
+        override_num_blocks=sizing.read_blocks(VIDEO_DIR, profile=8))
+    return sizing.stateful_map(
+        ds, RawVideoFrameStats,
+        fn_constructor_kwargs={"every_n_frames": VIDEO_EVERY},
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_video_frame_stats() -> str:
+    from rhealpixdggs_py_ray.fixtures import write_video_table
+
+    write_video_table(VIDEO_DIR, VIDEO_N)  # driver may run SQL first
+    return f"""
+WITH vid AS MATERIALIZED (
+  SELECT video_id, CAST(substr(video_id, 4, 8) AS BIGINT) AS i,
+    CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+    CAST(n_frames AS BIGINT) AS nf
+  FROM read_parquet('{VIDEO_DIR}/*.parquet')
+),
+vfr AS MATERIALIZED (
+  SELECT video_id, i, w, h, f
+  FROM vid, unnest(generate_series(0, nf - 1)) AS g(f)
+  WHERE f % {VIDEO_EVERY} = 0
+),
+vpx AS MATERIALIZED (
+  SELECT video_id, f,
+    (x * 3 + y * 5 + c * 7 + f * 11 + i * 17) % 256 AS v
+  FROM vfr,
+    unnest(generate_series(0, w - 1)) AS gx(x),
+    unnest(generate_series(0, h - 1)) AS gy(y),
+    unnest(generate_series(0, 2)) AS gc(c)
+)
+SELECT video_id, CAST(f AS BIGINT) AS frame_idx,
+  CAST(SUM(v) AS BIGINT) AS px_sum,
+  CAST(MIN(v) AS BIGINT) AS px_min,
+  CAST(MAX(v) AS BIGINT) AS px_max
+FROM vpx GROUP BY video_id, f
+"""
+
+
 __all__ = [
+    "q_video_frame_stats",
+    "sql_video_frame_stats",
     "q_audio_features",
     "sql_audio_features",
     "q_image_tile_locality",

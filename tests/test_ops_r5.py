@@ -259,3 +259,34 @@ def test_pcm_features_real_decode(ray_session):
     bad = batch.set_column(2, "fmt", pa.array(["mp3"]))
     with pytest.raises(NotImplementedError):
         PcmFeatures()(bad)
+
+
+def test_rawvideo_frame_stats_real_decode(ray_session):
+    """RawVideoFrameStats slices and decodes REAL rawvideo bytes:
+    stats match direct numpy frame computation; compressed raises."""
+    import pyarrow as pa
+    import pytest
+    from rhealpixdggs_py_ray.fixtures import video_frame
+    from rhealpixdggs_py_ray.ops.multimodal import RawVideoFrameStats
+
+    i, w, h, nf = 4, 16, 12, 5
+    blob = b"".join(video_frame(i, f, w, h).tobytes() for f in range(nf))
+    batch = pa.table({
+        "video_id": pa.array([f"vid{i:08d}"]),
+        "bytes": pa.array([blob], type=pa.binary()),
+        "w": pa.array([w], type=pa.int32()),
+        "h": pa.array([h], type=pa.int32()),
+        "fmt": pa.array(["rawvideo"]),
+        "n_frames": pa.array([nf], type=pa.int32()),
+    })
+    t = RawVideoFrameStats(every_n_frames=2)(batch)
+    assert t["frame_idx"].to_pylist() == [0, 2, 4]
+    for row, f in enumerate((0, 2, 4)):
+        fr = video_frame(i, f, w, h).astype(np.int64)
+        assert t["px_sum"][row].as_py() == int(fr.sum())
+        assert t["px_min"][row].as_py() == int(fr.min())
+        assert t["px_max"][row].as_py() == int(fr.max())
+
+    bad = batch.set_column(4, "fmt", pa.array(["h264"]))
+    with pytest.raises(NotImplementedError):
+        RawVideoFrameStats()(bad)
