@@ -1830,7 +1830,79 @@ FROM vpx GROUP BY video_id, f
 """
 
 
+
+SCENE_CUT_T = 3000  # |px_sum delta| between consecutive sampled frames
+
+
+def q_video_scene_cuts(sf_dir: str):
+    """Scene-change detection on the real rawvideo path: a sampled
+    frame is a cut when its pixel-sum jumps by more than SCENE_CUT_T
+    against the previous sampled frame of the same video (the
+    classic intensity-delta detector, exact integers end-to-end).
+    Fused with the RawVideoFrameStats decode in one stage so a
+    video's frames never straddle a batch boundary; per-video
+    ordering is a vectorized in-batch lexsort, no exchange.  Output
+    (video_id, frame_idx, delta)."""
+    from rhealpixdggs_py_ray.fixtures import write_video_table
+    from rhealpixdggs_py_ray.ops.multimodal import RawVideoFrameStats
+
+    write_video_table(VIDEO_DIR, VIDEO_N)
+    ds = ray.data.read_parquet(
+        VIDEO_DIR,
+        columns=["video_id", "bytes", "w", "h", "fmt", "n_frames"],
+        override_num_blocks=sizing.read_blocks(VIDEO_DIR, profile=8))
+
+    def cuts(batch: pa.Table) -> pa.Table:
+        vid = np.asarray(batch["video_id"].to_pylist(), dtype=object)
+        f = batch["frame_idx"].to_numpy(zero_copy_only=False)
+        s = batch["px_sum"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((f, vid.astype(str)))
+        vid, f, s = vid[order], f[order], s[order]
+        same = np.zeros(len(vid), dtype=bool)
+        if len(vid) > 1:
+            same[1:] = vid[1:] == vid[:-1]
+        d = np.zeros(len(s), dtype=np.int64)
+        d[1:] = s[1:] - s[:-1]
+        hit = same & (np.abs(d) > SCENE_CUT_T)
+        return pa.table({
+            "video_id": pa.array(vid[hit].tolist(), type=pa.string()),
+            "frame_idx": pa.array(f[hit]),
+            "delta": pa.array(d[hit]),
+        })
+
+    class DecodeAndCut(RawVideoFrameStats):
+        """Fused decode+cut: a video's frames never straddle a batch
+        boundary because the cut step runs on the SAME batch the
+        decode produced (Ray may re-slice blocks between stages)."""
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return cuts(super().__call__(batch))
+
+    return sizing.stateful_map(
+        ds, DecodeAndCut,
+        fn_constructor_kwargs={"every_n_frames": VIDEO_EVERY},
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_video_scene_cuts() -> str:
+    return f"""
+WITH vsr AS MATERIALIZED (
+  SELECT * FROM ({sql_video_frame_stats()}) q
+),
+vsd AS MATERIALIZED (
+  SELECT video_id, frame_idx,
+    px_sum - lag(px_sum) OVER (PARTITION BY video_id ORDER BY frame_idx)
+      AS delta
+  FROM vsr
+)
+SELECT video_id, frame_idx, CAST(delta AS BIGINT) AS delta
+FROM vsd WHERE abs(delta) > {SCENE_CUT_T}
+"""
+
+
 __all__ = [
+    "q_video_scene_cuts",
+    "sql_video_scene_cuts",
     "q_video_frame_stats",
     "sql_video_frame_stats",
     "q_audio_features",
