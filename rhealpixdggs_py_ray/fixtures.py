@@ -187,19 +187,35 @@ def write_images_table(
 # ---------------------------------------------------------------------------
 
 
+def audio_base(i: int) -> int:
+    """Rows with i % 10 == 9 are planted near-copies of row i-1."""
+    return i - 1 if i % 10 == 9 else i
+
+
+def audio_n_samples(i: int) -> int:
+    return 1500 + (audio_base(i) % 5) * 250
+
+
 def audio_samples(i: int, n: int) -> np.ndarray:
     """Deterministic int16 sample train for audio row ``i``:
-    s(t) = ((t*t*7 + t*13 + i*31) mod 4096) - 2048 — pure integer, so
-    the DuckDB oracle replays it exactly via generate_series."""
+    s(t) = ((t*t*7 + t*13 + b*31) mod 4096) - 2048 with b =
+    audio_base(i), plus +7 at every t % 500 == 0 when the row is a
+    planted near-copy — pure integers, so the DuckDB oracle replays
+    the train exactly via generate_series (and the near-dup detector
+    has ground-truth pairs to find)."""
+    b = audio_base(i)
     t = np.arange(n, dtype=np.int64)
-    return (((t * t * 7 + t * 13 + i * 31) % 4096) - 2048).astype(np.int16)
+    v = ((t * t * 7 + t * 13 + b * 31) % 4096) - 2048
+    if i % 10 == 9:
+        v = v + 7 * (t % 500 == 0)
+    return v.astype(np.int16)
 
 
 def write_audio_table(out_dir: str, n_rows: int) -> list[str]:
     """Materialize the raw-PCM audio table (audio_id, bytes, fmt, sr,
     n_samples); idempotent like write_images_table."""
     os.makedirs(out_dir, exist_ok=True)
-    marker = os.path.join(out_dir, f".complete-{n_rows}")
+    marker = os.path.join(out_dir, f".complete-v2-{n_rows}")
     files = sorted(
         os.path.join(out_dir, f) for f in os.listdir(out_dir)
         if f.endswith(".parquet")
@@ -210,7 +226,7 @@ def write_audio_table(out_dir: str, n_rows: int) -> list[str]:
         os.remove(f)
     ids, blobs, ns = [], [], []
     for i in range(n_rows):
-        n = 1500 + (i % 5) * 250
+        n = audio_n_samples(i)
         ids.append(f"aud{i:08d}")
         blobs.append(audio_samples(i, n).astype("<i2").tobytes())
         ns.append(n)

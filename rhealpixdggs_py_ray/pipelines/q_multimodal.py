@@ -1750,7 +1750,11 @@ WITH aud AS MATERIALIZED (
   FROM read_parquet('{AUDIO_DIR}/*.parquet')
 ),
 smp AS MATERIALIZED (
-  SELECT audio_id, t, ((t * t * 7 + t * 13 + i * 31) % 4096) - 2048 AS v
+  SELECT audio_id,  t,
+    ((t * t * 7 + t * 13
+      + (i - CASE WHEN i % 10 = 9 THEN 1 ELSE 0 END) * 31) % 4096)
+      - 2048
+    + CASE WHEN i % 10 = 9 AND t % 500 = 0 THEN 7 ELSE 0 END AS v
   FROM aud, unnest(generate_series(0, n - 1)) AS g(t)
 ),
 lagd AS MATERIALIZED (
@@ -1900,7 +1904,183 @@ FROM vsd WHERE abs(delta) > {SCENE_CUT_T}
 """
 
 
+
+AUDIO_ND_WIN = 256    # fingerprint window (samples)
+AUDIO_ND_Q = 4096     # window-energy quantum (LSH band)
+AUDIO_ND_MAX = 8      # verify: max differing samples
+
+
+def q_audio_neardup(sf_dir: str):
+    """Audio near-dup detection over REAL raw-PCM bytes — the
+    near-dup family's audio modality (images: phash bands; text:
+    minhash): per audio, window abs-energy fingerprints (full
+    AUDIO_ND_WIN-sample windows), banded by (window, length,
+    energy // AUDIO_ND_Q); candidates share >= 1 band; verification
+    is the exact count of differing samples <= AUDIO_ND_MAX over the
+    equal-length trains (endpoint-only byte fetch via broadcast id
+    set — the verified pair set is tiny, candidates are banded,
+    never all-pairs).  The fixture plants i%10==9 rows as +7-at-
+    every-500th-sample copies of row i-1, so ground truth exists and
+    the oracle replays fingerprints, banding AND the sample-level
+    diff from the generative formula.  Output (audio_a, audio_b,
+    n_diff)."""
+    from rhealpixdggs_py_ray.fixtures import write_audio_table
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64, sum_by_u64_key
+
+    write_audio_table(AUDIO_DIR, AUDIO_N)
+    ds = ray.data.read_parquet(
+        AUDIO_DIR, columns=["audio_id", "bytes"],
+        override_num_blocks=sizing.read_blocks(AUDIO_DIR, profile=8))
+    nb = 8
+
+    def bands(batch: pa.Table) -> pa.Table:
+        ids = batch["audio_id"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        out_b, out_i = [], []
+        for aid, blob in zip(ids, blobs):
+            v = np.abs(np.frombuffer(blob, dtype="<i2").astype(np.int64))
+            n = len(v)
+            nw = n // AUDIO_ND_WIN
+            if not nw:
+                continue
+            e = v[:nw * AUDIO_ND_WIN].reshape(nw, AUDIO_ND_WIN).sum(axis=1)
+            j = np.arange(nw, dtype=np.uint64)
+            key = ((j << np.uint64(48))
+                   | (np.uint64(n & 0xFFFF) << np.uint64(32))
+                   | (e // AUDIO_ND_Q).astype(np.uint64))
+            out_b.append(key)
+            out_i.append(np.full(nw, int(aid[3:]), dtype=np.int64))
+        if not out_b:
+            return pa.table({"bucket": pa.array([], type=pa.int64()),
+                             "band": pa.array([], type=pa.uint64()),
+                             "idx": pa.array([], type=pa.int64())})
+        bk = np.concatenate(out_b)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(bk, nb)),
+            "band": pa.array(bk, type=pa.uint64()),
+            "idx": pa.array(np.concatenate(out_i)),
+        })
+
+    def pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "band" not in g.column_names:
+            return pa.table({"pk": pa.array([], type=pa.uint64()),
+                             "one": pa.array([], type=pa.int64())})
+        bk = g["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ix = g["idx"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((ix, bk))
+        bk, ix = bk[order], ix[order]
+        _, start = np.unique(bk, return_index=True)
+        cnt = np.diff(np.append(start, len(bk)))
+        out = []
+        for s, c in zip(start.tolist(), cnt.tolist()):
+            ii = ix[s:s + c]
+            ia, ib = np.triu_indices(c, k=1)
+            out.append((ii[ia] << np.uint64(32)) | ii[ib])
+        pk = (np.unique(np.concatenate(out)) if out
+              else np.array([], dtype=np.uint64))
+        return pa.table({"pk": pa.array(pk, type=pa.uint64()),
+                         "one": pa.array(np.ones(len(pk), dtype=np.int64))})
+
+    cand = sum_by_u64_key(
+        ds.map_batches(bands, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket").map_groups(pairs, batch_format="pyarrow"),
+        "pk", "one", "nb", n_buckets=nb)
+
+    pk_l = []
+    for b in cand.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            pk_l.append(b["pk"].to_numpy(zero_copy_only=False)
+                        .astype(np.uint64))
+    pk = np.concatenate(pk_l) if pk_l else np.array([], dtype=np.uint64)
+    a = (pk >> np.uint64(32)).astype(np.int64)
+    bb = (pk & np.uint64((1 << 32) - 1)).astype(np.int64)
+    need = np.unique(np.concatenate([a, bb])) if len(pk) else \
+        np.array([], dtype=np.int64)
+    nref = ray.put(need)
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        ids = np.array([int(x[3:]) for x in
+                        batch["audio_id"].to_pylist()], dtype=np.int64)
+        m = np.isin(ids, ray.get(nref))
+        return pa.table({
+            "idx": pa.array(ids[m]),
+            "bytes": batch["bytes"].filter(pa.array(m)),
+        })
+
+    samples = {}
+    for bt in ds.map_batches(fetch, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+                .iter_batches(batch_format="pyarrow"):
+        for ii, blob in zip(bt["idx"].to_pylist(),
+                            bt["bytes"].to_pylist()):
+            samples[int(ii)] = np.frombuffer(blob, dtype="<i2")
+    out_a, out_b, out_d = [], [], []
+    for x, y in zip(a.tolist(), bb.tolist()):
+        va, vb = samples[x], samples[y]
+        if len(va) != len(vb):
+            continue
+        d = int((va != vb).sum())
+        if d <= AUDIO_ND_MAX:
+            out_a.append(x)
+            out_b.append(y)
+            out_d.append(d)
+    order = np.lexsort((np.array(out_b), np.array(out_a))) \
+        if out_a else np.array([], dtype=np.int64)
+    return pa.table({
+        "audio_a": pa.array(np.array(out_a, dtype=np.int64)[order]),
+        "audio_b": pa.array(np.array(out_b, dtype=np.int64)[order]),
+        "n_diff": pa.array(np.array(out_d, dtype=np.int64)[order]),
+    })
+
+
+def sql_audio_neardup() -> str:
+    from rhealpixdggs_py_ray.fixtures import write_audio_table
+
+    write_audio_table(AUDIO_DIR, AUDIO_N)
+    return f"""
+WITH aud AS MATERIALIZED (
+  SELECT CAST(substr(audio_id, 4, 8) AS BIGINT) AS i,
+    CAST(n_samples AS BIGINT) AS n
+  FROM read_parquet('{AUDIO_DIR}/*.parquet')
+),
+smp AS MATERIALIZED (
+  SELECT i, n, t,
+    ((t * t * 7 + t * 13
+      + (i - CASE WHEN i % 10 = 9 THEN 1 ELSE 0 END) * 31) % 4096)
+      - 2048
+    + CASE WHEN i % 10 = 9 AND t % 500 = 0 THEN 7 ELSE 0 END AS v
+  FROM aud, unnest(generate_series(0, n - 1)) AS g(t)
+),
+wnd AS MATERIALIZED (
+  SELECT i, n, t // {AUDIO_ND_WIN} AS j,
+    CAST(SUM(abs(v)) AS BIGINT) AS e
+  FROM smp WHERE t < (n // {AUDIO_ND_WIN}) * {AUDIO_ND_WIN}
+  GROUP BY i, n, t // {AUDIO_ND_WIN}
+),
+bk AS MATERIALIZED (
+  SELECT i, j, n, e // {AUDIO_ND_Q} AS eq FROM wnd
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT x.i AS a, y.i AS b
+  FROM bk x JOIN bk y
+    ON x.j = y.j AND x.n = y.n AND x.eq = y.eq AND x.i < y.i
+),
+vdiff AS MATERIALIZED (
+  SELECT c.a, c.b,
+    CAST(COUNT(*) FILTER (WHERE va.v <> vb.v) AS BIGINT) AS n_diff
+  FROM cand c
+  JOIN smp va ON va.i = c.a
+  JOIN smp vb ON vb.i = c.b AND vb.t = va.t
+  GROUP BY c.a, c.b
+)
+SELECT a AS audio_a, b AS audio_b, n_diff
+FROM vdiff WHERE n_diff <= {AUDIO_ND_MAX}
+"""
+
+
 __all__ = [
+    "q_audio_neardup",
+    "sql_audio_neardup",
     "q_video_scene_cuts",
     "sql_video_scene_cuts",
     "q_video_frame_stats",
