@@ -2079,6 +2079,15 @@ FROM vdiff WHERE n_diff <= {AUDIO_ND_MAX}
 
 
 __all__ = [
+    "AUDIO_DIR",
+    "AUDIO_N",
+    "VIDEO_DIR",
+    "VIDEO_N",
+    "VIDEO_EVERY",
+    "SCENE_CUT_T",
+    "AUDIO_ND_WIN",
+    "AUDIO_ND_Q",
+    "AUDIO_ND_MAX",
     "q_audio_neardup",
     "sql_audio_neardup",
     "q_video_scene_cuts",

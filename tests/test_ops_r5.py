@@ -294,12 +294,12 @@ def test_rawvideo_frame_stats_real_decode(ray_session):
 
 def test_audio_neardup_ground_truth(ray_session):
     """The banded audio near-dup detector finds exactly the planted
-    pairs (i-1, i) for i % 10 == 9, each with <= 4 differing
-    samples."""
+    pairs (i-1, i) for i % 10 == 9, each with 3-5 differing
+    samples (one per t % 500 == 0 position within the train)."""
     from rhealpixdggs_py_ray.pipelines import queries as Q
 
     t = Q.q_audio_neardup(SF).to_pandas()
     want = {(i - 1, i) for i in range(Q.AUDIO_N) if i % 10 == 9}
     got = set(zip(t["audio_a"].tolist(), t["audio_b"].tolist()))
     assert got == want
-    assert (t["n_diff"] <= 4).all() and (t["n_diff"] >= 1).all()
+    assert (t["n_diff"] <= 5).all() and (t["n_diff"] >= 3).all()
