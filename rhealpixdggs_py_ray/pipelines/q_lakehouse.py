@@ -1813,7 +1813,141 @@ FROM kan GROUP BY 1, 2
 HAVING COUNT(*) < {KANON_K}
 """
 
+
+TT_ASOF = 12       # reconstruct table state as of this commit (day)
+TT_DEL_MOD = 17    # (user_id + day) % TT_DEL_MOD == 0 -> DELETE op
+
+
+def q_time_travel(sf_dir: str):
+    """Delta-log time travel with MERGE semantics (the lakehouse
+    read-as-of primitive): each epoch day k is one commit of per-user
+    ops — UPSERT of the user's last value that day (ties: latest ts,
+    then largest event_id), or DELETE when (user_id + k) %
+    TT_DEL_MOD == 0.  The log is written ONCE as parquet hive-
+    partitioned by commit (the resumable layout), and the as-of read
+    lists ONLY commit dirs <= TT_ASOF — partition pruning is the
+    point: reconstruction cost scales with the commits read, never
+    the table's full history.  Replay is one h(user) bucket exchange:
+    last-writer-wins per user across the read commits, DELETE wins
+    drop the user.  Output (user_id, cents) of the surviving state.
+    Oracle: two-level row_number replay over the same events view."""
+    import glob
+    import os
+
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    log_dir = (f"/tmp/graft_ttlog_{os.path.basename(sf_dir.rstrip('/'))}")
+    nb = 8
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"], blocks=4)
+
+    def ops(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = (batch["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        day = ts // 86_400_000_000 - 19723
+        c = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        # per-batch partial: keep the (ts, event_id)-max row per
+        # (user, day) — merged exactly again in the replay resolve
+        if len(day) and (day.min() < 0 or day.max() >= 64):
+            raise AssertionError(
+                "time_travel (user, day) packing needs epoch day in "
+                "[0, 64) — repack if fixtures move")
+        order = np.lexsort((eid, ts, uid.astype(np.int64) * 64 + day))
+        uid, day, ts, eid, c = (a[order] for a in (uid, day, ts, eid, c))
+        grp = uid.astype(np.int64) * 64 + day
+        last = np.append(grp[1:] != grp[:-1], True)
+        return pa.table({
+            "commit": pa.array(day[last]),
+            "user_id": pa.array(uid[last].astype(np.int64)),
+            "ts": pa.array(ts[last]),
+            "event_id": pa.array(eid[last].astype(np.int64)),
+            "cents": pa.array(c[last]),
+            "op": pa.array(((uid[last].astype(np.int64) + day[last])
+                            % TT_DEL_MOD == 0).astype(np.int64)),
+        })
+
+    if not os.path.isdir(log_dir) or not glob.glob(
+            f"{log_dir}/commit=*/*.parquet"):
+        ds.map_batches(ops, batch_format="pyarrow", zero_copy_batch=True) \
+          .write_parquet(log_dir, partition_cols=["commit"])
+
+    # as-of read: ONLY commit dirs <= TT_ASOF leave storage
+    paths = []
+    for d in glob.glob(f"{log_dir}/commit=*"):
+        k = int(d.rsplit("=", 1)[1])
+        if k <= TT_ASOF:
+            paths.extend(sorted(glob.glob(f"{d}/*.parquet")))
+    log = ray.data.read_parquet(paths)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array(hash_bucket_u64(uid.astype(np.uint64), nb)))
+
+    def resolve(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "user_id" not in g.column_names:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "cents": pa.array([], type=pa.int64())})
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        com = g["commit"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        c = g["cents"].to_numpy(zero_copy_only=False)
+        op = g["op"].to_numpy(zero_copy_only=False)
+        # last-writer-wins: max (commit, ts, event_id) per user —
+        # ts/event_id tiebreak is moot across partial dup rows of the
+        # same (user, commit) but keeps the merge total-ordered
+        order = np.lexsort((eid, ts, com, uid))
+        uid, com, c, op = (a[order] for a in (uid, com, c, op))
+        last = np.append(uid[1:] != uid[:-1], True)
+        keep = last & (op == 0)
+        return pa.table({
+            "user_id": pa.array(uid[keep].astype(np.int64)),
+            "cents": pa.array(c[keep]),
+        })
+
+    return (log.map_batches(bucketize, batch_format="pyarrow",
+                            zero_copy_batch=True)
+            .groupby("bucket").map_groups(resolve, batch_format="pyarrow"))
+
+
+def sql_time_travel() -> str:
+    return f"""
+WITH ttd AS MATERIALIZED (
+  SELECT user_id, event_id,
+    epoch_us(ts) AS tus,
+    epoch_us(ts) // 86400000000 - 19723 AS day,
+    CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE epoch_us(ts) // 86400000000 - 19723 <= {TT_ASOF}
+),
+ttl AS MATERIALIZED (
+  SELECT user_id, day, cents,
+    CAST(CASE WHEN (user_id + day) % {TT_DEL_MOD} = 0
+      THEN 1 ELSE 0 END AS BIGINT) AS op,
+    row_number() OVER (PARTITION BY user_id, day
+                       ORDER BY tus DESC, event_id DESC) AS rn
+  FROM ttd
+),
+ttf AS MATERIALIZED (
+  SELECT user_id, cents, op,
+    row_number() OVER (PARTITION BY user_id ORDER BY day DESC) AS rd
+  FROM ttl WHERE rn = 1
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, cents
+FROM ttf WHERE rd = 1 AND op = 0
+"""
+
+
 __all__ = [
+    "q_time_travel",
+    "sql_time_travel",
+    "TT_ASOF",
+    "TT_DEL_MOD",
     "q_compact_files",
     "sql_compact_files",
     "q_table_checksum",
