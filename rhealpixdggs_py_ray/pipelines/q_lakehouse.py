@@ -1943,7 +1943,115 @@ FROM ttf WHERE rd = 1 AND op = 0
 """
 
 
+
+SCHEMA_V2_DAY = 15  # commits before this day were written pre-migration
+
+
+def q_schema_evolution(sf_dir: str):
+    """Schema-evolution reader (the lakehouse migration reality: old
+    files lack columns added later): the log's v1 files carry
+    (user_id, cents), v2 files add ``channel``.  Ray reads mixed
+    schemas as per-block schemas (different-RefBundle warning), so
+    the engine normalizes IN the first map_batches — missing columns
+    materialize with a typed default ('legacy') — and aggregates per
+    channel with the per-batch partial + driver tiny-merge shape.
+    Both file generations are written once from the events table
+    (idempotent), so the oracle replays the same split relationally.
+    Output (channel, n, sum_cents)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq_
+
+    log_dir = f"/tmp/graft_schevo_{os.path.basename(sf_dir.rstrip('/'))}"
+    if not glob.glob(f"{log_dir}/*.parquet"):
+        os.makedirs(log_dir, exist_ok=True)
+        ds0 = _read(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type", "value"],
+                    blocks=4)
+
+        def split(batch: pa.Table) -> pa.Table:
+            ts = (batch["ts"].to_numpy(zero_copy_only=False)
+                  .astype("datetime64[us]").astype(np.int64))
+            day = ts // 86_400_000_000 - 19723
+            c = np.floor(
+                batch["value"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            return pa.table({
+                "user_id": batch["user_id"],
+                "cents": pa.array(c),
+                "channel": batch["event_type"],
+                "is_v2": pa.array((day >= SCHEMA_V2_DAY).astype(np.int8)),
+            })
+
+        rows = pa.concat_tables([
+            b for b in ds0.map_batches(split, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+            .iter_batches(batch_format="pyarrow") if b.num_rows])
+        v1 = rows.filter(pa.compute.equal(rows["is_v2"], 0))
+        v2 = rows.filter(pa.compute.equal(rows["is_v2"], 1))
+        pq_.write_table(v1.select(["user_id", "cents"]),
+                        f"{log_dir}/gen1-00000.parquet")
+        pq_.write_table(v2.select(["user_id", "cents", "channel"]),
+                        f"{log_dir}/gen2-00000.parquet")
+
+    ds = ray.data.read_parquet(sorted(glob.glob(f"{log_dir}/*.parquet")))
+
+    def evolve_and_partial(batch: pa.Table) -> pa.Table:
+        # the evolution shim: pre-migration blocks lack `channel`
+        if "channel" not in batch.column_names:
+            batch = batch.append_column(
+                "channel",
+                pa.array(["legacy"] * batch.num_rows, type=pa.string()))
+        ch = np.asarray(batch["channel"].to_pylist(), dtype=object)
+        c = batch["cents"].to_numpy(zero_copy_only=False)
+        uq, inv = np.unique(ch.astype(str), return_inverse=True)
+        n = np.bincount(inv, minlength=len(uq)).astype(np.int64)
+        s = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(s, inv, c)
+        return pa.table({
+            "channel": pa.array(uq.tolist(), type=pa.string()),
+            "n": pa.array(n),
+            "sum_cents": pa.array(s),
+        })
+
+    acc_n: dict = {}
+    acc_s: dict = {}
+    for b in ds.map_batches(evolve_and_partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+               .iter_batches(batch_format="pyarrow"):
+        if not b.num_rows:
+            continue
+        for ch, n, s in zip(b["channel"].to_pylist(), b["n"].to_pylist(),
+                            b["sum_cents"].to_pylist()):
+            acc_n[ch] = acc_n.get(ch, 0) + n
+            acc_s[ch] = acc_s.get(ch, 0) + s
+    keys = sorted(acc_n)
+    return pa.table({
+        "channel": pa.array(keys, type=pa.string()),
+        "n": pa.array([acc_n[k] for k in keys], type=pa.int64()),
+        "sum_cents": pa.array([acc_s[k] for k in keys], type=pa.int64()),
+    })
+
+
+def sql_schema_evolution() -> str:
+    return f"""
+WITH sev AS MATERIALIZED (
+  SELECT CASE WHEN epoch_us(ts) // 86400000000 - 19723
+      >= {SCHEMA_V2_DAY} THEN event_type ELSE 'legacy' END AS channel,
+    CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT channel, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM sev GROUP BY channel
+"""
+
+
 __all__ = [
+    "q_schema_evolution",
+    "sql_schema_evolution",
+    "SCHEMA_V2_DAY",
     "q_time_travel",
     "sql_time_travel",
     "TT_ASOF",
