@@ -4639,7 +4639,91 @@ FROM cce CROSS JOIN (SELECT unnest([{levels}]) AS t) l
 GROUP BY l.t
 """
 
+
+def q_tile_cross_density(sf_dir: str):
+    """Cross-dataset geo join of the two payload worlds: events
+    (coordinates from oracle.lonlat_from_id) and images (coordinates
+    from the phash rule) meet per res-TILE_RES cell — per tile the
+    event count, image count, and events-per-image ratio (1e6-
+    quantized; -1 where a tile has events but no images).  Both sides
+    fold map-side to <= #tiles partial rows, the join is a driver
+    tiny-merge over the bounded tile key space — never a shuffle
+    join.  Output (tile_id, n_events, n_images, ratio_e6)."""
+    import pyarrow.compute as pc
+
+    from rhealpixdggs_py_ray.core import index as cidx
+    from rhealpixdggs_py_ray.fixtures import phash_to_lonlat, write_images_table
+
+    ev = q_tile_counts(sf_dir).to_pandas()  # bounded: tile cardinality
+
+    write_images_table(IMG_DIR, IMG_N)
+    ds = ray.data.read_parquet(
+        IMG_DIR, columns=["phash"],
+        override_num_blocks=sizing.read_blocks(IMG_DIR, profile=8))
+
+    def img_tiles(batch: pa.Table) -> pa.Table:
+        ph = batch["phash"].to_numpy(zero_copy_only=False)
+        lon, lat = phash_to_lonlat(ph)
+        u = cidx.cell_from_point(CFG, TILE_RES, lon, lat, plane=False)
+        uq, cnt = np.unique(u, return_counts=True)
+        return pa.table({
+            "tile_id": pa.array(su.to_string_fixed(
+                uq.astype(np.uint64), TILE_RES)),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    img: dict = {}
+    for b in ds.map_batches(img_tiles, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+               .iter_batches(batch_format="pyarrow"):
+        for t, n in zip(b["tile_id"].to_pylist(), b["n"].to_pylist()):
+            img[t] = img.get(t, 0) + n
+    ev_map = dict(zip(ev["tile_id"].tolist(),
+                      ev["n"].astype(int).tolist()))
+    tiles = sorted(set(ev_map) | set(img))
+    ne = np.array([ev_map.get(t, 0) for t in tiles], dtype=np.int64)
+    ni = np.array([img.get(t, 0) for t in tiles], dtype=np.int64)
+    ratio = np.where(ni > 0, ne * 1_000_000 // np.maximum(ni, 1), -1)
+    return pa.table({
+        "tile_id": pa.array(tiles, type=pa.string()),
+        "n_events": pa.array(ne),
+        "n_images": pa.array(ni),
+        "ratio_e6": pa.array(ratio.astype(np.int64)),
+    })
+
+
+def sql_tile_cross_density() -> str:
+    ev_inner = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), RES, CFG, id_cols=("event_id",)
+    )
+    img_src = _image_src_sql()
+    img_tiled = oracle.cell_from_point_sql(
+        f"SELECT CAST(substr(image_id, 4, 12) AS BIGINT) AS img_idx,"
+        f" lon, lat FROM {img_src} t",
+        TILE_RES, CFG, id_cols=("img_idx",))
+    return f"""
+WITH tcde AS MATERIALIZED (
+  SELECT substr(cell_id, 1, {1 + TILE_RES}) AS tile_id,
+    CAST(COUNT(*) AS BIGINT) AS ne
+  FROM {ev_inner} t GROUP BY 1
+),
+tcdi AS MATERIALIZED (
+  SELECT cell_id AS tile_id, CAST(COUNT(*) AS BIGINT) AS ni
+  FROM {img_tiled} t GROUP BY 1
+)
+SELECT COALESCE(e.tile_id, i.tile_id) AS tile_id,
+  CAST(COALESCE(e.ne, 0) AS BIGINT) AS n_events,
+  CAST(COALESCE(i.ni, 0) AS BIGINT) AS n_images,
+  CAST(CASE WHEN COALESCE(i.ni, 0) > 0
+    THEN COALESCE(e.ne, 0) * 1000000 // i.ni
+    ELSE -1 END AS BIGINT) AS ratio_e6
+FROM tcde e FULL OUTER JOIN tcdi i ON i.tile_id = e.tile_id
+"""
+
+
 __all__ = [
+    "q_tile_cross_density",
+    "sql_tile_cross_density",
     "sql_colocation_pairs",
     "q_home_cells",
     "sql_home_cells",
