@@ -5194,7 +5194,125 @@ SELECT ta AS type_a, tb AS type_b, CAST(lag AS BIGINT) AS best_lag,
 FROM llb WHERE rn = 1
 """
 
+
+PSI_SPLIT_DAY = 15  # reference = days before, current = days after
+
+
+def q_psi_drift(sf_dir: str):
+    """Population Stability Index between the month's two halves (the
+    deployment drift gate): decile edges are exact order statistics
+    of the REFERENCE half's cent histogram (rank ceil(k*n/10),
+    positive-form), values bin by strict > against the nine edges,
+    and each bin's term (p2 - p1) * ln(p2 / p1) is computed with
+    scalar libm log (bit-identical to DuckDB ln) and floor-quantized
+    to 1e-9 BEFORE summation so the total is order-free.  Terms are 0
+    when either side's bin is empty (documented rule).  One
+    (half, cent) histogram fold; the driver holds only the bounded
+    distinct-cent histogram.  Output (bin, n_ref, n_cur, term_e9)."""
+    import math
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"], blocks=4)
+
+    def part(batch: pa.Table) -> pa.Table:
+        ts = (batch["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        half = (ts // 86_400_000_000 - 19723 >= PSI_SPLIT_DAY)
+        c = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        key = c * 2 + half
+        uq, cnt = np.unique(key, return_counts=True)
+        return pa.table({"key": pa.array(uq),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    acc: dict = {}
+    for b in ds.map_batches(part, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+               .iter_batches(batch_format="pyarrow"):
+        for k, n in zip(b["key"].to_pylist(), b["n"].to_pylist()):
+            acc[k] = acc.get(k, 0) + n
+    keys = np.array(sorted(acc), dtype=np.int64)
+    cnts = np.array([acc[int(k)] for k in keys], dtype=np.int64)
+    cents = keys // 2
+    half = (keys % 2).astype(bool)
+    rc, rn = cents[~half], cnts[~half]
+    cc, cn = cents[half], cnts[half]
+    n1, n2 = int(rn.sum()), int(cn.sum())
+    cum = np.cumsum(rn)
+    edges = np.array([int(rc[np.searchsorted(cum, (k * n1 + 9) // 10)])
+                      for k in range(1, 10)], dtype=np.int64)
+    # bin = number of edges strictly below the value (ties go low)
+    rb = np.searchsorted(np.sort(edges), rc, side="left")
+    cb = np.searchsorted(np.sort(edges), cc, side="left")
+    c1 = np.zeros(10, dtype=np.int64)
+    np.add.at(c1, rb, rn)
+    c2 = np.zeros(10, dtype=np.int64)
+    np.add.at(c2, cb, cn)
+    terms = np.zeros(10, dtype=np.int64)
+    for i in range(10):
+        if c1[i] > 0 and c2[i] > 0:
+            p1 = c1[i] / n1
+            p2 = c2[i] / n2
+            terms[i] = math.floor((p2 - p1) * math.log(p2 / p1)
+                                  * 1_000_000_000.0)
+    return pa.table({
+        "bin": pa.array(np.arange(10, dtype=np.int64)),
+        "n_ref": pa.array(c1),
+        "n_cur": pa.array(c2),
+        "term_e9": pa.array(terms),
+    })
+
+
+def sql_psi_drift() -> str:
+    return f"""
+WITH psh AS MATERIALIZED (
+  SELECT CAST(epoch_us(ts) // 86400000000 - 19723
+      >= {PSI_SPLIT_DAY} AS INT) AS half,
+    CAST(floor(value * 100) AS BIGINT) AS c,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+psn AS MATERIALIZED (
+  SELECT CAST(SUM(n) FILTER (WHERE half = 0) AS BIGINT) AS n1,
+    CAST(SUM(n) FILTER (WHERE half = 1) AS BIGINT) AS n2
+  FROM psh
+),
+psr AS MATERIALIZED (
+  SELECT c, SUM(n) OVER (ORDER BY c) AS cum FROM psh WHERE half = 0
+),
+pse AS MATERIALIZED (
+  SELECT k, MIN(c) AS e
+  FROM psr, (SELECT unnest(generate_series(1, 9)) AS k) ks, psn
+  WHERE cum >= (k * n1 + 9) // 10
+  GROUP BY k
+),
+psb AS MATERIALIZED (
+  SELECT h.half, h.n,
+    (SELECT COUNT(*) FROM pse WHERE pse.e < h.c) AS bin
+  FROM psh h
+),
+psc AS MATERIALIZED (
+  SELECT b.bin,
+    CAST(COALESCE(SUM(n) FILTER (WHERE half = 0), 0) AS BIGINT) AS c1,
+    CAST(COALESCE(SUM(n) FILTER (WHERE half = 1), 0) AS BIGINT) AS c2
+  FROM (SELECT unnest(generate_series(0, 9)) AS bin) b
+  LEFT JOIN psb ON psb.bin = b.bin
+  GROUP BY b.bin
+)
+SELECT CAST(bin AS BIGINT) AS bin, c1 AS n_ref, c2 AS n_cur,
+  CAST(CASE WHEN c1 > 0 AND c2 > 0 THEN floor(
+    (CAST(c2 AS DOUBLE) / n2 - CAST(c1 AS DOUBLE) / n1)
+    * ln((CAST(c2 AS DOUBLE) / n2) / (CAST(c1 AS DOUBLE) / n1))
+    * 1000000000.0)
+  ELSE 0 END AS BIGINT) AS term_e9
+FROM psc, psn
+"""
+
+
 __all__ = [
+    "q_psi_drift",
+    "sql_psi_drift",
+    "PSI_SPLIT_DAY",
     "sql_haar_energy",
     "q_vopt_bins",
     "sql_vopt_bins",
