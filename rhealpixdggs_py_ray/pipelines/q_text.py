@@ -2355,7 +2355,140 @@ SELECT m.lang, CAST(m.tp AS BIGINT) AS tp, CAST(m.fp AS BIGINT) AS fp,
 FROM mcc m CROSS JOIN mct t
 """
 
+
+PMI_MIN_COUNT = 5   # bigram support floor (degenerate-singleton guard)
+PMI_K = 30          # top collocations reported
+
+
+def q_collocations(sf_dir: str):
+    """Top salient collocations by pointwise mutual information:
+    PMI(a, b) = ln((c_ab / N_bi) / ((c_a / N_uni) * (c_b / N_uni)))
+    over whitespace bigrams with c_ab >= PMI_MIN_COUNT, quantized to
+    1e-6 integers (scalar libm log == DuckDB ln) and ranked (pmi
+    DESC, bigram ASC).  ONE pass emits namespaced unigram+bigram
+    partials ("1:" / "2:" keys, the namespaced-fold pattern); buckets
+    fold exactly; surviving bigrams and the bounded unigram vocab
+    gather to the driver for the PMI arithmetic.  Output (rank,
+    bigram, n, pmi_e6)."""
+    import math
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    nb = sizing.exchange_buckets(VOCAB_BUCKETS)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys: list[str] = []
+        for t in batch["text"].to_pylist():
+            toks = t.split()
+            keys.extend("1:" + w for w in toks)
+            keys.extend("2:" + toks[i] + " " + toks[i + 1]
+                        for i in range(len(toks) - 1))
+        if not keys:
+            return pa.table({"s": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64()),
+                             "bucket": pa.array([], type=pa.int64())})
+        uq, cnt = np.unique(np.asarray(keys, dtype=object),
+                            return_counts=True)
+        bucket = (pd.util.hash_array(uq) % nb).astype(np.int64)
+        return pa.table({"s": pa.array(uq, type=pa.string()),
+                         "n": pa.array(cnt.astype(np.int64)),
+                         "bucket": pa.array(bucket)})
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        uq, inv = np.unique(g["s"].to_numpy(zero_copy_only=False),
+                            return_inverse=True)
+        tot = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(tot, inv, g["n"].to_numpy(zero_copy_only=False))
+        # keep every unigram (bounded vocab) and supported bigrams
+        is_uni = np.array([s.startswith("1:") for s in uq.tolist()])
+        keep = is_uni | (tot >= PMI_MIN_COUNT)
+        return pa.table({"s": pa.array(uq[keep], type=pa.string()),
+                         "n": pa.array(tot[keep])})
+
+    uni: dict = {}
+    bi: dict = {}
+    n_uni = 0
+    n_bi = 0
+    for b in (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("bucket").map_groups(per_bucket,
+                                            batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        if b.num_rows == 0 or "s" not in b.column_names:
+            continue
+        for s, n in zip(b["s"].to_pylist(), b["n"].to_pylist()):
+            if s.startswith("1:"):
+                uni[s[2:]] = n
+                n_uni += n
+            else:
+                bi[s[2:]] = n
+    # totals: N_bi from the unfiltered identity sum(len-1) = sum over
+    # docs; derive exactly from unigram totals minus doc count
+    n_docs = _ndocs(sf_dir)
+    n_bi = n_uni - n_docs
+    out_s, out_n, out_p = [], [], []
+    for s, cab in bi.items():
+        a, bb_ = s.split(" ", 1)
+        ca, cb = uni[a], uni[bb_]
+        pmi = math.floor(math.log(
+            (cab / n_bi) / ((ca / n_uni) * (cb / n_uni))) * 1_000_000.0)
+        out_s.append(s)
+        out_n.append(cab)
+        out_p.append(pmi)
+    sarr = np.asarray(out_s, dtype=object)
+    narr = np.array(out_n, dtype=np.int64)
+    parr = np.array(out_p, dtype=np.int64)
+    order = np.lexsort((sarr.astype(str), -parr))[:PMI_K]
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+        "bigram": pa.array(sarr[order].tolist(), type=pa.string()),
+        "n": pa.array(narr[order]),
+        "pmi_e6": pa.array(parr[order]),
+    })
+
+
+def sql_collocations() -> str:
+    return f"""
+WITH clt AS MATERIALIZED (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+),
+clu AS MATERIALIZED (
+  SELECT u.tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM clt, unnest(w) AS u(tok) GROUP BY 1
+),
+clb AS MATERIALIZED (
+  SELECT w[i] AS t1, w[i + 1] AS t2, CAST(COUNT(*) AS BIGINT) AS c
+  FROM clt, unnest(generate_series(1, len(w) - 1)) AS g(i)
+  GROUP BY 1, 2 HAVING COUNT(*) >= {PMI_MIN_COUNT}
+),
+cln AS MATERIALIZED (
+  SELECT CAST(SUM(c) AS BIGINT) AS nu,
+    CAST(SUM(c) AS BIGINT) - (SELECT COUNT(*) FROM documents) AS nb
+  FROM clu
+),
+clp AS MATERIALIZED (
+  SELECT b.t1 || ' ' || b.t2 AS bigram, b.c,
+    CAST(floor(ln((CAST(b.c AS DOUBLE) / nb)
+      / ((CAST(ua.c AS DOUBLE) / nu) * (CAST(ub.c AS DOUBLE) / nu)))
+      * 1000000.0) AS BIGINT) AS pmi_e6
+  FROM clb b
+  JOIN clu ua ON ua.tok = b.t1
+  JOIN clu ub ON ub.tok = b.t2
+  CROSS JOIN cln
+)
+SELECT CAST(row_number() OVER (ORDER BY pmi_e6 DESC, bigram) AS BIGINT)
+    AS rank,
+  bigram, c AS n, pmi_e6
+FROM clp
+ORDER BY pmi_e6 DESC, bigram
+LIMIT {PMI_K}
+"""
+
+
 __all__ = [
+    "q_collocations",
+    "sql_collocations",
+    "PMI_MIN_COUNT",
+    "PMI_K",
     "q_token_stats",
     "sql_token_stats",
     "q_vocab",
