@@ -4850,7 +4850,129 @@ FROM jcp
 """
 
 
+
+GAP_MIN_NBRS = 3  # unoccupied cell with >= this many occupied rooks
+
+
+def q_coverage_gaps(sf_dir: str):
+    """Coverage-gap QA over the res-4 equatorial lattice: unoccupied
+    cells surrounded by >= GAP_MIN_NBRS occupied rook neighbors — the
+    holes a collection campaign should fill.  ONE fold with the
+    in-fold anti-join: every occupied cell emits +1 to each valid
+    rook neighbor AND -2^40 to itself, so a folded sum s identifies
+    occupied cells (s < 0) and gap candidates (s >= GAP_MIN_NBRS) in
+    the same exchange — no join operator, no second pass.  Output
+    (cell_id, n_occupied_nbrs) sorted by cell_id."""
+    from rhealpixdggs_py_ray.core import index as cidx
+    from rhealpixdggs_py_ray.ops.agg import sum_by_u64_key
+
+    OCC_MARK = np.int64(-(1 << 40))
+    k = DISSOLVE_RES
+    side = 3 ** k
+    W = 4 * side
+    ds = _read(sf_dir, "events", columns=["event_id"], blocks=4)
+
+    def cells(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = oracle.lonlat_from_id(ids)
+        m = np.abs(lat) <= DISSOLVE_LAT
+        u = cidx.cell_from_point(CFG, k, lon[m], lat[m], plane=False)
+        face, digits, _res = su.unpack(u)
+        d = digits[:, :k].astype(np.int64)
+        pw = (3 ** np.arange(k - 1, -1, -1)).astype(np.int64)
+        key = ((d // 3) @ pw) * W + (
+            (face.astype(np.int64) - 1) * side + (d % 3) @ pw)
+        uq = np.unique(key)
+        return pa.table({"key": pa.array(uq.astype(np.uint64)),
+                         "one": pa.array(np.ones(len(uq), dtype=np.int64))})
+
+    occ = sum_by_u64_key(
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True),
+        "key", "one", "n", n_buckets=8).materialize()
+
+    def emit(batch: pa.Table) -> pa.Table:
+        key = batch["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gy, gx = key // W, key % W
+        ks, vs = [key], [np.full(len(key), OCC_MARK)]
+        for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            ty = gy + dy
+            ok = (ty >= 0) & (ty < side)
+            ks.append(ty[ok] * W + (gx[ok] + dx + W) % W)
+            vs.append(np.ones(int(ok.sum()), dtype=np.int64))
+        return pa.table({
+            "tk": pa.array(np.concatenate(ks).astype(np.uint64)),
+            "v": pa.array(np.concatenate(vs)),
+        })
+
+    folded = sum_by_u64_key(
+        occ.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True),
+        "tk", "v", "s", n_buckets=8)
+
+    keys_l, n_l = [], []
+    for b in folded.iter_batches(batch_format="pyarrow"):
+        if not b.num_rows:
+            continue
+        tk = b["tk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = b["s"].to_numpy(zero_copy_only=False)
+        m = (s >= GAP_MIN_NBRS)  # occupied cells fold to s < 0
+        keys_l.append(tk[m])
+        n_l.append(s[m])
+    tk = (np.concatenate(keys_l) if keys_l
+          else np.array([], dtype=np.int64))
+    nn = np.concatenate(n_l) if n_l else np.array([], dtype=np.int64)
+    cell_id = _cell_string_array_from_lattice(tk // W, tk % W, k)
+    order = np.argsort(cell_id)
+    return pa.table({
+        "cell_id": pa.array(cell_id[order].tolist(), type=pa.string()),
+        "n_occupied_nbrs": pa.array(nn[order]),
+    })
+
+
+def sql_coverage_gaps() -> str:
+    k = DISSOLVE_RES
+    side = 3 ** k
+    W = 4 * side
+    pts = (
+        f"SELECT event_id, lon, lat FROM ({_points_sql('events', 'event_id')}) p"
+        f" WHERE abs(lat) <= {DISSOLVE_LAT!r}"
+    )
+    idx_sql = oracle.cell_from_point_sql(pts, k, CFG, id_cols=("event_id",))
+    gy, gx = _dissolve_rowcol_sql(k)
+    # rebuild cell_id string from (gy, gx) — digit i packs
+    # 3*((gy // 3^(k-1-i)) % 3) + ((gx % side) // 3^(k-1-i)) % 3
+    digits = " || ".join(
+        f"CAST(3 * ((ty // {3 ** (k - 1 - i)}) % 3)"
+        f" + (((tx % {side}) // {3 ** (k - 1 - i)}) % 3) AS VARCHAR)"
+        for i in range(k))
+    rebuild = (f"CASE tx // {side} WHEN 0 THEN 'O' WHEN 1 THEN 'P'"
+               f" WHEN 2 THEN 'Q' ELSE 'R' END || {digits}")
+    return f"""
+WITH cgc AS MATERIALIZED (
+  SELECT DISTINCT cell_id FROM {idx_sql} t
+),
+cgo AS MATERIALIZED (
+  SELECT {gy} AS gy, {gx} AS gx FROM cgc
+),
+cgd(dy, dx) AS (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)),
+cgn AS MATERIALIZED (
+  SELECT (o.gy + d.dy) AS ty, ((o.gx + d.dx + {W}) % {W}) AS tx,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM cgo o, cgd d
+  WHERE o.gy + d.dy >= 0 AND o.gy + d.dy < {side}
+  GROUP BY 1, 2
+)
+SELECT {rebuild} AS cell_id, n AS n_occupied_nbrs
+FROM cgn
+WHERE n >= {GAP_MIN_NBRS}
+  AND NOT EXISTS (SELECT 1 FROM cgo o2
+                  WHERE o2.gy = cgn.ty AND o2.gx = cgn.tx)
+"""
+
+
 __all__ = [
+    "q_coverage_gaps",
+    "sql_coverage_gaps",
+    "GAP_MIN_NBRS",
     "q_join_counts",
     "sql_join_counts",
     "q_cell_from_point",
