@@ -4721,7 +4721,148 @@ FROM tcde e FULL OUTER JOIN tcdi i ON i.tile_id = e.tile_id
 """
 
 
+
+def q_tile_affinity(sf_dir: str):
+    """Per-user tile affinity by tf-idf over the res-TILE_RES grid
+    (the place-recommendation primitive): score(u, t) = visits_ut *
+    ln(n_users / df_t), df_t = users who ever visit t.  The (user,
+    tile) visit counts fold once; the bounded tile document-frequency
+    map broadcasts via ray.put; the per-user argmax resolves in an
+    h(user) bucket exchange with _libm_log-exact scores (ties ->
+    smallest tile).  Output one row per user (user_id, tile_id,
+    score_e6)."""
+    from rhealpixdggs_py_ray.core import index as cidx
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64, sum_by_u64_key
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"],
+               blocks=4)
+
+    def visits(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        lon, lat = oracle.lonlat_from_id(ids)
+        u = cidx.cell_from_point(CFG, TILE_RES, lon, lat, plane=False)
+        tile = (u.astype(np.uint64) >> np.uint64(52)).astype(np.int64)
+        key = uid.astype(np.uint64) * np.uint64(4096) \
+            + tile.astype(np.uint64)
+        if len(tile) and int(tile.max()) >= 4096:
+            raise AssertionError("tile affinity packing needs res-2 "
+                                 "prefix < 4096")
+        uq, cnt = np.unique(key, return_counts=True)
+        return pa.table({"key": pa.array(uq, type=pa.uint64()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    ut = sum_by_u64_key(
+        ds.map_batches(visits, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "key", "n", "n", n_buckets=8).materialize()
+
+    # bounded side state: df per tile folds as tiny per-batch partials
+    # (ut is already deduped per (user, tile), so tile occurrence
+    # counts ARE document frequencies); n_users is one small fold —
+    # the driver never sees the O(pairs) rows
+    def df_partial(batch: pa.Table) -> pa.Table:
+        k = batch["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        tt = (k % np.uint64(4096)).astype(np.int64)
+        uq, cnt = np.unique(tt, return_counts=True)
+        return pa.table({"t": pa.array(uq),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    df: dict = {}
+    for b in ut.map_batches(df_partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+               .iter_batches(batch_format="pyarrow"):
+        for t, c in zip(b["t"].to_pylist(), b["c"].to_pylist()):
+            df[t] = df.get(t, 0) + c
+
+    def uid_rows(batch: pa.Table) -> pa.Table:
+        k = batch["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        uu = np.unique(k // np.uint64(4096))
+        return pa.table({"u": pa.array(uu, type=pa.uint64()),
+                         "one": pa.array(np.ones(len(uu),
+                                                 dtype=np.int64))})
+
+    n_users = sum_by_u64_key(
+        ut.map_batches(uid_rows, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "u", "one", "m", n_buckets=8).count()
+    dref = ray.put((df, n_users))
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        k = batch["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return batch.append_column(
+            "bucket", pa.array(hash_bucket_u64(k // np.uint64(4096), 8)))
+
+    def resolve(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "key" not in g.column_names:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "tile_id": pa.array([], type=pa.string()),
+                             "score_e6": pa.array([], type=pa.int64())})
+        dfm, nu = ray.get(dref)
+        k = g["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        uid = (k // np.uint64(4096)).astype(np.int64)
+        tile = (k % np.uint64(4096)).astype(np.int64)
+        dfl = np.zeros(4096, dtype=np.int64)
+        for ti, c in dfm.items():
+            dfl[ti] = c
+        dfa = dfl[tile]
+        ratio = nu / dfa  # int / int64 array -> float64, exact-rounded
+        idf = _libm_log(ratio)
+        score = np.floor(n * idf * 1_000_000.0).astype(np.int64)
+        order = np.lexsort((tile, -score, uid))
+        first = np.append(True, uid[order][1:] != uid[order][:-1])
+        sel = order[first]
+        cell_id = su.to_string_fixed(
+            (tile[sel].astype(np.uint64)) << np.uint64(52), TILE_RES)
+        return pa.table({
+            "user_id": pa.array(uid[sel]),
+            "tile_id": pa.array(cell_id.tolist(), type=pa.string()),
+            "score_e6": pa.array(score[sel]),
+        })
+
+    return (ut.map_batches(bucketize, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("bucket").map_groups(resolve, batch_format="pyarrow"))
+
+
+def sql_tile_affinity() -> str:
+    inner = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), TILE_RES, CFG,
+        id_cols=("event_id",))
+    return f"""
+WITH tav AS MATERIALIZED (
+  SELECT e.user_id, t.cell_id AS tile_id,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM events e JOIN (SELECT event_id, cell_id FROM {inner} q) t
+    ON t.event_id = e.event_id
+  GROUP BY 1, 2
+),
+tad AS MATERIALIZED (
+  SELECT tile_id, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS df
+  FROM tav GROUP BY 1
+),
+tau AS MATERIALIZED (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu FROM tav
+),
+tas AS MATERIALIZED (
+  SELECT v.user_id, v.tile_id,
+    CAST(floor(v.n * ln(CAST(nu AS DOUBLE) / df) * 1000000.0)
+      AS BIGINT) AS score_e6
+  FROM tav v JOIN tad d ON d.tile_id = v.tile_id CROSS JOIN tau
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, tile_id, score_e6
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+      ORDER BY score_e6 DESC, tile_id) AS rn
+  FROM tas
+) WHERE rn = 1
+"""
+
+
 __all__ = [
+    "q_tile_affinity",
+    "sql_tile_affinity",
     "q_tile_cross_density",
     "sql_tile_cross_density",
     "sql_colocation_pairs",
