@@ -5309,7 +5309,118 @@ FROM psc, psn
 """
 
 
+
+def q_ltv_cohorts(sf_dir: str):
+    """Customer lifetime-value cohort matrix (the subscription-
+    economics readout): customers cohort by FIRST order month; each
+    (cohort_month, months-since-first) cell reports spend cents and
+    active customers.  Two h(custkey) exchanges: a min-month fold
+    gives each customer's cohort, then order rows and cohort rows
+    meet in one bucketed union resolve (no join operator) emitting
+    bounded (cohort, offset) partials that tiny-merge on the driver
+    (months^2 cells).  Output (cohort_month, month_offset,
+    n_customers, sum_cents)."""
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64
+
+    nb = 8
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_totalprice"],
+               blocks=4)
+
+    def rows(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        m = (batch["o_orderdate"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[M]").astype(np.int64))
+        c = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(hash_bucket_u64(ck.astype(np.uint64), nb)),
+            "ck": pa.array(ck.astype(np.int64)),
+            "m": pa.array(m),
+            "cents": pa.array(c),
+        })
+
+    def resolve(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "ck" not in g.column_names:
+            return pa.table({k: pa.array([], type=pa.int64())
+                             for k in ("cohort", "off", "nc", "s")})
+        ck = g["ck"].to_numpy(zero_copy_only=False)
+        m = g["m"].to_numpy(zero_copy_only=False)
+        c = g["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((m, ck))
+        ck, m, c = ck[order], m[order], c[order]
+        first_of = np.append(True, ck[1:] != ck[:-1])
+        # first month per customer, spread to every row of the run
+        fm = m[first_of][np.cumsum(first_of) - 1]
+        off = m - fm
+        key = fm * 4096 + off  # month idx < 4096 until year 2311
+        uq, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(s, inv, c)
+        # distinct active customers per cell: count run starts of
+        # (ck, key) — rows are sorted by (ck, m) so equal keys of one
+        # customer are adjacent
+        cell_first = np.append(True, (ck[1:] != ck[:-1])
+                               | (key[1:] != key[:-1]))
+        nc = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(nc, inv, cell_first.astype(np.int64))
+        return pa.table({
+            "cohort": pa.array(uq // 4096),
+            "off": pa.array(uq % 4096),
+            "nc": pa.array(nc),
+            "s": pa.array(s),
+        })
+
+    acc_n: dict = {}
+    acc_s: dict = {}
+    for b in (ds.map_batches(rows, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("bucket").map_groups(resolve,
+                                            batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        if b.num_rows == 0 or "cohort" not in b.column_names:
+            continue
+        for co, off, nc, s in zip(b["cohort"].to_pylist(),
+                                  b["off"].to_pylist(),
+                                  b["nc"].to_pylist(),
+                                  b["s"].to_pylist()):
+            acc_n[(co, off)] = acc_n.get((co, off), 0) + nc
+            acc_s[(co, off)] = acc_s.get((co, off), 0) + s
+    keys = sorted(acc_n)
+    return pa.table({
+        "cohort_month": pa.array([k[0] for k in keys], type=pa.int64()),
+        "month_offset": pa.array([k[1] for k in keys], type=pa.int64()),
+        "n_customers": pa.array([acc_n[k] for k in keys],
+                                type=pa.int64()),
+        "sum_cents": pa.array([acc_s[k] for k in keys],
+                              type=pa.int64()),
+    })
+
+
+def sql_ltv_cohorts() -> str:
+    return """
+WITH lto AS MATERIALIZED (
+  SELECT o_custkey AS ck,
+    (date_part('year', o_orderdate) - 1970) * 12
+      + date_part('month', o_orderdate) - 1 AS m,
+    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+ltf AS MATERIALIZED (
+  SELECT ck, m, cents, MIN(m) OVER (PARTITION BY ck) AS fm FROM lto
+)
+SELECT CAST(fm AS BIGINT) AS cohort_month,
+  CAST(m - fm AS BIGINT) AS month_offset,
+  CAST(COUNT(DISTINCT ck) AS BIGINT) AS n_customers,
+  CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM ltf GROUP BY fm, m - fm
+"""
+
+
 __all__ = [
+    "q_ltv_cohorts",
+    "sql_ltv_cohorts",
     "q_psi_drift",
     "sql_psi_drift",
     "PSI_SPLIT_DAY",
