@@ -303,3 +303,45 @@ def test_audio_neardup_ground_truth(ray_session):
     got = set(zip(t["audio_a"].tolist(), t["audio_b"].tolist()))
     assert got == want
     assert (t["n_diff"] <= 5).all() and (t["n_diff"] >= 3).all()
+
+
+def test_time_travel_merge_semantics(ray_session):
+    """As-of reconstruction honors MERGE semantics: every surviving
+    user's cents equal the last-writer value at or before TT_ASOF,
+    and users whose LAST op by then is a DELETE are absent."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    got = Q.q_time_travel(SF).to_pandas().set_index("user_id")["cents"]
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "user_id", "ts", "value"]
+                       ).to_pandas()
+    ev["day"] = (ev["ts"].astype("datetime64[us]").astype("int64")
+                 // 86_400_000_000 - 19723)
+    ev = ev[ev["day"] <= Q.TT_ASOF]
+    ev["cents"] = np.floor(ev["value"] * 100).astype("int64")
+    # last op per user: max (day, ts, event_id)
+    ev = ev.sort_values(["user_id", "day", "ts", "event_id"])
+    last = ev.groupby("user_id").tail(1)
+    want = {}
+    for _, r in last.iterrows():
+        if (int(r["user_id"]) + int(r["day"])) % Q.TT_DEL_MOD != 0:
+            want[int(r["user_id"])] = int(r["cents"])
+    assert dict(got) == want
+
+
+def test_schema_evolution_legacy_rows(ray_session):
+    """Pre-migration rows (no channel column) all fold into the
+    'legacy' bucket and totals cover every event exactly once."""
+    import pyarrow.parquet as pq
+    from rhealpixdggs_py_ray.pipelines import queries as Q
+
+    t = Q.q_schema_evolution(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["ts"]).to_pandas()
+    day = (ev["ts"].astype("datetime64[us]").astype("int64")
+           // 86_400_000_000 - 19723)
+    n_legacy = int((day < Q.SCHEMA_V2_DAY).sum())
+    assert int(t.set_index("channel").loc["legacy", "n"]) == n_legacy
+    assert int(t["n"].sum()) == len(ev)
