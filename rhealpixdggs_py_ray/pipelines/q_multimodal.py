@@ -2078,7 +2078,89 @@ FROM vdiff WHERE n_diff <= {AUDIO_ND_MAX}
 """
 
 
+
+def q_image_curation(sf_dir: str):
+    """The composite curation flagship in one oracled query — the
+    north-rule story end-to-end: verified near-dup pairs -> keep-best
+    retention (losers = fewer pixels, ties -> larger index) ->
+    survivors assigned to res-TILE_RES rHEALPix cells from their
+    phash coordinates -> per-tile survivor counts.  The loser set is
+    the bounded output of the banded detector (broadcast via ray.put,
+    never a shuffle anti-join); tile partials fold map-side.  Output
+    (tile_id, n_survivors)."""
+    import pyarrow.compute as pc
+
+    from rhealpixdggs_py_ray.core import index as cidx
+    from rhealpixdggs_py_ray.fixtures import phash_to_lonlat
+
+    pairs = (_image_neardup_pairs()
+             .select_columns(["a", "b", "w_a", "h_a", "w_b", "h_b"])
+             .to_pandas())  # bounded: verified pairs only
+    pa_ = pairs["a"].to_numpy().astype(np.int64)
+    pb_ = pairs["b"].to_numpy().astype(np.int64)
+    pxa = (pairs["w_a"].to_numpy().astype(np.int64)
+           * pairs["h_a"].to_numpy().astype(np.int64))
+    pxb = (pairs["w_b"].to_numpy().astype(np.int64)
+           * pairs["h_b"].to_numpy().astype(np.int64))
+    losers = np.unique(np.where(
+        pxa < pxb, pa_, np.where(pxb < pxa, pb_, np.maximum(pa_, pb_))))
+    lref = ray.put(losers)
+
+    ds = ray.data.read_parquet(
+        IMG_DIR, columns=["image_id", "phash"],
+        override_num_blocks=sizing.read_blocks(IMG_DIR, profile=8))
+
+    def tiles(batch: pa.Table) -> pa.Table:
+        ii = pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 3, 15),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        keep = ~np.isin(ii, ray.get(lref))
+        ph = batch["phash"].to_numpy(zero_copy_only=False)[keep]
+        lon, lat = phash_to_lonlat(ph)
+        u = cidx.cell_from_point(CFG, TILE_RES, lon, lat, plane=False)
+        uq, cnt = np.unique(u, return_counts=True)
+        return pa.table({
+            "tile_id": pa.array(su.to_string_fixed(
+                uq.astype(np.uint64), TILE_RES)),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    acc: dict = {}
+    for b in ds.map_batches(tiles, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+               .iter_batches(batch_format="pyarrow"):
+        for t, n in zip(b["tile_id"].to_pylist(), b["n"].to_pylist()):
+            acc[t] = acc.get(t, 0) + n
+    keys = sorted(acc)
+    return pa.table({
+        "tile_id": pa.array(keys, type=pa.string()),
+        "n_survivors": pa.array([acc[k] for k in keys], type=pa.int64()),
+    })
+
+
+def sql_image_curation() -> str:
+    ret = sql_image_retention()
+    img_src = _image_src_sql()
+    tiled = oracle.cell_from_point_sql(
+        f"SELECT CAST(substr(image_id, 4, 12) AS BIGINT) AS img_idx,"
+        f" lon, lat FROM {img_src} t",
+        TILE_RES, CFG, id_cols=("img_idx",))
+    return f"""
+WITH icl AS MATERIALIZED (
+  SELECT img_idx FROM ({ret}) q
+),
+ict AS MATERIALIZED (
+  SELECT img_idx, cell_id FROM {tiled} t
+)
+SELECT cell_id AS tile_id, CAST(COUNT(*) AS BIGINT) AS n_survivors
+FROM ict
+WHERE NOT EXISTS (SELECT 1 FROM icl WHERE icl.img_idx = ict.img_idx)
+GROUP BY cell_id
+"""
+
+
 __all__ = [
+    "q_image_curation",
+    "sql_image_curation",
     "AUDIO_DIR",
     "AUDIO_N",
     "VIDEO_DIR",
