@@ -1465,7 +1465,80 @@ def sql_dedup_coverage() -> str:
     // (SELECT COUNT(*) FROM documents) AS BIGINT) AS frac_e6""")
     return "\nUNION ALL\n".join(parts)
 
+
+def q_dedup_consensus(sf_dir: str):
+    """Detector-consensus meta-analytics: which near-dup pairs are
+    flagged by at least TWO of the three text detectors (MinHash
+    Jaccard >= 0.5, n-gram Jaccard >= 0.2, shingle containment >=
+    0.4)?  High-consensus pairs are safe auto-drop candidates; single-
+    detector pairs deserve review — the curation triage signal.  All
+    three pair sets come from the shared PAIR_CACHE (zero extra
+    corpus passes); the bounded sets merge on the driver.  Output
+    (a, b, in_minhash, in_ngram, in_containment, n_detectors) for
+    pairs with n_detectors >= 2, sorted by (a, b)."""
+    sets = {}
+    for name, fn in (("m", _minhash_pairs), ("g", _ngram_pairs),
+                     ("c", _containment_pairs)):
+        df = fn(sf_dir).to_pandas()  # bounded: verified pairs only
+        sets[name] = set(zip(df["a"].astype(int).tolist(),
+                             df["b"].astype(int).tolist()))
+    allp = sorted(sets["m"] | sets["g"] | sets["c"])
+    out = {k: [] for k in ("a", "b", "m", "g", "c")}
+    for a, b in allp:
+        fm = (a, b) in sets["m"]
+        fg = (a, b) in sets["g"]
+        fc = (a, b) in sets["c"]
+        if fm + fg + fc >= 2:
+            out["a"].append(a)
+            out["b"].append(b)
+            out["m"].append(int(fm))
+            out["g"].append(int(fg))
+            out["c"].append(int(fc))
+    n_det = (np.array(out["m"], dtype=np.int64)
+             + np.array(out["g"], dtype=np.int64)
+             + np.array(out["c"], dtype=np.int64))
+    return pa.table({
+        "a": pa.array(out["a"], type=pa.int64()),
+        "b": pa.array(out["b"], type=pa.int64()),
+        "in_minhash": pa.array(out["m"], type=pa.int64()),
+        "in_ngram": pa.array(out["g"], type=pa.int64()),
+        "in_containment": pa.array(out["c"], type=pa.int64()),
+        "n_detectors": pa.array(n_det),
+    })
+
+
+def sql_dedup_consensus() -> str:
+    from rhealpixdggs_py_ray.ops import dedup
+
+    return f"""
+WITH dcm AS MATERIALIZED (
+  SELECT a, b FROM ({dedup.minhash_lsh_sql()}) q
+),
+dcg AS MATERIALIZED (
+  SELECT a, b FROM ({dedup.ngram_jaccard_sql()}) q
+),
+dcc AS MATERIALIZED (
+  SELECT a, b FROM ({dedup.ngram_containment_sql(0.4)}) q
+),
+dcu AS MATERIALIZED (
+  SELECT a, b, MAX(m) AS m, MAX(g) AS g, MAX(c) AS c
+  FROM (
+    SELECT a, b, 1 AS m, 0 AS g, 0 AS c FROM dcm
+    UNION ALL SELECT a, b, 0, 1, 0 FROM dcg
+    UNION ALL SELECT a, b, 0, 0, 1 FROM dcc
+  ) GROUP BY a, b
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+  CAST(m AS BIGINT) AS in_minhash, CAST(g AS BIGINT) AS in_ngram,
+  CAST(c AS BIGINT) AS in_containment,
+  CAST(m + g + c AS BIGINT) AS n_detectors
+FROM dcu WHERE m + g + c >= 2
+"""
+
+
 __all__ = [
+    "q_dedup_consensus",
+    "sql_dedup_consensus",
     "q_dedup_exact",
     "sql_dedup_exact",
     "q_dedup_normalized",
