@@ -4860,7 +4860,87 @@ FROM (
 """
 
 
+
+def q_tile_conversion(sf_dir: str):
+    """Geo-segmented conversion: per res-TILE_RES tile the view
+    count, purchase count, and purchase-per-view rate (1e6-quantized
+    integer //; -1 where a tile has no views) — the funnel x geography
+    readout.  ONE pass emits namespaced per-tile partials (tile*2 for
+    views, tile*2+1 for purchases, the target_encoding key-split
+    pattern) into a single u64 fold; the driver merges ~#tiles rows.
+    Omits tiles with neither views nor purchases (GROUP BY parity).
+    Output (tile_id, n_views, n_purchases, cr_e6)."""
+    from rhealpixdggs_py_ray.core import index as cidx
+    from rhealpixdggs_py_ray.ops.agg import sum_by_u64_key
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type"], blocks=4)
+
+    def part(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        m = (et == "view") | (et == "purchase")
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)[m]
+        is_p = (et[m] == "purchase")
+        lon, lat = oracle.lonlat_from_id(ids)
+        u = cidx.cell_from_point(CFG, TILE_RES, lon, lat, plane=False)
+        tile = (u.astype(np.uint64) >> np.uint64(52))
+        key = tile * np.uint64(2) + is_p.astype(np.uint64)
+        uq, cnt = np.unique(key, return_counts=True)
+        return pa.table({"key": pa.array(uq, type=pa.uint64()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    folded = sum_by_u64_key(
+        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True),
+        "key", "n", "n", n_buckets=8)
+    views: dict = {}
+    buys: dict = {}
+    for b in folded.iter_batches(batch_format="pyarrow"):
+        if not b.num_rows:
+            continue
+        k = b["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = b["n"].to_numpy(zero_copy_only=False)
+        for ki, ni in zip(k.tolist(), n.tolist()):
+            (buys if ki % 2 else views)[ki // 2] = ni
+    tiles = sorted(set(views) | set(buys))
+    tid = su.to_string_fixed(
+        np.array(tiles, dtype=np.uint64) << np.uint64(52), TILE_RES)
+    nv = np.array([views.get(t, 0) for t in tiles], dtype=np.int64)
+    np_ = np.array([buys.get(t, 0) for t in tiles], dtype=np.int64)
+    cr = np.where(nv > 0, np_ * 1_000_000 // np.maximum(nv, 1), -1)
+    return pa.table({
+        "tile_id": pa.array(tid.tolist(), type=pa.string()),
+        "n_views": pa.array(nv),
+        "n_purchases": pa.array(np_),
+        "cr_e6": pa.array(cr.astype(np.int64)),
+    })
+
+
+def sql_tile_conversion() -> str:
+    inner = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), TILE_RES, CFG,
+        id_cols=("event_id",))
+    return f"""
+WITH tcv AS MATERIALIZED (
+  SELECT t.cell_id AS tile_id,
+    CAST(COUNT(*) FILTER (WHERE e.event_type = 'view') AS BIGINT)
+      AS nv,
+    CAST(COUNT(*) FILTER (WHERE e.event_type = 'purchase') AS BIGINT)
+      AS np
+  FROM events e JOIN (SELECT event_id, cell_id FROM {inner} q) t
+    ON t.event_id = e.event_id
+  WHERE e.event_type IN ('view', 'purchase')
+  GROUP BY 1
+)
+SELECT tile_id, nv AS n_views, np AS n_purchases,
+  CAST(CASE WHEN nv > 0 THEN np * 1000000 // nv ELSE -1 END
+    AS BIGINT) AS cr_e6
+FROM tcv
+"""
+
+
 __all__ = [
+    "q_tile_conversion",
+    "sql_tile_conversion",
     "q_tile_affinity",
     "sql_tile_affinity",
     "q_tile_cross_density",
