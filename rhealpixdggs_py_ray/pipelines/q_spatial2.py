@@ -4938,7 +4938,97 @@ FROM tcv
 """
 
 
+
+def q_tile_weekend_shift(sf_dir: str):
+    """Weekend-mix shift per tile: each res-TILE_RES tile's weekend
+    share of events against the global weekend share, as an integer
+    lift (share_tile_e6 - share_global_e6) — where does weekend
+    activity concentrate?  Same one-fold namespaced shape as
+    tile_conversion (tile*2 + is_weekend); epoch day % 7 maps
+    Thursday=0, so weekend = day % 7 IN (2, 3) (1970-01-01 was a
+    Thursday).  Output (tile_id, n_weekday, n_weekend,
+    shift_e6)."""
+    from rhealpixdggs_py_ray.core import index as cidx
+    from rhealpixdggs_py_ray.ops.agg import sum_by_u64_key
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"], blocks=4)
+
+    def part(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        ts = (batch["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        dow = (ts // 86_400_000_000) % 7  # 0 = Thursday
+        wk = (dow == 2) | (dow == 3)      # Sat, Sun
+        lon, lat = oracle.lonlat_from_id(ids)
+        u = cidx.cell_from_point(CFG, TILE_RES, lon, lat, plane=False)
+        tile = (u.astype(np.uint64) >> np.uint64(52))
+        key = tile * np.uint64(2) + wk.astype(np.uint64)
+        uq, cnt = np.unique(key, return_counts=True)
+        return pa.table({"key": pa.array(uq, type=pa.uint64()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    wd: dict = {}
+    we: dict = {}
+    for b in sum_by_u64_key(
+            ds.map_batches(part, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            "key", "n", "n", n_buckets=8).iter_batches(
+                batch_format="pyarrow"):
+        if not b.num_rows:
+            continue
+        k = b["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = b["n"].to_numpy(zero_copy_only=False)
+        for ki, ni in zip(k.tolist(), n.tolist()):
+            (we if ki % 2 else wd)[ki // 2] = ni
+    tiles = sorted(set(wd) | set(we))
+    nd = np.array([wd.get(t, 0) for t in tiles], dtype=np.int64)
+    nw = np.array([we.get(t, 0) for t in tiles], dtype=np.int64)
+    g_num = int(nw.sum())
+    g_tot = int((nd + nw).sum())
+    g_share = g_num * 1_000_000 // g_tot if g_tot else 0
+    share = nw * 1_000_000 // np.maximum(nd + nw, 1)
+    tid = su.to_string_fixed(
+        np.array(tiles, dtype=np.uint64) << np.uint64(52), TILE_RES)
+    return pa.table({
+        "tile_id": pa.array(tid.tolist(), type=pa.string()),
+        "n_weekday": pa.array(nd),
+        "n_weekend": pa.array(nw),
+        "shift_e6": pa.array((share - g_share).astype(np.int64)),
+    })
+
+
+def sql_tile_weekend_shift() -> str:
+    inner = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), TILE_RES, CFG,
+        id_cols=("event_id",))
+    return f"""
+WITH tws AS MATERIALIZED (
+  SELECT t.cell_id AS tile_id,
+    CAST(COUNT(*) FILTER (
+      WHERE (epoch_us(e.ts) // 86400000000) % 7 NOT IN (2, 3)
+    ) AS BIGINT) AS nd,
+    CAST(COUNT(*) FILTER (
+      WHERE (epoch_us(e.ts) // 86400000000) % 7 IN (2, 3)
+    ) AS BIGINT) AS nw
+  FROM events e JOIN (SELECT event_id, cell_id FROM {inner} q) t
+    ON t.event_id = e.event_id
+  GROUP BY 1
+),
+twg AS MATERIALIZED (
+  SELECT CAST(SUM(nw) AS BIGINT) AS gn,
+    CAST(SUM(nd) + SUM(nw) AS BIGINT) AS gt
+  FROM tws
+)
+SELECT tile_id, nd AS n_weekday, nw AS n_weekend,
+  CAST(nw * 1000000 // greatest(nd + nw, 1)
+    - gn * 1000000 // gt AS BIGINT) AS shift_e6
+FROM tws, twg
+"""
+
+
 __all__ = [
+    "q_tile_weekend_shift",
+    "sql_tile_weekend_shift",
     "q_tile_conversion",
     "sql_tile_conversion",
     "q_tile_affinity",
