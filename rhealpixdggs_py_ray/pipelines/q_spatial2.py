@@ -5026,7 +5026,90 @@ FROM tws, twg
 """
 
 
+
+def q_tile_peak_hour(sf_dir: str):
+    """Modal activity hour per tile (when is each place busy?): one
+    namespaced fold keyed tile*32 + hour-of-day, per-tile argmax with
+    ties to the smallest hour — exact integers throughout.  Output
+    (tile_id, peak_hour, n_at_peak, n_total)."""
+    from rhealpixdggs_py_ray.core import index as cidx
+    from rhealpixdggs_py_ray.ops.agg import sum_by_u64_key
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"], blocks=4)
+
+    def part(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        ts = (batch["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        hour = (ts // 3_600_000_000) % 24
+        lon, lat = oracle.lonlat_from_id(ids)
+        u = cidx.cell_from_point(CFG, TILE_RES, lon, lat, plane=False)
+        tile = (u.astype(np.uint64) >> np.uint64(52))
+        key = tile * np.uint64(32) + hour.astype(np.uint64)
+        uq, cnt = np.unique(key, return_counts=True)
+        return pa.table({"key": pa.array(uq, type=pa.uint64()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    acc: dict = {}
+    for b in sum_by_u64_key(
+            ds.map_batches(part, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            "key", "n", "n", n_buckets=8).iter_batches(
+                batch_format="pyarrow"):
+        if not b.num_rows:
+            continue
+        for k, n in zip(b["key"].to_pylist(), b["n"].to_pylist()):
+            acc[k] = acc.get(k, 0) + n
+    keys = np.array(sorted(acc), dtype=np.uint64)
+    cnts = np.array([acc[int(k)] for k in keys], dtype=np.int64)
+    tiles = (keys // np.uint64(32)).astype(np.int64)
+    hours = (keys % np.uint64(32)).astype(np.int64)
+    out = {k: [] for k in ("t", "h", "p", "n")}
+    for t in np.unique(tiles):
+        m = tiles == t
+        h, c = hours[m], cnts[m]
+        best = int(np.lexsort((h, -c))[0])
+        out["t"].append(int(t))
+        out["h"].append(int(h[best]))
+        out["p"].append(int(c[best]))
+        out["n"].append(int(c.sum()))
+    tid = su.to_string_fixed(
+        np.array(out["t"], dtype=np.uint64) << np.uint64(52), TILE_RES)
+    return pa.table({
+        "tile_id": pa.array(tid.tolist(), type=pa.string()),
+        "peak_hour": pa.array(out["h"], type=pa.int64()),
+        "n_at_peak": pa.array(out["p"], type=pa.int64()),
+        "n_total": pa.array(out["n"], type=pa.int64()),
+    })
+
+
+def sql_tile_peak_hour() -> str:
+    inner = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), TILE_RES, CFG,
+        id_cols=("event_id",))
+    return f"""
+WITH tph AS MATERIALIZED (
+  SELECT t.cell_id AS tile_id,
+    (epoch_us(e.ts) // 3600000000) % 24 AS hour,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM events e JOIN (SELECT event_id, cell_id FROM {inner} q) t
+    ON t.event_id = e.event_id
+  GROUP BY 1, 2
+)
+SELECT tile_id, CAST(hour AS BIGINT) AS peak_hour,
+  n AS n_at_peak,
+  CAST(SUM(n) OVER (PARTITION BY tile_id) AS BIGINT) AS n_total
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY tile_id
+      ORDER BY n DESC, hour) AS rn
+  FROM tph
+) QUALIFY rn = 1
+"""
+
+
 __all__ = [
+    "q_tile_peak_hour",
+    "sql_tile_peak_hour",
     "q_tile_weekend_shift",
     "sql_tile_weekend_shift",
     "q_tile_conversion",
