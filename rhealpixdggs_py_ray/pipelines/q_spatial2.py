@@ -5107,7 +5107,138 @@ FROM (
 """
 
 
+
+def q_tile_anomaly_days(sf_dir: str):
+    """Robust per-tile burst detection: a (tile, day) is anomalous
+    when its event count exceeds the tile's median + 3 * MAD over the
+    tile's active days (exact lower medians, rank ceil(n/2) both
+    levels) — integer decisions end-to-end, the robust-statistics x
+    geography composite.  One (tile, day) fold, then a per-tile
+    resolve in an h(tile) bucket exchange.  Output (tile_id, day, n,
+    med, mad) for flagged days."""
+    from rhealpixdggs_py_ray.core import index as cidx
+    from rhealpixdggs_py_ray.ops.agg import hash_bucket_u64, sum_by_u64_key
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"], blocks=4)
+
+    def part(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        ts = (batch["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        day = ((ts // 86_400_000_000) - 19723).astype(np.uint64)
+        lon, lat = oracle.lonlat_from_id(ids)
+        u = cidx.cell_from_point(CFG, TILE_RES, lon, lat, plane=False)
+        tile = (u.astype(np.uint64) >> np.uint64(52))
+        key = tile * np.uint64(64) + day
+        uq, cnt = np.unique(key, return_counts=True)
+        return pa.table({"key": pa.array(uq, type=pa.uint64()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    folded = sum_by_u64_key(
+        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True),
+        "key", "n", "n", n_buckets=8)
+
+    def tile_bucket(batch: pa.Table) -> pa.Table:
+        k = batch["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return batch.append_column(
+            "tbk", pa.array(hash_bucket_u64(k // np.uint64(64), 8)))
+
+    def resolve(g: pa.Table) -> pa.Table:
+        empty = pa.table({"tile": pa.array([], type=pa.int64()),
+                          "day": pa.array([], type=pa.int64()),
+                          "n": pa.array([], type=pa.int64()),
+                          "med": pa.array([], type=pa.int64()),
+                          "mad": pa.array([], type=pa.int64())})
+        if g.num_rows == 0 or "key" not in g.column_names:
+            return empty
+        k = g["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        tile = (k // np.uint64(64)).astype(np.int64)
+        day = (k % np.uint64(64)).astype(np.int64)
+        out = {c: [] for c in ("tile", "day", "n", "med", "mad")}
+        for t in np.unique(tile):
+            m = tile == t
+            nn, dd = n[m], day[m]
+            s = np.sort(nn)
+            med = int(s[(len(s) + 1) // 2 - 1])  # exact lower median
+            dev = np.sort(np.abs(nn - med))
+            mad = int(dev[(len(dev) + 1) // 2 - 1])
+            hit = nn > med + 3 * mad
+            out["tile"].extend([int(t)] * int(hit.sum()))
+            out["day"].extend(dd[hit].tolist())
+            out["n"].extend(nn[hit].tolist())
+            out["med"].extend([med] * int(hit.sum()))
+            out["mad"].extend([mad] * int(hit.sum()))
+        return pa.table({c: pa.array(np.array(out[c], dtype=np.int64))
+                         for c in out})
+
+    rows = (folded.map_batches(tile_bucket, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("tbk").map_groups(resolve, batch_format="pyarrow"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = batch["tile"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table({
+            "tile_id": pa.array(su.to_string_fixed(
+                t << np.uint64(52), TILE_RES).tolist(), type=pa.string()),
+            "day": batch["day"],
+            "n": batch["n"],
+            "med": batch["med"],
+            "mad": batch["mad"],
+        })
+
+    return _schema_anchor(
+        rows.map_batches(finish, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        pa.table({"tile_id": pa.array([], type=pa.string()),
+                  "day": pa.array([], type=pa.int64()),
+                  "n": pa.array([], type=pa.int64()),
+                  "med": pa.array([], type=pa.int64()),
+                  "mad": pa.array([], type=pa.int64())}))
+
+
+def sql_tile_anomaly_days() -> str:
+    inner = oracle.cell_from_point_sql(
+        _points_sql("events", "event_id"), TILE_RES, CFG,
+        id_cols=("event_id",))
+    return f"""
+WITH tad AS MATERIALIZED (
+  SELECT t.cell_id AS tile_id,
+    epoch_us(e.ts) // 86400000000 - 19723 AS day,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM events e JOIN (SELECT event_id, cell_id FROM {inner} q) t
+    ON t.event_id = e.event_id
+  GROUP BY 1, 2
+),
+tmed AS MATERIALIZED (
+  SELECT tile_id, n AS med FROM (
+    SELECT tile_id, n,
+      row_number() OVER (PARTITION BY tile_id ORDER BY n) AS rn,
+      COUNT(*) OVER (PARTITION BY tile_id) AS cnt
+    FROM tad
+  ) WHERE rn = (cnt + 1) // 2
+),
+tmad AS MATERIALIZED (
+  SELECT tile_id, ad AS mad FROM (
+    SELECT d.tile_id, abs(d.n - m.med) AS ad,
+      row_number() OVER (PARTITION BY d.tile_id
+                         ORDER BY abs(d.n - m.med)) AS rn,
+      COUNT(*) OVER (PARTITION BY d.tile_id) AS cnt
+    FROM tad d JOIN tmed m ON m.tile_id = d.tile_id
+  ) WHERE rn = (cnt + 1) // 2
+)
+SELECT d.tile_id, CAST(d.day AS BIGINT) AS day, d.n,
+  m.med, a.mad
+FROM tad d
+JOIN tmed m ON m.tile_id = d.tile_id
+JOIN tmad a ON a.tile_id = d.tile_id
+WHERE d.n > m.med + 3 * a.mad
+"""
+
+
 __all__ = [
+    "q_tile_anomaly_days",
+    "sql_tile_anomaly_days",
     "q_tile_peak_hour",
     "sql_tile_peak_hour",
     "q_tile_weekend_shift",
